@@ -1,0 +1,228 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ops.Num._
+import graft.ops.Relational
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Oracle-checked queries covering the reference's operator inventory
+  * (SURVEY.md §2), re-expressed over the driver fixtures (FIXTURES.md §A).
+  * Every aggregate double goes through Num.dsum (exact decimal) so Spark
+  * and DuckDB hash-match regardless of partition order.
+  */
+object ReferenceParity {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q01_scan_project",
+      "S-scan + P2/P6 schema-tolerant project/rename + per-row derived col (main.py:54-83)",
+      (s, d) => {
+        val li = t(s, d, "lineitem").filter(col("l_quantity") > 45)
+        // 'l_ghost' exercises the silently-dropped-absent-column path.
+        Relational.tolerantSelect(li, Seq(
+          "l_orderkey" -> "okey", "l_linenumber" -> "line_no",
+          "l_quantity" -> "qty", "l_extendedprice" -> "price",
+          "l_ghost" -> "ghost"))
+          .withColumn("gross", col("qty") * col("price"))
+      },
+      Some("""SELECT l_orderkey AS okey, l_linenumber AS line_no, l_quantity AS qty, l_extendedprice AS price, l_quantity * l_extendedprice AS gross FROM lineitem WHERE l_quantity > 45""")),
+
+    QueryDef("q02_filter_events",
+      "F1 boolean/equality + range predicate (main.py:127, 30-34)",
+      (s, d) => t(s, d, "events")
+        .filter(col("event_type") === "purchase" && col("value") > 50)
+        .select("event_id", "user_id", "value"),
+      Some("""SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase' AND value > 50""")),
+
+    QueryDef("q03_group_agg",
+      "A2/A3/A4 grouped sums + counts, TPC-H Q1 shape (main.py:134-135,159-167)",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc"),
+          lcount(lit(1)).as("n_rows")),
+      Some("""SELECT l_returnflag, l_linestatus, CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty, CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base, CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc, CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem GROUP BY l_returnflag, l_linestatus""")),
+
+    QueryDef("q04_latest_argmax",
+      "A1 latest-record argmax keeping ties + A2 sum over winners (main.py:130-135)",
+      (s, d) => Relational.latestByKey(
+          t(s, d, "lineitem"), Seq(col("l_orderkey")), Seq(col("l_shipdate")))
+        .groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity")).as("last_qty"),
+             lcount(lit(1)).as("n_last")),
+      Some("""WITH r AS (SELECT l_orderkey, l_quantity, rank() OVER (PARTITION BY l_orderkey ORDER BY l_shipdate DESC) AS rk FROM lineitem) SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS last_qty, CAST(COUNT(*) AS BIGINT) AS n_last FROM r WHERE rk = 1 GROUP BY l_orderkey""")),
+
+    QueryDef("q05_join_left",
+      "J1/J2 left equi-join + F5 aggregate-or-default via coalesce (main.py:182-183,129-153)",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          lcount(col("o_orderkey")).as("n_orders"),
+          dsum(coalesce(col("o_totalprice"), lit(0.0))).as("total_value"),
+          countDistinct(col("c_custkey")).cast("long").as("n_customers")),
+      Some("""SELECT c_mktsegment, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders, CAST(SUM(CAST(COALESCE(o_totalprice, 0.0) AS DECIMAL(38,6))) AS DOUBLE) AS total_value, CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_mktsegment""")),
+
+    QueryDef("q06_join_broadcast",
+      "J1 dimension join, explicitly broadcast (SURVEY §2.4); revenue per brand",
+      (s, d) => t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          lcount(lit(1)).as("n_lines")),
+      Some("""SELECT p_brand, CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue, CAST(COUNT(*) AS BIGINT) AS n_lines FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand""")),
+
+    QueryDef("q07_cross_tasks",
+      "J5 cartesian task table (users × pools driver loop, main.py:11-12)",
+      (s, d) => t(s, d, "region")
+        .crossJoin(t(s, d, "customer").select(col("c_mktsegment")).distinct())
+        .select(col("r_name"), col("c_mktsegment")),
+      Some("""SELECT r_name, c_mktsegment FROM region CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer)""")),
+
+    QueryDef("q08_positional_zip",
+      "J3/J4 horizontal concat = align-by-ordinal join (main.py:102,252)",
+      (s, d) => Relational.zipByPosition(
+          t(s, d, "supplier").select(col("s_suppkey"), col("s_name"), col("s_acctbal")),
+          Seq(col("s_suppkey")),
+          t(s, d, "customer").select(col("c_custkey"), col("c_name"), col("c_acctbal")),
+          Seq(col("c_custkey")))
+        .filter(col("ord") <= 50)
+        .select(col("ord"), col("s_name"), col("c_name"),
+                (col("s_acctbal") + col("c_acctbal")).as("combined")),
+      Some("""WITH s AS (SELECT CAST(row_number() OVER (ORDER BY s_suppkey) AS BIGINT) AS ord, s_name, s_acctbal FROM supplier), c AS (SELECT CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS ord, c_name, c_acctbal FROM customer) SELECT ord, s_name, c_name, s_acctbal + c_acctbal AS combined FROM s JOIN c USING (ord) WHERE ord <= 50""")),
+
+    QueryDef("q09_string_fold",
+      "A5/E14 ordered string aggregation into '(id: x, y; …)' blobs (main.py:163-170,229-244)",
+      (s, d) => t(s, d, "lineitem").filter(col("l_orderkey") <= 500)
+        .groupBy(col("l_orderkey"))
+        .agg(Relational.stringFold(
+          struct(col("l_linenumber"), col("l_quantity")),
+          x => format_string("%d: %d", x.getField("l_linenumber"),
+                             floor(x.getField("l_quantity")).cast("long")))
+          .as("bins")),
+      // ORDER BY must mirror array_sort on struct(l_linenumber, l_quantity):
+      // the fixture HAS duplicate line numbers within an order, so the
+      // quantity tiebreak is load-bearing for determinism.
+      Some("""SELECT l_orderkey, '(' || string_agg(printf('%d: %d', l_linenumber, CAST(FLOOR(l_quantity) AS BIGINT)), '; ' ORDER BY l_linenumber, l_quantity) || ')' AS bins FROM lineitem WHERE l_orderkey <= 500 GROUP BY l_orderkey""")),
+
+    QueryDef("q10_derived_metrics",
+      "E1,E5-E13 derived metric columns: value-if-held, guarded %, APR/APY (main.py:198-201,257-286)",
+      (s, d) => {
+        val byCust = t(s, d, "orders").groupBy(col("o_custkey"))
+          .agg(dsum(col("o_totalprice")).as("order_value"),
+               lcount(lit(1)).as("n_orders"))
+        t(s, d, "customer")
+          .join(byCust, col("c_custkey") === col("o_custkey"), "left")
+          .select(
+            col("c_custkey"),
+            coalesce(col("order_value"), lit(0.0)).as("order_value"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            (col("c_acctbal") * lit(2.0)).as("value_if_held"),
+            (col("c_acctbal") * lit(2.0) - coalesce(col("order_value"), lit(0.0))).as("impermanent_loss"),
+            when(col("c_acctbal") =!= 0,
+              round(coalesce(col("order_value"), lit(0.0)) / col("c_acctbal") * 100, 4))
+              .as("value_pct_of_bal"),
+            // daily-yield proxy kept ≤ ~6e-4 so (1+x)^365 stays O(1):
+            // pow's last-ulp differences between JVM and DuckDB libm are
+            // then far below the round(…,4) grain.
+            round((pow(lit(1.0) + coalesce(col("order_value"), lit(0.0)) / lit(1.0e10), 365) - lit(1.0)) * 100, 4)
+              .as("apy_pct"))
+      },
+      Some("""WITH bc AS (SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS order_value, CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders GROUP BY o_custkey) SELECT c_custkey, COALESCE(order_value, 0.0) AS order_value, COALESCE(n_orders, 0) AS n_orders, c_acctbal * 2.0 AS value_if_held, c_acctbal * 2.0 - COALESCE(order_value, 0.0) AS impermanent_loss, CASE WHEN c_acctbal <> 0 THEN ROUND(COALESCE(order_value, 0.0) / c_acctbal * 100, 4) END AS value_pct_of_bal, ROUND((POW(1.0 + COALESCE(order_value, 0.0) / 10000000000.0, 365) - 1.0) * 100, 4) AS apy_pct FROM customer LEFT JOIN bc ON c_custkey = o_custkey""")),
+
+    QueryDef("q11_json_extract",
+      "P4/P7/P8 JSON field pluck + coercion-to-null + default fill (main.py:107-126)",
+      (s, d) => {
+        val k = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+        t(s, d, "events")
+          .select(when(k === "", 0).otherwise(k.cast("int")).as("k"))
+          .groupBy((col("k") % 10).as("k_bucket"))
+          .agg(lcount(lit(1)).as("n"), lsum(col("k")).as("k_sum"))
+      },
+      Some("""WITH e AS (SELECT COALESCE(TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER), 0) AS k FROM events) SELECT k % 10 AS k_bucket, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(k) AS BIGINT) AS k_sum FROM e GROUP BY k % 10""")),
+
+    QueryDef("q12_day_windows",
+      "§2.6 tumbling 1-day time window replacing the API's server-side filterBy=1d (main.py:46-49)",
+      (s, d) => t(s, d, "events")
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(lcount(lit(1)).as("n_events"),
+             dsum(col("value")).as("value_sum"),
+             countDistinct(col("user_id")).cast("long").as("n_users"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+                col("n_events"), col("value_sum"), col("n_users")),
+      Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, CAST(COUNT(*) AS BIGINT) AS n_events, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS value_sum, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events GROUP BY 1""")),
+
+    QueryDef("q13_running_window",
+      "§2.6 running cumulative sum per key (ordered frame, exact decimal)",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, d, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          sum(col("o_totalprice").cast(DecimalType(38, 6)))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running_value"),
+          row_number().over(w).cast("long").as("order_seq"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value, CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS order_seq FROM orders""")),
+
+    QueryDef("q14_topk",
+      "T1/T3 deterministic top-k with tiebreak (main.py:130-133)",
+      (s, d) => t(s, d, "orders")
+        .withColumn("rn", row_number()
+          .over(Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))).cast("long"))
+        .filter(col("rn") <= 100)
+        .select(col("o_orderkey"), col("o_totalprice"), col("rn")),
+      Some("""SELECT o_orderkey, o_totalprice, rn FROM (SELECT o_orderkey, o_totalprice, CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn FROM orders) WHERE rn <= 100""")),
+
+    QueryDef("q15_union_append",
+      "K1/§2.8 UNION ALL append-sink semantics (main.py:345-351)",
+      (s, d) => {
+        val e = t(s, d, "events")
+        e.filter(col("event_type") === "view")
+          .unionByName(e.filter(col("event_type") === "click"))
+          .groupBy(col("event_type"))
+          .agg(lcount(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS value_sum FROM (SELECT * FROM events WHERE event_type = 'view' UNION ALL SELECT * FROM events WHERE event_type = 'click') GROUP BY event_type""")),
+
+    QueryDef("q16_first_per_group",
+      "T2 first-row/scalar extraction per group (main.py:138,212)",
+      (s, d) => t(s, d, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(min(col("c_name")).as("first_name"),
+             max(col("c_acctbal")).as("max_bal"),
+             lcount(lit(1)).as("n")),
+      Some("""SELECT c_nationkey, MIN(c_name) AS first_name, MAX(c_acctbal) AS max_bal, CAST(COUNT(*) AS BIGINT) AS n FROM customer GROUP BY c_nationkey""")),
+
+    QueryDef("q17_div_guard",
+      "E9/E11-E13 guarded division: null (not inf) on zero denominator (main.py:266-269,284-286)",
+      (s, d) => t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(dsum(when(col("event_type") === "purchase", col("value")).otherwise(lit(0.0))).as("spend"),
+             lcount(when(col("event_type") === "error", lit(1))).as("n_errors"))
+        .select(col("user_id"), col("spend"), col("n_errors"),
+                when(col("n_errors") =!= 0, round(col("spend") / col("n_errors"), 6))
+                  .as("spend_per_error")),
+      Some("""WITH g AS (SELECT user_id, CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS spend, CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_errors FROM events GROUP BY user_id) SELECT user_id, spend, n_errors, CASE WHEN n_errors <> 0 THEN ROUND(spend / n_errors, 6) END AS spend_per_error FROM g""")),
+
+    QueryDef("q18_decimal_mul",
+      "E2/E3 exact wide-decimal products (uint256-style bin math, main.py:232-238)",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
+                  col("l_quantity").cast(DecimalType(18, 2)))
+               .cast(DecimalType(38, 4)))
+             .cast("double").as("exact_product_sum"),
+             lcount(lit(1)).as("n")),
+      Some("""SELECT l_returnflag, CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS exact_product_sum, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY l_returnflag"""))
+  )
+}
