@@ -12,7 +12,8 @@ import graft.ops.Relational
 object SparkEntry {
 
   private def registry: Seq[QueryDef] =
-    _root_.graft.queries.ReferenceParity.defs
+    _root_.graft.queries.ReferenceParity.defs ++
+      _root_.graft.queries.LlmOps.defs
 
   /** Flagship: the reference's snapshot pipeline shape (scan → filter →
     * argmax-latest → broadcast join → derived metrics → string fold) on

@@ -1,0 +1,140 @@
+package graft.ext
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM-corpus pipelines (BASELINE.json north
+  * star): exact, word-n-gram Jaccard, MinHash+LSH, SimHash. All are pure
+  * DataFrame transforms built from codegen'd expressions; hashes are
+  * `TextFunctions.portableHash` (md5-based) so every sketch is
+  * reproducible in the DuckDB oracle.
+  *
+  * Scale design (100 TB documents):
+  *  - exact dedup groups on a 60-bit fingerprint, not the full text, so
+  *    the shuffle carries 8 bytes + doc_id per row;
+  *  - candidate generation (LSH bands / shingle join) is blocked (e.g.
+  *    by lang) and verified pairwise only on candidates — never an
+  *    unblocked O(n²) cross join;
+  *  - hot shingles (stopword n-grams) are the skew risk in the shingle
+  *    join: AQE skew-join handles moderate skew, and the MinHash path
+  *    avoids the problem entirely (bounded signature size per doc).
+  */
+object Dedup {
+
+  /** Exact dedup: one representative (min id) per identical text.
+    * Grouping key is the 60-bit fingerprint of the normalized text —
+    * constant-width shuffle keys at any document size. */
+  def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.groupBy(fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"),
+           count(lit(1)).cast("long").as("n_dupes"))
+
+  /** Per-document distinct word n-gram shingles, exploded to
+    * (id, block, shingle) rows. */
+  private def shingleRows(docs: DataFrame, textCol: String, idCol: String,
+                          blockCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("id"), col(blockCol).as("block"),
+                explode(wordShingles(col(textCol), n)).as("s"))
+
+  /** Near-dup pairs by exact word-n-gram Jaccard similarity, computed
+    * via a shingle equi-join within `blockCol` blocks (a pair is only
+    * compared if it shares ≥1 shingle AND the block). Returns
+    * (id_a, id_b, jaccard) for pairs with jaccard ≥ threshold. */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+                        blockCol: String, n: Int, threshold: Double): DataFrame = {
+    val sh = shingleRows(docs, textCol, idCol, blockCol, n)
+    val cnt = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("id").as("id_a"), col("block"), col("s"))
+    val b = sh.select(col("id").as("id_b"), col("block"), col("s"))
+    val inter = a.join(b, Seq("block", "s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("ic"))
+    inter
+      .join(cnt.select(col("id").as("id_a"), col("n_sh").as("na")), Seq("id_a"))
+      .join(cnt.select(col("id").as("id_b"), col("n_sh").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+              (col("ic").cast("double") / (col("na") + col("nb") - col("ic"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signature entry: min over a doc's shingles of
+    * portableHash(seed=j). */
+  private def minhashCol(j: Int): Column = min(portableHash(col("s"), j)).as(s"mh$j")
+
+  /** MinHash + LSH banding near-dup candidates, verified by exact
+    * Jaccard. `numHashes` minhashes split into `bands` bands; a pair is
+    * a candidate iff some band's full signature slice matches (classic
+    * banding LSH). Candidates are then verified with the exact n-gram
+    * Jaccard and filtered at `threshold`.
+    *
+    * At scale this is THE dedup path: per-doc state is a fixed
+    * numHashes×8-byte signature, the candidate join keys are
+    * (band, band-signature) — no shingle-frequency skew.
+    */
+  def minhashLshPairs(docs: DataFrame, textCol: String, idCol: String,
+                      blockCol: String, n: Int, numHashes: Int, bands: Int,
+                      threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val sh = shingleRows(docs, textCol, idCol, blockCol, n)
+    val sig = sh.groupBy(col("id"), col("block"))
+      .agg(minhashCol(0), (1 until numHashes).map(minhashCol): _*)
+    // band key: '|'-joined signature slice (portable to SQL string concat)
+    val banded = sig.select(
+      col("id") +: col("block") +: (0 until bands).map { b =>
+        concat_ws("|",
+          (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh$j")): _*)
+          .as(s"band$b")
+      }: _*)
+    val candidates = (0 until bands).map { b =>
+      val l = banded.select(col("id").as("id_a"), col("block"), col(s"band$b").as("bk"))
+      val r = banded.select(col("id").as("id_b"), col("block"), col(s"band$b").as("bk"))
+      l.join(r, Seq("block", "bk")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+    }.reduce(_ unionByName _).distinct()
+    // verify candidates with exact jaccard
+    val exactJac = ngramJaccardPairs(docs, textCol, idCol, blockCol, n, 0.0)
+    candidates.join(exactJac, Seq("id_a", "id_b"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Number of SimHash bits (portableHash yields 60 usable bits). */
+  val SimHashBits = 60
+
+  /** SimHash fingerprint per document: for each bit position, sum +1/-1
+    * votes of each token's hash bit; bit set iff the vote is positive.
+    * Expressed as 60 conditional-sum aggregates + a bit-recombine — one
+    * shuffle, fully codegen'd, no UDAF. */
+  def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+                          explode(tokens(col(textCol))).as("t"))
+      .withColumn("h", portableHash(col("t"), 7))
+    val votes = (0 until SimHashBits).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i")
+    }
+    val agg = tok.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+    val fp = (0 until SimHashBits).map { i =>
+      when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col("id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within a block: hamming distance ≤ maxDist.
+    * Blocked O(block²) comparison via bit_count(xor) — suitable when
+    * blocks are bounded; at open scale, band the fingerprint into
+    * 4×15-bit keys first (same LSH trick as MinHash). */
+  def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
+                   blockCol: String, maxDist: Int): DataFrame = {
+    val withBlock = docs.select(col(idCol).as("id"), col(blockCol).as("block"))
+    val fp = simhash(docs, textCol, idCol).join(withBlock, "id")
+    val a = fp.select(col("id").as("id_a"), col("block"), col("simhash").as("fa"))
+    val b = fp.select(col("id").as("id_b"), col("block"), col("simhash").as("fb"))
+    a.join(b, Seq("block")).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+  }
+}

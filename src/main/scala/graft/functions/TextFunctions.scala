@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the LLM-data-pipeline operators
+  * (BASELINE.json north star): tokenization, shingling, portable
+  * hashing, quality scoring, language-ID heuristics, fingerprinting.
+  *
+  * Everything here is built from codegen'd Catalyst expressions (split /
+  * regexp / higher-order array functions) — no UDFs — so the operators
+  * scale to the 100 TB documents table without leaving whole-stage
+  * codegen.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization; empty/blank text → empty array (Spark's
+    * split would return [""] which breaks token counts). */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Distinct word n-gram shingles: ["a","b","c","d"], n=3 →
+    * ["a b c","b c d"]. Fewer than n words → empty. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val w = tokens(text)
+    when(size(w) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), size(w) - (n - 1)),
+          i => concat_ws(" ", slice(w, i, lit(n))))))
+  }
+
+  /** Portable 60-bit hash: first 15 hex chars of md5(seed:value) as a
+    * non-negative long. Chosen over Spark's murmur3 `hash()` because the
+    * EXACT same function is expressible in the DuckDB oracle
+    * (`CAST('0x' || substring(md5(...), 1, 15) AS BIGINT)`), so MinHash /
+    * SimHash sketches are hash-verifiable, not just rows-checked. */
+  def portableHash(c: Column, seed: Int): Column =
+    conv(substring(md5(concat(lit(seed.toString), lit(":"), c)), 1, 15), 16, 10)
+      .cast("long")
+
+  /** Canonical text form for fingerprinting: lowercase, collapsed
+    * whitespace. */
+  def normalize(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** 60-bit document fingerprint of the normalized text (exact-dup
+    * detection at scale: group/join on a long instead of a long string). */
+  def fingerprint(text: Column): Column = portableHash(normalize(text), 0)
+
+  private val stopwords =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Fraction of tokens that are stopwords (0 when no tokens). */
+  def stopwordRatio(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(0.0))
+      .otherwise(size(filter(t, w => w.isin(stopwords: _*))).cast("double") / size(t))
+  }
+
+  private def classRatio(text: Column, charClass: String): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, charClass, "")).cast("double") / length(text))
+
+  def alphaRatio(text: Column): Column = classRatio(text, "[^a-zA-Z]")
+  def digitRatio(text: Column): Column = classRatio(text, "[^0-9]")
+  def punctRatio(text: Column): Column = classRatio(text, "[^.,;:!?'\"()-]")
+
+  /** Mean token length (0 when no tokens). */
+  def avgTokenLen(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(0.0))
+      .otherwise(aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(t))
+  }
+
+  /** Heuristic document quality score in [0,1]: rewards alphabetic
+    * content, plausible word lengths, and stopword presence; penalizes
+    * digit/punct noise. Mirrors the length/punct/stopword-ratio scoring
+    * used by public LLM-corpus filters. */
+  def qualityScore(text: Column): Column = {
+    val lenTerm = least(tokenCount(text).cast("double") / lit(50.0), lit(1.0))
+    val wordLenOk = {
+      val a = avgTokenLen(text)
+      when(a >= 2 && a <= 12, lit(1.0)).otherwise(lit(0.0))
+    }
+    round(
+      lit(0.35) * alphaRatio(text) +
+      lit(0.25) * lenTerm +
+      lit(0.15) * wordLenOk +
+      lit(0.15) * least(stopwordRatio(text) * 5.0, lit(1.0)) +
+      lit(0.10) * (lit(1.0) - least(digitRatio(text) * 10.0, lit(1.0))),
+      6)
+  }
+
+  /** Per-language marker vocabularies for the n-gram/stopword language
+    * ID heuristic. Deliberately tiny & deterministic. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "en" -> Seq("the", "a", "and", "is", "of", "to"),
+    "es" -> Seq("el", "la", "los", "y", "es", "que"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "que"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "不"))
+
+  private def langScore(text: Column, markers: Seq[String]): Column = {
+    val t = tokens(text)
+    size(filter(t, w => w.isin(markers: _*))).cast("double")
+  }
+
+  /** Predicted language code; deterministic tie-break = alphabetical
+    * preference order of langMarkers. Returns "und" when no marker hits. */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (l, m) => l -> langScore(text, m) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // first lang (in fixed order) achieving the max score wins
+    val cases = scores.foldRight(lit("und")) { case ((l, s), els) =>
+      when(s === best && best > 0, lit(l)).otherwise(els)
+    }
+    cases
+  }
+
+  /** DuckDB SQL fragments mirroring the above, for oracle strings. */
+  object sql {
+    val tokensOf: String => String = t =>
+      s"(CASE WHEN length(trim($t)) = 0 THEN [] ELSE string_split_regex(trim($t), '\\s+') END)"
+    def portableHash(expr: String, seed: Int): String =
+      s"CAST('0x' || substring(md5('$seed:' || $expr), 1, 15) AS BIGINT)"
+    def normalize(t: String): String =
+      s"regexp_replace(lower(trim($t)), '\\s+', ' ', 'g')"
+  }
+}

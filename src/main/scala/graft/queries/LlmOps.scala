@@ -1,0 +1,184 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ext.{Dedup, SimilaritySearch}
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions._
+import graft.ops.Num._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline operators (BASELINE.json north star): dedup,
+  * similarity search, text analysis — each oracle-checked against DuckDB
+  * via the portable md5-based hashes in TextFunctions / the bit-exact
+  * double vector math in VectorFunctions.
+  */
+object LlmOps {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  /** Shared oracle CTE: distinct word-3-gram shingles per (doc, lang). */
+  private val shingleCte =
+    """words AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, lang, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |       FROM words, unnest(generate_series(1, greatest(len(w)-2, 0))) AS t(i))""".stripMargin.replace("\n", " ")
+
+  private val jaccardTail =
+    """cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS ic
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |jac AS (SELECT id_a, id_b, CAST(ic AS DOUBLE) / (ca.n_sh + cb.n_sh - ic) AS jaccard
+      |        FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b)""".stripMargin.replace("\n", " ")
+
+  private def ph(expr: String, seed: Int) = TextFunctions.sql.portableHash(expr, seed)
+
+  /** Generated 60-term SimHash oracle expression. */
+  private val simhashSql: String = {
+    val terms = (0 until Dedup.SimHashBits).map { i =>
+      s"(CASE WHEN SUM(CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END) > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tk FROM documents),
+       |h AS (SELECT doc_id, ${ph("tk", 7)} AS h FROM tok)
+       |SELECT doc_id, CAST($terms AS BIGINT) AS simhash FROM h GROUP BY doc_id""".stripMargin.replace("\n", " ")
+  }
+
+  /** DuckDB mirrors of the TextFunctions scoring pipeline. */
+  private val textStatsCte =
+    """s AS (SELECT doc_id, lang, source, text,
+      |  (CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\s+') END) AS tok
+      |  FROM documents),
+      |m AS (SELECT doc_id, lang, source,
+      |  CAST(len(tok) AS BIGINT) AS n_tokens,
+      |  CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) END AS alpha_ratio,
+      |  CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) END AS digit_ratio,
+      |  CASE WHEN len(tok) = 0 THEN 0.0 ELSE CAST(len(list_filter(tok, tk -> tk IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE) / len(tok) END AS stopword_ratio,
+      |  CASE WHEN len(tok) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(tok, tk -> length(tk))) AS DOUBLE) / len(tok) END AS avg_token_len
+      |  FROM s),
+      |q AS (SELECT *, round(0.35 * alpha_ratio + 0.25 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) + 0.15 * (CASE WHEN avg_token_len >= 2 AND avg_token_len <= 12 THEN 1.0 ELSE 0.0 END) + 0.15 * least(stopword_ratio * 5.0, 1.0) + 0.10 * (1.0 - least(digit_ratio * 10.0, 1.0)), 6) AS quality FROM m)""".stripMargin.replace("\n", " ")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q20_dedup_exact",
+      "exact dedup: group on 60-bit fingerprint of normalized text, keep min id",
+      (s, d) => Dedup.exact(t(s, d, "documents"), "text", "doc_id"),
+      Some(s"""SELECT ${ph(TextFunctions.sql.normalize("text"), 0)} AS fp, MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_dupes FROM documents GROUP BY 1""")),
+
+    QueryDef("q21_dedup_ngram_jaccard",
+      "near-dup pairs by exact word-3-gram Jaccard ≥ 0.5, lang-blocked shingle join",
+      (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id",
+                                        "lang", 3, 0.5),
+      Some(s"""WITH $shingleCte, $jaccardTail SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5""")),
+
+    QueryDef("q22_dedup_minhash_lsh",
+      "MinHash(8)+LSH(4 bands × 2) candidates, verified at Jaccard ≥ 0.5",
+      (s, d) => Dedup.minhashLshPairs(t(s, d, "documents"), "text", "doc_id",
+                                      "lang", 3, numHashes = 8, bands = 4, threshold = 0.5),
+      Some {
+        val mhCols = (0 until 8).map(j => s"MIN(${ph("s", j)}) AS mh$j").mkString(", ")
+        val bandCols = (0 until 4).map { b =>
+          s"CAST(mh${2 * b} AS VARCHAR) || '|' || CAST(mh${2 * b + 1} AS VARCHAR) AS band$b"
+        }.mkString(", ")
+        val bandEq = (0 until 4).map(b => s"a.band$b = b.band$b").mkString(" OR ")
+        s"""WITH $shingleCte,
+           |mh AS (SELECT doc_id, lang, $mhCols FROM sh GROUP BY doc_id, lang),
+           |banded AS (SELECT doc_id, lang, $bandCols FROM mh),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM banded a
+           |         JOIN banded b ON a.lang = b.lang AND a.doc_id < b.doc_id AND ($bandEq)),
+           |$jaccardTail
+           |SELECT c.id_a, c.id_b, j.jaccard FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b WHERE j.jaccard >= 0.5""".stripMargin.replace("\n", " ")
+      }),
+
+    QueryDef("q23_dedup_simhash",
+      "60-bit SimHash fingerprint per document (bit-vote over token hashes)",
+      (s, d) => Dedup.simhash(t(s, d, "documents"), "text", "doc_id")
+        .withColumnRenamed("id", "doc_id"),
+      Some(simhashSql)),
+
+    QueryDef("q24_ann_topk",
+      "brute-force cosine top-5 neighbors for query vectors vec_id<10",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        SimilaritySearch.bruteForceTopK(e, e.filter(col("vec_id") < 10), 5)
+      },
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e), sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS sim FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id), r AS (SELECT query_id, neighbor_id, sim, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rk FROM sc) SELECT query_id, neighbor_id, sim, rk FROM r WHERE rk <= 5""")),
+
+    QueryDef("q24b_ann_ivf",
+      "IVF-cell-probed approximate top-5 (16 deterministic centroids, nProbe=4)",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        SimilaritySearch.ivfTopK(e, e.filter(col("vec_id") < 10),
+                                 centroidIds = (100L until 116L), nProbe = 4, k = 5)
+      },
+      // IVF assignment + probe + rank, mirrored exactly: centroids are
+      // vec_id 100..115; every vector joins its single best cell; each
+      // query ranks only members of its 4 nearest cells.
+      Some("""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e), cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id BETWEEN 100 AND 115), asg AS (SELECT vec_id, v, nrm, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY list_dot_product(v, cv) / (nrm * cnrm) DESC, cent_id) AS rk FROM n CROSS JOIN cents), assigned AS (SELECT vec_id AS neighbor_id, v AS cvv, nrm AS cn, cent_id AS cell FROM asg WHERE rk = 1), prb AS (SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qn, cent_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_dot_product(q.v, cv) / (q.nrm * cnrm) DESC, cent_id) AS rk FROM n q CROSS JOIN cents WHERE q.vec_id < 10), probes AS (SELECT query_id, qv, qn, cent_id AS cell FROM prb WHERE rk <= 4), sc AS (SELECT query_id, neighbor_id, list_dot_product(qv, cvv) / (qn * cn) AS sim FROM assigned JOIN probes USING (cell) WHERE neighbor_id <> query_id), r AS (SELECT query_id, neighbor_id, sim, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rk FROM sc) SELECT query_id, neighbor_id, sim, rk FROM r WHERE rk <= 5""")),
+
+    QueryDef("q25_embedding_neardup",
+      "embedding-cosine near-dup pairs (label-blocked, cosine ≥ 0.35)",
+      (s, d) => SimilaritySearch.nearDupPairs(t(s, d, "embeddings"), "label", 0.35),
+      Some("""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e) SELECT a.vec_id AS id_a, b.vec_id AS id_b, list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35""")),
+
+    QueryDef("q26_text_stats",
+      "per-document text metrics: tokens, char-class ratios, quality score",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        alphaRatio(col("text")).as("alpha_ratio"),
+        digitRatio(col("text")).as("digit_ratio"),
+        stopwordRatio(col("text")).as("stopword_ratio"),
+        avgTokenLen(col("text")).as("avg_token_len"),
+        qualityScore(col("text")).as("quality")),
+      Some(s"""WITH $textStatsCte SELECT doc_id, n_tokens, alpha_ratio, digit_ratio, stopword_ratio, avg_token_len, quality FROM q""")),
+
+    QueryDef("q27_text_lang_quality",
+      "corpus quality rollup per (lang, source): counts + exact mean quality/tokens",
+      (s, d) => t(s, d, "documents")
+        .select(col("lang"), col("source"),
+                qualityScore(col("text")).as("quality"),
+                tokenCount(col("text")).as("n_tokens"))
+        .groupBy(col("lang"), col("source"))
+        .agg(lcount(lit(1)).as("n_docs"),
+             dsum(col("quality")).as("quality_sum"),
+             lsum(col("n_tokens")).as("token_sum")),
+      Some(s"""WITH $textStatsCte SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(CAST(quality AS DECIMAL(38,6))) AS DOUBLE) AS quality_sum, CAST(SUM(n_tokens) AS BIGINT) AS token_sum FROM q GROUP BY lang, source""")),
+
+    QueryDef("q28_text_langid",
+      "marker-vocabulary language-ID heuristic, confusion counts vs labeled lang",
+      (s, d) => t(s, d, "documents")
+        .select(col("lang"), langId(col("text")).as("predicted"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(lcount(lit(1)).as("n")),
+      Some {
+        val markers = Seq(
+          "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+          "en" -> Seq("the", "a", "and", "is", "of", "to"),
+          "es" -> Seq("el", "la", "los", "y", "es", "que"),
+          "fr" -> Seq("le", "la", "les", "et", "est", "que"),
+          "zh" -> Seq("的", "是", "了", "在", "我", "不"))
+        val scoreCols = markers.map { case (l, ms) =>
+          val inList = ms.map(m => s"'$m'").mkString(", ")
+          s"CAST(len(list_filter(tok, tk -> tk IN ($inList))) AS DOUBLE) AS s_$l"
+        }.mkString(", ")
+        val best = s"greatest(${markers.map("s_" + _._1).mkString(", ")})"
+        val caseChain = markers.map { case (l, _) =>
+          s"WHEN s_$l = best AND best > 0 THEN '$l'"
+        }.mkString(" ")
+        s"""WITH s AS (SELECT doc_id, lang,
+           |  (CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END) AS tok FROM documents),
+           |sc AS (SELECT doc_id, lang, $scoreCols FROM s),
+           |b AS (SELECT *, $best AS best FROM sc),
+           |p AS (SELECT lang, CASE $caseChain ELSE 'und' END AS predicted FROM b)
+           |SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY lang, predicted""".stripMargin.replace("\n", " ")
+      }),
+
+    QueryDef("q29_text_fingerprint",
+      "per-document 60-bit fingerprint of normalized text + token count",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        fingerprint(col("text")).as("fp"),
+        tokenCount(col("text")).as("n_tokens")),
+      Some(s"""SELECT doc_id, ${ph(TextFunctions.sql.normalize("text"), 0)} AS fp, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens FROM documents"""))
+  )
+}
