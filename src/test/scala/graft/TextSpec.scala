@@ -1,0 +1,58 @@
+package graft
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  describe("tokens / tokenCount") {
+    it("handles empty, blank, and multi-space text") {
+      val df = Seq("", "   ", "one", " a  b   c ").toDF("t")
+      val out = df.select(tokenCount($"t")).as[Long].collect().toSeq
+      assert(out == Seq(0L, 0L, 1L, 3L))
+    }
+  }
+
+  describe("wordShingles") {
+    it("emits distinct n-grams, empty when fewer than n words") {
+      val df = Seq("a b c d", "a b").toDF("t")
+      val out = df.select(wordShingles($"t", 3)).as[Seq[String]].collect()
+      assert(out(0) == Seq("a b c", "b c d"))
+      assert(out(1).isEmpty)
+    }
+  }
+
+  describe("qualityScore") {
+    it("stays within [0,1] and ranks clean text above noise") {
+      val clean = "the quick brown fox jumps over a lazy dog and runs to the hills again"
+      val noise = "1234 5678 90!! ??? 00 11 22 33 44 55"
+      val df = Seq(clean, noise).toDF("t")
+      val Seq(qc, qn) = df.select(qualityScore($"t")).as[Double].collect().toSeq
+      assert(qc >= 0 && qc <= 1 && qn >= 0 && qn <= 1)
+      assert(qc > qn)
+    }
+  }
+
+  describe("langId") {
+    it("detects marker vocab, deterministic tie-break, und fallback") {
+      val df = Seq(
+        "der hund ist nicht da",       // de
+        "the cat is of the house",     // en
+        "el perro y la casa",          // es
+        "zzz qqq xxx"                  // no markers
+      ).toDF("t")
+      val out = df.select(langId($"t")).as[String].collect().toSeq
+      assert(out == Seq("de", "en", "es", "und"))
+    }
+  }
+
+  describe("fingerprint") {
+    it("is invariant to case and whitespace runs") {
+      val df = Seq(("Hello  World", "hello world"), ("a b", "a c")).toDF("x", "y")
+      val eq = df.select((fingerprint($"x") === fingerprint($"y")).as("e"))
+        .as[Boolean].collect().toSeq
+      assert(eq == Seq(true, false))
+    }
+  }
+}

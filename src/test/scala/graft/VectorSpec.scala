@@ -1,0 +1,56 @@
+package graft
+
+import graft.ext.SimilaritySearch
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions._
+
+class VectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  describe("VectorFunctions") {
+    it("computes dot/norm/cosine with double precision") {
+      val df = Seq((Array(1.0f, 0.0f), Array(0.6f, 0.8f))).toDF("a", "b")
+      val (d, n, c) = df.select(
+        dot($"a", $"b"), l2Norm($"b"), cosine($"a", $"b"))
+        .as[(Double, Double, Double)].head()
+      assert(math.abs(d - 0.6) < 1e-7)
+      assert(math.abs(n - 1.0) < 1e-7)
+      assert(math.abs(c - 0.6) < 1e-7)
+    }
+    it("cosine is null on a zero vector (guarded divide)") {
+      val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 0.0f))).toDF("a", "b")
+      assert(df.select(cosine($"a", $"b")).as[Option[Double]].head().isEmpty)
+    }
+  }
+
+  describe("bruteForceTopK") {
+    it("ranks neighbors by cosine, excludes self, respects k") {
+      val vecs = Seq(
+        (0L, Array(1.0f, 0.0f)),
+        (1L, Array(0.9f, 0.1f)),   // closest to 0
+        (2L, Array(0.0f, 1.0f)),   // orthogonal to 0
+        (3L, Array(-1.0f, 0.0f))   // opposite
+      ).toDF("vec_id", "embedding")
+      val out = SimilaritySearch.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), 2)
+        .orderBy($"rk").select($"neighbor_id").as[Long].collect().toSeq
+      assert(out == Seq(1L, 2L))
+    }
+  }
+
+  describe("ivfTopK") {
+    it("returns only cell-probed neighbors, k-bounded, self excluded") {
+      val vecs = (0L until 40L).map { i =>
+        val angle = i.toDouble / 40.0 * math.Pi
+        (i, Array(math.cos(angle).toFloat, math.sin(angle).toFloat))
+      }.toDF("vec_id", "embedding")
+      val out = SimilaritySearch.ivfTopK(
+        vecs, vecs.filter($"vec_id" === 0), centroidIds = Seq(0L, 13L, 26L, 39L),
+        nProbe = 2, k = 3)
+      val rows = out.select($"neighbor_id", $"rk").as[(Long, Long)].collect()
+      assert(rows.length == 3)
+      assert(!rows.map(_._1).contains(0L))
+      // nearest true neighbor (vec 1) lives in the probed cell of centroid 0
+      assert(rows.minBy(_._2)._1 == 1L)
+    }
+  }
+}
