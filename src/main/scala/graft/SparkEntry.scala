@@ -13,6 +13,7 @@ object SparkEntry {
 
   private def registry: Seq[QueryDef] =
     _root_.graft.queries.ReferenceParity.defs ++
+      _root_.graft.queries.StreamingParity.defs ++
       _root_.graft.queries.LlmOps.defs
 
   /** Flagship: the reference's snapshot pipeline shape (scan → filter →

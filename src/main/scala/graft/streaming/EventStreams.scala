@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Streaming-native re-expression of the reference's scheduler loop
+  * (`while True: main(); sleep(3600)`, main.py:353-359 — SURVEY.md
+  * §2.11). The reference recomputes everything each tick and appends one
+  * snapshot row; here the event stream drives real incremental windowed
+  * state with watermarks, and the hourly cadence becomes a
+  * `Trigger.ProcessingTime` on the writeStream (callers choose).
+  *
+  * Every aggregation has a batch twin (same Column expressions) so the
+  * DuckDB oracle can check the logic; the streaming variants add only
+  * watermark/output-mode concerns.
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+
+  final case class SessionOut(user_id: Long, session_start: Timestamp,
+                              n_events: Long, total_value: Double)
+
+  /** Per-user session accumulator — must be public: the state Encoder's
+    * generated code (Janino) cannot invoke accessors of a private class. */
+  final case class SessionState(start: Long, lastTs: Long, n: Long, total: Double)
+
+  /** Tumbling daily stats — the engine-side replacement for the API's
+    * server-computed `filterBy=1d` window (S3, main.py:46-49). */
+  def dailyStats(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+           sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+             .cast("double").as("value_sum"))
+      .select(col("window.start").as("day_start"), col("event_type"),
+              col("n_events"), col("value_sum"))
+
+  /** Streaming twin of [[dailyStats]] with late-data handling: 1-hour
+    * watermark bounds state; updates finalize once the watermark passes
+    * the window end. */
+  def dailyStatsStream(events: DataFrame): DataFrame =
+    dailyStatsOn(events.withWatermark("ts", "1 hour"))
+
+  private def dailyStatsOn(events: DataFrame): DataFrame = dailyStats(events)
+
+  /** Batch sessionization: a session break is a gap > gapMinutes between
+    * consecutive events of a user; sessions counted via the classic
+    * lag + conditional cumulative sum (one shuffle on user_id). */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val withGap = events.withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        // exact µs arithmetic — second-truncated epochs would misjudge
+        // gaps that straddle a second boundary
+        when(col("prev_ts").isNull ||
+             unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMinutes * 60000000L,
+             1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    withGap.groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts")).as("session_start"),
+           count(lit(1)).cast("long").as("n_events"),
+           sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+             .cast("double").as("total_value"))
+      .select(col("user_id"), col("session_start"), col("n_events"), col("total_value"))
+  }
+
+  /** Streaming sessionization with explicit keyed state:
+    * flatMapGroupsWithState emits a session when the inactivity gap is
+    * exceeded within a batch or the state times out. State per user is
+    * O(1) — this is the 100 TB-safe formulation (no per-event state
+    * retention). */
+  def sessionizeStream(events: Dataset[Event], gapMinutes: Int): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
+          if (state.hasTimedOut) {
+            val s = state.get
+            out += SessionOut(userId, new Timestamp(s.start), s.n, s.total)
+            state.remove()
+          } else {
+            var cur = state.getOption
+            batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              cur match {
+                case Some(s) if e.ts.getTime - s.lastTs <= gapMs =>
+                  cur = Some(s.copy(lastTs = e.ts.getTime, n = s.n + 1,
+                                    total = s.total + e.value))
+                case Some(s) =>
+                  out += SessionOut(userId, new Timestamp(s.start), s.n, s.total)
+                  cur = Some(SessionState(e.ts.getTime, e.ts.getTime, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(e.ts.getTime, e.ts.getTime, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + gapMs)
+            }
+          }
+          out.iterator
+      }
+  }
+
+  /** File-based streaming source over an events directory (the offline
+    * stand-in for the reference's polled REST source, S5). */
+  def eventFileStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    spark.readStream.schema(schema).parquet(dir)
+  }
+}

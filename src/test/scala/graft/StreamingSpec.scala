@@ -1,0 +1,76 @@
+package graft
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Event, SessionOut}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  describe("dailyStatsStream") {
+    it("incrementally aggregates day windows with a watermark") {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val src = MemoryStream[Event]
+      val q = EventStreams.dailyStatsStream(src.toDF())
+        .writeStream.format("memory").queryName("daily_out")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        src.addData(
+          Event(1, ts("2024-01-01 10:00:00"), 1, "click", 2.0),
+          Event(2, ts("2024-01-01 11:00:00"), 2, "click", 3.0),
+          Event(3, ts("2024-01-02 09:00:00"), 1, "view", 5.0))
+        q.processAllAvailable()
+        val rows = spark.table("daily_out")
+          .select($"day_start".cast("string"), $"event_type", $"n_events", $"value_sum")
+          .as[(String, String, Long, Double)].collect().toSet
+        assert(rows == Set(
+          ("2024-01-01 00:00:00", "click", 2L, 5.0),
+          ("2024-01-02 00:00:00", "view", 1L, 5.0)))
+      } finally q.stop()
+    }
+  }
+
+  describe("sessionizeStream (flatMapGroupsWithState)") {
+    it("emits a closed session when the gap is exceeded") {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val src = MemoryStream[Event]
+      val q = EventStreams.sessionizeStream(src.toDS(), gapMinutes = 30)
+        .writeStream.format("memory").queryName("sess_out")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        // one user: two events 5 min apart, then a 2 h gap in-batch →
+        // first session must close with n=2, value=3.0
+        src.addData(
+          Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+          Event(2, ts("2024-01-01 10:05:00"), 7, "click", 2.0),
+          Event(3, ts("2024-01-01 12:30:00"), 7, "view", 10.0))
+        q.processAllAvailable()
+        val sessions = spark.table("sess_out").as[SessionOut].collect()
+        assert(sessions.length == 1)
+        assert(sessions.head == SessionOut(7, ts("2024-01-01 10:00:00"), 2, 3.0))
+      } finally q.stop()
+    }
+  }
+
+  describe("batch/stream agreement") {
+    it("sessionizeBatch matches the streaming sessions on closed sessions") {
+      import spark.implicits._
+      val events = Seq(
+        Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+        Event(2, ts("2024-01-01 10:05:00"), 7, "click", 2.0),
+        Event(3, ts("2024-01-01 12:30:00"), 7, "view", 10.0),
+        Event(4, ts("2024-01-01 09:00:00"), 8, "view", 4.0)).toDF()
+      val batch = EventStreams.sessionizeBatch(events, 30)
+        .as[SessionOut].collect().toSet
+      assert(batch == Set(
+        SessionOut(7, ts("2024-01-01 10:00:00"), 2, 3.0),
+        SessionOut(7, ts("2024-01-01 12:30:00"), 1, 10.0),
+        SessionOut(8, ts("2024-01-01 09:00:00"), 1, 4.0)))
+    }
+  }
+}
