@@ -173,6 +173,18 @@ object LlmOps {
            |SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY lang, predicted""".stripMargin.replace("\n", " ")
       }),
 
+    QueryDef("q30_multimodal_stats",
+      "binary-payload metadata lineage: byte length, sha256, first-byte bucket (codec stub boundary excluded)",
+      (s, d) => graft.ext.Multimodal.payloadStats(t(s, d, "documents")),
+      Some(s"""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, sha256(text) AS sha256, CAST(ascii(substring(text, 1, 1)) % ${graft.ext.Multimodal.HistBins} AS INTEGER) AS first_byte_bucket FROM documents""")),
+
+    QueryDef("q31_rolling_fingerprint",
+      "native codegen Expression: Rabin-Karp rolling min-hash winnowing fingerprint (no SQL oracle — loop not expressible; rows-only check)",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        graft.functions.RollingMinHash.rolling_min_hash(col("text"), 16).as("winnow_fp")),
+      None),
+
     QueryDef("q29_text_fingerprint",
       "per-document 60-bit fingerprint of normalized text + token count",
       (s, d) => t(s, d, "documents").select(
