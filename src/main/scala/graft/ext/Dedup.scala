@@ -43,11 +43,17 @@ object Dedup {
     * (id_a, id_b, jaccard) for pairs with jaccard ≥ threshold. */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                         blockCol: String, n: Int, threshold: Double): DataFrame = {
+    // Join on a 64-bit hash of the shingle, not the string: the
+    // self-join shuffle then carries 8-byte keys instead of ~n·wordlen
+    // strings — the dominant cost at scale. A cross-block-pair xxhash64
+    // collision would inflate one intersection count; at 2^64 that is
+    // negligible against corpus sizes (and detectable: jaccard > 1).
     val sh = shingleRows(docs, textCol, idCol, blockCol, n)
+      .select(col("id"), col("block"), xxhash64(col("s")).as("sh"))
     val cnt = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("id").as("id_a"), col("block"), col("s"))
-    val b = sh.select(col("id").as("id_b"), col("block"), col("s"))
-    val inter = a.join(b, Seq("block", "s"))
+    val a = sh.select(col("id").as("id_a"), col("block"), col("sh"))
+    val b = sh.select(col("id").as("id_b"), col("block"), col("sh"))
+    val inter = a.join(b, Seq("block", "sh"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("ic"))
@@ -94,11 +100,20 @@ object Dedup {
       l.join(r, Seq("block", "bk")).filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"))
     }.reduce(_ unionByName _).distinct()
-    // verify candidates with exact jaccard
-    val exactJac = ngramJaccardPairs(docs, textCol, idCol, blockCol, n, 0.0)
-    candidates.join(exactJac, Seq("id_a", "id_b"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    // Verify ONLY the candidate pairs (this is the entire point of LSH:
+    // never run pairwise verification over the full corpus). Each side's
+    // distinct shingle set is attached to the pair and intersected
+    // in-row — no shingle-level join for verification.
+    val sets = docs.select(col(idCol).as("id"),
+                           wordShingles(col(textCol), n).as("ss"))
+    val verified = candidates
+      .join(sets.select(col("id").as("id_a"), col("ss").as("sa")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("ss").as("sb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+         (size(col("sa")) + size(col("sb")) -
+          size(array_intersect(col("sa"), col("sb"))))).as("jaccard"))
+    verified.filter(col("jaccard") >= threshold)
   }
 
   /** Number of SimHash bits (portableHash yields 60 usable bits). */

@@ -15,12 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Sequential-fold dot product in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+  /** Sequential-fold dot product in double precision — a native codegen
+    * expression (see [[VectorDot]]); bit-identical to the higher-order
+    * `aggregate(zip_with(...))` formulation but ~an order of magnitude
+    * cheaper per row (no intermediate array, no lambda dispatch). */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    column(VectorDot(expression(a), expression(b)))
+  }
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 

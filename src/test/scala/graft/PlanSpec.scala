@@ -1,0 +1,50 @@
+package graft
+
+/** Plan-shape regression tests: the scale properties (pushdown, column
+  * pruning, broadcast choice, shuffle count) that make these queries
+  * viable at 100 TB. If a refactor silently loses one, these fail. */
+class PlanSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+
+  describe("scan efficiency") {
+    it("q01 pushes the filter into the parquet scan and prunes columns") {
+      val p = planOf("q01_scan_project")
+      assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"))
+      assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double>"))
+    }
+    it("q02 pushes the equality + range predicates") {
+      val p = planOf("q02_filter_events")
+      assert(p.contains("EqualTo(event_type,purchase)"))
+      assert(p.contains("GreaterThan(value,50.0)"))
+    }
+  }
+
+  describe("join strategy") {
+    it("q06 broadcasts the dimension side") {
+      assert(planOf("q06_join_broadcast").contains("BroadcastHashJoin"))
+    }
+    it("q05 uses a broadcastable right side or shuffle join, never cartesian") {
+      assert(!planOf("q05_join_left").contains("CartesianProduct"))
+    }
+    it("ANN brute-force top-k broadcasts the query side (corpus never shuffles before scoring)") {
+      val p = planOf("q24_ann_topk")
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    }
+  }
+
+  describe("shuffle economy") {
+    it("q04 argmax+agg reuses one hash partitioning (single exchange)") {
+      val p = planOf("q04_latest_argmax")
+      val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+      assert(exchanges == 1, s"expected 1 shuffle, plan:\n$p")
+    }
+    it("q03 aggregates with map-side partial_sum before the exchange") {
+      val p = planOf("q03_group_agg")
+      assert(p.contains("partial_sum"))
+    }
+  }
+}
