@@ -1,8 +1,10 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import graft.ops.Skew
 import graft.streaming.EventStreams
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Batch twins of the streaming operators (§2.11) — oracle-checkable
   * renderings of the same Column logic the streaming variants run. */
@@ -23,6 +25,14 @@ object StreamingParity {
       (s, d) => EventStreams.dailyStats(Tables(s, d, "events"))
         .select(unix_micros(col("day_start")).as("day_start_us"),
                 col("event_type"), col("n_events"), col("value_sum")),
-      Some("""SELECT epoch_us(date_trunc('day', ts)) AS day_start_us, event_type, CAST(COUNT(*) AS BIGINT) AS n_events, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS value_sum FROM events GROUP BY 1, 2"""))
+      Some("""SELECT epoch_us(date_trunc('day', ts)) AS day_start_us, event_type, CAST(COUNT(*) AS BIGINT) AS n_events, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS value_sum FROM events GROUP BY 1, 2""")),
+
+    QueryDef("q32_salted_agg",
+      "skew-safe two-stage salted aggregation per event_type — result must equal the plain groupBy (oracle is unsalted)",
+      (s, d) => Skew.saltedAgg(Tables(s, d, "events"), Seq(col("event_type")), 16,
+          (sum(col("value").cast(DecimalType(38, 6))).as("ps"),
+           sum(col("ps")).cast("double").as("value_sum")),
+          (count(lit(1)).as("pn"), sum(col("pn")).cast("long").as("n"))),
+      Some("""SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS value_sum, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY event_type"""))
   )
 }

@@ -1,0 +1,124 @@
+package graft
+
+import graft.ops.{Num, Relational, Skew}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based specs (SURVEY.md §5.4): invariants that must hold for
+  * arbitrary inputs, not just fixtures. Uses plain ScalaCheck generators
+  * with fixed seeds (the scalatest-scalacheck bridge artifact is not in
+  * the offline cache). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic sample battery from a generator. */
+  private def forAllSamples[A](gen: Gen[A], n: Int = 12)(body: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(body)
+    }
+  private def forAllSamples2[A, B](ga: Gen[A], gb: Gen[B])(body: (A, B) => Unit): Unit =
+    (1 to 12).foreach { i =>
+      for {
+        a <- ga.apply(Gen.Parameters.default, Seed(i.toLong))
+        b <- gb.apply(Gen.Parameters.default, Seed(i.toLong + 1000))
+      } body(a, b)
+    }
+  private def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
+
+  private val rowGen = Gen.listOfN(60,
+    for {
+      g <- Gen.oneOf("a", "b", "c")
+      blk <- Gen.choose(0L, 5L)
+      ts <- Gen.choose(0L, 5L)
+      amt <- Gen.choose(-100, 100).map(_.toDouble)
+    } yield (g, blk, ts, amt))
+
+  describe("latestByKey invariants") {
+    it("result ⊆ input, and every surviving row carries its group's max (blk, ts)") {
+      forAllSamples(rowGen) { rows =>
+        whenever(rows.nonEmpty) {
+          val df = rows.toDF("g", "blk", "ts", "amt")
+          val out = Relational.latestByKey(df, Seq($"g"), Seq($"blk", $"ts"))
+            .as[(String, Long, Long, Double)].collect()
+          val maxByG = rows.groupBy(_._1).map { case (g, rs) =>
+            g -> rs.map(r => (r._2, r._3)).max
+          }
+          // every output row has its group's max composite key
+          assert(out.forall(r => (r._2, r._3) == maxByG(r._1)))
+          // and ALL input rows at that max key survive (tie-keeping)
+          val expectedCount = rows.count(r => (r._2, r._3) == maxByG(r._1))
+          assert(out.length == expectedCount)
+        }
+      }
+    }
+  }
+
+  describe("dsum exactness") {
+    it("equals the exact BigDecimal sum regardless of partitioning") {
+      forAllSamples2(Gen.listOfN(50, Gen.choose(-1e9, 1e9)), Gen.choose(1, 16)) {
+        (xs, parts) =>
+          whenever(xs.nonEmpty) {
+            val expected = xs.map(x => BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+              .sum.toDouble
+            val got = spark.sparkContext.parallelize(xs, parts).toDF("v")
+              .agg(Num.dsum($"v")).as[Double].head()
+            assert(got == expected)
+          }
+      }
+    }
+  }
+
+  describe("salted aggregation") {
+    it("matches the unsalted groupBy for sums and counts") {
+      forAllSamples(rowGen) { rows =>
+        whenever(rows.nonEmpty) {
+          val df = rows.toDF("g", "blk", "ts", "amt")
+          val plain = df.groupBy($"g")
+            .agg(Num.dsum($"amt").as("s"), count(lit(1)).cast("long").as("n"))
+            .as[(String, Double, Long)].collect().toSet
+          val salted = Skew.saltedAgg(df, Seq($"g"), 8,
+              (sum($"amt".cast(org.apache.spark.sql.types.DecimalType(38, 6))).as("ps"),
+               sum($"ps").cast("double").as("s")),
+              (count(lit(1)).as("pn"), sum($"pn").cast("long").as("n")))
+            .as[(String, Double, Long)].collect().toSet
+          assert(salted == plain)
+        }
+      }
+    }
+  }
+
+  describe("salted join") {
+    it("matches the plain inner join") {
+      val factGen = Gen.listOfN(40, Gen.zip(Gen.choose(0, 3), Gen.choose(0, 100)))
+      forAllSamples(factGen) { facts =>
+        whenever(facts.nonEmpty) {
+          val fact = facts.toDF("k", "v")
+          val dim = Seq((0, "x"), (1, "y"), (2, "z")).toDF("k", "name")
+          val plain = fact.join(dim, Seq("k")).select($"k", $"v", $"name")
+            .as[(Int, Int, String)].collect().sorted.toSeq
+          val salted = Skew.saltedJoin(fact, dim, "k", 4).select($"k", $"v", $"name")
+            .as[(Int, Int, String)].collect().sorted.toSeq
+          assert(salted == plain)
+        }
+      }
+    }
+  }
+
+  describe("append-sink semantics (K1)") {
+    it("unionByName of batch splits equals the whole") {
+      forAllSamples(rowGen) { rows =>
+        whenever(rows.size > 1) {
+          val (l, r) = rows.splitAt(rows.size / 2)
+          val whole = rows.toDF("g", "blk", "ts", "amt")
+          val unioned = l.toDF("g", "blk", "ts", "amt")
+            .unionByName(r.toDF("g", "blk", "ts", "amt"))
+          assert(unioned.count() == whole.count())
+          val a = unioned.as[(String, Long, Long, Double)].collect().sorted.toSeq
+          val b = whole.as[(String, Long, Long, Double)].collect().sorted.toSeq
+          assert(a == b)
+        }
+      }
+    }
+  }
+}
