@@ -29,10 +29,18 @@ object SnapshotDemo {
     val pool1h = json(Seq(
       """{"pairAddress":"P1","filterBy":"1h","volumeUsd":"2000.5","feesUsd":"5.25"}"""),
       Schemas.poolStats)
-    val history = json(Seq(
+    // history arrives through the DataSource V2 connector (the offline
+    // REST-source stand-in), exercising its pushdown/pruning path
+    val histFile = java.nio.file.Files.createTempFile("history", ".jsonl")
+    java.nio.file.Files.writeString(histFile, Seq(
       """{"user_address":"U1","poolAddress":"P1","timestamp":"2024-01-06 10:00:00","isDeposit":true,"blockNumber":120,"tokenX":{"amount":"2.0","price":"25.0"},"tokenY":{"amount":"50","price":"1.0"}}""",
-      """{"user_address":"U1","poolAddress":"P1","timestamp":"2024-01-06 10:00:00","isDeposit":true,"blockNumber":120,"tokenX":{"amount":"0.5","price":"25.0"},"tokenY":{"amount":"25","price":"1.0"}}"""),
-      Schemas.userHistory)
+      """{"user_address":"U1","poolAddress":"P1","timestamp":"2024-01-06 10:00:00","isDeposit":true,"blockNumber":120,"tokenX":{"amount":"0.5","price":"25.0"},"tokenY":{"amount":"25","price":"1.0"}}""",
+      """{"user_address":"U1","poolAddress":"P1","timestamp":"2023-12-01 10:00:00","isDeposit":true,"blockNumber":90,"tokenX":{"amount":"9.0","price":"20.0"},"tokenY":{"amount":"9","price":"1.0"}}""").mkString("\n"))
+    val history = spark.read
+      .format("graft.sources.FixtureJsonSource")
+      .option("payload", "userHistory")
+      .load(histFile.toString)
+      .filter(col("blockNumber") > 100) // pushed into the connector scan
     val fees = json(Seq(
       """{"user_address":"U1","poolAddress":"P1","binId":"8388608","accruedFeesX":"0.5","accruedFeesY":0.25}"""),
       Schemas.feesEarned)

@@ -185,6 +185,20 @@ object LlmOps {
         graft.functions.RollingMinHash.rolling_min_hash(col("text"), 16).as("winnow_fp")),
       None),
 
+    QueryDef("q33_stratified_sample",
+      "deterministic hash-based stratified sampling (corpus mixing): en 50%, de 100%, zh 25%",
+      (s, d) => graft.ext.Sampling.stratifiedSample(
+          t(s, d, "documents"), col("lang"), col("doc_id"),
+          Map("en" -> 0.5, "de" -> 1.0, "zh" -> 0.25))
+        .select(col("doc_id"), col("lang")),
+      Some(s"""SELECT doc_id, lang FROM documents WHERE ${ph("CAST(doc_id AS VARCHAR)", 13)} % 10000 < (CASE WHEN lang = 'zh' THEN 2500 WHEN lang = 'de' THEN 10000 WHEN lang = 'en' THEN 5000 ELSE 0 END)""")),
+
+    QueryDef("q34_vocab_topk",
+      "per-language vocabulary top-10 by term frequency (corpus statistics)",
+      (s, d) => graft.ext.Sampling.vocabTopK(
+          t(s, d, "documents"), col("lang"), tokens(col("text")), 10),
+      Some("""WITH tok AS (SELECT lang AS grp, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents), c AS (SELECT grp, term, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY grp, term) SELECT grp, term, n, rk FROM (SELECT *, CAST(row_number() OVER (PARTITION BY grp ORDER BY n DESC, term) AS BIGINT) AS rk FROM c) WHERE rk <= 10""")),
+
     QueryDef("q29_text_fingerprint",
       "per-document 60-bit fingerprint of normalized text + token count",
       (s, d) => t(s, d, "documents").select(

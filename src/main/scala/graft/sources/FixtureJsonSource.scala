@@ -1,0 +1,214 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.model.Schemas
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import java.util
+
+/** DataSource V2 connector for the reference's extract plane (SURVEY.md
+  * §2.1 S2–S7), offline form: instead of HTTP GET / eth_call, payloads
+  * are JSONL files shaped exactly like the API responses
+  * (`graft.model.Schemas`). The connector structure is the one a live
+  * REST/RPC source would use — swap the file iterator for an HTTP
+  * client per partition and nothing else changes.
+  *
+  * Implements the two pushdowns the reference performs manually:
+  *  - column pruning (the keep-maps at main.py:54-83) via
+  *    SupportsPushDownRequiredColumns;
+  *  - predicate pushdown (the startTime/endTime window params at
+  *    main.py:30-34, F4) via SupportsPushDownFilters — comparison and
+  *    equality filters on top-level atomic fields are evaluated on the
+  *    raw JSON before row materialization.
+  *
+  * Usage:
+  * {{{
+  *   spark.read.format("graft.sources.FixtureJsonSource")
+  *     .option("payload", "userHistory")   // or explicit .schema(...)
+  *     .load("/path/to/history.jsonl")
+  * }}}
+  */
+class FixtureJsonSource extends TableProvider {
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FixtureJsonSource.payloadSchema(options.get("payload"))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    FixtureTable(schema, properties.get("path"))
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object FixtureJsonSource {
+  def payloadSchema(payload: String): StructType = payload match {
+    case "poolStats"   => Schemas.poolStats
+    case "userHistory" => Schemas.userHistory
+    case "feesEarned"  => Schemas.feesEarned
+    case "binReserves" => Schemas.binReserves
+    case other => throw new IllegalArgumentException(
+      s"unknown payload '$other': pass option payload in " +
+        "{poolStats,userHistory,feesEarned,binReserves} or an explicit schema")
+  }
+}
+
+case class FixtureTable(tableSchema: StructType, path: String)
+    extends Table with SupportsRead {
+  override def schema(): StructType = tableSchema
+  override def name(): String = s"fixture:$path"
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new FixtureScanBuilder(tableSchema, path)
+}
+
+class FixtureScanBuilder(fullSchema: StructType, path: String)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Accept atomic comparisons on top-level fields; everything else is
+    * returned as residual for Spark to evaluate post-scan. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, residual) = filters.partition {
+      case EqualTo(a, _)            => atomic(a)
+      case GreaterThan(a, _)        => atomic(a)
+      case GreaterThanOrEqual(a, _) => atomic(a)
+      case LessThan(a, _)           => atomic(a)
+      case LessThanOrEqual(a, _)    => atomic(a)
+      case IsNotNull(a)             => atomic(a)
+      case _                        => false
+    }
+    pushed = sup
+    residual
+  }
+
+  private def atomic(name: String): Boolean =
+    fullSchema.fields.exists(f => f.name == name && (f.dataType match {
+      case _: StructType | _: ArrayType | _: MapType => false
+      case _ => true
+    }))
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = FixtureScan(fullSchema, required, path, pushed)
+}
+
+case class FixtureScan(fullSchema: StructType, required: StructType,
+                       path: String, pushed: Array[Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"FixtureJsonScan path=$path, PushedFilters=[${pushed.mkString(", ")}], " +
+      s"ReadSchema=${required.catalogString}"
+  override def planInputPartitions(): Array[InputPartition] = {
+    val f = new java.io.File(path)
+    val files: Array[String] =
+      if (f.isDirectory) f.listFiles().filter(_.isFile).map(_.getPath).sorted
+      else Array(path)
+    files.map(FixtureInputPartition(_): InputPartition)
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    FixtureReaderFactory(required, pushed)
+}
+
+case class FixtureInputPartition(file: String) extends InputPartition
+
+case class FixtureReaderFactory(required: StructType, pushed: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new FixtureReader(partition.asInstanceOf[FixtureInputPartition].file,
+                      required, pushed)
+}
+
+/** Per-partition JSONL reader: streams lines, evaluates pushed filters
+  * on the parsed tree, materializes only required columns. */
+class FixtureReader(file: String, required: StructType, pushed: Array[Filter])
+    extends PartitionReader[InternalRow] {
+
+  private val mapper = new ObjectMapper()
+  private val lines = scala.io.Source.fromFile(file, "UTF-8").getLines()
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (lines.hasNext) {
+      val line = lines.next().trim
+      if (line.nonEmpty) {
+        val node = mapper.readTree(line)
+        if (pushed.forall(matches(node, _))) {
+          current = convertStruct(node, required)
+          return true
+        }
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+
+  private def fieldValue(node: JsonNode, name: String): Option[JsonNode] =
+    Option(node.get(name)).filterNot(_.isNull)
+
+  private def matches(node: JsonNode, f: Filter): Boolean = f match {
+    case IsNotNull(a)             => fieldValue(node, a).isDefined
+    case EqualTo(a, v)            => cmp(node, a, v).contains(0)
+    case GreaterThan(a, v)        => cmp(node, a, v).exists(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(node, a, v).exists(_ >= 0)
+    case LessThan(a, v)           => cmp(node, a, v).exists(_ < 0)
+    case LessThanOrEqual(a, v)    => cmp(node, a, v).exists(_ <= 0)
+    case _                        => true
+  }
+
+  private def cmp(node: JsonNode, name: String, v: Any): Option[Int] =
+    fieldValue(node, name).map { n =>
+      v match {
+        case s: String              => n.asText.compareTo(s)
+        case b: java.lang.Boolean   => java.lang.Boolean.compare(n.asBoolean, b)
+        case num: Number            => java.lang.Double.compare(n.asDouble, num.doubleValue)
+        case other                  => n.asText.compareTo(other.toString)
+      }
+    }
+
+  private def convertStruct(node: JsonNode, schema: StructType): InternalRow = {
+    val values = schema.fields.map { f =>
+      fieldValue(node, f.name).map(convert(_, f.dataType)).orNull
+    }
+    new GenericInternalRow(values.asInstanceOf[Array[Any]])
+  }
+
+  private def convert(n: JsonNode, dt: DataType): Any = dt match {
+    case StringType      => UTF8String.fromString(if (n.isTextual) n.asText else n.toString)
+    case LongType        => n.asLong
+    case IntegerType     => n.asInt
+    case DoubleType      => n.asDouble
+    case FloatType       => n.asDouble.toFloat
+    case BooleanType     => n.asBoolean
+    case d: DecimalType  =>
+      org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(n.asText), d.precision, d.scale)
+    case TimestampType   =>
+      // ISO / 'yyyy-MM-dd HH:mm:ss' strings, interpreted as UTC
+      val ts = java.sql.Timestamp.valueOf(n.asText.replace("T", " ").stripSuffix("Z"))
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(ts)
+    case st: StructType  => convertStruct(n, st)
+    case ArrayType(et, _) =>
+      val arr = (0 until n.size()).map(i => convert(n.get(i), et)).toArray
+      new GenericArrayData(arr)
+    case other => throw new UnsupportedOperationException(s"type $other")
+  }
+}
