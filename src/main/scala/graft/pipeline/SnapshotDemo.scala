@@ -54,6 +54,13 @@ object SnapshotDemo {
       nowStr = date_format(current_timestamp(), "yyyy-MM-dd HH:mm:ss"))
     snap.show(truncate = false)
     println(s"[snapshot-demo] rows=${snap.count()} cols=${snap.columns.length}")
+
+    // K1 load step: two ticks into the single-file CSV (header once)
+    val csv = java.nio.file.Files.createTempDirectory("report").resolve("merged_data.csv").toString
+    graft.sinks.ReportSink.appendCsvSingleFile(snap, csv)
+    graft.sinks.ReportSink.appendCsvSingleFile(snap, csv)
+    val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(csv))
+    println(s"[snapshot-demo] csv lines=${lines.size()} (1 header + ${lines.size() - 1} rows), header once=${lines.stream().filter(_.startsWith("current_unix_timestamp")).count() == 1}")
     spark.stop()
   }
 }

@@ -1,0 +1,59 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+import java.io.{File, FileOutputStream}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Sinks for the snapshot report (SURVEY.md §2.10 K1).
+  *
+  * The reference appends one wide row per task to a single CSV with a
+  * header-once rule (main.py:345-351). Two renderings:
+  *
+  *  - [[appendPartitioned]]: the production path — Parquet `append`
+  *    partitioned by a time-derived column, so each hourly tick lands
+  *    as new files in its partition and readers prune by partition.
+  *    This is the scalable UNION-ALL-of-batches the CSV emulates.
+  *
+  *  - [[appendCsvSingleFile]]: byte-level fidelity with the reference:
+  *    a single local CSV, header written only when the file is new or
+  *    empty. Spark writes the batch distributed (headerless part
+  *    files); the driver then concatenates them onto the target —
+  *    suitable for the reference's 1-row-per-task cadence, documented
+  *    as NOT the 100 TB path.
+  */
+object ReportSink {
+
+  def appendPartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("append").partitionBy(partitionCols: _*).parquet(path)
+
+  def appendCsvSingleFile(df: DataFrame, targetFile: String): Unit = {
+    val target = new File(targetFile)
+    val writeHeader = !target.isFile || target.length() == 0
+    val tmp = Files.createTempDirectory("csv-append").toFile
+    val tmpOut = new File(tmp, "batch")
+    df.coalesce(1).write
+      .option("header", "false")
+      .option("emptyValue", "")
+      .mode("overwrite")
+      .csv(tmpOut.getPath)
+    val part = tmpOut.listFiles().filter(_.getName.startsWith("part-")).head
+    if (writeHeader) {
+      val headerLine = df.columns.map(csvQuote).mkString(",") + "\n"
+      Files.writeString(target.toPath, headerLine)
+    }
+    val out = new FileOutputStream(target, true)
+    try Files.copy(part.toPath, out)
+    finally out.close()
+    // cleanup temp batch dir
+    def rm(f: File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(tmp)
+  }
+
+  private def csvQuote(name: String): String =
+    if (name.exists(c => c == ',' || c == '"' || c == '\n'))
+      "\"" + name.replace("\"", "\"\"") + "\""
+    else name
+}

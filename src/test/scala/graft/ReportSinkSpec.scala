@@ -1,0 +1,45 @@
+package graft
+
+import graft.sinks.ReportSink
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+
+class ReportSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  describe("appendCsvSingleFile (K1 fidelity)") {
+    it("writes the header exactly once across appends") {
+      val target = Files.createTempDirectory("sink").resolve("merged_data.csv").toString
+      val batch1 = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "v")
+      val batch2 = Seq((3L, "c", 3.5)).toDF("id", "name", "v")
+      ReportSink.appendCsvSingleFile(batch1, target)
+      ReportSink.appendCsvSingleFile(batch2, target)
+      val lines = Files.readAllLines(java.nio.file.Paths.get(target)).asScala.toList
+      assert(lines.head == "id,name,v")
+      assert(lines.count(_ == "id,name,v") == 1)
+      assert(lines.drop(1).toSet == Set("1,a,1.5", "2,b,2.5", "3,c,3.5"))
+    }
+    it("quotes header names containing commas (report columns contain %[]())") {
+      val target = Files.createTempDirectory("sink").resolve("weird.csv").toString
+      val df = Seq((1.0, 2.0)).toDF("APR%", "fees_per_bin(bin_id: token_x, token_y_amounts)")
+      ReportSink.appendCsvSingleFile(df, target)
+      val header = Files.readAllLines(java.nio.file.Paths.get(target)).asScala.head
+      assert(header == "APR%,\"fees_per_bin(bin_id: token_x, token_y_amounts)\"")
+    }
+  }
+
+  describe("appendPartitioned (production sink)") {
+    it("accumulates batches as partitioned parquet (union-all semantics)") {
+      val path = Files.createTempDirectory("psink").resolve("report").toString
+      val b1 = Seq(("2024-01-01", 1L), ("2024-01-02", 2L)).toDF("day", "v")
+      val b2 = Seq(("2024-01-02", 3L)).toDF("day", "v")
+      ReportSink.appendPartitioned(b1, path, Seq("day"))
+      ReportSink.appendPartitioned(b2, path, Seq("day"))
+      val back = spark.read.parquet(path)
+      assert(back.count() == 3)
+      // partition pruning: reading one day touches one partition dir
+      assert(back.filter($"day" === "2024-01-02").count() == 2)
+      assert(new java.io.File(path).listFiles().count(_.getName.startsWith("day=")) == 2)
+    }
+  }
+}
