@@ -214,6 +214,53 @@ object ReferenceParity {
                   .as("spend_per_error")),
       Some("""WITH g AS (SELECT user_id, CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS spend, CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_errors FROM events GROUP BY user_id) SELECT user_id, spend, n_errors, CASE WHEN n_errors <> 0 THEN ROUND(spend / n_errors, 6) END AS spend_per_error FROM g""")),
 
+    QueryDef("q35_shipping_priority",
+      "TPC-H Q3 shape: 3-way selective join, grouped revenue, deterministic top-10 (multi-join reorder showcase)",
+      (s, d) => {
+        val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val o = t(s, d, "orders").filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        val l = t(s, d, "lineitem").filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("revenue").desc, col("l_orderkey"))).cast("long"))
+          .filter(col("rn") <= 10)
+          .select(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+                  col("o_orderpriority"), col("revenue"), col("rn"))
+      },
+      Some("""WITH g AS (SELECT l_orderkey, o_orderdate, o_orderpriority, CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate >= TIMESTAMP '1998-01-01' GROUP BY 1, 2, 3) SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority, revenue, rn FROM (SELECT *, CAST(row_number() OVER (ORDER BY revenue DESC, l_orderkey) AS BIGINT) AS rn FROM g) WHERE rn <= 10""")),
+
+    QueryDef("q36_local_supplier_volume",
+      "TPC-H Q5 shape: 6-way star join (region→nation→customer/supplier→orders→lineitem), revenue per nation",
+      (s, d) => {
+        val r = t(s, d, "region").filter(col("r_name") === "ASIA")
+        val n = t(s, d, "nation")
+        val c = t(s, d, "customer")
+        val sup = t(s, d, "supplier")
+        val o = t(s, d, "orders")
+        val l = t(s, d, "lineitem")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey") &&
+                     col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+               lcount(lit(1)).as("n_lines"))
+      },
+      Some("""SELECT n_name, CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue, CAST(COUNT(*) AS BIGINT) AS n_lines FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' GROUP BY n_name""")),
+
+    QueryDef("q37_approx_distinct",
+      "approximate aggregates (HLL approx_count_distinct) next to exact — sketch values engine-specific, rows-only check",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).cast("long").as("exact_parts"),
+             approx_count_distinct(col("l_partkey"), 0.02).cast("long").as("approx_parts")),
+      None),
+
     QueryDef("q18_decimal_mul",
       "E2/E3 exact wide-decimal products (uint256-style bin math, main.py:232-238)",
       (s, d) => t(s, d, "lineitem")
