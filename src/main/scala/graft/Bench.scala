@@ -36,7 +36,10 @@ object Bench {
       try execute(n) catch { case _: Throwable => () }
     }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    val selected =
+      if (args.nonEmpty) SparkEntry.queries.keys.toSeq.sorted.filter(args.contains)
+      else SparkEntry.queries.keys.toSeq.sorted
+    val results = selected.map { name =>
       val t0 = System.nanoTime()
       try execute(name) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9

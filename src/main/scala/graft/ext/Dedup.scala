@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for LLM-corpus pipelines (BASELINE.json north
@@ -41,13 +42,22 @@ object Dedup {
     * via a shingle equi-join within `blockCol` blocks (a pair is only
     * compared if it shares ≥1 shingle AND the block). Returns
     * (id_a, id_b, jaccard) for pairs with jaccard ≥ threshold. */
+  /** Exact all-pairs jaccard via the shingle-count join. Join keys are
+    * 64-bit xxhash64 of the shingle — the self-join shuffle carries
+    * 8-byte keys instead of strings (a 2^-64 cross-pair collision would
+    * inflate one count; negligible and detectable as jaccard > 1).
+    *
+    * Note on alternatives: prefix filtering (join only the rare-first
+    * prefix of each shingle set, then verify candidates) was measured
+    * on this workload and LOST — the fixtures' small vocabulary makes
+    * the pair-similarity graph dense, so candidates ≈ all pairs and
+    * the per-pair set verification dominates. On a realistic corpus
+    * (heavy-tailed shingle frequencies, sparse similarity) prefix
+    * filtering wins; for guaranteed sub-quadratic behavior at 100 TB
+    * use [[minhashLshPairs]].
+    */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                         blockCol: String, n: Int, threshold: Double): DataFrame = {
-    // Join on a 64-bit hash of the shingle, not the string: the
-    // self-join shuffle then carries 8-byte keys instead of ~n·wordlen
-    // strings — the dominant cost at scale. A cross-block-pair xxhash64
-    // collision would inflate one intersection count; at 2^64 that is
-    // negligible against corpus sizes (and detectable: jaccard > 1).
     val sh = shingleRows(docs, textCol, idCol, blockCol, n)
       .select(col("id"), col("block"), xxhash64(col("s")).as("sh"))
     val cnt = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
