@@ -14,7 +14,8 @@ object SparkEntry {
   private def registry: Seq[QueryDef] =
     _root_.graft.queries.ReferenceParity.defs ++
       _root_.graft.queries.StreamingParity.defs ++
-      _root_.graft.queries.LlmOps.defs
+      _root_.graft.queries.LlmOps.defs ++
+      _root_.graft.queries.Analytics.defs
 
   /** Flagship: the reference's snapshot pipeline shape (scan → filter →
     * argmax-latest → broadcast join → derived metrics → string fold) on

@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ops.Num._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** General-analytics operators beyond the reference's own surface —
+  * the rest of what "a user switching engines" expects: hierarchical
+  * aggregates, semi/anti joins, pivots, exact quantiles. */
+object Analytics {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q38_rollup",
+      "hierarchical totals: ROLLUP(region, nation) over customer accounts",
+      (s, d) => t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(lcount(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("acct_total")),
+      Some("""SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_customers, CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS acct_total FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY ROLLUP (r_name, n_name)""")),
+
+    QueryDef("q39_semi_anti",
+      "left-semi (EXISTS) and left-anti (NOT EXISTS) joins: customers with/without orders per segment",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val o = t(s, d, "orders")
+        val withOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+          .groupBy(col("c_mktsegment")).agg(lcount(lit(1)).as("n_with"))
+        val without = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment")).agg(lcount(lit(1)).as("n_without"))
+        withOrders.join(without, Seq("c_mktsegment"), "outer")
+          .select(col("c_mktsegment"),
+                  coalesce(col("n_with"), lit(0L)).as("n_with"),
+                  coalesce(col("n_without"), lit(0L)).as("n_without"))
+      },
+      Some("""WITH w AS (SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_with FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) GROUP BY 1), wo AS (SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_without FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) GROUP BY 1) SELECT COALESCE(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment, COALESCE(n_with, 0) AS n_with, COALESCE(n_without, 0) AS n_without FROM w FULL OUTER JOIN wo ON w.c_mktsegment = wo.c_mktsegment""")),
+
+    QueryDef("q40_pivot",
+      "pivot event_type into columns per day (portable CASE-mirror oracle)",
+      (s, d) => t(s, d, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .pivot("event_type", Seq("click", "view", "purchase", "error", "signup"))
+        .agg(dsum(col("value")))
+        .na.fill(0.0),
+      Some("""SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(COALESCE(SUM(CAST(CASE WHEN event_type = 'click' THEN value END AS DECIMAL(38,6))), 0) AS DOUBLE) AS click, CAST(COALESCE(SUM(CAST(CASE WHEN event_type = 'view' THEN value END AS DECIMAL(38,6))), 0) AS DOUBLE) AS view, CAST(COALESCE(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value END AS DECIMAL(38,6))), 0) AS DOUBLE) AS purchase, CAST(COALESCE(SUM(CAST(CASE WHEN event_type = 'error' THEN value END AS DECIMAL(38,6))), 0) AS DOUBLE) AS error, CAST(COALESCE(SUM(CAST(CASE WHEN event_type = 'signup' THEN value END AS DECIMAL(38,6))), 0) AS DOUBLE) AS signup FROM events GROUP BY 1""")),
+
+    QueryDef("q41_percentiles",
+      "exact interpolated percentiles (median/p90) of order value per priority",
+      (s, d) => t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_value"),
+             round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_value"),
+             lcount(lit(1)).as("n")),
+      Some("""SELECT o_orderpriority, ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_value, ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_value, CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY o_orderpriority"""))
+  )
+}
