@@ -1,0 +1,67 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+import graft.ops.Num._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Second batch of LLM-corpus operators: chunking, redaction, and
+  * embedding centroids. */
+object LlmOps2 {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q42_chunking",
+      "token-window document chunking with overlap (context-window prep): 40-token chunks, stride 30",
+      (s, d) => {
+        val chunkTokens = 40
+        val stride = 30
+        val tok = tokens(col("text"))
+        // chunk starts: 1, 1+stride, … while start ≤ token count
+        t(s, d, "documents").select(
+            col("doc_id"),
+            tok.as("tok"),
+            size(tok).as("n_tok"))
+          .select(col("doc_id"), col("tok"),
+            posexplode(sequence(lit(1), greatest(col("n_tok") - 1, lit(1)), lit(stride))))
+          .filter(col("col") <= size(col("tok")))
+          .select(col("doc_id"),
+            col("pos").cast("long").as("chunk_idx"),
+            concat_ws(" ", slice(col("tok"), col("col"), lit(chunkTokens))).as("chunk"),
+            least(size(col("tok")) - col("col") + 1, lit(chunkTokens)).cast("long").as("chunk_tokens"))
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tok FROM documents), st AS (SELECT doc_id, tok, i AS start, CAST((i - 1) / 30 AS BIGINT) AS chunk_idx FROM tk, unnest(generate_series(1, greatest(len(tok) - 1, 1), 30)) AS u(i) WHERE i <= len(tok)) SELECT doc_id, chunk_idx, array_to_string(tok[start:start+39], ' ') AS chunk, CAST(least(len(tok) - start + 1, 40) AS BIGINT) AS chunk_tokens FROM st""")),
+
+    QueryDef("q43_redaction",
+      "pattern redaction pass (PII-style scrub): mask long digit runs and emails, count hits",
+      (s, d) => {
+        val masked = regexp_replace(
+          regexp_replace(col("text"), "[A-Za-z0-9.]+@[A-Za-z0-9.]+", "<EMAIL>"),
+          "\\d{4,}", "<NUM>")
+        t(s, d, "events").select(
+          col("event_id"),
+          regexp_replace(
+            regexp_replace(col("props"), "[A-Za-z0-9.]+@[A-Za-z0-9.]+", "<EMAIL>"),
+            "\\d{4,}", "<NUM>").as("props_redacted"),
+          (length(col("props")) - length(regexp_replace(col("props"), "\\d", ""))).cast("long")
+            .as("n_digits"))
+      },
+      Some("""SELECT event_id, regexp_replace(regexp_replace(props, '[A-Za-z0-9.]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'), '\d{4,}', '<NUM>', 'g') AS props_redacted, CAST(length(props) - length(regexp_replace(props, '\d', '', 'g')) AS BIGINT) AS n_digits FROM events""")),
+
+    QueryDef("q44_centroids",
+      "per-label embedding centroids (element-wise exact mean — IVF codebook construction)",
+      (s, d) => t(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg((sum(col("col").cast(DecimalType(38, 12))).cast("double") /
+              count(lit(1))).as("mean_val"))
+        .select(col("label"), col("pos").cast("long").as("dim"),
+                round(col("mean_val"), 9).as("mean_val")),
+      // DuckDB zips parallel unnests of equal length (no WITH ORDINALITY in 1.0)
+      Some("""WITH e AS (SELECT label, unnest(embedding) AS x, unnest(generate_series(1, len(embedding))) AS ord FROM embeddings) SELECT label, CAST(ord - 1 AS BIGINT) AS dim, ROUND(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 9) AS mean_val FROM e GROUP BY label, ord"""))
+  )
+}
