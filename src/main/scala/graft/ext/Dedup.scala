@@ -104,12 +104,19 @@ object Dedup {
           (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh$j")): _*)
           .as(s"band$b")
       }: _*)
-    val candidates = (0 until bands).map { b =>
-      val l = banded.select(col("id").as("id_a"), col("block"), col(s"band$b").as("bk"))
-      val r = banded.select(col("id").as("id_b"), col("block"), col(s"band$b").as("bk"))
-      l.join(r, Seq("block", "bk")).filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"))
-    }.reduce(_ unionByName _).distinct()
+    // ONE self-join over exploded (band_idx, signature) rows — a
+    // per-band join union would reference the signature subtree 2×bands
+    // times, and exchange reuse does not reliably deduplicate it (the
+    // signature pipeline is the expensive part: hashes × shingles).
+    val bandRows = banded.select(col("id"), col("block"),
+        posexplode(array((0 until bands).map(b => col(s"band$b")): _*)))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "bk")
+    val candidates = bandRows.select(col("id").as("id_a"), col("block"), col("band_idx"), col("bk"))
+      .join(bandRows.select(col("id").as("id_b"), col("block"), col("band_idx"), col("bk")),
+            Seq("block", "band_idx", "bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
     // Verify ONLY the candidate pairs (this is the entire point of LSH:
     // never run pairwise verification over the full corpus). Each side's
     // distinct shingle set is attached to the pair and intersected

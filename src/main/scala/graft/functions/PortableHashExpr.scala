@@ -1,0 +1,57 @@
+package graft.functions
+
+import java.security.MessageDigest
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native form of the engine's portable hash: the value is DEFINED as
+  * `conv(substring(md5(concat(seed, ':', v)), 1, 15), 16, 10)` — the
+  * first 15 hex chars (60 bits) of the md5 as a long — because that
+  * exact function is expressible in the DuckDB oracle. This expression
+  * computes the same number straight from the digest bytes: no hex
+  * string, no decimal-string conv, no per-row concat; one ThreadLocal
+  * MessageDigest per task thread.
+  *
+  * First 15 hex chars = bytes 0..6 plus the high nibble of byte 7 =
+  * the top 60 bits of the first 8 digest bytes (big-endian) — i.e.
+  * `(first8BE >>> 4)`.
+  */
+case class PortableHashExpr(child: Expression, seed: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "portable_hash"
+
+  override def nullSafeEval(input: Any): Any =
+    PortableHashExpr.compute(seed, input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PortableHashExpr$$.MODULE$$.compute($seed, $c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PortableHashExpr =
+    copy(child = newChild)
+}
+
+object PortableHashExpr {
+  private val digests: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  // seed prefixes ("<seed>:") are tiny and reused across every row
+  private val prefixCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Byte]]()
+
+  def compute(seed: Int, v: UTF8String): Long = {
+    val md = digests.get()
+    md.reset()
+    md.update(prefixCache.computeIfAbsent(seed, s => s"$s:".getBytes("UTF-8")))
+    md.update(v.getBytes)
+    val d = md.digest()
+    val first8 =
+      ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+      ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    first8 >>> 4
+  }
+}

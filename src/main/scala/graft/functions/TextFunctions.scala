@@ -36,10 +36,14 @@ object TextFunctions {
     * non-negative long. Chosen over Spark's murmur3 `hash()` because the
     * EXACT same function is expressible in the DuckDB oracle
     * (`CAST('0x' || substring(md5(...), 1, 15) AS BIGINT)`), so MinHash /
-    * SimHash sketches are hash-verifiable, not just rows-checked. */
-  def portableHash(c: Column, seed: Int): Column =
-    conv(substring(md5(concat(lit(seed.toString), lit(":"), c)), 1, 15), 16, 10)
-      .cast("long")
+    * SimHash sketches are hash-verifiable, not just rows-checked.
+    * Computed by the native [[PortableHashExpr]] (digest bytes directly,
+    * no hex/conv/concat allocations) — value identical to the column
+    * formula `conv(substring(md5(concat(seed,':',v)),1,15),16,10)`. */
+  def portableHash(c: Column, seed: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(PortableHashExpr(GraftColumnBridge.expression(c), seed))
+  }
 
   /** Canonical text form for fingerprinting: lowercase, collapsed
     * whitespace. */
