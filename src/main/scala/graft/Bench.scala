@@ -40,6 +40,12 @@ object Bench {
       if (args.nonEmpty) SparkEntry.queries.keys.toSeq.sorted.filter(args.contains)
       else SparkEntry.queries.keys.toSeq.sorted
     val results = selected.map { name =>
+      // inter-query hygiene OUTSIDE the timed section: drop leftover
+      // broadcast/shuffle references so earlier queries' garbage doesn't
+      // tax this one's GC (observed 3× inflation on the heavy dedup
+      // queries when ~20 queries preceded them in one session)
+      spark.catalog.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       try execute(name) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
