@@ -61,10 +61,21 @@ object Dedup {
     val sh = shingleRows(docs, textCol, idCol, blockCol, n)
       .select(col("id"), col("block"), xxhash64(col("s")).as("sh"))
     val cnt = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("id").as("id_a"), col("block"), col("sh"))
-    val b = sh.select(col("id").as("id_b"), col("block"), col("sh"))
-    val inter = a.join(b, Seq("block", "sh"))
-      .filter(col("id_a") < col("id_b"))
+    // pairs from per-shingle posting lists instead of a self-join: one
+    // groupBy on (block, shingle) then in-row pair expansion — one full
+    // shuffle of the shingle table FEWER than the equi-join (which
+    // exchanges both sides), and the hot-shingle fan-out is explicit
+    // (bounded in-row array work instead of join-row amplification)
+    val lists = sh.groupBy(col("block"), col("sh"))
+      .agg(array_sort(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val pairs = lists.select(explode(flatten(
+      transform(sequence(lit(1), size(col("ids")) - 1), i =>
+        transform(sequence(i + 1, size(col("ids"))), j =>
+          struct(element_at(col("ids"), i).as("id_a"),
+                 element_at(col("ids"), j).as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+    val inter = pairs
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("ic"))
     inter
