@@ -48,6 +48,16 @@ object Analytics {
         .na.fill(0.0),
       Some("""SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(COALESCE(SUM(CAST(CASE WHEN event_type = 'click' THEN value END AS DECIMAL(38,6))), 0) AS DOUBLE) AS click, CAST(COALESCE(SUM(CAST(CASE WHEN event_type = 'view' THEN value END AS DECIMAL(38,6))), 0) AS DOUBLE) AS view, CAST(COALESCE(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value END AS DECIMAL(38,6))), 0) AS DOUBLE) AS purchase, CAST(COALESCE(SUM(CAST(CASE WHEN event_type = 'error' THEN value END AS DECIMAL(38,6))), 0) AS DOUBLE) AS error, CAST(COALESCE(SUM(CAST(CASE WHEN event_type = 'signup' THEN value END AS DECIMAL(38,6))), 0) AS DOUBLE) AS signup FROM events GROUP BY 1""")),
 
+    QueryDef("q45_topk_custom_operator",
+      "custom LogicalPlan+Strategy+SparkPlan: per-supplier top-3 lineitems via bounded heaps (partial→exchange→final), oracle is the window formulation",
+      (s, d) => graft.plans.TopK.perKey(
+          t(s, d, "lineitem").select(col("l_suppkey"), col("l_orderkey"),
+                                     col("l_linenumber"), col("l_extendedprice")),
+          keys = Seq(col("l_suppkey")),
+          order = Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")),
+          k = 3),
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, row_number() OVER (PARTITION BY l_suppkey ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn FROM lineitem) WHERE rn <= 3""")),
+
     QueryDef("q41_percentiles",
       "exact interpolated percentiles (median/p90) of order value per priority",
       (s, d) => t(s, d, "orders")
