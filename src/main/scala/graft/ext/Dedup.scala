@@ -130,10 +130,11 @@ object Dedup {
       .select(col("id_a"), col("id_b")).distinct()
     // Verify ONLY the candidate pairs (this is the entire point of LSH:
     // never run pairwise verification over the full corpus). Each side's
-    // distinct shingle set is attached to the pair and intersected
-    // in-row — no shingle-level join for verification.
+    // distinct shingle set is attached to the pair as 64-bit hashes
+    // (8-byte elements instead of strings — smaller broadcast/shuffle
+    // and cheaper intersection; counts identical modulo 2^-64).
     val sets = docs.select(col(idCol).as("id"),
-                           wordShingles(col(textCol), n).as("ss"))
+      array_sort(transform(wordShingles(col(textCol), n), s => xxhash64(s))).as("ss"))
     val verified = candidates
       .join(sets.select(col("id").as("id_a"), col("ss").as("sa")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("ss").as("sb")), Seq("id_b"))
