@@ -5,6 +5,21 @@ import graft.ops.Num._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
+/** The q46 as-of body, kept as an object so the query map stays thin. */
+private object AsOfJoinQ {
+  import graft.ops.AsOfJoin
+  import org.apache.spark.sql.DataFrame
+  def run(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+    AsOfJoin.lastBefore(
+        events.select(col("event_id"), col("user_id"), col("ts")),
+        purchases, keyCol = "user_id", tsCol = "ts", valueName = "purchase_ts")
+      .select(col("event_id"), col("user_id"),
+              unix_micros(col("asof_purchase_ts")).as("last_purchase_us"))
+  }
+}
+
 /** General-analytics operators beyond the reference's own surface —
   * the rest of what "a user switching engines" expects: hierarchical
   * aggregates, semi/anti joins, pivots, exact quantiles. */
@@ -47,6 +62,14 @@ object Analytics {
         .agg(dsum(col("value")))
         .na.fill(0.0),
       Some("""SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(COALESCE(SUM(CAST(CASE WHEN event_type = 'click' THEN value END AS DECIMAL(38,6))), 0) AS DOUBLE) AS click, CAST(COALESCE(SUM(CAST(CASE WHEN event_type = 'view' THEN value END AS DECIMAL(38,6))), 0) AS DOUBLE) AS view, CAST(COALESCE(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value END AS DECIMAL(38,6))), 0) AS DOUBLE) AS purchase, CAST(COALESCE(SUM(CAST(CASE WHEN event_type = 'error' THEN value END AS DECIMAL(38,6))), 0) AS DOUBLE) AS error, CAST(COALESCE(SUM(CAST(CASE WHEN event_type = 'signup' THEN value END AS DECIMAL(38,6))), 0) AS DOUBLE) AS signup FROM events GROUP BY 1""")),
+
+    QueryDef("q46_asof_join",
+      "as-of join: each event matched to the user's most recent strictly-earlier purchase (union + carry-forward window, one shuffle)",
+      (s, d) => {
+        val e = t(s, d, "events")
+        AsOfJoinQ.run(e)
+      },
+      Some("""WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase') SELECT e.event_id, e.user_id, CAST(epoch_us(p.ts) AS BIGINT) AS last_purchase_us FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts > p.ts""")),
 
     QueryDef("q45_topk_custom_operator",
       "custom LogicalPlan+Strategy+SparkPlan: per-supplier top-3 lineitems via bounded heaps (partial→exchange→final), oracle is the window formulation",
