@@ -52,6 +52,22 @@ object LlmOps2 {
       },
       Some("""SELECT event_id, regexp_replace(regexp_replace(props, '[A-Za-z0-9.]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'), '\d{4,}', '<NUM>', 'g') AS props_redacted, CAST(length(props) - length(regexp_replace(props, '\d', '', 'g')) AS BIGINT) AS n_digits FROM events""")),
 
+    QueryDef("q47_bpe_tokens",
+      "BPE-style pretokenizer counts: letter runs / digit runs / symbol runs (RE2-safe pattern, no lookaheads)",
+      (s, d) => {
+        // Column API, not expr(): the SQL literal parser would eat \s
+        val pat = lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+")
+        t(s, d, "documents").select(
+            col("lang"),
+            size(regexp_extract_all(col("text"), pat, lit(0))).cast("long").as("n_bpe"),
+            tokenCount(col("text")).as("n_ws"))
+          .groupBy(col("lang"))
+          .agg(lsum(col("n_bpe")).as("bpe_tokens"),
+               lsum(col("n_ws")).as("ws_tokens"),
+               lcount(lit(1)).as("n_docs"))
+      },
+      Some("""SELECT lang, CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+', 0))) AS BIGINT) AS bpe_tokens, CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS ws_tokens, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang""")),
+
     QueryDef("q44_centroids",
       "per-label embedding centroids (element-wise exact mean — IVF codebook construction)",
       (s, d) => t(s, d, "embeddings")
