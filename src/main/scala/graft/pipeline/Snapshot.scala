@@ -117,19 +117,22 @@ object Snapshot {
         sum(col("fy").cast(DecimalType(38, 12))).cast("double").as("accrued_fees_token_y"))
 
     // ---- E2-E4 + A5: on-chain bin math per task (S7 tail) ----
-    // exact integer product (decimal 38,0) then float divide — precisely
-    // Python's `reserveX * shares / total_shares` (int*int exact, then
-    // true division to float, main.py:232-233).
+    // exact unbounded product then one rounding to double — Python's
+    // `reserveX * shares / total_shares` (arbitrary-precision int*int,
+    // then true division to float, main.py:232-233). BinMath.mulDiv
+    // multiplies on java BigDecimal, so uint128-scale reserves/shares
+    // (products beyond Decimal(38,0)'s 38-digit cap) stay exact instead
+    // of overflowing to null; totalShares=0 yields null (engine policy).
     val binCalc = in.bins
       .join(p1d.select(col("pool_address"), col("token_x_decimals"),
                        col("token_y_decimals")),
             col("poolAddress") === col("pool_address"))
       .select(
         col("user_address"), col("pool_address"), col("binId"),
-        ( (col("reserveX") * col("shares")).cast("double") /
-          col("totalShares").cast("double")).as("user_x_raw"),
-        ( (col("reserveY") * col("shares")).cast("double") /
-          col("totalShares").cast("double")).as("user_y_raw"),
+        graft.functions.BinMath.mulDivDouble(
+          col("reserveX"), col("shares"), col("totalShares")).as("user_x_raw"),
+        graft.functions.BinMath.mulDivDouble(
+          col("reserveY"), col("shares"), col("totalShares")).as("user_y_raw"),
         pow(lit(10.0), col("token_x_decimals")).as("scale_x"),
         pow(lit(10.0), col("token_y_decimals")).as("scale_y"))
     val binSummary = binCalc

@@ -38,7 +38,7 @@ object LlmOps {
     val terms = (0 until Dedup.SimHashBits).map { i =>
       s"(CASE WHEN SUM(CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END) > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" + ")
-    s"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tk FROM documents),
+    s"""WITH tok AS (SELECT doc_id, unnest(${TextFunctions.sql.tokensOf("text")}) AS tk FROM documents),
        |h AS (SELECT doc_id, ${ph("tk", 7)} AS h FROM tok)
        |SELECT doc_id, CAST($terms AS BIGINT) AS simhash FROM h GROUP BY doc_id""".stripMargin.replace("\n", " ")
   }
@@ -197,7 +197,7 @@ object LlmOps {
       "per-language vocabulary top-10 by term frequency (corpus statistics)",
       (s, d) => graft.ext.Sampling.vocabTopK(
           t(s, d, "documents"), col("lang"), tokens(col("text")), 10),
-      Some("""WITH tok AS (SELECT lang AS grp, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents), c AS (SELECT grp, term, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY grp, term) SELECT grp, term, n, rk FROM (SELECT *, CAST(row_number() OVER (PARTITION BY grp ORDER BY n DESC, term) AS BIGINT) AS rk FROM c) WHERE rk <= 10""")),
+      Some(s"""WITH tok AS (SELECT lang AS grp, unnest(${TextFunctions.sql.tokensOf("text")}) AS term FROM documents), c AS (SELECT grp, term, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY grp, term) SELECT grp, term, n, rk FROM (SELECT *, CAST(row_number() OVER (PARTITION BY grp ORDER BY n DESC, term) AS BIGINT) AS rk FROM c) WHERE rk <= 10""")),
 
     QueryDef("q29_text_fingerprint",
       "per-document 60-bit fingerprint of normalized text + token count",
@@ -205,6 +205,6 @@ object LlmOps {
         col("doc_id"),
         fingerprint(col("text")).as("fp"),
         tokenCount(col("text")).as("n_tokens")),
-      Some(s"""SELECT doc_id, ${ph(TextFunctions.sql.normalize("text"), 0)} AS fp, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens FROM documents"""))
+      Some(s"""SELECT doc_id, ${ph(TextFunctions.sql.normalize("text"), 0)} AS fp, CAST(len(${TextFunctions.sql.tokensOf("text")}) AS BIGINT) AS n_tokens FROM documents"""))
   )
 }

@@ -34,7 +34,9 @@ object LlmOps2 {
             concat_ws(" ", slice(col("tok"), col("col"), lit(chunkTokens))).as("chunk"),
             least(size(col("tok")) - col("col") + 1, lit(chunkTokens)).cast("long").as("chunk_tokens"))
       },
-      Some("""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tok FROM documents), st AS (SELECT doc_id, tok, i AS start, CAST((i - 1) / 30 AS BIGINT) AS chunk_idx FROM tk, unnest(generate_series(1, greatest(len(tok) - 1, 1), 30)) AS u(i) WHERE i <= len(tok)) SELECT doc_id, chunk_idx, array_to_string(tok[start:start+39], ' ') AS chunk, CAST(least(len(tok) - start + 1, 40) AS BIGINT) AS chunk_tokens FROM st""")),
+      // tok mirrors TextFunctions.tokens' empty-text guard: a blank doc
+      // must yield [] (no chunks), not [''] (one empty chunk)
+      Some("""WITH tk AS (SELECT doc_id, (CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\s+') END) AS tok FROM documents), st AS (SELECT doc_id, tok, i AS start, CAST((i - 1) / 30 AS BIGINT) AS chunk_idx FROM tk, unnest(generate_series(1, greatest(len(tok) - 1, 1), 30)) AS u(i) WHERE i <= len(tok)) SELECT doc_id, chunk_idx, array_to_string(tok[start:start+39], ' ') AS chunk, CAST(least(len(tok) - start + 1, 40) AS BIGINT) AS chunk_tokens FROM st""")),
 
     QueryDef("q43_redaction",
       "pattern redaction pass (PII-style scrub): mask long digit runs and emails, count hits",

@@ -97,10 +97,16 @@ class FixtureScanBuilder(fullSchema: StructType, path: String)
     residual
   }
 
+  /** Only types whose JSON text form compares faithfully are pushed.
+    * Timestamp/Date/Decimal filter values stringify differently from
+    * their JSON representation (e.g. java.sql.Timestamp.toString vs
+    * ISO-8601), so those predicates stay residual and Spark evaluates
+    * them on the materialized row — correct, just not pushed. */
   private def atomic(name: String): Boolean =
     fullSchema.fields.exists(f => f.name == name && (f.dataType match {
-      case _: StructType | _: ArrayType | _: MapType => false
-      case _ => true
+      case StringType | BooleanType | IntegerType | LongType |
+           FloatType | DoubleType => true
+      case _ => false
     }))
 
   override def pushedFilters(): Array[Filter] = pushed
@@ -142,7 +148,8 @@ class FixtureReader(file: String, required: StructType, pushed: Array[Filter])
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
-  private val lines = scala.io.Source.fromFile(file, "UTF-8").getLines()
+  private val source = scala.io.Source.fromFile(file, "UTF-8")
+  private val lines = source.getLines()
   private var current: InternalRow = _
 
   override def next(): Boolean = {
@@ -160,7 +167,7 @@ class FixtureReader(file: String, required: StructType, pushed: Array[Filter])
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = source.close()
 
   private def fieldValue(node: JsonNode, name: String): Option[JsonNode] =
     Option(node.get(name)).filterNot(_.isNull)
@@ -180,6 +187,10 @@ class FixtureReader(file: String, required: StructType, pushed: Array[Filter])
       v match {
         case s: String              => n.asText.compareTo(s)
         case b: java.lang.Boolean   => java.lang.Boolean.compare(n.asBoolean, b)
+        // integral types compare as longs — a double round-trip loses
+        // precision above 2^53 (e.g. block numbers, raw token amounts)
+        case i: java.lang.Integer   => java.lang.Long.compare(n.asLong, i.longValue)
+        case l: java.lang.Long      => java.lang.Long.compare(n.asLong, l.longValue)
         case num: Number            => java.lang.Double.compare(n.asDouble, num.doubleValue)
         case other                  => n.asText.compareTo(other.toString)
       }
