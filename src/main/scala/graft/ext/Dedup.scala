@@ -58,29 +58,35 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                         blockCol: String, n: Int, threshold: Double): DataFrame = {
-    val sh = shingleRows(docs, textCol, idCol, blockCol, n)
-      .select(col("id"), col("block"), xxhash64(col("s")).as("sh"))
-    val cnt = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val in = graft.ops.Parallelize.forCompute(docs)
     // pairs from per-shingle posting lists instead of a self-join: one
     // groupBy on (block, shingle) then in-row pair expansion — one full
     // shuffle of the shingle table FEWER than the equi-join (which
     // exchanges both sides), and the hot-shingle fan-out is explicit
-    // (bounded in-row array work instead of join-row amplification)
+    // (bounded in-row array work instead of join-row amplification).
+    // Each doc's set size rides along into the posting list, so the
+    // jaccard denominator needs NO per-doc count aggregate and NO join
+    // back onto the pair table — the whole operator is exactly two
+    // shuffles (posting-list groupBy + pair-count groupBy) at any scale.
+    val sh = in.select(col(idCol).as("id"), col(blockCol).as("block"),
+                       wordShingles(col(textCol), n).as("ss"))
+      .select(col("id"), col("block"), size(col("ss")).as("n_sh"),
+              explode(col("ss")).as("s"))
+      .select(col("id"), col("block"), col("n_sh"), xxhash64(col("s")).as("sh"))
     val lists = sh.groupBy(col("block"), col("sh"))
-      .agg(array_sort(collect_list(col("id"))).as("ids"))
+      .agg(array_sort(collect_list(struct(col("id"), col("n_sh")))).as("ids"))
       .filter(size(col("ids")) > 1)
     val pairs = lists.select(explode(flatten(
       transform(sequence(lit(1), size(col("ids")) - 1), i =>
         transform(sequence(i + 1, size(col("ids"))), j =>
-          struct(element_at(col("ids"), i).as("id_a"),
-                 element_at(col("ids"), j).as("id_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-    val inter = pairs
-      .groupBy(col("id_a"), col("id_b"))
+          struct(element_at(col("ids"), i).getField("id").as("id_a"),
+                 element_at(col("ids"), i).getField("n_sh").as("na"),
+                 element_at(col("ids"), j).getField("id").as("id_b"),
+                 element_at(col("ids"), j).getField("n_sh").as("nb")))))).as("p"))
+      .select(col("p.id_a"), col("p.na"), col("p.id_b"), col("p.nb"))
+    pairs
+      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("ic"))
-    inter
-      .join(cnt.select(col("id").as("id_a"), col("n_sh").as("na")), Seq("id_a"))
-      .join(cnt.select(col("id").as("id_b"), col("n_sh").as("nb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
               (col("ic").cast("double") / (col("na") + col("nb") - col("ic"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -105,7 +111,8 @@ object Dedup {
                       threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
-    val sh = shingleRows(docs, textCol, idCol, blockCol, n)
+    val in = graft.ops.Parallelize.forCompute(docs)
+    val sh = shingleRows(in, textCol, idCol, blockCol, n)
     val sig = sh.groupBy(col("id"), col("block"))
       .agg(minhashCol(0), (1 until numHashes).map(minhashCol): _*)
     // band key: '|'-joined signature slice (portable to SQL string concat)
@@ -123,17 +130,24 @@ object Dedup {
         posexplode(array((0 until bands).map(b => col(s"band$b")): _*)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "bk")
-    val candidates = bandRows.select(col("id").as("id_a"), col("block"), col("band_idx"), col("bk"))
-      .join(bandRows.select(col("id").as("id_b"), col("block"), col("band_idx"), col("bk")),
-            Seq("block", "band_idx", "bk"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+    // candidate pairs via posting lists on the band key (one groupBy
+    // exchange) instead of a self-join (which exchanges both sides);
+    // array_sort guarantees id_a < id_b in the in-row expansion
+    val bandLists = bandRows.groupBy(col("block"), col("band_idx"), col("bk"))
+      .agg(array_sort(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val candidates = bandLists.select(explode(flatten(
+      transform(sequence(lit(1), size(col("ids")) - 1), i =>
+        transform(sequence(i + 1, size(col("ids"))), j =>
+          struct(element_at(col("ids"), i).as("id_a"),
+                 element_at(col("ids"), j).as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b")).distinct()
     // Verify ONLY the candidate pairs (this is the entire point of LSH:
     // never run pairwise verification over the full corpus). Each side's
     // distinct shingle set is attached to the pair as 64-bit hashes
     // (8-byte elements instead of strings — smaller broadcast/shuffle
     // and cheaper intersection; counts identical modulo 2^-64).
-    val sets = docs.select(col(idCol).as("id"),
+    val sets = in.select(col(idCol).as("id"),
       array_sort(transform(wordShingles(col(textCol), n), s => xxhash64(s))).as("ss"))
     val verified = candidates
       .join(sets.select(col("id").as("id_a"), col("ss").as("sa")), Seq("id_a"))
@@ -153,8 +167,8 @@ object Dedup {
     * Expressed as 60 conditional-sum aggregates + a bit-recombine — one
     * shuffle, fully codegen'd, no UDAF. */
   def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val tok = docs.select(col(idCol).as("id"),
-                          explode(tokens(col(textCol))).as("t"))
+    val tok = graft.ops.Parallelize.forCompute(docs)
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
       .withColumn("h", portableHash(col("t"), 7))
     val votes = (0 until SimHashBits).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i")

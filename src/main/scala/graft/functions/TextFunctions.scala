@@ -23,13 +23,21 @@ object TextFunctions {
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
   /** Distinct word n-gram shingles: ["a","b","c","d"], n=3 →
-    * ["a b c","b c d"]. Fewer than n words → empty. */
+    * ["a b c","b c d"]. Fewer than n words → empty.
+    *
+    * Formulated as `arrays_zip` of n shifted slices with a lambda that
+    * touches ONLY the zipped element — never `transform(sequence(...),
+    * i => slice(w, i, n))`, whose lambda body re-evaluates the whole
+    * tokenize subtree (trim + regex split) once PER ELEMENT (higher-order
+    * functions don't share subexpressions with the enclosing row scope;
+    * measured 5× slower on the documents corpus). */
   def wordShingles(text: Column, n: Int): Column = {
     val w = tokens(text)
-    when(size(w) < n, array().cast("array<string>"))
+    val m = size(w) - (n - 1)
+    when(m < 1, array().cast("array<string>"))
       .otherwise(array_distinct(
-        transform(sequence(lit(1), size(w) - (n - 1)),
-          i => concat_ws(" ", slice(w, i, lit(n))))))
+        transform(arrays_zip((0 until n).map(k => slice(w, lit(k + 1), m)): _*),
+          s => concat_ws(" ", (0 until n).map(k => s.getField(k.toString)): _*))))
   }
 
   /** Portable 60-bit hash: first 15 hex chars of md5(seed:value) as a

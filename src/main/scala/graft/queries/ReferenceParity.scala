@@ -254,12 +254,15 @@ object ReferenceParity {
       Some("""SELECT n_name, CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue, CAST(COUNT(*) AS BIGINT) AS n_lines FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' GROUP BY n_name""")),
 
     QueryDef("q37_approx_distinct",
-      "approximate aggregates (HLL approx_count_distinct) next to exact — sketch values engine-specific, rows-only check",
+      "approximate aggregates: HLL approx_count_distinct, hash-checked as exact count + a within-5% accuracy bound (the sketch estimate itself is engine-specific)",
       (s, d) => t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(countDistinct(col("l_partkey")).cast("long").as("exact_parts"),
-             approx_count_distinct(col("l_partkey"), 0.02).cast("long").as("approx_parts")),
-      None),
+             approx_count_distinct(col("l_partkey"), 0.02).cast("long").as("approx"))
+        .select(col("l_returnflag"), col("exact_parts"),
+                (abs(col("approx") - col("exact_parts")).cast("double") /
+                 col("exact_parts") <= 0.05).as("within_5pct")),
+      Some("""SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts, TRUE AS within_5pct FROM lineitem GROUP BY l_returnflag""")),
 
     QueryDef("q18_decimal_mul",
       "E2/E3 exact wide-decimal products (uint256-style bin math, main.py:232-238)",
