@@ -2,34 +2,48 @@ package graft.ext
 
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for LLM-corpus pipelines (BASELINE.json north
-  * star): exact, word-n-gram Jaccard, MinHash+LSH, SimHash. All are pure
-  * DataFrame transforms built from codegen'd expressions; hashes are
-  * `TextFunctions.portableHash` (md5-based) so every sketch is
-  * reproducible in the DuckDB oracle.
+  * star): exact, word-n-gram Jaccard, MinHash+LSH, SimHash, and
+  * pair→group resolution. All are pure DataFrame transforms built from
+  * codegen'd expressions; hashes are `TextFunctions.portableHash`
+  * (md5-based) so every sketch is reproducible in the DuckDB oracle.
   *
   * Scale design (100 TB documents):
-  *  - exact dedup groups on a 60-bit fingerprint, not the full text, so
-  *    the shuffle carries 8 bytes + doc_id per row;
+  *  - exact dedup groups on the full 128-bit md5 of the normalized text
+  *    — constant-width shuffle keys, cryptographic collision bound;
   *  - candidate generation (LSH bands / shingle join) is blocked (e.g.
   *    by lang) and verified pairwise only on candidates — never an
   *    unblocked O(n²) cross join;
-  *  - hot shingles (stopword n-grams) are the skew risk in the shingle
-  *    join: AQE skew-join handles moderate skew, and the MinHash path
+  *  - hot shingles (stopword n-grams) are bounded by an explicit
+  *    document-frequency cap before pair expansion; the MinHash path
   *    avoids the problem entirely (bounded signature size per doc).
   */
 object Dedup {
 
-  /** Exact dedup: one representative (min id) per identical text.
-    * Grouping key is the 60-bit fingerprint of the normalized text —
-    * constant-width shuffle keys at any document size. */
-  def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    docs.groupBy(fingerprint(col(textCol)).as("fp"))
+  /** Exact dedup core, parameterized on the grouping key so specs can
+    * inject deliberately-colliding keys and prove the production key is
+    * what prevents merges. `key` decides group identity; `fp` is the
+    * reported 60-bit fingerprint (two texts that collide on `fp` but
+    * differ on `key` correctly emit two rows with equal `fp`). */
+  private[graft] def exactByKey(docs: DataFrame, key: Column, fp: Column,
+                                idCol: String): DataFrame =
+    docs.groupBy(key.as("k"), fp.as("fp"))
       .agg(min(col(idCol)).as("keep_id"),
            count(lit(1)).cast("long").as("n_dupes"))
+      .select(col("fp"), col("keep_id"), col("n_dupes"))
+
+  /** Exact dedup: one representative (min id) per identical normalized
+    * text. Group identity is the FULL 128-bit md5 (not the 60-bit
+    * display fingerprint): at 10¹² docs a 60-bit key expects ~4×10⁵
+    * birthday-bound false merges, while 128 bits keeps the expectation
+    * below 10⁻¹³ — and the shuffle key stays constant-width (32 hex
+    * chars) no matter how large the documents are. */
+  def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val norm = normalize(col(textCol))
+    exactByKey(docs, md5(norm.cast("binary")), fingerprint(col(textCol)), idCol)
+  }
 
   /** Per-document distinct word n-gram shingles, exploded to
     * (id, block, shingle) rows. */
@@ -38,14 +52,30 @@ object Dedup {
     docs.select(col(idCol).as("id"), col(blockCol).as("block"),
                 explode(wordShingles(col(textCol), n)).as("s"))
 
-  /** Near-dup pairs by exact word-n-gram Jaccard similarity, computed
-    * via a shingle equi-join within `blockCol` blocks (a pair is only
-    * compared if it shares ≥1 shingle AND the block). Returns
-    * (id_a, id_b, jaccard) for pairs with jaccard ≥ threshold. */
-  /** Exact all-pairs jaccard via the shingle-count join. Join keys are
-    * 64-bit xxhash64 of the shingle — the self-join shuffle carries
-    * 8-byte keys instead of strings (a 2^-64 cross-pair collision would
+  /** Shared in-row posting-list pair expansion: `ids` is a sorted array,
+    * emit all i<j element pairs as (pa, pb) structs. */
+  private def listPairs(lists: DataFrame, idsCol: String): DataFrame =
+    lists.select(explode(flatten(
+      transform(sequence(lit(1), size(col(idsCol)) - 1), i =>
+        transform(sequence(i + 1, size(col(idsCol))), j =>
+          struct(element_at(col(idsCol), i).as("pa"),
+                 element_at(col(idsCol), j).as("pb")))))).as("p"))
+      .select(col("p.pa"), col("p.pb"))
+
+  /** Exact all-pairs jaccard via per-shingle posting lists. Join keys
+    * are 64-bit xxhash64 of the shingle — the shuffle carries 8-byte
+    * keys instead of strings (a 2^-64 cross-pair collision would
     * inflate one count; negligible and detectable as jaccard > 1).
+    *
+    * `maxDf` bounds the hot-shingle blowup: a shingle shared by k docs
+    * in a block expands to k²/2 in-row pairs, so ONE stopword shingle
+    * common to 10⁶ docs would build a 10¹²-element array in a single
+    * row. Posting lists longer than maxDf are dropped before expansion
+    * — the standard document-frequency cap. Recall tradeoff: a pair
+    * whose ONLY shared shingles are ultra-common ones is missed; such
+    * pairs have low jaccard against any realistic threshold (shared-df
+    * ≥ maxDf means the shingle carries ~no similarity signal), so the
+    * cap trades a vanishing recall sliver for a hard memory bound.
     *
     * Note on alternatives: prefix filtering (join only the rare-first
     * prefix of each shingle set, then verify candidates) was measured
@@ -57,17 +87,17 @@ object Dedup {
     * use [[minhashLshPairs]].
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
-                        blockCol: String, n: Int, threshold: Double): DataFrame = {
+                        blockCol: String, n: Int, threshold: Double,
+                        maxDf: Int = 100000): DataFrame = {
     val in = graft.ops.Parallelize.forCompute(docs)
     // pairs from per-shingle posting lists instead of a self-join: one
     // groupBy on (block, shingle) then in-row pair expansion — one full
     // shuffle of the shingle table FEWER than the equi-join (which
-    // exchanges both sides), and the hot-shingle fan-out is explicit
-    // (bounded in-row array work instead of join-row amplification).
-    // Each doc's set size rides along into the posting list, so the
-    // jaccard denominator needs NO per-doc count aggregate and NO join
-    // back onto the pair table — the whole operator is exactly two
-    // shuffles (posting-list groupBy + pair-count groupBy) at any scale.
+    // exchanges both sides). Each doc's set size rides along into the
+    // posting list, so the jaccard denominator needs NO per-doc count
+    // aggregate and NO join back onto the pair table — the whole
+    // operator is exactly two shuffles (posting-list groupBy +
+    // pair-count groupBy) at any scale.
     val sh = in.select(col(idCol).as("id"), col(blockCol).as("block"),
                        wordShingles(col(textCol), n).as("ss"))
       .select(col("id"), col("block"), size(col("ss")).as("n_sh"),
@@ -75,16 +105,10 @@ object Dedup {
       .select(col("id"), col("block"), col("n_sh"), xxhash64(col("s")).as("sh"))
     val lists = sh.groupBy(col("block"), col("sh"))
       .agg(array_sort(collect_list(struct(col("id"), col("n_sh")))).as("ids"))
-      .filter(size(col("ids")) > 1)
-    val pairs = lists.select(explode(flatten(
-      transform(sequence(lit(1), size(col("ids")) - 1), i =>
-        transform(sequence(i + 1, size(col("ids"))), j =>
-          struct(element_at(col("ids"), i).getField("id").as("id_a"),
-                 element_at(col("ids"), i).getField("n_sh").as("na"),
-                 element_at(col("ids"), j).getField("id").as("id_b"),
-                 element_at(col("ids"), j).getField("n_sh").as("nb")))))).as("p"))
-      .select(col("p.id_a"), col("p.na"), col("p.id_b"), col("p.nb"))
-    pairs
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxDf)
+    listPairs(lists, "ids")
+      .select(col("pa.id").as("id_a"), col("pa.n_sh").as("na"),
+              col("pb.id").as("id_b"), col("pb.n_sh").as("nb"))
       .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("ic"))
       .select(col("id_a"), col("id_b"),
@@ -132,16 +156,15 @@ object Dedup {
       .withColumnRenamed("col", "bk")
     // candidate pairs via posting lists on the band key (one groupBy
     // exchange) instead of a self-join (which exchanges both sides);
-    // array_sort guarantees id_a < id_b in the in-row expansion
+    // array_sort guarantees id_a < id_b in the in-row expansion. Band
+    // collisions are bounded by the banding design (a hot band key
+    // means near-identical signatures — already a dup cluster), so no
+    // df-cap is needed here.
     val bandLists = bandRows.groupBy(col("block"), col("band_idx"), col("bk"))
       .agg(array_sort(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-    val candidates = bandLists.select(explode(flatten(
-      transform(sequence(lit(1), size(col("ids")) - 1), i =>
-        transform(sequence(i + 1, size(col("ids"))), j =>
-          struct(element_at(col("ids"), i).as("id_a"),
-                 element_at(col("ids"), j).as("id_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b")).distinct()
+    val candidates = listPairs(bandLists, "ids")
+      .select(col("pa").as("id_a"), col("pb").as("id_b")).distinct()
     // Verify ONLY the candidate pairs (this is the entire point of LSH:
     // never run pairwise verification over the full corpus). Each side's
     // distinct shingle set is attached to the pair as 64-bit hashes
@@ -162,6 +185,9 @@ object Dedup {
   /** Number of SimHash bits (portableHash yields 60 usable bits). */
   val SimHashBits = 60
 
+  /** Number of LSH bands the fingerprint splits into (15 bits each). */
+  val SimHashBands = 4
+
   /** SimHash fingerprint per document: for each bit position, sum +1/-1
     * votes of each token's hash bit; bit set iff the vote is positive.
     * Expressed as 60 conditional-sum aggregates + a bit-recombine — one
@@ -180,19 +206,100 @@ object Dedup {
     agg.select(col("id"), fp.as("simhash"))
   }
 
-  /** SimHash near-dup pairs within a block: hamming distance ≤ maxDist.
-    * Blocked O(block²) comparison via bit_count(xor) — suitable when
-    * blocks are bounded; at open scale, band the fingerprint into
-    * 4×15-bit keys first (same LSH trick as MinHash). */
+  /** SimHash near-dup pairs within a block: hamming distance ≤ maxDist,
+    * via an O(block²) bit_count(xor) comparison. Suitable when blocks
+    * are bounded (e.g. pre-bucketed shards); at open scale use
+    * [[simhashPairsBanded]]. */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
                    blockCol: String, maxDist: Int): DataFrame = {
-    val withBlock = docs.select(col(idCol).as("id"), col(blockCol).as("block"))
-    val fp = simhash(docs, textCol, idCol).join(withBlock, "id")
+    val fp = simhashWithBlock(docs, textCol, idCol, blockCol)
     val a = fp.select(col("id").as("id_a"), col("block"), col("simhash").as("fa"))
     val b = fp.select(col("id").as("id_b"), col("block"), col("simhash").as("fb"))
     a.join(b, Seq("block")).filter(col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))))
       .filter(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+  }
+
+  /** SimHash near-dup pairs at open scale: the 60-bit fingerprint is
+    * banded into [[SimHashBands]]×15-bit LSH keys; a pair is a
+    * candidate iff it shares a band (within the block), then candidates
+    * are verified by exact hamming distance. For maxDist < SimHashBands
+    * the banding is LOSSLESS (pigeonhole: ≤3 differing bits across 4
+    * bands leave ≥1 band identical), so this returns exactly the
+    * [[simhashPairs]] result while the candidate join touches only
+    * same-band groups — never O(block²). */
+  def simhashPairsBanded(docs: DataFrame, textCol: String, idCol: String,
+                         blockCol: String, maxDist: Int): DataFrame = {
+    require(maxDist < SimHashBands,
+      s"banding into $SimHashBands bands is only exact for maxDist < $SimHashBands")
+    val bandBits = SimHashBits / SimHashBands // 15
+    val fp = simhashWithBlock(docs, textCol, idCol, blockCol)
+    val bandRows = fp.select(col("id"), col("block"), col("simhash"),
+        posexplode(array((0 until SimHashBands).map { b =>
+          shiftright(col("simhash"), b * bandBits)
+            .bitwiseAND(lit((1L << bandBits) - 1))
+        }: _*)))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "bk")
+    val bandLists = bandRows
+      .groupBy(col("block"), col("band_idx"), col("bk"))
+      .agg(array_sort(collect_list(struct(col("id"), col("simhash")))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    listPairs(bandLists, "ids")
+      .select(col("pa.id").as("id_a"), col("pa.simhash").as("fa"),
+              col("pb.id").as("id_b"), col("pb.simhash").as("fb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+  }
+
+  private def simhashWithBlock(docs: DataFrame, textCol: String,
+                               idCol: String, blockCol: String): DataFrame =
+    simhash(docs, textCol, idCol)
+      .join(docs.select(col(idCol).as("id"), col(blockCol).as("block")), "id")
+
+  /** Near-dup pairs → keep/drop groups: connected components by
+    * iterative min-label propagation. Every doc appearing in `pairs`
+    * gets (doc_id, group_rep) where group_rep = the minimum doc id
+    * reachable through the pair graph; a training-data pipeline keeps
+    * `doc_id == group_rep` and drops the rest.
+    *
+    * Each round: one edge⋈label join + a min-aggregate, with
+    * `localCheckpoint` truncating the lineage so the plan stays
+    * constant-size across rounds. Convergence is O(graph diameter)
+    * rounds; near-dup graphs are unions of near-cliques (diameter ≤ ~3),
+    * so 3-4 rounds settle real corpora. (For adversarial long-chain
+    * graphs the published large-star/small-star alternation gives
+    * O(log n) — the operator signature stays the same.) The fixpoint is
+    * the min reachable id — deterministic under any partitioning. */
+  def dedupGroups(pairs: DataFrame, aCol: String, bCol: String,
+                  maxIter: Int = 25): DataFrame = {
+    val half = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = half.union(half.select(col("dst"), col("src")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("dst_label")), "dst")
+        .groupBy(col("src")).agg(min(col("dst_label")).as("nbr_label"))
+      val next = labels
+        .join(nbrMin.select(col("src").as("id"), col("nbr_label")), Seq("id"), "left")
+        .select(col("id"),
+                least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      // convergence probe: any label that still shrank this round?
+      val changed = next
+        .join(labels.select(col("id"), col("label").as("prev")), "id")
+        .filter(col("label") < col("prev")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("group_rep"))
   }
 }

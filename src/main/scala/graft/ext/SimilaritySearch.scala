@@ -23,7 +23,16 @@ object SimilaritySearch {
 
   /** Exact top-k neighbors for each query vector.
     * Output: (query_id, neighbor_id, sim), k rows per query,
-    * deterministic tie-break on neighbor id. Self-matches excluded. */
+    * deterministic tie-break on neighbor id. Self-matches excluded.
+    *
+    * The reduction runs through [[graft.plans.TopK.perKey]]: each corpus
+    * partition scores its local rows against the broadcast query set and
+    * keeps a bounded k-heap per query BEFORE the exchange, so the
+    * shuffle moves k·|queries| rows — never the |corpus|×|queries|
+    * scored cross product (a partition-less window would, with per-query
+    * skew on top). The rank column is derived afterwards over just the
+    * ≤k surviving rows per query, which arrive already hash-partitioned
+    * by query_id from the TopK final pass (no extra exchange). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
@@ -31,21 +40,70 @@ object SimilaritySearch {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
               cosine(col("q_emb"), col("c_emb")).as("sim"))
+    rankTopK(scored, k)
+  }
+
+  /** Shared tail: bounded-heap top-k per query_id + rank derivation. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val top = graft.plans.TopK.perKey(scored, Seq(col("query_id")),
+      Seq(col("sim").desc, col("neighbor_id")), k)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    top.withColumn("rk", row_number().over(w))
       .select(col("query_id"), col("neighbor_id"), col("sim"),
               col("rk").cast("long").as("rk"))
   }
 
-  /** Embedding-cosine near-duplicate pairs within a block (e.g. label or
-    * LSH bucket): pairs with cosine ≥ threshold. */
+  /** Embedding-cosine near-duplicate pairs within a caller-supplied
+    * block (e.g. label): O(block²) baseline, correct when blocks are
+    * bounded. At open corpus scale use [[nearDupPairsLsh]], which
+    * derives the block from the embedding itself. */
   def nearDupPairs(corpus: DataFrame, blockCol: String, threshold: Double): DataFrame = {
     val a = corpus.select(col("vec_id").as("id_a"), col(blockCol).as("block"),
                           col("embedding").as("ea"))
     val b = corpus.select(col("vec_id").as("id_b"), col(blockCol).as("block"),
                           col("embedding").as("eb"))
     a.join(b, Seq("block")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("ea"), col("eb")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** Deterministic pseudo-random hyperplane components in [-1, 1),
+    * derived from the portable 60-bit hash of "plane:dim" — the SAME
+    * numbers are embedded as plain literals into the generated oracle
+    * SQL, so the bucketing is engine-independently reproducible. Float
+    * precision so the dot product runs the same float→double widening
+    * path as the embedding column itself. */
+  def hyperplanes(dim: Int, nPlanes: Int, seed: Int): Array[Array[Float]] =
+    Array.tabulate(nPlanes) { j =>
+      Array.tabulate(dim) { k =>
+        val h = graft.functions.PortableHashExpr.compute(
+          seed, org.apache.spark.unsafe.types.UTF8String.fromString(s"$j:$k"))
+        (h.toDouble / (1L << 59).toDouble - 1.0).toFloat
+      }
+    }
+
+  /** Embedding near-dup pairs with the block DERIVED from the embedding
+    * via sign-bit hyperplane LSH (random projection): bucket =
+    * `nPlanes` sign bits of dot(embedding, plane_j). Cosine-similar
+    * vectors agree on each sign bit with probability 1 − θ/π, so
+    * near-dups co-bucket with high probability while the expected
+    * bucket population shrinks 2^nPlanes-fold — no dependence on any
+    * label column, no unbounded block. Pairs sharing a bucket are then
+    * verified by exact cosine at `threshold` (same verify-candidates
+    * shape as the MinHash path). Recall < 1 by construction; raise it
+    * with multiple tables (union over seeds) at constant per-table
+    * cost. */
+  def nearDupPairsLsh(corpus: DataFrame, dim: Int, nPlanes: Int,
+                      threshold: Double, seed: Int): DataFrame = {
+    val planes = hyperplanes(dim, nPlanes, seed)
+    val bucket = (0 until nPlanes).map { j =>
+      when(dot(col("embedding"), lit(planes(j))) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val b = corpus.select(col("vec_id"), col("embedding"), bucket.as("bucket"))
+    val l = b.select(col("vec_id").as("id_a"), col("bucket"), col("embedding").as("ea"))
+    val r = b.select(col("vec_id").as("id_b"), col("bucket"), col("embedding").as("eb"))
+    l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), cosine(col("ea"), col("eb")).as("sim"))
       .filter(col("sim") >= threshold)
   }
@@ -77,13 +135,14 @@ object SimilaritySearch {
               cosine(col("q_emb"), col("cent_emb")).as("csim"))
       .withColumn("rk", row_number().over(probeW)).filter(col("rk") <= nProbe)
       .select(col("query_id"), col("q_emb"), col("cent_id").as("cell"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    assigned.join(broadcast(probes), Seq("cell"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-              cosine(col("q_emb"), col("c_emb")).as("sim"))
-      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("sim"),
-              col("rk").cast("long").as("rk"))
+    // final ranking through the bounded-heap operator: probed cells can
+    // hold an O(|corpus|/nCells × nProbe) member set per query at scale,
+    // which must never funnel through a full window sort
+    rankTopK(
+      assigned.join(broadcast(probes), Seq("cell"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+                cosine(col("q_emb"), col("c_emb")).as("sim")),
+      k)
   }
 }

@@ -34,10 +34,13 @@ object TextFunctions {
   def wordShingles(text: Column, n: Int): Column = {
     val w = tokens(text)
     val m = size(w) - (n - 1)
+    // each slice is explicitly aliased so the zipped struct's field names
+    // are pinned by us, not by ArraysZip's positional-naming fallback
+    // (an undocumented behavior for anonymous children)
     when(m < 1, array().cast("array<string>"))
       .otherwise(array_distinct(
-        transform(arrays_zip((0 until n).map(k => slice(w, lit(k + 1), m)): _*),
-          s => concat_ws(" ", (0 until n).map(k => s.getField(k.toString)): _*))))
+        transform(arrays_zip((0 until n).map(k => slice(w, lit(k + 1), m).as(s"_$k")): _*),
+          s => concat_ws(" ", (0 until n).map(k => s.getField(s"_$k")): _*))))
   }
 
   /** Portable 60-bit hash: first 15 hex chars of md5(seed:value) as a

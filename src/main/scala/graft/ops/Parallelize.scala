@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, RepartitionOperation, Window}
 
 /** Partition-count guard for CPU-heavy per-row stages (shingling,
   * hashing, vector math).
@@ -16,12 +17,36 @@ import org.apache.spark.sql.DataFrame
   */
 object Parallelize {
 
-  /** Repartition to the default parallelism iff the plan currently has
-    * fewer than half that many partitions; otherwise leave the plan (and
-    * its existing partitioning) untouched. */
+  /** Repartition to the default parallelism iff the plan is a narrow
+    * scan pipeline whose estimated split count is under half that;
+    * otherwise leave the plan (and its existing partitioning) untouched.
+    *
+    * The probe is driver-side only: it reads the optimized logical
+    * plan's size statistics — never `df.rdd`, which under AQE compiles
+    * (and eagerly executes the shuffle stages of) a throwaway physical
+    * plan just to report a partition count, doubling the upstream work
+    * of every dedup call on a derived DataFrame. Plans that already
+    * contain an exchange-inducing operator (join / aggregate / window /
+    * repartition) inherit `spark.sql.shuffle.partitions` from that
+    * exchange and are left alone.
+    */
   def forCompute(df: DataFrame): DataFrame = {
-    val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= math.max(2, want / 2)) df
-    else df.repartition(want)
+    val spark = df.sparkSession
+    val want = spark.sparkContext.defaultParallelism
+    val plan = df.queryExecution.optimizedPlan
+    val hasExchange = plan.exists {
+      case _: Join | _: Aggregate | _: Window | _: RepartitionOperation => true
+      case _ => false
+    }
+    if (hasExchange) df
+    else {
+      val maxSplit = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
+      // sizeInBytes for file relations = sum of file sizes, the same
+      // quantity FilePartition packing splits by — a faithful estimate
+      // of scan parallelism without touching the physical plan
+      val estSplits = (plan.stats.sizeInBytes / maxSplit) + 1
+      if (estSplits >= BigInt(math.max(2, want / 2))) df
+      else df.repartition(want)
+    }
   }
 }

@@ -33,15 +33,19 @@ object LlmOps {
 
   private def ph(expr: String, seed: Int) = TextFunctions.sql.portableHash(expr, seed)
 
-  /** Generated 60-term SimHash oracle expression. */
-  private val simhashSql: String = {
+  /** Generated 60-term SimHash oracle CTE (exposes `sfp(doc_id,
+    * simhash)` for reuse by the fingerprint query and the pairs query). */
+  private val simhashCte: String = {
     val terms = (0 until Dedup.SimHashBits).map { i =>
       s"(CASE WHEN SUM(CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END) > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" + ")
-    s"""WITH tok AS (SELECT doc_id, unnest(${TextFunctions.sql.tokensOf("text")}) AS tk FROM documents),
-       |h AS (SELECT doc_id, ${ph("tk", 7)} AS h FROM tok)
-       |SELECT doc_id, CAST($terms AS BIGINT) AS simhash FROM h GROUP BY doc_id""".stripMargin.replace("\n", " ")
+    s"""tok AS (SELECT doc_id, unnest(${TextFunctions.sql.tokensOf("text")}) AS tk FROM documents),
+       |h AS (SELECT doc_id, ${ph("tk", 7)} AS h FROM tok),
+       |sfp AS (SELECT doc_id, CAST($terms AS BIGINT) AS simhash FROM h GROUP BY doc_id)""".stripMargin.replace("\n", " ")
   }
+
+  private val simhashSql: String =
+    s"WITH $simhashCte SELECT doc_id, simhash FROM sfp"
 
   /** DuckDB mirrors of the TextFunctions scoring pipeline. */
   private val textStatsCte =
@@ -60,9 +64,9 @@ object LlmOps {
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q20_dedup_exact",
-      "exact dedup: group on 60-bit fingerprint of normalized text, keep min id",
+      "exact dedup: group on full 128-bit md5 of normalized text (60-bit fingerprint reported), keep min id",
       (s, d) => Dedup.exact(t(s, d, "documents"), "text", "doc_id"),
-      Some(s"""SELECT ${ph(TextFunctions.sql.normalize("text"), 0)} AS fp, MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_dupes FROM documents GROUP BY 1""")),
+      Some(s"""SELECT ${ph(TextFunctions.sql.normalize("text"), 0)} AS fp, MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_dupes FROM documents GROUP BY md5(${TextFunctions.sql.normalize("text")}), 1""")),
 
     QueryDef("q21_dedup_ngram_jaccard",
       "near-dup pairs by exact word-3-gram Jaccard ≥ 0.5, lang-blocked shingle join",
@@ -95,6 +99,20 @@ object LlmOps {
         .withColumnRenamed("id", "doc_id"),
       Some(simhashSql)),
 
+    QueryDef("q49_simhash_pairs_banded",
+      "SimHash near-dup pairs via 4×15-bit LSH banding (lossless for hamming ≤ 3), verified by exact hamming — oracle is the blocked O(n²) formulation",
+      (s, d) => Dedup.simhashPairsBanded(t(s, d, "documents"), "text", "doc_id",
+                                         "lang", maxDist = 3),
+      Some(s"""WITH $simhashCte, bl AS (SELECT d.doc_id, d.lang, s.simhash FROM documents d JOIN sfp s USING (doc_id)) SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming FROM bl a JOIN bl b ON a.lang = b.lang AND a.doc_id < b.doc_id WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""")),
+
+    QueryDef("q48_dedup_groups",
+      "near-dup pairs → keep/drop groups: connected components by min-label propagation over the q21 jaccard pairs; oracle is a recursive-CTE reachability query",
+      (s, d) => Dedup.dedupGroups(
+        Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id",
+                                "lang", 3, 0.5),
+        "id_a", "id_b"),
+      Some(s"""WITH RECURSIVE $shingleCte, $jaccardTail, p AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5), e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p), reach(id, lbl) AS (SELECT src, src FROM e UNION SELECT e2.src, r.lbl FROM e e2 JOIN reach r ON r.id = e2.dst) SELECT id AS doc_id, MIN(lbl) AS group_rep FROM reach GROUP BY id""")),
+
     QueryDef("q24_ann_topk",
       "brute-force cosine top-5 neighbors for query vectors vec_id<10",
       (s, d) => {
@@ -119,6 +137,28 @@ object LlmOps {
       "embedding-cosine near-dup pairs (label-blocked, cosine ≥ 0.35)",
       (s, d) => SimilaritySearch.nearDupPairs(t(s, d, "embeddings"), "label", 0.35),
       Some("""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e) SELECT a.vec_id AS id_a, b.vec_id AS id_b, list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35""")),
+
+    QueryDef("q25b_embedding_neardup_lsh",
+      "embedding near-dup pairs, hyperplane-LSH bucketed (8 sign bits, seed 11) — no label dependence",
+      (s, d) => SimilaritySearch.nearDupPairsLsh(t(s, d, "embeddings"),
+                                                 dim = 64, nPlanes = 8,
+                                                 threshold = 0.35, seed = 11),
+      Some {
+        // the SAME deterministic hyperplane components the Spark plan
+        // uses, embedded as double literals (float values round-trip
+        // exactly through Double.toString)
+        val planes = SimilaritySearch.hyperplanes(dim = 64, nPlanes = 8, seed = 11)
+        val bucketSql = planes.zipWithIndex.map { case (p, j) =>
+          val arr = p.map(v => java.lang.Double.toString(v.toDouble)).mkString("[", ", ", "]")
+          s"(CASE WHEN list_dot_product(v, $arr) >= 0 THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+           |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+           |b AS (SELECT vec_id, v, nrm, CAST($bucketSql AS BIGINT) AS bucket FROM n)
+           |SELECT a.vec_id AS id_a, c.vec_id AS id_b, list_dot_product(a.v, c.v) / (a.nrm * c.nrm) AS sim
+           |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+           |WHERE list_dot_product(a.v, c.v) / (a.nrm * c.nrm) >= 0.35""".stripMargin.replace("\n", " ")
+      }),
 
     QueryDef("q26_text_stats",
       "per-document text metrics: tokens, char-class ratios, quality score",

@@ -40,18 +40,14 @@ object LlmOps2 {
 
     QueryDef("q43_redaction",
       "pattern redaction pass (PII-style scrub): mask long digit runs and emails, count hits",
-      (s, d) => {
-        val masked = regexp_replace(
-          regexp_replace(col("text"), "[A-Za-z0-9.]+@[A-Za-z0-9.]+", "<EMAIL>"),
-          "\\d{4,}", "<NUM>")
+      (s, d) =>
         t(s, d, "events").select(
           col("event_id"),
           regexp_replace(
             regexp_replace(col("props"), "[A-Za-z0-9.]+@[A-Za-z0-9.]+", "<EMAIL>"),
             "\\d{4,}", "<NUM>").as("props_redacted"),
           (length(col("props")) - length(regexp_replace(col("props"), "\\d", ""))).cast("long")
-            .as("n_digits"))
-      },
+            .as("n_digits")),
       Some("""SELECT event_id, regexp_replace(regexp_replace(props, '[A-Za-z0-9.]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'), '\d{4,}', '<NUM>', 'g') AS props_redacted, CAST(length(props) - length(regexp_replace(props, '\d', '', 'g')) AS BIGINT) AS n_digits FROM events""")),
 
     QueryDef("q47_bpe_tokens",

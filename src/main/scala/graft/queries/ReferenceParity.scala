@@ -176,11 +176,17 @@ object ReferenceParity {
 
     QueryDef("q14_topk",
       "T1/T3 deterministic top-k with tiebreak (main.py:130-133)",
+      // orderBy().limit() plans as TakeOrderedAndProject: each partition
+      // keeps its own top-100, only those merge on one task — vs a
+      // partition-less row_number window, which funnels the ENTIRE table
+      // through a single task's sort. The rank is derived afterwards by
+      // a window over just the k surviving rows.
       (s, d) => t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
         .withColumn("rn", row_number()
-          .over(Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))).cast("long"))
-        .filter(col("rn") <= 100)
-        .select(col("o_orderkey"), col("o_totalprice"), col("rn")),
+          .over(Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))).cast("long")),
       Some("""SELECT o_orderkey, o_totalprice, rn FROM (SELECT o_orderkey, o_totalprice, CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn FROM orders) WHERE rn <= 100""")),
 
     QueryDef("q15_union_append",
@@ -224,9 +230,12 @@ object ReferenceParity {
           .join(broadcast(c), col("o_custkey") === col("c_custkey"))
           .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
           .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+          // top-10 via TakeOrderedAndProject (per-partition top-k +
+          // merge), not a partition-less window over every group row
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
           .withColumn("rn", row_number().over(
             Window.orderBy(col("revenue").desc, col("l_orderkey"))).cast("long"))
-          .filter(col("rn") <= 10)
           .select(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
                   col("o_orderpriority"), col("revenue"), col("rn"))
       },
@@ -263,6 +272,16 @@ object ReferenceParity {
                 (abs(col("approx") - col("exact_parts")).cast("double") /
                  col("exact_parts") <= 0.05).as("within_5pct")),
       Some("""SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts, TRUE AS within_5pct FROM lineitem GROUP BY l_returnflag""")),
+
+    QueryDef("q50_eip55_checksum",
+      "E21 EIP-55 mixed-case address checksum via native Keccak-256 expression (main.py:206,211); no SQL oracle — DuckDB has no keccak (rows-only check); correctness pinned by Eip55Spec against the EIP's published vectors",
+      (s, d) => t(s, d, "customer").select(
+        col("c_custkey"),
+        graft.functions.Eip55.eip55_checksum(
+          concat(substring(md5(col("c_name").cast("binary")), 1, 20),
+                 substring(md5(col("c_custkey").cast("string").cast("binary")), 1, 20)))
+          .as("checksummed")),
+      None),
 
     QueryDef("q18_decimal_mul",
       "E2/E3 exact wide-decimal products (uint256-style bin math, main.py:232-238)",

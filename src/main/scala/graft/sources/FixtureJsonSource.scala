@@ -101,11 +101,15 @@ class FixtureScanBuilder(fullSchema: StructType, path: String)
     * Timestamp/Date/Decimal filter values stringify differently from
     * their JSON representation (e.g. java.sql.Timestamp.toString vs
     * ISO-8601), so those predicates stay residual and Spark evaluates
-    * them on the materialized row — correct, just not pushed. */
+    * them on the materialized row — correct, just not pushed. Float is
+    * excluded too: a Float filter value widened to double
+    * (0.3f → 0.30000001192…) never equals the JSON-parsed double 0.3,
+    * and a pushed-then-removed filter has no residual re-check — rows
+    * would be silently dropped. */
   private def atomic(name: String): Boolean =
     fullSchema.fields.exists(f => f.name == name && (f.dataType match {
       case StringType | BooleanType | IntegerType | LongType |
-           FloatType | DoubleType => true
+           DoubleType => true
       case _ => false
     }))
 
@@ -185,7 +189,11 @@ class FixtureReader(file: String, required: StructType, pushed: Array[Filter])
   private def cmp(node: JsonNode, name: String, v: Any): Option[Int] =
     fieldValue(node, name).map { n =>
       v match {
-        case s: String              => n.asText.compareTo(s)
+        // UTF8String comparison = UTF-8 byte order, matching Spark's own
+        // string ordering (java String.compareTo is UTF-16 code-unit
+        // order, which diverges for supplementary-plane characters)
+        case s: String              =>
+          UTF8String.fromString(n.asText).compareTo(UTF8String.fromString(s))
         case b: java.lang.Boolean   => java.lang.Boolean.compare(n.asBoolean, b)
         // integral types compare as longs — a double round-trip loses
         // precision above 2^53 (e.g. block numbers, raw token amounts)

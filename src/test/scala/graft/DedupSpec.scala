@@ -44,6 +44,54 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  describe("exact dedup key width") {
+    it("does not merge distinct texts that collide on the 60-bit display fingerprint") {
+      // inject a constant (maximally-colliding) fingerprint column:
+      // group identity must come from the full-width key, so distinct
+      // texts stay separate even when every displayed fp is equal
+      val out = Dedup.exactByKey(docs, md5(col("text").cast("binary")),
+          lit(42L), "doc_id")
+        .select($"fp", $"keep_id", $"n_dupes").as[(Long, Long, Long)]
+        .collect().toSet
+      assert(out == Set((42L, 0L, 3L), (42L, 1L, 1L), (42L, 2L, 1L)))
+    }
+  }
+
+  describe("hot-shingle df cap") {
+    it("bounds pair expansion on a 10k-document hot shingle") {
+      // 10k docs share 4 ultra-common shingles (uncapped: ~2×10⁸ pair
+      // rows from those posting lists); each doc's remaining shingle is
+      // unique, so a df-cap of 100 must yield zero pairs, quickly
+      val hot = spark.range(10000).select(
+        $"id".as("doc_id"),
+        concat(lit("common shingle words here plus tail "), $"id".cast("string")).as("text"),
+        lit("en").as("lang"))
+      val pairs = Dedup.ngramJaccardPairs(hot, "text", "doc_id", "lang", 3,
+                                          0.1, maxDf = 100)
+      assert(pairs.count() == 0)
+    }
+  }
+
+  describe("dedup groups (connected components)") {
+    it("resolves transitive pairs to min-label components") {
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L),
+                      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
+      val groups = Dedup.dedupGroups(pairs, "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      assert(groups == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+                           10L -> 10L, 11L -> 10L,
+                           20L -> 20L, 21L -> 20L, 22L -> 20L))
+    }
+    it("converges on a chain longer than one propagation round") {
+      val chain = (1L to 8L).sliding(2).map(s => (s(0), s(1))).toSeq
+        .toDF("id_a", "id_b")
+      val groups = Dedup.dedupGroups(chain, "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      assert(groups.keySet == (1L to 8L).toSet)
+      assert(groups.values.toSet == Set(1L))
+    }
+  }
+
   describe("simhash") {
     it("separates near-dups (small hamming) from unrelated docs") {
       val fp = Dedup.simhash(docs, "text", "doc_id")
@@ -58,6 +106,14 @@ class DedupSpec extends SparkSpec {
         .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
       assert(pairs.contains((0L, 3L)))
       assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    }
+    it("banded pairs match the blocked O(n²) formulation for maxDist < bands") {
+      val cols = Seq($"id_a", $"id_b", $"hamming")
+      val banded = Dedup.simhashPairsBanded(docs, "text", "doc_id", "lang", 3)
+        .select(cols: _*).as[(Long, Long, Long)].collect().toSet
+      val blocked = Dedup.simhashPairs(docs, "text", "doc_id", "lang", 3)
+        .select(cols: _*).as[(Long, Long, Long)].collect().toSet
+      assert(banded == blocked)
     }
   }
 }

@@ -36,6 +36,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  describe("top-k strategy (no whole-table single-task sorts)") {
+    it("q14 global top-k plans as TakeOrderedAndProject (per-partition top-k + merge)") {
+      val p = planOf("q14_topk")
+      assert(p.contains("TakeOrderedAndProject"), s"plan:\n$p")
+    }
+    it("q35 final top-10 plans as TakeOrderedAndProject") {
+      val p = planOf("q35_shipping_priority")
+      assert(p.contains("TakeOrderedAndProject"), s"plan:\n$p")
+    }
+    it("q24 ANN ranking runs through the bounded-heap TopKPerKey operator") {
+      val p = planOf("q24_ann_topk")
+      assert(p.contains("TopKPerKey"), s"plan:\n$p")
+    }
+    it("q24b IVF ranking runs through the bounded-heap TopKPerKey operator") {
+      val p = planOf("q24b_ann_ivf")
+      assert(p.contains("TopKPerKey"), s"plan:\n$p")
+    }
+  }
+
   describe("shuffle economy") {
     it("q04 argmax+agg reuses one hash partitioning (single exchange)") {
       val p = planOf("q04_latest_argmax")
