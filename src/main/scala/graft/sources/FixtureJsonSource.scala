@@ -43,7 +43,8 @@ class FixtureJsonSource extends TableProvider {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    FixtureTable(schema, properties.get("path"))
+    FixtureTable(schema, properties.get("path"),
+                 Option(properties.get("mode")).getOrElse("FAILFAST"))
 
   override def supportsExternalMetadata(): Boolean = true
 }
@@ -60,17 +61,31 @@ object FixtureJsonSource {
   }
 }
 
-case class FixtureTable(tableSchema: StructType, path: String)
+/** Parse-failure policy for poisoned payload rows (the reference
+  * swallows per-task exceptions so one bad pool doesn't kill the sweep,
+  * main.py:13-17,357-358 — this is the distributed analogue):
+  *  - FAILFAST (default): a malformed line fails the task;
+  *  - DROPMALFORMED: malformed lines are skipped;
+  *  - PERMISSIVE: malformed lines quarantine to a null row, with the
+  *    raw line captured in a `_corrupt_record` string column when the
+  *    schema declares one — the sweep completes and the bad payloads
+  *    stay inspectable as a side output
+  *    (`df.filter($"_corrupt_record".isNotNull)`).
+  */
+case class FixtureTable(tableSchema: StructType, path: String,
+                        mode: String = "FAILFAST")
     extends Table with SupportsRead {
   override def schema(): StructType = tableSchema
   override def name(): String = s"fixture:$path"
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new FixtureScanBuilder(tableSchema, path)
+    new FixtureScanBuilder(tableSchema, path,
+      Option(options.get("mode")).getOrElse(mode))
 }
 
-class FixtureScanBuilder(fullSchema: StructType, path: String)
+class FixtureScanBuilder(fullSchema: StructType, path: String,
+                         mode: String = "FAILFAST")
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
@@ -115,11 +130,13 @@ class FixtureScanBuilder(fullSchema: StructType, path: String)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = FixtureScan(fullSchema, required, path, pushed)
+  override def build(): Scan =
+    FixtureScan(fullSchema, required, path, pushed, mode)
 }
 
 case class FixtureScan(fullSchema: StructType, required: StructType,
-                       path: String, pushed: Array[Filter])
+                       path: String, pushed: Array[Filter],
+                       mode: String = "FAILFAST")
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -134,36 +151,73 @@ case class FixtureScan(fullSchema: StructType, required: StructType,
     files.map(FixtureInputPartition(_): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    FixtureReaderFactory(required, pushed)
+    FixtureReaderFactory(required, pushed, mode)
 }
 
 case class FixtureInputPartition(file: String) extends InputPartition
 
-case class FixtureReaderFactory(required: StructType, pushed: Array[Filter])
+case class FixtureReaderFactory(required: StructType, pushed: Array[Filter],
+                                mode: String = "FAILFAST")
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new FixtureReader(partition.asInstanceOf[FixtureInputPartition].file,
-                      required, pushed)
+                      required, pushed, mode)
 }
 
-/** Per-partition JSONL reader: streams lines, evaluates pushed filters
-  * on the parsed tree, materializes only required columns. */
-class FixtureReader(file: String, required: StructType, pushed: Array[Filter])
+/** Per-partition JSONL reader over a local file. */
+class FixtureReader(file: String, required: StructType,
+                    pushed: Array[Filter], mode: String = "FAILFAST")
+    extends JsonLinesReader(required, pushed, mode) {
+  private val source = scala.io.Source.fromFile(file, "UTF-8")
+  override protected val lines: Iterator[String] = source.getLines()
+  override def close(): Unit = source.close()
+}
+
+/** Shared per-partition JSONL decode plane: streams lines from any
+  * transport (local file, HTTP body, RPC response), evaluates pushed
+  * filters on the parsed tree, materializes only required columns.
+  * Parse failures follow `mode` (see [[FixtureTable]]). */
+abstract class JsonLinesReader(required: StructType,
+                               pushed: Array[Filter], mode: String)
     extends PartitionReader[InternalRow] {
 
+  protected val lines: Iterator[String]
+
   private val mapper = new ObjectMapper()
-  private val source = scala.io.Source.fromFile(file, "UTF-8")
-  private val lines = source.getLines()
   private var current: InternalRow = _
+
+  private val corruptOrdinal: Int =
+    required.fieldNames.indexOf("_corrupt_record")
+
+  /** Quarantined row: all-null except the raw line in _corrupt_record
+    * (when the schema declares it). Pushed filters cannot be evaluated
+    * on an unparseable line, so quarantined rows bypass them — the
+    * standard PERMISSIVE tradeoff (they surface to the user rather than
+    * silently vanishing inside a pushed predicate). */
+  private def corruptRow(line: String): InternalRow = {
+    val values = new Array[Any](required.length)
+    if (corruptOrdinal >= 0) values(corruptOrdinal) = UTF8String.fromString(line)
+    new GenericInternalRow(values)
+  }
 
   override def next(): Boolean = {
     while (lines.hasNext) {
       val line = lines.next().trim
       if (line.nonEmpty) {
-        val node = mapper.readTree(line)
-        if (pushed.forall(matches(node, _))) {
-          current = convertStruct(node, required)
-          return true
+        try {
+          val node = mapper.readTree(line)
+          if (node == null || !node.isObject)
+            throw new IllegalArgumentException(s"not a JSON object: $line")
+          if (pushed.forall(matches(node, _))) {
+            current = convertStruct(node, required)
+            return true
+          }
+        } catch {
+          case e: Exception => mode.toUpperCase match {
+            case "PERMISSIVE"    => current = corruptRow(line); return true
+            case "DROPMALFORMED" => () // skip the poisoned line
+            case _               => throw e
+          }
         }
       }
     }
@@ -171,7 +225,7 @@ class FixtureReader(file: String, required: StructType, pushed: Array[Filter])
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = source.close()
+  override def close(): Unit = ()
 
   private def fieldValue(node: JsonNode, name: String): Option[JsonNode] =
     Option(node.get(name)).filterNot(_.isNull)
