@@ -89,12 +89,19 @@ object ReferenceParity {
 
     QueryDef("q08_positional_zip",
       "J3/J4 horizontal concat = align-by-ordinal join (main.py:102,252)",
+      // zipByPosition's global row_number serializes through one task —
+      // fine for the dimension-sized frames it models (the reference
+      // concats 1-row frames), so the demo feeds it ONLY the 50 rows it
+      // will keep: orderBy().limit() reduces each side scale-safely
+      // (TakeOrderedAndProject), and ord ≤ 50 of the full zip equals the
+      // zip of each side's 50 smallest keys.
       (s, d) => Relational.zipByPosition(
-          t(s, d, "supplier").select(col("s_suppkey"), col("s_name"), col("s_acctbal")),
+          t(s, d, "supplier").select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+            .orderBy(col("s_suppkey")).limit(50),
           Seq(col("s_suppkey")),
-          t(s, d, "customer").select(col("c_custkey"), col("c_name"), col("c_acctbal")),
+          t(s, d, "customer").select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+            .orderBy(col("c_custkey")).limit(50),
           Seq(col("c_custkey")))
-        .filter(col("ord") <= 50)
         .select(col("ord"), col("s_name"), col("c_name"),
                 (col("s_acctbal") + col("c_acctbal")).as("combined")),
       Some("""WITH s AS (SELECT CAST(row_number() OVER (ORDER BY s_suppkey) AS BIGINT) AS ord, s_name, s_acctbal FROM supplier), c AS (SELECT CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS ord, c_name, c_acctbal FROM customer) SELECT ord, s_name, c_name, s_acctbal + c_acctbal AS combined FROM s JOIN c USING (ord) WHERE ord <= 50""")),

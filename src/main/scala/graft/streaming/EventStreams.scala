@@ -111,6 +111,25 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup — the streaming twin of `Dedup.exact` (q20)
+    * for continuous corpus ingestion: keeps each document's first-seen
+    * occurrence, keyed on the full 128-bit md5 of the normalized text
+    * (same key as the batch operator — constant-width state, no 60-bit
+    * birthday merges). `dropDuplicatesWithinWatermark` bounds the state
+    * store to the watermark horizon, so a perpetual ingest job holds
+    * O(docs-per-horizon) state instead of growing forever; dups
+    * separated by more than the horizon are the batch compaction's job
+    * (run `Dedup.exact` over the sink periodically — standard
+    * lambda-style split). */
+  def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
+                  watermark: String): DataFrame =
+    docs
+      .withColumn("__dedup_key",
+        md5(graft.functions.TextFunctions.normalize(col(textCol)).cast("binary")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__dedup_key")
+      .drop("__dedup_key")
+
   /** File-based streaming source over an events directory (the offline
     * stand-in for the reference's polled REST source, S5). */
   def eventFileStream(spark: SparkSession, dir: String): DataFrame = {

@@ -45,6 +45,26 @@ class DedupSpec extends SparkSpec {
   }
 
   describe("exact dedup key width") {
+    it("keeps a REAL 60-bit fingerprint collision separate (found by tools/FindFpCollision)") {
+      // two distinct digit-strings with identical portableHash(·, 0) —
+      // an actual md5-prefix birthday collision, not a mock. A 60-bit
+      // grouping key would silently merge them; the full-md5 key must not.
+      val a = "431663849205606462"
+      val b = "385175942457542713"
+      val colliding = Seq((100L, a, "en"), (200L, b, "en")).toDF("doc_id", "text", "lang")
+      // both really do display the same 60-bit fingerprint…
+      val fps = colliding
+        .select(graft.functions.TextFunctions.fingerprint(col("text")))
+        .as[Long].collect().toSet
+      assert(fps == Set(544929582141136174L))
+      // …and exact dedup still reports two distinct groups
+      val out = Dedup.exact(colliding, "text", "doc_id")
+        .select($"fp", $"keep_id", $"n_dupes").as[(Long, Long, Long)]
+        .collect().toSet
+      assert(out == Set((544929582141136174L, 100L, 1L),
+                        (544929582141136174L, 200L, 1L)))
+    }
+
     it("does not merge distinct texts that collide on the 60-bit display fingerprint") {
       // inject a constant (maximally-colliding) fingerprint column:
       // group identity must come from the full-width key, so distinct

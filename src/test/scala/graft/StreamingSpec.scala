@@ -57,6 +57,27 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  describe("dedupStream (dropDuplicatesWithinWatermark)") {
+    it("keeps first-seen documents and drops later identical text") {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val src = MemoryStream[(Long, Timestamp, String)]
+      val q = EventStreams.dedupStream(
+          src.toDF().toDF("doc_id", "ts", "text"), "text", "ts", "10 minutes")
+        .writeStream.format("memory").queryName("dedup_out")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        src.addData(
+          (1L, ts("2024-01-01 10:00:00"), "the quick brown fox"),
+          (2L, ts("2024-01-01 10:01:00"), "The  Quick   Brown Fox"), // normalize-dup of 1
+          (3L, ts("2024-01-01 10:02:00"), "something else entirely"))
+        q.processAllAvailable()
+        val kept = spark.table("dedup_out").select($"doc_id").as[Long].collect().toSet
+        assert(kept == Set(1L, 3L))
+      } finally q.stop()
+    }
+  }
+
   describe("batch/stream agreement") {
     it("sessionizeBatch matches the streaming sessions on closed sessions") {
       import spark.implicits._
