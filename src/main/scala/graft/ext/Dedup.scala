@@ -276,7 +276,12 @@ object Dedup {
     * the min reachable id — deterministic under any partitioning. */
   def dedupGroups(pairs: DataFrame, aCol: String, bCol: String,
                   maxIter: Int = 25): DataFrame = {
+    // checkpoint BEFORE the union: both union branches read the same
+    // (possibly expensive — e.g. a full near-dup computation) pairs
+    // subtree, and plan-level reuse across union branches is not
+    // guaranteed, so materialize it once
     val half = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .localCheckpoint(true)
     val edges = half.union(half.select(col("dst"), col("src")))
       .distinct().localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()

@@ -61,6 +61,13 @@ class PlanSpec extends SparkSpec {
       val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).length
       assert(exchanges == 1, s"expected 1 shuffle, plan:\n$p")
     }
+    it("q21 jaccard pairs is exactly two hash shuffles at any scale (posting lists + pair counts)") {
+      // (a RoundRobin exchange may additionally appear on tiny inputs —
+      // that's Parallelize.forCompute's deliberate small-file guard)
+      val p = planOf("q21_dedup_ngram_jaccard")
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(hashEx == 2, s"expected 2 hash shuffles, plan:\n$p")
+    }
     it("q03 aggregates with map-side partial_sum before the exchange") {
       val p = planOf("q03_group_agg")
       assert(p.contains("partial_sum"))

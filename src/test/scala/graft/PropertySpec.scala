@@ -105,6 +105,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  private val edgeGen: Gen[List[(Long, Long)]] = Gen.listOfN(40,
+    for {
+      a <- Gen.choose(0L, 19L)
+      d <- Gen.choose(1L, 19L) // offset construction: no filter, a ≠ b always
+    } yield {
+      val b = (a + d) % 20
+      (math.min(a, b), math.max(a, b))
+    })
+
+  describe("dedupGroups invariants") {
+    it("matches a local union-find on arbitrary pair graphs") {
+      forAllSamples(edgeGen, n = 8) { edges =>
+        whenever(edges.nonEmpty) {
+          // local oracle: union-find with path compression
+          val parent = scala.collection.mutable.Map.empty[Long, Long]
+          def find(x: Long): Long = {
+            val p = parent.getOrElseUpdate(x, x)
+            if (p == x) x else { val r = find(p); parent(x) = r; r }
+          }
+          edges.foreach { case (a, b) =>
+            val (ra, rb) = (find(a), find(b))
+            if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+          }
+          // min-relabel: the component representative is the MIN member,
+          // which repeated unions by min-root already guarantee
+          val expected = parent.keys.map(n => n -> find(n)).toMap
+          val got = graft.ext.Dedup.dedupGroups(
+              edges.toDF("id_a", "id_b"), "id_a", "id_b")
+            .as[(Long, Long)].collect().toMap
+          assert(got == expected)
+        }
+      }
+    }
+  }
+
   describe("append-sink semantics (K1)") {
     it("unionByName of batch splits equals the whole") {
       forAllSamples(rowGen) { rows =>
