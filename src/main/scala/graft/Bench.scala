@@ -25,6 +25,15 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing knobs, env-overridable for experiments. The
+      // defaults are Spark's: an A/B at sf0.1 (parallelismFirst=false +
+      // 4MB advisory) measured SLOWER on every query in a mixed subset
+      // (12.6s vs 10.8s) — the per-query floor is scheduling/planning,
+      // not task count, so parallelism-first stays.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+              sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+              sys.env.getOrElse("SPARK_GRAFT_ADVISORY_BYTES", "67108864"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

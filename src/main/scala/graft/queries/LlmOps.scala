@@ -113,6 +113,25 @@ object LlmOps {
         "id_a", "id_b"),
       Some(s"""WITH RECURSIVE $shingleCte, $jaccardTail, p AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5), e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p), reach(id, lbl) AS (SELECT src, src FROM e UNION SELECT e2.src, r.lbl FROM e e2 JOIN reach r ON r.id = e2.dst) SELECT id AS doc_id, MIN(lbl) AS group_rep FROM reach GROUP BY id""")),
 
+    QueryDef("q52_dedup_apply",
+      "end-to-end dedup: near-dup pairs → groups → filtered corpus summary per lang (keep group representatives, drop the rest)",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val groups = Dedup.dedupGroups(
+          Dedup.ngramJaccardPairs(docs, "text", "doc_id", "lang", 3, 0.5),
+          "id_a", "id_b")
+        // only non-representatives drop; docs in no near-dup pair keep
+        val drop = groups.filter(col("doc_id") =!= col("group_rep"))
+          .select(col("doc_id"))
+        docs.join(drop, Seq("doc_id"), "left_anti")
+          .groupBy(col("lang"))
+          .agg(lcount(lit(1)).as("n_kept"))
+          .join(docs.groupBy(col("lang")).agg(lcount(lit(1)).as("n_docs")), "lang")
+          .select(col("lang"), col("n_docs"), col("n_kept"),
+                  (col("n_docs") - col("n_kept")).as("n_dropped"))
+      },
+      Some(s"""WITH RECURSIVE $shingleCte, $jaccardTail, p AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5), e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p), reach(id, lbl) AS (SELECT src, src FROM e UNION SELECT e2.src, r.lbl FROM e e2 JOIN reach r ON r.id = e2.dst), g AS (SELECT id AS doc_id, MIN(lbl) AS group_rep FROM reach GROUP BY id), dropped AS (SELECT doc_id FROM g WHERE doc_id <> group_rep), kept AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dropped) GROUP BY lang), tot AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang) SELECT lang, n_docs, n_kept, n_docs - n_kept AS n_dropped FROM kept JOIN tot USING (lang)""")),
+
     QueryDef("q24_ann_topk",
       "brute-force cosine top-5 neighbors for query vectors vec_id<10",
       (s, d) => {

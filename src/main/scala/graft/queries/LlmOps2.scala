@@ -66,6 +66,37 @@ object LlmOps2 {
       },
       Some("""SELECT lang, CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+', 0))) AS BIGINT) AS bpe_tokens, CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS ws_tokens, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang""")),
 
+    QueryDef("q51_tfidf_keywords",
+      "per-document top-3 keywords by tf·idf (corpus statistics / keyword extraction), ranked through the bounded-heap TopKPerKey operator",
+      (s, d) => {
+        import graft.functions.TextFunctions.tokens
+        // idf is the SMOOTHED RATIONAL form (N+1)/(df+1): a monotone
+        // per-term transform of the log form with identical top-k
+        // semantics per term, chosen because IEEE +,/ are correctly
+        // rounded (bit-identical across engines) while libm log is not
+        val tok = t(s, d, "documents")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        val tf = tok.groupBy(col("doc_id"), col("term"))
+          .agg(lcount(lit(1)).as("tf"))
+        // df from the tf table (already one row per (doc, term)): a
+        // cheap second aggregate, no countDistinct shuffle
+        val dfreq = tf.groupBy(col("term")).agg(lcount(lit(1)).as("df"))
+        val n = t(s, d, "documents").agg(lcount(lit(1)).as("n_docs"))
+        val scored = tf.join(broadcast(dfreq), "term")
+          .crossJoin(broadcast(n))
+          .select(col("doc_id"), col("term"), col("tf"),
+            (col("tf").cast("double") *
+             ((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0)))).as("score"))
+        val top = graft.plans.TopK.perKey(scored, Seq(col("doc_id")),
+          Seq(col("score").desc, col("term")), 3)
+        import org.apache.spark.sql.expressions.Window
+        top.withColumn("rk", row_number().over(
+            Window.partitionBy(col("doc_id"))
+              .orderBy(col("score").desc, col("term"))).cast("long"))
+          .select(col("doc_id"), col("term"), col("tf"), col("score"), col("rk"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(${graft.functions.TextFunctions.sql.tokensOf("text")}) AS term FROM documents), tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2), df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents), sc AS (SELECT doc_id, term, tf, CAST(tf AS DOUBLE) * ((n_docs + 1.0) / (df + 1.0)) AS score FROM tf JOIN df USING (term) CROSS JOIN n), r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rk FROM sc) SELECT doc_id, term, tf, score, rk FROM r WHERE rk <= 3""")),
+
     QueryDef("q44_centroids",
       "per-label embedding centroids (element-wise exact mean — IVF codebook construction)",
       (s, d) => t(s, d, "embeddings")
