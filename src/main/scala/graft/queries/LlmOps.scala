@@ -179,6 +179,33 @@ object LlmOps {
            |WHERE list_dot_product(a.v, c.v) / (a.nrm * c.nrm) >= 0.35""".stripMargin.replace("\n", " ")
       }),
 
+    QueryDef("q53_contamination",
+      "benchmark decontamination scan: per-document fraction of word-3-gram shingles appearing in a held-out benchmark set (doc_id < 20), broadcast semi-join on 64-bit shingle hashes",
+      (s, d) => {
+        import graft.functions.TextFunctions.wordShingles
+        val docs = t(s, d, "documents")
+        // the benchmark's distinct shingle set is dimension-sized by
+        // construction (eval sets are small) → broadcast; corpus
+        // shingles carry 8-byte hashes, never strings
+        val bench = docs.filter(col("doc_id") < 20)
+          .select(explode(wordShingles(col("text"), 3)).as("s"))
+          .select(xxhash64(col("s")).as("sh")).distinct()
+        val sh = docs.filter(col("doc_id") >= 20)
+          .select(col("doc_id"), explode(wordShingles(col("text"), 3)).as("s"))
+          .select(col("doc_id"), xxhash64(col("s")).as("sh"))
+        val hits = sh.join(broadcast(bench), Seq("sh"), "left_semi")
+          .groupBy(col("doc_id")).agg(lcount(lit(1)).as("n_hit"))
+        docs.filter(col("doc_id") >= 20)
+          .select(col("doc_id"), size(wordShingles(col("text"), 3)).cast("long").as("n_sh"))
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_sh"),
+                  coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+                  when(col("n_sh") > 0,
+                       coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_sh"))
+                    .otherwise(lit(0.0)).as("contamination"))
+      },
+      Some(s"""WITH $shingleCte, bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20), cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh WHERE doc_id >= 20 GROUP BY 1), hit AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit FROM sh WHERE doc_id >= 20 AND s IN (SELECT s FROM bench) GROUP BY 1), base AS (SELECT doc_id FROM documents WHERE doc_id >= 20) SELECT b.doc_id, COALESCE(c.n_sh, 0) AS n_sh, COALESCE(h.n_hit, 0) AS n_hit, CASE WHEN COALESCE(c.n_sh, 0) > 0 THEN CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / c.n_sh ELSE 0.0 END AS contamination FROM base b LEFT JOIN cnt c USING (doc_id) LEFT JOIN hit h USING (doc_id)""")),
+
     QueryDef("q26_text_stats",
       "per-document text metrics: tokens, char-class ratios, quality score",
       (s, d) => t(s, d, "documents").select(
