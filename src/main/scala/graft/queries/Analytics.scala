@@ -81,6 +81,19 @@ object Analytics {
           k = 3),
       Some("""SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, row_number() OVER (PARTITION BY l_suppkey ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn FROM lineitem) WHERE rn <= 3""")),
 
+    QueryDef("q54_approx_quantiles",
+      "approximate quantile sketch (mergeable, one pass) vs exact: sketch estimates are engine-specific, so the oracle checks exact values + a 2%-relative accuracy bound (q37 HLL pattern)",
+      (s, d) => t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("exact_p50"),
+             round(expr("percentile(o_totalprice, 0.9)"), 4).as("exact_p90"),
+             expr("approx_percentile(o_totalprice, 0.5, 1000)").as("ap50"),
+             expr("approx_percentile(o_totalprice, 0.9, 1000)").as("ap90"))
+        .select(col("o_orderpriority"), col("exact_p50"), col("exact_p90"),
+                (abs(col("ap50") - col("exact_p50")) / col("exact_p50") <= 0.02).as("p50_within_2pct"),
+                (abs(col("ap90") - col("exact_p90")) / col("exact_p90") <= 0.02).as("p90_within_2pct")),
+      Some("""SELECT o_orderpriority, ROUND(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50, ROUND(quantile_cont(o_totalprice, 0.9), 4) AS exact_p90, TRUE AS p50_within_2pct, TRUE AS p90_within_2pct FROM orders GROUP BY o_orderpriority""")),
+
     QueryDef("q41_percentiles",
       "exact interpolated percentiles (median/p90) of order value per priority",
       (s, d) => t(s, d, "orders")

@@ -26,6 +26,21 @@ object ReportSink {
   def appendPartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("append").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Bucketed (and optionally sort-ordered) managed-table write: pays
+    * the hash shuffle ONCE at write time, after which every equi-join
+    * or aggregation on the bucket keys between same-bucketed tables is
+    * EXCHANGE-FREE — the co-located-join strategy the 100 TB fact
+    * tables (lineitem ⋈ orders, history ⋈ tasks) should be stored
+    * under. Asserted by BucketingSpec: a join of two such tables plans
+    * with zero shuffle exchanges. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    bucketCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet").saveAsTable(table)
+  }
+
   def appendCsvSingleFile(df: DataFrame, targetFile: String): Unit = {
     val target = new File(targetFile)
     val writeHeader = !target.isFile || target.length() == 0
