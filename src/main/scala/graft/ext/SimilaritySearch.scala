@@ -108,6 +108,19 @@ object SimilaritySearch {
       .filter(col("sim") >= threshold)
   }
 
+  /** Recall-amplified hyperplane LSH: OR over independent hash tables
+    * (one per seed). A near-dup pair missed by one table's buckets is
+    * caught by another with independent probability, so recall
+    * approaches 1 − (1 − p)^tables at linear cost in tables; the
+    * per-pair `sim` is identical across tables, so the union
+    * deduplicates exactly. */
+  def nearDupPairsLshMulti(corpus: DataFrame, dim: Int, nPlanes: Int,
+                           threshold: Double, seeds: Seq[Int]): DataFrame = {
+    require(seeds.nonEmpty, "at least one hash-table seed required")
+    seeds.map(nearDupPairsLsh(corpus, dim, nPlanes, threshold, _))
+      .reduce(_ unionByName _).distinct()
+  }
+
   /** IVF top-k: centroids = the embeddings of `centroidIds` (a
     * deterministic coarse codebook — production would k-means these;
     * any fixed, reproducible set works for the index structure).

@@ -111,6 +111,25 @@ object EventStreams {
       }
   }
 
+  /** Watermarked stream-stream interval join (conversion attribution):
+    * each view event joins the SAME user's purchases landing within
+    * `horizonMinutes` after it. Both sides carry watermarks and the
+    * join condition bounds event-time distance, so Spark can expire
+    * buffered state on both sides — O(events-per-horizon) state, the
+    * only stream-stream join shape that survives an unbounded 100 TB
+    * ingest. */
+  def conversionJoin(views: DataFrame, purchases: DataFrame,
+                     horizonMinutes: Int): DataFrame = {
+    val v = views.withWatermark("ts", "1 hour").alias("v")
+    val p = purchases.withWatermark("ts", "2 hours").alias("p")
+    v.join(p,
+        expr(s"""v.user_id = p.user_id AND
+                 p.ts BETWEEN v.ts AND v.ts + INTERVAL $horizonMinutes MINUTES"""))
+      .select(col("v.event_id").as("view_id"), col("v.user_id").as("user_id"),
+              col("v.ts").as("view_ts"), col("p.ts").as("purchase_ts"),
+              col("p.value").as("purchase_value"))
+  }
+
   /** Streaming exact dedup — the streaming twin of `Dedup.exact` (q20)
     * for continuous corpus ingestion: keeps each document's first-seen
     * occurrence, keyed on the full 128-bit md5 of the normalized text

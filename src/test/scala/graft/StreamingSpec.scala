@@ -78,6 +78,32 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  describe("conversionJoin (watermarked stream-stream interval join)") {
+    it("attributes purchases to views within the horizon, same user only") {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val views = MemoryStream[Event]
+      val purchases = MemoryStream[Event]
+      val q = EventStreams.conversionJoin(views.toDF(), purchases.toDF(), 30)
+        .writeStream.format("memory").queryName("conv_out")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        views.addData(
+          Event(1, ts("2024-01-01 10:00:00"), 7, "view", 0.0),
+          Event(2, ts("2024-01-01 10:00:00"), 8, "view", 0.0))
+        purchases.addData(
+          Event(90, ts("2024-01-01 10:20:00"), 7, "purchase", 42.0),  // in horizon
+          Event(91, ts("2024-01-01 11:20:00"), 7, "purchase", 10.0),  // outside
+          Event(92, ts("2024-01-01 10:10:00"), 9, "purchase", 5.0))   // other user
+        q.processAllAvailable()
+        val rows = spark.table("conv_out")
+          .select($"view_id", $"user_id", $"purchase_value")
+          .as[(Long, Long, Double)].collect().toSet
+        assert(rows == Set((1L, 7L, 42.0)))
+      } finally q.stop()
+    }
+  }
+
   describe("batch/stream agreement") {
     it("sessionizeBatch matches the streaming sessions on closed sessions") {
       import spark.implicits._

@@ -37,6 +37,26 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  describe("hyperplane LSH near-dup") {
+    it("single-table recall ⊆ multi-table recall ⊆ all true pairs, with exact sims") {
+      val vecs = (0L until 30L).map { i =>
+        val angle = i.toDouble / 30.0 * 2 * math.Pi
+        (i, Array(math.cos(angle).toFloat, math.sin(angle).toFloat))
+      }.toDF("vec_id", "embedding")
+      def pairSet(df: org.apache.spark.sql.DataFrame) =
+        df.select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      // ground truth: the unblocked all-pairs formulation
+      val all = pairSet(SimilaritySearch.nearDupPairs(
+        vecs.withColumn("one", lit(1)), "one", 0.95))
+      val one = pairSet(SimilaritySearch.nearDupPairsLsh(vecs, 2, 4, 0.95, seed = 3))
+      val multi = pairSet(SimilaritySearch.nearDupPairsLshMulti(
+        vecs, 2, 4, 0.95, seeds = Seq(3, 17, 31)))
+      assert(one.subsetOf(multi), "multi-table recall must dominate")
+      assert(multi.subsetOf(all), "LSH must never invent pairs")
+      assert(multi.nonEmpty)
+    }
+  }
+
   describe("ivfTopK") {
     it("returns only cell-probed neighbors, k-bounded, self excluded") {
       val vecs = (0L until 40L).map { i =>
