@@ -70,12 +70,13 @@ object Dedup {
     * `maxDf` bounds the hot-shingle blowup: a shingle shared by k docs
     * in a block expands to k²/2 in-row pairs, so ONE stopword shingle
     * common to 10⁶ docs would build a 10¹²-element array in a single
-    * row. Posting lists longer than maxDf are dropped before expansion
-    * — the standard document-frequency cap. Recall tradeoff: a pair
-    * whose ONLY shared shingles are ultra-common ones is missed; such
-    * pairs have low jaccard against any realistic threshold (shared-df
-    * ≥ maxDf means the shingle carries ~no similarity signal), so the
-    * cap trades a vanishing recall sliver for a hard memory bound.
+    * row. The cap is applied CONSISTENTLY: shingles with block-df >
+    * maxDf are removed from the shingle universe entirely — from the
+    * intersection counts AND from each document's set size — so the
+    * result is the exact jaccard over the df-filtered universe (the
+    * standard df-cap semantics), not a deflated ratio mixing filtered
+    * numerators with unfiltered denominators. With the default cap
+    * effectively unbounded, this is plain exact jaccard.
     *
     * Note on alternatives: prefix filtering (join only the rare-first
     * prefix of each shingle set, then verify candidates) was measured
@@ -94,26 +95,53 @@ object Dedup {
     // groupBy on (block, shingle) then in-row pair expansion — one full
     // shuffle of the shingle table FEWER than the equi-join (which
     // exchanges both sides). Each doc's set size rides along into the
-    // posting list, so the jaccard denominator needs NO per-doc count
-    // aggregate and NO join back onto the pair table — the whole
-    // operator is exactly two shuffles (posting-list groupBy +
-    // pair-count groupBy) at any scale.
+    // posting list, so the jaccard denominator normally needs NO
+    // per-doc count aggregate — the whole operator is exactly two
+    // shuffles (posting-list groupBy + pair-count groupBy). When the
+    // df-cap BINDS, dropped hot shingles must also leave the
+    // denominators: the correction is a per-doc count over the dropped
+    // lists only (linear in hot-shingle postings, a vanishing fraction
+    // of the corpus) joined back onto the final per-pair rows.
     val sh = in.select(col(idCol).as("id"), col(blockCol).as("block"),
                        wordShingles(col(textCol), n).as("ss"))
       .select(col("id"), col("block"), size(col("ss")).as("n_sh"),
               explode(col("ss")).as("s"))
       .select(col("id"), col("block"), col("n_sh"), xxhash64(col("s")).as("sh"))
-    val lists = sh.groupBy(col("block"), col("sh"))
+    val allLists = sh.groupBy(col("block"), col("sh"))
       .agg(array_sort(collect_list(struct(col("id"), col("n_sh")))).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxDf)
-    listPairs(lists, "ids")
+    val lists = allLists.filter(size(col("ids")) > 1 && size(col("ids")) <= maxDf)
+    val rawPairs = listPairs(lists, "ids")
       .select(col("pa.id").as("id_a"), col("pa.n_sh").as("na"),
               col("pb.id").as("id_b"), col("pb.n_sh").as("nb"))
       .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("ic"))
-      .select(col("id_a"), col("id_b"),
-              (col("ic").cast("double") / (col("na") + col("nb") - col("ic"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    if (maxDf == Int.MaxValue) {
+      // uncapped fast path: the ride-along sizes ARE the set sizes —
+      // exactly two shuffles, nothing joined back
+      rawPairs.select(col("id_a"), col("id_b"),
+          (col("ic").cast("double") / (col("na") + col("nb") - col("ic"))).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    } else {
+      // per-doc count of CAPPED-AWAY shingles: linear in hot-shingle
+      // postings (a vanishing fraction of the corpus), EMPTY whenever
+      // the cap never binds — AQE then plans both corrections as
+      // broadcast joins at runtime; if a pathological corpus makes the
+      // adjustment table genuinely large, a shuffle join is the correct
+      // plan and AQE picks that instead (no explicit broadcast hint)
+      val hotAdjust = allLists.filter(size(col("ids")) > maxDf)
+        .select(explode(col("ids")).as("e"))
+        .groupBy(col("e.id").as("id")).agg(count(lit(1)).as("n_hot"))
+      rawPairs
+        .join(hotAdjust.select(col("id").as("id_a"), col("n_hot").as("hot_a")),
+              Seq("id_a"), "left")
+        .join(hotAdjust.select(col("id").as("id_b"), col("n_hot").as("hot_b")),
+              Seq("id_b"), "left")
+        .select(col("id_a"), col("id_b"),
+                (col("ic").cast("double") /
+                 ((col("na") - coalesce(col("hot_a"), lit(0L))) +
+                  (col("nb") - coalesce(col("hot_b"), lit(0L))) - col("ic"))).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    }
   }
 
   /** MinHash signature entry: min over a doc's shingles of
@@ -261,19 +289,26 @@ object Dedup {
       .join(docs.select(col(idCol).as("id"), col(blockCol).as("block")), "id")
 
   /** Near-dup pairs → keep/drop groups: connected components by
-    * iterative min-label propagation. Every doc appearing in `pairs`
-    * gets (doc_id, group_rep) where group_rep = the minimum doc id
-    * reachable through the pair graph; a training-data pipeline keeps
-    * `doc_id == group_rep` and drops the rest.
+    * iterative min-label propagation WITH pointer jumping. Every doc
+    * appearing in `pairs` gets (doc_id, group_rep) where group_rep =
+    * the minimum doc id reachable through the pair graph; a
+    * training-data pipeline keeps `doc_id == group_rep` and drops the
+    * rest.
     *
-    * Each round: one edge⋈label join + a min-aggregate, with
-    * `localCheckpoint` truncating the lineage so the plan stays
-    * constant-size across rounds. Convergence is O(graph diameter)
-    * rounds; near-dup graphs are unions of near-cliques (diameter ≤ ~3),
-    * so 3-4 rounds settle real corpora. (For adversarial long-chain
-    * graphs the published large-star/small-star alternation gives
-    * O(log n) — the operator signature stays the same.) The fixpoint is
-    * the min reachable id — deterministic under any partitioning. */
+    * Each round: (1) propagate — every node takes the min of its own
+    * and its neighbors' labels; (2) shortcut (pointer jumping) — every
+    * node also takes its label's label. The shortcut halves remaining
+    * chain lengths each round, so convergence is O(log diameter) —
+    * maxIter=25 covers graphs with diameter beyond 10⁶ (near-dup
+    * graphs are near-cliques that settle in 2-3 rounds anyway).
+    * `localCheckpoint` truncates lineage so the plan stays
+    * constant-size across rounds. The fixpoint is the min reachable id
+    * — deterministic under any partitioning.
+    *
+    * Throws IllegalStateException if the fixpoint is not reached within
+    * maxIter rounds — unconverged labels are silently WRONG groupings
+    * (a q52-style apply would keep several representatives of one
+    * cluster), so refusing is the only safe behavior. */
   def dedupGroups(pairs: DataFrame, aCol: String, bCol: String,
                   maxIter: Int = 25): DataFrame = {
     // checkpoint BEFORE the union: both union branches read the same
@@ -292,10 +327,17 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("dst_label")), "dst")
         .groupBy(col("src")).agg(min(col("dst_label")).as("nbr_label"))
-      val next = labels
+      val prelim = labels
         .join(nbrMin.select(col("src").as("id"), col("nbr_label")), Seq("id"), "left")
         .select(col("id"),
                 least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      // pointer jumping: follow one hop through the label table itself
+      val next = prelim
+        .join(prelim.select(col("id").as("lid"), col("label").as("llabel")),
+              col("label") === col("lid"), "left")
+        .select(col("id"),
+                least(col("label"), coalesce(col("llabel"), col("label"))).as("label"))
         .localCheckpoint(true)
       // convergence probe: any label that still shrank this round?
       val changed = next
@@ -305,6 +347,9 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"dedupGroups: min-label propagation did not converge in $maxIter rounds " +
+        "- raise maxIter (labels at this point would be silently wrong groupings)")
     labels.select(col("id").as("doc_id"), col("label").as("group_rep"))
   }
 }

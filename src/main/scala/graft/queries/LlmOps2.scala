@@ -67,13 +67,17 @@ object LlmOps2 {
       Some("""SELECT lang, CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+', 0))) AS BIGINT) AS bpe_tokens, CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS ws_tokens, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang""")),
 
     QueryDef("q51_tfidf_keywords",
-      "per-document top-3 keywords by tf·idf (corpus statistics / keyword extraction), ranked through the bounded-heap TopKPerKey operator",
+      "per-document top-3 keywords by tf × rational inverse-df weight (corpus statistics / keyword extraction), ranked through the bounded-heap TopKPerKey operator",
       (s, d) => {
         import graft.functions.TextFunctions.tokens
-        // idf is the SMOOTHED RATIONAL form (N+1)/(df+1): a monotone
-        // per-term transform of the log form with identical top-k
-        // semantics per term, chosen because IEEE +,/ are correctly
-        // rounded (bit-identical across engines) while libm log is not
+        // the score is DEFINED as tf × (N+1)/(df+1) — a df-monotone
+        // inverse-frequency weight chosen because IEEE +,/ are
+        // correctly rounded (bit-identical across engines) while libm
+        // log is not. NOTE: this is not log-idf under a monotone
+        // rename — ACROSS terms the rational weight grows faster with
+        // rarity, so the extracted keyword set can differ from
+        // classical log-tf·idf (it up-weights rare terms harder); both
+        // engines compute this same definition
         val tok = t(s, d, "documents")
           .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
         val tf = tok.groupBy(col("doc_id"), col("term"))

@@ -97,7 +97,16 @@ class FixtureScanBuilder(fullSchema: StructType, path: String,
     required = requiredSchema
 
   /** Accept atomic comparisons on top-level fields; everything else is
-    * returned as residual for Spark to evaluate post-scan. */
+    * returned as residual for Spark to evaluate post-scan.
+    *
+    * In quarantine modes (PERMISSIVE/DROPMALFORMED) EVERY filter is also
+    * returned as residual: pushed predicates cannot be evaluated on an
+    * unparseable line, so a quarantined row would otherwise flow into a
+    * query whose predicate it violates. The scan still pre-filters good
+    * rows with `pushed` (cheap row skipping); Spark merely re-checks —
+    * under which a quarantined all-null row evaluates the predicate to
+    * null and drops, the same contract as Spark's own PERMISSIVE JSON
+    * source (corrupt rows surface only in unfiltered reads). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (sup, residual) = filters.partition {
       case EqualTo(a, _)            => atomic(a)
@@ -109,7 +118,7 @@ class FixtureScanBuilder(fullSchema: StructType, path: String,
       case _                        => false
     }
     pushed = sup
-    residual
+    if (mode.toUpperCase == "FAILFAST") residual else filters
   }
 
   /** Only types whose JSON text form compares faithfully are pushed.
@@ -137,18 +146,27 @@ class FixtureScanBuilder(fullSchema: StructType, path: String,
 case class FixtureScan(fullSchema: StructType, required: StructType,
                        path: String, pushed: Array[Filter],
                        mode: String = "FAILFAST")
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"FixtureJsonScan path=$path, PushedFilters=[${pushed.mkString(", ")}], " +
       s"ReadSchema=${required.catalogString}"
-  override def planInputPartitions(): Array[InputPartition] = {
+  private def files: Array[String] = {
     val f = new java.io.File(path)
-    val files: Array[String] =
-      if (f.isDirectory) f.listFiles().filter(_.isFile).map(_.getPath).sorted
-      else Array(path)
+    if (f.isDirectory) f.listFiles().filter(_.isFile).map(_.getPath).sorted
+    else Array(path)
+  }
+  override def planInputPartitions(): Array[InputPartition] =
     files.map(FixtureInputPartition(_): InputPartition)
+  /** Real on-disk bytes — without this a DSv2 scan reports
+    * spark.sql.defaultSizeInBytes (≈ Long.MaxValue), which disables
+    * size-based planning (Parallelize.forCompute's small-scan guard,
+    * broadcast-join selection) for exactly this source. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes = files.map(p => new java.io.File(p).length()).sum
+    override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
   }
   override def createReaderFactory(): PartitionReaderFactory =
     FixtureReaderFactory(required, pushed, mode)
@@ -184,25 +202,44 @@ abstract class JsonLinesReader(required: StructType,
   protected val lines: Iterator[String]
 
   private val mapper = new ObjectMapper()
-  private var current: InternalRow = _
+  protected var current: InternalRow = _
+  private var streamFailed = false
 
   private val corruptOrdinal: Int =
     required.fieldNames.indexOf("_corrupt_record")
 
-  /** Quarantined row: all-null except the raw line in _corrupt_record
-    * (when the schema declares it). Pushed filters cannot be evaluated
-    * on an unparseable line, so quarantined rows bypass them — the
-    * standard PERMISSIVE tradeoff (they surface to the user rather than
-    * silently vanishing inside a pushed predicate). */
-  private def corruptRow(line: String): InternalRow = {
+  /** Quarantined row: all-null except the raw line (or error rendering)
+    * in _corrupt_record when the schema declares it. Spark re-checks
+    * every user predicate on these rows (see pushFilters), so they
+    * surface only in unfiltered reads — same contract as Spark's own
+    * PERMISSIVE JSON source. */
+  protected def corruptRow(line: String): InternalRow = {
     val values = new Array[Any](required.length)
     if (corruptOrdinal >= 0) values(corruptOrdinal) = UTF8String.fromString(line)
     new GenericInternalRow(values)
   }
 
   override def next(): Boolean = {
-    while (lines.hasNext) {
-      val line = lines.next().trim
+    if (streamFailed) return false
+    while (true) {
+      // the transport iterator itself can fail mid-stream (lazy HTTP
+      // body, truncated file): that failure follows the same mode
+      // policy as a parse failure, and the reader then terminates (the
+      // iterator is not resumable after a transport error)
+      val line =
+        try { if (!lines.hasNext) return false; lines.next().trim }
+        catch {
+          case e: Exception =>
+            streamFailed = true
+            mode.toUpperCase match {
+              case "PERMISSIVE" =>
+                current = corruptRow(s"!stream-failed: $e"); return true
+              case "DROPMALFORMED" =>
+                System.err.println(s"[graft-source] dropping failed stream: $e")
+                return false
+              case _ => throw e
+            }
+        }
       if (line.nonEmpty) {
         try {
           val node = mapper.readTree(line)

@@ -44,7 +44,8 @@ class HttpJsonSource extends TableProvider {
                         properties: util.Map[String, String]): Table =
     HttpTable(schema,
       Option(properties.get("urls")).getOrElse(""),
-      Option(properties.get("mode")).getOrElse("FAILFAST"))
+      Option(properties.get("mode")).getOrElse("FAILFAST"),
+      Option(properties.get("urlDelimiter")).getOrElse(","))
 
   override def supportsExternalMetadata(): Boolean = true
 }
@@ -80,31 +81,39 @@ object HttpTransport {
   }
 }
 
-case class HttpTable(tableSchema: StructType, urls: String, mode: String)
+/** `delimiter` separates the `urls` option (default ","). URLs whose
+  * query strings legitimately contain the delimiter need a different
+  * one, e.g. `.option("urlDelimiter", "|")` — there is no escaping. */
+case class HttpTable(tableSchema: StructType, urls: String, mode: String,
+                     delimiter: String = ",")
     extends Table with SupportsRead {
   override def schema(): StructType = tableSchema
-  override def name(): String = s"http:${urls.takeWhile(_ != ',')}…"
+  override def name(): String =
+    s"http:${urls.split(java.util.regex.Pattern.quote(delimiter)).headOption.getOrElse("")}…"
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new HttpScanBuilder(tableSchema,
       Option(options.get("urls")).filter(_.nonEmpty).getOrElse(urls),
-      Option(options.get("mode")).getOrElse(mode))
+      Option(options.get("mode")).getOrElse(mode),
+      Option(options.get("urlDelimiter")).getOrElse(delimiter))
 }
 
 /** Same pushdown surface as the fixture source: pruned columns shrink
   * the decode, pushed predicates (the reference's startTime/endTime
   * window params, F4) drop rows before materialization. */
-class HttpScanBuilder(fullSchema: StructType, urls: String, mode: String)
+class HttpScanBuilder(fullSchema: StructType, urls: String, mode: String,
+                      delimiter: String = ",")
     extends FixtureScanBuilder(fullSchema, urls, mode) {
   override def build(): Scan = {
     val f = super.build().asInstanceOf[FixtureScan]
-    HttpScan(f.fullSchema, f.required, urls, f.pushed, mode)
+    HttpScan(f.fullSchema, f.required, urls, f.pushed, mode, delimiter)
   }
 }
 
 case class HttpScan(fullSchema: StructType, required: StructType,
-                    urls: String, pushed: Array[Filter], mode: String)
+                    urls: String, pushed: Array[Filter], mode: String,
+                    delimiter: String = ",")
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -112,7 +121,9 @@ case class HttpScan(fullSchema: StructType, required: StructType,
     s"HttpJsonScan urls=$urls, PushedFilters=[${pushed.mkString(", ")}], " +
       s"ReadSchema=${required.catalogString}"
   override def planInputPartitions(): Array[InputPartition] =
-    urls.split(',').filter(_.nonEmpty).map(HttpInputPartition(_): InputPartition)
+    urls.split(java.util.regex.Pattern.quote(delimiter))
+      .map(_.trim).filter(_.nonEmpty)
+      .map(HttpInputPartition(_): InputPartition)
   override def createReaderFactory(): PartitionReaderFactory =
     HttpReaderFactory(required, pushed, mode)
 }
@@ -128,16 +139,43 @@ case class HttpReaderFactory(required: StructType, pushed: Array[Filter],
 }
 
 /** Per-partition reader: one HTTP fetch, then the shared JSONL decode
-  * plane. A failed fetch is surfaced as a single poisoned pseudo-line
-  * so the mode policy (quarantine / drop / fail) applies uniformly. */
+  * plane. A failed fetch follows the mode policy directly:
+  *  - FAILFAST rethrows the ORIGINAL transport exception (cause and
+  *    stack intact);
+  *  - PERMISSIVE emits exactly one quarantine row carrying the URL and
+  *    error;
+  *  - DROPMALFORMED logs and yields an empty partition (a whole URL's
+  *    data loss is never fully silent).
+  * Mid-stream body failures (lazy HTTP line iterator) are handled by
+  * the shared [[JsonLinesReader]] stream-failure path. */
 class HttpReader(url: String, required: StructType,
                  pushed: Array[Filter], mode: String)
     extends JsonLinesReader(required, pushed, mode) {
+
+  private var fetchError: Option[Exception] = None
+  private var errorEmitted = false
+
   override protected val lines: Iterator[String] =
     try HttpTransport.fetch(url)
-    catch {
-      case e: Exception =>
-        Iterator(s"""!fetch-failed url=$url error=${e.getMessage}""")
+    catch { case e: Exception => fetchError = Some(e); Iterator.empty }
+
+  override def next(): Boolean = fetchError match {
+    case None => super.next()
+    case Some(e) => mode.toUpperCase match {
+      case "PERMISSIVE" if !errorEmitted =>
+        errorEmitted = true
+        current = corruptRow(s"!fetch-failed url=$url error=$e")
+        true
+      case "PERMISSIVE" => false
+      case "DROPMALFORMED" =>
+        if (!errorEmitted) {
+          errorEmitted = true
+          System.err.println(s"[graft-source] dropping failed fetch $url: $e")
+        }
+        false
+      case _ => throw e
     }
+  }
+
   override def close(): Unit = ()
 }

@@ -78,6 +78,22 @@ class DedupSpec extends SparkSpec {
   }
 
   describe("hot-shingle df cap") {
+    it("caps consistently: dropped shingles leave the denominator too") {
+      // A and B share 4 rare shingles plus 1 hot shingle ("common base
+      // words", df=12 > maxDf=5). Capped universe: 4 shingles per doc,
+      // 3 shared → jaccard 3/5 = 0.6. The inconsistent (numerator-only)
+      // math would report 3/(5+5-3) ≈ 0.43 and miss the 0.5 threshold.
+      val docs = (Seq(
+        (100L, "common base words alpha beta gamma delta"),
+        (101L, "common base words alpha beta gamma epsilon")) ++
+        (0L until 10L).map(i => (i, s"common base words filler$i")))
+        .toDF("doc_id", "text").withColumn("lang", lit("en"))
+      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "lang",
+                                          3, 0.5, maxDf = 5)
+        .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect()
+      assert(pairs.toSeq == Seq((100L, 101L, 0.6)))
+    }
+
     it("bounds pair expansion on a 10k-document hot shingle") {
       // 10k docs share 4 ultra-common shingles (uncapped: ~2×10⁸ pair
       // rows from those posting lists); each doc's remaining shingle is

@@ -61,10 +61,15 @@ class PlanSpec extends SparkSpec {
       val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).length
       assert(exchanges == 1, s"expected 1 shuffle, plan:\n$p")
     }
-    it("q21 jaccard pairs is exactly two hash shuffles at any scale (posting lists + pair counts)") {
+    it("uncapped jaccard pairs is exactly two hash shuffles at any scale (posting lists + pair counts)") {
       // (a RoundRobin exchange may additionally appear on tiny inputs —
-      // that's Parallelize.forCompute's deliberate small-file guard)
-      val p = planOf("q21_dedup_ngram_jaccard")
+      // that's Parallelize.forCompute's deliberate small-file guard;
+      // a binding df-cap adds the denominator-correction joins, so the
+      // 2-shuffle invariant is asserted on the uncapped fast path)
+      val docs = spark.read.parquet(s"$d/documents.parquet")
+      val p = graft.ext.Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+          "lang", 3, 0.5, maxDf = Int.MaxValue)
+        .queryExecution.executedPlan.toString
       val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
       assert(hashEx == 2, s"expected 2 hash shuffles, plan:\n$p")
     }
