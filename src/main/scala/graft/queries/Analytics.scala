@@ -81,6 +81,25 @@ object Analytics {
           k = 3),
       Some("""SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, row_number() OVER (PARTITION BY l_suppkey ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn FROM lineitem) WHERE rn <= 3""")),
 
+    QueryDef("q55_range_join",
+      "point-in-interval range join via bucketized equi-join (views within the 2h window before each purchase, per user) — Spark alone would plan the BETWEEN join as a nested loop",
+      (s, d) => {
+        val e = t(s, d, "events")
+        val views = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("value"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+                  (col("ts") - expr("INTERVAL 2 HOURS")).as("w_start"),
+                  col("ts").as("w_end"))
+        graft.ops.RangeJoin.pointInInterval(
+            views, "ts", purchases, "w_start", "w_end",
+            bucketSeconds = 7200, keys = Seq("user_id"))
+          .groupBy(col("purchase_id"), col("user_id"))
+          .agg(lcount(lit(1)).as("n_views"),
+               dsum(col("value")).as("view_value"))
+      },
+      Some("""SELECT p.event_id AS purchase_id, p.user_id, CAST(COUNT(*) AS BIGINT) AS n_views, CAST(SUM(CAST(v.value AS DECIMAL(38,6))) AS DOUBLE) AS view_value FROM events p JOIN events v ON v.user_id = p.user_id AND p.event_type = 'purchase' AND v.event_type = 'view' AND v.ts >= p.ts - INTERVAL 2 HOUR AND v.ts < p.ts GROUP BY 1, 2""")),
+
     QueryDef("q54_approx_quantiles",
       "approximate quantile sketch (mergeable, one pass) vs exact: sketch estimates are engine-specific, so the oracle checks exact values + a 2%-relative accuracy bound (q37 HLL pattern)",
       (s, d) => t(s, d, "orders")

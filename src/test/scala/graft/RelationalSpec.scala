@@ -6,6 +6,44 @@ import org.apache.spark.sql.functions._
 /** Unit specs for the §2 relational operators (SURVEY.md §5.3):
   * argmax tie-keeping, schema-tolerant select, positional zip,
   * ordered string fold, guarded division. */
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import java.sql.Timestamp
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  describe("RangeJoin.pointInInterval") {
+    it("includes start, excludes end, crosses bucket boundaries, emits each match once") {
+      val points = Seq(
+        (1L, ts("2024-01-01 10:00:00")), // == start → included
+        (2L, ts("2024-01-01 11:59:59")), // inside, different bucket than start
+        (3L, ts("2024-01-01 12:00:00")), // == end → excluded
+        (4L, ts("2024-01-01 09:59:59"))  // before start → excluded
+      ).toDF("pid", "ts")
+      val ivs = Seq(
+        (10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00"))
+      ).toDF("iid", "start", "end")
+      // 35-minute buckets deliberately misaligned with the interval so
+      // it spans 4 buckets — per-point uniqueness must still hold
+      val out = graft.ops.RangeJoin.pointInInterval(
+          points, "ts", ivs, "start", "end", bucketSeconds = 2100)
+        .select($"pid", $"iid").as[(Long, Long)].collect().toSeq.sorted
+      assert(out == Seq((1L, 10L), (2L, 10L)))
+    }
+    it("respects extra equi keys") {
+      val points = Seq((1L, "u1", ts("2024-01-01 10:30:00")),
+                       (2L, "u2", ts("2024-01-01 10:30:00"))).toDF("pid", "u", "ts")
+      val ivs = Seq(("u1", ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")))
+        .toDF("u", "start", "end")
+      val out = graft.ops.RangeJoin.pointInInterval(
+          points, "ts", ivs, "start", "end", 3600, keys = Seq("u"))
+        .select($"pid").as[Long].collect().toSeq
+      assert(out == Seq(1L))
+    }
+  }
+}
+
 class RelationalSpec extends SparkSpec {
   import spark.implicits._
 
