@@ -117,7 +117,13 @@ object Dedup {
       .agg(count(lit(1)).as("ic"))
     if (maxDf == Int.MaxValue) {
       // uncapped fast path: the ride-along sizes ARE the set sizes —
-      // exactly two shuffles, nothing joined back
+      // exactly two shuffles, nothing joined back. With a finite cap
+      // the correction branch costs one extra aggregate over the
+      // (exchange-reused) posting lists plus two AQE joins that
+      // broadcast an EMPTY table whenever the cap never binds — cheap
+      // insurance, and the capped default is deliberately kept as the
+      // production setting (an unbounded default would reinstate the
+      // hot-shingle blowup as the out-of-the-box behavior)
       rawPairs.select(col("id_a"), col("id_b"),
           (col("ic").cast("double") / (col("na") + col("nb") - col("ic"))).as("jaccard"))
         .filter(col("jaccard") >= threshold)

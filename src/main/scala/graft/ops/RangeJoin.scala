@@ -32,9 +32,15 @@ object RangeJoin {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
     val w = bucketSeconds * 1000000L // work in microseconds
     val p = points.withColumn("__bucket", floor(unix_micros(col(tsCol)) / w))
-    val iv = intervals.withColumn("__bucket",
-      explode(sequence(floor(unix_micros(col(startCol)) / w),
-                       floor(unix_micros(col(endCol)) / w))))
+    // inverted intervals (end < start — swapped columns, zeroed
+    // timestamps) can match nothing, but sequence() would still step
+    // BACKWARDS through the whole span (a 1970 epoch default explodes
+    // to ~10⁷ bucket rows before the filter discards them all) — drop
+    // them up front, which is semantics-preserving and free
+    val iv = intervals.filter(col(endCol) >= col(startCol))
+      .withColumn("__bucket",
+        explode(sequence(floor(unix_micros(col(startCol)) / w),
+                         floor(unix_micros(col(endCol)) / w))))
     p.join(iv, Seq("__bucket") ++ keys)
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("__bucket")

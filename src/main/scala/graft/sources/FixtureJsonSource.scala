@@ -182,13 +182,20 @@ case class FixtureReaderFactory(required: StructType, pushed: Array[Filter],
                       required, pushed, mode)
 }
 
-/** Per-partition JSONL reader over a local file. */
+/** Per-partition JSONL reader over a local file. A missing/unreadable
+  * file follows the same mode policy as any other transport failure. */
 class FixtureReader(file: String, required: StructType,
                     pushed: Array[Filter], mode: String = "FAILFAST")
     extends JsonLinesReader(required, pushed, mode) {
-  private val source = scala.io.Source.fromFile(file, "UTF-8")
-  override protected val lines: Iterator[String] = source.getLines()
-  override def close(): Unit = source.close()
+  private var source: Option[scala.io.Source] = None
+  override protected val lines: Iterator[String] =
+    try {
+      val s = scala.io.Source.fromFile(file, "UTF-8")
+      source = Some(s)
+      s.getLines()
+    } catch { case e: Exception => setupError = Some(e); Iterator.empty }
+  override protected def sourceId: String = s"file=$file"
+  override def close(): Unit = source.foreach(_.close())
 }
 
 /** Shared per-partition JSONL decode plane: streams lines from any
@@ -200,6 +207,15 @@ abstract class JsonLinesReader(required: StructType,
     extends PartitionReader[InternalRow] {
 
   protected val lines: Iterator[String]
+
+  /** Partition identity ("file=…", "url=…") for quarantine rows, so a
+    * failed stream can be traced back to its source. */
+  protected def sourceId: String = ""
+
+  /** Set by subclasses whose transport fails during SETUP (file open,
+    * HTTP connect) — handled through the same mode policy on the first
+    * `next()` call. */
+  protected var setupError: Option[Exception] = None
 
   private val mapper = new ObjectMapper()
   protected var current: InternalRow = _
@@ -219,8 +235,26 @@ abstract class JsonLinesReader(required: StructType,
     new GenericInternalRow(values)
   }
 
+  /** Transport failure (setup or mid-stream) under the mode policy.
+    * Terminal: the reader yields nothing further afterwards. */
+  private def failStream(stage: String, e: Exception): Boolean = {
+    streamFailed = true
+    mode.toUpperCase match {
+      case "PERMISSIVE" =>
+        current = corruptRow(s"!$stage-failed $sourceId error=$e"); true
+      case "DROPMALFORMED" =>
+        System.err.println(s"[graft-source] dropping $stage-failed $sourceId: $e")
+        false
+      case _ => throw e
+    }
+  }
+
   override def next(): Boolean = {
     if (streamFailed) return false
+    setupError match {
+      case Some(e) => return failStream("setup", e)
+      case None => ()
+    }
     while (true) {
       // the transport iterator itself can fail mid-stream (lazy HTTP
       // body, truncated file): that failure follows the same mode
@@ -228,18 +262,7 @@ abstract class JsonLinesReader(required: StructType,
       // iterator is not resumable after a transport error)
       val line =
         try { if (!lines.hasNext) return false; lines.next().trim }
-        catch {
-          case e: Exception =>
-            streamFailed = true
-            mode.toUpperCase match {
-              case "PERMISSIVE" =>
-                current = corruptRow(s"!stream-failed: $e"); return true
-              case "DROPMALFORMED" =>
-                System.err.println(s"[graft-source] dropping failed stream: $e")
-                return false
-              case _ => throw e
-            }
-        }
+        catch { case e: Exception => return failStream("stream", e) }
       if (line.nonEmpty) {
         try {
           val node = mapper.readTree(line)

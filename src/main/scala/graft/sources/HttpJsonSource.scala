@@ -139,43 +139,18 @@ case class HttpReaderFactory(required: StructType, pushed: Array[Filter],
 }
 
 /** Per-partition reader: one HTTP fetch, then the shared JSONL decode
-  * plane. A failed fetch follows the mode policy directly:
-  *  - FAILFAST rethrows the ORIGINAL transport exception (cause and
-  *    stack intact);
-  *  - PERMISSIVE emits exactly one quarantine row carrying the URL and
-  *    error;
-  *  - DROPMALFORMED logs and yields an empty partition (a whole URL's
-  *    data loss is never fully silent).
-  * Mid-stream body failures (lazy HTTP line iterator) are handled by
-  * the shared [[JsonLinesReader]] stream-failure path. */
+  * plane. Fetch failures (connect, non-2xx) and mid-stream body
+  * failures both follow the shared [[JsonLinesReader]] transport
+  * policy: FAILFAST rethrows the ORIGINAL exception, PERMISSIVE emits
+  * exactly one quarantine row carrying the URL and error, DROPMALFORMED
+  * logs the dropped URL (a whole partition's data loss is never fully
+  * silent). */
 class HttpReader(url: String, required: StructType,
                  pushed: Array[Filter], mode: String)
     extends JsonLinesReader(required, pushed, mode) {
-
-  private var fetchError: Option[Exception] = None
-  private var errorEmitted = false
-
   override protected val lines: Iterator[String] =
     try HttpTransport.fetch(url)
-    catch { case e: Exception => fetchError = Some(e); Iterator.empty }
-
-  override def next(): Boolean = fetchError match {
-    case None => super.next()
-    case Some(e) => mode.toUpperCase match {
-      case "PERMISSIVE" if !errorEmitted =>
-        errorEmitted = true
-        current = corruptRow(s"!fetch-failed url=$url error=$e")
-        true
-      case "PERMISSIVE" => false
-      case "DROPMALFORMED" =>
-        if (!errorEmitted) {
-          errorEmitted = true
-          System.err.println(s"[graft-source] dropping failed fetch $url: $e")
-        }
-        false
-      case _ => throw e
-    }
-  }
-
+    catch { case e: Exception => setupError = Some(e); Iterator.empty }
+  override protected def sourceId: String = s"url=$url"
   override def close(): Unit = ()
 }

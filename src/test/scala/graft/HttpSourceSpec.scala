@@ -55,7 +55,8 @@ class HttpSourceSpec extends SparkSpec {
         assert(df.count() == 2)
         val bad = df.filter($"_corrupt_record".isNotNull)
           .select($"_corrupt_record").as[String].collect()
-        assert(bad.length == 1 && bad(0).contains("fetch-failed") && bad(0).contains("boom 503"))
+        assert(bad.length == 1 && bad(0).contains("setup-failed") &&
+          bad(0).contains("url=https://x/down") && bad(0).contains("boom 503"))
       } finally HttpTransport.clearOverride()
     }
   }

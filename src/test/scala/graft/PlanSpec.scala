@@ -55,6 +55,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  describe("range join strategy") {
+    it("q55 plans as a hash/merge equi-join on buckets — never a nested loop") {
+      val p = planOf("q55_range_join")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"range join degraded to a nested loop:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+             p.contains("BroadcastHashJoin"), s"no equi-join found:\n$p")
+    }
+  }
+
   describe("shuffle economy") {
     it("q04 argmax+agg reuses one hash partitioning (single exchange)") {
       val p = planOf("q04_latest_argmax")

@@ -31,6 +31,18 @@ class RangeJoinSpec extends SparkSpec {
         .select($"pid", $"iid").as[(Long, Long)].collect().toSeq.sorted
       assert(out == Seq((1L, 10L), (2L, 10L)))
     }
+    it("drops inverted intervals for free instead of exploding their span") {
+      val points = Seq((1L, ts("2024-01-01 10:30:00"))).toDF("pid", "ts")
+      val ivs = Seq(
+        (10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")), // valid
+        (11L, ts("2024-01-01 11:00:00"), ts("1970-01-01 00:00:00"))  // inverted
+      ).toDF("iid", "start", "end")
+      val out = graft.ops.RangeJoin.pointInInterval(
+          points, "ts", ivs, "start", "end", 60) // 1-min buckets: inverted span would be ~28M rows
+        .select($"iid").as[Long].collect().toSeq
+      assert(out == Seq(10L))
+    }
+
     it("respects extra equi keys") {
       val points = Seq((1L, "u1", ts("2024-01-01 10:30:00")),
                        (2L, "u2", ts("2024-01-01 10:30:00"))).toDF("pid", "u", "ts")
