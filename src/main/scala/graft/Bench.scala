@@ -59,12 +59,13 @@ object Bench {
       // queries when ~20 queries preceded them in one session)
       spark.catalog.clearCache()
       System.gc()
-      // steady-state timing: each query runs twice and reports the MIN —
-      // a single sample conflates the query with whatever transient
-      // machine load / GC debt coincides with it (round 2's driver run
-      // reported q21 at 40.4s where an isolated rerun of the same build
-      // measured 5.6s; neither heap size nor thread count reproduced it,
-      // i.e. it was coincident load, exactly what min-of-2 suppresses)
+      // steady-state timing: every query runs twice and reports the MIN.
+      // The first execution carries that query's one-time whole-stage
+      // codegen compile (~0.1-0.3s — measured +12s across the suite when
+      // a skip-the-rerun shortcut was tried), and a single sample also
+      // conflates the query with whatever transient machine load / GC
+      // debt coincides with it (round 2's driver run reported q21 at
+      // 40.4s where an isolated rerun of the same build measured 5.6s).
       var best = Double.MaxValue
       var ok = true
       var rep = 0
