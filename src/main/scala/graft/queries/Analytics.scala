@@ -3,6 +3,7 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import graft.ops.Num._
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The q46 as-of body, kept as an object so the query map stays thin. */
@@ -37,6 +38,30 @@ object Analytics {
         .rollup(col("r_name"), col("n_name"))
         .agg(lcount(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("acct_total")),
       Some("""SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_customers, CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS acct_total FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY ROLLUP (r_name, n_name)""")),
+
+    QueryDef("q56_cube",
+      "CUBE hierarchical totals (all grouping-set combinations) over customer accounts by (region, segment)",
+      (s, d) => t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .cube(col("r_name"), col("c_mktsegment"))
+        .agg(lcount(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("acct_total")),
+      Some("""SELECT r_name, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers, CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS acct_total FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY CUBE (r_name, c_mktsegment)""")),
+
+    QueryDef("q57_lead_lag_ntile",
+      "§2.6 offset windows: per-customer inter-order gap (lag), next order value (lead), and value quartile (ntile)",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, d, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          datediff(col("o_orderdate"),
+                   lag(col("o_orderdate"), 1).over(w)).cast("long").as("days_since_prev"),
+          lead(col("o_totalprice"), 1).over(w).as("next_value"),
+          ntile(4).over(Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_totalprice"), col("o_orderkey"))).cast("long").as("value_quartile"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, CAST(datediff('day', lag(o_orderdate, 1) OVER w, o_orderdate) AS BIGINT) AS days_since_prev, lead(o_totalprice, 1) OVER w AS next_value, CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS value_quartile FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""")),
 
     QueryDef("q39_semi_anti",
       "left-semi (EXISTS) and left-anti (NOT EXISTS) joins: customers with/without orders per segment",
