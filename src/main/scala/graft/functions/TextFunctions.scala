@@ -90,6 +90,14 @@ object TextFunctions {
       .otherwise(aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(t))
   }
 
+  /** Engine-portable 6-decimal rounding: floor(x·10⁶ + 0.5)/10⁶ in
+    * plain IEEE doubles — bit-identical in any engine. Spark's round()
+    * is decimal HALF_UP over the exact binary expansion while DuckDB
+    * rounds through double arithmetic; on knife-edge doubles the two
+    * disagree by 10⁻⁶ (observed on one document at sf0.1). Only for
+    * non-negative inputs. */
+  def portableRound6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+
   /** Heuristic document quality score in [0,1]: rewards alphabetic
     * content, plausible word lengths, and stopword presence; penalizes
     * digit/punct noise. Mirrors the length/punct/stopword-ratio scoring
@@ -100,13 +108,12 @@ object TextFunctions {
       val a = avgTokenLen(text)
       when(a >= 2 && a <= 12, lit(1.0)).otherwise(lit(0.0))
     }
-    round(
+    portableRound6(
       lit(0.35) * alphaRatio(text) +
       lit(0.25) * lenTerm +
       lit(0.15) * wordLenOk +
       lit(0.15) * least(stopwordRatio(text) * 5.0, lit(1.0)) +
-      lit(0.10) * (lit(1.0) - least(digitRatio(text) * 10.0, lit(1.0))),
-      6)
+      lit(0.10) * (lit(1.0) - least(digitRatio(text) * 10.0, lit(1.0))))
   }
 
   /** Per-language marker vocabularies for the n-gram/stopword language

@@ -59,7 +59,7 @@ object LlmOps {
       |  CASE WHEN len(tok) = 0 THEN 0.0 ELSE CAST(len(list_filter(tok, tk -> tk IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE) / len(tok) END AS stopword_ratio,
       |  CASE WHEN len(tok) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(tok, tk -> length(tk))) AS DOUBLE) / len(tok) END AS avg_token_len
       |  FROM s),
-      |q AS (SELECT *, round(0.35 * alpha_ratio + 0.25 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) + 0.15 * (CASE WHEN avg_token_len >= 2 AND avg_token_len <= 12 THEN 1.0 ELSE 0.0 END) + 0.15 * least(stopword_ratio * 5.0, 1.0) + 0.10 * (1.0 - least(digit_ratio * 10.0, 1.0)), 6) AS quality FROM m)""".stripMargin.replace("\n", " ")
+      |q AS (SELECT *, floor((0.35 * alpha_ratio + 0.25 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) + 0.15 * (CASE WHEN avg_token_len >= 2 AND avg_token_len <= 12 THEN 1.0 ELSE 0.0 END) + 0.15 * least(stopword_ratio * 5.0, 1.0) + 0.10 * (1.0 - least(digit_ratio * 10.0, 1.0))) * 1000000 + 0.5) / 1000000 AS quality FROM m)""".stripMargin.replace("\n", " ")
 
   val defs: Seq[QueryDef] = Seq(
 
