@@ -125,6 +125,25 @@ object Analytics {
       },
       Some("""SELECT p.event_id AS purchase_id, p.user_id, CAST(COUNT(*) AS BIGINT) AS n_views, CAST(SUM(CAST(v.value AS DECIMAL(38,6))) AS DOUBLE) AS view_value FROM events p JOIN events v ON v.user_id = p.user_id AND p.event_type = 'purchase' AND v.event_type = 'view' AND v.ts >= p.ts - INTERVAL 2 HOUR AND v.ts < p.ts GROUP BY 1, 2""")),
 
+    QueryDef("q58_fuzzy_match",
+      "entity resolution: near-identical supplier names by Levenshtein ≤ 2, nation-blocked with a length-band prefilter (edit distance can't change length by more than the distance)",
+      (s, d) => {
+        val sup = t(s, d, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"), col("s_name"),
+                  length(col("s_name")).as("len"))
+        val a = sup.select(col("s_suppkey").as("id_a"), col("s_nationkey"),
+                           col("s_name").as("name_a"), col("len").as("len_a"))
+        val b = sup.select(col("s_suppkey").as("id_b"), col("s_nationkey"),
+                           col("s_name").as("name_b"), col("len").as("len_b"))
+        a.join(b, Seq("s_nationkey"))
+          .filter(col("id_a") < col("id_b") &&
+                  abs(col("len_a") - col("len_b")) <= 2)
+          .select(col("id_a"), col("id_b"),
+                  levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+          .filter(col("dist") <= 2)
+      },
+      Some("""SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b, CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist FROM supplier a JOIN supplier b ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey AND abs(length(a.s_name) - length(b.s_name)) <= 2 WHERE levenshtein(a.s_name, b.s_name) <= 2""")),
+
     QueryDef("q54_approx_quantiles",
       "approximate quantile sketch (mergeable, one pass) vs exact: sketch estimates are engine-specific, so the oracle checks exact values + a 2%-relative accuracy bound (q37 HLL pattern)",
       (s, d) => t(s, d, "orders")
