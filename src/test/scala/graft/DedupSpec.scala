@@ -118,13 +118,27 @@ class DedupSpec extends SparkSpec {
                            10L -> 10L, 11L -> 10L,
                            20L -> 20L, 21L -> 20L, 22L -> 20L))
     }
-    it("converges on a chain longer than one propagation round") {
+    it("converges on a chain longer than one propagation round (distributed path forced)") {
+      // maxDriverEdges = 0 disables the driver fast path so this
+      // exercises the iterative min-label propagation loop
       val chain = (1L to 8L).sliding(2).map(s => (s(0), s(1))).toSeq
         .toDF("id_a", "id_b")
-      val groups = Dedup.dedupGroups(chain, "id_a", "id_b")
+      val groups = Dedup.dedupGroups(chain, "id_a", "id_b", maxDriverEdges = 0)
         .as[(Long, Long)].collect().toMap
       assert(groups.keySet == (1L to 8L).toSet)
       assert(groups.values.toSet == Set(1L))
+    }
+    it("driver fast path and distributed loop agree") {
+      // mixed topology: chain + triangle + isolated pair + self-loop
+      val pairs = (Seq((5L, 9L), (9L, 3L), (3L, 17L)) ++
+        Seq((40L, 41L), (41L, 42L), (40L, 42L)) ++
+        Seq((100L, 101L), (7L, 7L))).toDF("id_a", "id_b")
+      val local = Dedup.dedupGroups(pairs, "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      val dist = Dedup.dedupGroups(pairs, "id_a", "id_b", maxDriverEdges = 0)
+        .as[(Long, Long)].collect().toMap
+      assert(local == dist)
+      assert(local(17L) == 3L && local(42L) == 40L && local(7L) == 7L)
     }
   }
 
