@@ -157,9 +157,16 @@ object Dedup {
     }
   }
 
-  /** MinHash signature entry: min over a doc's shingles of
-    * portableHash(seed=j). */
-  private def minhashCol(j: Int): Column = min(portableHash(col("s"), j)).as(s"mh$j")
+  /** MinHash family member j over the two md5 halves: h1 + j·h2
+    * (Kirsch–Mitzenmacher double hashing — the standard construction
+    * for MinHash/Bloom families from two base hashes). ONE md5 per
+    * shingle feeds the whole family instead of `numHashes` digests.
+    * Overflow-safe by construction: h1, h2 < 2⁶⁰, so
+    * h1 + 7·h2 ≤ 2⁶³ − 8 < Long.MaxValue — provably no wraparound,
+    * which matters because the DuckDB oracle RAISES on BIGINT overflow
+    * rather than wrapping. */
+  private def minhashCol(j: Int): Column =
+    min(col("h1") + lit(j.toLong) * col("h2")).as(s"mh$j")
 
   /** MinHash + LSH banding near-dup candidates, verified by exact
     * Jaccard. `numHashes` minhashes split into `bands` bands; a pair is
@@ -175,9 +182,14 @@ object Dedup {
                       blockCol: String, n: Int, numHashes: Int, bands: Int,
                       threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
+    require(numHashes <= 8,
+      "double-hashed family h1 + j*h2 is overflow-proof only for j <= 7")
     val rowsPerBand = numHashes / bands
     val in = graft.ops.Parallelize.forCompute(docs)
     val sh = shingleRows(in, textCol, idCol, blockCol, n)
+      .select(col("id"), col("block"), md5Halves60(col("s")).as("hh"))
+      .select(col("id"), col("block"),
+              col("hh").getItem(0).as("h1"), col("hh").getItem(1).as("h2"))
     val sig = sh.groupBy(col("id"), col("block"))
       .agg(minhashCol(0), (1 until numHashes).map(minhashCol): _*)
     // band key: '|'-joined signature slice (portable to SQL string concat)

@@ -35,6 +35,31 @@ case class PortableHashExpr(child: Expression, seed: Int)
     copy(child = newChild)
 }
 
+/** Both 60-bit halves of one md5 digest as `array<bigint>(2)`:
+  * element 0 = hex chars 1..15 (top 60 bits of bytes 0..7), element 1 =
+  * hex chars 17..31 (top 60 bits of bytes 8..15). One digest feeds a
+  * whole double-hashed MinHash family h_j = h1 + j·h2
+  * (Kirsch–Mitzenmacher) instead of `numHashes` independent md5
+  * computations per shingle — and both halves stay expressible in the
+  * DuckDB oracle as `CAST('0x' || substring(md5(v), 1|17, 15) AS
+  * BIGINT)`. */
+case class Md5Halves60(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.ArrayType
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5_halves60"
+
+  override def nullSafeEval(input: Any): Any =
+    PortableHashExpr.computeHalves(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PortableHashExpr$$.MODULE$$.computeHalves($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Halves60 =
+    copy(child = newChild)
+}
+
 object PortableHashExpr {
   private val digests: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
@@ -53,5 +78,22 @@ object PortableHashExpr {
       ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
       ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
     first8 >>> 4
+  }
+
+  def computeHalves(v: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val md = digests.get()
+    md.reset()
+    md.update(v.getBytes)
+    val d = md.digest()
+    def top60(off: Int): Long = {
+      val be =
+        ((d(off) & 0xffL) << 56) | ((d(off + 1) & 0xffL) << 48) |
+        ((d(off + 2) & 0xffL) << 40) | ((d(off + 3) & 0xffL) << 32) |
+        ((d(off + 4) & 0xffL) << 24) | ((d(off + 5) & 0xffL) << 16) |
+        ((d(off + 6) & 0xffL) << 8) | (d(off + 7) & 0xffL)
+      be >>> 4
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(top60(0), top60(8)))
   }
 }

@@ -31,16 +31,22 @@ object TextFunctions {
     * tokenize subtree (trim + regex split) once PER ELEMENT (higher-order
     * functions don't share subexpressions with the enclosing row scope;
     * measured 5× slower on the documents corpus). */
-  def wordShingles(text: Column, n: Int): Column = {
+  def wordShingles(text: Column, n: Int): Column =
+    array_distinct(wordNgrams(text, n))
+
+  /** ALL word n-grams in order (duplicates kept) — the denominator for
+    * repetition metrics, where `wordShingles`'s distinct set would hide
+    * exactly the duplication being measured. */
+  def wordNgrams(text: Column, n: Int): Column = {
     val w = tokens(text)
     val m = size(w) - (n - 1)
     // each slice is explicitly aliased so the zipped struct's field names
     // are pinned by us, not by ArraysZip's positional-naming fallback
     // (an undocumented behavior for anonymous children)
     when(m < 1, array().cast("array<string>"))
-      .otherwise(array_distinct(
+      .otherwise(
         transform(arrays_zip((0 until n).map(k => slice(w, lit(k + 1), m).as(s"_$k")): _*),
-          s => concat_ws(" ", (0 until n).map(k => s.getField(s"_$k")): _*))))
+          s => concat_ws(" ", (0 until n).map(k => s.getField(s"_$k")): _*)))
   }
 
   /** Portable 60-bit hash: first 15 hex chars of md5(seed:value) as a
@@ -54,6 +60,13 @@ object TextFunctions {
   def portableHash(c: Column, seed: Int): Column = {
     import org.apache.spark.sql.GraftColumnBridge
     GraftColumnBridge.column(PortableHashExpr(GraftColumnBridge.expression(c), seed))
+  }
+
+  /** Both 60-bit halves of one md5(v) as array<bigint>(2) — feeds the
+    * double-hashed MinHash family (see [[Md5Halves60]]). */
+  def md5Halves60(c: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(Md5Halves60(GraftColumnBridge.expression(c)))
   }
 
   /** Canonical text form for fingerprinting: lowercase, collapsed
@@ -148,6 +161,10 @@ object TextFunctions {
       s"(CASE WHEN length(trim($t)) = 0 THEN [] ELSE string_split_regex(trim($t), '\\s+') END)"
     def portableHash(expr: String, seed: Int): String =
       s"CAST('0x' || substring(md5('$seed:' || $expr), 1, 15) AS BIGINT)"
+    /** The two 60-bit md5 halves backing the double-hashed MinHash
+      * family (offset 1 → h1, offset 17 → h2). */
+    def md5Half(expr: String, off: Int): String =
+      s"CAST('0x' || substring(md5($expr), $off, 15) AS BIGINT)"
     def normalize(t: String): String =
       s"regexp_replace(lower(trim($t)), '\\s+', ' ', 'g')"
   }

@@ -33,6 +33,50 @@ object LlmOps {
 
   private def ph(expr: String, seed: Int) = TextFunctions.sql.portableHash(expr, seed)
 
+  /** MinHash+LSH candidate CTEs (assumes `sh` from [[shingleCte]] is in
+    * scope): double-hashed family h1 + j·h2 over the two 60-bit md5
+    * halves — mirrors Dedup.minhashCol exactly (no BIGINT overflow: max
+    * is 2⁶³−8). Exposes `cand(id_a, id_b)`. */
+  private val minhashCandCte: String = {
+    val h1 = TextFunctions.sql.md5Half("s", 1)
+    val h2 = TextFunctions.sql.md5Half("s", 17)
+    val mhCols = (0 until 8).map(j => s"MIN($h1 + $j * $h2) AS mh$j").mkString(", ")
+    val bandCols = (0 until 4).map { b =>
+      s"CAST(mh${2 * b} AS VARCHAR) || '|' || CAST(mh${2 * b + 1} AS VARCHAR) AS band$b"
+    }.mkString(", ")
+    val bandEq = (0 until 4).map(b => s"a.band$b = b.band$b").mkString(" OR ")
+    s"""mh AS (SELECT doc_id, lang, $mhCols FROM sh GROUP BY doc_id, lang),
+       |banded AS (SELECT doc_id, lang, $bandCols FROM mh),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM banded a
+       |         JOIN banded b ON a.lang = b.lang AND a.doc_id < b.doc_id AND ($bandEq))""".stripMargin.replace("\n", " ")
+  }
+
+  /** Dedup-apply oracle tail (assumes a CTE `p(id_a, id_b)` of verified
+    * near-dup pairs is in scope): connected components via recursive
+    * reachability, then the per-lang keep/drop summary. */
+  private val applyTailSql: String =
+    """e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+      |reach(id, lbl) AS (SELECT src, src FROM e UNION SELECT e2.src, r.lbl FROM e e2 JOIN reach r ON r.id = e2.dst),
+      |g AS (SELECT id AS doc_id, MIN(lbl) AS group_rep FROM reach GROUP BY id),
+      |dropped AS (SELECT doc_id FROM g WHERE doc_id <> group_rep),
+      |kept AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dropped) GROUP BY lang),
+      |tot AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang)
+      |SELECT lang, n_docs, n_kept, n_docs - n_kept AS n_dropped FROM kept JOIN tot USING (lang)""".stripMargin.replace("\n", " ")
+
+  /** Spark side of the dedup apply: drop non-representatives, summarize
+    * kept/dropped per lang (shared by q52 and q59). */
+  private def applySummary(docs: org.apache.spark.sql.DataFrame,
+                           groups: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val drop = groups.filter(col("doc_id") =!= col("group_rep"))
+      .select(col("doc_id"))
+    docs.join(drop, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(lcount(lit(1)).as("n_kept"))
+      .join(docs.groupBy(col("lang")).agg(lcount(lit(1)).as("n_docs")), "lang")
+      .select(col("lang"), col("n_docs"), col("n_kept"),
+              (col("n_docs") - col("n_kept")).as("n_dropped"))
+  }
+
   /** Generated 60-term SimHash oracle CTE (exposes `sfp(doc_id,
     * simhash)` for reuse by the fingerprint query and the pairs query). */
   private val simhashCte: String = {
@@ -78,20 +122,7 @@ object LlmOps {
       "MinHash(8)+LSH(4 bands × 2) candidates, verified at Jaccard ≥ 0.5",
       (s, d) => Dedup.minhashLshPairs(t(s, d, "documents"), "text", "doc_id",
                                       "lang", 3, numHashes = 8, bands = 4, threshold = 0.5),
-      Some {
-        val mhCols = (0 until 8).map(j => s"MIN(${ph("s", j)}) AS mh$j").mkString(", ")
-        val bandCols = (0 until 4).map { b =>
-          s"CAST(mh${2 * b} AS VARCHAR) || '|' || CAST(mh${2 * b + 1} AS VARCHAR) AS band$b"
-        }.mkString(", ")
-        val bandEq = (0 until 4).map(b => s"a.band$b = b.band$b").mkString(" OR ")
-        s"""WITH $shingleCte,
-           |mh AS (SELECT doc_id, lang, $mhCols FROM sh GROUP BY doc_id, lang),
-           |banded AS (SELECT doc_id, lang, $bandCols FROM mh),
-           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM banded a
-           |         JOIN banded b ON a.lang = b.lang AND a.doc_id < b.doc_id AND ($bandEq)),
-           |$jaccardTail
-           |SELECT c.id_a, c.id_b, j.jaccard FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b WHERE j.jaccard >= 0.5""".stripMargin.replace("\n", " ")
-      }),
+      Some(s"""WITH $shingleCte, $minhashCandCte, $jaccardTail SELECT c.id_a, c.id_b, j.jaccard FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b WHERE j.jaccard >= 0.5""")),
 
     QueryDef("q23_dedup_simhash",
       "60-bit SimHash fingerprint per document (bit-vote over token hashes)",
@@ -114,23 +145,62 @@ object LlmOps {
       Some(s"""WITH RECURSIVE $shingleCte, $jaccardTail, p AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5), e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p), reach(id, lbl) AS (SELECT src, src FROM e UNION SELECT e2.src, r.lbl FROM e e2 JOIN reach r ON r.id = e2.dst) SELECT id AS doc_id, MIN(lbl) AS group_rep FROM reach GROUP BY id""")),
 
     QueryDef("q52_dedup_apply",
-      "end-to-end dedup: near-dup pairs → groups → filtered corpus summary per lang (keep group representatives, drop the rest)",
+      "end-to-end dedup: exact-jaccard near-dup pairs → groups → filtered corpus summary per lang (keep group representatives, drop the rest)",
       (s, d) => {
         val docs = t(s, d, "documents")
         val groups = Dedup.dedupGroups(
           Dedup.ngramJaccardPairs(docs, "text", "doc_id", "lang", 3, 0.5),
           "id_a", "id_b")
-        // only non-representatives drop; docs in no near-dup pair keep
-        val drop = groups.filter(col("doc_id") =!= col("group_rep"))
-          .select(col("doc_id"))
-        docs.join(drop, Seq("doc_id"), "left_anti")
-          .groupBy(col("lang"))
-          .agg(lcount(lit(1)).as("n_kept"))
-          .join(docs.groupBy(col("lang")).agg(lcount(lit(1)).as("n_docs")), "lang")
-          .select(col("lang"), col("n_docs"), col("n_kept"),
-                  (col("n_docs") - col("n_kept")).as("n_dropped"))
+        applySummary(docs, groups)
       },
-      Some(s"""WITH RECURSIVE $shingleCte, $jaccardTail, p AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5), e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p), reach(id, lbl) AS (SELECT src, src FROM e UNION SELECT e2.src, r.lbl FROM e e2 JOIN reach r ON r.id = e2.dst), g AS (SELECT id AS doc_id, MIN(lbl) AS group_rep FROM reach GROUP BY id), dropped AS (SELECT doc_id FROM g WHERE doc_id <> group_rep), kept AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dropped) GROUP BY lang), tot AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang) SELECT lang, n_docs, n_kept, n_docs - n_kept AS n_dropped FROM kept JOIN tot USING (lang)""")),
+      Some(s"""WITH RECURSIVE $shingleCte, $jaccardTail, p AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5), $applyTailSql""")),
+
+    QueryDef("q59_minhash_dedup_apply",
+      "the 100 TB dedup path END-TO-END: MinHash+LSH candidate pairs (bounded signatures, no all-pairs stage) → connected components → per-lang keep/drop summary",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val groups = Dedup.dedupGroups(
+          Dedup.minhashLshPairs(docs, "text", "doc_id", "lang", 3,
+                                numHashes = 8, bands = 4, threshold = 0.5),
+          "id_a", "id_b")
+        applySummary(docs, groups)
+      },
+      Some(s"""WITH RECURSIVE $shingleCte, $minhashCandCte, $jaccardTail, p AS (SELECT c.id_a, c.id_b FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b WHERE j.jaccard >= 0.5), $applyTailSql""")),
+
+    QueryDef("q60_repetition_quality",
+      "Gopher-style repetition signals per document: top-token frequency fraction and duplicate-bigram fraction (filters for boilerplate/spam corpora)",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        // in-row bigram counts (no shuffle); the top-token mode needs a
+        // (doc, token) count aggregate — two partial-agg shuffles total
+        val base = docs.select(col("doc_id"),
+          tokenCount(col("text")).as("n_tokens"),
+          size(wordNgrams(col("text"), 2)).cast("long").as("n_bg"),
+          size(wordShingles(col("text"), 2)).cast("long").as("n_bg_distinct"))
+        val top = docs
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
+          .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"))
+        base.join(top, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            when(col("n_tokens") > 0,
+                 coalesce(col("top_c"), lit(0L)).cast("double") / col("n_tokens"))
+              .otherwise(lit(0.0)).as("top_token_frac"),
+            when(col("n_bg") > 0,
+                 lit(1.0) - col("n_bg_distinct").cast("double") / col("n_bg"))
+              .otherwise(lit(0.0)).as("dup_bigram_frac"))
+      },
+      Some(s"""WITH s AS (SELECT doc_id, ${TextFunctions.sql.tokensOf("text")} AS w FROM documents),
+         |base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM s),
+         |bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS b FROM s, unnest(generate_series(1, greatest(len(w)-1, 0))) AS u(i)),
+         |bgc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bg, CAST(count(DISTINCT b) AS BIGINT) AS n_bg_distinct FROM bg GROUP BY 1),
+         |tok AS (SELECT doc_id, unnest(w) AS tk FROM s),
+         |tc AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY 1, 2),
+         |top AS (SELECT doc_id, max(c) AS top_c FROM tc GROUP BY 1)
+         |SELECT b.doc_id, b.n_tokens,
+         |  CASE WHEN b.n_tokens > 0 THEN CAST(COALESCE(t.top_c, 0) AS DOUBLE) / b.n_tokens ELSE 0.0 END AS top_token_frac,
+         |  CASE WHEN COALESCE(g.n_bg, 0) > 0 THEN 1.0 - CAST(g.n_bg_distinct AS DOUBLE) / g.n_bg ELSE 0.0 END AS dup_bigram_frac
+         |FROM base b LEFT JOIN bgc g USING (doc_id) LEFT JOIN top t USING (doc_id)""".stripMargin.replace("\n", " "))),
 
     QueryDef("q24_ann_topk",
       "brute-force cosine top-5 neighbors for query vectors vec_id<10",

@@ -19,6 +19,21 @@ class PortableHashSpec extends SparkSpec {
         pairs.foreach { case (fast, ref) => assert(fast == ref) }
       }
     }
+    it("Md5Halves60 equals the defining substring(md5) formulas (both halves)") {
+      import graft.functions.TextFunctions.md5Halves60
+      val inputs = Seq("", "a", "hello world", "日本語", "x" * 500, "a b c")
+      val rows = inputs.toDF("t").select(
+          md5Halves60($"t").getItem(0).as("h1"),
+          md5Halves60($"t").getItem(1).as("h2"),
+          conv(substring(md5($"t"), 1, 15), 16, 10).cast("long").as("r1"),
+          conv(substring(md5($"t"), 17, 15), 16, 10).cast("long").as("r2"))
+        .as[(Long, Long, Long, Long)].collect()
+      rows.foreach { case (h1, h2, r1, r2) =>
+        assert(h1 == r1 && h2 == r2)
+        // overflow-proof family bound: h1 + 7*h2 stays positive
+        assert(h1 + 7 * h2 >= 0)
+      }
+    }
     it("matches under interpreted execution too") {
       spark.conf.set("spark.sql.codegen.wholeStage", "false")
       spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
