@@ -110,10 +110,9 @@ object Dedup {
     // lists only (linear in hot-shingle postings, a vanishing fraction
     // of the corpus) joined back onto the final per-pair rows.
     val sh = in.select(col(idCol).as("id"), col(blockCol).as("block"),
-                       wordShingles(col(textCol), n).as("ss"))
+                       wordShingleHashes(col(textCol), n).as("ss"))
       .select(col("id"), col("block"), size(col("ss")).as("n_sh"),
-              explode(col("ss")).as("s"))
-      .select(col("id"), col("block"), col("n_sh"), xxhash64(col("s")).as("sh"))
+              explode(col("ss")).as("sh"))
     val allLists = sh.groupBy(col("block"), col("sh"))
       .agg(array_sort(collect_list(struct(col("id"), col("n_sh")))).as("ids"))
     val lists = allLists.filter(size(col("ids")) > 1 && size(col("ids")) <= maxDf)
@@ -224,7 +223,7 @@ object Dedup {
     // (8-byte elements instead of strings — smaller broadcast/shuffle
     // and cheaper intersection; counts identical modulo 2^-64).
     val sets = in.select(col(idCol).as("id"),
-      array_sort(transform(wordShingles(col(textCol), n), s => xxhash64(s))).as("ss"))
+      array_sort(wordShingleHashes(col(textCol), n)).as("ss"))
     val verified = candidates
       .join(sets.select(col("id").as("id_a"), col("ss").as("sa")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("ss").as("sb")), Seq("id_b"))

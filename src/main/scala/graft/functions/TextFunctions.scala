@@ -62,6 +62,23 @@ object TextFunctions {
     GraftColumnBridge.column(PortableHashExpr(GraftColumnBridge.expression(c), seed))
   }
 
+  /** Distinct 64-bit hashes of the word n-grams, hashed straight from
+    * the n zipped token slices — `xxhash64(t₀, t₁, t₂)` folds each
+    * token into the running hash, so no "t₀ t₁ t₂" string is ever
+    * materialized (the concat + re-hash of a long string per shingle
+    * was measurable allocation in the jaccard pipeline). Tokens contain
+    * no whitespace, so hash-tuple identity ≡ string-shingle identity
+    * modulo 2⁻⁶⁴ collisions — count-identical to the oracle's string
+    * formulation. */
+  def wordShingleHashes(text: Column, n: Int): Column = {
+    val w = tokens(text)
+    val m = size(w) - (n - 1)
+    when(m < 1, array().cast("array<long>"))
+      .otherwise(array_distinct(
+        transform(arrays_zip((0 until n).map(k => slice(w, lit(k + 1), m).as(s"_$k")): _*),
+          s => xxhash64((0 until n).map(k => s.getField(s"_$k")): _*))))
+  }
+
   /** Both 60-bit halves of one md5(v) as array<bigint>(2) — feeds the
     * double-hashed MinHash family (see [[Md5Halves60]]). */
   def md5Halves60(c: Column): Column = {

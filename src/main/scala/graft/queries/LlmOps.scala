@@ -252,21 +252,20 @@ object LlmOps {
     QueryDef("q53_contamination",
       "benchmark decontamination scan: per-document fraction of word-3-gram shingles appearing in a held-out benchmark set (doc_id < 20), broadcast semi-join on 64-bit shingle hashes",
       (s, d) => {
-        import graft.functions.TextFunctions.wordShingles
+        import graft.functions.TextFunctions.wordShingleHashes
         val docs = t(s, d, "documents")
         // the benchmark's distinct shingle set is dimension-sized by
         // construction (eval sets are small) → broadcast; corpus
-        // shingles carry 8-byte hashes, never strings
+        // shingles carry 8-byte hashes, never strings (hashed straight
+        // from the token slices — both sides use the same tuple hash)
         val bench = docs.filter(col("doc_id") < 20)
-          .select(explode(wordShingles(col("text"), 3)).as("s"))
-          .select(xxhash64(col("s")).as("sh")).distinct()
+          .select(explode(wordShingleHashes(col("text"), 3)).as("sh")).distinct()
         val sh = docs.filter(col("doc_id") >= 20)
-          .select(col("doc_id"), explode(wordShingles(col("text"), 3)).as("s"))
-          .select(col("doc_id"), xxhash64(col("s")).as("sh"))
+          .select(col("doc_id"), explode(wordShingleHashes(col("text"), 3)).as("sh"))
         val hits = sh.join(broadcast(bench), Seq("sh"), "left_semi")
           .groupBy(col("doc_id")).agg(lcount(lit(1)).as("n_hit"))
         docs.filter(col("doc_id") >= 20)
-          .select(col("doc_id"), size(wordShingles(col("text"), 3)).cast("long").as("n_sh"))
+          .select(col("doc_id"), size(wordShingleHashes(col("text"), 3)).cast("long").as("n_sh"))
           .join(hits, Seq("doc_id"), "left")
           .select(col("doc_id"), col("n_sh"),
                   coalesce(col("n_hit"), lit(0L)).as("n_hit"),
