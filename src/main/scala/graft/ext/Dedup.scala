@@ -345,8 +345,12 @@ object Dedup {
     // branches, and every propagation round all read the same (possibly
     // expensive — e.g. a full near-dup computation) pairs subtree, and
     // plan-level reuse across union branches is not guaranteed, so
-    // materialize it once
+    // materialize it once. Null-id edges are dropped up front: the two
+    // strategies would otherwise diverge (equi-joins silently skip null
+    // keys while the driver path would fail on them), and a null doc id
+    // is not a node.
     val half = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
       .localCheckpoint(true)
     val integral = {
       import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}

@@ -18,12 +18,12 @@ object LlmOps {
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
 
   /** Shared oracle CTE: distinct word-3-gram shingles per (doc, lang). */
-  private val shingleCte =
+  private[queries] val shingleCte =
     """words AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w FROM documents),
       |sh AS (SELECT DISTINCT doc_id, lang, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
       |       FROM words, unnest(generate_series(1, greatest(len(w)-2, 0))) AS t(i))""".stripMargin.replace("\n", " ")
 
-  private val jaccardTail =
+  private[queries] val jaccardTail =
     """cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS ic
       |          FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
@@ -37,7 +37,7 @@ object LlmOps {
     * scope): double-hashed family h1 + j·h2 over the two 60-bit md5
     * halves — mirrors Dedup.minhashCol exactly (no BIGINT overflow: max
     * is 2⁶³−8). Exposes `cand(id_a, id_b)`. */
-  private val minhashCandCte: String = {
+  private[queries] val minhashCandCte: String = {
     val h1 = TextFunctions.sql.md5Half("s", 1)
     val h2 = TextFunctions.sql.md5Half("s", 17)
     val mhCols = (0 until 8).map(j => s"MIN($h1 + $j * $h2) AS mh$j").mkString(", ")
@@ -92,7 +92,7 @@ object LlmOps {
     s"WITH $simhashCte SELECT doc_id, simhash FROM sfp"
 
   /** DuckDB mirrors of the TextFunctions scoring pipeline. */
-  private val textStatsCte =
+  private[queries] val textStatsCte =
     """s AS (SELECT doc_id, lang, source, text,
       |  (CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\s+') END) AS tok
       |  FROM documents),
@@ -201,6 +201,25 @@ object LlmOps {
          |  CASE WHEN b.n_tokens > 0 THEN CAST(COALESCE(t.top_c, 0) AS DOUBLE) / b.n_tokens ELSE 0.0 END AS top_token_frac,
          |  CASE WHEN COALESCE(g.n_bg, 0) > 0 THEN 1.0 - CAST(g.n_bg_distinct AS DOUBLE) / g.n_bg ELSE 0.0 END AS dup_bigram_frac
          |FROM base b LEFT JOIN bgc g USING (doc_id) LEFT JOIN top t USING (doc_id)""".stripMargin.replace("\n", " "))),
+
+    QueryDef("q61_sequence_packing",
+      "context-window prep: concat-and-split sequence packing — per-lang token stream offsets assign each document to a fixed-budget (512-token) training bin; per-bin occupancy summary",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        // running token offset via a PARTITIONED window (per-lang; at
+        // corpus scale the partition key would be (lang, shard) from a
+        // deterministic doc-id range split — same plan shape, bounded
+        // partitions); docs are assigned to the bin their first token
+        // lands in
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), tokenCount(col("text")).as("n_tokens"))
+          .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+          .withColumn("bin", floor(col("start_off") / lit(512)).cast("long"))
+          .groupBy(col("lang"), col("bin"))
+          .agg(lcount(lit(1)).as("n_docs"), lsum(col("n_tokens")).as("n_tokens"))
+      },
+      Some(s"""WITH s AS (SELECT doc_id, lang, CAST(len(${TextFunctions.sql.tokensOf("text")}) AS BIGINT) AS n_tokens FROM documents), o AS (SELECT doc_id, lang, n_tokens, SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) - n_tokens AS start_off FROM s) SELECT lang, CAST(floor(start_off / 512) AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM o GROUP BY 1, 2""")),
 
     QueryDef("q24_ann_topk",
       "brute-force cosine top-5 neighbors for query vectors vec_id<10",

@@ -128,6 +128,15 @@ class DedupSpec extends SparkSpec {
       assert(groups.keySet == (1L to 8L).toSet)
       assert(groups.values.toSet == Set(1L))
     }
+    it("drops null-id edges identically on both paths") {
+      val pairs = Seq((Some(1L), Some(2L)), (Some(3L), None), (None, Some(4L)))
+        .toDF("id_a", "id_b")
+      val local = Dedup.dedupGroups(pairs, "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      val dist = Dedup.dedupGroups(pairs, "id_a", "id_b", maxDriverEdges = 0)
+        .as[(Long, Long)].collect().toMap
+      assert(local == Map(1L -> 1L, 2L -> 1L) && dist == local)
+    }
     it("driver fast path and distributed loop agree") {
       // mixed topology: chain + triangle + isolated pair + self-loop
       val pairs = (Seq((5L, 9L), (9L, 3L), (3L, 17L)) ++

@@ -23,6 +23,27 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  describe("wordShingleHashes") {
+    it("tuple-hash distinctness matches string-shingle distinctness") {
+      // repeated trigrams ("a b c" ×2) must collapse exactly like the
+      // distinct string shingles do
+      val df = Seq("a b c a b c d", "x y", "", "w w w w w").toDF("t")
+      val rows = df.select(
+          size(wordShingleHashes($"t", 3)).as("nh"),
+          size(wordShingles($"t", 3)).as("ns"))
+        .as[(Int, Int)].collect()
+      rows.foreach { case (nh, ns) => assert(nh == ns) }
+    }
+    it("distinguishes trigrams that a separator-less concat would conflate") {
+      // ("ab","c","d") vs ("a","bc","d"): both concatenate to "abcd" —
+      // the tuple hash must keep them apart
+      val hs = Seq("ab c d", "a bc d").toDF("t")
+        .select(wordShingleHashes($"t", 3).as("h")).as[Seq[Long]].collect()
+      assert(hs(0).length == 1 && hs(1).length == 1)
+      assert(hs(0).head != hs(1).head)
+    }
+  }
+
   describe("qualityScore") {
     it("stays within [0,1] and ranks clean text above noise") {
       val clean = "the quick brown fox jumps over a lazy dog and runs to the hills again"
