@@ -1,0 +1,187 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ext.Dedup
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions._
+import graft.ops.Num._
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Corpus-curation operators on top of the dedup/text plane: per-source
+  * quotas, LM-proxy quality scoring, mixture reweighting, and the
+  * end-to-end curation funnel a training-data pipeline actually runs.
+  * Like the rest of the LLM plane these are pure DataFrame transforms
+  * with portable (md5 / floor-rounded) numerics so every query is
+  * hash-checkable against the DuckDB oracle.
+  */
+object CorpusOps {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  private def ph(expr: String, seed: Int) = TextFunctions.sql.portableHash(expr, seed)
+
+  /** Portable 4-decimal rounding via plain IEEE ops (same construction
+    * as [[TextFunctions.portableRound6]]): bit-identical across engines
+    * for non-negative inputs, unlike round() whose tie-breaking differs
+    * between Spark (exact decimal HALF_UP) and DuckDB (double math). */
+  private def portableRound4(c: Column): Column = floor(c * 1e4 + 0.5) / 1e4
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q62_source_quota",
+      "per-source document quotas (RefinedWeb-style per-domain cap): deterministic hash-ranked top-15 docs per source, selected through the bounded-heap TopKPerKey operator — no per-source window over the full corpus",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        // rank by a seeded portable hash of the doc id: an unbiased,
+        // reproducible per-source sample that needs no random state and
+        // is stable under any partitioning. TopKPerKey keeps only 15
+        // rows per source on the map side, so a hot domain with 10⁹
+        // docs never materializes its full partition for a window sort;
+        // the row_number below runs over ≤ 15 rows per source.
+        val scored = t(s, d, "documents").select(col("doc_id"), col("source"),
+          portableHash(col("doc_id").cast("string"), 11).as("h"))
+        val top = graft.plans.TopK.perKey(scored, Seq(col("source")),
+          Seq(col("h"), col("doc_id")), 15)
+        top.withColumn("rk", row_number().over(
+            Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id")))
+            .cast("long"))
+          .select(col("source"), col("doc_id"), col("rk"))
+      },
+      Some(s"""WITH r AS (SELECT source, doc_id, CAST(row_number() OVER (PARTITION BY source ORDER BY ${ph("CAST(doc_id AS VARCHAR)", 11)}, doc_id) AS BIGINT) AS rk FROM documents) SELECT source, doc_id, rk FROM r WHERE rk <= 15""")),
+
+    QueryDef("q63_unigram_surprisal",
+      "unigram-LM quality proxy (KenLM-style perplexity filter stand-in): corpus unigram probabilities, then per-document mean surprisal -ln p(token). Vocab joined by shuffle — at 100 TB the vocab is itself a large table, so no broadcast is assumed (AQE may still pick one at small scale)",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
+        val vocab = tok.groupBy(col("tk")).agg(count(lit(1)).as("c"))
+        val n = vocab.agg(sum(col("c")).as("n_total"))
+        // surprisal per vocab term, rounded to 4 decimals BEFORE the
+        // per-doc sum: the sum then runs on exact decimals (order-
+        // independent), and ln's engine-specific last ulp is rounded
+        // away. ln(N/c) >= 0 always (c <= N), so the floor-trick
+        // rounding's non-negative precondition holds.
+        val lp = vocab.crossJoin(n).select(col("tk"),
+          portableRound4(log(col("n_total").cast("double") / col("c"))).as("lp"))
+        val perDoc = tok.join(lp, "tk")
+          .groupBy(col("doc_id"))
+          .agg(lcount(lit(1)).as("n_tokens"),
+               (sum(col("lp").cast(DecimalType(38, 6))).cast("double") /
+                count(lit(1))).as("m"))
+        docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+            portableRound6(coalesce(col("m"), lit(0.0))).as("mean_surprisal"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(${TextFunctions.sql.tokensOf("text")}) AS tk FROM documents), v AS (SELECT tk, count(*) AS c FROM tok GROUP BY 1), n AS (SELECT SUM(c) AS n_total FROM v), lp AS (SELECT tk, floor(ln(CAST(n_total AS DOUBLE) / c) * 1e4 + 0.5) / 1e4 AS lp FROM v CROSS JOIN n), pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(SUM(CAST(lp AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS m FROM tok JOIN lp USING (tk) GROUP BY 1) SELECT d.doc_id, COALESCE(pd.n_tokens, 0) AS n_tokens, floor(COALESCE(pd.m, 0.0) * 1e6 + 0.5) / 1e6 AS mean_surprisal FROM documents d LEFT JOIN pd USING (doc_id)""")),
+
+    QueryDef("q64_mixture_weights",
+      "corpus mixing: temperature-scaled language sampling weights p_l ∝ n_l^0.3 (multilingual up-sampling à la mBERT/XLM-R exponent smoothing) next to the raw proportions",
+      (s, d) => {
+        val byLang = t(s, d, "documents")
+          .groupBy(col("lang")).agg(lcount(lit(1)).as("n_docs"))
+        val w = byLang.select(col("lang"), col("n_docs"),
+          portableRound4(pow(col("n_docs").cast("double"), lit(0.3))).as("w"))
+        // totals summed as exact decimals / longs so the reduction is
+        // order-independent; 5 langs here, but the same plan holds for
+        // an open lang set (two scalar aggs broadcast by AQE)
+        val tot = w.agg(sum(col("w").cast(DecimalType(38, 6))).as("tw"),
+                        sum(col("n_docs")).as("tn"))
+        w.crossJoin(tot).select(col("lang"), col("n_docs"),
+          portableRound6(col("n_docs").cast("double") / col("tn")).as("p_raw"),
+          portableRound6(col("w") / col("tw").cast("double")).as("p_temp"))
+      },
+      Some(s"""WITH b AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1), w AS (SELECT lang, n_docs, floor(pow(CAST(n_docs AS DOUBLE), 0.3) * 1e4 + 0.5) / 1e4 AS w FROM b), tot AS (SELECT CAST(SUM(CAST(w AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS tw, CAST(SUM(n_docs) AS BIGINT) AS tn FROM w) SELECT lang, n_docs, floor(CAST(n_docs AS DOUBLE) / tn * 1e6 + 0.5) / 1e6 AS p_raw, floor(w / CAST(tw AS DOUBLE) * 1e6 + 0.5) / 1e6 AS p_temp FROM w CROSS JOIN tot""")),
+
+    QueryDef("q66_incremental_dedup",
+      "cross-snapshot incremental dedup: an incoming batch (odd doc ids) dedups within itself, then anti-joins the standing corpus index (even doc ids) on the 128-bit key — the daily-ingest path that never re-dedups the full corpus. At 100 TB the index is a compact 16-byte-key table (bucketable for an exchange-free anti-join); only keys shuffle, never text",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val key = md5(normalize(col("text")).cast("binary"))
+        val index = docs.filter(col("doc_id") % 2 === 0)
+          .select(key.as("k")).distinct()
+        val batch = docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("lang"), key.as("k"))
+        val withinKeep = batch.groupBy(col("k")).agg(min(col("doc_id")).as("doc_id"))
+        val kept = batch.join(withinKeep, Seq("k", "doc_id"), "left_semi")
+        val fresh = kept.join(index, Seq("k"), "left_anti")
+        val nb = batch.groupBy(col("lang")).agg(lcount(lit(1)).as("n_batch"))
+        val nk = kept.groupBy(col("lang")).agg(lcount(lit(1)).as("n_kept"))
+        val nn = fresh.groupBy(col("lang")).agg(lcount(lit(1)).as("n_new"))
+        nb.join(nk, Seq("lang"), "left").join(nn, Seq("lang"), "left")
+          .select(col("lang"), col("n_batch"),
+            (col("n_batch") - coalesce(col("n_kept"), lit(0L))).as("n_within_dupes"),
+            (coalesce(col("n_kept"), lit(0L)) - coalesce(col("n_new"), lit(0L)))
+              .as("n_index_dupes"),
+            coalesce(col("n_new"), lit(0L)).as("n_new"))
+      },
+      Some {
+        val k = s"md5(${TextFunctions.sql.normalize("text")})"
+        s"""WITH b AS (SELECT doc_id, lang, $k AS k FROM documents WHERE doc_id % 2 = 1),
+           |ix AS (SELECT DISTINCT $k AS k FROM documents WHERE doc_id % 2 = 0),
+           |wk AS (SELECT k, MIN(doc_id) AS doc_id FROM b GROUP BY 1),
+           |kept AS (SELECT b.* FROM b JOIN wk ON b.k = wk.k AND b.doc_id = wk.doc_id),
+           |fresh AS (SELECT * FROM kept WHERE k NOT IN (SELECT k FROM ix)),
+           |nb AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_batch FROM b GROUP BY 1),
+           |nk AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY 1),
+           |nn AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_new FROM fresh GROUP BY 1)
+           |SELECT nb.lang, n_batch, n_batch - COALESCE(n_kept, 0) AS n_within_dupes, COALESCE(n_kept, 0) - COALESCE(n_new, 0) AS n_index_dupes, COALESCE(n_new, 0) AS n_new
+           |FROM nb LEFT JOIN nk USING (lang) LEFT JOIN nn USING (lang)""".stripMargin.replace("\n", " ")
+      }),
+
+    QueryDef("q65_curation_pipeline",
+      "END-TO-END corpus curation funnel: quality filter (>= 0.75) -> exact dedup (128-bit md5, keep min id) -> MinHash+LSH near-dup groups -> per-lang funnel counts and surviving token mass. The composition a training-data pipeline actually executes, with every stage on its scale path",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val fd = docs.filter(qualityScore(col("text")) >= 0.75)
+        val exKeep = fd.groupBy(md5(normalize(col("text")).cast("binary")).as("k"))
+          .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+        val fd2 = fd.join(exKeep, Seq("doc_id"), "left_semi")
+        val groups = Dedup.dedupGroups(
+          Dedup.minhashLshPairs(fd2, "text", "doc_id", "lang", 3,
+                                numHashes = 8, bands = 4, threshold = 0.5),
+          "id_a", "id_b")
+        val drop = groups.filter(col("doc_id") =!= col("group_rep"))
+          .select(col("doc_id"))
+        val fin = fd2.join(drop, Seq("doc_id"), "left_anti")
+        val raw = docs.groupBy(col("lang")).agg(lcount(lit(1)).as("n_raw"))
+        val nq = fd.groupBy(col("lang")).agg(lcount(lit(1)).as("n_quality"))
+        val ne = fd2.groupBy(col("lang")).agg(lcount(lit(1)).as("n_exact"))
+        val nf = fin.groupBy(col("lang"))
+          .agg(lcount(lit(1)).as("n_final"),
+               lsum(tokenCount(col("text"))).as("tokens_final"))
+        raw.join(nq, Seq("lang"), "left").join(ne, Seq("lang"), "left")
+          .join(nf, Seq("lang"), "left")
+          .select(col("lang"), col("n_raw"),
+            coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+            coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+            coalesce(col("n_final"), lit(0L)).as("n_final"),
+            coalesce(col("tokens_final"), lit(0L)).as("tokens_final"))
+      },
+      Some {
+        // the shared shingle/minhash CTEs are written against
+        // `documents`; retarget them at the filtered stage fd2d (same
+        // column shape: doc_id, lang, text)
+        val sh2 = LlmOps.shingleCte.replace("FROM documents", "FROM fd2d")
+        s"""WITH RECURSIVE ${LlmOps.textStatsCte},
+           |fd AS (SELECT d.doc_id, d.text, d.lang FROM documents d JOIN q USING (doc_id) WHERE q.quality >= 0.75),
+           |ek AS (SELECT MIN(doc_id) AS doc_id FROM fd GROUP BY md5(${TextFunctions.sql.normalize("text")})),
+           |fd2d AS (SELECT * FROM fd WHERE doc_id IN (SELECT doc_id FROM ek)),
+           |$sh2, ${LlmOps.minhashCandCte}, ${LlmOps.jaccardTail},
+           |p AS (SELECT c.id_a, c.id_b FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b WHERE j.jaccard >= 0.5),
+           |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+           |reach(id, lbl) AS (SELECT src, src FROM e UNION SELECT e2.src, r.lbl FROM e e2 JOIN reach r ON r.id = e2.dst),
+           |g AS (SELECT id AS doc_id, MIN(lbl) AS group_rep FROM reach GROUP BY id),
+           |dropped AS (SELECT doc_id FROM g WHERE doc_id <> group_rep),
+           |fin AS (SELECT * FROM fd2d WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+           |raw AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_raw FROM documents GROUP BY 1),
+           |nq AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_quality FROM fd GROUP BY 1),
+           |ne AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_exact FROM fd2d GROUP BY 1),
+           |nf AS (SELECT f.lang, CAST(count(*) AS BIGINT) AS n_final, CAST(SUM(len(${TextFunctions.sql.tokensOf("f.text")})) AS BIGINT) AS tokens_final FROM fin f GROUP BY 1)
+           |SELECT r.lang, r.n_raw, COALESCE(nq.n_quality, 0) AS n_quality, COALESCE(ne.n_exact, 0) AS n_exact, COALESCE(nf.n_final, 0) AS n_final, COALESCE(nf.tokens_final, 0) AS tokens_final
+           |FROM raw r LEFT JOIN nq USING (lang) LEFT JOIN ne USING (lang) LEFT JOIN nf USING (lang)""".stripMargin.replace("\n", " ")
+      })
+  )
+}
