@@ -83,12 +83,20 @@ object Bench {
       // -1 sentinel in the per-query map + the errors list below
       (name, if (ok) best else -1.0, ok)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The driver records only the LAST ~2000 chars of output and parses
+    // the JSON line out of that window (BENCH_r01/r03 show parsed=null
+    // when the line outgrew it). Keep the line compact: short query keys
+    // ("q63" — the contract's own example shape) and millisecond
+    // precision. Full names stay printable via the 1:1 qNN prefix.
+    def fmt(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v, _) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
+    }.mkString("{", ",", "}")
     val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(!_._3)) sys.exit(1)
   }
