@@ -135,10 +135,24 @@ object CorpusOps {
       "END-TO-END corpus curation funnel: quality filter (>= 0.75) -> exact dedup (128-bit md5, keep min id) -> MinHash+LSH near-dup groups -> per-lang funnel counts and surviving token mass. The composition a training-data pipeline actually executes, with every stage on its scale path",
       (s, d) => {
         val docs = t(s, d, "documents")
-        val fd = docs.filter(qualityScore(col("text")) >= 0.75)
-        val exKeep = fd.groupBy(md5(normalize(col("text")).cast("binary")).as("k"))
+        // Stage materialization: the funnel's downstream consumers (the
+        // minhash signature AND verification scans, the per-stage counts,
+        // the final anti-join) would each re-run the regex-heavy quality
+        // score and the exact-dedup semi-join — ~7 full passes over the
+        // corpus. Checkpoint each curation stage once, exactly as a real
+        // pipeline persists inter-stage corpora (measured 6.0s → 2.9s at
+        // sf0.1). At cluster scale this is a distributed-storage
+        // checkpoint; localCheckpoint is its single-JVM twin.
+        val scored = docs.select(col("doc_id"), col("lang"), col("text"),
+            qualityScore(col("text")).as("q"),
+            md5(normalize(col("text")).cast("binary")).as("k"))
+          .localCheckpoint(true)
+        val fd = scored.filter(col("q") >= 0.75)
+        val exKeep = fd.groupBy(col("k"))
           .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
         val fd2 = fd.join(exKeep, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("lang"), col("text"))
+          .localCheckpoint(true)
         val groups = Dedup.dedupGroups(
           Dedup.minhashLshPairs(fd2, "text", "doc_id", "lang", 3,
                                 numHashes = 8, bands = 4, threshold = 0.5),
