@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -119,6 +119,58 @@ object SimilaritySearch {
     require(seeds.nonEmpty, "at least one hash-table seed required")
     seeds.map(nearDupPairsLsh(corpus, dim, nPlanes, threshold, _))
       .reduce(_ unionByName _).distinct()
+  }
+
+  /** Product-quantization top-k (ADC flavor): the 100 TB ANN
+    * memory-compression path, complementing [[ivfTopK]]'s cell pruning.
+    *
+    * The embedding is split into `m` subvectors; each subvector is
+    * replaced by the id of its nearest sub-centroid (L2) from a
+    * per-subspace codebook — here the subvectors of `centroidIds`' own
+    * embeddings, a deterministic stand-in for the k-means codebook a
+    * production build step would fit. A 64-float vector compresses to
+    * m codes (8 bytes at m=8, a 32× reduction), which is what makes a
+    * trillion-vector index RAM-resident; queries score against the
+    * DECODED (reconstructed) vectors.
+    *
+    * Plan shape: encoding is explode(m) → broadcast-join the m×|codebook|
+    * sub-codebook → per-(vector, subspace) argmin via `min_by` partial
+    * aggregation (map-side combine collapses the |codebook| candidate
+    * rows before any exchange — no window sort); decoding regroups the m
+    * codes per vector; scoring reuses the bounded-heap [[rankTopK]]
+    * tail. Corpus embeddings never shuffle — only codes do. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, dim: Int, m: Int,
+             centroidIds: Seq[Long], k: Int): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val subLen = dim / m
+    def subVectors(emb: Column): Column =
+      array((0 until m).map(j => slice(emb, j * subLen + 1, subLen)): _*)
+    val cb = corpus.filter(col("vec_id").isInCollection(centroidIds))
+      .select(col("vec_id").as("cent_id"), posexplode(subVectors(col("embedding"))))
+      .withColumnRenamed("pos", "j").withColumnRenamed("col", "cv")
+    val subs = corpus
+      .select(col("vec_id"), posexplode(subVectors(col("embedding"))))
+      .withColumnRenamed("pos", "j").withColumnRenamed("col", "sv")
+    // ||sv - cv||² expanded through the shared dot primitive — the same
+    // products, in the same order, as the oracle's list_dot_product
+    // mirror, so the argmin comparisons see bit-identical doubles
+    val d2 = dot(col("sv"), col("sv")) -
+      lit(2.0) * dot(col("sv"), col("cv")) + dot(col("cv"), col("cv"))
+    val codes = subs.join(broadcast(cb), Seq("j"))
+      .select(col("vec_id"), col("j"), col("cv"), d2.as("d"), col("cent_id"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min_by(col("cv"), struct(col("d"), col("cent_id"))).as("cv"))
+    val decoded = codes.groupBy(col("vec_id"))
+      .agg(collect_list(struct(col("j"), col("cv"))).as("parts"))
+      .select(col("vec_id").as("neighbor_id"),
+        flatten(transform(array_sort(col("parts")), p => p.getField("cv"))).as("dv"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    rankTopK(
+      decoded.crossJoin(broadcast(q))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+                cosine(col("q_emb"), col("dv")).as("sim")),
+      k)
   }
 
   /** IVF top-k: centroids = the embeddings of `centroidIds` (a

@@ -241,6 +241,19 @@ object LlmOps {
       // query ranks only members of its 4 nearest cells.
       Some("""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e), cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id BETWEEN 100 AND 115), asg AS (SELECT vec_id, v, nrm, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY list_dot_product(v, cv) / (nrm * cnrm) DESC, cent_id) AS rk FROM n CROSS JOIN cents), assigned AS (SELECT vec_id AS neighbor_id, v AS cvv, nrm AS cn, cent_id AS cell FROM asg WHERE rk = 1), prb AS (SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qn, cent_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_dot_product(q.v, cv) / (q.nrm * cnrm) DESC, cent_id) AS rk FROM n q CROSS JOIN cents WHERE q.vec_id < 10), probes AS (SELECT query_id, qv, qn, cent_id AS cell FROM prb WHERE rk <= 4), sc AS (SELECT query_id, neighbor_id, list_dot_product(qv, cvv) / (qn * cn) AS sim FROM assigned JOIN probes USING (cell) WHERE neighbor_id <> query_id), r AS (SELECT query_id, neighbor_id, sim, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rk FROM sc) SELECT query_id, neighbor_id, sim, rk FROM r WHERE rk <= 5""")),
 
+    QueryDef("q24c_ann_pq",
+      "product-quantization approximate top-5 (8 subspaces × 16 sub-centroids — ADC against reconstructed vectors; 32× index compression)",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        SimilaritySearch.pqTopK(e, e.filter(col("vec_id") < 10),
+                                dim = 64, m = 8,
+                                centroidIds = (100L until 116L), k = 5)
+      },
+      // mirror of pqTopK: per-subspace slices, L2² argmin against the
+      // vec_id 100..115 sub-codebook (same expanded-dot arithmetic
+      // order), reconstruct in j order, cosine-rank vs queries
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), sub AS (SELECT vec_id, j, list_slice(v, j*8+1, j*8+8) AS sv FROM e, range(8) t(j)), cb AS (SELECT vec_id AS cent_id, j, list_slice(v, j*8+1, j*8+8) AS cv FROM e, range(8) t(j) WHERE vec_id BETWEEN 100 AND 115), dists AS (SELECT s.vec_id, s.j, c.cent_id, c.cv, list_dot_product(s.sv, s.sv) - 2*list_dot_product(s.sv, c.cv) + list_dot_product(c.cv, c.cv) AS d FROM sub s JOIN cb c USING (j)), best AS (SELECT vec_id, j, cv FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cent_id) AS rk FROM dists) WHERE rk = 1), dec AS (SELECT vec_id AS neighbor_id, flatten(list(cv ORDER BY j)) AS dv FROM best GROUP BY vec_id), sc AS (SELECT q.vec_id AS query_id, c.neighbor_id, list_dot_product(q.v, c.dv) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.dv, c.dv))) AS sim FROM e q JOIN dec c ON c.neighbor_id <> q.vec_id WHERE q.vec_id < 10), r AS (SELECT query_id, neighbor_id, sim, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rk FROM sc) SELECT query_id, neighbor_id, sim, rk FROM r WHERE rk <= 5""")),
+
     QueryDef("q25_embedding_neardup",
       "embedding-cosine near-dup pairs (label-blocked, cosine ≥ 0.35)",
       (s, d) => SimilaritySearch.nearDupPairs(t(s, d, "embeddings"), "label", 0.35),

@@ -57,6 +57,42 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  describe("pqTopK") {
+    it("scores against reconstructed vectors; exact when every vector is its own codeword") {
+      // 4-dim vectors, m=2 subspaces; the codebook contains ALL vectors,
+      // so each vector reconstructs to itself and PQ top-k must equal
+      // the exact brute-force ranking
+      val vecs = Seq(
+        (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+        (1L, Array(0.9f, 0.1f, 0.0f, 0.1f)),
+        (2L, Array(0.0f, 1.0f, 0.5f, 0.0f)),
+        (3L, Array(-1.0f, 0.0f, 0.2f, 0.9f))
+      ).toDF("vec_id", "embedding")
+      val q = vecs.filter($"vec_id" === 0)
+      val pq = SimilaritySearch.pqTopK(vecs, q, dim = 4, m = 2,
+        centroidIds = Seq(0L, 1L, 2L, 3L), k = 2)
+        .orderBy($"rk").select($"neighbor_id").as[Long].collect().toSeq
+      val exact = SimilaritySearch.bruteForceTopK(vecs, q, 2)
+        .orderBy($"rk").select($"neighbor_id").as[Long].collect().toSeq
+      assert(pq == exact)
+    }
+    it("quantizes to the nearest codeword (lossy but deterministic)") {
+      // codebook = {v0, v3}: v1 must encode to v0's subvectors in every
+      // subspace, so its reconstruction IS v0 and sim(query=v0, v1) = 1
+      val vecs = Seq(
+        (0L, Array(1.0f, 0.0f, 1.0f, 0.0f)),
+        (1L, Array(0.9f, 0.05f, 0.9f, 0.05f)), // near v0 in both subspaces
+        (3L, Array(-1.0f, 0.0f, 0.0f, -1.0f))
+      ).toDF("vec_id", "embedding")
+      val out = SimilaritySearch.pqTopK(vecs, vecs.filter($"vec_id" === 0),
+        dim = 4, m = 2, centroidIds = Seq(0L, 3L), k = 2)
+      val top = out.filter($"rk" === 1).select($"neighbor_id", $"sim")
+        .as[(Long, Double)].head()
+      assert(top._1 == 1L)
+      assert(math.abs(top._2 - 1.0) < 1e-12, "v1 reconstructs exactly to v0")
+    }
+  }
+
   describe("ivfTopK") {
     it("returns only cell-probed neighbors, k-bounded, self excluded") {
       val vecs = (0L until 40L).map { i =>
