@@ -272,8 +272,14 @@ object ReferenceParity {
     QueryDef("q37_approx_distinct",
       "approximate aggregates: HLL approx_count_distinct, hash-checked as exact count + a within-5% accuracy bound (the sketch estimate itself is engine-specific)",
       (s, d) => t(s, d, "lineitem")
+        // two-level distinct instead of countDistinct-next-to-HLL in one
+        // agg: the mixed form plans an Expand that DUPLICATES every scan
+        // row into distinct/non-distinct branches (2× a 100 TB scan);
+        // the pre-dedup level gets map-side partial dedup instead, and
+        // HLL is duplicate-insensitive so its estimate is unchanged
+        .select(col("l_returnflag"), col("l_partkey")).distinct()
         .groupBy(col("l_returnflag"))
-        .agg(countDistinct(col("l_partkey")).cast("long").as("exact_parts"),
+        .agg(count(lit(1)).cast("long").as("exact_parts"),
              approx_count_distinct(col("l_partkey"), 0.02).cast("long").as("approx"))
         .select(col("l_returnflag"), col("exact_parts"),
                 (abs(col("approx") - col("exact_parts")).cast("double") /

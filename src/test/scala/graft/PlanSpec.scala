@@ -53,6 +53,18 @@ class PlanSpec extends SparkSpec {
       val p = planOf("q24b_ann_ivf")
       assert(p.contains("TopKPerKey"), s"plan:\n$p")
     }
+    it("q24c PQ encode aggregates codes without a window sort, ranks via TopKPerKey") {
+      val p = planOf("q24c_ann_pq")
+      assert(p.contains("TopKPerKey"), s"plan:\n$p")
+      assert(!p.contains("WindowExec"), s"argmin must be min_by aggregation, not a window:\n$p")
+    }
+  }
+
+  describe("distinct-aggregate strategy") {
+    it("q37 plans no Expand (exact distinct via pre-dedup level, not countDistinct branching)") {
+      val p = planOf("q37_approx_distinct")
+      assert(!p.contains("Expand"), s"mixed distinct/HLL agg doubles the scan via Expand:\n$p")
+    }
   }
 
   describe("range join strategy") {
