@@ -58,25 +58,12 @@ object CorpusDemo {
 
     // stage 4: corpus-wide boilerplate removal (q67 semantics, 10-token
     // segments repeated >= 2 times across the surviving corpus)
-    val segLen = 10
-    val w = tokens(col("text"))
-    val nseg = ceil(size(w).cast("double") / segLen).cast("int")
-    val segRows = nearDeduped.select(col("doc_id"),
-        posexplode(when(size(w) === 0, array().cast("array<string>"))
-          .otherwise(transform(sequence(lit(0), nseg - 1),
-            i => concat_ws(" ", slice(w, i * lit(segLen) + lit(1), lit(segLen)))))))
-      .withColumnRenamed("pos", "i").withColumnRenamed("col", "sg")
-      .withColumn("h", portableHash(col("sg"), 13))
-    val hot = segRows.groupBy(col("h")).agg(count(lit(1)).as("c"))
-      .filter(col("c") >= 2).select(col("h"))
-    val cleanText = segRows.join(hot, Seq("h"), "left_anti")
-      .groupBy(col("doc_id"))
-      .agg(concat_ws(" ", transform(array_sort(collect_list(
-        struct(col("i"), col("sg")))), p => p.getField("sg"))).as("clean_text"))
-    val curated = nearDeduped.join(cleanText, Seq("doc_id"), "left")
+    val cleaned = Dedup.segmentDedup(nearDeduped, "text", "doc_id",
+                                     segLen = 10, minRep = 2)
+    val curated = nearDeduped.drop("text")
+      .join(cleaned.select(col("doc_id"), col("clean_text").as("text")), Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("source"), col("quality"),
-        coalesce(col("clean_text"), lit("")).as("text"),
-        tokenCount(coalesce(col("clean_text"), lit(""))).as("n_tokens"))
+        col("text"), tokenCount(col("text")).as("n_tokens"))
 
     // sink: lang-partitioned parquet — partition pruning for per-lang
     // consumers, append-able for the next snapshot's increment (q66)

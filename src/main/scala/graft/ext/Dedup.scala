@@ -234,6 +234,45 @@ object Dedup {
     verified.filter(col("jaccard") >= threshold)
   }
 
+  /** Sub-document dedup (the C4/Falcon "line dedup" analogue for
+    * unpunctuated text): documents split into disjoint `segLen`-token
+    * segments; a segment occurring >= `minRep` times corpus-wide is
+    * boilerplate and removed from EVERY document; each document
+    * reassembles from its surviving segments in order.
+    *
+    * Scale shape: segment frequency groups on the 60-bit portable hash
+    * (8-byte shuffle keys, never segment strings); the hot-segment set
+    * is tiny by construction (only repeated segments), so the removal
+    * anti-join broadcasts under AQE. Output: (doc_id, n_tokens,
+    * n_kept_segments, clean_text) for every input document — a fully
+    * boilerplate document survives with empty text. */
+  def segmentDedup(docs: DataFrame, textCol: String, idCol: String,
+                   segLen: Int = 10, minRep: Int = 2): DataFrame = {
+    require(segLen > 0 && minRep > 1, "segLen must be positive, minRep > 1")
+    val w = tokens(col(textCol))
+    val nseg = ceil(size(w).cast("double") / segLen).cast("int")
+    // empty docs guard: sequence(0, -1) would COUNT DOWN (Spark infers
+    // a negative step), fabricating two segments for a blank text
+    val segRows = docs.select(col(idCol).as("doc_id"),
+        posexplode(when(size(w) === 0, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(0), nseg - 1),
+            i => concat_ws(" ", slice(w, i * lit(segLen) + lit(1), lit(segLen)))))))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "sg")
+      .withColumn("h", portableHash(col("sg"), 13))
+    val hot = segRows.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minRep).select(col("h"))
+    val kept = segRows.join(hot, Seq("h"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_kept_segments"),
+           concat_ws(" ", transform(array_sort(collect_list(
+             struct(col("i"), col("sg")))), p => p.getField("sg"))).as("clean_text"))
+    docs.select(col(idCol).as("doc_id"), tokenCount(col(textCol)).as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept_segments"), lit(0L)).as("n_kept_segments"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Number of SimHash bits (portableHash yields 60 usable bits). */
   val SimHashBits = 60
 

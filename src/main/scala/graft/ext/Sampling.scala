@@ -31,6 +31,28 @@ object Sampling {
     df.filter(pmod(portableHash(keyCol.cast("string"), 13), lit(10000)) < rateExpr)
   }
 
+  /** Data-constrained corpus selection: greedy per-group fill by
+    * quality (desc, id tiebreak) until a fixed token budget — the
+    * "best N tokens per language" step of corpus mixing. Output keeps
+    * every selected doc with its running `cum_tokens`.
+    *
+    * The per-group sequential order is inherent to greedy selection
+    * (each admit depends on the running sum); at open scale the same
+    * plan runs per (group, quality-range) bucket from a first-pass
+    * quality histogram, bounding any one window partition. */
+  def tokenBudgetSelect(docs: DataFrame, groupCol: String, textCol: String,
+                        idCol: String, budget: Long): DataFrame = {
+    import graft.functions.TextFunctions.{qualityScore, tokenCount}
+    val base = docs.select(col(idCol).as("doc_id"), col(groupCol).as("grp"),
+      tokenCount(col(textCol)).as("n_tokens"),
+      qualityScore(col(textCol)).as("quality"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
   /** Per-group top-k terms by frequency (vocabulary statistics):
     * explode → count → window rank, ties broken by term for
     * determinism. One shuffle for the count, one for the rank (both on

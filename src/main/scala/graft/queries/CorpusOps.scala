@@ -133,49 +133,16 @@ object CorpusOps {
 
     QueryDef("q67_segment_dedup",
       "sub-document dedup (C4/Falcon line-dedup analogue): disjoint 10-token segments; a segment seen >= 2 times corpus-wide is boilerplate, removed from EVERY document; docs reassemble from surviving segments in order. Hot-segment set is tiny -> AQE broadcasts the anti-join; frequency groups on the 60-bit portable hash, never the segment string",
-      (s, d) => {
-        val segLen = 10
-        val docs = t(s, d, "documents")
-        val w = tokens(col("text"))
-        val nseg = ceil(size(w).cast("double") / segLen).cast("int")
-        // empty docs guard: sequence(0, -1) would COUNT DOWN (Spark infers
-        // a negative step), fabricating two segments for a blank text
-        val segRows = docs.select(col("doc_id"),
-            posexplode(when(size(w) === 0, array().cast("array<string>"))
-              .otherwise(transform(sequence(lit(0), nseg - 1),
-                i => concat_ws(" ", slice(w, i * lit(segLen) + lit(1), lit(segLen)))))))
-          .withColumnRenamed("pos", "i").withColumnRenamed("col", "sg")
-          .withColumn("h", TextFunctions.portableHash(col("sg"), 13))
-        val hot = segRows.groupBy(col("h")).agg(count(lit(1)).as("c"))
-          .filter(col("c") >= 2).select(col("h"))
-        val kept = segRows.join(hot, Seq("h"), "left_anti")
-        val rebuilt = kept.groupBy(col("doc_id"))
-          .agg(count(lit(1)).cast("long").as("n_kept_segments"),
-               concat_ws(" ", transform(array_sort(collect_list(
-                 struct(col("i"), col("sg")))), p => p.getField("sg"))).as("clean_text"))
-        docs.select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
-          .join(rebuilt, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_tokens"),
-            coalesce(col("n_kept_segments"), lit(0L)).as("n_kept_segments"),
-            coalesce(col("clean_text"), lit("")).as("clean_text"))
-      },
+      (s, d) => Dedup.segmentDedup(t(s, d, "documents"), "text", "doc_id",
+                                   segLen = 10, minRep = 2),
       Some(s"""WITH s AS (SELECT doc_id, ${TextFunctions.sql.tokensOf("text")} AS w FROM documents), seg AS (SELECT doc_id, i, array_to_string(list_slice(w, i*10+1, i*10+10), ' ') AS sg FROM s, unnest(generate_series(0, CAST(ceil(len(w)/10.0) AS INT) - 1)) AS t(i) WHERE len(w) > 0), hs AS (SELECT doc_id, i, sg, ${ph("sg", 13)} AS h FROM seg), hot AS (SELECT h FROM hs GROUP BY h HAVING count(*) >= 2), kept AS (SELECT * FROM hs WHERE h NOT IN (SELECT h FROM hot)), rb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept_segments, string_agg(sg, ' ' ORDER BY i) AS clean_text FROM kept GROUP BY doc_id) SELECT d.doc_id, CAST(len(${TextFunctions.sql.tokensOf("d.text")}) AS BIGINT) AS n_tokens, COALESCE(rb.n_kept_segments, 0) AS n_kept_segments, COALESCE(rb.clean_text, '') AS clean_text FROM documents d LEFT JOIN rb USING (doc_id)""")),
 
     QueryDef("q68_token_budget",
       "data-constrained corpus selection: per-lang greedy fill by quality (desc, doc_id tiebreak) into a fixed 5000-token budget via a windowed running token sum. The per-lang sequential order is inherent to greedy selection; at open scale the same plan runs per (lang, quality-range) bucket from a first-pass histogram",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val base = t(s, d, "documents").select(col("doc_id"), col("lang"),
-          tokenCount(col("text")).as("n_tokens"),
-          qualityScore(col("text")).as("quality"))
-        val w = Window.partitionBy(col("lang"))
-          .orderBy(col("quality").desc, col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        base.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-          .filter(col("cum_tokens") <= 5000)
-          .select(col("lang"), col("doc_id"), col("n_tokens"), col("quality"),
-                  col("cum_tokens"))
-      },
+      (s, d) => graft.ext.Sampling
+        .tokenBudgetSelect(t(s, d, "documents"), "lang", "text", "doc_id", 5000L)
+        .select(col("grp").as("lang"), col("doc_id"), col("n_tokens"),
+                col("quality"), col("cum_tokens")),
       Some(s"""WITH ${LlmOps.textStatsCte}, b AS (SELECT d.doc_id, d.lang, q.n_tokens, q.quality FROM documents d JOIN q USING (doc_id)), c AS (SELECT lang, doc_id, n_tokens, quality, CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM b) SELECT lang, doc_id, n_tokens, quality, cum_tokens FROM c WHERE cum_tokens <= 5000""")),
 
     QueryDef("q65_curation_pipeline",

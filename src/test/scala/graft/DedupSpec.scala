@@ -175,4 +175,61 @@ class DedupSpec extends SparkSpec {
       assert(banded == blocked)
     }
   }
+
+  describe("segment dedup (sub-document boilerplate removal)") {
+    // 4-token segments: doc 0/1 share an identical first segment
+    // (corpus-frequency 2 → boilerplate), their tails are unique
+    val segDocs = Seq(
+      (0L, "one two three four alpha beta gamma delta"),
+      (1L, "one two three four epsilon zeta eta theta"),
+      (2L, "iota kappa lambda mu"),
+      (3L, ""),                      // blank doc must survive, empty output
+      (4L, "one two three four")     // ONLY the boilerplate → empty clean_text
+    ).toDF("doc_id", "text")
+
+    it("removes corpus-repeated segments from every doc, keeps unique tails in order") {
+      val out = Dedup.segmentDedup(segDocs, "text", "doc_id", segLen = 4, minRep = 2)
+        .select($"doc_id", $"n_tokens", $"n_kept_segments", $"clean_text")
+        .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+      assert(out.size == 5, "every input doc yields exactly one row")
+      assert(out(0L) == ((0L, 8L, 1L, "alpha beta gamma delta")))
+      assert(out(1L) == ((1L, 8L, 1L, "epsilon zeta eta theta")))
+      assert(out(2L) == ((2L, 4L, 1L, "iota kappa lambda mu")))
+      assert(out(3L) == ((3L, 0L, 0L, "")), "blank doc: zero segments, kept")
+      assert(out(4L) == ((4L, 4L, 0L, "")), "fully-boilerplate doc: kept, emptied")
+    }
+    it("a partial trailing segment is its own unit, not merged into a neighbor") {
+      val df = Seq((0L, "a b c d e"), (1L, "x y z w e")).toDF("doc_id", "text")
+      // trailing segments are both just "e" → frequency 2 → removed
+      val out = Dedup.segmentDedup(df, "text", "doc_id", segLen = 4, minRep = 2)
+        .select($"doc_id", $"clean_text").as[(Long, String)].collect().toMap
+      assert(out(0L) == "a b c d" && out(1L) == "x y z w")
+    }
+  }
+
+  describe("token-budget selection") {
+    it("fills greedily by quality, never exceeds the budget, admits in rank order") {
+      // quality ranking inside one group is deterministic (portable
+      // scorer); budget admits only a prefix of the quality-sorted order
+      val docs = Seq(
+        (0L, "g1", "the quick brown fox jumps over the lazy dog again and again"),
+        (1L, "g1", "a b c d e f g h i j k l"),
+        (2L, "g1", "11 22 33 44"),
+        (3L, "g2", "the only doc in this group is admitted")
+      ).toDF("doc_id", "lang", "text")
+      val out = graft.ext.Sampling
+        .tokenBudgetSelect(docs, "lang", "text", "doc_id", budget = 24L)
+        .select($"grp", $"doc_id", $"n_tokens", $"cum_tokens")
+        .as[(String, Long, Long, Long)].collect()
+      val byGrp = out.groupBy(_._1)
+      assert(byGrp("g1").map(_._4).max <= 24L)
+      assert(byGrp("g2").map(_._2).toSeq == Seq(3L))
+      // a cum_tokens prefix: each admitted doc's cum = sum of admitted so far
+      byGrp.values.foreach { rows =>
+        val sorted = rows.sortBy(_._4)
+        assert(sorted.map(_._3).scanLeft(0L)(_ + _).drop(1).toSeq ==
+               sorted.map(_._4).toSeq)
+      }
+    }
+  }
 }
