@@ -251,26 +251,37 @@ object Dedup {
     require(segLen > 0 && minRep > 1, "segLen must be positive, minRep > 1")
     val w = tokens(col(textCol))
     val nseg = ceil(size(w).cast("double") / segLen).cast("int")
-    // empty docs guard: sequence(0, -1) would COUNT DOWN (Spark infers
-    // a negative step), fabricating two segments for a blank text
+    // posexplode_OUTER keeps a (null, null) row for blank docs, so every
+    // document flows through the single segment stream — no separate
+    // corpus pass (and no final join) just to restore doc-level rows.
+    // The empty-array guard matters: sequence(0, -1) would COUNT DOWN
+    // (Spark infers a negative step), fabricating segments for blanks.
     val segRows = docs.select(col(idCol).as("doc_id"),
-        posexplode(when(size(w) === 0, array().cast("array<string>"))
+        tokenCount(col(textCol)).as("n_tokens"),
+        posexplode_outer(when(size(w) === 0, array().cast("array<string>"))
           .otherwise(transform(sequence(lit(0), nseg - 1),
             i => concat_ws(" ", slice(w, i * lit(segLen) + lit(1), lit(segLen)))))))
       .withColumnRenamed("pos", "i").withColumnRenamed("col", "sg")
       .withColumn("h", portableHash(col("sg"), 13))
-    val hot = segRows.groupBy(col("h")).agg(count(lit(1)).as("c"))
-      .filter(col("c") >= minRep).select(col("h"))
-    val kept = segRows.join(hot, Seq("h"), "left_anti")
-    val rebuilt = kept.groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("long").as("n_kept_segments"),
+    val hot = segRows.filter(col("sg").isNotNull)
+      .groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minRep).select(col("h"), lit(1).as("is_hot"))
+    // hit-marker left join instead of an anti-join: a fully-boilerplate
+    // doc keeps its rows (marked hot) and correctly survives with empty
+    // text. The hot set is small by construction → AQE broadcasts; a
+    // pathological corpus degrades to a shuffle join, not an error.
+    segRows.join(hot, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(first(col("n_tokens")).as("n_tokens"),
+           count(when(col("is_hot").isNull && col("sg").isNotNull, lit(1)))
+             .cast("long").as("n_kept_segments"),
+           // null entries (hot or blank) vanish: collect_list skips null
+           // structs and concat_ws skips null strings
            concat_ws(" ", transform(array_sort(collect_list(
-             struct(col("i"), col("sg")))), p => p.getField("sg"))).as("clean_text"))
-    docs.select(col(idCol).as("doc_id"), tokenCount(col(textCol)).as("n_tokens"))
-      .join(rebuilt, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("n_kept_segments"), lit(0L)).as("n_kept_segments"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+             when(col("is_hot").isNull, struct(col("i"), col("sg"))))),
+             p => p.getField("sg"))).as("clean_text"))
+      .select(col("doc_id"), col("n_tokens"), col("n_kept_segments"),
+              col("clean_text"))
   }
 
   /** Number of SimHash bits (portableHash yields 60 usable bits). */
