@@ -140,6 +140,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  describe("segmentDedup identity") {
+    it("with no corpus-repeated segments, reassembly reproduces the token stream exactly") {
+      val docsGen = Gen.listOfN(8, Gen.listOf(
+        Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")))
+      forAllSamples(docsGen) { docs0 =>
+        // tag every token with (doc, position) so ALL tokens are globally
+        // unique → no segment can repeat, within a doc or across docs
+        // (a small alphabet alone repeats segments inside one doc, which
+        // the operator correctly removes — not what this property tests)
+        val docs = docs0.zipWithIndex.map { case (toks, i) =>
+          toks.zipWithIndex.map { case (t, k) => s"${t}_${i}_$k" }
+        }
+        val df = docs.zipWithIndex.map { case (toks, i) =>
+          (i.toLong, toks.mkString(" "))
+        }.toDF("doc_id", "text")
+        val out = graft.ext.Dedup.segmentDedup(df, "text", "doc_id",
+            segLen = 3, minRep = 2)
+          .select($"doc_id", $"n_tokens", $"n_kept_segments", $"clean_text")
+          .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+        docs.zipWithIndex.foreach { case (toks, i) =>
+          val (_, nTok, nKept, clean) = out(i.toLong)
+          assert(nTok == toks.size.toLong)
+          assert(nKept == math.ceil(toks.size / 3.0).toLong)
+          assert(clean == toks.mkString(" "),
+            "clean_text must be the original token stream")
+        }
+      }
+    }
+  }
+
   describe("append-sink semantics (K1)") {
     it("unionByName of batch splits equals the whole") {
       forAllSamples(rowGen) { rows =>
