@@ -23,8 +23,12 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   */
 object ReportSink {
 
-  def appendPartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
-    df.write.mode("append").partitionBy(partitionCols: _*).parquet(path)
+  /** `format` is any columnar source Spark ships ("parquet" default,
+    * "orc" equally supported) — both carry column stats for pruning and
+    * partition-directory layout for pruning by `partitionCols`. */
+  def appendPartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+                        format: String = "parquet"): Unit =
+    df.write.mode("append").partitionBy(partitionCols: _*).format(format).save(path)
 
   /** Bucketed (and optionally sort-ordered) managed-table write: pays
     * the hash shuffle ONCE at write time, after which every equi-join

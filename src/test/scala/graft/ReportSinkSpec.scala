@@ -41,5 +41,16 @@ class ReportSinkSpec extends SparkSpec {
       assert(back.filter($"day" === "2024-01-02").count() == 2)
       assert(new java.io.File(path).listFiles().count(_.getName.startsWith("day=")) == 2)
     }
+    it("supports ORC with identical partitioned union-all semantics") {
+      val path = Files.createTempDirectory("osink").resolve("report").toString
+      val b1 = Seq(("2024-01-01", 1L), ("2024-01-02", 2L)).toDF("day", "v")
+      val b2 = Seq(("2024-01-02", 3L)).toDF("day", "v")
+      ReportSink.appendPartitioned(b1, path, Seq("day"), format = "orc")
+      ReportSink.appendPartitioned(b2, path, Seq("day"), format = "orc")
+      val back = spark.read.orc(path)
+      assert(back.count() == 3)
+      assert(back.filter($"day" === "2024-01-02")
+        .as[(Long, String)].collect().map(_._1).sorted.toSeq == Seq(2L, 3L))
+    }
   }
 }
