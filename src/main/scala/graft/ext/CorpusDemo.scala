@@ -40,10 +40,8 @@ object CorpusDemo {
     val nQuality = quality.count()
 
     // stage 2: exact dedup on the 128-bit content key (q20 semantics)
-    val exKeep = quality
-      .groupBy(md5(normalize(col("text")).cast("binary")).as("k"))
-      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
-    val exact = quality.join(exKeep, Seq("doc_id"), "left_semi")
+    val exact = quality
+      .join(Dedup.exactKeepIds(quality, "text", "doc_id"), Seq("doc_id"), "left_semi")
       .localCheckpoint(true)
     val nExact = exact.count()
 

@@ -45,6 +45,19 @@ object Dedup {
     exactByKey(docs, md5(norm.cast("binary")), fingerprint(col(textCol)), idCol)
   }
 
+  /** The 128-bit exact-dedup content key (md5 of normalized text) — the
+    * ONE definition of content identity shared by [[exact]], the
+    * incremental-dedup path, and pipeline compositions. */
+  def contentKey(textCol: String): Column =
+    md5(normalize(col(textCol)).cast("binary"))
+
+  /** Ids surviving exact dedup (min id per identical normalized text) —
+    * the filtering form of [[exact]] for pipeline composition:
+    * `docs.join(exactKeepIds(docs, "text", "doc_id"), Seq("doc_id"), "left_semi")`. */
+  def exactKeepIds(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.groupBy(contentKey(textCol).as("k"))
+      .agg(min(col(idCol)).as(idCol)).select(col(idCol))
+
   /** Per-document distinct word n-gram shingles, exploded to
     * (id, block, shingle) rows. */
   private def shingleRows(docs: DataFrame, textCol: String, idCol: String,
@@ -402,9 +415,15 @@ object Dedup {
     val half = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .localCheckpoint(true)
+    // the driver path round-trips ids through Long and casts the result
+    // back to the id type, so it is taken only when BOTH columns are the
+    // SAME integral type — a mixed (int, long) edge list would wrap or
+    // null ids on the cast-back where the distributed path would widen
+    // correctly, breaking the identical-fixpoint contract
     val integral = {
       import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-      Seq(ByteType, ShortType, IntegerType, LongType).contains(half.schema("src").dataType)
+      val (st, dt) = (half.schema("src").dataType, half.schema("dst").dataType)
+      st == dt && Seq(ByteType, ShortType, IntegerType, LongType).contains(st)
     }
     if (integral && half.count() <= maxDriverEdges) dedupGroupsLocal(half)
     else dedupGroupsDistributed(half, maxIter)
@@ -417,8 +436,20 @@ object Dedup {
   private def dedupGroupsLocal(half: DataFrame): DataFrame = {
     val spark = half.sparkSession
     val srcType = half.schema("src").dataType
-    val edges = half.select(col("src").cast("long"), col("dst").cast("long"))
-      .collect()
+    // collect into PRIMITIVE long arrays (Tuple2[Long, Long] is
+    // @specialized — no boxed Longs), then keep only those: an
+    // Array[Row] of GenericRows would cost ~100 bytes/edge transient,
+    // an order of magnitude past the 16-bytes/edge sizing behind the
+    // maxDriverEdges default
+    val tupled = {
+      import spark.implicits._
+      half.select(col("src").cast("long"), col("dst").cast("long"))
+        .as[(Long, Long)].collect()
+    }
+    val srcs = new Array[Long](tupled.length)
+    val dsts = new Array[Long](tupled.length)
+    var k = 0
+    while (k < tupled.length) { srcs(k) = tupled(k)._1; dsts(k) = tupled(k)._2; k += 1 }
     val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x: Long): Long = {
       var r = x
@@ -428,14 +459,15 @@ object Dedup {
       while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    edges.foreach { row =>
-      val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+    var e = 0
+    while (e < srcs.length) {
+      val (ra, rb) = (find(srcs(e)), find(dsts(e)))
       if (ra != rb) {
         if (ra < rb) parent(rb) = ra else parent(ra) = rb
       }
+      e += 1
     }
-    val nodes = edges.iterator.flatMap(r => Iterator(r.getLong(0), r.getLong(1)))
-      .toArray.distinct
+    val nodes = (srcs.iterator ++ dsts.iterator).toArray.distinct
     val rows = nodes.map(n => org.apache.spark.sql.Row(n, find(n))).toSeq
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",

@@ -279,7 +279,10 @@ object ReferenceParity {
         // HLL is duplicate-insensitive so its estimate is unchanged
         .select(col("l_returnflag"), col("l_partkey")).distinct()
         .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).cast("long").as("exact_parts"),
+        // count(col) skips the (flag, NULL) distinct row — matching the
+        // oracle's COUNT(DISTINCT l_partkey) null semantics — while the
+        // row itself still keeps an all-null group alive
+        .agg(count(col("l_partkey")).cast("long").as("exact_parts"),
              approx_count_distinct(col("l_partkey"), 0.02).cast("long").as("approx"))
         .select(col("l_returnflag"), col("exact_parts"),
                 (abs(col("approx") - col("exact_parts")).cast("double") /

@@ -137,6 +137,17 @@ class DedupSpec extends SparkSpec {
         .as[(Long, Long)].collect().toMap
       assert(local == Map(1L -> 1L, 2L -> 1L) && dist == local)
     }
+    it("mixed-type id columns route to the distributed path and stay exact") {
+      // id_a int, id_b long with a value beyond Int range: the driver
+      // path would cast the result back to int and wrap it — the type
+      // guard must send this through the distributed loop instead
+      val big = 5000000000L
+      val pairs = Seq((1, big), (2, 3L)).toDF("id_a", "id_b")
+        .select(col("id_a").cast("int").as("id_a"), col("id_b"))
+      val groups = Dedup.dedupGroups(pairs, "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      assert(groups == Map(1L -> 1L, big -> 1L, 2L -> 2L, 3L -> 2L))
+    }
     it("driver fast path and distributed loop agree") {
       // mixed topology: chain + triangle + isolated pair + self-loop
       val pairs = (Seq((5L, 9L), (9L, 3L), (3L, 17L)) ++

@@ -56,7 +56,15 @@ class PlanSpec extends SparkSpec {
     it("q24c PQ encode aggregates codes without a window sort, ranks via TopKPerKey") {
       val p = planOf("q24c_ann_pq")
       assert(p.contains("TopKPerKey"), s"plan:\n$p")
-      assert(!p.contains("WindowExec"), s"argmin must be min_by aggregation, not a window:\n$p")
+      // exactly ONE Window node is legitimate (the rank derivation over
+      // the ≤k TopK survivors); a second would mean the per-(vector,
+      // subspace) argmin regressed from min_by aggregation to a window
+      // sort over the full |corpus|×|codebook| candidate set. Physical
+      // plans print node names with the "Exec" suffix stripped, so count
+      // "Window" lines, not "WindowExec".
+      val windows = p.linesIterator.count(_.trim.matches("^[+:\\-* ]*Window .*"))
+      assert(windows == 1, s"expected 1 rank window, found $windows:\n$p")
+      assert(p.contains("min_by"), s"PQ encode must plan as min_by aggregation:\n$p")
     }
   }
 
