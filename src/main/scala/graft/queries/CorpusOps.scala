@@ -99,7 +99,7 @@ object CorpusOps {
       "cross-snapshot incremental dedup: an incoming batch (odd doc ids) dedups within itself, then anti-joins the standing corpus index (even doc ids) on the 128-bit key — the daily-ingest path that never re-dedups the full corpus. At 100 TB the index is a compact 16-byte-key table (bucketable for an exchange-free anti-join); only keys shuffle, never text",
       (s, d) => {
         val docs = t(s, d, "documents")
-        val key = md5(normalize(col("text")).cast("binary"))
+        val key = Dedup.contentKey("text")
         val index = docs.filter(col("doc_id") % 2 === 0)
           .select(key.as("k")).distinct()
         val batch = docs.filter(col("doc_id") % 2 === 1)
@@ -159,7 +159,7 @@ object CorpusOps {
         // checkpoint; localCheckpoint is its single-JVM twin.
         val scored = docs.select(col("doc_id"), col("lang"), col("text"),
             qualityScore(col("text")).as("q"),
-            md5(normalize(col("text")).cast("binary")).as("k"))
+            Dedup.contentKey("text").as("k"))
           .localCheckpoint(true)
         val fd = scored.filter(col("q") >= 0.75)
         val exKeep = fd.groupBy(col("k"))
