@@ -59,19 +59,28 @@ object Bench {
       // queries when ~20 queries preceded them in one session)
       spark.catalog.clearCache()
       System.gc()
-      // steady-state timing: every query runs twice and reports the MIN.
-      // The first execution carries that query's one-time whole-stage
+      // steady-state timing: at least two runs, report the MIN. The
+      // first execution carries that query's one-time whole-stage
       // codegen compile (~0.1-0.3s — measured +12s across the suite when
       // a skip-the-rerun shortcut was tried), and a single sample also
       // conflates the query with whatever transient machine load / GC
       // debt coincides with it (round 2's driver run reported q21 at
-      // 40.4s where an isolated rerun of the same build measured 5.6s).
-      var best = Double.MaxValue
+      // 40.4s where an isolated rerun of the same build measured 5.6s;
+      // round 4's reported 10.4s vs 2.1s isolated — same cause).
+      // ADAPTIVE extras: if the two best samples still disagree by
+      // >30%, the measurement is load-noisy — take up to two more
+      // samples so a spike during one run cannot set the reported
+      // time. Converged queries still pay exactly two runs.
+      val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
       var ok = true
       var rep = 0
-      while (ok && rep < 2) {
+      def noisy: Boolean = {
+        val s = samples.sorted
+        s.length < 2 || s(1) > s(0) * 1.3
+      }
+      while (ok && rep < 4 && (rep < 2 || noisy)) {
         val t0 = System.nanoTime()
-        try { execute(name); best = math.min(best, (System.nanoTime() - t0) / 1e9) }
+        try { execute(name); samples += (System.nanoTime() - t0) / 1e9 }
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: $e")
@@ -79,6 +88,7 @@ object Bench {
         }
         rep += 1
       }
+      val best = if (samples.nonEmpty) samples.min else Double.MaxValue
       // a crashed query must surface as a failure, never as a fast time:
       // -1 sentinel in the per-query map + the errors list below
       (name, if (ok) best else -1.0, ok)
@@ -90,6 +100,11 @@ object Bench {
     // precision. Full names stay printable via the 1:1 qNN prefix.
     def fmt(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // short keys are only safe while the qNN prefix is 1:1 with query
+    // names — a reused prefix would silently overwrite one timing with
+    // another in the recorded JSON, so fail loudly instead
+    require(results.map(_._1.takeWhile(_ != '_')).distinct.size == results.size,
+      "duplicate qNN prefix across query names - short bench keys would collide")
     val qs = results.map { case (k, v, _) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
     }.mkString("{", ",", "}")

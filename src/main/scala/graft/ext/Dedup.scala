@@ -387,7 +387,10 @@ object Dedup {
     * stats idea AQE applies to join strategies):
     *
     *  - pair graph fits on the driver (≤ maxDriverEdges, default 4M
-    *    edges ≈ 64 MB — the spirit of the broadcast-join threshold):
+    *    edges ≈ 64 MB as primitive arrays; the transient collected
+    *    tuple array costs ~40 bytes/edge ≈ 160 MB before the copy —
+    *    both well inside a driver heap, the spirit of the
+    *    broadcast-join threshold):
     *    collect the edge list and run exact union-find with min-root
     *    union and path compression — one collect job instead of ~4
     *    Spark jobs per propagation round, and the result is a
@@ -436,11 +439,10 @@ object Dedup {
   private def dedupGroupsLocal(half: DataFrame): DataFrame = {
     val spark = half.sparkSession
     val srcType = half.schema("src").dataType
-    // collect into PRIMITIVE long arrays (Tuple2[Long, Long] is
-    // @specialized — no boxed Longs), then keep only those: an
-    // Array[Row] of GenericRows would cost ~100 bytes/edge transient,
-    // an order of magnitude past the 16-bytes/edge sizing behind the
-    // maxDriverEdges default
+    // collect as specialized Tuple2[Long, Long] (~40 bytes/edge
+    // transient — object header + two unboxed fields + array ref),
+    // then copy into primitive arrays and let the tuples go; an
+    // Array[Row] of GenericRows would cost ~100 bytes/edge
     val tupled = {
       import spark.implicits._
       half.select(col("src").cast("long"), col("dst").cast("long"))
@@ -468,13 +470,19 @@ object Dedup {
       e += 1
     }
     val nodes = (srcs.iterator ++ dsts.iterator).toArray.distinct
-    val rows = nodes.map(n => org.apache.spark.sql.Row(n, find(n))).toSeq
+    // materialize as a genuine LocalRelation (NOT sparkContext
+    // .parallelize, which plans as an RDD scan with unknown stats):
+    // LocalRelation carries exact row counts, so downstream joins of
+    // the group table (q52-style apply) plan as broadcasts statically
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(
+        nodes.map(n => org.apache.spark.sql.Row(n, find(n))): _*)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
         org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("group_rep",
         org.apache.spark.sql.types.LongType, nullable = false)))
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    spark.createDataFrame(rows, schema)
       .select(col("doc_id").cast(srcType).as("doc_id"),
               col("group_rep").cast(srcType).as("group_rep"))
   }

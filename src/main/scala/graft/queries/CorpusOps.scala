@@ -123,7 +123,7 @@ object CorpusOps {
            |ix AS (SELECT DISTINCT $k AS k FROM documents WHERE doc_id % 2 = 0),
            |wk AS (SELECT k, MIN(doc_id) AS doc_id FROM b GROUP BY 1),
            |kept AS (SELECT b.* FROM b JOIN wk ON b.k = wk.k AND b.doc_id = wk.doc_id),
-           |fresh AS (SELECT * FROM kept WHERE k NOT IN (SELECT k FROM ix)),
+           |fresh AS (SELECT * FROM kept WHERE NOT EXISTS (SELECT 1 FROM ix WHERE ix.k = kept.k)),
            |nb AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_batch FROM b GROUP BY 1),
            |nk AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY 1),
            |nn AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_new FROM fresh GROUP BY 1)

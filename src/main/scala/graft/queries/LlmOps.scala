@@ -119,7 +119,7 @@ object LlmOps {
       Some(s"""WITH $shingleCte, $jaccardTail SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5""")),
 
     QueryDef("q22_dedup_minhash_lsh",
-      "MinHash(8)+LSH(4 bands × 2) candidates, verified at Jaccard ≥ 0.5",
+      "MinHash(8)+LSH(4 bands × 2) candidates, verified at Jaccard ≥ 0.5. Since round 4 the signature family is double-hashed h1+j*h2 (Kirsch-Mitzenmacher) rather than 8 independent seeded hashes: the CANDIDATE set (recall model) differs from earlier rounds, while the verified output stays exact at the threshold — do not treat the pair set as stable across rounds",
       (s, d) => Dedup.minhashLshPairs(t(s, d, "documents"), "text", "doc_id",
                                       "lang", 3, numHashes = 8, bands = 4, threshold = 0.5),
       Some(s"""WITH $shingleCte, $minhashCandCte, $jaccardTail SELECT c.id_a, c.id_b, j.jaccard FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b WHERE j.jaccard >= 0.5""")),
