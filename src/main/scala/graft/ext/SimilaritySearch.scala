@@ -121,6 +121,41 @@ object SimilaritySearch {
       .reduce(_ unionByName _).distinct()
   }
 
+  /** KNN JOIN for a LARGE query side: top-k neighbors per query when
+    * the query set is itself corpus-sized, so [[bruteForceTopK]]'s
+    * broadcast of the queries is impossible. Both sides are bucketed by
+    * the SAME deterministic hyperplane LSH ([[hyperplanes]]) and joined
+    * on the bucket key: each side shuffles exactly ONCE on an 8-byte
+    * key, per-bucket work is |q_bucket|×|c_bucket| (2^nPlanes-fold
+    * smaller than all-pairs), and a hot bucket splits under AQE's
+    * skew-join like any other hash join. The per-query reduction runs
+    * through the bounded-heap [[graft.plans.TopK.perKey]] operator —
+    * map-side k-heaps, never a corpus-wide window.
+    *
+    * Approximate by construction: a query only sees same-bucket corpus
+    * rows, so recall follows the sign-bit agreement probability
+    * 1 − θ/π per plane; amplify with OR over seeds (union tables, same
+    * recipe as [[nearDupPairsLshMulti]]) at linear cost. Zero-norm
+    * vectors (null cosine) are excluded — a null similarity cannot
+    * rank. Output: (query_id, neighbor_id, sim, rk), rk ≤ k. */
+  def knnJoinLsh(corpus: DataFrame, queries: DataFrame, dim: Int,
+                 nPlanes: Int, seed: Int, k: Int): DataFrame = {
+    val planes = hyperplanes(dim, nPlanes, seed)
+    val bucket = (0 until nPlanes).map { j =>
+      when(dot(col("embedding"), lit(planes(j))) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+                          col("embedding").as("c_emb"), bucket.as("bucket"))
+    val q = queries.select(col("vec_id").as("query_id"),
+                           col("embedding").as("q_emb"), bucket.as("bucket"))
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+              cosine(col("q_emb"), col("c_emb")).as("sim"))
+      .filter(col("sim").isNotNull)
+    rankTopK(scored, k)
+  }
+
   /** Product-quantization top-k (ADC flavor): the 100 TB ANN
     * memory-compression path, complementing [[ivfTopK]]'s cell pruning.
     *

@@ -68,6 +68,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  describe("vector plane strategy") {
+    it("q69 int8 quantization is map-only: no exchange anywhere in the plan") {
+      val p = planOf("q69_quantize_int8")
+      assert(!p.contains("Exchange"), s"quantization must not shuffle:\n$p")
+    }
+    it("q70 KNN join ranks through TopKPerKey with only the rank-derivation window") {
+      val p = planOf("q70_knn_join_lsh")
+      assert(p.contains("TopKPerKey"), s"plan:\n$p")
+      val windows = p.linesIterator.count(_.trim.matches("^[+:\\-* ]*Window .*"))
+      assert(windows == 1, s"expected 1 rank window, found $windows:\n$p")
+      assert(!p.contains("CartesianProduct"), s"bucket join must be an equi-join:\n$p")
+    }
+  }
+
   describe("distinct-aggregate strategy") {
     it("q37 plans no Expand (exact distinct via pre-dedup level, not countDistinct branching)") {
       val p = planOf("q37_approx_distinct")

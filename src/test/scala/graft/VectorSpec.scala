@@ -93,6 +93,72 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  describe("Quantize.int8Report") {
+    it("zero vector: scale 0, zero codes, zero error, null cosine") {
+      val df = Seq((7L, Array.fill(4)(0.0f))).toDF("vec_id", "embedding")
+      val r = graft.ext.Quantize.int8Report(df)
+        .select($"scale", $"code_l1", $"err2", $"cos_rr")
+        .as[(Double, Long, Double, Option[Double])].head()
+      assert(r == ((0.0, 0L, 0.0, None)))
+    }
+    it("codes are floor(x/scale + 0.5), bounded to [-127, 127], with the analytic error bound") {
+      val df = Seq((1L, Array(1.0f, 0.5f, -1.0f))).toDF("vec_id", "embedding")
+      val (scale, l1, err2, cos) = graft.ext.Quantize.int8Report(df)
+        .select($"scale", $"code_l1", $"err2", $"cos_rr")
+        .as[(Double, Long, Double, Double)].head()
+      assert(math.abs(scale - 1.0 / 127) < 1e-15)
+      // codes: 1.0→127, 0.5→floor(63.5 + 0.5)=64, -1.0→floor(-126.5)=-127
+      assert(l1 == 127L + 64L + 127L)
+      // per-element error ≤ scale/2 ⇒ err2 ≤ dim·scale²/4
+      assert(err2 >= 0 && err2 <= 3 * scale * scale / 4 + 1e-15)
+      assert(cos > 0.9999)
+    }
+    it("scale keys off max |x| and the extreme element codes to exactly ±127") {
+      val df = Seq((1L, Array(-3.0f, 2.0f, 0.5f))).toDF("vec_id", "embedding")
+      val (scale, l1) = graft.ext.Quantize.int8Report(df)
+        .select($"scale", $"code_l1").as[(Double, Long)].head()
+      assert(math.abs(scale - 3.0 / 127) < 1e-15)
+      // codes: -3→-127, 2→floor(84.67+0.5)=85, 0.5→floor(21.17+0.5)=21
+      assert(l1 == 127L + 85L + 21L)
+    }
+  }
+
+  describe("knnJoinLsh") {
+    it("sims are exact cosines, ranks dense from 1, neighbors co-bucketed with their query") {
+      val vecs = (0L until 40L).map { i =>
+        val angle = i.toDouble / 40.0 * 2 * math.Pi
+        (i, Array(math.cos(angle).toFloat, math.sin(angle).toFloat))
+      }.toDF("vec_id", "embedding")
+      val out = SimilaritySearch.knnJoinLsh(
+        vecs, vecs.filter($"vec_id" % 10 === 0), dim = 2, nPlanes = 3,
+        seed = 5, k = 3)
+        .select($"query_id", $"neighbor_id", $"sim", $"rk")
+        .as[(Long, Long, Double, Long)].collect()
+      assert(out.nonEmpty)
+      // dense ranks from 1 per query, bounded by k
+      out.groupBy(_._1).foreach { case (_, rows) =>
+        assert(rows.map(_._4).sorted.toSeq == (1L to rows.length).toSeq)
+        assert(rows.length <= 3)
+      }
+      // sims match an independent cosine computation; pairs co-bucket
+      val emb = vecs.as[(Long, Array[Float])].collect().toMap
+      val planes = SimilaritySearch.hyperplanes(dim = 2, nPlanes = 3, seed = 5)
+      def bucket(v: Array[Float]): Long =
+        planes.zipWithIndex.map { case (p, j) =>
+          val d = p.zip(v).map { case (a, b) => a.toDouble * b.toDouble }.sum
+          if (d >= 0) 1L << j else 0L
+        }.sum
+      out.foreach { case (q, n, sim, _) =>
+        assert(q != n)
+        assert(bucket(emb(q)) == bucket(emb(n)), s"pair ($q,$n) not co-bucketed")
+        val (a, b) = (emb(q).map(_.toDouble), emb(n).map(_.toDouble))
+        val exact = a.zip(b).map { case (x, y) => x * y }.sum /
+          (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+        assert(math.abs(sim - exact) < 1e-12)
+      }
+    }
+  }
+
   describe("ivfTopK") {
     it("returns only cell-probed neighbors, k-bounded, self excluded") {
       val vecs = (0L until 40L).map { i =>
