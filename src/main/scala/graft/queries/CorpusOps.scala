@@ -210,6 +210,39 @@ object CorpusOps {
            |nf AS (SELECT f.lang, CAST(count(*) AS BIGINT) AS n_final, CAST(SUM(len(${TextFunctions.sql.tokensOf("f.text")})) AS BIGINT) AS tokens_final FROM fin f GROUP BY 1)
            |SELECT r.lang, r.n_raw, COALESCE(nq.n_quality, 0) AS n_quality, COALESCE(ne.n_exact, 0) AS n_exact, COALESCE(nf.n_final, 0) AS n_final, COALESCE(nf.tokens_final, 0) AS tokens_final
            |FROM raw r LEFT JOIN nq USING (lang) LEFT JOIN ne USING (lang) LEFT JOIN nf USING (lang)""".stripMargin.replace("\n", " ")
+      }),
+
+    QueryDef("q71_bloom_index_filter",
+      "Bloom-filter pre-filter for incremental dedup: the standing index (even docs) reduces to a 16 KiB deterministic bitmap (m=2^17 bits, k=5, positions = (h1 + j*h2) mod m over the portable md5 halves) that broadcasts to the batch scan — candidate filtering is MAP-ONLY, no index shuffle. Per-lang audit: batch size, bloom hits, true dups, false positives. Zero false negatives by construction; the oracle reproduces the exact position set, so even the false-positive rows hash-match",
+      (s, d) => {
+        import graft.functions.BloomFns._
+        val mB = 1 << 17; val kH = 5
+        val docs = t(s, d, "documents")
+        val key = Dedup.contentKey("text")
+        val index = docs.filter(col("doc_id") % 2 === 0).select(key.as("k")).distinct()
+        val bloom = index.agg(bloomBuild(col("k"), mB, kH).as("bf"))
+        val batch = docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("lang"), key.as("k"))
+        val flagged = batch.crossJoin(broadcast(bloom))
+          .withColumn("hit", bloomMightContain(col("bf"), col("k"), mB, kH))
+        flagged.join(index.select(col("k"), lit(1).as("in_ix")), Seq("k"), "left")
+          .groupBy(col("lang"))
+          .agg(lcount(lit(1)).as("n_batch"),
+               lcount(when(col("hit"), 1)).as("n_bloom_hits"),
+               lcount(when(col("in_ix") === 1, 1)).as("n_true_dups"),
+               lcount(when(col("hit") && col("in_ix").isNull, 1)).as("n_false_pos"))
+      },
+      Some {
+        val k = s"md5(${TextFunctions.sql.normalize("text")})"
+        def h(expr: String, off: Int) = TextFunctions.sql.md5Half(expr, off)
+        s"""WITH ik AS (SELECT DISTINCT $k AS k FROM documents WHERE doc_id % 2 = 0),
+           |ih AS (SELECT k, ${h("k", 1)} AS h1, ${h("k", 17)} AS h2 FROM ik),
+           |pos AS (SELECT DISTINCT (h1 + j * h2) % 131072 AS p FROM ih, range(5) t(j)),
+           |bh AS (SELECT doc_id, lang, k, ${h("k", 1)} AS h1, ${h("k", 17)} AS h2 FROM (SELECT doc_id, lang, $k AS k FROM documents WHERE doc_id % 2 = 1)),
+           |hits AS (SELECT doc_id FROM bh, range(5) t(j) WHERE ((h1 + j * h2) % 131072) IN (SELECT p FROM pos) GROUP BY doc_id HAVING count(*) = 5),
+           |fl AS (SELECT bh.lang, EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = bh.doc_id) AS hit, EXISTS (SELECT 1 FROM ik WHERE ik.k = bh.k) AS in_ix FROM bh)
+           |SELECT lang, CAST(count(*) AS BIGINT) AS n_batch, CAST(count(CASE WHEN hit THEN 1 END) AS BIGINT) AS n_bloom_hits, CAST(count(CASE WHEN in_ix THEN 1 END) AS BIGINT) AS n_true_dups, CAST(count(CASE WHEN hit AND NOT in_ix THEN 1 END) AS BIGINT) AS n_false_pos
+           |FROM fl GROUP BY lang""".stripMargin.replace("\n", " ")
       })
   )
 }
