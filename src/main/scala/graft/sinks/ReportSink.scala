@@ -45,6 +45,38 @@ object ReportSink {
       .format("parquet").saveAsTable(table)
   }
 
+  /** Deterministic hash-sharded, sort-clustered corpus layout — the
+    * shape a training-data pipeline actually ships (WebDataset/TFRecord
+    * shard conventions): shard = portableHash(key) mod nShards, one
+    * directory per shard, rows inside each file ordered by `sortCols`.
+    *
+    * Properties that matter at 100 TB:
+    *  - shard assignment is a PURE function of the row key — stable
+    *    under reruns, partitioning, and cluster size (unlike
+    *    repartitionByRange, whose sampled boundaries shift with the
+    *    data), so incremental rebuilds touch only changed shards and
+    *    the assignment is oracle-checkable (q72);
+    *  - one shuffle total: repartition by the shard column, then an
+    *    in-partition sort (no global sort, no range exchange);
+    *  - dynamic partition dirs (`partitionBy("shard")`) let readers
+    *    open exactly the shards they want; `maxRecordsPerFile` bounds
+    *    file sizes inside hot shards.
+    * Returns the shard column name written. */
+  def writeHashSharded(df: DataFrame, path: String, nShards: Int,
+                       keyCol: String, sortCols: Seq[String],
+                       maxRecordsPerFile: Long = 0L): String = {
+    import org.apache.spark.sql.functions._
+    val shard = pmod(graft.functions.TextFunctions.portableHash(
+      col(keyCol).cast("string"), seed = 97), lit(nShards))
+    val sharded = df.withColumn("shard", shard)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard") +: sortCols.map(col): _*)
+    sharded.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("shard").parquet(path)
+    "shard"
+  }
+
   def appendCsvSingleFile(df: DataFrame, targetFile: String): Unit = {
     val target = new File(targetFile)
     val writeHeader = !target.isFile || target.length() == 0
