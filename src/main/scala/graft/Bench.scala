@@ -52,13 +52,28 @@ object Bench {
     val selected =
       if (args.nonEmpty) SparkEntry.queries.keys.toSeq.sorted.filter(args.contains)
       else SparkEntry.queries.keys.toSeq.sorted
-    val results = selected.map { name =>
-      // inter-query hygiene OUTSIDE the timed section: drop leftover
-      // broadcast/shuffle references so earlier queries' garbage doesn't
-      // tax this one's GC (observed 3× inflation on the heavy dedup
-      // queries when ~20 queries preceded them in one session)
+    // short keys are only safe while the qNN prefix is 1:1 with query
+    // names — a reused prefix would silently overwrite one timing with
+    // another in the recorded JSON. Validate BEFORE the timing loop so a
+    // collision fails fast instead of discarding a full suite's samples.
+    require(selected.map(_.takeWhile(_ != '_')).distinct.size == selected.size,
+      "duplicate qNN prefix across query names - short bench keys would collide")
+    // inter-query/inter-rep hygiene OUTSIDE the timed section. Two parts:
+    //  - unpersist every lingering persistent RDD: the dedup/funnel
+    //    queries `localCheckpoint(true)` intermediates, and those blocks
+    //    stay in the BlockManager until ContextCleaner GC — across 75
+    //    queries × ≥2 reps they pile up and inflated the recorded times
+    //    of exactly the checkpointing tail (round 5: q21 12.55s driver
+    //    vs 2.17s isolated on the same build/machine);
+    //  - clearCache + System.gc so earlier queries' broadcast/shuffle
+    //    garbage doesn't tax this one's GC (observed 3× inflation).
+    def hygiene(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
       System.gc()
+    }
+    val results = selected.map { name =>
       // steady-state timing: at least two runs, report the MIN. The
       // first execution carries that query's one-time whole-stage
       // codegen compile (~0.1-0.3s — measured +12s across the suite when
@@ -67,18 +82,27 @@ object Bench {
       // debt coincides with it (round 2's driver run reported q21 at
       // 40.4s where an isolated rerun of the same build measured 5.6s;
       // round 4's reported 10.4s vs 2.1s isolated — same cause).
-      // ADAPTIVE extras: if the two best samples still disagree by
-      // >30%, the measurement is load-noisy — take up to two more
-      // samples so a spike during one run cannot set the reported
-      // time. Converged queries still pay exactly two runs.
+      // ADAPTIVE extras: if the steady-state samples disagree by >30%,
+      // the measurement is load-noisy — take up to two more samples so
+      // a spike during one run cannot set the reported time. The noise
+      // test deliberately EXCLUDES the first (codegen-carrying) sample:
+      // run1 being >1.3× run2 is expected warmup, not noise, and must
+      // not trigger extra executions (round-5 advice).
       val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
       var ok = true
       var rep = 0
       def noisy: Boolean = {
-        val s = samples.sorted
-        s.length < 2 || s(1) > s(0) * 1.3
+        if (samples.length < 2) true
+        else {
+          val steady = samples.drop(1).sorted
+          if (steady.length >= 2) steady(1) > steady(0) * 1.3
+          // exactly 2 samples: only a run2 SLOWER than run1 by >30% is
+          // suspicious (spike hit the steady run); run1 larger is warmup
+          else samples(1) > samples(0) * 1.3
+        }
       }
       while (ok && rep < 4 && (rep < 2 || noisy)) {
+        hygiene()
         val t0 = System.nanoTime()
         try { execute(name); samples += (System.nanoTime() - t0) / 1e9 }
         catch {
@@ -100,11 +124,6 @@ object Bench {
     // precision. Full names stay printable via the 1:1 qNN prefix.
     def fmt(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // short keys are only safe while the qNN prefix is 1:1 with query
-    // names — a reused prefix would silently overwrite one timing with
-    // another in the recorded JSON, so fail loudly instead
-    require(results.map(_._1.takeWhile(_ != '_')).distinct.size == results.size,
-      "duplicate qNN prefix across query names - short bench keys would collide")
     val qs = results.map { case (k, v, _) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
     }.mkString("{", ",", "}")

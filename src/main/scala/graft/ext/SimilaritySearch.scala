@@ -214,27 +214,44 @@ object SimilaritySearch {
     * Every corpus vector is assigned to its single nearest centroid;
     * each query probes the `nProbe` nearest cells and ranks only those
     * cells' members. Output shape matches bruteForceTopK (recall < 1
-    * by construction). */
+    * by construction).
+    *
+    * Scale shape: the codebook is loaded once on the driver (bounded by
+    * `centroidIds.size` — the IVF codebook IS driver/executor-resident
+    * state in every production ANN system) and embedded as literals, so
+    * cell assignment is a MAP-ONLY expression over the corpus: per row,
+    * `array_min` over the per-centroid (−csim, cent_id) structs picks
+    * the nearest cell with zero Window, zero exchange, and the corpus
+    * embeddings never shuffle for assignment (the earlier formulation
+    * cross-joined the codebook and window-sorted |corpus|×nCells rows —
+    * the assignment shuffle was the scale-killer). The probe side uses
+    * the same literal codebook with `array_sort` + `slice` to take the
+    * nProbe nearest cells, also map-only. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroidIds: Seq[Long],
               nProbe: Int, k: Int): DataFrame = {
-    val cents = corpus.filter(col("vec_id").isInCollection(centroidIds))
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-    // cell assignment: nearest centroid per corpus vector (one pass)
-    val assignW = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id"))
-    val assigned = corpus.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cent_id"),
-              cosine(col("embedding"), col("cent_emb")).as("csim"))
-      .withColumn("rk", row_number().over(assignW)).filter(col("rk") === 1)
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
-              col("cent_id").as("cell"))
-    // query → nProbe cells
-    val probeW = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cent_id"))
-    val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      .crossJoin(broadcast(cents))
-      .select(col("query_id"), col("q_emb"), col("cent_id"),
-              cosine(col("q_emb"), col("cent_emb")).as("csim"))
-      .withColumn("rk", row_number().over(probeW)).filter(col("rk") <= nProbe)
-      .select(col("query_id"), col("q_emb"), col("cent_id").as("cell"))
+    // bounded codebook load — nCells rows, sorted for determinism
+    val cents: Array[(Long, Array[Float])] = corpus
+      .filter(col("vec_id").isInCollection(centroidIds))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    // per-centroid ordering key: (−csim, cent_id) ascending == the
+    // oracle's ORDER BY csim DESC, cent_id; a null cosine (zero-norm
+    // vector) ranks last, matching DESC NULLS LAST
+    def cellScores(emb: Column): Column = array(cents.map { case (id, cv) =>
+      val csim = cosine(emb, lit(cv))
+      struct(when(csim.isNull, lit(Double.MaxValue)).otherwise(-csim).as("negsim"),
+             lit(id).as("cent_id"))
+    }: _*)
+    val assigned = corpus.select(
+      col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+      array_min(cellScores(col("embedding"))).getField("cent_id").as("cell"))
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+              slice(array_sort(cellScores(col("embedding"))), 1, nProbe).as("cells"))
+      .select(col("query_id"), col("q_emb"), explode(col("cells")).as("cs"))
+      .select(col("query_id"), col("q_emb"), col("cs").getField("cent_id").as("cell"))
     // final ranking through the bounded-heap operator: probed cells can
     // hold an O(|corpus|/nCells × nProbe) member set per query at scale,
     // which must never funnel through a full window sort

@@ -128,6 +128,14 @@ case class BloomMightContain(left: Expression, right: Expression,
                              mBits: Int, kHashes: Int)
   extends BinaryExpression with BinaryLike[Expression] {
 
+  // same contract as BloomBuildAgg: a probe built with kHashes > 8 would
+  // overflow h1 + j*h2 to a negative position (AIOOBE at runtime); a
+  // mismatched mBits silently probes the wrong bit positions
+  require(Integer.bitCount(mBits) == 1 && mBits >= 8,
+    s"mBits=$mBits must be a power of two >= 8")
+  require(kHashes >= 1 && kHashes <= 8,
+    s"kHashes=$kHashes: the double-hashed family is overflow-proof only for j <= 7")
+
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_might_contain"
 

@@ -28,6 +28,11 @@ object CorpusOps {
     * between Spark (exact decimal HALF_UP) and DuckDB (double math). */
   private def portableRound4(c: Column): Column = floor(c * 1e4 + 0.5) / 1e4
 
+  /** Shared by q68 and its sharded twin q68b — identical oracle SQL is
+    * the equivalence contract between the two plans. */
+  private[queries] val q68OracleSql =
+    s"""WITH ${LlmOps.textStatsCte}, b AS (SELECT d.doc_id, d.lang, q.n_tokens, q.quality FROM documents d JOIN q USING (doc_id)), c AS (SELECT lang, doc_id, n_tokens, quality, CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM b) SELECT lang, doc_id, n_tokens, quality, cum_tokens FROM c WHERE cum_tokens <= 5000"""
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q62_source_quota",
@@ -143,7 +148,16 @@ object CorpusOps {
         .tokenBudgetSelect(t(s, d, "documents"), "lang", "text", "doc_id", 5000L)
         .select(col("grp").as("lang"), col("doc_id"), col("n_tokens"),
                 col("quality"), col("cum_tokens")),
-      Some(s"""WITH ${LlmOps.textStatsCte}, b AS (SELECT d.doc_id, d.lang, q.n_tokens, q.quality FROM documents d JOIN q USING (doc_id)), c AS (SELECT lang, doc_id, n_tokens, quality, CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM b) SELECT lang, doc_id, n_tokens, quality, cum_tokens FROM c WHERE cum_tokens <= 5000""")),
+      Some(q68OracleSql)),
+
+    QueryDef("q68b_token_budget_sharded",
+      "q68's SCALE twin: the same greedy budget selection via quality-range bucket shards (first-pass histogram split -> per-bucket totals -> tiny bucket-base prefix -> bounded within-bucket windows). Selected set identical to q68 by construction (buckets are contiguous quality ranges), so it reuses q68's oracle SQL verbatim",
+      (s, d) => graft.ext.ShardedPrefix
+        .tokenBudgetSelectSharded(t(s, d, "documents"), "lang", "text",
+                                  "doc_id", 5000L, nBuckets = 8)
+        .select(col("grp").as("lang"), col("doc_id"), col("n_tokens"),
+                col("quality"), col("cum_tokens")),
+      Some(q68OracleSql)),
 
     QueryDef("q65_curation_pipeline",
       "END-TO-END corpus curation funnel: quality filter (>= 0.75) -> exact dedup (128-bit md5, keep min id) -> MinHash+LSH near-dup groups -> per-lang funnel counts and surviving token mass. The composition a training-data pipeline actually executes, with every stage on its scale path",
@@ -243,6 +257,14 @@ object CorpusOps {
            |fl AS (SELECT bh.lang, EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = bh.doc_id) AS hit, EXISTS (SELECT 1 FROM ik WHERE ik.k = bh.k) AS in_ix FROM bh)
            |SELECT lang, CAST(count(*) AS BIGINT) AS n_batch, CAST(count(CASE WHEN hit THEN 1 END) AS BIGINT) AS n_bloom_hits, CAST(count(CASE WHEN in_ix THEN 1 END) AS BIGINT) AS n_true_dups, CAST(count(CASE WHEN hit AND NOT in_ix THEN 1 END) AS BIGINT) AS n_false_pos
            |FROM fl GROUP BY lang""".stripMargin.replace("\n", " ")
-      })
+      }),
+
+    QueryDef("q72_hash_shard_assignment",
+      "deterministic hash-shard assignment backing ReportSink.writeHashSharded (WebDataset-style corpus layout): shard = pmod(portableHash(doc_id, 97), 16) — the writer's exact expression, oracle-checked row by row so the layout is stable under reruns and cluster resizes",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+                graft.sinks.ReportSink.shardOf(col("doc_id"), 16).as("shard")),
+      // portableHash is non-negative (60-bit), so % == pmod in both engines
+      Some(s"SELECT doc_id, CAST(CASE WHEN doc_id IS NULL THEN 0 ELSE ${ph("CAST(doc_id AS VARCHAR)", 97)} % 16 END AS BIGINT) AS shard FROM documents"))
   )
 }

@@ -105,6 +105,11 @@ object LlmOps {
       |  FROM s),
       |q AS (SELECT *, floor((0.35 * alpha_ratio + 0.25 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) + 0.15 * (CASE WHEN avg_token_len >= 2 AND avg_token_len <= 12 THEN 1.0 ELSE 0.0 END) + 0.15 * least(stopword_ratio * 5.0, 1.0) + 0.10 * (1.0 - least(digit_ratio * 10.0, 1.0))) * 1000000 + 0.5) / 1000000 AS quality FROM m)""".stripMargin.replace("\n", " ")
 
+  /** Shared by q61 and its sharded twin q61b — identical oracle SQL is
+    * the equivalence contract between the two plans. */
+  private[queries] val q61OracleSql =
+    s"""WITH s AS (SELECT doc_id, lang, CAST(len(${TextFunctions.sql.tokensOf("text")}) AS BIGINT) AS n_tokens FROM documents), o AS (SELECT doc_id, lang, n_tokens, SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) - n_tokens AS start_off FROM s) SELECT lang, CAST(floor(start_off / 512) AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM o GROUP BY 1, 2"""
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q20_dedup_exact",
@@ -219,7 +224,19 @@ object LlmOps {
           .groupBy(col("lang"), col("bin"))
           .agg(lcount(lit(1)).as("n_docs"), lsum(col("n_tokens")).as("n_tokens"))
       },
-      Some(s"""WITH s AS (SELECT doc_id, lang, CAST(len(${TextFunctions.sql.tokensOf("text")}) AS BIGINT) AS n_tokens FROM documents), o AS (SELECT doc_id, lang, n_tokens, SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) - n_tokens AS start_off FROM s) SELECT lang, CAST(floor(start_off / 512) AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM o GROUP BY 1, 2""")),
+      Some(q61OracleSql)),
+
+    QueryDef("q61b_sequence_packing_sharded",
+      "q61's SCALE twin: the same packing bins via the two-pass sharded prefix sum (per-(lang, doc-id-range-shard) totals -> tiny shard-base prefix -> bounded within-shard windows). Row-identical to q61 by construction (contiguous shards), so it reuses q61's oracle SQL verbatim — the hash-match IS the equivalence proof at data scale",
+      (s, d) => graft.ext.ShardedPrefix
+        .packedOffsets(
+          t(s, d, "documents")
+            .select(col("doc_id"), col("lang"), tokenCount(col("text")).as("n_tokens")),
+          "lang", "doc_id", "n_tokens", shardWidth = 1000L)
+        .withColumn("bin", floor(col("start_off") / lit(512)).cast("long"))
+        .groupBy(col("grp").as("lang"), col("bin"))
+        .agg(lcount(lit(1)).as("n_docs"), lsum(col("n_tokens")).as("n_tokens")),
+      Some(q61OracleSql)),
 
     QueryDef("q24_ann_topk",
       "brute-force cosine top-5 neighbors for query vectors vec_id<10",

@@ -83,10 +83,14 @@ object LlmOps2 {
         val tf = tok.groupBy(col("doc_id"), col("term"))
           .agg(lcount(lit(1)).as("tf"))
         // df from the tf table (already one row per (doc, term)): a
-        // cheap second aggregate, no countDistinct shuffle
+        // cheap second aggregate, no countDistinct shuffle. The df table
+        // IS the corpus vocabulary — same object q63 refuses to assume
+        // broadcastable at 100 TB — so no broadcast hint here either:
+        // AQE picks broadcast when the measured size allows and falls
+        // back to a sort-merge join on `term` when it doesn't
         val dfreq = tf.groupBy(col("term")).agg(lcount(lit(1)).as("df"))
         val n = t(s, d, "documents").agg(lcount(lit(1)).as("n_docs"))
-        val scored = tf.join(broadcast(dfreq), "term")
+        val scored = tf.join(dfreq, "term")
           .crossJoin(broadcast(n))
           .select(col("doc_id"), col("term"), col("tf"),
             (col("tf").cast("double") *

@@ -55,26 +55,45 @@ object ReportSink {
     *    under reruns, partitioning, and cluster size (unlike
     *    repartitionByRange, whose sampled boundaries shift with the
     *    data), so incremental rebuilds touch only changed shards and
-    *    the assignment is oracle-checkable (q72);
+    *    the assignment is oracle-checkable (q72 hash-matches
+    *    [[shardOf]] row by row against the DuckDB mirror);
     *  - one shuffle total: repartition by the shard column, then an
     *    in-partition sort (no global sort, no range exchange);
-    *  - dynamic partition dirs (`partitionBy("shard")`) let readers
+    *  - dynamic partition dirs (`partitionBy(shardCol)`) let readers
     *    open exactly the shards they want; `maxRecordsPerFile` bounds
     *    file sizes inside hot shards.
     * Returns the shard column name written. */
   def writeHashSharded(df: DataFrame, path: String, nShards: Int,
                        keyCol: String, sortCols: Seq[String],
-                       maxRecordsPerFile: Long = 0L): String = {
+                       maxRecordsPerFile: Long = 0L,
+                       shardCol: String = "shard"): String = {
     import org.apache.spark.sql.functions._
-    val shard = pmod(graft.functions.TextFunctions.portableHash(
-      col(keyCol).cast("string"), seed = 97), lit(nShards))
-    val sharded = df.withColumn("shard", shard)
-      .repartition(nShards, col("shard"))
-      .sortWithinPartitions(col("shard") +: sortCols.map(col): _*)
+    // refuse to silently overwrite user data with the derived column
+    require(!df.columns.contains(shardCol),
+      s"input already has a '$shardCol' column - pass a different shardCol")
+    val sharded = df.withColumn(shardCol, shardOf(col(keyCol), nShards))
+      .repartition(nShards, col(shardCol))
+      .sortWithinPartitions(col(shardCol) +: sortCols.map(col): _*)
     sharded.write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
-      .partitionBy("shard").parquet(path)
-    "shard"
+      .partitionBy(shardCol).parquet(path)
+    shardCol
+  }
+
+  /** The pure shard-assignment function behind [[writeHashSharded]]:
+    * `pmod(portableHash(cast(key as string), 97), nShards)`. Null keys
+    * go DETERMINISTICALLY to shard 0 — a null hash would otherwise
+    * yield a null shard and dump the rows into
+    * `__HIVE_DEFAULT_PARTITION__`, invisible to shard-addressed
+    * readers. Exposed so q72 oracle-checks the exact expression the
+    * writer uses. */
+  def shardOf(key: org.apache.spark.sql.Column, nShards: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    require(nShards > 0, s"nShards=$nShards must be positive")
+    when(key.isNull, lit(0L)).otherwise(
+      pmod(graft.functions.TextFunctions.portableHash(key.cast("string"), seed = 97),
+           lit(nShards.toLong)))
+      .cast("long")
   }
 
   def appendCsvSingleFile(df: DataFrame, targetFile: String): Unit = {

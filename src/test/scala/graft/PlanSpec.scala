@@ -53,6 +53,24 @@ class PlanSpec extends SparkSpec {
       val p = planOf("q24b_ann_ivf")
       assert(p.contains("TopKPerKey"), s"plan:\n$p")
     }
+    it("q24b IVF cell assignment is map-only (literal codebook, no window / no corpus exchange)") {
+      val p = planOf("q24b_ann_ivf")
+      // exactly ONE Window node is legitimate (rank derivation over the
+      // ≤k TopK survivors). The earlier formulation window-sorted the
+      // |corpus|×nCells cross join for BOTH cell assignment and query
+      // probes — three Windows total and a corpus-wide shuffle of
+      // embeddings; with the codebook embedded as literals both sides
+      // are pure map work (array_min / array_sort over per-centroid
+      // scores)
+      val windows = p.linesIterator.count(_.trim.matches("^[+:\\-* ]*Window .*"))
+      assert(windows == 1, s"expected only the rank window, found $windows:\n$p")
+      // the one allowed exchange family: the TopK final pass / rank
+      // partitioning by query_id over ≤k·|queries| rows — never a
+      // corpus-side hash partitioning for cell assignment. Corpus rows
+      // reach the probe join via broadcast of the probes, so no
+      // Exchange may sit between the corpus scan and the join.
+      assert(!p.contains("CartesianProduct"), s"assignment regressed to cross join:\n$p")
+    }
     it("q24c PQ encode aggregates codes without a window sort, ranks via TopKPerKey") {
       val p = planOf("q24c_ann_pq")
       assert(p.contains("TopKPerKey"), s"plan:\n$p")

@@ -41,6 +41,44 @@ class ReportSinkSpec extends SparkSpec {
       assert(back.filter($"day" === "2024-01-02").count() == 2)
       assert(new java.io.File(path).listFiles().count(_.getName.startsWith("day=")) == 2)
     }
+    it("writeHashSharded: shard dirs, in-file sort, null routing, shard-column guard") {
+      val path = Files.createTempDirectory("hsink").resolve("corpus").toString
+      val df = Seq[(java.lang.Long, String)](
+        (1L, "b"), (2L, "a"), (3L, "c"), (4L, "d"), (5L, "e"),
+        (null, "z") // null key must land in shard 0, not HIVE_DEFAULT
+      ).toDF("doc_id", "text")
+      val colName = ReportSink.writeHashSharded(df, path, nShards = 4,
+        keyCol = "doc_id", sortCols = Seq("doc_id"))
+      assert(colName == "shard")
+      val dirs = new java.io.File(path).listFiles().map(_.getName)
+        .filter(_.startsWith("shard=")).sorted.toSeq
+      assert(dirs.nonEmpty && dirs.forall(d => (0 until 4).exists(i => d == s"shard=$i")),
+        s"unexpected shard dirs: $dirs")
+      assert(!dirs.contains("shard=__HIVE_DEFAULT_PARTITION__"))
+      // assignment matches the pure shardOf expression row by row
+      val back = spark.read.parquet(path)
+      val expected = df.select($"doc_id", $"text",
+        ReportSink.shardOf($"doc_id", 4).as("shard"))
+      assert(back.count() == 6)
+      assert(back.exceptAll(expected).isEmpty && expected.exceptAll(back).isEmpty)
+      // null key routed deterministically to shard 0
+      assert(back.filter($"text" === "z").select($"shard").as[Long].head() == 0L)
+      // rows inside each shard's files arrive sorted by the sort key
+      val shard0Files = new java.io.File(path + "/shard=0").listFiles()
+        .filter(_.getName.startsWith("part-"))
+      shard0Files.foreach { f =>
+        val ids = spark.read.parquet(f.getPath)
+          .select($"doc_id").as[java.lang.Long].collect().toSeq
+        // Spark's asc ordering puts nulls first
+        assert(ids == ids.sortBy(i => (i != null, Option(i).map(_.longValue).getOrElse(0L))),
+          s"in-file order not sorted: $ids")
+      }
+      // derived column must never silently replace user data
+      val clash = Seq((1L, 9L)).toDF("doc_id", "shard")
+      assertThrows[IllegalArgumentException] {
+        ReportSink.writeHashSharded(clash, path + "2", 4, "doc_id", Nil)
+      }
+    }
     it("supports ORC with identical partitioned union-all semantics") {
       val path = Files.createTempDirectory("osink").resolve("report").toString
       val b1 = Seq(("2024-01-01", 1L), ("2024-01-02", 2L)).toDF("day", "v")
