@@ -44,9 +44,25 @@ object SnapshotDemo {
     val fees = json(Seq(
       """{"user_address":"U1","poolAddress":"P1","binId":"8388608","accruedFeesX":"0.5","accruedFeesY":0.25}"""),
       Schemas.feesEarned)
-    val bins = json(Seq(
-      """{"user_address":"U1","poolAddress":"P1","binId":8388608,"reserveX":4000000000000000000,"reserveY":0,"shares":500,"totalShares":1000}"""),
-      Schemas.binReserves)
+    // bins arrive through the JSON-RPC connector (the offline stand-in
+    // for main.py:203-219's eth_call): a canned node answers the batched
+    // getBinsReserveOf POST with an ABI-encoded fixture result, and the
+    // connector decodes it into binReserves rows on the executors
+    val binsResult = graft.sources.BinsAbi.encodeResult(8388608L, Seq(
+      (8388608L, new java.math.BigInteger("4000000000000000000"),
+        java.math.BigInteger.ZERO, java.math.BigInteger.valueOf(500L),
+        java.math.BigInteger.valueOf(1000L))))
+    graft.sources.RpcTransport.setOverride { (_, body) =>
+      val req = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      (0 until req.size())
+        .map(i => s"""{"jsonrpc":"2.0","id":${req.get(i).get("id").asLong()},"result":"$binsResult"}""")
+        .mkString("[", ",", "]")
+    }
+    val bins = spark.read.format("graft.sources.RpcBinsSource")
+      .option("endpoint", "https://node/ext/bc/C/rpc")
+      .option("contract", "0xA5c68C9E55Dde3505e60c4B5eAe411e2977dfB35")
+      .option("tasks", "P1,U1,8388608,1000,1000")
+      .load()
     val tasks = Seq(("U1", "P1"), ("U2", "P1")).toDF("user_address", "pool_address")
 
     val snap = Snapshot.build(Snapshot.Inputs(tasks, pool1d, pool1h, history, fees, bins),

@@ -105,6 +105,44 @@ object LlmOps {
       |  FROM s),
       |q AS (SELECT *, floor((0.35 * alpha_ratio + 0.25 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) + 0.15 * (CASE WHEN avg_token_len >= 2 AND avg_token_len <= 12 THEN 1.0 ELSE 0.0 END) + 0.15 * least(stopword_ratio * 5.0, 1.0) + 0.10 * (1.0 - least(digit_ratio * 10.0, 1.0))) * 1000000 + 0.5) / 1000000 AS quality FROM m)""".stripMargin.replace("\n", " ")
 
+  /** DuckDB mirror of [[graft.functions.RollingMinHash]] (q31).
+    *
+    * The Scala expression is a sequential Rabin-Karp loop (mod-2⁶⁴
+    * polynomial rolling hash, unsigned min over 16-byte windows). SQL
+    * has no loops, but the recurrence has a closed form: with
+    * T(i) = Σ_{j≤i} byte(j)·inv257^j (a plain cumulative sum — inv257
+    * is the modular inverse of 257 mod 2⁶⁴, which exists because 257
+    * is odd), the hash of the window ending at byte e is
+    * (T(e) − T(e−16))·257^e mod 2⁶⁴. That needs only: per-byte rows
+    * (unnest), one cumulative-SUM window, one constant-offset LAG
+    * (16 — short docs fall out via LAG's 0 default at j = n < 16),
+    * and 128-bit (HUGEINT) modular arithmetic with a split-word mulmod
+    * for the final 64×64-bit product. Power tables 257^j / inv257^j
+    * are embedded as literals (j ≤ 1024, guarded: longer docs raise —
+    * the fixture corpus tops out at ~600 bytes); unsigned min falls
+    * out of MIN over [0, 2⁶⁴) values, converted to signed at the end.
+    * Verified byte-for-byte against RollingMinHash.compute on edge
+    * cases (empty, short, multi-byte UTF-8, periodic strings). */
+  private[queries] val q31OracleSql: String = {
+    val M = BigInt(1) << 64
+    val inv = BigInt(257).modInverse(M)
+    val maxN = 1024
+    def lst(b: BigInt) =
+      (0 to maxN).map(j => b.modPow(j, M)).mkString("[", "::HUGEINT,", "::HUGEINT]")
+    def mulmod(x: String, y: String) =
+      s"(((($x) // 4294967296) * ($y)) % $M::HUGEINT * 4294967296 + (($x) % 4294967296) * ($y)) % $M::HUGEINT"
+    s"""WITH pw AS (SELECT ${lst(BigInt(257))} AS pl, ${lst(inv)} AS il),
+       |b AS (SELECT doc_id, hex(encode(text)) AS hx, CASE WHEN octet_length(encode(text)) > $maxN THEN CAST(error('q31 oracle: doc exceeds embedded pow table') AS INT) ELSE octet_length(encode(text)) END AS n FROM documents),
+       |pos AS (SELECT doc_id, LEAST(16, n) AS w, hx, unnest(generate_series(1, n)) AS j FROM b WHERE n > 0),
+       |pb AS (SELECT doc_id, w, j, pl[j + 1] AS ppj, CAST('0x' || substr(hx, 2*j-1, 2) AS INT)::HUGEINT * il[j + 1] AS term FROM pos, pw),
+       |cums AS (SELECT doc_id, w, j, ppj, SUM(term) OVER (PARTITION BY doc_id ORDER BY j) AS t FROM pb),
+       |winh AS (SELECT doc_id, w, j, ppj, t, LAG(t, 16, 0::HUGEINT) OVER (PARTITION BY doc_id ORDER BY j) AS tp FROM cums),
+       |h AS (SELECT doc_id, ${mulmod(s"((t - tp) % $M::HUGEINT)", "ppj")} AS hv FROM winh WHERE j >= w),
+       |m AS (SELECT doc_id, MIN(hv) AS mh FROM h GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(CASE WHEN d.text IS NULL THEN NULL WHEN m.mh IS NULL THEN 0 WHEN m.mh >= ${BigInt(1) << 63}::HUGEINT THEN m.mh - $M::HUGEINT ELSE m.mh END AS BIGINT) AS winnow_fp
+       |FROM documents d LEFT JOIN m USING (doc_id)""".stripMargin.replace("\n", " ")
+  }
+
   /** Shared by q61 and its sharded twin q61b — identical oracle SQL is
     * the equivalence contract between the two plans. */
   private[queries] val q61OracleSql =
@@ -387,11 +425,11 @@ object LlmOps {
       Some(s"""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, sha256(text) AS sha256, CAST(ascii(substring(text, 1, 1)) % ${graft.ext.Multimodal.HistBins} AS INTEGER) AS first_byte_bucket FROM documents""")),
 
     QueryDef("q31_rolling_fingerprint",
-      "native codegen Expression: Rabin-Karp rolling min-hash winnowing fingerprint (no SQL oracle — loop not expressible; rows-only check)",
+      "native codegen Expression: Rabin-Karp rolling min-hash winnowing fingerprint. Oracle: the sequential recurrence is re-expressed closed-form — window hash = (T(e) − T(s−1))·257^e mod 2^64 over modular-inverse prefix sums T, evaluated with HUGEINT arithmetic and embedded power tables — so even this 'loop' operator is hash-checked, not rows-only",
       (s, d) => t(s, d, "documents").select(
         col("doc_id"),
         graft.functions.RollingMinHash.rolling_min_hash(col("text"), 16).as("winnow_fp")),
-      None),
+      Some(q31OracleSql)),
 
     QueryDef("q33_stratified_sample",
       "deterministic hash-based stratified sampling (corpus mixing): en 50%, de 100%, zh 25%",
