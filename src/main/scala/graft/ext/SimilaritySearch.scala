@@ -236,22 +236,19 @@ object SimilaritySearch {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
-    // per-centroid ordering key: (−csim, cent_id) ascending == the
-    // oracle's ORDER BY csim DESC, cent_id; a null cosine (zero-norm
-    // vector) ranks last, matching DESC NULLS LAST
-    def cellScores(emb: Column): Column = array(cents.map { case (id, cv) =>
-      val csim = cosine(emb, lit(cv))
-      struct(when(csim.isNull, lit(Double.MaxValue)).otherwise(-csim).as("negsim"),
-             lit(id).as("cent_id"))
-    }: _*)
+    // both sides rank cells through the native NearestCells expression
+    // (codegen'd tight loop over the codebook reference object) — the
+    // (cosine DESC, cent_id ASC, null-last) ordering and fold
+    // arithmetic match the oracle's window mirror exactly
+    import graft.functions.NearestCells.nearest_cells
+    val cb = cents.map(_._2)
+    val ids = cents.map(_._1)
     val assigned = corpus.select(
       col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
-      array_min(cellScores(col("embedding"))).getField("cent_id").as("cell"))
+      element_at(nearest_cells(col("embedding"), cb, ids, 1), 1).as("cell"))
     val probes = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-              slice(array_sort(cellScores(col("embedding"))), 1, nProbe).as("cells"))
-      .select(col("query_id"), col("q_emb"), explode(col("cells")).as("cs"))
-      .select(col("query_id"), col("q_emb"), col("cs").getField("cent_id").as("cell"))
+              explode(nearest_cells(col("embedding"), cb, ids, nProbe)).as("cell"))
     // final ranking through the bounded-heap operator: probed cells can
     // hold an O(|corpus|/nCells × nProbe) member set per query at scale,
     // which must never funnel through a full window sort
