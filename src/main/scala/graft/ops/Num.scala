@@ -15,6 +15,10 @@ import org.apache.spark.sql.types._
   * IEEE-deterministic and needs no such treatment.
   */
 object Num {
+  /** Exact-sum input type. A compact-Long (18,6) variant was A/B'd in
+    * round 6 and measured NO gain at sf0.1 (the ~1 s cost of the Q1
+    * shape is the per-query scheduling/scan floor, not decimal adds),
+    * so the overflow-proof full precision stays. */
   val D: DecimalType = DecimalType(38, 6)
 
   /** Order-independent sum of a double column, returned as double. */
