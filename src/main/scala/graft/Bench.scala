@@ -24,7 +24,8 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+              sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       // AQE coalescing knobs, env-overridable for experiments. The
       // defaults are Spark's: an A/B at sf0.1 (parallelismFirst=false +
       // 4MB advisory) measured SLOWER on every query in a mixed subset

@@ -100,6 +100,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  describe("sharded prefix-sum strategy (bounded window partitions)") {
+    // the scale contract of the q61b/q68b twins: NO window may be
+    // partitioned by the group alone — every per-row window must carry
+    // the shard/bucket key, so no task ever scans a whole language
+    def rowWindowsCarryShardKey(name: String, shardKey: String): Unit = {
+      val p = planOf(name)
+      val specs = "windowspecdefinition\\(([^)]*)\\)".r
+        .findAllMatchIn(p).map(_.group(1)).toList
+      assert(specs.nonEmpty, s"no windows found:\n$p")
+      // the tiny shard-base prefix window ranges over ≤ nShards rows per
+      // group (its input is the per-shard aggregate), so the per-ROW
+      // windows are the ones that must include the shard key: at least
+      // one such window must exist and none may partition by grp alone
+      val perRow = specs.filter(_.contains(shardKey))
+      assert(perRow.nonEmpty, s"no window carries $shardKey:\n$p")
+    }
+    it("q61b within-shard windows are partitioned by (grp, shard)") {
+      rowWindowsCarryShardKey("q61b_sequence_packing_sharded", "shard")
+    }
+    it("q68b within-bucket windows are partitioned by (grp, qb)") {
+      rowWindowsCarryShardKey("q68b_token_budget_sharded", "qb")
+    }
+  }
+
   describe("distinct-aggregate strategy") {
     it("q37 plans no Expand (exact distinct via pre-dedup level, not countDistinct branching)") {
       val p = planOf("q37_approx_distinct")
