@@ -168,37 +168,30 @@ object SimilaritySearch {
     * trillion-vector index RAM-resident; queries score against the
     * DECODED (reconstructed) vectors.
     *
-    * Plan shape: encoding is explode(m) → broadcast-join the m×|codebook|
-    * sub-codebook → per-(vector, subspace) argmin via `min_by` partial
-    * aggregation (map-side combine collapses the |codebook| candidate
-    * rows before any exchange — no window sort); decoding regroups the m
-    * codes per vector; scoring reuses the bounded-heap [[rankTopK]]
-    * tail. Corpus embeddings never shuffle — only codes do. */
+    * Plan shape: encode + reconstruct is the MAP-ONLY native
+    * [[graft.functions.PqReconstruct]] expression over the bounded
+    * driver-loaded codebook (the same reference-object pattern as the
+    * IVF [[graft.functions.NearestCells]] — the earlier
+    * explode×m → broadcast-join → min_by composition moved every code
+    * row through two exchanges); scoring reuses the bounded-heap
+    * [[rankTopK]] tail, so the ONLY exchange in the whole plan is the
+    * TopK final pass. Corpus embeddings never shuffle at all. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, dim: Int, m: Int,
              centroidIds: Seq[Long], k: Int): DataFrame = {
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
-    val subLen = dim / m
-    def subVectors(emb: Column): Column =
-      array((0 until m).map(j => slice(emb, j * subLen + 1, subLen)): _*)
-    val cb = corpus.filter(col("vec_id").isInCollection(centroidIds))
-      .select(col("vec_id").as("cent_id"), posexplode(subVectors(col("embedding"))))
-      .withColumnRenamed("pos", "j").withColumnRenamed("col", "cv")
-    val subs = corpus
-      .select(col("vec_id"), posexplode(subVectors(col("embedding"))))
-      .withColumnRenamed("pos", "j").withColumnRenamed("col", "sv")
-    // ||sv - cv||² expanded through the shared dot primitive — the same
-    // products, in the same order, as the oracle's list_dot_product
-    // mirror, so the argmin comparisons see bit-identical doubles
-    val d2 = dot(col("sv"), col("sv")) -
-      lit(2.0) * dot(col("sv"), col("cv")) + dot(col("cv"), col("cv"))
-    val codes = subs.join(broadcast(cb), Seq("j"))
-      .select(col("vec_id"), col("j"), col("cv"), d2.as("d"), col("cent_id"))
-      .groupBy(col("vec_id"), col("j"))
-      .agg(min_by(col("cv"), struct(col("d"), col("cent_id"))).as("cv"))
-    val decoded = codes.groupBy(col("vec_id"))
-      .agg(collect_list(struct(col("j"), col("cv"))).as("parts"))
+    // bounded codebook load (nCells rows), ascending id order so the
+    // expression's first-best tie keeping = (d², cent_id) argmin
+    val cents: Array[(Long, Array[Float])] = corpus
+      .filter(col("vec_id").isInCollection(centroidIds))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val decoded = corpus
+      .filter(col("embedding").isNotNull) // composed form dropped null rows via explode
       .select(col("vec_id").as("neighbor_id"),
-        flatten(transform(array_sort(col("parts")), p => p.getField("cv"))).as("dv"))
+        graft.functions.PqReconstruct.pq_reconstruct(
+          col("embedding"), cents.map(_._2), cents.map(_._1), m).as("dv"))
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     rankTopK(
       decoded.crossJoin(broadcast(q))

@@ -71,18 +71,21 @@ class PlanSpec extends SparkSpec {
       // Exchange may sit between the corpus scan and the join.
       assert(!p.contains("CartesianProduct"), s"assignment regressed to cross join:\n$p")
     }
-    it("q24c PQ encode aggregates codes without a window sort, ranks via TopKPerKey") {
+    it("q24c PQ encode is map-only; the only exchange is the TopK final pass") {
       val p = planOf("q24c_ann_pq")
       assert(p.contains("TopKPerKey"), s"plan:\n$p")
       // exactly ONE Window node is legitimate (the rank derivation over
-      // the ≤k TopK survivors); a second would mean the per-(vector,
-      // subspace) argmin regressed from min_by aggregation to a window
-      // sort over the full |corpus|×|codebook| candidate set. Physical
-      // plans print node names with the "Exec" suffix stripped, so count
-      // "Window" lines, not "WindowExec".
+      // the ≤k TopK survivors). Physical plans print node names with
+      // the "Exec" suffix stripped, so count "Window" lines.
       val windows = p.linesIterator.count(_.trim.matches("^[+:\\-* ]*Window .*"))
       assert(windows == 1, s"expected 1 rank window, found $windows:\n$p")
-      assert(p.contains("min_by"), s"PQ encode must plan as min_by aggregation:\n$p")
+      // encode+reconstruct is the native pq_reconstruct expression over
+      // the corpus scan — the earlier explode → broadcast-join → min_by
+      // composition cost two exchanges of code rows; now the single
+      // non-broadcast exchange left is the TopK partial→final hop
+      assert(p.contains("pq_reconstruct"), s"PQ encode must be the native expression:\n$p")
+      val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+      assert(exchanges == 1, s"expected only the TopK exchange, found $exchanges:\n$p")
     }
   }
 
