@@ -290,14 +290,19 @@ object ReferenceParity {
       Some("""SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts, TRUE AS within_5pct FROM lineitem GROUP BY l_returnflag""")),
 
     QueryDef("q50_eip55_checksum",
-      "E21 EIP-55 mixed-case address checksum via native Keccak-256 expression (main.py:206,211); no SQL oracle — DuckDB has no keccak (rows-only check); correctness pinned by Eip55Spec against the EIP's published vectors",
-      (s, d) => t(s, d, "customer").select(
-        col("c_custkey"),
-        graft.functions.Eip55.eip55_checksum(
-          concat(substring(md5(col("c_name").cast("binary")), 1, 20),
-                 substring(md5(col("c_custkey").cast("string").cast("binary")), 1, 20)))
-          .as("checksummed")),
-      None),
+      "E21 EIP-55 mixed-case address checksum via native Keccak-256 expression (main.py:206,211). Oracle: the full Keccak-f[1600] permutation UNROLLED into generated DuckDB SQL (24 rounds over HUGEINT lanes — see KeccakOracle), so even the checksum hash-matches; the deterministic 1-in-11 subset keeps the ~1 ms/row SQL emulation from distorting the oracle suite's wall-clock (operator correctness is also pinned by Eip55Spec's EIP vectors)",
+      (s, d) => t(s, d, "customer")
+        .filter(col("c_custkey") % 11 === 0)
+        .select(
+          col("c_custkey"),
+          graft.functions.Eip55.eip55_checksum(
+            concat(substring(md5(col("c_name").cast("binary")), 1, 20),
+                   substring(md5(col("c_custkey").cast("string").cast("binary")), 1, 20)))
+            .as("checksummed")),
+      Some(KeccakOracle.eip55Sql(
+        idExpr = "c_custkey", idName = "c_custkey",
+        addrExpr = "substr(md5(c_name), 1, 20) || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 20)",
+        fromClause = "customer WHERE c_custkey % 11 = 0"))),
 
     QueryDef("q18_decimal_mul",
       "E2/E3 exact wide-decimal products (uint256-style bin math, main.py:232-238)",
