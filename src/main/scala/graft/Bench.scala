@@ -73,6 +73,12 @@ object Bench {
         .foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
       System.gc()
+      // the ContextCleaner processes the unpersist/broadcast-remove
+      // backlog ASYNCHRONOUSLY after the gc surfaces dead references; a
+      // short settle keeps that work out of the next timed section
+      // (observed as sporadic 2-4× tail inflation on the checkpointing
+      // dedup queries when the cleaner drained mid-measurement)
+      Thread.sleep(150)
     }
     val results = selected.map { name =>
       // steady-state timing: at least two runs, report the MIN. The
