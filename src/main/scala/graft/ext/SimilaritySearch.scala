@@ -252,4 +252,31 @@ object SimilaritySearch {
                 cosine(col("q_emb"), col("c_emb")).as("sim")),
       k)
   }
+
+  /** SemDeDup end-to-end (semantic dedup over embeddings, Abbas et al.
+    * 2023): hyperplane-LSH cosine pairs ([[nearDupPairsLsh]] — bucketed
+    * candidate generation, no all-pairs stage) → connected components
+    * ([[Dedup.dedupGroups]], keep each group's min-id representative) →
+    * per-`labelCol` keep/drop summary.
+    *
+    * 100 TB shape: the corpus shuffles ONCE on the bucket key to form
+    * candidate pairs; group resolution adapts on the materialized edge
+    * count (driver union-find under the bound, distributed min-label
+    * above it); the apply is a single anti-join against the compact
+    * drop set (non-representatives only — a vanishing fraction of the
+    * corpus for realistic duplicate rates). */
+  def semDedupSummary(corpus: DataFrame, labelCol: String, dim: Int,
+                      nPlanes: Int, threshold: Double, seed: Int): DataFrame = {
+    import graft.ops.Num.lcount
+    val groups = Dedup.dedupGroups(
+      nearDupPairsLsh(corpus, dim, nPlanes, threshold, seed), "id_a", "id_b")
+    val drop = groups.filter(col("doc_id") =!= col("group_rep"))
+      .select(col("doc_id").as("vec_id"))
+    val kept = corpus.join(drop, Seq("vec_id"), "left_anti")
+      .groupBy(col(labelCol)).agg(lcount(lit(1)).as("n_kept"))
+    corpus.groupBy(col(labelCol)).agg(lcount(lit(1)).as("n_vecs"))
+      .join(kept, Seq(labelCol))
+      .select(col(labelCol), col("n_vecs"), col("n_kept"),
+              (col("n_vecs") - col("n_kept")).as("n_dropped"))
+  }
 }

@@ -115,6 +115,30 @@ object LlmOps2 {
         .select(col("label"), col("pos").cast("long").as("dim"),
                 round(col("mean_val"), 9).as("mean_val")),
       // DuckDB zips parallel unnests of equal length (no WITH ORDINALITY in 1.0)
-      Some("""WITH e AS (SELECT label, unnest(embedding) AS x, unnest(generate_series(1, len(embedding))) AS ord FROM embeddings) SELECT label, CAST(ord - 1 AS BIGINT) AS dim, ROUND(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 9) AS mean_val FROM e GROUP BY label, ord"""))
+      Some("""WITH e AS (SELECT label, unnest(embedding) AS x, unnest(generate_series(1, len(embedding))) AS ord FROM embeddings) SELECT label, CAST(ord - 1 AS BIGINT) AS dim, ROUND(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 9) AS mean_val FROM e GROUP BY label, ord""")),
+
+    QueryDef("q74_quality_classifier",
+      "model-based quality filtering (the fastText/FineWeb-Edu classifier stage): a deterministic linear model over the q26 feature vector, squashed by the RATIONAL sigmoid 0.5 + z/(2(1+|z|)) — same shape and range as the logistic, but built only from IEEE-exact ops (+,x,/,abs are correctly rounded per IEEE 754; libm exp is not), so scores are bit-identical across engines. Classifier inference is map-only: zero shuffles at 100 TB, and the keep decision composes directly with the curation funnel",
+      (s, d) => {
+        import graft.functions.TextFunctions._
+        // weights are fixed model parameters (a trained classifier would
+        // ship them the same way); z is evaluated STRICTLY left-to-right
+        // in both engines — Catalyst does not reassociate double
+        // arithmetic — so each +/x is the same correctly-rounded op
+        val a = alphaRatio(col("text"))
+        val sw = stopwordRatio(col("text"))
+        val dg = digitRatio(col("text"))
+        val al = avgTokenLen(col("text"))
+        val tl = least(tokenCount(col("text")).cast("double") / lit(50.0), lit(1.0))
+        val z = lit(-2.0) + lit(3.0) * a + lit(4.0) * sw - lit(6.0) * dg +
+          lit(0.1) * al + lit(1.5) * tl
+        val score = lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
+        t(s, d, "documents").select(
+          col("doc_id"), score.as("score"),
+          when(score >= 0.55, lit(1L)).otherwise(lit(0L)).as("keep"))
+      },
+      Some(s"""WITH ${LlmOps.textStatsCte},
+         |f AS (SELECT doc_id, -2.0 + 3.0 * alpha_ratio + 4.0 * stopword_ratio - 6.0 * digit_ratio + 0.1 * avg_token_len + 1.5 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) AS z FROM q)
+         |SELECT doc_id, 0.5 + z / (2.0 * (1.0 + abs(z))) AS score, CAST(CASE WHEN 0.5 + z / (2.0 * (1.0 + abs(z))) >= 0.55 THEN 1 ELSE 0 END AS BIGINT) AS keep FROM f""".stripMargin.replace("\n", " ")))
   )
 }

@@ -58,6 +58,26 @@ object VectorOps {
            |  WHERE q.vec_id % 10 = 0),
            |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rk FROM s WHERE sim IS NOT NULL)
            |SELECT query_id, neighbor_id, sim, rk FROM r WHERE rk <= 3""".stripMargin.replace("\n", " ")
+      }),
+
+    QueryDef("q73_semdedup_apply",
+      "SemDeDup END-TO-END (Abbas et al. 2023): embedding-space near-dup pairs from the hyperplane-LSH candidate plane (8 sign bits, seed 11, cosine >= 0.35 — no all-pairs stage, same bucketing as q25b) -> connected components -> per-label keep/drop summary. The embedding-space twin of the q59 text dedup apply: at 100 TB the corpus shuffles once on the bucket key for pairs, groups resolve adaptively (driver union-find under the edge bound, distributed min-label above it), and the apply is one anti-join on the compact drop set",
+      (s, d) => SimilaritySearch.semDedupSummary(
+        t(s, d, "embeddings"), "label",
+        dim = 64, nPlanes = 8, threshold = 0.35, seed = 11),
+      Some {
+        val b = bucketSql(dim = 64, nPlanes = 8, seed = 11)
+        s"""WITH RECURSIVE e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+           |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e0),
+           |bk AS (SELECT vec_id, v, nrm, CAST($b AS BIGINT) AS bucket FROM n),
+           |p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.vec_id < c.vec_id WHERE list_dot_product(a.v, c.v) / (a.nrm * c.nrm) >= 0.35),
+           |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+           |reach(id, lbl) AS (SELECT src, src FROM e UNION SELECT e2.src, r.lbl FROM e e2 JOIN reach r ON r.id = e2.dst),
+           |g AS (SELECT id, MIN(lbl) AS rep FROM reach GROUP BY id),
+           |dropped AS (SELECT id AS vec_id FROM g WHERE id <> rep),
+           |kept AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_kept FROM embeddings WHERE vec_id NOT IN (SELECT vec_id FROM dropped) GROUP BY label),
+           |tot AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM embeddings GROUP BY label)
+           |SELECT label, n_vecs, n_kept, n_vecs - n_kept AS n_dropped FROM tot JOIN kept USING (label)""".stripMargin.replace("\n", " ")
       })
   )
 }

@@ -94,6 +94,16 @@ class PlanSpec extends SparkSpec {
       val p = planOf("q69_quantize_int8")
       assert(!p.contains("Exchange"), s"quantization must not shuffle:\n$p")
     }
+    it("q74 classifier inference is map-only: no exchange anywhere in the plan") {
+      val p = planOf("q74_quality_classifier")
+      assert(!p.contains("Exchange"), s"classifier scoring must not shuffle:\n$p")
+    }
+    it("q73 semantic dedup never degrades to a cartesian pair stage") {
+      // candidate pairs come from the bucket equi-join; a lost bucket
+      // key would silently re-plan as CartesianProduct = all-pairs
+      val p = planOf("q73_semdedup_apply")
+      assert(!p.contains("CartesianProduct"), s"pair stage regressed to all-pairs:\n$p")
+    }
     it("q70 KNN join ranks through TopKPerKey with only the rank-derivation window") {
       val p = planOf("q70_knn_join_lsh")
       assert(p.contains("TopKPerKey"), s"plan:\n$p")

@@ -76,4 +76,26 @@ class TextSpec extends SparkSpec {
       assert(eq == Seq(true, false))
     }
   }
+
+  describe("quality classifier (q74)") {
+    it("rational sigmoid scores stay strictly inside (0,1), keep matches the threshold, clean beats noise") {
+      val rows = SparkEntry.queries("q74_quality_classifier")(spark, "/root/testdata/sf0.001")
+        .select($"score", $"keep").as[(Double, Long)].collect()
+      assert(rows.nonEmpty)
+      // |z/(2(1+|z|))| < 1/2 for all finite z, so the squash can never
+      // saturate to 0/1 exactly — a NaN/Inf feature would violate this
+      assert(rows.forall { case (s, _) => s > 0.0 && s < 1.0 })
+      assert(rows.forall { case (s, k) => k == (if (s >= 0.55) 1L else 0L) })
+      val clean = "the quick brown fox and the lazy dog run to the hills of the north again and again"
+      val noise = "1234567 8910 11!! 22?? 33 44 55 66 77 88 99 00"
+      val sc = Seq((1L, clean), (2L, noise)).toDF("doc_id", "text")
+        .select(
+          (lit(-2.0) + lit(3.0) * alphaRatio($"text") + lit(4.0) * stopwordRatio($"text")
+            - lit(6.0) * digitRatio($"text") + lit(0.1) * avgTokenLen($"text")
+            + lit(1.5) * least(tokenCount($"text").cast("double") / lit(50.0), lit(1.0))).as("z"))
+        .select((lit(0.5) + $"z" / (lit(2.0) * (lit(1.0) + abs($"z")))).as("s"))
+        .as[Double].collect()
+      assert(sc(0) > sc(1), s"clean ${sc(0)} must outscore noise ${sc(1)}")
+    }
+  }
 }

@@ -175,4 +175,33 @@ class VectorSpec extends SparkSpec {
       assert(rows.minBy(_._2)._1 == 1L)
     }
   }
+
+  describe("semDedupSummary (q73 composition)") {
+    it("collapses cosine-identical vectors to one representative per group, keeps the rest") {
+      // vecs 0/1/2 identical up to positive scale (cosine 1 — one group,
+      // rep 0 kept, 1 and 2 dropped); 3/4 near-orthogonal to them and to
+      // each other below the threshold — always kept regardless of
+      // bucketing (a bucket collision still fails the cosine verify)
+      val vecs = Seq(
+        (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+        (1L, Array(2.0f, 0.0f, 0.0f, 0.0f), 0),
+        (2L, Array(0.5f, 0.0f, 0.0f, 0.0f), 1),
+        (3L, Array(0.0f, 1.0f, 0.0f, 0.0f), 0),
+        (4L, Array(0.0f, 0.0f, 1.0f, 0.0f), 1)
+      ).toDF("vec_id", "embedding", "label")
+      val out = SimilaritySearch
+        .semDedupSummary(vecs, "label", dim = 4, nPlanes = 4,
+                         threshold = 0.9, seed = 11)
+        .select($"label", $"n_vecs", $"n_kept", $"n_dropped")
+        .as[(Int, Long, Long, Long)].collect().toMap2
+      // label 0: vecs {0,1,3} — 1 dropped (dup of 0); label 1: {2,4} — 2 dropped
+      assert(out(0) == ((3L, 2L, 1L)))
+      assert(out(1) == ((2L, 1L, 1L)))
+    }
+  }
+
+  private implicit class Tup4Ops(rows: Array[(Int, Long, Long, Long)]) {
+    def toMap2: Map[Int, (Long, Long, Long)] =
+      rows.map { case (l, a, b, c) => l -> ((a, b, c)) }.toMap
+  }
 }
