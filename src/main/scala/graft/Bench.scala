@@ -68,17 +68,23 @@ object Bench {
     //    vs 2.17s isolated on the same build/machine);
     //  - clearCache + System.gc so earlier queries' broadcast/shuffle
     //    garbage doesn't tax this one's GC (observed 3× inflation).
+    val settleMs = sys.env.getOrElse("SPARK_GRAFT_SETTLE_MS", "150").toLong
     def hygiene(): Unit = {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
+      // DOUBLE-pumped gc+settle: the ContextCleaner processes the
+      // unpersist/broadcast-remove backlog ASYNCHRONOUSLY after a gc
+      // surfaces dead weak references, and the objects it releases
+      // (broadcast blocks, shuffle files from every prior query) only
+      // return to the heap/disk on the NEXT collection — one pump leaves
+      // that second-generation garbage to be collected mid-measurement
+      // (observed as 2-4× tail inflation on the dedup queries that grew
+      // with suite position: q22 1.4s isolated vs 2.9s at position 22)
       System.gc()
-      // the ContextCleaner processes the unpersist/broadcast-remove
-      // backlog ASYNCHRONOUSLY after the gc surfaces dead references; a
-      // short settle keeps that work out of the next timed section
-      // (observed as sporadic 2-4× tail inflation on the checkpointing
-      // dedup queries when the cleaner drained mid-measurement)
-      Thread.sleep(150)
+      Thread.sleep(settleMs)
+      System.gc()
+      Thread.sleep(settleMs)
     }
     val results = selected.map { name =>
       // steady-state timing: at least two runs, report the MIN. The

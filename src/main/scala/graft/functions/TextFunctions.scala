@@ -14,11 +14,25 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  private def native(e: org.apache.spark.sql.catalyst.expressions.Expression): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(e)
+  }
+  private def expr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.expression(c)
+  }
+
   /** Whitespace tokenization; empty/blank text → empty array (Spark's
-    * split would return [""] which breaks token counts). */
-  def tokens(text: Column): Column =
-    when(length(trim(text)) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(text), "\\s+"))
+    * split would return [""] which breaks token counts).
+    *
+    * Value-equal to `when(length(trim(text)) === 0, array())
+    * .otherwise(split(trim(text), "\\s+"))` but computed by the
+    * one-pass native [[TokensExpr]] (NativeTextSpec property-checks
+    * the equivalence) — the regex split plus its per-column
+    * re-evaluation was the largest map-side CPU item in the dedup
+    * suite. */
+  def tokens(text: Column): Column = native(TokensExpr(expr(text)))
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
@@ -32,22 +46,18 @@ object TextFunctions {
     * functions don't share subexpressions with the enclosing row scope;
     * measured 5× slower on the documents corpus). */
   def wordShingles(text: Column, n: Int): Column =
-    array_distinct(wordNgrams(text, n))
+    native(ShinglesExpr(expr(text), n))
 
   /** ALL word n-grams in order (duplicates kept) — the denominator for
     * repetition metrics, where `wordShingles`'s distinct set would hide
-    * exactly the duplication being measured. */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val w = tokens(text)
-    val m = size(w) - (n - 1)
-    // each slice is explicitly aliased so the zipped struct's field names
-    // are pinned by us, not by ArraysZip's positional-naming fallback
-    // (an undocumented behavior for anonymous children)
-    when(m < 1, array().cast("array<string>"))
-      .otherwise(
-        transform(arrays_zip((0 until n).map(k => slice(w, lit(k + 1), m).as(s"_$k")): _*),
-          s => concat_ws(" ", (0 until n).map(k => s.getField(s"_$k")): _*)))
-  }
+    * exactly the duplication being measured.
+    *
+    * Value-equal to the former `arrays_zip` of n shifted slices with a
+    * `concat_ws` lambda, computed by the one-pass native [[NGramsExpr]]
+    * (the zip materialized n sliced token arrays plus a struct array
+    * per document; NativeTextSpec pins the equivalence). */
+  def wordNgrams(text: Column, n: Int): Column =
+    native(NGramsExpr(expr(text), n))
 
   /** Portable 60-bit hash: first 15 hex chars of md5(seed:value) as a
     * non-negative long. Chosen over Spark's murmur3 `hash()` because the
@@ -62,22 +72,16 @@ object TextFunctions {
     GraftColumnBridge.column(PortableHashExpr(GraftColumnBridge.expression(c), seed))
   }
 
-  /** Distinct 64-bit hashes of the word n-grams, hashed straight from
-    * the n zipped token slices — `xxhash64(t₀, t₁, t₂)` folds each
-    * token into the running hash, so no "t₀ t₁ t₂" string is ever
-    * materialized (the concat + re-hash of a long string per shingle
-    * was measurable allocation in the jaccard pipeline). Tokens contain
-    * no whitespace, so hash-tuple identity ≡ string-shingle identity
-    * modulo 2⁻⁶⁴ collisions — count-identical to the oracle's string
-    * formulation. */
-  def wordShingleHashes(text: Column, n: Int): Column = {
-    val w = tokens(text)
-    val m = size(w) - (n - 1)
-    when(m < 1, array().cast("array<long>"))
-      .otherwise(array_distinct(
-        transform(arrays_zip((0 until n).map(k => slice(w, lit(k + 1), m).as(s"_$k")): _*),
-          s => xxhash64((0 until n).map(k => s.getField(s"_$k")): _*))))
-  }
+  /** Distinct 64-bit hashes of the word n-grams — the native
+    * [[ShingleHashesExpr]] folds each token through the same seed-42
+    * `XXH64.hashUTF8String` chain that `xxhash64(t₀, t₁, t₂)` applies
+    * (bit-identical values, so join keys and candidate sets are
+    * unchanged), over zero-copy token views: no "t₀ t₁ t₂" string, no
+    * token array, no zipped struct array. Tokens contain no whitespace,
+    * so hash-tuple identity ≡ string-shingle identity modulo 2⁻⁶⁴
+    * collisions — count-identical to the oracle's string formulation. */
+  def wordShingleHashes(text: Column, n: Int): Column =
+    native(ShingleHashesExpr(expr(text), n))
 
   /** Both 60-bit halves of one md5(v) as array<bigint>(2) — feeds the
     * double-hashed MinHash family (see [[Md5Halves60]]). */
