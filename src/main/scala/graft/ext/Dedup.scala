@@ -297,6 +297,66 @@ object Dedup {
               col("clean_text"))
   }
 
+  /** Exact repeated-substring-span removal (the ExactSubstr dedup of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" — behavior class, not code): every overlapping
+    * `winLen`-token window is hashed; a window whose hash occurs >=
+    * `minRep` times corpus-wide (counting every position, within- AND
+    * cross-document) marks its span [i, i+winLen) as duplicated; per
+    * document the marked spans merge into maximal intervals
+    * (adjacent-or-overlapping collapse, the interval-union semantics),
+    * and the surviving tokens reassemble in order. Unlike
+    * [[segmentDedup]]'s disjoint fixed segments this catches repeats at
+    * ANY alignment — the canonical training-data substring dedup.
+    *
+    * Scale shape (100 TB): the window stream is one row per token
+    * position — the corpus token stream, the same cardinality the q21
+    * posting lists handle; frequency groups on the 60-bit portable hash
+    * (8-byte shuffle keys, never window strings); duplicated positions
+    * are a small fraction by construction, so the mark-back semi-join
+    * broadcasts under AQE; interval merging windows BY DOCUMENT
+    * (bounded by document length, never a corpus-wide sort); the final
+    * span strip is a positional array filter against each doc's few
+    * merged intervals — map-side, no kept-token explode. */
+  def spanDedup(docs: DataFrame, textCol: String, idCol: String,
+                winLen: Int = 15, minRep: Int = 2): DataFrame = {
+    require(winLen > 0 && minRep > 1, "winLen must be positive, minRep > 1")
+    import org.apache.spark.sql.expressions.Window
+    val win = docs.select(col(idCol).as("doc_id"),
+        posexplode(wordNgrams(col(textCol), winLen)))
+      .select(col("doc_id"), col("pos").as("i"),
+              portableHash(col("col"), 29).as("h"))
+    val hot = win.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minRep).select(col("h"))
+    val hit = win.join(hot, Seq("h"), "left_semi")
+    // consecutive hot positions <= winLen apart overlap-or-touch, so
+    // they union into one contiguous interval: island starts where the
+    // gap to the previous hot position exceeds the window length
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val isl = hit
+      .withColumn("st", when(lag(col("i"), 1).over(byDoc).isNull ||
+             col("i") > lag(col("i"), 1).over(byDoc) + winLen, 1L)
+        .otherwise(0L))
+      .withColumn("isle", sum(col("st")).over(byDoc))
+    val ivs = isl.groupBy(col("doc_id"), col("isle"))
+      .agg(min(col("i")).as("s"), (max(col("i")) + winLen).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("s"), col("e")))).as("ivs"),
+           count(lit(1)).cast("long").as("n_spans"),
+           sum(col("e") - col("s")).cast("long").as("n_removed_tokens"))
+      .withColumnRenamed("doc_id", "__sd_id")
+    val w = tokens(col(textCol))
+    docs.join(ivs, docs(idCol) === col("__sd_id"), "left")
+      .select(docs(idCol).as("doc_id"),
+        tokenCount(col(textCol)).as("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_removed_tokens"), lit(0L)).as("n_removed_tokens"),
+        concat_ws(" ", filter(w, (tok, idx) =>
+          coalesce(!exists(col("ivs"), iv =>
+            idx >= iv.getField("s") && idx < iv.getField("e")), lit(true))))
+          .as("clean_text"))
+  }
+
   /** Number of SimHash bits (portableHash yields 60 usable bits). */
   val SimHashBits = 60
 

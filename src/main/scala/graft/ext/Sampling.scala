@@ -53,6 +53,37 @@ object Sampling {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** Deterministic epoch-based upsampling (the data-constrained recipe
+    * of Muennighoff et al., "Scaling Data-Constrained Language Models"):
+    * small strata repeat toward the largest stratum's size, capped at
+    * `maxEpochs`. epochs(g) = min(maxEpochs, maxN / n_g); each doc
+    * emits floor(e) copies plus one more iff its hash fraction is below
+    * frac(e) — the same hash-Bernoulli the sampling plane uses, so the
+    * replicated corpus is a pure function of the data (a rerun, or a
+    * different partitioning, yields byte-identical epochs).
+    *
+    * Scale shape (100 TB): per-stratum counts are a |groups|-row
+    * aggregate broadcast back to the corpus scan; replication is a
+    * map-side explode of sequence(1, k) with k <= maxEpochs + 1 — the
+    * corpus never shuffles and the blow-up is bounded by maxEpochs. */
+  def epochUpsample(docs: DataFrame, groupCol: String, idCol: String,
+                    maxEpochs: Double = 4.0): DataFrame = {
+    val n = docs.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val maxN = n.agg(max(col("n")).as("mx"))
+    val e = n.crossJoin(broadcast(maxN))
+      .select(col("grp"), least(lit(maxEpochs), col("mx") / col("n")).as("ep"))
+    val k = floor(col("ep")).cast("int") +
+      when(pmod(portableHash(col(idCol).cast("string"), 31), lit(10000))
+             .cast("double") / 10000.0 < col("ep") - floor(col("ep")), 1)
+        .otherwise(0)
+    docs.join(broadcast(e), docs(groupCol) === col("grp"))
+      .select(docs(idCol).as("doc_id"), col("grp"), k.cast("long").as("n_copies"),
+              explode(sequence(lit(1), k)).as("copy_no"))
+      .select(col("doc_id"), col("grp").as(groupCol), col("n_copies"),
+              col("copy_no").cast("long").as("copy_no"))
+  }
+
   /** Per-group top-k terms by frequency (vocabulary statistics):
     * explode → count → window rank, ties broken by term for
     * determinism. One shuffle for the count, one for the rank (both on

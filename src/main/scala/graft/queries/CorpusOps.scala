@@ -142,6 +142,33 @@ object CorpusOps {
                                    segLen = 10, minRep = 2),
       Some(s"""WITH s AS (SELECT doc_id, ${TextFunctions.sql.tokensOf("text")} AS w FROM documents), seg AS (SELECT doc_id, i, array_to_string(list_slice(w, i*10+1, i*10+10), ' ') AS sg FROM s, unnest(generate_series(0, CAST(ceil(len(w)/10.0) AS INT) - 1)) AS t(i) WHERE len(w) > 0), hs AS (SELECT doc_id, i, sg, ${ph("sg", 13)} AS h FROM seg), hot AS (SELECT h FROM hs GROUP BY h HAVING count(*) >= 2), kept AS (SELECT * FROM hs WHERE h NOT IN (SELECT h FROM hot)), rb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept_segments, string_agg(sg, ' ' ORDER BY i) AS clean_text FROM kept GROUP BY doc_id) SELECT d.doc_id, CAST(len(${TextFunctions.sql.tokensOf("d.text")}) AS BIGINT) AS n_tokens, COALESCE(rb.n_kept_segments, 0) AS n_kept_segments, COALESCE(rb.clean_text, '') AS clean_text FROM documents d LEFT JOIN rb USING (doc_id)""")),
 
+    QueryDef("q75_span_dedup",
+      "exact repeated-substring-span removal (Lee et al. ExactSubstr dedup): every overlapping 15-token window hashed; hashes occurring >= 2 times corpus-wide mark their spans; per-doc spans merge into maximal intervals (interval-union) and the surviving tokens reassemble. Catches repeats at ANY alignment, unlike q67's disjoint segments. Frequency on 8-byte hashes, doc-bounded merge windows, map-side positional span strip",
+      (s, d) => Dedup.spanDedup(t(s, d, "documents"), "text", "doc_id",
+                                winLen = 15, minRep = 2),
+      Some {
+        val tk = TextFunctions.sql.tokensOf("text")
+        s"""WITH s AS (SELECT doc_id, $tk AS w FROM documents),
+           |win AS (SELECT doc_id, i, ${ph("array_to_string(list_slice(w, i+1, i+15), ' ')", 29)} AS h FROM s, unnest(generate_series(0, len(w) - 15)) AS t(i) WHERE len(w) >= 15),
+           |hot AS (SELECT h FROM win GROUP BY h HAVING count(*) >= 2),
+           |hp AS (SELECT doc_id, i FROM win WHERE h IN (SELECT h FROM hot)),
+           |isl AS (SELECT doc_id, i, CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL OR i > lag(i) OVER (PARTITION BY doc_id ORDER BY i) + 15 THEN 1 ELSE 0 END AS st FROM hp),
+           |is2 AS (SELECT doc_id, i, SUM(st) OVER (PARTITION BY doc_id ORDER BY i) AS isle FROM isl),
+           |iv AS (SELECT doc_id, isle, MIN(i) AS sp, MAX(i) + 15 AS ep FROM is2 GROUP BY doc_id, isle),
+           |st2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, CAST(SUM(ep - sp) AS BIGINT) AS n_removed_tokens FROM iv GROUP BY doc_id),
+           |pos AS (SELECT doc_id, p FROM s, unnest(generate_series(0, len(w) - 1)) AS t(p) WHERE len(w) > 0),
+           |keep AS (SELECT pos.doc_id, p FROM pos WHERE NOT EXISTS (SELECT 1 FROM iv WHERE iv.doc_id = pos.doc_id AND p >= iv.sp AND p < iv.ep)),
+           |kt AS (SELECT k.doc_id, string_agg(s.w[p+1], ' ' ORDER BY p) AS clean_text FROM keep k JOIN s ON s.doc_id = k.doc_id GROUP BY k.doc_id)
+           |SELECT d.doc_id, CAST(len(${TextFunctions.sql.tokensOf("d.text")}) AS BIGINT) AS n_tokens, COALESCE(st2.n_spans, 0) AS n_spans, COALESCE(st2.n_removed_tokens, 0) AS n_removed_tokens, COALESCE(kt.clean_text, '') AS clean_text
+           |FROM documents d LEFT JOIN st2 ON st2.doc_id = d.doc_id LEFT JOIN kt ON kt.doc_id = d.doc_id""".stripMargin.replace("\n", " ")
+      }),
+
+    QueryDef("q76_epoch_upsample",
+      "deterministic epoch upsampling (data-constrained scaling, Muennighoff et al.): per-lang epochs = min(4, maxN/n), each doc replicated floor(e) times + 1 more iff hash-fraction < frac(e) — reproducible fractional epochs, map-side explode bounded by maxEpochs, corpus never shuffles (stratum table broadcasts)",
+      (s, d) => graft.ext.Sampling
+        .epochUpsample(t(s, d, "documents"), "lang", "doc_id", maxEpochs = 4.0),
+      Some(s"""WITH n AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY 1), e AS (SELECT lang, LEAST(4.0, (SELECT MAX(n) FROM n) / n) AS ep FROM n), dd AS (SELECT doc_id, d.lang, CAST(floor(ep) AS INT) + CASE WHEN (${ph("CAST(doc_id AS VARCHAR)", 31)} % 10000) / 10000.0 < ep - floor(ep) THEN 1 ELSE 0 END AS k FROM documents d JOIN e USING (lang)) SELECT doc_id, lang, CAST(k AS BIGINT) AS n_copies, CAST(c AS BIGINT) AS copy_no FROM dd, unnest(generate_series(1, k)) AS t(c)""")),
+
     QueryDef("q68_token_budget",
       "data-constrained corpus selection: per-lang greedy fill by quality (desc, doc_id tiebreak) into a fixed 5000-token budget via a windowed running token sum. The per-lang sequential order is inherent to greedy selection; at open scale the same plan runs per (lang, quality-range) bucket from a first-pass histogram",
       (s, d) => graft.ext.Sampling

@@ -218,6 +218,51 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  describe("span dedup (repeated-substring removal, any alignment)") {
+    def run(rows: Seq[(Long, String)], winLen: Int = 3) =
+      Dedup.spanDedup(rows.toDF("doc_id", "text"), "text", "doc_id",
+                      winLen = winLen, minRep = 2)
+        .select($"doc_id", $"n_tokens", $"n_spans", $"n_removed_tokens", $"clean_text")
+        .as[(Long, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+
+    it("removes a shared span at DIFFERENT alignments (the q67 blind spot)") {
+      // "p q r s" sits at offset 0 of doc 0 and offset 1 of doc 1 —
+      // disjoint 4-token segments would never line up, but 3-token
+      // windows [p q r] and [q r s] repeat, covering [0,4) and [1,5)
+      val out = run(Seq(
+        (0L, "p q r s t u"),
+        (1L, "x p q r s y")))
+      assert(out(0L) == ((0L, 6L, 1L, 4L, "t u")))
+      assert(out(1L) == ((1L, 6L, 1L, 4L, "x y")))
+    }
+    it("within-doc repetition alone triggers removal; full cover empties the doc") {
+      val out = run(Seq((0L, "m n o m n o m n o"), (1L, "q r s t u v")))
+      assert(out(0L) == ((0L, 9L, 1L, 9L, "")), "periodic doc collapses to one full-cover span")
+      assert(out(1L) == ((1L, 6L, 0L, 0L, "q r s t u v")), "unique doc untouched")
+    }
+    it("non-adjacent repeats merge into separate spans, survivors keep order") {
+      val out = run(Seq(
+        (0L, "p q r AA BB CC s t u"),
+        (1L, "p q r DD EE FF s t u")))
+      assert(out(0L) == ((0L, 9L, 2L, 6L, "AA BB CC")))
+      assert(out(1L) == ((1L, 9L, 2L, 6L, "DD EE FF")))
+    }
+    it("docs shorter than the window and blank docs pass through") {
+      val out = run(Seq((0L, "a b"), (1L, ""), (2L, "a b")))
+      // "a b" has no 3-token window, so even identical short docs stay
+      assert(out(0L) == ((0L, 2L, 0L, 0L, "a b")))
+      assert(out(1L) == ((1L, 0L, 0L, 0L, "")))
+    }
+    it("adjacent duplicated windows union into one contiguous span") {
+      // doc 0 = doc 1: every window repeats; consecutive positions are
+      // <= winLen apart so the whole doc is ONE merged interval
+      val out = run(Seq((0L, "a b c d e f g h"), (1L, "a b c d e f g h")))
+      Seq(0L, 1L).foreach { id =>
+        assert(out(id) == ((id, 8L, 1L, 8L, "")))
+      }
+    }
+  }
+
   describe("token-budget selection") {
     it("fills greedily by quality, never exceeds the budget, admits in rank order") {
       // quality ranking inside one group is deterministic (portable
