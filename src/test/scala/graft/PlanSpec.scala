@@ -137,6 +137,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  describe("span-dedup strategy (doc-bounded interval merge)") {
+    it("q75 merge windows partition BY DOCUMENT; pair stage never cartesian") {
+      // the scale contract: interval-union runs inside per-doc window
+      // partitions (bounded by document length) — a window without
+      // doc_id would sort the whole corpus position stream in one task
+      val p = planOf("q75_span_dedup")
+      val specs = "windowspecdefinition\\(([^)]*)\\)".r
+        .findAllMatchIn(p).map(_.group(1)).toList
+      assert(specs.nonEmpty, s"no windows found:\n$p")
+      assert(specs.forall(_.contains("doc_id")),
+        s"a merge window lost the doc_id partition key:\n$p")
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    }
+  }
+
   describe("distinct-aggregate strategy") {
     it("q37 plans no Expand (exact distinct via pre-dedup level, not countDistinct branching)") {
       val p = planOf("q37_approx_distinct")
