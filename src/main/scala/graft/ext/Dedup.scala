@@ -193,32 +193,8 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, textCol: String, idCol: String,
                       blockCol: String, n: Int, numHashes: Int, bands: Int,
                       threshold: Double): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must divide into bands")
-    require(numHashes <= 8,
-      "double-hashed family h1 + j*h2 is overflow-proof only for j <= 7")
-    val rowsPerBand = numHashes / bands
     val in = graft.ops.Parallelize.forCompute(docs)
-    val sh = shingleRows(in, textCol, idCol, blockCol, n)
-      .select(col("id"), col("block"), md5Halves60(col("s")).as("hh"))
-      .select(col("id"), col("block"),
-              col("hh").getItem(0).as("h1"), col("hh").getItem(1).as("h2"))
-    val sig = sh.groupBy(col("id"), col("block"))
-      .agg(minhashCol(0), (1 until numHashes).map(minhashCol): _*)
-    // band key: '|'-joined signature slice (portable to SQL string concat)
-    val banded = sig.select(
-      col("id") +: col("block") +: (0 until bands).map { b =>
-        concat_ws("|",
-          (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh$j")): _*)
-          .as(s"band$b")
-      }: _*)
-    // ONE self-join over exploded (band_idx, signature) rows — a
-    // per-band join union would reference the signature subtree 2×bands
-    // times, and exchange reuse does not reliably deduplicate it (the
-    // signature pipeline is the expensive part: hashes × shingles).
-    val bandRows = banded.select(col("id"), col("block"),
-        posexplode(array((0 until bands).map(b => col(s"band$b")): _*)))
-      .withColumnRenamed("pos", "band_idx")
-      .withColumnRenamed("col", "bk")
+    val bandRows = lshBandRows(in, textCol, idCol, blockCol, n, numHashes, bands)
     // candidate pairs via posting lists on the band key (one groupBy
     // exchange) instead of a self-join (which exchanges both sides);
     // array_sort guarantees id_a < id_b in the in-row expansion. Band
@@ -245,6 +221,77 @@ object Dedup {
          (size(col("sa")) + size(col("sb")) -
           size(array_intersect(col("sa"), col("sb"))))).as("jaccard"))
     verified.filter(col("jaccard") >= threshold)
+  }
+
+  /** The LSH banding pipeline shared by the within-corpus pair path and
+    * the cross-corpus join path: shingle md5 halves → double-hashed
+    * minhash signature → '|'-joined band keys, exploded to one row per
+    * (id, block, band_idx, band-key). The explode keeps the expensive
+    * signature subtree referenced ONCE (a per-band join union would
+    * reference it 2×bands times, and exchange reuse does not reliably
+    * deduplicate it). */
+  private def lshBandRows(in: DataFrame, textCol: String, idCol: String,
+                          blockCol: String, n: Int, numHashes: Int,
+                          bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    require(numHashes <= 8,
+      "double-hashed family h1 + j*h2 is overflow-proof only for j <= 7")
+    val rowsPerBand = numHashes / bands
+    val sh = shingleRows(in, textCol, idCol, blockCol, n)
+      .select(col("id"), col("block"), md5Halves60(col("s")).as("hh"))
+      .select(col("id"), col("block"),
+              col("hh").getItem(0).as("h1"), col("hh").getItem(1).as("h2"))
+    val sig = sh.groupBy(col("id"), col("block"))
+      .agg(minhashCol(0), (1 until numHashes).map(minhashCol): _*)
+    // band key: '|'-joined signature slice (portable to SQL string concat)
+    val banded = sig.select(
+      col("id") +: col("block") +: (0 until bands).map { b =>
+        concat_ws("|",
+          (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh$j")): _*)
+          .as(s"band$b")
+      }: _*)
+    banded.select(col("id"), col("block"),
+        posexplode(array((0 until bands).map(b => col(s"band$b")): _*)))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "bk")
+  }
+
+  /** Cross-corpus MinHash+LSH near-dup join — the near-dup twin of the
+    * exact-key incremental anti-join: LEFT (an incoming batch) probes
+    * RIGHT (the standing corpus) for near-duplicates. Candidates come
+    * from an equi-join on (block, band_idx, band-key) — one shuffle per
+    * side on 3-column keys — and are verified by exact shingle-hash
+    * Jaccard at `threshold`. Returns (id_l, id_r, jaccard).
+    *
+    * Scale shape (100 TB standing corpus): the right side reduces to
+    * its banded signature rows (bands × ~24 bytes per doc, no text);
+    * in a production deployment those are PRECOMPUTED once per
+    * snapshot and bucketed by band key, making the daily-batch probe
+    * an exchange-free lookup on the index side — only the (small)
+    * batch is ever re-shingled. Verification touches candidate pairs
+    * only, with 8-byte hash-set elements, never document text. */
+  def minhashLshJoin(left: DataFrame, right: DataFrame, textCol: String,
+                     idCol: String, blockCol: String, n: Int,
+                     numHashes: Int, bands: Int,
+                     threshold: Double): DataFrame = {
+    val lIn = graft.ops.Parallelize.forCompute(left)
+    val rIn = graft.ops.Parallelize.forCompute(right)
+    val lb = lshBandRows(lIn, textCol, idCol, blockCol, n, numHashes, bands)
+      .withColumnRenamed("id", "id_l")
+    val rb = lshBandRows(rIn, textCol, idCol, blockCol, n, numHashes, bands)
+      .withColumnRenamed("id", "id_r")
+    val candidates = lb.join(rb, Seq("block", "band_idx", "bk"))
+      .select(col("id_l"), col("id_r")).distinct()
+    def sets(in: DataFrame, idAs: String) = in.select(
+      col(idCol).as(idAs), array_sort(wordShingleHashes(col(textCol), n)).as(s"ss_$idAs"))
+    candidates
+      .join(sets(lIn, "id_l"), Seq("id_l"))
+      .join(sets(rIn, "id_r"), Seq("id_r"))
+      .select(col("id_l"), col("id_r"),
+        (size(array_intersect(col("ss_id_l"), col("ss_id_r"))).cast("double") /
+         (size(col("ss_id_l")) + size(col("ss_id_r")) -
+          size(array_intersect(col("ss_id_l"), col("ss_id_r"))))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Sub-document dedup (the C4/Falcon "line dedup" analogue for

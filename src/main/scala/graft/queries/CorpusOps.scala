@@ -142,6 +142,41 @@ object CorpusOps {
                                    segLen = 10, minRep = 2),
       Some(s"""WITH s AS (SELECT doc_id, ${TextFunctions.sql.tokensOf("text")} AS w FROM documents), seg AS (SELECT doc_id, i, array_to_string(list_slice(w, i*10+1, i*10+10), ' ') AS sg FROM s, unnest(generate_series(0, CAST(ceil(len(w)/10.0) AS INT) - 1)) AS t(i) WHERE len(w) > 0), hs AS (SELECT doc_id, i, sg, ${ph("sg", 13)} AS h FROM seg), hot AS (SELECT h FROM hs GROUP BY h HAVING count(*) >= 2), kept AS (SELECT * FROM hs WHERE h NOT IN (SELECT h FROM hot)), rb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept_segments, string_agg(sg, ' ' ORDER BY i) AS clean_text FROM kept GROUP BY doc_id) SELECT d.doc_id, CAST(len(${TextFunctions.sql.tokensOf("d.text")}) AS BIGINT) AS n_tokens, COALESCE(rb.n_kept_segments, 0) AS n_kept_segments, COALESCE(rb.clean_text, '') AS clean_text FROM documents d LEFT JOIN rb USING (doc_id)""")),
 
+    QueryDef("q77_incremental_neardup",
+      "cross-snapshot NEAR-dup dedup (the LSH twin of q66's exact-key path): the incoming batch (odd ids) probes the standing corpus (even ids) for near-duplicates via a band-key equi-join of MinHash signatures, verified by exact shingle Jaccard >= 0.5. At scale the index side is precomputed banded signatures (bands x ~24 bytes/doc, no text), bucketed by band key for an exchange-free probe",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val batch = docs.filter(col("doc_id") % 2 === 1)
+        val index = docs.filter(col("doc_id") % 2 === 0)
+        val m = Dedup.minhashLshJoin(batch, index, "text", "doc_id", "lang",
+                                     3, numHashes = 8, bands = 4, threshold = 0.5)
+        val agg = m.groupBy(col("id_l").as("doc_id"))
+          .agg(lcount(lit(1)).as("n_matches"), max(col("jaccard")).as("mj"))
+        batch.select(col("doc_id"), col("lang"))
+          .join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("lang"),
+            coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+            coalesce(col("mj"), lit(0.0)).as("max_jaccard"))
+      },
+      Some {
+        val h1 = TextFunctions.sql.md5Half("s", 1)
+        val h2 = TextFunctions.sql.md5Half("s", 17)
+        val mhCols = (0 until 8).map(j => s"MIN($h1 + $j * $h2) AS mh$j").mkString(", ")
+        val bandCols = (0 until 4).map { b =>
+          s"CAST(mh${2 * b} AS VARCHAR) || '|' || CAST(mh${2 * b + 1} AS VARCHAR) AS band$b"
+        }.mkString(", ")
+        val bandEq = (0 until 4).map(b => s"a.band$b = b.band$b").mkString(" OR ")
+        s"""WITH ${LlmOps.shingleCte},
+           |mh AS (SELECT doc_id, lang, $mhCols FROM sh GROUP BY doc_id, lang),
+           |banded AS (SELECT doc_id, lang, $bandCols FROM mh),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_l, b.doc_id AS id_r FROM banded a JOIN banded b ON a.lang = b.lang AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 AND ($bandEq)),
+           |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+           |inter AS (SELECT c.id_l, c.id_r, CAST(count(*) AS BIGINT) AS ic FROM cand c JOIN sh a ON a.doc_id = c.id_l JOIN sh b ON b.doc_id = c.id_r AND b.s = a.s GROUP BY 1, 2),
+           |jac AS (SELECT id_l, id_r, CAST(ic AS DOUBLE) / (ca.n_sh + cb.n_sh - ic) AS j FROM inter JOIN cnt ca ON ca.doc_id = id_l JOIN cnt cb ON cb.doc_id = id_r),
+           |agg AS (SELECT id_l AS doc_id, CAST(count(*) AS BIGINT) AS n_matches, MAX(j) AS mj FROM jac WHERE j >= 0.5 GROUP BY 1)
+           |SELECT d.doc_id, d.lang, COALESCE(a.n_matches, 0) AS n_matches, COALESCE(a.mj, 0.0) AS max_jaccard FROM documents d LEFT JOIN agg a USING (doc_id) WHERE d.doc_id % 2 = 1""".stripMargin.replace("\n", " ")
+      }),
+
     QueryDef("q75_span_dedup",
       "exact repeated-substring-span removal (Lee et al. ExactSubstr dedup): every overlapping 15-token window hashed; hashes occurring >= 2 times corpus-wide mark their spans; per-doc spans merge into maximal intervals (interval-union) and the surviving tokens reassemble. Catches repeats at ANY alignment, unlike q67's disjoint segments. Frequency on 8-byte hashes, doc-bounded merge windows, map-side positional span strip",
       (s, d) => Dedup.spanDedup(t(s, d, "documents"), "text", "doc_id",

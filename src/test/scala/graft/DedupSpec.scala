@@ -218,6 +218,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  describe("cross-corpus MinHash LSH join (incremental near-dup probe)") {
+    it("batch docs find their standing-corpus near-dups, cross-side only") {
+      val index = Seq(
+        (0L, "en", "the quick brown fox jumps over the lazy dog every single day"),
+        (2L, "en", "completely unrelated content about distributed query engines"),
+        (4L, "de", "der schnelle braune fuchs springt jeden tag")).toDF("doc_id", "lang", "text")
+      val batch = Seq(
+        // near-dup of 0 (one token appended -> 10 of 11 shingles shared,
+        // jaccard 10/11; with s ~ 0.91 a band match is effectively
+        // certain and — md5 being fixed — deterministic for this text)
+        (1L, "en", "the quick brown fox jumps over the lazy dog every single day indeed"),
+        // identical to 3's own batch-mate? no — unique
+        (3L, "en", "fresh batch document with entirely new content"),
+        // identical text to index doc 4 but different lang -> blocked
+        (5L, "en", "der schnelle braune fuchs springt jeden tag")).toDF("doc_id", "lang", "text")
+      val out = Dedup.minhashLshJoin(batch, index, "text", "doc_id", "lang",
+          3, numHashes = 8, bands = 4, threshold = 0.5)
+        .select($"id_l", $"id_r", $"jaccard").as[(Long, Long, Double)].collect()
+      assert(out.map(r => (r._1, r._2)).toSet == Set((1L, 0L)),
+        s"expected only the planted near-dup, got ${out.toSeq}")
+      assert(out.head._3 >= 0.5 && out.head._3 < 1.0)
+    }
+  }
+
   describe("span dedup (repeated-substring removal, any alignment)") {
     def run(rows: Seq[(Long, String)], winLen: Int = 3) =
       Dedup.spanDedup(rows.toDF("doc_id", "text"), "text", "doc_id",
