@@ -77,11 +77,12 @@ object Sampling {
       when(pmod(portableHash(col(idCol).cast("string"), 31), lit(10000))
              .cast("double") / 10000.0 < col("ep") - floor(col("ep")), 1)
         .otherwise(0)
+    // every input column is preserved so downstream stages (packing,
+    // shard layout) consume the replicated rows directly
     docs.join(broadcast(e), docs(groupCol) === col("grp"))
-      .select(docs(idCol).as("doc_id"), col("grp"), k.cast("long").as("n_copies"),
-              explode(sequence(lit(1), k)).as("copy_no"))
-      .select(col("doc_id"), col("grp").as(groupCol), col("n_copies"),
-              col("copy_no").cast("long").as("copy_no"))
+      .select(docs.columns.map(docs(_)) ++ Seq(
+        k.cast("long").as("n_copies"),
+        explode(sequence(lit(1L), k.cast("long"))).as("copy_no")): _*)
   }
 
   /** Per-group top-k terms by frequency (vocabulary statistics):

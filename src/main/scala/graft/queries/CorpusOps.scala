@@ -201,7 +201,8 @@ object CorpusOps {
     QueryDef("q76_epoch_upsample",
       "deterministic epoch upsampling (data-constrained scaling, Muennighoff et al.): per-lang epochs = min(4, maxN/n), each doc replicated floor(e) times + 1 more iff hash-fraction < frac(e) — reproducible fractional epochs, map-side explode bounded by maxEpochs, corpus never shuffles (stratum table broadcasts)",
       (s, d) => graft.ext.Sampling
-        .epochUpsample(t(s, d, "documents"), "lang", "doc_id", maxEpochs = 4.0),
+        .epochUpsample(t(s, d, "documents"), "lang", "doc_id", maxEpochs = 4.0)
+        .select(col("doc_id"), col("lang"), col("n_copies"), col("copy_no")),
       Some(s"""WITH n AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY 1), e AS (SELECT lang, LEAST(4.0, (SELECT MAX(n) FROM n) / n) AS ep FROM n), dd AS (SELECT doc_id, d.lang, CAST(floor(ep) AS INT) + CASE WHEN (${ph("CAST(doc_id AS VARCHAR)", 31)} % 10000) / 10000.0 < ep - floor(ep) THEN 1 ELSE 0 END AS k FROM documents d JOIN e USING (lang)) SELECT doc_id, lang, CAST(k AS BIGINT) AS n_copies, CAST(c AS BIGINT) AS copy_no FROM dd, unnest(generate_series(1, k)) AS t(c)""")),
 
     QueryDef("q68_token_budget",
@@ -320,6 +321,36 @@ object CorpusOps {
            |SELECT lang, CAST(count(*) AS BIGINT) AS n_batch, CAST(count(CASE WHEN hit THEN 1 END) AS BIGINT) AS n_bloom_hits, CAST(count(CASE WHEN in_ix THEN 1 END) AS BIGINT) AS n_true_dups, CAST(count(CASE WHEN hit AND NOT in_ix THEN 1 END) AS BIGINT) AS n_false_pos
            |FROM fl GROUP BY lang""".stripMargin.replace("\n", " ")
       }),
+
+    QueryDef("q78_shard_build",
+      "END-TO-END training-shard build — the pipeline's actual end product: quality filter (>= 0.75) -> exact dedup (keep min id) -> deterministic epoch upsampling (cap 4) -> per-lang sequence packing into 512-token bins -> hash-shard assignment of each bin (the q72 writer expression). Every stage is individually oracle-verified (q27/q20/q76/q61/q72); this composes them and hash-checks the composition. Packing windows are per-lang here; the q61b sharded-prefix twin is the open-scale form",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, d, "documents")
+        // checkpoint the scored stage: the dedup semi-join and the
+        // upsample's stratum counts would otherwise re-run the
+        // regex-heavy quality score + md5 over the corpus per consumer
+        val scored = docs.select(col("doc_id"), col("lang"),
+            qualityScore(col("text")).as("q"), Dedup.contentKey("text").as("k"),
+            tokenCount(col("text")).as("n_tokens"))
+          .localCheckpoint(true)
+        val fd = scored.filter(col("q") >= 0.75)
+        val keep = fd.groupBy(col("k")).agg(min(col("doc_id")).as("doc_id"))
+        val cur = fd.join(keep, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("lang"), col("n_tokens"))
+        val up = graft.ext.Sampling.epochUpsample(cur, "lang", "doc_id",
+                                                  maxEpochs = 4.0)
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"), col("copy_no"))
+        up.withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+          .withColumn("bin", floor(col("start_off") / lit(512)).cast("long"))
+          .groupBy(col("lang"), col("bin"))
+          .agg(lcount(lit(1)).as("n_items"), lsum(col("n_tokens")).as("n_tokens"))
+          .withColumn("shard", graft.sinks.ReportSink.shardOf(
+            concat_ws(":", col("lang"), col("bin")), 16))
+          .select(col("lang"), col("bin"), col("shard"), col("n_items"),
+                  col("n_tokens"))
+      },
+      Some(s"""WITH ${LlmOps.textStatsCte}, fd AS (SELECT d.doc_id, d.lang, d.text, q.n_tokens FROM documents d JOIN q USING (doc_id) WHERE q.quality >= 0.75), ek AS (SELECT MIN(doc_id) AS doc_id FROM fd GROUP BY md5(${TextFunctions.sql.normalize("text")})), cur AS (SELECT doc_id, lang, n_tokens FROM fd WHERE doc_id IN (SELECT doc_id FROM ek)), n AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM cur GROUP BY 1), e AS (SELECT lang, LEAST(4.0, (SELECT MAX(n) FROM n) / n) AS ep FROM n), upd AS (SELECT c.doc_id, c.lang, c.n_tokens, CAST(floor(ep) AS INT) + CASE WHEN (${ph("CAST(c.doc_id AS VARCHAR)", 31)} % 10000) / 10000.0 < ep - floor(ep) THEN 1 ELSE 0 END AS kk FROM cur c JOIN e USING (lang)), up AS (SELECT doc_id, lang, n_tokens, cc AS copy_no FROM upd, unnest(generate_series(1, kk)) AS t(cc)), pk AS (SELECT lang, n_tokens, SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id, copy_no) - n_tokens AS start_off FROM up), pb AS (SELECT lang, CAST(floor(start_off / 512) AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n_items, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM pk GROUP BY 1, 2) SELECT lang, bin, CAST(${ph("lang || ':' || CAST(bin AS VARCHAR)", 97)} % 16 AS BIGINT) AS shard, n_items, n_tokens FROM pb""")),
 
     QueryDef("q72_hash_shard_assignment",
       "deterministic hash-shard assignment backing ReportSink.writeHashSharded (WebDataset-style corpus layout): shard = pmod(portableHash(doc_id, 97), 16) — the writer's exact expression, oracle-checked row by row so the layout is stable under reruns and cluster resizes",
