@@ -18,6 +18,7 @@ object SparkEntry {
       _root_.graft.queries.LlmOps2.defs ++
       _root_.graft.queries.CorpusOps.defs ++
       _root_.graft.queries.VectorOps.defs ++
+      _root_.graft.queries.SketchOps.defs ++
       _root_.graft.queries.Analytics.defs
 
   /** Flagship: the reference's snapshot pipeline shape (scan → filter →

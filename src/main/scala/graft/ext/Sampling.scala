@@ -85,6 +85,41 @@ object Sampling {
         explode(sequence(lit(1L), k.cast("long"))).as("copy_no")): _*)
   }
 
+  /** Weight-sensitive fixed-size sampling: PRIORITY SAMPLING
+    * (Duffield–Lund–Thorup 2007). Each row gets priority = w / u with
+    * u a hash-uniform in (0, 1]; the per-stratum sample is the k
+    * largest priorities — heavier rows are proportionally more likely
+    * to be kept, and the estimator over the kept set is unbiased for
+    * subset sums (the published scheme's whole point). Where
+    * [[deterministicSample]] keeps a fixed FRACTION uniformly, this
+    * keeps a fixed COUNT weight-proportionally (e.g. "5 docs per
+    * language, preferring long ones").
+    *
+    * Determinism: u = (portableHash(key) + 1) / 2⁶⁰ is a pure function
+    * of the row key, and long→double casts plus a single division are
+    * correctly rounded per IEEE 754 — identical in any engine (this is
+    * why priority is w/u rather than the exponential-variate
+    * formulation: libm log is not cross-engine reproducible). The
+    * selection is reproducible under any partitioning, and hash-exact
+    * to the DuckDB oracle.
+    *
+    * Scale shape: priority is a map-only derivation; the per-stratum
+    * top-k runs through the bounded-heap [[graft.plans.TopK.perKey]]
+    * operator (map-side k-heaps, one exchange of ≤ k rows per stratum
+    * per partition — never a corpus-wide window sort). */
+  def prioritySample(df: DataFrame, strataCol: String, keyCol: String,
+                     weightCol: String, k: Int, seed: Int = 17): DataFrame = {
+    // 2^60 is a power of two, so the divisor is an EXACT double
+    val u = (portableHash(col(keyCol).cast("string"), seed) + lit(1L)).cast("double") /
+      lit(1152921504606846976.0)
+    val base = df.withColumn("priority", col(weightCol).cast("double") / u)
+    val top = graft.plans.TopK.perKey(base, Seq(col(strataCol)),
+      Seq(col("priority").desc, col(keyCol)), k)
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("priority").desc, col(keyCol))
+    top.withColumn("rk", row_number().over(w).cast("long"))
+  }
+
   /** Per-group top-k terms by frequency (vocabulary statistics):
     * explode → count → window rank, ties broken by term for
     * determinism. One shuffle for the count, one for the rank (both on

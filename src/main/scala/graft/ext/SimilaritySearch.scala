@@ -179,14 +179,7 @@ object SimilaritySearch {
   def pqTopK(corpus: DataFrame, queries: DataFrame, dim: Int, m: Int,
              centroidIds: Seq[Long], k: Int): DataFrame = {
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
-    // bounded codebook load (nCells rows), ascending id order so the
-    // expression's first-best tie keeping = (d², cent_id) argmin
-    val cents: Array[(Long, Array[Float])] = corpus
-      .filter(col("vec_id").isInCollection(centroidIds))
-      .select(col("vec_id"), col("embedding"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1)
+    val cents = codebook(corpus, centroidIds)
     val decoded = corpus
       .filter(col("embedding").isNotNull) // composed form dropped null rows via explode
       .select(col("vec_id").as("neighbor_id"),
@@ -195,6 +188,56 @@ object SimilaritySearch {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     rankTopK(
       decoded.crossJoin(broadcast(q))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+                cosine(col("q_emb"), col("dv")).as("sim")),
+      k)
+  }
+
+  /** Bounded codebook load — nCells rows, ascending id order so each
+    * expression's first-best tie keeping = (score, cent_id) argmin. The
+    * IVF/PQ codebook IS driver/executor-resident state in every
+    * production ANN system. */
+  private def codebook(corpus: DataFrame,
+                       centroidIds: Seq[Long]): Array[(Long, Array[Float])] =
+    corpus.filter(col("vec_id").isInCollection(centroidIds))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+
+  /** IVF + PQ composed (the production ANN index shape, Jégou et al.
+    * 2011): coarse IVF cells prune the corpus per query (only nProbe
+    * cells' members are scored) AND product quantization compresses
+    * what is scored (ADC against reconstructed vectors, 32× smaller
+    * residency at m=8 over 64 floats). [[ivfTopK]] and [[pqTopK]]
+    * demonstrate each axis alone; real deployments need both — cell
+    * pruning bounds compute, code compression bounds memory.
+    *
+    * Plan shape inherits both parents': assignment + encode +
+    * reconstruct are the MAP-ONLY native [[graft.functions.NearestCells]]
+    * / [[graft.functions.PqReconstruct]] expressions over the bounded
+    * driver-loaded codebook, probes broadcast, and the only exchange in
+    * the plan is the bounded-heap TopK final hop — corpus embeddings
+    * never shuffle. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, centroidIds: Seq[Long],
+                nProbe: Int, dim: Int, m: Int, k: Int): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val cents = codebook(corpus, centroidIds)
+    import graft.functions.NearestCells.nearest_cells
+    val cb = cents.map(_._2)
+    val ids = cents.map(_._1)
+    val assigned = corpus
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id").as("neighbor_id"),
+        graft.functions.PqReconstruct.pq_reconstruct(
+          col("embedding"), cb, ids, m).as("dv"),
+        element_at(nearest_cells(col("embedding"), cb, ids, 1), 1).as("cell"))
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+              explode(nearest_cells(col("embedding"), cb, ids, nProbe)).as("cell"))
+    rankTopK(
+      assigned.join(broadcast(probes), Seq("cell"))
         .filter(col("neighbor_id") =!= col("query_id"))
         .select(col("query_id"), col("neighbor_id"),
                 cosine(col("q_emb"), col("dv")).as("sim")),
@@ -222,13 +265,7 @@ object SimilaritySearch {
     * nProbe nearest cells, also map-only. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroidIds: Seq[Long],
               nProbe: Int, k: Int): DataFrame = {
-    // bounded codebook load — nCells rows, sorted for determinism
-    val cents: Array[(Long, Array[Float])] = corpus
-      .filter(col("vec_id").isInCollection(centroidIds))
-      .select(col("vec_id"), col("embedding"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1)
+    val cents = codebook(corpus, centroidIds)
     // both sides rank cells through the native NearestCells expression
     // (codegen'd tight loop over the codebook reference object) — the
     // (cosine DESC, cent_id ASC, null-last) ordering and fold

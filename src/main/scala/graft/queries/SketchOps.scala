@@ -1,0 +1,141 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions.{sql => tsql, _}
+import graft.functions.CmsFns
+import graft.ops.Num._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-6 batch: the frequency-sketch plane (Count–Min), rule-based
+  * filtering with per-rule attribution, weight-sensitive sampling, and
+  * single-pass data profiling.
+  */
+object SketchOps {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  private val stops = Seq("the", "a", "an", "and", "or", "of", "to", "in")
+
+  /** q79's operator surface: the five-rule Gopher battery over a
+    * (doc_id, text) frame — every rule a codegen'd expression over one
+    * tokens pass, map-only at any scale. Bits: 1 = too short, 2 =
+    * mean-word-length out of [3,8], 4 = alphabetic ratio < 0.75, 8 =
+    * fewer than 2 distinct stopwords, 16 = duplicate-token fraction
+    * > 0.5. keep = reasons == 0. */
+  def gopherRules(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tok = tokens(col("text"))
+    val nTok = size(tok).cast("long")
+    val meanLen = avgTokenLen(col("text"))
+    val alpha = alphaRatio(col("text"))
+    val nStop = size(filter(array_distinct(tok),
+      w => w.isin(stops: _*))).cast("long")
+    val dupFrac = when(size(tok) === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(tok)).cast("double") / size(tok))
+    val reasons =
+      when(nTok < 30, lit(1L)).otherwise(lit(0L)) +
+      when(meanLen < 3.0 || meanLen > 8.0, lit(2L)).otherwise(lit(0L)) +
+      when(alpha < 0.75, lit(4L)).otherwise(lit(0L)) +
+      when(nStop < 2, lit(8L)).otherwise(lit(0L)) +
+      when(dupFrac > 0.5, lit(16L)).otherwise(lit(0L))
+    docs.select(
+      col("doc_id"), nTok.as("n_tokens"), meanLen.as("mean_word_len"),
+      alpha.as("alpha_ratio"), nStop.as("n_stop_distinct"),
+      dupFrac.as("dup_frac"), reasons.as("reasons"),
+      when(reasons === 0, lit(1L)).otherwise(lit(0L)).as("keep"))
+  }
+
+  /** q82's operator surface: single-pass long-format profile —
+    * numerics profile as doubles, strings as strings, no cross-type
+    * casts. Two bounded shuffles (distinct combos, then per-column
+    * stats), no Expand, no per-column re-scan. */
+  def profile(df: org.apache.spark.sql.DataFrame, numCols: Seq[String],
+              strCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val entries =
+      numCols.map(c => struct(lit(c).as("col_name"),
+        lit(null).cast("string").as("val_str"),
+        col(c).cast("double").as("val_num"))) ++
+      strCols.map(c => struct(lit(c).as("col_name"),
+        col(c).cast("string").as("val_str"),
+        lit(null).cast("double").as("val_num")))
+    val long = df
+      .select(explode(array(entries: _*)).as("e"))
+      .select(col("e.col_name"), col("e.val_str"), col("e.val_num"))
+    val combos = long.groupBy(col("col_name"), col("val_str"), col("val_num"))
+      .agg(lcount(lit(1)).as("cnt"))
+    combos.groupBy(col("col_name")).agg(
+      lsum(col("cnt")).as("n_rows"),
+      lsum(when(col("val_str").isNull && col("val_num").isNull, col("cnt"))
+        .otherwise(lit(0L))).as("n_nulls"),
+      lcount(when(col("val_str").isNotNull || col("val_num").isNotNull, lit(1)))
+        .as("n_distinct"),
+      min(col("val_num")).as("min_num"), max(col("val_num")).as("max_num"),
+      min(col("val_str")).as("min_str"), max(col("val_str")).as("max_str"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q79_gopher_rules",
+      "rule-based document filtering with PER-RULE ATTRIBUTION (the Gopher/C4 heuristic battery, Rae et al. 2021 §A1.1): five named rules — minimum length, mean-word-length band, alphabetic-character ratio, required stopword diversity, duplicate-token ceiling — each sets a bit in a `reasons` mask so corpus curation can report WHY each document was dropped (rule ablation / filter debugging), keep = no bits set. Inference is MAP-ONLY: every rule is a codegen'd expression over the one tokens pass, zero shuffles at 100 TB, and the keep bit composes directly with the curation funnel",
+      (s, d) => gopherRules(t(s, d, "documents")),
+      Some(s"""WITH tk AS (SELECT doc_id, text, ${tsql.tokensOf("text")} AS tok FROM documents),
+         |f AS (SELECT doc_id,
+         |  CAST(len(tok) AS BIGINT) AS n_tokens,
+         |  CASE WHEN len(tok) = 0 THEN 0.0 ELSE CAST(list_aggregate(list_transform(tok, w -> length(w)), 'sum') AS DOUBLE) / len(tok) END AS mean_word_len,
+         |  CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) END AS alpha_ratio,
+         |  CAST(len(list_filter(list_distinct(tok), w -> w IN ('the','a','an','and','or','of','to','in'))) AS BIGINT) AS n_stop_distinct,
+         |  CASE WHEN len(tok) = 0 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct(tok)) AS DOUBLE) / len(tok) END AS dup_frac
+         |  FROM tk),
+         |r AS (SELECT *, CAST((CASE WHEN n_tokens < 30 THEN 1 ELSE 0 END) + (CASE WHEN mean_word_len < 3.0 OR mean_word_len > 8.0 THEN 2 ELSE 0 END) + (CASE WHEN alpha_ratio < 0.75 THEN 4 ELSE 0 END) + (CASE WHEN n_stop_distinct < 2 THEN 8 ELSE 0 END) + (CASE WHEN dup_frac > 0.5 THEN 16 ELSE 0 END) AS BIGINT) AS reasons FROM f)
+         |SELECT doc_id, n_tokens, mean_word_len, alpha_ratio, n_stop_distinct, dup_frac, reasons, CAST(CASE WHEN reasons = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep FROM r""".stripMargin.replace("\n", " "))),
+
+    QueryDef("q80_cms_heavy_hitters",
+      "Count-Min sketch frequency estimation (Cormode & Muthukrishnan 2005): the token stream folds into a deterministic 4x32 counter matrix via the fixed-size CmsBuildAgg (bounded-state partial aggregate: map-side combine, the shuffle moves one 1 KiB matrix per partition, never a key), then the top-20 true heavy hitters are point-queried against the broadcast sketch with the codegen'd cms_estimate. est >= true always (no undercount); the deliberately tiny width forces bucket collisions whose exact overcounts the oracle reproduces from the same (h1 + j*h2) mod w portable-hash family — the approximate operator is hash-checked, collisions included",
+      (s, d) => {
+        val width = 32
+        val depth = 4
+        val term = t(s, d, "documents").select(explode(tokens(col("text"))).as("term"))
+        val cnt = term.groupBy(col("term")).agg(lcount(lit(1)).as("true_count"))
+        val sketch = term.agg(CmsFns.cmsBuild(col("term"), width, depth).as("sk"))
+        cnt.orderBy(col("true_count").desc, col("term")).limit(20)
+          .crossJoin(broadcast(sketch))
+          .select(col("term"), col("true_count"),
+            CmsFns.cmsEstimate(col("sk"), col("term"), width, depth).as("cms_est"))
+      },
+      Some(s"""WITH tok AS (SELECT unnest(${tsql.tokensOf("text")}) AS term FROM documents),
+         |cnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS true_count FROM tok GROUP BY 1),
+         |h AS (SELECT term, true_count, ${tsql.md5Half("term", 1)} AS h1, ${tsql.md5Half("term", 17)} AS h2 FROM cnt),
+         |pos AS (SELECT term, true_count, j, (h1 + j * h2) % 32 AS pos FROM h, range(4) t(j)),
+         |bucket AS (SELECT j, pos, SUM(true_count) AS bc FROM pos GROUP BY 1, 2),
+         |est AS (SELECT term, true_count, CAST(MIN(bc) AS BIGINT) AS cms_est FROM pos JOIN bucket USING (j, pos) GROUP BY 1, 2)
+         |SELECT term, true_count, cms_est FROM est ORDER BY true_count DESC, term LIMIT 20""".stripMargin.replace("\n", " "))),
+
+    QueryDef("q81_priority_sample",
+      "weight-sensitive fixed-size sampling: PRIORITY SAMPLING (Duffield-Lund-Thorup 2007) — per-language top-5 documents by priority = n_chars / u, u = (portableHash(doc_id)+1)/2^60 in (0,1]. Keeps a fixed COUNT per stratum with inclusion probability rising in the weight (vs the uniform fixed-RATE q33); w/u instead of the exponential-variate form because long->double casts and one division are IEEE-correctly-rounded in any engine while libm log is not — the selection is hash-exact and partitioning-independent. Map-only priority derivation + bounded-heap TopKPerKey reduction",
+      (s, d) => graft.ext.Sampling.prioritySample(
+          t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+          "lang", "doc_id", "n_chars", k = 5, seed = 17)
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+                col("priority"), col("rk")),
+      Some(s"""WITH p AS (SELECT lang, doc_id, n_chars,
+         |  CAST(n_chars AS DOUBLE) / (CAST(${tsql.portableHash("CAST(doc_id AS VARCHAR)", 17)} + 1 AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE)) AS priority
+         |  FROM documents),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY priority DESC, doc_id) AS BIGINT) AS rk FROM p)
+         |SELECT lang, doc_id, n_chars, priority, rk FROM r WHERE rk <= 5""".stripMargin.replace("\n", " "))),
+
+    QueryDef("q82_column_profile",
+      "single-pass data profiling: per-column row/null/exact-distinct counts and min/max over six lineitem columns in ONE table scan — the long-format explode (col_name, val_str, val_num) feeds a two-level aggregation (distinct combos, then per-column stats), so the plan has two bounded shuffles and NO Expand (Spark's multi-countDistinct would multiply the scan 6x) and no per-column re-scan (the naive profiler reads the table once per column). Numerics profile as doubles, strings as strings — no cross-type casts, so min/max parity holds exactly",
+      (s, d) => profile(t(s, d, "lineitem"),
+        numCols = Seq("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"),
+        strCols = Seq("l_returnflag", "l_linestatus")),
+      Some {
+        def num(c: String) =
+          s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct, CAST(MIN($c) AS DOUBLE) AS min_num, CAST(MAX($c) AS DOUBLE) AS max_num, CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM lineitem"""
+        def str(c: String) =
+          s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct, CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, MIN($c) AS min_str, MAX($c) AS max_str FROM lineitem"""
+        (Seq("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice").map(num) ++
+          Seq("l_returnflag", "l_linestatus").map(str)).mkString(" UNION ALL ")
+      })
+  )
+}

@@ -60,6 +60,18 @@ object VectorOps {
            |SELECT query_id, neighbor_id, sim, rk FROM r WHERE rk <= 3""".stripMargin.replace("\n", " ")
       }),
 
+    QueryDef("q24d_ann_ivfpq",
+      "IVF + PQ composed ANN (the production index shape, Jegou et al. 2011): coarse cells prune compute (nProbe=4 of 16 cells per query) AND product quantization compresses what is scored (8 subspaces x 16 sub-centroids ADC, 32x residency reduction) — q24b/q24c demonstrate each axis alone, real deployments need both. Assignment, encode and reconstruct are map-only native expressions over the driver-loaded codebook; the only exchange is the bounded-heap TopK hop",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        SimilaritySearch.ivfPqTopK(e, e.filter(col("vec_id") < 10),
+          centroidIds = (100L until 116L), nProbe = 4, dim = 64, m = 8, k = 5)
+      },
+      // composes q24b's assignment/probe CTEs with q24c's PQ decode:
+      // probed-cell members are scored against their RECONSTRUCTED
+      // vectors (same denominator order as the Spark cosine)
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e), cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id BETWEEN 100 AND 115), asg AS (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY list_dot_product(v, cv) / (nrm * cnrm) DESC, cent_id) AS rk FROM n CROSS JOIN cents), assigned AS (SELECT vec_id AS neighbor_id, cent_id AS cell FROM asg WHERE rk = 1), sub AS (SELECT vec_id, j, list_slice(v, j*8+1, j*8+8) AS sv FROM e, range(8) t(j)), cb AS (SELECT vec_id AS cent_id, j, list_slice(v, j*8+1, j*8+8) AS cv FROM e, range(8) t(j) WHERE vec_id BETWEEN 100 AND 115), dists AS (SELECT s.vec_id, s.j, c.cent_id, c.cv, list_dot_product(s.sv, s.sv) - 2*list_dot_product(s.sv, c.cv) + list_dot_product(c.cv, c.cv) AS d FROM sub s JOIN cb c USING (j)), best AS (SELECT vec_id, j, cv FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cent_id) AS rk FROM dists) WHERE rk = 1), dec AS (SELECT vec_id, flatten(list(cv ORDER BY j)) AS dv FROM best GROUP BY vec_id), prb AS (SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qn, cent_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_dot_product(q.v, cv) / (q.nrm * cnrm) DESC, cent_id) AS rk FROM n q CROSS JOIN cents WHERE q.vec_id < 10), probes AS (SELECT query_id, qv, qn, cent_id AS cell FROM prb WHERE rk <= 4), sc AS (SELECT query_id, a.neighbor_id, list_dot_product(qv, d.dv) / (qn * sqrt(list_dot_product(d.dv, d.dv))) AS sim FROM assigned a JOIN probes USING (cell) JOIN dec d ON d.vec_id = a.neighbor_id WHERE a.neighbor_id <> query_id), r AS (SELECT query_id, neighbor_id, sim, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rk FROM sc) SELECT query_id, neighbor_id, sim, rk FROM r WHERE rk <= 5""")),
+
     QueryDef("q73_semdedup_apply",
       "SemDeDup END-TO-END (Abbas et al. 2023): embedding-space near-dup pairs from the hyperplane-LSH candidate plane (8 sign bits, seed 11, cosine >= 0.35 — no all-pairs stage, same bucketing as q25b) -> connected components -> per-label keep/drop summary. The embedding-space twin of the q59 text dedup apply: at 100 TB the corpus shuffles once on the bucket key for pairs, groups resolve adaptively (driver union-find under the edge bound, distributed min-label above it), and the apply is one anti-join on the compact drop set",
       (s, d) => SimilaritySearch.semDedupSummary(

@@ -98,6 +98,20 @@ class PlanSpec extends SparkSpec {
       val p = planOf("q74_quality_classifier")
       assert(!p.contains("Exchange"), s"classifier scoring must not shuffle:\n$p")
     }
+    it("q79 rule battery is map-only: no exchange anywhere in the plan") {
+      val p = planOf("q79_gopher_rules")
+      assert(!p.contains("Exchange"), s"rule filtering must not shuffle:\n$p")
+    }
+    it("q80 CMS build partially aggregates map-side (one matrix per partition crosses the wire)") {
+      val p = planOf("q80_cms_heavy_hitters")
+      assert(p.contains("partial_cms_build"), s"expected map-side sketch combine:\n$p")
+    }
+    it("q24d IVF-PQ: the only non-broadcast exchange is the TopK hop; corpus never shuffles") {
+      val p = planOf("q24d_ann_ivfpq")
+      assert(p.contains("TopKPerKey"), s"plan:\n$p")
+      val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+      assert(exchanges == 1, s"expected only the TopK exchange, found $exchanges:\n$p")
+    }
     it("q73 semantic dedup never degrades to a cartesian pair stage") {
       // candidate pairs come from the bucket equi-join; a lost bucket
       // key would silently re-plan as CartesianProduct = all-pairs
