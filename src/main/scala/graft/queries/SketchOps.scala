@@ -124,6 +124,38 @@ object SketchOps {
          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY priority DESC, doc_id) AS BIGINT) AS rk FROM p)
          |SELECT lang, doc_id, n_chars, priority, rk FROM r WHERE rk <= 5""".stripMargin.replace("\n", " "))),
 
+    QueryDef("q83_collocations",
+      "corpus collocation mining (phrase detection, the word2vec-phrases / NPMI-collocation step of tokenizer+vocab construction): bigram association scored by LIFT = N_tok * c(xy) / (c(x) * c(y)) — log(lift) IS pointwise mutual information, and log is monotone, so ranking by lift = ranking by PMI while using only IEEE-exact ops (two correctly-rounded multiplies + one divide; libm log is not cross-engine reproducible). Min count 5 screens flukes; top-20 by (lift desc, bigram). Plan: one tokens pass feeds both count tables (bigrams via the native one-pass NGramsExpr), vocabulary joins stay unhinted — AQE broadcasts when measured size allows (the vocab is corpus-sized at 100 TB, q63's rule)",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val uni = docs.select(explode(tokens(col("text"))).as("x"))
+          .groupBy(col("x")).agg(lcount(lit(1)).as("cx"))
+        val n = docs.select(tokenCount(col("text")).as("nt"))
+          .agg(lsum(col("nt")).as("n_tok"))
+        val bg = docs.select(explode(wordNgrams(col("text"), 2)).as("bigram"))
+          .groupBy(col("bigram")).agg(lcount(lit(1)).as("cxy"))
+          .filter(col("cxy") >= 5)
+        bg.withColumn("x", split(col("bigram"), " ").getItem(0))
+          .withColumn("y", split(col("bigram"), " ").getItem(1))
+          .join(uni, Seq("x"))
+          .join(uni.select(col("x").as("y"), col("cx").as("cy")), Seq("y"))
+          .crossJoin(broadcast(n))
+          .select(col("bigram"), col("cxy"), col("cx"), col("cy"),
+            ((col("cxy").cast("double") * col("n_tok").cast("double")) /
+             (col("cx").cast("double") * col("cy").cast("double"))).as("lift"))
+          .orderBy(col("lift").desc, col("bigram")).limit(20)
+      },
+      Some(s"""WITH w AS (SELECT ${tsql.tokensOf("text")} AS w FROM documents),
+         |n AS (SELECT CAST(SUM(len(w)) AS BIGINT) AS n_tok FROM w),
+         |uni AS (SELECT unnest(w) AS x FROM w),
+         |uc AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS cx FROM uni GROUP BY 1),
+         |bg AS (SELECT w[i] || ' ' || w[i+1] AS bigram FROM w, unnest(generate_series(1, greatest(len(w)-1, 0))) AS u(i)),
+         |bgc AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cxy FROM bg GROUP BY 1 HAVING COUNT(*) >= 5),
+         |sp AS (SELECT bigram, cxy, string_split(bigram, ' ')[1] AS x, string_split(bigram, ' ')[2] AS y FROM bgc),
+         |j AS (SELECT bigram, cxy, a.cx AS cx, b.cx AS cy FROM sp JOIN uc a USING (x) JOIN uc b ON b.x = sp.y)
+         |SELECT bigram, cxy, cx, cy, (CAST(cxy AS DOUBLE) * CAST(n_tok AS DOUBLE)) / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)) AS lift
+         |FROM j CROSS JOIN n ORDER BY lift DESC, bigram LIMIT 20""".stripMargin.replace("\n", " "))),
+
     QueryDef("q82_column_profile",
       "single-pass data profiling: per-column row/null/exact-distinct counts and min/max over six lineitem columns in ONE table scan — the long-format explode (col_name, val_str, val_num) feeds a two-level aggregation (distinct combos, then per-column stats), so the plan has two bounded shuffles and NO Expand (Spark's multi-countDistinct would multiply the scan 6x) and no per-column re-scan (the naive profiler reads the table once per column). Numerics profile as doubles, strings as strings — no cross-type casts, so min/max parity holds exactly",
       (s, d) => profile(t(s, d, "lineitem"),

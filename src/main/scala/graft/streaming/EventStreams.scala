@@ -149,6 +149,27 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("__dedup_key")
       .drop("__dedup_key")
 
+  /** Streaming windowed heavy-hitter sketch: per event-time window, the
+    * item stream folds into ONE fixed-size Count–Min matrix
+    * ([[graft.functions.CmsBuildAgg]] — the same deterministic sketch
+    * the batch plane uses in q80). The streaming twin of the "what's
+    * trending" question: per-window per-item exact counts need state
+    * proportional to the item vocabulary (unbounded for URLs/tokens),
+    * while the sketch holds 8·d·w bytes per OPEN WINDOW regardless of
+    * item cardinality, and the watermark expires closed windows'
+    * state. Point-query the emitted matrix with
+    * [[graft.functions.CmsFns.cmsEstimate]] — same build, same probe,
+    * batch or streaming. */
+  def heavyHitterSketchStream(events: DataFrame, itemCol: String,
+                              tsCol: String, watermark: String,
+                              windowLen: String, width: Int,
+                              depth: Int): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(graft.functions.CmsFns.cmsBuild(col(itemCol), width, depth).as("sketch"))
+      .select(col("window.start").as("window_start"), col("sketch"))
+
   /** File-based streaming source over an events directory (the offline
     * stand-in for the reference's polled REST source, S5). */
   def eventFileStream(spark: SparkSession, dir: String): DataFrame = {

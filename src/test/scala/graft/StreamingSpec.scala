@@ -104,6 +104,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  describe("heavyHitterSketchStream (windowed CMS)") {
+    it("folds each window's items into a probe-able fixed-size sketch") {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val src = MemoryStream[Event]
+      val q = EventStreams.heavyHitterSketchStream(src.toDF(),
+          itemCol = "event_type", tsCol = "ts", watermark = "1 hour",
+          windowLen = "1 day", width = 64, depth = 4)
+        .writeStream.format("memory").queryName("hh_out")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        src.addData(
+          Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+          Event(2, ts("2024-01-01 11:00:00"), 2, "click", 1.0),
+          Event(3, ts("2024-01-01 12:00:00"), 3, "view", 1.0),
+          Event(4, ts("2024-01-02 10:00:00"), 1, "view", 1.0))
+        q.processAllAvailable()
+        val sketches = spark.table("hh_out")
+          .select($"window_start".cast("string"), $"sketch")
+          .as[(String, Array[Byte])].collect().toMap
+        def est(day: String, item: String): Long =
+          graft.functions.CmsFns.estimate(sketches(day),
+            org.apache.spark.unsafe.types.UTF8String.fromString(item), 64, 4)
+        assert(est("2024-01-01 00:00:00", "click") == 2)
+        assert(est("2024-01-01 00:00:00", "view") == 1)
+        assert(est("2024-01-02 00:00:00", "view") == 1)
+        assert(est("2024-01-02 00:00:00", "click") == 0)
+      } finally q.stop()
+    }
+  }
+
   describe("batch/stream agreement") {
     it("sessionizeBatch matches the streaming sessions on closed sessions") {
       import spark.implicits._
