@@ -52,19 +52,29 @@ object SketchOps {
     * stats), no Expand, no per-column re-scan. */
   def profile(df: org.apache.spark.sql.DataFrame, numCols: Seq[String],
               strCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    // the exploded rows are shuffle traffic: carry a 1-byte column ID,
+    // not the column-name string (a repeated 15-char UTF8 per row was
+    // ~40% of the combo shuffle's bytes), and map ID → name only on
+    // the final |columns|-row frame
+    val names = numCols ++ strCols
     val entries =
-      numCols.map(c => struct(lit(c).as("col_name"),
-        lit(null).cast("string").as("val_str"),
-        col(c).cast("double").as("val_num"))) ++
-      strCols.map(c => struct(lit(c).as("col_name"),
-        col(c).cast("string").as("val_str"),
-        lit(null).cast("double").as("val_num")))
+      numCols.zipWithIndex.map { case (c, i) =>
+        struct(lit(i.toByte).as("col_id"),
+          lit(null).cast("string").as("val_str"),
+          col(c).cast("double").as("val_num")) } ++
+      strCols.zipWithIndex.map { case (c, i) =>
+        struct(lit((numCols.size + i).toByte).as("col_id"),
+          col(c).cast("string").as("val_str"),
+          lit(null).cast("double").as("val_num")) }
     val long = df
       .select(explode(array(entries: _*)).as("e"))
-      .select(col("e.col_name"), col("e.val_str"), col("e.val_num"))
-    val combos = long.groupBy(col("col_name"), col("val_str"), col("val_num"))
+      .select(col("e.col_id"), col("e.val_str"), col("e.val_num"))
+    val combos = long.groupBy(col("col_id"), col("val_str"), col("val_num"))
       .agg(lcount(lit(1)).as("cnt"))
-    combos.groupBy(col("col_name")).agg(
+    val colName = names.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (els, (c, i)) => when(col("col_id") === i, lit(c)).otherwise(els)
+    }
+    combos.groupBy(col("col_id")).agg(
       lsum(col("cnt")).as("n_rows"),
       lsum(when(col("val_str").isNull && col("val_num").isNull, col("cnt"))
         .otherwise(lit(0L))).as("n_nulls"),
@@ -72,6 +82,9 @@ object SketchOps {
         .as("n_distinct"),
       min(col("val_num")).as("min_num"), max(col("val_num")).as("max_num"),
       min(col("val_str")).as("min_str"), max(col("val_str")).as("max_str"))
+      .select(colName.as("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_num"), col("max_num"),
+        col("min_str"), col("max_str"))
   }
 
   val defs: Seq[QueryDef] = Seq(
