@@ -169,6 +169,39 @@ object SketchOps {
          |SELECT bigram, cxy, cx, cy, (CAST(cxy AS DOUBLE) * CAST(n_tok AS DOUBLE)) / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)) AS lift
          |FROM j CROSS JOIN n ORDER BY lift DESC, bigram LIMIT 20""".stripMargin.replace("\n", " "))),
 
+    QueryDef("q84_bigram_fluency",
+      "bigram-LM fluency scoring (the KenLM-perplexity filter one model order up from q63's unigram): corpus bigram MLE P(y|x) = c(xy)/c(x), per-document mean conditional surprisal ln(c(x)/c(xy)) — rare TRANSITIONS score high even when both words are common, which is exactly what the unigram model cannot see. Surprisal is rounded to 4 decimals per distinct bigram BEFORE the per-doc sum (q63's parity recipe: the sum then runs on exact decimals, order-independent, and libm ln's engine-specific last ulp is rounded away). Both count joins are vocabulary-sized at scale — unhinted, AQE decides",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val docs = t(s, d, "documents")
+        val bg = docs.select(col("doc_id"), explode(wordNgrams(col("text"), 2)).as("b"))
+        val cxy = bg.groupBy(col("b")).agg(count(lit(1)).as("cxy"))
+        val cx = docs.select(explode(tokens(col("text"))).as("x"))
+          .groupBy(col("x")).agg(count(lit(1)).as("cx"))
+        // every xy occurrence is an x occurrence, so cxy <= cx and
+        // ln(cx/cxy) >= 0 — the floor-rounding precondition holds
+        val lp = cxy.withColumn("x", split(col("b"), " ").getItem(0))
+          .join(cx, "x")
+          .select(col("b"),
+            (floor(log(col("cx").cast("double") / col("cxy")) * 1e4 + 0.5) / 1e4).as("lp"))
+        val perDoc = bg.join(lp, "b")
+          .groupBy(col("doc_id"))
+          .agg(lcount(lit(1)).as("n_bigrams"),
+               (sum(col("lp").cast(DecimalType(38, 6))).cast("double") /
+                count(lit(1))).as("m"))
+        docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            portableRound6(coalesce(col("m"), lit(0.0))).as("mean_cond_surprisal"))
+      },
+      Some(s"""WITH s AS (SELECT doc_id, ${tsql.tokensOf("text")} AS w FROM documents),
+         |bgt AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS b FROM s, unnest(generate_series(1, greatest(len(w)-1, 0))) AS u(i)),
+         |cxy AS (SELECT b, count(*) AS cxy FROM bgt GROUP BY 1),
+         |cx AS (SELECT x, count(*) AS cx FROM (SELECT unnest(w) AS x FROM s) GROUP BY 1),
+         |lp AS (SELECT b, floor(ln(CAST(cx AS DOUBLE) / cxy) * 1e4 + 0.5) / 1e4 AS lp FROM cxy JOIN cx ON cx.x = string_split(cxy.b, ' ')[1]),
+         |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, CAST(SUM(CAST(lp AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS m FROM bgt JOIN lp USING (b) GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(pd.n_bigrams, 0) AS n_bigrams, floor(COALESCE(pd.m, 0.0) * 1e6 + 0.5) / 1e6 AS mean_cond_surprisal FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin.replace("\n", " "))),
+
     QueryDef("q82_column_profile",
       "single-pass data profiling: per-column row/null/exact-distinct counts and min/max over six lineitem columns in ONE table scan — the long-format explode (col_name, val_str, val_num) feeds a two-level aggregation (distinct combos, then per-column stats), so the plan has two bounded shuffles and NO Expand (Spark's multi-countDistinct would multiply the scan 6x) and no per-column re-scan (the naive profiler reads the table once per column). Numerics profile as doubles, strings as strings — no cross-type casts, so min/max parity holds exactly",
       (s, d) => profile(t(s, d, "lineitem"),
