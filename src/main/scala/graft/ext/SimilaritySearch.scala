@@ -290,6 +290,65 @@ object SimilaritySearch {
       k)
   }
 
+  /** The codebook BUILD step the IVF/PQ queries consume: spherical
+    * k-means (cosine assignment, Lloyd updates) for a fixed iteration
+    * count from deterministic seed vectors. Upgrades q24b/q24c's
+    * "production would k-means these" stand-in into the actual
+    * production step.
+    *
+    * Scale shape (the Spark-MLlib pattern): centroids are BOUNDED
+    * driver state (k×dim floats), re-collected once per iteration;
+    * assignment is the map-only native [[graft.functions.NearestCells]]
+    * expression (corpus never shuffles to find its cell); the Lloyd
+    * update is one partial-aggregated groupBy per iteration on
+    * (cell, dim) keys — k×dim groups, constant-bounded. Iteration
+    * count is fixed (production ANN builds run 5–25 Lloyd rounds, not
+    * to convergence), so the lineage stays bounded.
+    *
+    * Cross-engine determinism: element-wise means are exact decimal
+    * sums divided once, floor-rounded to 9 dp (IEEE-exact formula);
+    * centroids pass through float32 between iterations on BOTH engines
+    * (driver .toFloat here, CAST(… AS REAL) in the oracle — the same
+    * IEEE round-to-nearest conversion), so every iteration's
+    * assignment sees bit-identical centroids.
+    *
+    * Output: final centroids in long format with member counts —
+    * (cell, n_members, dim, val). */
+  def kmeansCodebook(corpus: DataFrame, initIds: Seq[Long], iters: Int): DataFrame = {
+    import graft.functions.NearestCells.nearest_cells
+    import org.apache.spark.sql.types.DecimalType
+    require(iters >= 1, "at least one Lloyd iteration")
+    val base = corpus.filter(col("embedding").isNotNull)
+    // initial codebook: the seed vectors re-labeled 0..k-1 in vec_id order
+    var cb: Array[Array[Float]] = codebook(corpus, initIds).map(_._2)
+    var ids: Array[Long] = Array.tabulate(cb.length)(_.toLong)
+    var result: DataFrame = null
+    for (i <- 1 to iters) {
+      val assigned = base.select(col("vec_id"), col("embedding"),
+        element_at(nearest_cells(col("embedding"), cb, ids, 1), 1).as("cell"))
+      val means = assigned.select(col("cell"), posexplode(col("embedding")))
+        .groupBy(col("cell"), col("pos"))
+        .agg((floor((sum(col("col").cast(DecimalType(38, 12))).cast("double") /
+                     count(lit(1))) * 1e9 + 0.5) / 1e9).as("val"))
+      if (i < iters) {
+        // codebook-sized collect: |cells| × dim rows — the same bounded
+        // driver state every production ANN trainer holds
+        val byCell = means.collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+          .groupBy(_._1).toArray.sortBy(_._1)
+        ids = byCell.map(_._1)
+        cb = byCell.map(_._2.sortBy(_._2).map(_._3.toFloat))
+      } else {
+        val counts = assigned.groupBy(col("cell"))
+          .agg(count(lit(1)).cast("long").as("n_members"))
+        result = means.join(counts, Seq("cell"))
+          .select(col("cell"), col("n_members"),
+                  col("pos").cast("long").as("dim"), col("val"))
+      }
+    }
+    result
+  }
+
   /** SemDeDup end-to-end (semantic dedup over embeddings, Abbas et al.
     * 2023): hyperplane-LSH cosine pairs ([[nearDupPairsLsh]] — bucketed
     * candidate generation, no all-pairs stage) → connected components

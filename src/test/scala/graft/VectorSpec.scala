@@ -200,6 +200,36 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  describe("kmeansCodebook") {
+    it("partitions the corpus: member counts sum to the corpus size and centroids separate the clusters") {
+      import org.apache.spark.sql.functions.col
+      // two tight clusters around orthogonal axes + their seed points
+      val vecs = (
+        (0 until 20).map(i => (i.toLong, Array(1.0f, 0.01f * i, 0f, 0f))) ++
+        (20 until 40).map(i => (i.toLong, Array(0f, 0.01f * (i - 20), 1.0f, 0f)))
+      ).toDF("vec_id", "embedding")
+      val out = SimilaritySearch.kmeansCodebook(vecs, initIds = Seq(0L, 20L), iters = 3)
+      val counts = out.select($"cell", $"n_members").distinct()
+        .as[(Long, Long)].collect().toMap
+      assert(counts.values.sum == 40)
+      assert(counts == Map(0L -> 20L, 1L -> 20L))
+      // cluster-0 centroid points along dim 0, cluster-1 along dim 2
+      val c = out.select($"cell", $"dim", $"val").as[(Long, Long, Double)]
+        .collect().map { case (cl, d, v) => (cl, d) -> v }.toMap
+      assert(c((0L, 0L)) > 0.9 && c((0L, 2L)) == 0.0)
+      assert(c((1L, 2L)) > 0.9 && c((1L, 0L)) == 0.0)
+    }
+    it("is partitioning-independent (decimal means, deterministic assignment)") {
+      val vecs = (0 until 60).map(i =>
+        (i.toLong, Array.tabulate(8)(j => ((i * 7 + j * 3) % 13 - 6).toFloat)))
+        .toDF("vec_id", "embedding")
+      def run(parts: Int) = SimilaritySearch
+        .kmeansCodebook(vecs.repartition(parts), initIds = Seq(0L, 1L, 2L), iters = 2)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(run(1) == run(11))
+    }
+  }
+
   private implicit class Tup4Ops(rows: Array[(Int, Long, Long, Long)]) {
     def toMap2: Map[Int, (Long, Long, Long)] =
       rows.map { case (l, a, b, c) => l -> ((a, b, c)) }.toMap
