@@ -30,6 +30,39 @@ object Analytics {
 
   val defs: Seq[QueryDef] = Seq(
 
+    QueryDef("q87_funnel",
+      "ordered event funnel (view -> click -> purchase): per-user STRICTLY-ORDERED stage timestamps — first view, first click after that view, first purchase after that click — then per-stage user counts. The ordering constraint is what a naive per-type min() gets wrong (a click before any view must not count). All three stage reductions key on user_id, so at scale they share one hash partitioning; stage outputs are one row per surviving user",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+        val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+          .filter(col("ts") > col("v_ts"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+        val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+          .filter(col("ts") > col("c_ts"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+        ev.agg(count_distinct(col("user_id")).cast("long").as("n_users"))
+          .crossJoin(v.agg(lcount(lit(1)).as("n_viewed")))
+          .crossJoin(c.agg(lcount(lit(1)).as("n_clicked_after_view")))
+          .crossJoin(p.agg(lcount(lit(1)).as("n_purchased_after_click")))
+      },
+      Some("""WITH v AS (SELECT user_id, MIN(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY 1), c AS (SELECT e.user_id, MIN(e.ts) AS c_ts FROM events e JOIN v USING (user_id) WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY 1), p AS (SELECT e.user_id, MIN(e.ts) AS p_ts FROM events e JOIN c USING (user_id) WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY 1) SELECT CAST((SELECT COUNT(DISTINCT user_id) FROM events) AS BIGINT) AS n_users, CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewed, CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_clicked_after_view, CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchased_after_click""")),
+
+    QueryDef("q88_retention",
+      "cohort retention triangle: users grouped by first-activity day, per (cohort_day, day_offset) distinct active-user counts. Activity dedups to (user, day) FIRST (one row per user-day, so the count needs no countDistinct), cohort = per-user min day joined back on the same user_id partitioning",
+      (s, d) => {
+        val act = t(s, d, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val cohort = act.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+        act.join(cohort, "user_id")
+          .select(col("cohort_day"),
+                  datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+          .groupBy(col("cohort_day"), col("day_offset"))
+          .agg(lcount(lit(1)).as("n_active"))
+      },
+      Some("""WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), co AS (SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY 1) SELECT cohort_day, CAST(datediff('day', cohort_day, day) AS BIGINT) AS day_offset, CAST(COUNT(*) AS BIGINT) AS n_active FROM act JOIN co USING (user_id) GROUP BY 1, 2""")),
+
     QueryDef("q38_rollup",
       "hierarchical totals: ROLLUP(region, nation) over customer accounts",
       (s, d) => t(s, d, "customer")

@@ -33,6 +33,34 @@ object CorpusOps {
   private[queries] val q68OracleSql =
     s"""WITH ${LlmOps.textStatsCte}, b AS (SELECT d.doc_id, d.lang, q.n_tokens, q.quality FROM documents d JOIN q USING (doc_id)), c AS (SELECT lang, doc_id, n_tokens, quality, CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM b) SELECT lang, doc_id, n_tokens, quality, cum_tokens FROM c WHERE cum_tokens <= 5000"""
 
+  /** Per-document unigram-LM mean surprisal with lang carried through —
+    * the shared engine under q63 (which drops lang) and q86 (which
+    * buckets by it). Surprisal per vocab term is rounded to 4 decimals
+    * BEFORE the per-doc sum: the sum then runs on exact decimals
+    * (order-independent), and ln's engine-specific last ulp is rounded
+    * away; ln(N/c) >= 0 always (c <= N), so the floor-trick rounding's
+    * non-negative precondition holds. */
+  private def surprisalByDoc(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
+    val vocab = tok.groupBy(col("tk")).agg(count(lit(1)).as("c"))
+    val n = vocab.agg(sum(col("c")).as("n_total"))
+    val lp = vocab.crossJoin(n).select(col("tk"),
+      portableRound4(log(col("n_total").cast("double") / col("c"))).as("lp"))
+    val perDoc = tok.join(lp, "tk")
+      .groupBy(col("doc_id"))
+      .agg(lcount(lit(1)).as("n_tokens"),
+           (sum(col("lp").cast(DecimalType(38, 6))).cast("double") /
+            count(lit(1))).as("m"))
+    docs.select(col("doc_id"), col("lang")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        portableRound6(coalesce(col("m"), lit(0.0))).as("mean_surprisal"))
+  }
+
+  /** Oracle mirror of [[surprisalByDoc]], ending in the `sd` CTE. */
+  private val surprisalCte =
+    s"""tok AS (SELECT doc_id, unnest(${TextFunctions.sql.tokensOf("text")}) AS tk FROM documents), v AS (SELECT tk, count(*) AS c FROM tok GROUP BY 1), n AS (SELECT SUM(c) AS n_total FROM v), lp AS (SELECT tk, floor(ln(CAST(n_total AS DOUBLE) / c) * 1e4 + 0.5) / 1e4 AS lp FROM v CROSS JOIN n), pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(SUM(CAST(lp AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS m FROM tok JOIN lp USING (tk) GROUP BY 1), sd AS (SELECT d.doc_id, d.lang, COALESCE(pd.n_tokens, 0) AS n_tokens, floor(COALESCE(pd.m, 0.0) * 1e6 + 0.5) / 1e6 AS mean_surprisal FROM documents d LEFT JOIN pd USING (doc_id))"""
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q62_source_quota",
@@ -58,29 +86,27 @@ object CorpusOps {
 
     QueryDef("q63_unigram_surprisal",
       "unigram-LM quality proxy (KenLM-style perplexity filter stand-in): corpus unigram probabilities, then per-document mean surprisal -ln p(token). Vocab joined by shuffle — at 100 TB the vocab is itself a large table, so no broadcast is assumed (AQE may still pick one at small scale)",
+      (s, d) => surprisalByDoc(t(s, d, "documents")).drop("lang"),
+      Some(s"""WITH $surprisalCte SELECT doc_id, n_tokens, mean_surprisal FROM sd""")),
+
+    QueryDef("q86_ccnet_buckets",
+      "CCNet-style perplexity bucketing (Wenzek et al. 2020): per-language head/middle/tail corpus split by unigram-LM mean-surprisal terciles. Faithful to CCNet's own shape: bucket assignment compares each doc against PRECOMPUTED per-lang cutoffs — a bounded |langs|-row exact-percentile aggregate broadcast back to the scan — NOT a corpus-wide ntile window (no unbounded per-lang sort at 100 TB). Cutoffs floor-rounded to 4 dp on both engines (q41's percentile parity + the portable rounding recipe)",
       (s, d) => {
-        val docs = t(s, d, "documents")
-        val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
-        val vocab = tok.groupBy(col("tk")).agg(count(lit(1)).as("c"))
-        val n = vocab.agg(sum(col("c")).as("n_total"))
-        // surprisal per vocab term, rounded to 4 decimals BEFORE the
-        // per-doc sum: the sum then runs on exact decimals (order-
-        // independent), and ln's engine-specific last ulp is rounded
-        // away. ln(N/c) >= 0 always (c <= N), so the floor-trick
-        // rounding's non-negative precondition holds.
-        val lp = vocab.crossJoin(n).select(col("tk"),
-          portableRound4(log(col("n_total").cast("double") / col("c"))).as("lp"))
-        val perDoc = tok.join(lp, "tk")
-          .groupBy(col("doc_id"))
-          .agg(lcount(lit(1)).as("n_tokens"),
-               (sum(col("lp").cast(DecimalType(38, 6))).cast("double") /
-                count(lit(1))).as("m"))
-        docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-            portableRound6(coalesce(col("m"), lit(0.0))).as("mean_surprisal"))
+        val sd = surprisalByDoc(t(s, d, "documents"))
+        val th = sd.groupBy(col("lang")).agg(
+          portableRound4(expr("percentile(mean_surprisal, 0.3333333333333333)")).as("t1"),
+          portableRound4(expr("percentile(mean_surprisal, 0.6666666666666666)")).as("t2"))
+        val bucket = when(col("mean_surprisal") <= col("t1"), lit("head"))
+          .when(col("mean_surprisal") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail"))
+        sd.join(broadcast(th), Seq("lang"))
+          .select(col("lang"), bucket.as("bucket"), col("mean_surprisal"))
+          .groupBy(col("lang"), col("bucket"))
+          .agg(lcount(lit(1)).as("n_docs"),
+               min(col("mean_surprisal")).as("min_s"),
+               max(col("mean_surprisal")).as("max_s"))
       },
-      Some(s"""WITH tok AS (SELECT doc_id, unnest(${TextFunctions.sql.tokensOf("text")}) AS tk FROM documents), v AS (SELECT tk, count(*) AS c FROM tok GROUP BY 1), n AS (SELECT SUM(c) AS n_total FROM v), lp AS (SELECT tk, floor(ln(CAST(n_total AS DOUBLE) / c) * 1e4 + 0.5) / 1e4 AS lp FROM v CROSS JOIN n), pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(SUM(CAST(lp AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS m FROM tok JOIN lp USING (tk) GROUP BY 1) SELECT d.doc_id, COALESCE(pd.n_tokens, 0) AS n_tokens, floor(COALESCE(pd.m, 0.0) * 1e6 + 0.5) / 1e6 AS mean_surprisal FROM documents d LEFT JOIN pd USING (doc_id)""")),
+      Some(s"""WITH $surprisalCte, th AS (SELECT lang, floor(quantile_cont(mean_surprisal, 0.3333333333333333) * 1e4 + 0.5) / 1e4 AS t1, floor(quantile_cont(mean_surprisal, 0.6666666666666666) * 1e4 + 0.5) / 1e4 AS t2 FROM sd GROUP BY 1), b AS (SELECT sd.lang, CASE WHEN mean_surprisal <= t1 THEN 'head' WHEN mean_surprisal <= t2 THEN 'middle' ELSE 'tail' END AS bucket, mean_surprisal FROM sd JOIN th USING (lang)) SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(mean_surprisal) AS min_s, MAX(mean_surprisal) AS max_s FROM b GROUP BY 1, 2""")),
 
     QueryDef("q64_mixture_weights",
       "corpus mixing: temperature-scaled language sampling weights p_l ∝ n_l^0.3 (multilingual up-sampling à la mBERT/XLM-R exponent smoothing) next to the raw proportions",
