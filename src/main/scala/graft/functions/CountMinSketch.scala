@@ -56,6 +56,10 @@ object CmsFns {
   }
 
   def estimate(buf: Array[Byte], key: UTF8String, width: Int, depth: Int): Long = {
+    // a probe whose (width, depth) disagree with the build would read
+    // the wrong counters (or past the buffer) — fail loudly instead
+    require(buf.length == depth * width * 8,
+      s"sketch is ${buf.length} bytes, probe geometry $depth x $width needs ${depth * width * 8}")
     val (h1, h2) = halves(key)
     var best = Long.MaxValue
     var j = 0

@@ -112,6 +112,16 @@ class PlanSpec extends SparkSpec {
       val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).length
       assert(exchanges == 1, s"expected only the TopK exchange, found $exchanges:\n$p")
     }
+    it("q85 k-means assignment is map-only: no window anywhere, corpus shuffles only for the bounded (cell, dim) means") {
+      val p = planOf("q85_kmeans_codebook")
+      assert(!p.contains("Window"), s"assignment must not window-sort:\n$p")
+      assert(p.contains("nearest_cells"), s"expected the native assignment expression:\n$p")
+    }
+    it("q86 CCNet bucketing assigns against broadcast cutoffs, never a corpus-wide ntile window") {
+      val p = planOf("q86_ccnet_buckets")
+      assert(!p.contains("Window"), s"bucket assignment must not window:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"cutoffs must broadcast:\n$p")
+    }
     it("q73 semantic dedup never degrades to a cartesian pair stage") {
       // candidate pairs come from the bucket equi-join; a lost bucket
       // key would silently re-plan as CartesianProduct = all-pairs

@@ -73,6 +73,16 @@ class SketchSpec extends SparkSpec {
         .select($"sk").as[Array[Byte]].head()
       assert(empty.forall(_ == 0))
     }
+    it("rejects a probe whose geometry disagrees with the sketch (no silent wrong counters)") {
+      val sk = Seq("x").toDF("k").agg(cmsBuild($"k", W, D).as("sk"))
+      val err = intercept[Exception] {
+        Seq("x").toDF("k").crossJoin(sk)
+          .select(cmsEstimate($"sk", $"k", W * 2, D)).collect()
+      }
+      def messages(t: Throwable): String =
+        if (t == null) "" else t.getMessage + messages(t.getCause)
+      assert(messages(err).contains("geometry"), s"got: ${messages(err)}")
+    }
     it("rejects out-of-contract width/depth on both build and probe") {
       import graft.functions.{CmsBuildAgg, CmsEstimate}
       val e = org.apache.spark.sql.catalyst.expressions.Literal("x")
