@@ -92,7 +92,11 @@ object CorpusOps {
     QueryDef("q86_ccnet_buckets",
       "CCNet-style perplexity bucketing (Wenzek et al. 2020): per-language head/middle/tail corpus split by unigram-LM mean-surprisal terciles. Faithful to CCNet's own shape: bucket assignment compares each doc against PRECOMPUTED per-lang cutoffs — a bounded |langs|-row exact-percentile aggregate broadcast back to the scan — NOT a corpus-wide ntile window (no unbounded per-lang sort at 100 TB). Cutoffs floor-rounded to 4 dp on both engines (q41's percentile parity + the portable rounding recipe)",
       (s, d) => {
-        val sd = surprisalByDoc(t(s, d, "documents"))
+        // sd feeds BOTH the threshold aggregate and the bucket
+        // assignment — stage-checkpoint it once (the q65 pattern;
+        // cluster twin = reliable checkpoint) instead of running the
+        // token-explode + vocab-join pipeline twice
+        val sd = surprisalByDoc(t(s, d, "documents")).localCheckpoint(true)
         val th = sd.groupBy(col("lang")).agg(
           portableRound4(expr("percentile(mean_surprisal, 0.3333333333333333)")).as("t1"),
           portableRound4(expr("percentile(mean_surprisal, 0.6666666666666666)")).as("t2"))
