@@ -87,6 +87,22 @@ object SketchOps {
         col("min_str"), col("max_str"))
   }
 
+  /** One simultaneous left-to-right non-overlapping BPE merge over a
+    * space-joined symbol string (q89's inner step). Doubling the
+    * separators before the replace lets two ADJACENT matches each keep
+    * a boundary space ("a a a" + merge "a a" → "aa a", the greedy BPE
+    * result), and the padding stops sub-token false matches ("xa b"
+    * does not contain pair "a b"). Plain replace/regexp/trim — the
+    * identical algebra runs in the SQL oracle. */
+  def bpeMerge(sym: org.apache.spark.sql.Column, pair: org.apache.spark.sql.Column,
+               merged: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(
+      call_function("replace",
+        concat(lit(" "), call_function("replace", sym, lit(" "), lit("  ")), lit(" ")),
+        concat(lit(" "), call_function("replace", pair, lit(" "), lit("  ")), lit(" ")),
+        concat(lit(" "), merged, lit(" "))),
+      "\\s+", " "))
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q79_gopher_rules",
@@ -201,6 +217,51 @@ object SketchOps {
          |lp AS (SELECT b, floor(ln(CAST(cx AS DOUBLE) / cxy) * 1e4 + 0.5) / 1e4 AS lp FROM cxy JOIN cx ON cx.x = string_split(cxy.b, ' ')[1]),
          |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, CAST(SUM(CAST(lp AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS m FROM bgt JOIN lp USING (b) GROUP BY 1)
          |SELECT d.doc_id, COALESCE(pd.n_bigrams, 0) AS n_bigrams, floor(COALESCE(pd.m, 0.0) * 1e6 + 0.5) / 1e6 AS mean_cond_surprisal FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin.replace("\n", " "))),
+
+    QueryDef("q89_bpe_merges",
+      "BPE merge learning (Sennrich et al. 2016 — the tokenizer TRAINING step, completing the tokenizer plane next to q47's pretokenizer and q34's vocab stats): 3 merge rounds over the word-type table, each = weighted adjacent-symbol-pair counts -> argmax pair (count desc, pair asc) -> simultaneous left-to-right non-overlapping merge across every word. The merge is pure string algebra replicated exactly in SQL: double the separators, pad, replace(' x  y ' -> ' xy '), renormalize — the doubled separator donates one space to each of two ADJACENT matches, so greedy BPE semantics ('a a a' + merge 'a a' -> 'aa a') come out of plain replace() identically in both engines. Scale shape: rounds iterate over the word-TYPE table (vocabulary-sized, not corpus-sized) with the 1-row argmax broadcast back — the corpus is touched once to build types",
+      (s, d) => {
+        val words = t(s, d, "documents")
+          .select(explode(tokens(col("text"))).as("word"))
+          .groupBy(col("word")).agg(lcount(lit(1)).as("wc"))
+        val s0 = words.select(col("word"), col("wc"),
+          trim(regexp_replace(col("word"), "(.)", "$1 ")).as("sym"))
+        var cur = s0
+        val rounds = (1 to 3).map { i =>
+          val pairs = cur.select(col("wc"), explode(wordNgrams(col("sym"), 2)).as("pair"))
+            .groupBy(col("pair")).agg(lsum(col("wc")).as("c"))
+          val top = pairs.orderBy(col("c").desc, col("pair")).limit(1)
+            .select(col("pair"), regexp_replace(col("pair"), " ", "").as("merged"),
+                    col("c"))
+          val next = cur.crossJoin(broadcast(top)).select(col("word"), col("wc"),
+            bpeMerge(col("sym"), col("pair"), col("merged")).as("sym"))
+            .localCheckpoint(true) // each round builds on the materialized previous
+          val after = next.agg(
+            lsum(size(tokens(col("sym"))).cast("long") * col("wc"))
+              .as("corpus_symbols_after"))
+          cur = next
+          top.select(lit(i.toLong).as("merge_no"), col("pair"), col("merged"),
+                     col("c").as("pair_count"))
+            .crossJoin(after)
+        }
+        rounds.reduce(_ unionByName _)
+      },
+      Some {
+        val tok = tsql.tokensOf("text")
+        def round(i: Int, prev: String): String =
+          s"""pr$i AS (SELECT w[i] || ' ' || w[i+1] AS pair, CAST(SUM(wc) AS BIGINT) AS c FROM (SELECT wc, string_split_regex(trim(sym), '\\s+') AS w FROM $prev) q, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS u(i) GROUP BY 1),
+             |t$i AS (SELECT pair, replace(pair, ' ', '') AS merged, c FROM pr$i ORDER BY c DESC, pair LIMIT 1),
+             |s$i AS (SELECT word, wc, trim(regexp_replace(replace(' ' || replace(sym, ' ', '  ') || ' ', ' ' || replace(pair, ' ', '  ') || ' ', ' ' || merged || ' '), '\\s+', ' ', 'g')) AS sym FROM $prev CROSS JOIN t$i),
+             |k$i AS (SELECT CAST(SUM(wc * len(string_split_regex(trim(sym), '\\s+'))) AS BIGINT) AS corpus_symbols_after FROM s$i)""".stripMargin
+        s"""WITH words AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wc FROM (SELECT unnest($tok) AS word FROM documents) GROUP BY 1),
+           |s0 AS (SELECT word, wc, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym FROM words),
+           |${round(1, "s0")},
+           |${round(2, "s1")},
+           |${round(3, "s2")}
+           |SELECT CAST(1 AS BIGINT) AS merge_no, pair, merged, c AS pair_count, corpus_symbols_after FROM t1 CROSS JOIN k1
+           |UNION ALL SELECT CAST(2 AS BIGINT), pair, merged, c, corpus_symbols_after FROM t2 CROSS JOIN k2
+           |UNION ALL SELECT CAST(3 AS BIGINT), pair, merged, c, corpus_symbols_after FROM t3 CROSS JOIN k3""".stripMargin.replace("\n", " ")
+      }),
 
     QueryDef("q82_column_profile",
       "single-pass data profiling: per-column row/null/exact-distinct counts and min/max over six lineitem columns in ONE table scan — the long-format explode (col_name, val_str, val_num) feeds a two-level aggregation (distinct combos, then per-column stats), so the plan has two bounded shuffles and NO Expand (Spark's multi-countDistinct would multiply the scan 6x) and no per-column re-scan (the naive profiler reads the table once per column). Numerics profile as doubles, strings as strings — no cross-type casts, so min/max parity holds exactly",

@@ -123,6 +123,24 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  describe("bpeMerge (q89 inner step)") {
+    it("implements greedy left-to-right non-overlapping merge semantics") {
+      val cases = Seq(
+        ("a a a", "a a", "aa", "aa a"),        // adjacent repeat: leftmost wins
+        ("x a b a b y", "a b", "ab", "x ab ab y"),
+        ("a b a b", "a b", "ab", "ab ab"),     // back-to-back matches both merge
+        ("xa b", "a b", "ab", "xa b"),         // no sub-token false positive
+        ("a b", "a b", "ab", "ab"),
+        ("q", "a b", "ab", "q"))
+      val df = cases.map { case (s0, p, m, _) => (s0, p, m) }
+        .toDF("sym", "pair", "merged")
+      val got = df.select(
+        SketchOps.bpeMerge($"sym", $"pair", $"merged").as("out"))
+        .as[String].collect().toSeq
+      assert(got == cases.map(_._4))
+    }
+  }
+
   describe("profile (q82 operator)") {
     it("counts rows, nulls and exact distincts per column in one pass") {
       val df = Seq(
