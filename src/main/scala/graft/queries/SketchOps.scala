@@ -103,6 +103,46 @@ object SketchOps {
         concat(lit(" "), merged, lit(" "))),
       "\\s+", " "))
 
+  /** Shared BPE learner (q89 trains, q90 encodes): `rounds` merge
+    * iterations over a (word, wc) type table. Returns the final
+    * per-type symbol strings and one summary row per round. */
+  private def bpeLearn(words: org.apache.spark.sql.DataFrame, rounds: Int)
+      : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
+    var cur = words.select(col("word"), col("wc"),
+      trim(regexp_replace(col("word"), "(.)", "$1 ")).as("sym"))
+    val outs = (1 to rounds).map { i =>
+      val pairs = cur.select(col("wc"), explode(wordNgrams(col("sym"), 2)).as("pair"))
+        .groupBy(col("pair")).agg(lsum(col("wc")).as("c"))
+      val top = pairs.orderBy(col("c").desc, col("pair")).limit(1)
+        .select(col("pair"), regexp_replace(col("pair"), " ", "").as("merged"),
+                col("c"))
+      val next = cur.crossJoin(broadcast(top)).select(col("word"), col("wc"),
+        bpeMerge(col("sym"), col("pair"), col("merged")).as("sym"))
+        .localCheckpoint(true) // each round builds on the materialized previous
+      val after = next.agg(
+        lsum(size(tokens(col("sym"))).cast("long") * col("wc"))
+          .as("corpus_symbols_after"))
+      cur = next
+      top.select(lit(i.toLong).as("merge_no"), col("pair"), col("merged"),
+                 col("c").as("pair_count"))
+        .crossJoin(after)
+    }
+    (cur, outs)
+  }
+
+  /** DuckDB mirror of [[bpeLearn]]: the words/s0 CTEs plus one
+    * (pr, t, s, k) CTE quadruple per round, ending in s<rounds>. */
+  private def bpeCtes(rounds: Int): String = {
+    def round(i: Int, prev: String): String =
+      s"""pr$i AS (SELECT w[i] || ' ' || w[i+1] AS pair, CAST(SUM(wc) AS BIGINT) AS c FROM (SELECT wc, string_split_regex(trim(sym), '\\s+') AS w FROM $prev) q, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS u(i) GROUP BY 1),
+         |t$i AS (SELECT pair, replace(pair, ' ', '') AS merged, c FROM pr$i ORDER BY c DESC, pair LIMIT 1),
+         |s$i AS (SELECT word, wc, trim(regexp_replace(replace(' ' || replace(sym, ' ', '  ') || ' ', ' ' || replace(pair, ' ', '  ') || ' ', ' ' || merged || ' '), '\\s+', ' ', 'g')) AS sym FROM $prev CROSS JOIN t$i),
+         |k$i AS (SELECT CAST(SUM(wc * len(string_split_regex(trim(sym), '\\s+'))) AS BIGINT) AS corpus_symbols_after FROM s$i)""".stripMargin
+    (s"""words AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wc FROM (SELECT unnest(${tsql.tokensOf("text")}) AS word FROM documents) GROUP BY 1),
+        |s0 AS (SELECT word, wc, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym FROM words)""".stripMargin +:
+      (1 to rounds).map(i => round(i, s"s${i - 1}"))).mkString(",\n")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q79_gopher_rules",
@@ -224,44 +264,35 @@ object SketchOps {
         val words = t(s, d, "documents")
           .select(explode(tokens(col("text"))).as("word"))
           .groupBy(col("word")).agg(lcount(lit(1)).as("wc"))
-        val s0 = words.select(col("word"), col("wc"),
-          trim(regexp_replace(col("word"), "(.)", "$1 ")).as("sym"))
-        var cur = s0
-        val rounds = (1 to 3).map { i =>
-          val pairs = cur.select(col("wc"), explode(wordNgrams(col("sym"), 2)).as("pair"))
-            .groupBy(col("pair")).agg(lsum(col("wc")).as("c"))
-          val top = pairs.orderBy(col("c").desc, col("pair")).limit(1)
-            .select(col("pair"), regexp_replace(col("pair"), " ", "").as("merged"),
-                    col("c"))
-          val next = cur.crossJoin(broadcast(top)).select(col("word"), col("wc"),
-            bpeMerge(col("sym"), col("pair"), col("merged")).as("sym"))
-            .localCheckpoint(true) // each round builds on the materialized previous
-          val after = next.agg(
-            lsum(size(tokens(col("sym"))).cast("long") * col("wc"))
-              .as("corpus_symbols_after"))
-          cur = next
-          top.select(lit(i.toLong).as("merge_no"), col("pair"), col("merged"),
-                     col("c").as("pair_count"))
-            .crossJoin(after)
-        }
-        rounds.reduce(_ unionByName _)
+        bpeLearn(words, rounds = 3)._2.reduce(_ unionByName _)
       },
-      Some {
-        val tok = tsql.tokensOf("text")
-        def round(i: Int, prev: String): String =
-          s"""pr$i AS (SELECT w[i] || ' ' || w[i+1] AS pair, CAST(SUM(wc) AS BIGINT) AS c FROM (SELECT wc, string_split_regex(trim(sym), '\\s+') AS w FROM $prev) q, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS u(i) GROUP BY 1),
-             |t$i AS (SELECT pair, replace(pair, ' ', '') AS merged, c FROM pr$i ORDER BY c DESC, pair LIMIT 1),
-             |s$i AS (SELECT word, wc, trim(regexp_replace(replace(' ' || replace(sym, ' ', '  ') || ' ', ' ' || replace(pair, ' ', '  ') || ' ', ' ' || merged || ' '), '\\s+', ' ', 'g')) AS sym FROM $prev CROSS JOIN t$i),
-             |k$i AS (SELECT CAST(SUM(wc * len(string_split_regex(trim(sym), '\\s+'))) AS BIGINT) AS corpus_symbols_after FROM s$i)""".stripMargin
-        s"""WITH words AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wc FROM (SELECT unnest($tok) AS word FROM documents) GROUP BY 1),
-           |s0 AS (SELECT word, wc, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym FROM words),
-           |${round(1, "s0")},
-           |${round(2, "s1")},
-           |${round(3, "s2")}
-           |SELECT CAST(1 AS BIGINT) AS merge_no, pair, merged, c AS pair_count, corpus_symbols_after FROM t1 CROSS JOIN k1
-           |UNION ALL SELECT CAST(2 AS BIGINT), pair, merged, c, corpus_symbols_after FROM t2 CROSS JOIN k2
-           |UNION ALL SELECT CAST(3 AS BIGINT), pair, merged, c, corpus_symbols_after FROM t3 CROSS JOIN k3""".stripMargin.replace("\n", " ")
-      }),
+      Some(s"""WITH ${bpeCtes(3)}
+         |SELECT CAST(1 AS BIGINT) AS merge_no, pair, merged, c AS pair_count, corpus_symbols_after FROM t1 CROSS JOIN k1
+         |UNION ALL SELECT CAST(2 AS BIGINT), pair, merged, c, corpus_symbols_after FROM t2 CROSS JOIN k2
+         |UNION ALL SELECT CAST(3 AS BIGINT), pair, merged, c, corpus_symbols_after FROM t3 CROSS JOIN k3""".stripMargin.replace("\n", " "))),
+
+    QueryDef("q90_bpe_encode",
+      "tokenizer ENCODE with the learned vocabulary (q89's merges applied back to the corpus): every document token maps to its word-type's post-merge symbol count — a vocabulary-table join, the same shape a real BPE tokenizer uses at scale (encode by type lookup, never re-deriving merges per token) — then per-language whitespace-token vs BPE-symbol totals and the symbols-per-token compression this 3-merge vocabulary buys. The merges are re-learned inside the query (self-contained for the oracle); the word-type table is vocabulary-sized, the corpus is touched twice (type build, encode join), both on the token hash key",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val words = docs.select(explode(tokens(col("text"))).as("word"))
+          .groupBy(col("word")).agg(lcount(lit(1)).as("wc"))
+        val (encoded, _) = bpeLearn(words, rounds = 3)
+        val types = encoded.select(col("word"),
+          size(tokens(col("sym"))).cast("long").as("ns"))
+        docs.select(col("lang"), explode(tokens(col("text"))).as("word"))
+          .join(types, "word")
+          .groupBy(col("lang"))
+          .agg(lcount(lit(1)).as("ws_tokens"),
+               lsum(col("ns")).as("bpe_symbols"),
+               portableRound6(sum(col("ns")).cast("double") / count(lit(1)))
+                 .as("symbols_per_token"))
+      },
+      Some(s"""WITH ${bpeCtes(3)},
+         |tokd AS (SELECT d.lang, unnest(${tsql.tokensOf("d.text")}) AS word FROM documents d),
+         |ty AS (SELECT word, CAST(len(string_split_regex(trim(sym), '\\s+')) AS BIGINT) AS ns FROM s3),
+         |j AS (SELECT lang, ns FROM tokd JOIN ty USING (word))
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS ws_tokens, CAST(SUM(ns) AS BIGINT) AS bpe_symbols, floor(CAST(SUM(ns) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6 AS symbols_per_token FROM j GROUP BY 1""".stripMargin.replace("\n", " "))),
 
     QueryDef("q82_column_profile",
       "single-pass data profiling: per-column row/null/exact-distinct counts and min/max over six lineitem columns in ONE table scan — the long-format explode (col_name, val_str, val_num) feeds a two-level aggregation (distinct combos, then per-column stats), so the plan has two bounded shuffles and NO Expand (Spark's multi-countDistinct would multiply the scan 6x) and no per-column re-scan (the naive profiler reads the table once per column). Numerics profile as doubles, strings as strings — no cross-type casts, so min/max parity holds exactly",
