@@ -63,6 +63,20 @@ object Analytics {
       },
       Some("""WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), co AS (SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY 1) SELECT cohort_day, CAST(datediff('day', cohort_day, day) AS BIGINT) AS day_offset, CAST(COUNT(*) AS BIGINT) AS n_active FROM act JOIN co USING (user_id) GROUP BY 1, 2""")),
 
+    QueryDef("q91_rank_distributions",
+      "distribution-rank windows completing the offset-window family (q57): percent_rank and cume_dist of purchase value within each event type, plus the rank itself. Both are rank-arithmetic over already-partitioned data — (rank-1)/(n-1) and frame-count/n integer divisions in doubles, bit-identical across engines with no rounding needed",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("value"), col("event_id"))
+        t(s, d, "events").filter(col("value") > 90)
+          .select(col("event_type"), col("event_id"), col("value"),
+            rank().over(w).cast("long").as("rk"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"))
+      },
+      Some("""SELECT event_type, event_id, value, CAST(rank() OVER w AS BIGINT) AS rk, percent_rank() OVER w AS pct_rank, cume_dist() OVER w AS cume FROM events WHERE value > 90 WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""")),
+
     QueryDef("q38_rollup",
       "hierarchical totals: ROLLUP(region, nation) over customer accounts",
       (s, d) => t(s, d, "customer")
