@@ -77,6 +77,19 @@ object Analytics {
       },
       Some("""SELECT event_type, event_id, value, CAST(rank() OVER w AS BIGINT) AS rk, percent_rank() OVER w AS pct_rank, cume_dist() OVER w AS cume FROM events WHERE value > 90 WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""")),
 
+    QueryDef("q92_salted_join",
+      "skew-safe fact-dimension join (the q32 salting recipe applied to JOINs): lineitem x part on partkey with an 8-bucket salt — the fact side salts, the dimension explodes x8, so one hot part key spreads over 8 reducers instead of pinning one. Result proven identical to the unsalted join by the oracle (which runs the plain join): per-brand exact revenue totals",
+      (s, d) => graft.ops.Skew
+        .saltedJoin(
+          t(s, d, "lineitem").withColumnRenamed("l_partkey", "__jk"),
+          t(s, d, "part").withColumnRenamed("p_partkey", "__jk"),
+          "__jk", saltBuckets = 8, joinType = "inner")
+        .groupBy(col("p_brand"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+               .as("revenue"),
+             lcount(lit(1)).as("n_lines")),
+      Some("""SELECT p_brand, CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue, CAST(COUNT(*) AS BIGINT) AS n_lines FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1""")),
+
     QueryDef("q38_rollup",
       "hierarchical totals: ROLLUP(region, nation) over customer accounts",
       (s, d) => t(s, d, "customer")
