@@ -28,6 +28,25 @@ object Analytics {
 
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
 
+  /** q93's single dialect-portable SQL text — executed verbatim by BOTH
+    * Spark (over temp views) and DuckDB (over parquet views). Only ANSI
+    * constructs both engines parse identically: TIMESTAMP literals,
+    * explicit CAST chains (the q03 decimal-sum parity trick), qualified
+    * GROUP BY, ORDER BY + LIMIT. */
+  private[queries] val q93Sql: String =
+    """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
+      | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+      | CAST(COUNT(*) AS BIGINT) AS n_lines
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
+      |GROUP BY o_orderkey, order_date, o_orderpriority
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 10""".stripMargin.replace("\n", " ")
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q87_funnel",
@@ -89,6 +108,15 @@ object Analytics {
                .as("revenue"),
              lcount(lit(1)).as("n_lines")),
       Some("""SELECT p_brand, CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue, CAST(COUNT(*) AS BIGINT) AS n_lines FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1""")),
+
+    QueryDef("q93_sql_entry",
+      "the raw-SQL entry surface: ONE ANSI SQL string (TPC-H Q3 shape — segment filter, 3-way join, decimal-exact revenue, top-10) runs VERBATIM through spark.sql over temp views AND as the DuckDB oracle — proving a user can drive the engine with plain SQL, not just the DataFrame API, and that the dialect used is portable ANSI (shared decimal-sum parity trick included)",
+      (s, d) => {
+        Seq("customer", "orders", "lineitem")
+          .foreach(n => t(s, d, n).createOrReplaceTempView(n))
+        s.sql(Analytics.q93Sql)
+      },
+      Some(Analytics.q93Sql)),
 
     QueryDef("q38_rollup",
       "hierarchical totals: ROLLUP(region, nation) over customer accounts",
