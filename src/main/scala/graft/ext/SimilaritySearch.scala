@@ -326,10 +326,14 @@ object SimilaritySearch {
     for (i <- 1 to iters) {
       val assigned = base.select(col("vec_id"), col("embedding"),
         element_at(nearest_cells(col("embedding"), cb, ids, 1), 1).as("cell"))
+      // the per-(cell, dim) row count IS the member count (every member
+      // contributes one value per dimension), so n_members rides in the
+      // same aggregate — no second pass over the assignment lineage
       val means = assigned.select(col("cell"), posexplode(col("embedding")))
         .groupBy(col("cell"), col("pos"))
         .agg((floor((sum(col("col").cast(DecimalType(38, 12))).cast("double") /
-                     count(lit(1))) * 1e9 + 0.5) / 1e9).as("val"))
+                     count(lit(1))) * 1e9 + 0.5) / 1e9).as("val"),
+             count(lit(1)).cast("long").as("n_members"))
       if (i < iters) {
         // codebook-sized collect: |cells| × dim rows — the same bounded
         // driver state every production ANN trainer holds
@@ -339,11 +343,8 @@ object SimilaritySearch {
         ids = byCell.map(_._1)
         cb = byCell.map(_._2.sortBy(_._2).map(_._3.toFloat))
       } else {
-        val counts = assigned.groupBy(col("cell"))
-          .agg(count(lit(1)).cast("long").as("n_members"))
-        result = means.join(counts, Seq("cell"))
-          .select(col("cell"), col("n_members"),
-                  col("pos").cast("long").as("dim"), col("val"))
+        result = means.select(col("cell"), col("n_members"),
+          col("pos").cast("long").as("dim"), col("val"))
       }
     }
     result

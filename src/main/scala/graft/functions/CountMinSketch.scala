@@ -3,12 +3,12 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Deterministic Count–Min sketch (Cormode & Muthukrishnan 2005) as
@@ -55,18 +55,23 @@ object CmsFns {
     }
   }
 
+  /** Serialized layout: int width, int depth, then depth·width
+    * big-endian longs — the header lets a probe verify the EXACT build
+    * geometry (a byte-length check alone cannot tell 64×4 from 32×8,
+    * and a same-product mismatch would silently read wrong counters
+    * and even undercount). */
   def estimate(buf: Array[Byte], key: UTF8String, width: Int, depth: Int): Long = {
-    // a probe whose (width, depth) disagree with the build would read
-    // the wrong counters (or past the buffer) — fail loudly instead
-    require(buf.length == depth * width * 8,
-      s"sketch is ${buf.length} bytes, probe geometry $depth x $width needs ${depth * width * 8}")
+    val bb = java.nio.ByteBuffer.wrap(buf)
+    val bw = bb.getInt(0)
+    val bd = bb.getInt(4)
+    require(bw == width && bd == depth && buf.length == 8 + depth * width * 8,
+      s"sketch was built ${bd}x$bw (${buf.length} B), probe geometry is ${depth}x$width")
     val (h1, h2) = halves(key)
     var best = Long.MaxValue
     var j = 0
     while (j < depth) {
       val pos = ((h1 + j * h2) % width).toInt
-      val off = (j * width + pos) << 3
-      // big-endian long at byte offset `off` (see CmsBuildAgg.serialize)
+      val off = 8 + ((j * width + pos) << 3)
       var v = 0L
       var b = 0
       while (b < 8) { v = (v << 8) | (buf(off + b) & 0xffL); b += 1 }
@@ -77,7 +82,8 @@ object CmsFns {
   }
 
   /** Aggregate a string key column into a depth×width CMS counter
-    * matrix (returned serialized, 8·depth·width bytes). */
+    * matrix (returned serialized: 8-byte geometry header +
+    * 8·depth·width counter bytes). */
   def cmsBuild(key: Column, width: Int, depth: Int): Column =
     GraftColumnBridge.column(
       CmsBuildAgg(GraftColumnBridge.expression(key), width, depth)
@@ -98,7 +104,12 @@ object CmsFns {
 case class CmsBuildAgg(
     child: Expression, width: Int, depth: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[Array[Long]] with ExpectsInputTypes
+  with UnaryLike[Expression] {
+
+  // reject non-string keys at analysis time, not as a mid-job
+  // ClassCastException (same contract as Spark's own sketch aggregates)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   require(width >= 2, s"width=$width: need at least 2 buckets per row")
   require(depth >= 1 && depth <= 8,
@@ -120,15 +131,19 @@ case class CmsBuildAgg(
 
   override def eval(buffer: Array[Long]): Any = serialize(buffer)
 
+  // layout documented on CmsFns.estimate: geometry header + counters
   override def serialize(buffer: Array[Long]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(buffer.length * 8) // big-endian
+    val bb = java.nio.ByteBuffer.allocate(8 + buffer.length * 8) // big-endian
+    bb.putInt(width).putInt(depth)
     bb.asLongBuffer().put(buffer)
     bb.array()
   }
 
   override def deserialize(storage: Array[Byte]): Array[Long] = {
-    val out = new Array[Long](storage.length / 8)
-    java.nio.ByteBuffer.wrap(storage).asLongBuffer().get(out)
+    val out = new Array[Long]((storage.length - 8) / 8)
+    val bb = java.nio.ByteBuffer.wrap(storage)
+    bb.position(8)
+    bb.asLongBuffer().get(out)
     out
   }
 
@@ -148,7 +163,9 @@ case class CmsBuildAgg(
   * reads + a min, no allocation beyond the md5 digest. */
 case class CmsEstimate(left: Expression, right: Expression,
                        width: Int, depth: Int)
-  extends BinaryExpression with BinaryLike[Expression] {
+  extends BinaryExpression with ExpectsInputTypes with BinaryLike[Expression] {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, StringType)
 
   // same contract as CmsBuildAgg: a probe with depth > 8 would overflow
   // h1 + j*h2 to a negative position; a mismatched width reads the

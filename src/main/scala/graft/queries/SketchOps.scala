@@ -46,41 +46,57 @@ object SketchOps {
       when(reasons === 0, lit(1L)).otherwise(lit(0L)).as("keep"))
   }
 
-  /** q82's operator surface: single-pass long-format profile —
-    * numerics profile as doubles, strings as strings, no cross-type
-    * casts. Two bounded shuffles (distinct combos, then per-column
-    * stats), no Expand, no per-column re-scan. */
+  /** q82's operator surface: single-pass long-format profile. Values
+    * travel in a slot matching their source type — strings as strings,
+    * integral numerics as EXACT longs (a double slot would collapse
+    * distinct bigints above 2⁵³ and diverge from the oracle's typed
+    * COUNT(DISTINCT)), fractional numerics as doubles. Two bounded
+    * shuffles (distinct combos, then per-column stats), no Expand, no
+    * per-column re-scan. min/max report as double only on the final
+    * |columns|-row frame. */
   def profile(df: org.apache.spark.sql.DataFrame, numCols: Seq[String],
               strCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     // the exploded rows are shuffle traffic: carry a 1-byte column ID,
     // not the column-name string (a repeated 15-char UTF8 per row was
     // ~40% of the combo shuffle's bytes), and map ID → name only on
-    // the final |columns|-row frame
+    // the final frame
     val names = numCols ++ strCols
+    require(names.size <= 127, s"profile of ${names.size} columns overflows the byte ID")
+    def isIntegral(c: String) = df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val nul = (t: String) => lit(null).cast(t)
     val entries =
       numCols.zipWithIndex.map { case (c, i) =>
-        struct(lit(i.toByte).as("col_id"),
-          lit(null).cast("string").as("val_str"),
-          col(c).cast("double").as("val_num")) } ++
+        if (isIntegral(c))
+          struct(lit(i.toByte).as("col_id"), nul("string").as("val_str"),
+            col(c).cast("long").as("val_long"), nul("double").as("val_dbl"))
+        else
+          struct(lit(i.toByte).as("col_id"), nul("string").as("val_str"),
+            nul("long").as("val_long"), col(c).cast("double").as("val_dbl")) } ++
       strCols.zipWithIndex.map { case (c, i) =>
         struct(lit((numCols.size + i).toByte).as("col_id"),
           col(c).cast("string").as("val_str"),
-          lit(null).cast("double").as("val_num")) }
+          nul("long").as("val_long"), nul("double").as("val_dbl")) }
     val long = df
       .select(explode(array(entries: _*)).as("e"))
-      .select(col("e.col_id"), col("e.val_str"), col("e.val_num"))
-    val combos = long.groupBy(col("col_id"), col("val_str"), col("val_num"))
+      .select(col("e.col_id"), col("e.val_str"), col("e.val_long"), col("e.val_dbl"))
+    val combos = long
+      .groupBy(col("col_id"), col("val_str"), col("val_long"), col("val_dbl"))
       .agg(lcount(lit(1)).as("cnt"))
     val colName = names.zipWithIndex.foldLeft(lit(null).cast("string")) {
       case (els, (c, i)) => when(col("col_id") === i, lit(c)).otherwise(els)
     }
+    val present =
+      col("val_str").isNotNull || col("val_long").isNotNull || col("val_dbl").isNotNull
     combos.groupBy(col("col_id")).agg(
       lsum(col("cnt")).as("n_rows"),
-      lsum(when(col("val_str").isNull && col("val_num").isNull, col("cnt"))
-        .otherwise(lit(0L))).as("n_nulls"),
-      lcount(when(col("val_str").isNotNull || col("val_num").isNotNull, lit(1)))
-        .as("n_distinct"),
-      min(col("val_num")).as("min_num"), max(col("val_num")).as("max_num"),
+      lsum(when(present, lit(0L)).otherwise(col("cnt"))).as("n_nulls"),
+      lcount(when(present, lit(1))).as("n_distinct"),
+      coalesce(min(col("val_long")).cast("double"), min(col("val_dbl"))).as("min_num"),
+      coalesce(max(col("val_long")).cast("double"), max(col("val_dbl"))).as("max_num"),
       min(col("val_str")).as("min_str"), max(col("val_str")).as("max_str"))
       .select(colName.as("col_name"), col("n_rows"), col("n_nulls"),
         col("n_distinct"), col("min_num"), col("max_num"),

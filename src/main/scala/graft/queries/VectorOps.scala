@@ -76,7 +76,7 @@ object VectorOps {
       "the codebook BUILD step behind q24b/q24c/q24d as real distributed k-means: spherical (cosine) assignment via the map-only native NearestCells expression over driver-resident centroids (the MLlib pattern — k x dim floats re-collected once per iteration), exact-decimal Lloyd mean updates with portable floor-rounding, centroids passed through float32 between iterations on BOTH engines so every round sees bit-identical codebooks. 2 iterations from the 16 deterministic seeds; output = final centroids (long format) + member counts. Oracle = the same two Lloyd rounds unrolled in SQL",
       (s, d) => SimilaritySearch.kmeansCodebook(
         t(s, d, "embeddings"), initIds = (100L until 116L), iters = 2),
-      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings WHERE embedding IS NOT NULL), n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e), c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id BETWEEN 100 AND 115), a1 AS (SELECT vec_id, v, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY list_dot_product(v, cv) / (nrm * cnrm) DESC, cent_id) AS rk FROM n CROSS JOIN c0), s1 AS (SELECT vec_id, v, cent_id AS cell FROM a1 WHERE rk = 1), x1 AS (SELECT cell, unnest(v) AS x, unnest(generate_series(1, len(v))) AS ord FROM s1), m1 AS (SELECT cell, ord - 1 AS dim, floor((CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)) * 1e9 + 0.5) / 1e9 AS val FROM x1 GROUP BY 1, 2), c1 AS (SELECT cell AS cent_id, list(CAST(CAST(val AS REAL) AS DOUBLE) ORDER BY dim) AS cv FROM m1 GROUP BY 1), c1n AS (SELECT cent_id, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM c1), a2 AS (SELECT vec_id, v, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY list_dot_product(v, cv) / (nrm * cnrm) DESC, cent_id) AS rk FROM n CROSS JOIN c1n), s2 AS (SELECT vec_id, v, cent_id AS cell FROM a2 WHERE rk = 1), x2 AS (SELECT cell, unnest(v) AS x, unnest(generate_series(1, len(v))) AS ord FROM s2), m2 AS (SELECT cell, ord - 1 AS dim, floor((CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)) * 1e9 + 0.5) / 1e9 AS val FROM x2 GROUP BY 1, 2), k2 AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members FROM s2 GROUP BY 1) SELECT m2.cell, k2.n_members, CAST(m2.dim AS BIGINT) AS dim, m2.val FROM m2 JOIN k2 USING (cell)""")),
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings WHERE embedding IS NOT NULL), n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e), c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id BETWEEN 100 AND 115), a1 AS (SELECT vec_id, v, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY list_dot_product(v, cv) / (nrm * cnrm) DESC, cent_id) AS rk FROM n CROSS JOIN c0), s1 AS (SELECT vec_id, v, cent_id AS cell FROM a1 WHERE rk = 1), x1 AS (SELECT cell, unnest(v) AS x, unnest(generate_series(1, len(v))) AS ord FROM s1), m1 AS (SELECT cell, ord - 1 AS dim, floor((CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)) * 1e9 + 0.5) / 1e9 AS val FROM x1 GROUP BY 1, 2), c1 AS (SELECT cell AS cent_id, list(CAST(CAST(val AS REAL) AS DOUBLE) ORDER BY dim) AS cv FROM m1 GROUP BY 1), c1n AS (SELECT cent_id, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM c1), a2 AS (SELECT vec_id, v, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY list_dot_product(v, cv) / (nrm * cnrm) DESC, cent_id) AS rk FROM n CROSS JOIN c1n), s2 AS (SELECT vec_id, v, cent_id AS cell FROM a2 WHERE rk = 1), x2 AS (SELECT cell, unnest(v) AS x, unnest(generate_series(1, len(v))) AS ord FROM s2), m2 AS (SELECT cell, ord - 1 AS dim, floor((CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)) * 1e9 + 0.5) / 1e9 AS val, CAST(COUNT(*) AS BIGINT) AS n_members FROM x2 GROUP BY 1, 2) SELECT cell, n_members, CAST(dim AS BIGINT) AS dim, val FROM m2""")),
 
     QueryDef("q73_semdedup_apply",
       "SemDeDup END-TO-END (Abbas et al. 2023): embedding-space near-dup pairs from the hyperplane-LSH candidate plane (8 sign bits, seed 11, cosine >= 0.35 — no all-pairs stage, same bucketing as q25b) -> connected components -> per-label keep/drop summary. The embedding-space twin of the q59 text dedup apply: at 100 TB the corpus shuffles once on the bucket key for pairs, groups resolve adaptively (driver union-find under the edge bound, distributed min-label above it), and the apply is one anti-join on the compact drop set",

@@ -52,7 +52,8 @@ class SketchSpec extends SparkSpec {
       keys.foreach(k => graft.functions.CmsFns.add(
         ref, org.apache.spark.unsafe.types.UTF8String.fromString(k), w, D))
       def refEst(k: String): Long = {
-        val bb = java.nio.ByteBuffer.allocate(ref.length * 8)
+        val bb = java.nio.ByteBuffer.allocate(8 + ref.length * 8)
+        bb.putInt(w).putInt(D)
         bb.asLongBuffer().put(ref)
         graft.functions.CmsFns.estimate(bb.array(),
           org.apache.spark.unsafe.types.UTF8String.fromString(k), w, D)
@@ -71,17 +72,25 @@ class SketchSpec extends SparkSpec {
       assert(est == 2)
       val empty = Seq.empty[String].toDF("k").agg(cmsBuild($"k", W, D).as("sk"))
         .select($"sk").as[Array[Byte]].head()
-      assert(empty.forall(_ == 0))
+      // counters (past the 8-byte geometry header) are all zero
+      assert(empty.drop(8).forall(_ == 0))
     }
     it("rejects a probe whose geometry disagrees with the sketch (no silent wrong counters)") {
       val sk = Seq("x").toDF("k").agg(cmsBuild($"k", W, D).as("sk"))
+      def messages(t: Throwable): String =
+        if (t == null) "" else t.getMessage + messages(t.getCause)
       val err = intercept[Exception] {
         Seq("x").toDF("k").crossJoin(sk)
           .select(cmsEstimate($"sk", $"k", W * 2, D)).collect()
       }
-      def messages(t: Throwable): String =
-        if (t == null) "" else t.getMessage + messages(t.getCause)
       assert(messages(err).contains("geometry"), s"got: ${messages(err)}")
+      // SAME-PRODUCT mismatch (64x4 built, 32x8 probed) must also fail:
+      // a byte-length check alone cannot catch it, the header does
+      val err2 = intercept[Exception] {
+        Seq("x").toDF("k").crossJoin(sk)
+          .select(cmsEstimate($"sk", $"k", W / 2, D * 2)).collect()
+      }
+      assert(messages(err2).contains("geometry"), s"got: ${messages(err2)}")
     }
     it("rejects out-of-contract width/depth on both build and probe") {
       import graft.functions.{CmsBuildAgg, CmsEstimate}
