@@ -47,7 +47,29 @@ object Analytics {
       |ORDER BY revenue DESC, o_orderkey
       |LIMIT 10""".stripMargin.replace("\n", " ")
 
+  /** A QueryDef whose ONE dialect-portable SQL text runs verbatim on
+    * both engines (the q93 pattern): Spark executes it over temp views
+    * of the named tables, DuckDB over its parquet views. */
+  private def sqlBoth(name: String, doc: String, views: Seq[String],
+                      sqlText: String): QueryDef =
+    QueryDef(name, doc,
+      (s, d) => {
+        views.foreach(n => t(s, d, n).createOrReplaceTempView(n))
+        s.sql(sqlText)
+      },
+      Some(sqlText))
+
   val defs: Seq[QueryDef] = Seq(
+
+    sqlBoth("q94_grouping_sets",
+      "explicit GROUPING SETS ((region), (region, nation), ()) — finer control than q38's ROLLUP / q56's CUBE, same null-marker semantics in both engines, decimal-exact totals; one shared ANSI text drives Spark's Expand-based plan and the DuckDB oracle",
+      Seq("customer", "nation", "region"),
+      """SELECT r_name, n_name, CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal, CAST(COUNT(*) AS BIGINT) AS n_custs FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY GROUPING SETS ((r_name), (r_name, n_name), ())"""),
+
+    sqlBoth("q95_correlated_subquery",
+      "correlated scalar subquery (orders 1.5x above their own customer's mean order value) — exercises Catalyst's RewriteCorrelatedScalarSubquery de-correlation into a join + aggregate; the inner mean uses the decimal-sum-then-divide recipe so the threshold double is identical in both engines",
+      Seq("orders"),
+      """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice FROM orders o WHERE o.o_totalprice > 1.5 * (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)"""),
 
     QueryDef("q87_funnel",
       "ordered event funnel (view -> click -> purchase): per-user STRICTLY-ORDERED stage timestamps — first view, first click after that view, first purchase after that click — then per-stage user counts. The ordering constraint is what a naive per-type min() gets wrong (a click before any view must not count). All three stage reductions key on user_id, so at scale they share one hash partitioning; stage outputs are one row per surviving user",
@@ -109,14 +131,9 @@ object Analytics {
              lcount(lit(1)).as("n_lines")),
       Some("""SELECT p_brand, CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue, CAST(COUNT(*) AS BIGINT) AS n_lines FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1""")),
 
-    QueryDef("q93_sql_entry",
+    sqlBoth("q93_sql_entry",
       "the raw-SQL entry surface: ONE ANSI SQL string (TPC-H Q3 shape — segment filter, 3-way join, decimal-exact revenue, top-10) runs VERBATIM through spark.sql over temp views AND as the DuckDB oracle — proving a user can drive the engine with plain SQL, not just the DataFrame API, and that the dialect used is portable ANSI (shared decimal-sum parity trick included)",
-      (s, d) => {
-        Seq("customer", "orders", "lineitem")
-          .foreach(n => t(s, d, n).createOrReplaceTempView(n))
-        s.sql(Analytics.q93Sql)
-      },
-      Some(Analytics.q93Sql)),
+      Seq("customer", "orders", "lineitem"), Analytics.q93Sql),
 
     QueryDef("q38_rollup",
       "hierarchical totals: ROLLUP(region, nation) over customer accounts",
