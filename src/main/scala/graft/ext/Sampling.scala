@@ -112,7 +112,11 @@ object Sampling {
     // 2^60 is a power of two, so the divisor is an EXACT double
     val u = (portableHash(col(keyCol).cast("string"), seed) + lit(1L)).cast("double") /
       lit(1152921504606846976.0)
-    val base = df.withColumn("priority", col(weightCol).cast("double") / u)
+    // null weights are excluded EXPLICITLY: a null priority would sort
+    // nulls-last under Spark's desc but nulls-first under SQL DESC —
+    // the one place the two engines' orderings disagree
+    val base = df.filter(col(weightCol).isNotNull)
+      .withColumn("priority", col(weightCol).cast("double") / u)
     val top = graft.plans.TopK.perKey(base, Seq(col(strataCol)),
       Seq(col("priority").desc, col(keyCol)), k)
     val w = Window.partitionBy(col(strataCol))
