@@ -326,9 +326,11 @@ object SimilaritySearch {
     for (i <- 1 to iters) {
       val assigned = base.select(col("vec_id"), col("embedding"),
         element_at(nearest_cells(col("embedding"), cb, ids, 1), 1).as("cell"))
-      // the per-(cell, dim) row count IS the member count (every member
-      // contributes one value per dimension), so n_members rides in the
-      // same aggregate — no second pass over the assignment lineage
+      // the per-(cell, dim) row count IS the member count — k-means
+      // (like all the codebook math here) assumes FIXED-dimension,
+      // non-empty embeddings, so every member contributes exactly one
+      // value per dimension; n_members riding in the same aggregate
+      // avoids a second pass over the assignment lineage
       val means = assigned.select(col("cell"), posexplode(col("embedding")))
         .groupBy(col("cell"), col("pos"))
         .agg((floor((sum(col("col").cast(DecimalType(38, 12))).cast("double") /

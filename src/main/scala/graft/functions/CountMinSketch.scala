@@ -61,6 +61,8 @@ object CmsFns {
     * and a same-product mismatch would silently read wrong counters
     * and even undercount). */
   def estimate(buf: Array[Byte], key: UTF8String, width: Int, depth: Int): Long = {
+    require(buf.length >= 8,
+      s"${buf.length}-byte value is not a CMS sketch (no geometry header)")
     val bb = java.nio.ByteBuffer.wrap(buf)
     val bw = bb.getInt(0)
     val bd = bb.getInt(4)

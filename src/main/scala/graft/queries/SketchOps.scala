@@ -205,7 +205,7 @@ object SketchOps {
                 col("priority"), col("rk")),
       Some(s"""WITH p AS (SELECT lang, doc_id, n_chars,
          |  CAST(n_chars AS DOUBLE) / (CAST(${tsql.portableHash("CAST(doc_id AS VARCHAR)", 17)} + 1 AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE)) AS priority
-         |  FROM documents),
+         |  FROM documents WHERE n_chars IS NOT NULL),
          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY priority DESC, doc_id) AS BIGINT) AS rk FROM p)
          |SELECT lang, doc_id, n_chars, priority, rk FROM r WHERE rk <= 5""".stripMargin.replace("\n", " "))),
 
@@ -311,7 +311,7 @@ object SketchOps {
          |SELECT lang, CAST(COUNT(*) AS BIGINT) AS ws_tokens, CAST(SUM(ns) AS BIGINT) AS bpe_symbols, floor(CAST(SUM(ns) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6 AS symbols_per_token FROM j GROUP BY 1""".stripMargin.replace("\n", " "))),
 
     QueryDef("q82_column_profile",
-      "single-pass data profiling: per-column row/null/exact-distinct counts and min/max over six lineitem columns in ONE table scan — the long-format explode (col_name, val_str, val_num) feeds a two-level aggregation (distinct combos, then per-column stats), so the plan has two bounded shuffles and NO Expand (Spark's multi-countDistinct would multiply the scan 6x) and no per-column re-scan (the naive profiler reads the table once per column). Numerics profile as doubles, strings as strings — no cross-type casts, so min/max parity holds exactly",
+      "single-pass data profiling: per-column row/null/exact-distinct counts and min/max over six lineitem columns in ONE table scan — the long-format explode (col_id, val_str, val_long, val_dbl) feeds a two-level aggregation (distinct combos, then per-column stats), so the plan has two bounded shuffles and NO Expand (Spark's multi-countDistinct would multiply the scan 6x) and no per-column re-scan (the naive profiler reads the table once per column). Values travel in the slot matching their source type — integral numerics as EXACT longs (a double slot would collapse distinct bigints above 2^53), fractional as doubles, strings as strings — and min/max report as double only on the final 6-row frame",
       (s, d) => profile(t(s, d, "lineitem"),
         numCols = Seq("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"),
         strCols = Seq("l_returnflag", "l_linestatus")),

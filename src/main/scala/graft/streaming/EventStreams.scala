@@ -178,19 +178,24 @@ object EventStreams {
     * as a restartable stream). The checkpoint directory holds the
     * source's processed-file offsets, so a RESTARTED job picks up only
     * files that arrived since the last run — the spec proves
-    * no-reprocessing across restarts. Within-batch retry idempotence is
-    * the sink's concern (partition the output by batch id and overwrite
-    * if the deployment needs it); the offset log alone already makes
-    * scheduled reruns safe, which is what the hourly-cadence reference
-    * pipeline needs. */
+    * no-reprocessing across restarts. Writes are IDEMPOTENT under
+    * batch replay too: each micro-batch lands in its own
+    * (day, ingest_batch=batchId) partition with dynamic partition
+    * overwrite, so a batch replayed after a crash-between-write-and-
+    * offset-commit OVERWRITES its own partitions instead of appending
+    * duplicates — offsets + idempotent sink = exactly-once. */
   def ingestToPartitionedSink(events: DataFrame, sinkPath: String,
                               checkpointPath: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     events
       .withColumn("day", to_date(col("ts")).cast("string"))
       .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        graft.sinks.ReportSink.appendPartitioned(batch, sinkPath, Seq("day")); ()
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        batch.withColumn("ingest_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("day", "ingest_batch")
+          .parquet(sinkPath); ()
       }
       .option("checkpointLocation", checkpointPath)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
