@@ -167,6 +167,28 @@ object LlmOps {
                                       "lang", 3, numHashes = 8, bands = 4, threshold = 0.5),
       Some(s"""WITH $shingleCte, $minhashCandCte, $jaccardTail SELECT c.id_a, c.id_b, j.jaccard FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b WHERE j.jaccard >= 0.5""")),
 
+    QueryDef("q96_lsh_recall",
+      "the engine evaluating its own sketch: recall of the q22 MinHash-LSH candidate path against the q21 exact all-pairs ground truth, computed in-engine (n_exact, n_lsh, n_hit = intersection, recall = n_hit / n_exact). This is the measurement that justifies the banding parameters (8 hashes x 4 bands at Jaccard 0.5) before pointing the LSH path at 100 TB — the same eval a production dedup rollout runs on a sample. Both pipelines are the exact same operators q21/q22 register, composed; verification stays candidate-only on the LSH side",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "lang", 3, 0.5)
+          .select(col("id_a"), col("id_b"))
+        val lsh = Dedup.minhashLshPairs(docs, "text", "doc_id", "lang", 3,
+            numHashes = 8, bands = 4, threshold = 0.5)
+          .select(col("id_a"), col("id_b"))
+        val nExact = exact.agg(lcount(lit(1)).as("n_exact"))
+        val nLsh = lsh.agg(lcount(lit(1)).as("n_lsh"))
+        val nHit = exact.join(lsh, Seq("id_a", "id_b")).agg(lcount(lit(1)).as("n_hit"))
+        nExact.crossJoin(nLsh).crossJoin(nHit)
+          .select(col("n_exact"), col("n_lsh"), col("n_hit"),
+            (col("n_hit").cast("double") / col("n_exact")).as("recall"))
+      },
+      Some(s"""WITH $shingleCte, $minhashCandCte, $jaccardTail,
+         |ex AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5),
+         |ls AS (SELECT c.id_a, c.id_b FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b WHERE j.jaccard >= 0.5),
+         |hit AS (SELECT e.id_a, e.id_b FROM ex e JOIN ls USING (id_a, id_b))
+         |SELECT CAST((SELECT COUNT(*) FROM ex) AS BIGINT) AS n_exact, CAST((SELECT COUNT(*) FROM ls) AS BIGINT) AS n_lsh, CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit, CAST((SELECT COUNT(*) FROM hit) AS DOUBLE) / (SELECT COUNT(*) FROM ex) AS recall""".stripMargin.replace("\n", " "))),
+
     QueryDef("q23_dedup_simhash",
       "60-bit SimHash fingerprint per document (bit-vote over token hashes)",
       (s, d) => Dedup.simhash(t(s, d, "documents"), "text", "doc_id")
