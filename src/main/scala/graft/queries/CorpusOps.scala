@@ -112,6 +112,45 @@ object CorpusOps {
       },
       Some(s"""WITH $surprisalCte, th AS (SELECT lang, floor(quantile_cont(mean_surprisal, 0.3333333333333333) * 1e4 + 0.5) / 1e4 AS t1, floor(quantile_cont(mean_surprisal, 0.6666666666666666) * 1e4 + 0.5) / 1e4 AS t2 FROM sd GROUP BY 1), b AS (SELECT sd.lang, CASE WHEN mean_surprisal <= t1 THEN 'head' WHEN mean_surprisal <= t2 THEN 'middle' ELSE 'tail' END AS bucket, mean_surprisal FROM sd JOIN th USING (lang)) SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(mean_surprisal) AS min_s, MAX(mean_surprisal) AS max_s FROM b GROUP BY 1, 2""")),
 
+    QueryDef("q97_split_assign",
+      "deterministic train/val/test split assignment (80/10/10 by hashed doc key): split membership is a pure function of the data — reproducible across reruns, partitionings and cluster sizes, and new documents join a split without moving any existing one (the property df.randomSplit lacks). Map-only assignment; per-(lang, split) doc and token totals",
+      (s, d) => {
+        val bucket = pmod(portableHash(col("doc_id").cast("string"), 23), lit(100))
+        val split = when(bucket < 80, lit("train"))
+          .when(bucket < 90, lit("val")).otherwise(lit("test"))
+        t(s, d, "documents")
+          .select(col("lang"), split.as("split"),
+                  tokenCount(col("text")).as("n_tokens"))
+          .groupBy(col("lang"), col("split"))
+          .agg(lcount(lit(1)).as("n_docs"), lsum(col("n_tokens")).as("n_tokens"))
+      },
+      Some(s"""WITH b AS (SELECT lang, CASE WHEN ${ph("CAST(doc_id AS VARCHAR)", 23)} % 100 < 80 THEN 'train' WHEN ${ph("CAST(doc_id AS VARCHAR)", 23)} % 100 < 90 THEN 'val' ELSE 'test' END AS split, CAST(len(${TextFunctions.sql.tokensOf("text")}) AS BIGINT) AS n_tokens FROM documents) SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM b GROUP BY 1, 2""")),
+
+    QueryDef("q98_split_leakage",
+      "cross-split near-dup leakage audit (the contamination mode q53's explicit-benchmark scan cannot see, and the motivation of Lee et al.'s dedup work: near-duplicates straddling the train/test boundary leak evaluation data into training). Composes q97's deterministic split with q22's MinHash-LSH pair detection: n_pairs, how many cross a split boundary, and the cross fraction. At 100 TB this runs on the LSH candidate plane — no all-pairs stage",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val bucket = pmod(portableHash(col("doc_id").cast("string"), 23), lit(100))
+        val split = when(bucket < 80, lit("train"))
+          .when(bucket < 90, lit("val")).otherwise(lit("test"))
+        val splits = docs.select(col("doc_id"), split.as("split"))
+        val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id", "lang", 3,
+          numHashes = 8, bands = 4, threshold = 0.5)
+        pairs
+          .join(splits.select(col("doc_id").as("id_a"), col("split").as("split_a")), "id_a")
+          .join(splits.select(col("doc_id").as("id_b"), col("split").as("split_b")), "id_b")
+          .agg(lcount(lit(1)).as("n_pairs"),
+               lsum(when(col("split_a") =!= col("split_b"), 1L).otherwise(0L))
+                 .as("n_cross"),
+               (lsum(when(col("split_a") =!= col("split_b"), 1L).otherwise(0L))
+                  .cast("double") / count(lit(1))).as("cross_frac"))
+      },
+      Some(s"""WITH ${LlmOps.shingleCte}, ${LlmOps.minhashCandCte}, ${LlmOps.jaccardTail},
+         |ls AS (SELECT c.id_a, c.id_b FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b WHERE j.jaccard >= 0.5),
+         |sp AS (SELECT doc_id, CASE WHEN ${ph("CAST(doc_id AS VARCHAR)", 23)} % 100 < 80 THEN 'train' WHEN ${ph("CAST(doc_id AS VARCHAR)", 23)} % 100 < 90 THEN 'val' ELSE 'test' END AS split FROM documents),
+         |x AS (SELECT ls.id_a, ls.id_b, sa.split AS split_a, sb.split AS split_b FROM ls JOIN sp sa ON sa.doc_id = ls.id_a JOIN sp sb ON sb.doc_id = ls.id_b)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, CAST(SUM(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END) AS BIGINT) AS n_cross, CAST(SUM(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS cross_frac FROM x""".stripMargin.replace("\n", " "))),
+
     QueryDef("q64_mixture_weights",
       "corpus mixing: temperature-scaled language sampling weights p_l ∝ n_l^0.3 (multilingual up-sampling à la mBERT/XLM-R exponent smoothing) next to the raw proportions",
       (s, d) => {
