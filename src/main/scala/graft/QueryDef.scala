@@ -32,12 +32,37 @@ object Tables {
     * proper TimestampType column. The ns→µs conversion MUST be integer
     * division (`div`): at ~1.7e18 ns a double round-trip is off by up to
     * ±0.25 µs, enough to corrupt timestamps at µs boundaries.
+    *
+    * When the session sets [[ParallelizeScans]] to a comma-separated
+    * table list (Bench does; Verify and the specs do not), those
+    * tables' reads pass through [[graft.ops.Parallelize.forCompute]]:
+    * the driver-generated files are each ONE parquet row group, so the
+    * raw scan is ONE partition and every partial aggregate downstream
+    * would run single-threaded on a 32-core session — the measured
+    * cause of the round-6 "floor family" (q03 at 1.3s for a 6-row
+    * decimal agg over 600k ROWS of single-threaded DECIMAL(38,6)
+    * addition). The list is deliberately PER-TABLE: an interleaved
+    * same-JVM A/B (Prof2, round 7) measured the repartition as a ~2×
+    * WIN for the arithmetic-heavy relational tables (lineitem, orders)
+    * and a ~2× LOSS for the small explode-shaped tables (documents,
+    * events), where the round-robin exchange costs more than the
+    * parallelism returns and the CPU-heavy operators already guard
+    * themselves with forCompute. The flag stays off outside Bench so
+    * PlanSpec pins the PRODUCTION plan shapes (map-only means
+    * map-only) and Verify proves the results are
+    * partitioning-invariant either way.
     */
+  val ParallelizeScans = "spark.graft.parallelizeScans"
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    val shaped =
+      if (name == "events" && df.schema("ts").dataType == LongType)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else df
+    val parallelized = spark.conf.getOption(ParallelizeScans)
+      .exists(_.split(",").map(_.trim).contains(name))
+    if (parallelized) graft.ops.Parallelize.forCompute(shaped) else shaped
   }
 }

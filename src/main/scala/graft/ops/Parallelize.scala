@@ -36,6 +36,13 @@ object Parallelize {
     val plan = df.queryExecution.optimizedPlan
     val hasExchange = plan.exists {
       case _: Join | _: Aggregate | _: Window | _: RepartitionOperation => true
+      // a cached relation REPLACES the subtree it was built from, so a
+      // table cached as repartition(scan) (Bench's warm tier) shows up
+      // here as a bare InMemoryRelation leaf — without this case the
+      // already-32-way cache would be repartitioned a second time,
+      // paying one full extra shuffle of the payload per call
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        r.cachedPlan.outputPartitioning.numPartitions >= math.max(2, want / 2)
       case _ => false
     }
     if (hasExchange) df

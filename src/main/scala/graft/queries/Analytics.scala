@@ -119,12 +119,15 @@ object Analytics {
       Some("""SELECT event_type, event_id, value, CAST(rank() OVER w AS BIGINT) AS rk, percent_rank() OVER w AS pct_rank, cume_dist() OVER w AS cume FROM events WHERE value > 90 WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""")),
 
     QueryDef("q92_salted_join",
-      "skew-safe fact-dimension join (the q32 salting recipe applied to JOINs): lineitem x part on partkey with an 8-bucket salt — the fact side salts, the dimension explodes x8, so one hot part key spreads over 8 reducers instead of pinning one. Result proven identical to the unsalted join by the oracle (which runs the plain join): per-brand exact revenue totals",
+      "skew-AWARE fact-dimension join (the q32 salting recipe applied to JOINs, conditioned on DETECTED skew per round-6 advice): a deterministic 2% sample of lineitem probes per-key frequency, only keys measured hot get the 8-bucket salt (fact side salts, dimension explodes x8 for those keys alone), and the cold majority joins completely unsalted — so a corpus with no skew (this fixture) pays zero dimension replication, while one hot key still spreads over 8 reducers instead of pinning one. Routing never affects the result: the hot/cold branches partition the key space, so the union equals the plain join for ANY detected set (SkewSpec pins this with a forced hot+cold mix). Result proven identical to the unsalted join by the oracle (which runs the plain join): per-brand exact revenue totals",
       (s, d) => graft.ops.Skew
-        .saltedJoin(
+        .skewAwareJoin(
           t(s, d, "lineitem").withColumnRenamed("l_partkey", "__jk"),
           t(s, d, "part").withColumnRenamed("p_partkey", "__jk"),
-          "__jk", saltBuckets = 8, joinType = "inner")
+          "__jk", saltBuckets = 8,
+          // lineitem/part ≈ 30 lines per key at any SF; 20x that average
+          // is the "one reducer pinned" regime worth paying a salt for
+          hotThreshold = 600L, joinType = "inner")
         .groupBy(col("p_brand"))
         .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
                .as("revenue"),
@@ -250,20 +253,24 @@ object Analytics {
       Some("""SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b, CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist FROM supplier a JOIN supplier b ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey AND abs(length(a.s_name) - length(b.s_name)) <= 2 WHERE levenshtein(a.s_name, b.s_name) <= 2""")),
 
     QueryDef("q54_approx_quantiles",
-      "approximate quantile sketch (mergeable, one pass) vs exact: sketch estimates are engine-specific, so the oracle checks exact values + a 2%-relative accuracy bound (q37 HLL pattern)",
-      (s, d) => t(s, d, "orders")
-        .groupBy(col("o_orderpriority"))
-        .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("exact_p50"),
-             round(expr("percentile(o_totalprice, 0.9)"), 4).as("exact_p90"),
-             expr("approx_percentile(o_totalprice, 0.5, 1000)").as("ap50"),
-             expr("approx_percentile(o_totalprice, 0.9, 1000)").as("ap90"))
-        .select(col("o_orderpriority"), col("exact_p50"), col("exact_p90"),
-                (abs(col("ap50") - col("exact_p50")) / col("exact_p50") <= 0.02).as("p50_within_2pct"),
-                (abs(col("ap90") - col("exact_p90")) / col("exact_p90") <= 0.02).as("p90_within_2pct")),
+      "approximate quantile sketch (mergeable, one pass) vs exact: sketch estimates are engine-specific, so the oracle checks exact values + a 2%-relative accuracy bound (q37 HLL pattern). THE SKETCH IS THE PRODUCT and the only side that runs at 100 TB (fixed-size mergeable state, map-side combine); the exact side exists to certify the sketch's error and is q41's buffer-all exact tier — mirror of the q21(exact)/q22(LSH) pairing. The two sides run as SEPARATE aggregates joined on the 5-row key: round 6 measured the mixed ObjectHashAggregate (exact percentile + approx_percentile in one operator) at 3x the split form's cost, because mixing the buffer-all percentile with the sketch serializes both object buffers through the same partial-merge path",
+      (s, d) => {
+        val base = t(s, d, "orders").select(col("o_orderpriority"), col("o_totalprice"))
+        val exact = base.groupBy(col("o_orderpriority"))
+          .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("exact_p50"),
+               round(expr("percentile(o_totalprice, 0.9)"), 4).as("exact_p90"))
+        val approx = base.groupBy(col("o_orderpriority"))
+          .agg(expr("approx_percentile(o_totalprice, 0.5, 1000)").as("ap50"),
+               expr("approx_percentile(o_totalprice, 0.9, 1000)").as("ap90"))
+        exact.join(approx, Seq("o_orderpriority"))
+          .select(col("o_orderpriority"), col("exact_p50"), col("exact_p90"),
+                  (abs(col("ap50") - col("exact_p50")) / col("exact_p50") <= 0.02).as("p50_within_2pct"),
+                  (abs(col("ap90") - col("exact_p90")) / col("exact_p90") <= 0.02).as("p90_within_2pct"))
+      },
       Some("""SELECT o_orderpriority, ROUND(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50, ROUND(quantile_cont(o_totalprice, 0.9), 4) AS exact_p90, TRUE AS p50_within_2pct, TRUE AS p90_within_2pct FROM orders GROUP BY o_orderpriority""")),
 
     QueryDef("q41_percentiles",
-      "exact interpolated percentiles (median/p90) of order value per priority",
+      "exact interpolated percentiles (median/p90) of order value per priority. This is the declared EXACT TIER: Spark's percentile buffers every group's values in the aggregation state, which is fine for bounded groups and is the oracle-bit-exact answer, but is the anti-pattern at 100 TB (per-group value buffers OOM); the scale path is q54's approx_percentile sketch, whose error this exact tier certifies — the same exact/approximate pairing as q21(exact Jaccard)/q22(MinHash-LSH)",
       (s, d) => t(s, d, "orders")
         .groupBy(col("o_orderpriority"))
         .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_value"),

@@ -103,6 +103,47 @@ class PropertySpec extends SparkSpec {
         }
       }
     }
+
+    it("skewAwareJoin matches the plain join on a forced hot+cold mix") {
+      // one genuinely hot key (detected by the probe at full sampling),
+      // several cold keys (below threshold), and a fact-only key with no
+      // dimension row — the routing must not lose or duplicate any of them
+      val hotRows = List.fill(300)((7, 1))
+      val coldRows = (0 until 50).map(i => (i % 5, i))
+      val orphanRows = List.fill(10)((99, 0)) // no dim match
+      val fact = (hotRows ++ coldRows ++ orphanRows).toDF("k", "v")
+      val dim = (Seq(7 -> "hot") ++ (0 until 5).map(i => i -> s"c$i")).toDF("k", "name")
+      val plain = fact.join(dim, Seq("k")).select($"k", $"v", $"name")
+        .as[(Int, Int, String)].collect().sorted.toSeq
+      // sampleFraction=1.0 makes detection deterministic: key 7 (300
+      // rows) is hot at threshold 100, the cold keys (10 rows each) are not
+      val aware = Skew.skewAwareJoin(fact, dim, "k", saltBuckets = 4,
+          hotThreshold = 100L, sampleFraction = 1.0)
+        .select($"k", $"v", $"name")
+        .as[(Int, Int, String)].collect().sorted.toSeq
+      assert(aware == plain)
+      // LEFT join keeps the orphan fact rows with null dim columns
+      val plainLeft = fact.join(dim, Seq("k"), "left")
+        .select($"k", $"v", $"name")
+        .as[(Int, Int, Option[String])].collect().sorted.toSeq
+      val awareLeft = Skew.skewAwareJoin(fact, dim, "k", saltBuckets = 4,
+          hotThreshold = 100L, sampleFraction = 1.0, joinType = "left")
+        .select($"k", $"v", $"name")
+        .as[(Int, Int, Option[String])].collect().sorted.toSeq
+      assert(awareLeft == plainLeft)
+    }
+
+    it("skewAwareJoin with an empty hot set degenerates to the plain join result") {
+      val fact = (0 until 60).map(i => (i % 6, i)).toDF("k", "v")
+      val dim = (0 until 6).map(i => (i, s"d$i")).toDF("k", "name")
+      val plain = fact.join(dim, Seq("k")).select($"k", $"v", $"name")
+        .as[(Int, Int, String)].collect().sorted.toSeq
+      val aware = Skew.skewAwareJoin(fact, dim, "k", saltBuckets = 8,
+          hotThreshold = 1000L, sampleFraction = 1.0)
+        .select($"k", $"v", $"name")
+        .as[(Int, Int, String)].collect().sorted.toSeq
+      assert(aware == plain)
+    }
   }
 
   private val edgeGen: Gen[List[(Long, Long)]] = Gen.listOfN(40,
