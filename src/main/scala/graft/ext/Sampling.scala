@@ -109,6 +109,11 @@ object Sampling {
     * per partition — never a corpus-wide window sort). */
   def prioritySample(df: DataFrame, strataCol: String, keyCol: String,
                      weightCol: String, k: Int, seed: Int = 17): DataFrame = {
+    // the output columns are part of the operator's contract (q81
+    // exposes both); refuse inputs that would silently collide rather
+    // than overwrite user data (round-6 advice)
+    Seq("priority", "rk").foreach(c => require(!df.columns.contains(c),
+      s"input already has a '$c' column - prioritySample appends its own; rename it first"))
     // 2^60 is a power of two, so the divisor is an EXACT double
     val u = (portableHash(col(keyCol).cast("string"), seed) + lit(1L)).cast("double") /
       lit(1152921504606846976.0)

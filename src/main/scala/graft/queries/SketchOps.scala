@@ -46,14 +46,22 @@ object SketchOps {
       when(reasons === 0, lit(1L)).otherwise(lit(0L)).as("keep"))
   }
 
-  /** q82's operator surface: single-pass long-format profile. Values
-    * travel in a slot matching their source type — strings as strings,
-    * integral numerics as EXACT longs (a double slot would collapse
-    * distinct bigints above 2⁵³ and diverge from the oracle's typed
-    * COUNT(DISTINCT)), fractional numerics as doubles. Two bounded
-    * shuffles (distinct combos, then per-column stats), no Expand, no
-    * per-column re-scan. min/max report as double only on the final
-    * |columns|-row frame. */
+  /** Long-format single-scan profile (kept for storage that cannot
+    * prune columns — see [[profileAgg]], the columnar-storage winner
+    * and q82's production surface). Values travel in a slot matching
+    * their source type — strings as strings, integral numerics as
+    * EXACT longs (a double slot would collapse distinct bigints above
+    * 2⁵³ and diverge from the oracle's typed COUNT(DISTINCT)),
+    * fractional numerics as doubles. CAVEAT (round-6 advice): the
+    * double slot also carries high-precision DECIMALs, so two decimal
+    * values distinct at full precision but equal after the double
+    * round-trip (>15-16 significant digits apart by < 1 ulp) would
+    * undercount n_distinct relative to a typed COUNT(DISTINCT) — for
+    * decimal-keyed profiling beyond q82's columns use [[profileAgg]],
+    * whose per-column aggregates count distinct ON THE SOURCE TYPE.
+    * Two bounded shuffles (distinct combos, then per-column stats), no
+    * Expand, no per-column re-scan. min/max report as double only on
+    * the final |columns|-row frame. */
   def profile(df: org.apache.spark.sql.DataFrame, numCols: Seq[String],
               strCols: Seq[String]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}

@@ -96,6 +96,67 @@ object ReportSink {
       .cast("long")
   }
 
+  /** Atomic hourly append — the commit-protocol story plain
+    * `mode("append")` lacks (round-6 advice: a retried append at 100 TB
+    * can leave readers seeing half a batch). Three layers make a batch
+    * all-or-nothing:
+    *
+    *  1. TASK retry: Spark's file committer writes every task's output
+    *     under the job's `_temporary` attempt dir and promotes it by
+    *     rename at task commit — a re-executed task can never leave two
+    *     copies, and failed-attempt files are invisible to any reader.
+    *  2. JOB retry: each append lands in its OWN `batch=<id>`
+    *     subdirectory written with `overwrite` — re-running a batch
+    *     after a crash between write and downstream bookkeeping
+    *     REPLACES its directory instead of appending duplicates (the
+    *     exact idempotence contract the streaming ingest makes,
+    *     [[graft.streaming.EventStreams.ingestToPartitionedSink]]).
+    *  3. READER isolation: the committer drops `_SUCCESS` in the batch
+    *     dir only at JOB commit, and [[readCommittedBatches]] reads
+    *     exclusively `_SUCCESS`-bearing batch dirs — a batch that died
+    *     mid-write (files present, no marker) does not exist as far as
+    *     consumers are concerned. ReportSinkSpec proves exactly that.
+    *
+    * This is the same staged-publish design a transactional table
+    * format (Delta/Iceberg) implements with a metadata log; with no
+    * table-format dependency available, the `_SUCCESS` gate per batch
+    * dir is the filesystem-native equivalent (one marker rename = the
+    * commit point). Concurrent APPENDERS compose too: distinct batch
+    * ids write disjoint directories, so no two jobs ever race on a
+    * file.
+    */
+  def appendAtomicBatch(df: DataFrame, path: String, batchId: String,
+                        partitionCols: Seq[String] = Nil,
+                        format: String = "parquet"): Unit = {
+    require(batchId.nonEmpty && !batchId.contains("/"),
+      s"batchId '$batchId' must be a non-empty single path segment")
+    val w = df.write.mode("overwrite").format(format)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .save(s"$path/batch=$batchId")
+  }
+
+  /** The read side of [[appendAtomicBatch]]'s contract: only batches
+    * whose directory carries the job-commit `_SUCCESS` marker are
+    * visible. Returns None when no batch has committed yet (schema
+    * unknowable). `batch` and the partition columns surface as data
+    * columns via basePath partition discovery. */
+  def readCommittedBatches(spark: org.apache.spark.sql.SparkSession,
+                           path: String,
+                           format: String = "parquet"): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed =
+      if (!fs.exists(root)) Array.empty[String]
+      else fs.listStatus(root)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
+        .map(_.getPath.toString).sorted
+    if (committed.isEmpty) None
+    else Some(spark.read.option("basePath", path).format(format)
+      .load(committed.toIndexedSeq: _*))
+  }
+
   def appendCsvSingleFile(df: DataFrame, targetFile: String): Unit = {
     val target = new File(targetFile)
     val writeHeader = !target.isFile || target.length() == 0

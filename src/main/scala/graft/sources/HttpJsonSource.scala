@@ -45,7 +45,8 @@ class HttpJsonSource extends TableProvider {
     HttpTable(schema,
       Option(properties.get("urls")).getOrElse(""),
       Option(properties.get("mode")).getOrElse("FAILFAST"),
-      Option(properties.get("urlDelimiter")).getOrElse(","))
+      Option(properties.get("urlDelimiter")).getOrElse(","),
+      Option(properties.get("headers")).getOrElse(""))
 
   override def supportsExternalMetadata(): Boolean = true
 }
@@ -63,29 +64,46 @@ object HttpTransport {
   def setOverride(f: Fetch): Unit = overrideFetch = Some(f)
   def clearOverride(): Unit = overrideFetch = None
 
-  def fetch(url: String): Iterator[String] =
-    overrideFetch.getOrElse(default)(url)
+  def fetch(url: String): Iterator[String] = fetch(url, Nil)
+
+  /** `headers` come from the scan's `headers` option (the reference
+    * sends its API key as `x-traderjoe-api-key`, main.py:22); the
+    * override seam stays URL-only — canned fixtures don't authenticate. */
+  def fetch(url: String, headers: Seq[(String, String)]): Iterator[String] =
+    overrideFetch.map(_(url)).getOrElse(default(url, headers))
 
   /** JDK java.net.http GET, body split into lines. */
-  val default: Fetch = url => {
+  def default(url: String, headers: Seq[(String, String)]): Iterator[String] = {
     val client = java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofSeconds(30)).build()
-    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+    val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
       .timeout(java.time.Duration.ofMinutes(5))
-      .header("accept", "application/json").GET().build()
-    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofLines())
+      .header("accept", "application/json")
+    headers.foreach { case (k, v) => b.header(k, v) }
+    val resp = client.send(b.GET().build(),
+      java.net.http.HttpResponse.BodyHandlers.ofLines())
     if (resp.statusCode() / 100 != 2)
       throw new java.io.IOException(s"HTTP ${resp.statusCode()} for $url")
     import scala.jdk.CollectionConverters._
     resp.body().iterator().asScala
   }
+
+  /** "Name: value; Name2: value2" → pairs (the `headers` option wire
+    * format — ';' and ':' are illegal in header NAMES per RFC 9110, so
+    * no escaping is needed; values keep any ':' after the first). */
+  def parseHeaders(spec: String): Seq[(String, String)] =
+    spec.split(";").map(_.trim).filter(_.nonEmpty).toSeq.map { h =>
+      val i = h.indexOf(':')
+      require(i > 0, s"header '$h': expected 'Name: value'")
+      (h.substring(0, i).trim, h.substring(i + 1).trim)
+    }
 }
 
 /** `delimiter` separates the `urls` option (default ","). URLs whose
   * query strings legitimately contain the delimiter need a different
   * one, e.g. `.option("urlDelimiter", "|")` — there is no escaping. */
 case class HttpTable(tableSchema: StructType, urls: String, mode: String,
-                     delimiter: String = ",")
+                     delimiter: String = ",", headers: String = "")
     extends Table with SupportsRead {
   override def schema(): StructType = tableSchema
   override def name(): String =
@@ -96,24 +114,25 @@ case class HttpTable(tableSchema: StructType, urls: String, mode: String,
     new HttpScanBuilder(tableSchema,
       Option(options.get("urls")).filter(_.nonEmpty).getOrElse(urls),
       Option(options.get("mode")).getOrElse(mode),
-      Option(options.get("urlDelimiter")).getOrElse(delimiter))
+      Option(options.get("urlDelimiter")).getOrElse(delimiter),
+      Option(options.get("headers")).getOrElse(headers))
 }
 
 /** Same pushdown surface as the fixture source: pruned columns shrink
   * the decode, pushed predicates (the reference's startTime/endTime
   * window params, F4) drop rows before materialization. */
 class HttpScanBuilder(fullSchema: StructType, urls: String, mode: String,
-                      delimiter: String = ",")
+                      delimiter: String = ",", headers: String = "")
     extends FixtureScanBuilder(fullSchema, urls, mode) {
   override def build(): Scan = {
     val f = super.build().asInstanceOf[FixtureScan]
-    HttpScan(f.fullSchema, f.required, urls, f.pushed, mode, delimiter)
+    HttpScan(f.fullSchema, f.required, urls, f.pushed, mode, delimiter, headers)
   }
 }
 
 case class HttpScan(fullSchema: StructType, required: StructType,
                     urls: String, pushed: Array[Filter], mode: String,
-                    delimiter: String = ",")
+                    delimiter: String = ",", headers: String = "")
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -125,17 +144,17 @@ case class HttpScan(fullSchema: StructType, required: StructType,
       .map(_.trim).filter(_.nonEmpty)
       .map(HttpInputPartition(_): InputPartition)
   override def createReaderFactory(): PartitionReaderFactory =
-    HttpReaderFactory(required, pushed, mode)
+    HttpReaderFactory(required, pushed, mode, headers)
 }
 
 case class HttpInputPartition(url: String) extends InputPartition
 
 case class HttpReaderFactory(required: StructType, pushed: Array[Filter],
-                             mode: String)
+                             mode: String, headers: String = "")
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new HttpReader(partition.asInstanceOf[HttpInputPartition].url,
-                   required, pushed, mode)
+                   required, pushed, mode, headers)
 }
 
 /** Per-partition reader: one HTTP fetch, then the shared JSONL decode
@@ -146,10 +165,10 @@ case class HttpReaderFactory(required: StructType, pushed: Array[Filter],
   * logs the dropped URL (a whole partition's data loss is never fully
   * silent). */
 class HttpReader(url: String, required: StructType,
-                 pushed: Array[Filter], mode: String)
+                 pushed: Array[Filter], mode: String, headers: String = "")
     extends JsonLinesReader(required, pushed, mode) {
   override protected val lines: Iterator[String] =
-    try HttpTransport.fetch(url)
+    try HttpTransport.fetch(url, HttpTransport.parseHeaders(headers))
     catch { case e: Exception => setupError = Some(e); Iterator.empty }
   override protected def sourceId: String = s"url=$url"
   override def close(): Unit = ()

@@ -171,8 +171,11 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("sketch"))
 
   /** Continuous ingest into the batch plane's partitioned report sink:
-    * micro-batches append day-partitioned parquet through the SAME
-    * [[graft.sinks.ReportSink.appendPartitioned]] the batch jobs use,
+    * micro-batches land day-partitioned parquet in the SAME directory
+    * layout [[graft.sinks.ReportSink.appendPartitioned]] writes, but
+    * through their OWN write path — dynamic-partition OVERWRITE keyed
+    * by (day, ingest_batch), not ReportSink's blind append — because
+    * replay-idempotence is the property a restartable stream needs,
     * with `Trigger.AvailableNow` draining everything available then
     * stopping (the scheduled-ingest shape — the reference's hourly loop
     * as a restartable stream). The checkpoint directory holds the

@@ -28,6 +28,37 @@ class ReportSinkSpec extends SparkSpec {
     }
   }
 
+  describe("appendAtomicBatch (commit-protocol append)") {
+    it("a failed write leaves no partial data visible; retry replaces, never duplicates") {
+      val path = Files.createTempDirectory("asink").resolve("report").toString
+      // nothing committed yet → no schema to offer
+      assert(ReportSink.readCommittedBatches(spark, path).isEmpty)
+
+      val b1 = Seq(("2024-01-01", 1L), ("2024-01-02", 2L)).toDF("day", "v")
+      ReportSink.appendAtomicBatch(b1, path, "b1", Seq("day"))
+      assert(ReportSink.readCommittedBatches(spark, path).get.count() == 2)
+
+      // simulate a job that died between writing files and job commit:
+      // data files exist, the _SUCCESS commit marker does not
+      val b2 = Seq(("2024-01-03", 3L)).toDF("day", "v")
+      ReportSink.appendAtomicBatch(b2, path, "b2", Seq("day"))
+      val marker = java.nio.file.Paths.get(path, "batch=b2", "_SUCCESS")
+      java.nio.file.Files.delete(marker)
+      val visible = ReportSink.readCommittedBatches(spark, path).get
+      assert(visible.count() == 2, "uncommitted batch must be invisible to readers")
+      assert(!visible.select("day").as[String].collect().contains("2024-01-03"))
+
+      // the RETRY of b2 overwrites its directory: the earlier partial
+      // files are gone, the batch commits, and nothing is double-counted
+      ReportSink.appendAtomicBatch(b2, path, "b2", Seq("day"))
+      val after = ReportSink.readCommittedBatches(spark, path).get
+      assert(after.count() == 3)
+      assert(after.filter($"day" === "2024-01-03").count() == 1)
+      // batch + partition columns surface through basePath discovery
+      assert(after.columns.toSet == Set("v", "day", "batch"))
+    }
+  }
+
   describe("appendPartitioned (production sink)") {
     it("accumulates batches as partitioned parquet (union-all semantics)") {
       val path = Files.createTempDirectory("psink").resolve("report").toString
