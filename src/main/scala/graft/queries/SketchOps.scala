@@ -367,7 +367,7 @@ object SketchOps {
          |SELECT lang, CAST(COUNT(*) AS BIGINT) AS ws_tokens, CAST(SUM(ns) AS BIGINT) AS bpe_symbols, floor(CAST(SUM(ns) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6 AS symbols_per_token FROM j GROUP BY 1""".stripMargin.replace("\n", " "))),
 
     QueryDef("q82_column_profile",
-      "per-column data profiling: row/null/exact-distinct counts and min/max over six lineitem columns as a UNION of per-column single-distinct aggregates — each branch's parquet scan prunes to a ONE-column ReadSchema, so the union's total I/O equals one full-width scan while every aggregate plans as Spark's two-level partial-distinct (no Expand, no kx row multiplication). The round-6 long-format explode alternative (profile(): one scan, rows x6 before the first aggregation) measured 1.8s vs 0.35s for this form at sf0.1 — the explode multiplied 600k rows into 3.6M 4-slot structs to save scan passes that columnar storage makes free; profile() remains the right shape only for non-columnar storage (CSV/JSON), where k branches would pay k full scans",
+      "per-column data profiling: row/null/exact-distinct counts and min/max over six lineitem columns as a UNION of per-column single-distinct aggregates — each branch's scan prunes to a ONE-column ReadSchema, so the union's total I/O equals one full-width scan while every aggregate plans as Spark's two-level partial-distinct (no Expand, no kx row multiplication). Round-7 shootout (Prof3, same JVM, steady state, sf0.1): union ~1.0-1.3s suite-recorded vs 1.8-1.9s for the round-6 long-format explode (one scan but 600k rows x6 into 4-slot structs before the first aggregation) vs 2.4s for the single-agg Expand form (Spark's own multi-countDistinct); a distinct-only hybrid measured the same as union, proving the residual cost IS the six exact-distinct two-stage aggregates, not the min/max/null plumbing — the price of EXACT per-column cardinalities at 600k rows; at 100 TB each branch's shuffle is bounded by its own column's cardinality, and profile() remains the right shape only for non-columnar storage (CSV/JSON), where k branches would pay k full scans",
       (s, d) => profileAgg(t(s, d, "lineitem"),
         numCols = Seq("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"),
         strCols = Seq("l_returnflag", "l_linestatus")),
