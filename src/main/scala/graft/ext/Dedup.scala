@@ -105,7 +105,12 @@ object Dedup {
     * the per-pair set verification dominates. On a realistic corpus
     * (heavy-tailed shingle frequencies, sparse similarity) prefix
     * filtering wins; for guaranteed sub-quadratic behavior at 100 TB
-    * use [[minhashLshPairs]].
+    * use [[minhashLshPairs]]. Posting-list representation was also
+    * shot out (round 7, Prof4, steady state): struct+array_sort,
+    * struct-unsorted, packed-long, and bare-id lists all time
+    * identically — the cost is the shingle-row shuffle and the
+    * list-building aggregate itself, so the readable struct form
+    * stays.
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                         blockCol: String, n: Int, threshold: Double,
