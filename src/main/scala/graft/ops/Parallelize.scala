@@ -40,9 +40,21 @@ object Parallelize {
       // table cached as repartition(scan) (Bench's warm tier) shows up
       // here as a bare InMemoryRelation leaf — without this case the
       // already-32-way cache would be repartitioned a second time,
-      // paying one full extra shuffle of the payload per call
+      // paying one full extra shuffle of the payload per call. The
+      // cached PHYSICAL plan is probed the same way this match probes
+      // the logical plan: did the plan the cache was built from carry
+      // an exchange? (outputPartitioning is useless here — under AQE
+      // the cached plan is an AdaptiveSparkPlanExec reporting Unknown
+      // until finalized, and AQE wraps exactly the exchange-bearing
+      // plans, so the wrapper itself is evidence of a shuffle; a
+      // cached bare scan is NOT wrapped and correctly falls through
+      // to the size-based repartition decision below)
       case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
-        r.cachedPlan.outputPartitioning.numPartitions >= math.max(2, want / 2)
+        r.cachedPlan.exists {
+          case _: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => true
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => true
+          case _ => false
+        }
       case _ => false
     }
     if (hasExchange) df

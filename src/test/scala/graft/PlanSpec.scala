@@ -215,5 +215,43 @@ class PlanSpec extends SparkSpec {
       val p = planOf("q03_group_agg")
       assert(p.contains("partial_sum"))
     }
+
+    it("Tables.ParallelizeScans is per-table, off by default, and cache-matched") {
+      val dir = "/root/testdata/sf0.001"
+      // off by default: a raw fixture read plans with no exchange
+      val off = Tables(spark, dir, "lineitem").queryExecution.optimizedPlan
+      assert(!off.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation]))
+      spark.conf.set(Tables.ParallelizeScans, "lineitem,orders")
+      try {
+        // listed table gains the repartition; unlisted table does not
+        val on = Tables(spark, dir, "lineitem").queryExecution.optimizedPlan
+        assert(on.exists(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation]))
+        val docs = Tables(spark, dir, "documents").queryExecution.optimizedPlan
+        assert(!docs.exists(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation]))
+        // the Bench warm tier depends on plan-equality cache matching:
+        // persisting one read must make an identical later read hit the
+        // cached relation (InMemoryRelation in the plan), and forCompute
+        // must then leave the already-parallel cache alone
+        Tables(spark, dir, "lineitem").persist().count()
+        try {
+          val again = Tables(spark, dir, "lineitem")
+          val plan = again.queryExecution.optimizedPlan
+          val imr = plan.collectFirst {
+            case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+          }
+          assert(imr.nonEmpty, s"expected cache hit, plan:\n$plan")
+          // (the ANALYZED plan still carries Tables' own Repartition node —
+          // cache substitution happens after analysis — so the property to
+          // pin is that forCompute sees the substituted IMR leaf as already
+          // parallel and returns the frame UNTOUCHED, adding nothing)
+          val reshaped = graft.ops.Parallelize.forCompute(again)
+          assert(reshaped eq again,
+            "forCompute must not re-repartition an already-parallel cached relation")
+        } finally Tables(spark, dir, "lineitem").unpersist(blocking = true)
+      } finally spark.conf.unset(Tables.ParallelizeScans)
+    }
   }
 }
