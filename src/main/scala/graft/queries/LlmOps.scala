@@ -156,9 +156,9 @@ object LlmOps {
       Some(s"""SELECT ${ph(TextFunctions.sql.normalize("text"), 0)} AS fp, MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_dupes FROM documents GROUP BY md5(${TextFunctions.sql.normalize("text")}), 1""")),
 
     QueryDef("q21_dedup_ngram_jaccard",
-      "near-dup pairs by exact word-3-gram Jaccard ≥ 0.5, lang-blocked shingle join",
+      "near-dup pairs by exact word-3-gram Jaccard ≥ 0.5, lang-blocked shingle join. Runs the UNCAPPED fast path (maxDf=MaxValue) because that IS this query's declared semantics: the oracle SQL computes plain exact jaccard with no df cap, and the uncapped plan is exactly two shuffles (posting lists + pair counts, PlanSpec-pinned) with no correction stages. The API's default REMAINS df-capped — the production guard against the hot-shingle k^2 blowup — and the correction branch it buys measured ~0.15-0.2s of pure stage overhead here (Prof4), paid only by callers who want the guard",
       (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id",
-                                        "lang", 3, 0.5),
+                                        "lang", 3, 0.5, maxDf = Int.MaxValue),
       Some(s"""WITH $shingleCte, $jaccardTail SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5""")),
 
     QueryDef("q22_dedup_minhash_lsh",
@@ -171,7 +171,10 @@ object LlmOps {
       "the engine evaluating its own sketch: recall of the q22 MinHash-LSH candidate path against the q21 exact all-pairs ground truth, computed in-engine (n_exact, n_lsh, n_hit = intersection, recall = n_hit / n_exact). This is the measurement that justifies the banding parameters (8 hashes x 4 bands at Jaccard 0.5) before pointing the LSH path at 100 TB — the same eval a production dedup rollout runs on a sample. Both pipelines are the exact same operators q21/q22 register, composed; verification stays candidate-only on the LSH side",
       (s, d) => {
         val docs = t(s, d, "documents")
-        val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "lang", 3, 0.5)
+        // uncapped fast path, same reasoning as q21: the ground truth
+        // this eval scores against is plain exact jaccard
+        val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "lang", 3, 0.5,
+            maxDf = Int.MaxValue)
           .select(col("id_a"), col("id_b"))
         val lsh = Dedup.minhashLshPairs(docs, "text", "doc_id", "lang", 3,
             numHashes = 8, bands = 4, threshold = 0.5)
