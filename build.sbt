@@ -38,10 +38,13 @@ val initialHeap: String = {
   val m = "(?i)^(\\d+)([gmk]?)$".r
   driverMem.trim match {
     case m(n, u) =>
+      // the raw string feeds -Xmx, where a bare number means BYTES —
+      // parse the unitless case the same way or -Xms could exceed -Xmx
       val mb = u.toLowerCase match {
-        case "g" | "" => n.toLong * 1024
-        case "m"      => n.toLong
-        case "k"      => n.toLong / 1024
+        case "g" => n.toLong * 1024
+        case "m" => n.toLong
+        case "k" => n.toLong / 1024
+        case ""  => n.toLong / (1024L * 1024L)
       }
       if (mb >= 8192) "8g" else driverMem
     case _ => "1g" // unparseable SPARK_DRIVER_MEM: fall back to a safe floor

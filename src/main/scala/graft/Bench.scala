@@ -74,7 +74,15 @@ object Bench {
       case "false" => Nil
       case list    => list.split(",").map(_.trim).toSeq
     }
-    cached.foreach(n => Tables(spark, sfDir, n).persist().count())
+    // every table gets ONE untimed touch regardless of the cache toggle:
+    // parquet footer reads and OS page-cache warm-up must not land inside
+    // the first timed sample of a cache-off A/B run — the cached arm pays
+    // them here via persist().count(), so the no-cache arm pays a plain
+    // count() or the A/B would compare warm against cold scans
+    Tables.names.foreach { n =>
+      val tbl = Tables(spark, sfDir, n)
+      if (cached.contains(n)) tbl.persist().count() else tbl.count()
+    }
     val baselineRdds = spark.sparkContext.getPersistentRDDs.keySet.toSet
     // warmup: two cheapest queries (codegen/JIT of the scan+agg plane),
     // then one untimed pass of the SHINGLE plane — q21 is the first
@@ -104,8 +112,9 @@ object Bench {
     //    queries × ≥2 reps they pile up and inflated the recorded times
     //    of exactly the checkpointing tail (round 5: q21 12.55s driver
     //    vs 2.17s isolated on the same build/machine);
-    //  - clearCache + System.gc so earlier queries' broadcast/shuffle
-    //    garbage doesn't tax this one's GC (observed 3× inflation).
+    //  - double-pumped System.gc (below) so earlier queries' broadcast/
+    //    shuffle garbage doesn't tax this one's GC (observed 3× inflation);
+    //    NO clearCache — that would evict the suite-lifetime table caches.
     val settleMs = sys.env.getOrElse("SPARK_GRAFT_SETTLE_MS", "150").toLong
     def hygiene(): Unit = {
       // purge per-query persistent artifacts (localCheckpoint blocks,

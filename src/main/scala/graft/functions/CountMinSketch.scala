@@ -120,8 +120,8 @@ case class CmsBuildAgg(
   // overflow the Int in createAggregationBuffer's array length (a
   // confusing mid-job NegativeArraySizeException) and in the serialized
   // form's 8 + depth*width*8 length check
-  require(width.toLong * depth <= Int.MaxValue / 8,
-    s"width=$width x depth=$depth: matrix exceeds the 2^31/8-element buffer bound")
+  require(width.toLong * depth <= (Int.MaxValue - 8) / 8,
+    s"width=$width x depth=$depth: matrix exceeds the (2^31-8)/8-element buffer bound")
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
 
@@ -181,8 +181,8 @@ case class CmsEstimate(left: Expression, right: Expression,
   require(width >= 2, s"width=$width: need at least 2 buckets per row")
   require(depth >= 1 && depth <= 8,
     s"depth=$depth: the double-hashed family is overflow-proof only for j <= 7")
-  require(width.toLong * depth <= Int.MaxValue / 8,
-    s"width=$width x depth=$depth: matrix exceeds the 2^31/8-element buffer bound")
+  require(width.toLong * depth <= (Int.MaxValue - 8) / 8,
+    s"width=$width x depth=$depth: matrix exceeds the (2^31-8)/8-element buffer bound")
 
   override def dataType: DataType = LongType
   override def prettyName: String = "cms_estimate"

@@ -70,7 +70,7 @@ object Skew {
     * replicated dimension row per salt, cold keys join on the single
     * salt 0 — so the result equals the unsalted join for ANY hot set (a
     * missed hot key costs performance, never rows). That invariant is
-    * what SkewSpec's hot+cold property test pins, and why the sampling
+    * what PropertySpec's hot+cold skewAwareJoin tests pin, and why the sampling
     * seed is fixed: the ROUTING is reproducible run to run even though
     * any seed gives the same result set.
     *
@@ -88,6 +88,21 @@ object Skew {
     require(hotThreshold > 0, s"hotThreshold=$hotThreshold must be positive")
     require(sampleFraction > 0 && sampleFraction <= 1,
       s"sampleFraction=$sampleFraction must be in (0, 1]")
+    // below 1 expected sampled row per hot key the probe cannot tell hot
+    // from cold — every key with one sampled row would be flagged "hot"
+    // and the broadcast-sized hot-set bound above silently collapses to
+    // "all sampled keys" (an unconditional saltedJoin with extra steps)
+    require(hotThreshold * sampleFraction >= 1,
+      s"hotThreshold=$hotThreshold x sampleFraction=$sampleFraction < 1: " +
+        "the probe needs >= 1 expected sampled row per hot key; raise the " +
+        "threshold or the fraction")
+    // the probe's __n and the routing's __hot/__salt are appended to user
+    // frames mid-flight; refuse collisions instead of silently clobbering
+    // (same contract as Sampling.prioritySample, round-6 advice)
+    Seq(fact -> "fact", dim -> "dim").foreach { case (df, side) =>
+      Seq("__hot", "__salt", "__n").foreach(c => require(!df.columns.contains(c),
+        s"$side side already has a '$c' column - skewAwareJoin uses it internally; rename it first"))
+    }
     val sampledMin = math.max(1L, (hotThreshold * sampleFraction).toLong)
     val hot = fact.sample(withReplacement = false, sampleFraction, seed = 97L)
       .groupBy(col(key)).agg(count(lit(1)).as("__n"))

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import graft.model.Schemas
+import graft.sources.FixtureJsonSource
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Config-driven LIVE mode for the extract plane — the reference's
@@ -114,8 +115,19 @@ object LiveEndpoints {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
     val pools = tasks.map(_._2).distinct
-    val pool1d = httpRead(spark, c, "poolStats",
-      pools.map(p => poolStatsUrl(c, p, "1d")))
+    // fetch the 1d pool stats ONCE: the frame is needed twice (the
+    // activeBinId collect below AND the snapshot input), and an uncached
+    // connector scan would re-issue every HTTP GET on the second use —
+    // double quota against a live API, and a bins/pool-frame mismatch if
+    // the API ticks between the two fetches (the reference reads
+    // activeBinId out of the frame it just fetched, main.py:212). The
+    // frame is one row per pool by definition, so materializing it to
+    // the driver and re-parallelizing is dimension-sized, never corpus.
+    val pool1dRows = httpRead(spark, c, "poolStats",
+      pools.map(p => poolStatsUrl(c, p, "1d"))).collect()
+    val pool1d = spark.createDataFrame(
+      spark.sparkContext.parallelize(pool1dRows.toIndexedSeq, 1),
+      FixtureJsonSource.payloadSchema("poolStats"))
     val pool1h = httpRead(spark, c, "poolStats",
       pools.map(p => poolStatsUrl(c, p, "1h")))
     val history = httpRead(spark, c, "userHistory",
@@ -124,7 +136,7 @@ object LiveEndpoints {
       tasks.map { case (u, p) => feesEarnedUrl(c, u, p) })
     val activeBin = pool1d
       .select(col("pairAddress"), col("activeBinId").cast("long"))
-      .na.drop().as[(String, Long)].collect().toMap
+      .na.drop().as[(String, Long)].collect().toMap // local frame: no refetch
     val rpcTasks = tasks.collect {
       case (u, p) if activeBin.contains(p) =>
         s"$p,$u,${activeBin(p)},${c.idsPlus},${c.idsMinus}"

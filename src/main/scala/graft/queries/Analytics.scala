@@ -119,7 +119,7 @@ object Analytics {
       Some("""SELECT event_type, event_id, value, CAST(rank() OVER w AS BIGINT) AS rk, percent_rank() OVER w AS pct_rank, cume_dist() OVER w AS cume FROM events WHERE value > 90 WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""")),
 
     QueryDef("q92_salted_join",
-      "skew-AWARE fact-dimension join (the q32 salting recipe applied to JOINs, conditioned on DETECTED skew per round-6 advice): a deterministic 2% sample of lineitem probes per-key frequency, only keys measured hot get the 8-bucket salt (fact side salts, dimension explodes x8 for those keys alone), and the cold majority joins completely unsalted — so a corpus with no skew (this fixture) pays zero dimension replication, while one hot key still spreads over 8 reducers instead of pinning one. Routing never affects the result: the hot/cold branches partition the key space, so the union equals the plain join for ANY detected set (SkewSpec pins this with a forced hot+cold mix). Result proven identical to the unsalted join by the oracle (which runs the plain join): per-brand exact revenue totals",
+      "skew-AWARE fact-dimension join (the q32 salting recipe applied to JOINs, conditioned on DETECTED skew per round-6 advice): a deterministic 2% sample of lineitem probes per-key frequency, only keys measured hot get the 8-bucket salt (fact side salts, dimension explodes x8 for those keys alone), and the cold majority joins completely unsalted — so a corpus with no skew (this fixture) pays zero dimension replication, while one hot key still spreads over 8 reducers instead of pinning one. Routing never affects the result: the hot/cold branches partition the key space, so the union equals the plain join for ANY detected set (PropertySpec pins this with a forced hot+cold mix). Result proven identical to the unsalted join by the oracle (which runs the plain join): per-brand exact revenue totals",
       (s, d) => graft.ops.Skew
         .skewAwareJoin(
           t(s, d, "lineitem").withColumnRenamed("l_partkey", "__jk"),
@@ -262,8 +262,12 @@ object Analytics {
         val approx = base.groupBy(col("o_orderpriority"))
           .agg(expr("approx_percentile(o_totalprice, 0.5, 1000)").as("ap50"),
                expr("approx_percentile(o_totalprice, 0.9, 1000)").as("ap90"))
-        exact.join(approx, Seq("o_orderpriority"))
-          .select(col("o_orderpriority"), col("exact_p50"), col("exact_p90"),
+        // null-safe key: the pre-split single aggregate reported a
+        // NULL-priority group; a plain equi-join would silently drop it
+        exact.as("e").join(approx.as("a"),
+            col("e.o_orderpriority") <=> col("a.o_orderpriority"))
+          .select(col("e.o_orderpriority").as("o_orderpriority"),
+                  col("exact_p50"), col("exact_p90"),
                   (abs(col("ap50") - col("exact_p50")) / col("exact_p50") <= 0.02).as("p50_within_2pct"),
                   (abs(col("ap90") - col("exact_p90")) / col("exact_p90") <= 0.02).as("p90_within_2pct"))
       },

@@ -207,8 +207,10 @@ object LlmOps {
     QueryDef("q48_dedup_groups",
       "near-dup pairs → keep/drop groups: connected components by min-label propagation over the q21 jaccard pairs; oracle is a recursive-CTE reachability query",
       (s, d) => Dedup.dedupGroups(
+        // uncapped fast path, same reasoning as q21: this oracle declares
+        // plain exact jaccard with no df cap
         Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id",
-                                "lang", 3, 0.5),
+                                "lang", 3, 0.5, maxDf = Int.MaxValue),
         "id_a", "id_b"),
       Some(s"""WITH RECURSIVE $shingleCte, $jaccardTail, p AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5), e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p), reach(id, lbl) AS (SELECT src, src FROM e UNION SELECT e2.src, r.lbl FROM e e2 JOIN reach r ON r.id = e2.dst) SELECT id AS doc_id, MIN(lbl) AS group_rep FROM reach GROUP BY id""")),
 
@@ -217,7 +219,9 @@ object LlmOps {
       (s, d) => {
         val docs = t(s, d, "documents")
         val groups = Dedup.dedupGroups(
-          Dedup.ngramJaccardPairs(docs, "text", "doc_id", "lang", 3, 0.5),
+          // uncapped, as q21/q48: the oracle's jaccard carries no df cap
+          Dedup.ngramJaccardPairs(docs, "text", "doc_id", "lang", 3, 0.5,
+                                  maxDf = Int.MaxValue),
           "id_a", "id_b")
         applySummary(docs, groups)
       },

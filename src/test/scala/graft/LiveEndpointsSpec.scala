@@ -62,7 +62,10 @@ class LiveEndpointsSpec extends SparkSpec {
     }
 
     it("inputs() drives the whole extract plane: every live URL is fetched by executors and the snapshot builds") {
-      val fetched = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      // per-URL fetch COUNTS, not a set: the 1d pool scan is consumed
+      // twice (activeBinId collect + snapshot input) and must still hit
+      // the API exactly once — a set would hide a double fetch
+      val fetched = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
       val poolJson = (filterBy: String) =>
         s"""{"pairAddress":"P1","name":"AVAX-USDC","filterBy":"$filterBy","volumeUsd":"50000.0","liquidityUsd":"250000.0","feesUsd":125.0,"reserveX":"8000.5","reserveY":"49000.25","lbBinStep":"25","lbBaseFeePct":"0.1","lbMaxFeePct":"1.5","protocolSharePct":"10.0","activeBinId":"8388608","liquidityDepthMinus":"1000.0","liquidityDepthPlus":"1100.0","liquidityDepthTokenX":"40.5","liquidityDepthTokenY":"26000.0","tokenX":{"address":"0xA","symbol":"AVAX","decimals":"18","priceUsd":"25.0"},"tokenY":{"address":"0xB","symbol":"USDC","decimals":"6","priceUsd":"1.0"}}"""
       val histJson =
@@ -70,7 +73,7 @@ class LiveEndpointsSpec extends SparkSpec {
       val feesJson =
         """{"user_address":"U1","poolAddress":"P1","binId":"8388608","accruedFeesX":"0.5","accruedFeesY":0.25}"""
       HttpTransport.setOverride { url =>
-        fetched.add(url)
+        fetched.merge(url, 1, (a, b) => a + b)
         if (url.contains("/v1/pools/")) Iterator(poolJson(
           if (url.contains("filterBy=1h")) "1h" else "1d"))
         else if (url.contains("/history/")) Iterator(histJson)
@@ -103,11 +106,16 @@ class LiveEndpointsSpec extends SparkSpec {
         val row = rows.head
         assert(row.getAs[Double]("accrued_fees_token_x") == 0.5)
         assert(row.getAs[String]("MostRecentDepositTime") == "2024-01-06 10:00:00")
-        assert(fetched.contains(LiveEndpoints.poolStatsUrl(cfg, "P1", "1d")))
-        assert(fetched.contains(LiveEndpoints.poolStatsUrl(cfg, "P1", "1h")))
-        assert(fetched.contains(LiveEndpoints.userHistoryUrl(cfg, "U1", "P1")))
-        assert(fetched.contains(LiveEndpoints.feesEarnedUrl(cfg, "U1", "P1")))
+        assert(fetched.containsKey(LiveEndpoints.poolStatsUrl(cfg, "P1", "1h")))
+        assert(fetched.containsKey(LiveEndpoints.userHistoryUrl(cfg, "U1", "P1")))
+        assert(fetched.containsKey(LiveEndpoints.feesEarnedUrl(cfg, "U1", "P1")))
         assert(fetched.size == 4)
+        // the 1d pool stats feed BOTH the activeBinId lookup and the
+        // snapshot's pool frame, from ONE fetch: inputs() materializes
+        // the dimension-sized frame locally instead of re-scanning the
+        // connector (a second scan would double live-API quota and could
+        // read an activeBinId inconsistent with the snapshot's frame)
+        assert(fetched.get(LiveEndpoints.poolStatsUrl(cfg, "P1", "1d")) == 1)
       } finally {
         HttpTransport.clearOverride()
         RpcTransport.clearOverride()

@@ -133,6 +133,41 @@ class PropertySpec extends SparkSpec {
       assert(awareLeft == plainLeft)
     }
 
+    it("q54 keeps the NULL-priority group across its exact/approx split (null-safe join)") {
+      // the pre-split single aggregate reported a null-key group; the
+      // split form joins two aggregates and must do so NULL-SAFELY or
+      // that group silently vanishes (the TPC-H fixture has no null
+      // priorities, so only this spec observes the contract)
+      val dir = java.nio.file.Files.createTempDirectory("q54null").toString
+      Seq((Option("1-URGENT"), 100.0), (Option.empty[String], 50.0),
+          (Option.empty[String], 70.0))
+        .toDF("o_orderpriority", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val out = SparkEntry.queries("q54_approx_quantiles")(spark, dir).collect()
+      assert(out.length == 2)
+      val nullRow = out.find(_.isNullAt(0)).getOrElse(
+        fail("NULL-priority group dropped by the exact/approx join"))
+      assert(nullRow.getAs[Double]("exact_p50") == 60.0) // interpolated {50,70}
+    }
+
+    it("skewAwareJoin refuses a probe that cannot resolve hot from cold, and internal-column collisions") {
+      val fact = Seq((1, 1), (2, 2)).toDF("k", "v")
+      val dim = Seq((1, "a"), (2, "b")).toDF("k", "name")
+      // hotThreshold x sampleFraction < 1: every sampled key would flag
+      // hot and the broadcast-sized hot-set bound silently collapses
+      val err = intercept[IllegalArgumentException](
+        Skew.skewAwareJoin(fact, dim, "k", saltBuckets = 4,
+          hotThreshold = 30L, sampleFraction = 0.02))
+      assert(err.getMessage.contains("sampled row per hot key"))
+      // a user column named like the internals must be refused, not
+      // clobbered then dropped (same contract as prioritySample)
+      val clash = fact.withColumn("__salt", $"v")
+      val err2 = intercept[IllegalArgumentException](
+        Skew.skewAwareJoin(clash, dim, "k", saltBuckets = 4,
+          hotThreshold = 100L, sampleFraction = 1.0))
+      assert(err2.getMessage.contains("__salt"))
+    }
+
     it("skewAwareJoin with an empty hot set degenerates to the plain join result") {
       val fact = (0 until 60).map(i => (i % 6, i)).toDF("k", "v")
       val dim = (0 until 6).map(i => (i, s"d$i")).toDF("k", "name")

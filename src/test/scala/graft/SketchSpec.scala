@@ -99,6 +99,11 @@ class SketchSpec extends SparkSpec {
       intercept[IllegalArgumentException](CmsBuildAgg(e, 64, 9))
       intercept[IllegalArgumentException](CmsEstimate(e, e, 1, 4))
       intercept[IllegalArgumentException](CmsEstimate(e, e, 64, 0))
+      // matrix bound accounts for the 8-byte serialized header: exactly
+      // Int.MaxValue/8 cells would overflow 8 + cells*8 to a negative
+      // ByteBuffer size mid-job, so construction must refuse it
+      intercept[IllegalArgumentException](CmsBuildAgg(e, Int.MaxValue / 8, 1))
+      intercept[IllegalArgumentException](CmsEstimate(e, e, Int.MaxValue / 8, 1))
     }
   }
 
