@@ -421,6 +421,52 @@ object CorpusOps {
       },
       Some(s"""WITH ${LlmOps.textStatsCte}, fd AS (SELECT d.doc_id, d.lang, d.text, q.n_tokens FROM documents d JOIN q USING (doc_id) WHERE q.quality >= 0.75), ek AS (SELECT MIN(doc_id) AS doc_id FROM fd GROUP BY md5(${TextFunctions.sql.normalize("text")})), cur AS (SELECT doc_id, lang, n_tokens FROM fd WHERE doc_id IN (SELECT doc_id FROM ek)), n AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM cur GROUP BY 1), e AS (SELECT lang, LEAST(4.0, (SELECT MAX(n) FROM n) / n) AS ep FROM n), upd AS (SELECT c.doc_id, c.lang, c.n_tokens, CAST(floor(ep) AS INT) + CASE WHEN (${ph("CAST(c.doc_id AS VARCHAR)", 31)} % 10000) / 10000.0 < ep - floor(ep) THEN 1 ELSE 0 END AS kk FROM cur c JOIN e USING (lang)), up AS (SELECT doc_id, lang, n_tokens, cc AS copy_no FROM upd, unnest(generate_series(1, kk)) AS t(cc)), pk AS (SELECT lang, n_tokens, SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id, copy_no) - n_tokens AS start_off FROM up), pb AS (SELECT lang, CAST(floor(start_off / 512) AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n_items, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM pk GROUP BY 1, 2) SELECT lang, bin, CAST(${ph("lang || ':' || CAST(bin AS VARCHAR)", 97)} % 16 AS BIGINT) AS shard, n_items, n_tokens FROM pb""")),
 
+    QueryDef("q99_dsir_weights",
+      "DSIR importance weighting (Xie et al. 2023, Data Selection via Importance Resampling): hashed-token bag-of-ngrams features (portable hash mod 512 buckets), target distribution = the quality >= 0.75 subset (the 'resemble the high-quality target' selection DSIR runs against Wikipedia/books), source = the whole corpus. Per-doc log importance weight = sum over token instances of ln p_target(bucket) - ln p_source(bucket), add-1 smoothed. Per-bucket log-ratios are differences of two 4-dp-rounded non-negative surprisals (the q63 parity recipe), so the per-doc sum runs on exact decimals — order-independent and engine-portable. Plan: ONE token-explode pass feeds doc-bucket counts; the 512-row bucket table and its totals broadcast back (AQE-sized); scoring is a map-side join — no corpus re-shuffle at 100 TB, the same shape as q63's vocab join but with a FIXED-width feature table (DSIR's point: the hashed feature space stays 512 buckets no matter the corpus size)",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        // doc flags (target membership) and sizes: one map-only pass
+        val flags = docs.select(col("doc_id"), col("lang"),
+          (qualityScore(col("text")) >= 0.75).as("is_t"),
+          tokenCount(col("text")).as("n_tokens"))
+        // per-(doc, bucket) token counts: the single explode pass every
+        // downstream aggregate reuses
+        val db = docs
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
+          .select(col("doc_id"), pmod(portableHash(col("tk"), 41), lit(512)).as("b"))
+          .groupBy(col("doc_id"), col("b")).agg(lcount(lit(1)).as("c"))
+        // bucket-marginal counts for source (all docs) and target subset
+        val bucket = db.join(flags.select(col("doc_id"), col("is_t")), "doc_id")
+          .groupBy(col("b"))
+          .agg(lsum(col("c")).as("cs"),
+               lsum(when(col("is_t"), col("c")).otherwise(0L)).as("ct"))
+        val tot = bucket.agg(lsum(col("cs")).as("ns"), lsum(col("ct")).as("nt"))
+        // lr(b) = ln p_t(b) - ln p_s(b) = s_s(b) - s_t(b) where
+        // s_x = ln((N_x + 512)/(c_x + 1)) >= 0 (c_x <= N_x), each
+        // rounded to 4 dp while still non-negative, difference exact
+        val lr = bucket.crossJoin(tot).select(col("b"),
+          (portableRound4(log((col("ns") + 512).cast("double") / (col("cs") + 1))) -
+           portableRound4(log((col("nt") + 512).cast("double") / (col("ct") + 1))))
+            .cast(DecimalType(38, 6)).as("lr"))
+        val pd = db.join(lr, "b")
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c").cast(DecimalType(18, 0)) * col("lr")).as("logw"))
+        flags.join(pd, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            coalesce(col("logw"), lit(0)).cast(DecimalType(38, 6)).cast("double")
+              .as("logw"))
+      },
+      Some(s"""WITH ${LlmOps.textStatsCte},
+         |fl AS (SELECT d.doc_id, d.lang, q.n_tokens, q.quality >= 0.75 AS is_t FROM documents d JOIN q USING (doc_id)),
+         |tb AS (SELECT doc_id, ${ph("tk", 41)} % 512 AS b FROM (SELECT doc_id, unnest(${TextFunctions.sql.tokensOf("text")}) AS tk FROM documents)),
+         |db AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c FROM tb GROUP BY 1, 2),
+         |bk AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cs, CAST(SUM(CASE WHEN is_t THEN c ELSE 0 END) AS BIGINT) AS ct FROM db JOIN fl USING (doc_id) GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(cs) AS BIGINT) AS ns, CAST(SUM(ct) AS BIGINT) AS nt FROM bk),
+         |lr AS (SELECT b, CAST(floor(ln(CAST(ns + 512 AS DOUBLE) / (cs + 1)) * 1e4 + 0.5) / 1e4 - floor(ln(CAST(nt + 512 AS DOUBLE) / (ct + 1)) * 1e4 + 0.5) / 1e4 AS DECIMAL(38,6)) AS lr FROM bk CROSS JOIN tot),
+         |pd AS (SELECT doc_id, SUM(CAST(c AS DECIMAL(18,0)) * lr) AS logw FROM db JOIN lr USING (b) GROUP BY 1)
+         |SELECT fl.doc_id, fl.lang, fl.n_tokens, CAST(CAST(COALESCE(pd.logw, 0) AS DECIMAL(38,6)) AS DOUBLE) AS logw
+         |FROM fl LEFT JOIN pd USING (doc_id)""".stripMargin.replace("\n", " "))),
+
     QueryDef("q72_hash_shard_assignment",
       "deterministic hash-shard assignment backing ReportSink.writeHashSharded (WebDataset-style corpus layout): shard = pmod(portableHash(doc_id, 97), 16) — the writer's exact expression, oracle-checked row by row so the layout is stable under reruns and cluster resizes",
       (s, d) => t(s, d, "documents")

@@ -98,4 +98,33 @@ class TextSpec extends SparkSpec {
       assert(sc(0) > sc(1), s"clean ${sc(0)} must outscore noise ${sc(1)}")
     }
   }
+
+  describe("DSIR importance weights (q99)") {
+    it("scores every doc, zero-weights empty docs, and ranks the target subset above the rest on average") {
+      val d = "/root/testdata/sf0.001"
+      val docs = Tables(spark, d, "documents")
+      val rows = SparkEntry.queries("q99_dsir_weights")(spark, d)
+        .select($"doc_id", $"n_tokens", $"logw")
+        .as[(Long, Long, Double)].collect()
+      // one score per document, no drops
+      assert(rows.length == docs.count())
+      // a doc with no tokens has no feature mass -> logw exactly 0
+      rows.filter(_._2 == 0L).foreach { case (_, _, w) => assert(w == 0.0) }
+      // DSIR's defining property: per TOKEN, documents drawn from the
+      // target distribution (quality >= 0.75 here) must average a higher
+      // log importance ratio than the rest — E_target[ln(p_t/p_s)] =
+      // KL(p_t||p_s) >= 0 while the complement tilts negative. Compared
+      // per token, not per doc: the raw logw is a sum over token
+      // instances, so doc length would otherwise dominate the signal
+      val target = docs
+        .select($"doc_id", (qualityScore($"text") >= 0.75).as("t"))
+        .as[(Long, Boolean)].collect().toMap
+      val (inT, outT) = rows.filter(_._2 > 0).partition(r => target(r._1))
+      assert(inT.nonEmpty && outT.nonEmpty)
+      val meanIn = inT.map(r => r._3 / r._2).sum / inT.length
+      val meanOut = outT.map(r => r._3 / r._2).sum / outT.length
+      assert(meanIn > meanOut,
+        s"target per-token mean $meanIn must exceed non-target $meanOut")
+    }
+  }
 }
