@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.ext.{Quantize, SimilaritySearch}
+import graft.ops.Num.lcount
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -77,6 +78,40 @@ object VectorOps {
       (s, d) => SimilaritySearch.kmeansCodebook(
         t(s, d, "embeddings"), initIds = (100L until 116L), iters = 2),
       Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings WHERE embedding IS NOT NULL), n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e), c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id BETWEEN 100 AND 115), a1 AS (SELECT vec_id, v, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY list_dot_product(v, cv) / (nrm * cnrm) DESC, cent_id) AS rk FROM n CROSS JOIN c0), s1 AS (SELECT vec_id, v, cent_id AS cell FROM a1 WHERE rk = 1), x1 AS (SELECT cell, unnest(v) AS x, unnest(generate_series(1, len(v))) AS ord FROM s1), m1 AS (SELECT cell, ord - 1 AS dim, floor((CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)) * 1e9 + 0.5) / 1e9 AS val FROM x1 GROUP BY 1, 2), c1 AS (SELECT cell AS cent_id, list(CAST(CAST(val AS REAL) AS DOUBLE) ORDER BY dim) AS cv FROM m1 GROUP BY 1), c1n AS (SELECT cent_id, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM c1), a2 AS (SELECT vec_id, v, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY list_dot_product(v, cv) / (nrm * cnrm) DESC, cent_id) AS rk FROM n CROSS JOIN c1n), s2 AS (SELECT vec_id, v, cent_id AS cell FROM a2 WHERE rk = 1), x2 AS (SELECT cell, unnest(v) AS x, unnest(generate_series(1, len(v))) AS ord FROM s2), m2 AS (SELECT cell, ord - 1 AS dim, floor((CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)) * 1e9 + 0.5) / 1e9 AS val, CAST(COUNT(*) AS BIGINT) AS n_members FROM x2 GROUP BY 1, 2) SELECT cell, n_members, CAST(dim AS BIGINT) AS dim, val FROM m2""")),
+
+    QueryDef("q100_ivf_recall",
+      "the vector plane evaluating its own index (the q96 pattern applied to ANN): micro recall@5 of the q24b IVF-probed path against the q24 brute-force ground truth, computed in-engine — n_truth, n_ivf, n_hit = intersection, recall = n_hit / n_truth. This is the measurement that justifies nProbe=4-of-16 before pointing the IVF index at 100 TB (raise nProbe until recall clears the product bar, every step cheaper than the recall failure it prevents); both sides are the exact operators q24/q24b register, composed, so the eval measures the shipped code path and not a reimplementation",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val q = e.filter(col("vec_id") < 10)
+        val truth = SimilaritySearch.bruteForceTopK(e, q, 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val ivf = SimilaritySearch.ivfTopK(e, q,
+            centroidIds = (100L until 116L), nProbe = 4, k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val nT = truth.agg(lcount(lit(1)).as("n_truth"))
+        val nI = ivf.agg(lcount(lit(1)).as("n_ivf"))
+        val nH = truth.join(ivf, Seq("query_id", "neighbor_id"))
+          .agg(lcount(lit(1)).as("n_hit"))
+        nT.crossJoin(nI).crossJoin(nH)
+          .select(col("n_truth"), col("n_ivf"), col("n_hit"),
+            (col("n_hit").cast("double") / col("n_truth")).as("recall"))
+      },
+      // q24's brute CTEs and q24b's IVF CTEs composed under disjoint
+      // names; the recall arithmetic is integer counts + one division
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |sc0 AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS sim FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |tr AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM sc0) WHERE rk <= 5),
+        |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id BETWEEN 100 AND 115),
+        |asg AS (SELECT vec_id, v, nrm, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY list_dot_product(v, cv) / (nrm * cnrm) DESC, cent_id) AS rk FROM n CROSS JOIN cents),
+        |assigned AS (SELECT vec_id AS neighbor_id, v AS cvv, nrm AS cn, cent_id AS cell FROM asg WHERE rk = 1),
+        |prb AS (SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qn, cent_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_dot_product(q.v, cv) / (q.nrm * cnrm) DESC, cent_id) AS rk FROM n q CROSS JOIN cents WHERE q.vec_id < 10),
+        |probes AS (SELECT query_id, qv, qn, cent_id AS cell FROM prb WHERE rk <= 4),
+        |sc1 AS (SELECT query_id, neighbor_id, list_dot_product(qv, cvv) / (qn * cn) AS sim FROM assigned JOIN probes USING (cell) WHERE neighbor_id <> query_id),
+        |iv AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM sc1) WHERE rk <= 5),
+        |hit AS (SELECT t.query_id, t.neighbor_id FROM tr t JOIN iv USING (query_id, neighbor_id))
+        |SELECT CAST((SELECT COUNT(*) FROM tr) AS BIGINT) AS n_truth, CAST((SELECT COUNT(*) FROM iv) AS BIGINT) AS n_ivf, CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit, CAST((SELECT COUNT(*) FROM hit) AS DOUBLE) / (SELECT COUNT(*) FROM tr) AS recall""".stripMargin.replace("\n", " "))),
 
     QueryDef("q73_semdedup_apply",
       "SemDeDup END-TO-END (Abbas et al. 2023): embedding-space near-dup pairs from the hyperplane-LSH candidate plane (8 sign bits, seed 11, cosine >= 0.35 — no all-pairs stage, same bucketing as q25b) -> connected components -> per-label keep/drop summary. The embedding-space twin of the q59 text dedup apply: at 100 TB the corpus shuffles once on the bucket key for pairs, groups resolve adaptively (driver union-find under the edge bound, distributed min-label above it), and the apply is one anti-join on the compact drop set",

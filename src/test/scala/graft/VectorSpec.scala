@@ -230,6 +230,23 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  describe("IVF recall self-eval (q100)") {
+    it("counts are consistent and recall is exactly the hit fraction of the brute-force truth") {
+      val (nT, nI, nH, rec) = SparkEntry
+        .queries("q100_ivf_recall")(spark, "/root/testdata/sf0.001")
+        .as[(Long, Long, Long, Double)].collect().head
+      // 10 queries x k=5 on both sides; the intersection is bounded by either
+      assert(nT == 50L && nI == 50L)
+      assert(nH >= 0L && nH <= nT)
+      assert(rec == nH.toDouble / nT)
+      // the eval must be capable of reporting imperfection: on the
+      // structure-free synthetic embeddings, 4-of-16-cell probing
+      // cannot recover every true neighbor (if this ever reads 1.0 the
+      // composition is comparing a pipeline against itself)
+      assert(rec < 1.0)
+    }
+  }
+
   private implicit class Tup4Ops(rows: Array[(Int, Long, Long, Long)]) {
     def toMap2: Map[Int, (Long, Long, Long)] =
       rows.map { case (l, a, b, c) => l -> ((a, b, c)) }.toMap
