@@ -460,6 +460,19 @@ object LlmOps {
         graft.functions.RollingMinHash.rolling_min_hash(col("text"), 16).as("winnow_fp")),
       Some(q31OracleSql)),
 
+    QueryDef("q101_winnow_fingerprints",
+      "TRUE winnowing fingerprint selection (Schleimer-Wilkerson-Aiken 2003, the MOSS overlap detector): every sliding window of 8 consecutive word-5-gram hashes selects its rightmost minimum; the distinct (hash, position) selections are the document's fingerprint set. Unlike q31's single rolling min-hash, this carries the paper's guarantees: any shared run of >= 12 tokens between two documents produces a shared fingerprint, at expected density 2/(w+1) = 2/9 of the grams. The operator is ENTIRELY in-row (map-only, no shuffle at any corpus size — winnowing is per-document local); the oracle re-expresses the same rightmost-min rule relationally as an O(n*w) window-expansion + row_number, so the fingerprint SET is hash-checked, not just counted",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+                explode(winnowFingerprints(col("text"), 5, 8, 37)).as("f"))
+        .select(col("doc_id"), col("f.pos").as("pos"), col("f.h").as("fp")),
+      Some(s"""WITH s AS (SELECT doc_id, ${TextFunctions.sql.tokensOf("text")} AS w FROM documents),
+         |g AS (SELECT doc_id, i - 1 AS pos, ${ph("array_to_string(list_slice(w, i, i+4), ' ')", 37)} AS h FROM s, unnest(generate_series(1, len(w) - 4)) AS t(i) WHERE len(w) >= 5),
+         |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ng FROM g GROUP BY 1),
+         |ws AS (SELECT doc_id, ti.wi FROM n, unnest(generate_series(0, greatest(ng - 8, 0))) AS ti(wi)),
+         |cand AS (SELECT ws.doc_id, ws.wi, g.pos, g.h, row_number() OVER (PARTITION BY ws.doc_id, ws.wi ORDER BY g.h, g.pos DESC) AS rk FROM ws JOIN g ON g.doc_id = ws.doc_id AND g.pos BETWEEN ws.wi AND ws.wi + 7)
+         |SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, h AS fp FROM cand WHERE rk = 1""".stripMargin.replace("\n", " "))),
+
     QueryDef("q33_stratified_sample",
       "deterministic hash-based stratified sampling (corpus mixing): en 50%, de 100%, zh 25%",
       (s, d) => graft.ext.Sampling.stratifiedSample(

@@ -99,6 +99,49 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  describe("winnowFingerprints (q101)") {
+    /** Straight-line reference: rightmost-min of every w-window over
+      * the gram-hash sequence, distinct (h, pos) pairs. */
+    def reference(hs: Seq[Long], w: Int): Set[(Long, Long)] =
+      if (hs.isEmpty) Set.empty
+      else (0 to math.max(hs.length - w, 0)).map { i =>
+        val (h, p) = hs.zipWithIndex.slice(i, i + w)
+          .minBy { case (h, p) => (h, -p) }
+        (h, p.toLong)
+      }.toSet
+
+    it("matches the reference selection and returns empty below n tokens") {
+      val rnd = new scala.util.Random(7)
+      val texts = Seq(
+        Seq.fill(60)("t" + rnd.nextInt(500)).mkString(" "),
+        Seq.fill(13)("u" + rnd.nextInt(9)).mkString(" "), // forced hash ties
+        "a b c d",                                        // below n=5 -> empty
+        "")
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+        .select($"id",
+          transform(wordNgrams($"text", 5), g => portableHash(g, 37)).as("hs"),
+          winnowFingerprints($"text", 5, 8, 37).as("fp"))
+      df.as[(Long, Seq[Long], Seq[(Long, Long)])].collect().foreach {
+        case (_, hs, fp) =>
+          assert(fp.toSet == reference(hs, 8))
+          assert(fp.length == fp.distinct.length)
+      }
+    }
+    it("two documents sharing a >= w+n-1 token run share a fingerprint hash") {
+      val rnd = new scala.util.Random(11)
+      def rand(p: String, k: Int) = Seq.fill(k)(p + rnd.nextInt(1000))
+      val shared = rand("s", 12) // w + n - 1 = 8 + 5 - 1
+      val docA = (rand("a", 30) ++ shared ++ rand("b", 30)).mkString(" ")
+      val docB = (rand("c", 25) ++ shared ++ rand("d", 35)).mkString(" ")
+      val fps = Seq((1L, docA), (2L, docB)).toDF("id", "text")
+        .select($"id", winnowFingerprints($"text", 5, 8, 37).as("fp"))
+        .as[(Long, Seq[(Long, Long)])].collect().toMap
+      val common = fps(1L).map(_._1).toSet intersect fps(2L).map(_._1).toSet
+      assert(common.nonEmpty,
+        "a 12-token shared run must yield at least one common fingerprint")
+    }
+  }
+
   describe("DSIR importance weights (q99)") {
     it("scores every doc, zero-weights empty docs, and ranks the target subset above the rest on average") {
       val d = "/root/testdata/sf0.001"
