@@ -473,6 +473,40 @@ object LlmOps {
          |cand AS (SELECT ws.doc_id, ws.wi, g.pos, g.h, row_number() OVER (PARTITION BY ws.doc_id, ws.wi ORDER BY g.h, g.pos DESC) AS rk FROM ws JOIN g ON g.doc_id = ws.doc_id AND g.pos BETWEEN ws.wi AND ws.wi + 7)
          |SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, h AS fp FROM cand WHERE rk = 1""".stripMargin.replace("\n", " "))),
 
+    QueryDef("q102_winnow_overlap",
+      "MOSS overlap detection END-TO-END: documents pair by shared winnowing fingerprints (q101's selection), lang-blocked posting-list join on the fingerprint hash, reported as shared-fingerprint count + containment fraction vs the smaller fingerprint set. THE scale story next to q21: the join runs over the winnowed sample (expected 2/(w+1) = 2/9 of grams) instead of every shingle, a ~4.5x posting-list reduction with the q101 guarantee that any >= 12-token overlap still surfaces. Every pair sharing a selected fingerprint is reported — a shared fingerprint IS a shared 5-gram (60-bit hashes collide only on identical grams), so thresholding on n_shared/containment is the consumer's policy, not the detector's. Same two-shuffle shape as q21 (posting lists, pair counts); min-set containment from a broadcast-size per-doc count table",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val fp = docs.select(col("doc_id"), col("lang"),
+            explode(winnowFingerprints(col("text"), 5, 8, 37)).as("f"))
+          .select(col("doc_id"), col("lang"), col("f.h").as("fp"))
+          // distinct hashes per doc: a fingerprint repeated at several
+          // positions must count once in the pair intersection
+          .distinct()
+        val cnt = fp.groupBy(col("doc_id")).agg(lcount(lit(1)).as("n_fp"))
+        val pairs = fp.as("a").join(fp.as("b"),
+            col("a.fp") === col("b.fp") && col("a.lang") === col("b.lang") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(lcount(lit(1)).as("n_shared"))
+        pairs
+          .join(cnt.select(col("doc_id").as("id_a"), col("n_fp").as("na")), "id_a")
+          .join(cnt.select(col("doc_id").as("id_b"), col("n_fp").as("nb")), "id_b")
+          .select(col("id_a"), col("id_b"), col("n_shared"),
+            (col("n_shared").cast("double") / least(col("na"), col("nb")))
+              .as("containment"))
+      },
+      Some(s"""WITH s AS (SELECT doc_id, lang, ${TextFunctions.sql.tokensOf("text")} AS w FROM documents),
+         |g AS (SELECT doc_id, lang, i - 1 AS pos, ${ph("array_to_string(list_slice(w, i, i+4), ' ')", 37)} AS h FROM s, unnest(generate_series(1, len(w) - 4)) AS t(i) WHERE len(w) >= 5),
+         |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ng FROM g GROUP BY 1),
+         |ws AS (SELECT doc_id, ti.wi FROM n, unnest(generate_series(0, greatest(ng - 8, 0))) AS ti(wi)),
+         |cand AS (SELECT ws.doc_id, ws.wi, g.lang, g.pos, g.h, row_number() OVER (PARTITION BY ws.doc_id, ws.wi ORDER BY g.h, g.pos DESC) AS rk FROM ws JOIN g ON g.doc_id = ws.doc_id AND g.pos BETWEEN ws.wi AND ws.wi + 7),
+         |fp AS (SELECT DISTINCT doc_id, lang, h AS fp FROM cand WHERE rk = 1),
+         |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM fp GROUP BY 1),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared FROM fp a JOIN fp b ON a.fp = b.fp AND a.lang = b.lang AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_shared, CAST(n_shared AS DOUBLE) / least(ca.n_fp, cb.n_fp) AS containment
+         |FROM p JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b""".stripMargin.replace("\n", " "))),
+
     QueryDef("q33_stratified_sample",
       "deterministic hash-based stratified sampling (corpus mixing): en 50%, de 100%, zh 25%",
       (s, d) => graft.ext.Sampling.stratifiedSample(

@@ -142,6 +142,25 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  describe("winnow overlap pairs (q102)") {
+    it("bounds hold and the exact near-dup pairs of q21 all surface") {
+      val d = "/root/testdata/sf0.001"
+      val pairs = SparkEntry.queries("q102_winnow_overlap")(spark, d)
+        .as[(Long, Long, Long, Double)].collect()
+      pairs.foreach { case (a, b, n, c) =>
+        assert(a < b); assert(n >= 1L); assert(c > 0.0 && c <= 1.0)
+      }
+      // the near-copies the exact-jaccard detector (q21) finds share
+      // long unedited runs, so the winnowed detector must find them too
+      // (the q101 shared-run guarantee); the reverse need not hold
+      val exact = SparkEntry.queries("q21_dedup_ngram_jaccard")(spark, d)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      val winnowed = pairs.map(p => (p._1, p._2)).toSet
+      assert(exact.subsetOf(winnowed),
+        s"missing exact pairs: ${exact -- winnowed}")
+    }
+  }
+
   describe("DSIR importance weights (q99)") {
     it("scores every doc, zero-weights empty docs, and ranks the target subset above the rest on average") {
       val d = "/root/testdata/sf0.001"
