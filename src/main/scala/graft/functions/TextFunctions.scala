@@ -108,29 +108,20 @@ object TextFunctions {
     * negatives for long matches), and expected density is 2/(w+1) — the
     * sampling bound q31's single min-hash cannot offer.
     *
-    * Entirely in-row (transform over window starts + aggregate argmin
-    * over a w-slice of the precomputed hash array): MAP-ONLY, no
-    * shuffle at any corpus size — winnowing is per-document local, so
-    * the 100 TB plan is scan → explode of the selected set only. The
-    * O(n·w) window scan keeps every lambda touching only its slice
-    * element (the [[wordShingles]] re-evaluation trap).
+    * Entirely in-row and MAP-ONLY — no shuffle at any corpus size;
+    * winnowing is per-document local, so the 100 TB plan is scan →
+    * explode of the selected set only. Computed by the one-pass native
+    * [[WinnowExpr]] (gram hash array + sliding rightmost-min with
+    * change-detection): the first formulation here — `transform` over
+    * window starts with an `aggregate` argmin over a `slice` of the
+    * hash array — was value-identical but ran ~12× slower at sf0.1
+    * (higher-order lambdas evaluate interpreted, and every window paid
+    * a w-element slice copy plus per-step struct allocation; TextSpec's
+    * reference-equality cases pin the semantics the rewrite preserved).
     *
     * Returns array<struct<h,pos>>; empty when the doc has < n tokens. */
-  def winnowFingerprints(text: Column, n: Int, w: Int, seed: Int): Column = {
-    val grams = wordNgrams(text, n)
-    val hp = transform(grams, (g, i) =>
-      struct(portableHash(g, seed).as("h"), i.cast("long").as("pos")))
-    // fold zero: h above any real 60-bit hash, pos below any real index
-    val zero = struct(lit(Long.MaxValue).as("h"), lit(-1L).as("pos"))
-    val sel = transform(sequence(lit(0), greatest(size(hp) - w, lit(0))), i =>
-      aggregate(slice(hp, i + 1, lit(w)), zero, (acc, x) =>
-        when(x.getField("h") < acc.getField("h") ||
-             (x.getField("h") === acc.getField("h") &&
-              x.getField("pos") > acc.getField("pos")), x)
-          .otherwise(acc)))
-    when(size(grams) === 0, array().cast("array<struct<h:bigint,pos:bigint>>"))
-      .otherwise(array_distinct(sel))
-  }
+  def winnowFingerprints(text: Column, n: Int, w: Int, seed: Int): Column =
+    native(WinnowExpr(expr(text), n, w, seed))
 
   private val stopwords =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")

@@ -155,6 +155,84 @@ object TextNative {
     }
     UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, cnt))
   }
+
+  /** Winnowing fingerprint selection (Schleimer–Wilkerson–Aiken 2003)
+    * in ONE pass: portable-md5 gram hashes, then the rightmost minimum
+    * of every `w`-window of consecutive hashes, recorded when the
+    * selected position changes. The selected position is non-decreasing
+    * as the window slides (rightmost tie-break: a new equal-or-smaller
+    * hash moves the selection right; a dropped selection re-selects
+    * inside the remaining window), so change-detection yields exactly
+    * the distinct (hash, position) set of the per-window argmin
+    * formulation the oracle SQL uses. Returns array<struct<h,pos>>. */
+  def winnow(text: UTF8String, n: Int, w: Int, seed: Int): ArrayData = {
+    val bytes = text.getBytes
+    val b = tokenBounds(bytes)
+    val m = b.length - (n - 1)
+    if (m < 1) return new GenericArrayData(Array.empty[Any])
+    val hs = new Array[Long](m)
+    var g0 = 0
+    while (g0 < m) {
+      var len = n - 1
+      var k = 0
+      while (k < n) { len += b(g0 + k).toInt - (b(g0 + k) >>> 32).toInt; k += 1 }
+      val g = new Array[Byte](len)
+      var p = 0
+      k = 0
+      while (k < n) {
+        if (k > 0) { g(p) = 0x20; p += 1 }
+        val s = (b(g0 + k) >>> 32).toInt; val e = b(g0 + k).toInt
+        System.arraycopy(bytes, s, g, p, e - s); p += e - s
+        k += 1
+      }
+      hs(g0) = PortableHashExpr.compute(seed, UTF8String.fromBytes(g))
+      g0 += 1
+    }
+    val selH = new Array[Long](m)
+    val selP = new Array[Int](m)
+    var cnt = 0
+    var lastPos = -1
+    val lastStart = math.max(m - w, 0)
+    var i = 0
+    while (i <= lastStart) {
+      var minH = Long.MaxValue
+      var minP = -1
+      val end = math.min(i + w, m)
+      var j = i
+      while (j < end) {
+        if (hs(j) <= minH) { minH = hs(j); minP = j } // <= keeps rightmost
+        j += 1
+      }
+      if (minP != lastPos) { selH(cnt) = minH; selP(cnt) = minP; cnt += 1; lastPos = minP }
+      i += 1
+    }
+    val out = new Array[Any](cnt)
+    var k2 = 0
+    while (k2 < cnt) {
+      out(k2) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](selH(k2), selP(k2).toLong))
+      k2 += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class WinnowExpr(child: Expression, n: Int, w: Int, seed: Int)
+    extends UnaryExpression {
+  require(n >= 1 && w >= 1, s"gram size and window must be >= 1, got n=$n w=$w")
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("h", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("pos", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "winnow_native"
+  override def nullSafeEval(input: Any): Any =
+    TextNative.winnow(input.asInstanceOf[UTF8String], n, w, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextNative$$.MODULE$$.winnow($c, $n, $w, $seed)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowExpr =
+    copy(child = newChild)
 }
 
 case class TokensExpr(child: Expression) extends UnaryExpression {
