@@ -122,6 +122,23 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("Window"), s"bucket assignment must not window:\n$p")
       assert(p.contains("BroadcastHashJoin"), s"cutoffs must broadcast:\n$p")
     }
+    it("q101 winnowing is map-only up to the explode: no exchange anywhere in the plan") {
+      val p = planOf("q101_winnow_fingerprints")
+      assert(!p.contains("Exchange"), s"winnowing must not shuffle:\n$p")
+      assert(p.contains("winnow_native"), s"expected the native selection expression:\n$p")
+    }
+    it("q102 winnow overlap keeps q21's posting-list shape and never goes cartesian") {
+      val p = planOf("q102_winnow_overlap")
+      assert(!p.contains("CartesianProduct"), s"pair stage regressed to all-pairs:\n$p")
+      assert(p.contains("winnow_native"), s"fingerprints must come from the native expression:\n$p")
+    }
+    it("q99 DSIR totals/bucket tables come back as broadcasts, never a cartesian stage") {
+      // one explode pass feeds doc-bucket counts; the 512-row lr table
+      // broadcasts and the 1-row totals ride a broadcast nested loop —
+      // an unhinted CartesianProduct would mean the corpus re-paired
+      val p = planOf("q99_dsir_weights")
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    }
     it("q73 semantic dedup never degrades to a cartesian pair stage") {
       // candidate pairs come from the bucket equi-join; a lost bucket
       // key would silently re-plan as CartesianProduct = all-pairs
