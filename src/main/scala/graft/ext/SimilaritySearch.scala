@@ -352,6 +352,61 @@ object SimilaritySearch {
     result
   }
 
+  /** SSL-prototypes data pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws"): cluster the embedding space, measure each vector's
+    * PROTOTYPICALITY (cosine to its assigned centroid), and prune the
+    * most prototypical fraction of every cluster — the easy, redundant
+    * examples that contribute least per training FLOP. The complement
+    * of SemDeDup: [[semDedupSummary]] removes near-identical PAIRS,
+    * this removes the over-dense cluster CORES even when no two
+    * vectors are pairwise-near.
+    *
+    * Composition: [[kmeansCodebook]] builds the codebook (same seeds /
+    * iterations / float32 round-trip as q85, so the centroids are
+    * bit-identical to the ones the ANN plane serves), assignment is the
+    * map-only native [[graft.functions.NearestCells]] expression over
+    * the driver-resident codebook, and the per-cluster rank is a window
+    * over (cosine DESC, vec_id). Dropping `rank*4 <= n_members` prunes
+    * the top quartile in integer arithmetic (no threshold knife-edge).
+    *
+    * 100 TB shape: assignment adds ZERO shuffles (corpus embeddings
+    * never move); the only exchange is the per-cell window, and cells
+    * are few (k=16 here) so the per-cell sort is the scale bound — at
+    * open scale the cutoff cosine comes from a two-pass per-cell
+    * histogram (the q68b sharded-prefix recipe) instead of an exact
+    * rank, which this exact tier certifies.
+    *
+    * Output: (vec_id, cell, proto_cos, proto_rank, pruned 0/1). */
+  def prototypePrune(corpus: DataFrame, initIds: Seq[Long], iters: Int): DataFrame = {
+    import graft.functions.NearestCells.nearest_cells
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.filter(col("embedding").isNotNull)
+    // final codebook, float32 round-tripped exactly like the oracle's
+    // CAST(val AS REAL): bounded driver state (k × dim floats)
+    val byCell = kmeansCodebook(corpus, initIds, iters)
+      .select(col("cell"), col("dim"), col("val")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).toArray.sortBy(_._1)
+    val ids = byCell.map(_._1)
+    val cb = byCell.map(_._2.sortBy(_._2).map(_._3.toFloat))
+    val cents = ids.zip(cb).toSeq.toDF("cell", "cent")
+    val assigned = base.select(col("vec_id"), col("embedding"),
+        element_at(nearest_cells(col("embedding"), cb, ids, 1), 1).as("cell"))
+      .join(broadcast(cents), "cell")
+      .select(col("vec_id"), col("cell"),
+        cosine(col("embedding"), col("cent")).as("cos"))
+    val w = Window.partitionBy(col("cell")).orderBy(col("cos").desc, col("vec_id"))
+    assigned
+      .withColumn("proto_rank", row_number().over(w).cast("long"))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy(col("cell"))))
+      .select(col("vec_id"), col("cell"),
+        (floor(col("cos") * 1e6 + 0.5) / 1e6).as("proto_cos"),
+        col("proto_rank"),
+        when(col("proto_rank") * 4 <= col("n_members"), lit(1L)).otherwise(lit(0L))
+          .as("pruned"))
+  }
+
   /** SemDeDup end-to-end (semantic dedup over embeddings, Abbas et al.
     * 2023): hyperplane-LSH cosine pairs ([[nearDupPairsLsh]] — bucketed
     * candidate generation, no all-pairs stage) → connected components

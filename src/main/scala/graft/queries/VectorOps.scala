@@ -113,6 +113,30 @@ object VectorOps {
         |hit AS (SELECT t.query_id, t.neighbor_id FROM tr t JOIN iv USING (query_id, neighbor_id))
         |SELECT CAST((SELECT COUNT(*) FROM tr) AS BIGINT) AS n_truth, CAST((SELECT COUNT(*) FROM iv) AS BIGINT) AS n_ivf, CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit, CAST((SELECT COUNT(*) FROM hit) AS DOUBLE) / (SELECT COUNT(*) FROM tr) AS recall""".stripMargin.replace("\n", " "))),
 
+    QueryDef("q105_prototype_prune",
+      "SSL-prototypes data pruning (Sorscher et al. 2022 'Beyond neural scaling laws'): cluster embeddings with the q85 codebook (same seeds, iterations, float32 round-trip — the centroids the ANN plane serves), score each vector's PROTOTYPICALITY as cosine to its assigned centroid, rank within each cluster, and prune the most-prototypical quartile (rank*4 <= n_members, integer arithmetic — no threshold knife-edge). The complement of SemDeDup (q73): that drops near-identical PAIRS, this thins over-dense cluster CORES even when no two vectors are pairwise-near — the 'easy redundant examples' the paper shows contribute least per training FLOP. Plan: assignment is the map-only native NearestCells expression over the driver-resident codebook (corpus embeddings never shuffle to find their cell); the ONLY exchange is the per-cell rank window, and at open scale the cutoff cosine comes from a two-pass per-cell histogram (q68b's sharded-prefix recipe) that this exact tier certifies. Oracle: q85's two unrolled Lloyd rounds extended by one assignment round under the final float32 codebook",
+      (s, d) => SimilaritySearch.prototypePrune(
+        t(s, d, "embeddings"), initIds = (100L until 116L), iters = 2),
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings WHERE embedding IS NOT NULL),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id BETWEEN 100 AND 115),
+        |a1 AS (SELECT vec_id, v, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY list_dot_product(v, cv) / (nrm * cnrm) DESC, cent_id) AS rk FROM n CROSS JOIN c0),
+        |s1 AS (SELECT vec_id, v, cent_id AS cell FROM a1 WHERE rk = 1),
+        |x1 AS (SELECT cell, unnest(v) AS x, unnest(generate_series(1, len(v))) AS ord FROM s1),
+        |m1 AS (SELECT cell, ord - 1 AS dim, floor((CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)) * 1e9 + 0.5) / 1e9 AS val FROM x1 GROUP BY 1, 2),
+        |c1 AS (SELECT cell AS cent_id, list(CAST(CAST(val AS REAL) AS DOUBLE) ORDER BY dim) AS cv FROM m1 GROUP BY 1),
+        |c1n AS (SELECT cent_id, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM c1),
+        |a2 AS (SELECT vec_id, v, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY list_dot_product(v, cv) / (nrm * cnrm) DESC, cent_id) AS rk FROM n CROSS JOIN c1n),
+        |s2 AS (SELECT vec_id, v, cent_id AS cell FROM a2 WHERE rk = 1),
+        |x2 AS (SELECT cell, unnest(v) AS x, unnest(generate_series(1, len(v))) AS ord FROM s2),
+        |m2 AS (SELECT cell, ord - 1 AS dim, floor((CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)) * 1e9 + 0.5) / 1e9 AS val FROM x2 GROUP BY 1, 2),
+        |c2 AS (SELECT cell AS cent_id, list(CAST(CAST(val AS REAL) AS DOUBLE) ORDER BY dim) AS cv FROM m2 GROUP BY 1),
+        |c2n AS (SELECT cent_id, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM c2),
+        |a3 AS (SELECT vec_id, cent_id, list_dot_product(v, cv) / (nrm * cnrm) AS cos, row_number() OVER (PARTITION BY vec_id ORDER BY list_dot_product(v, cv) / (nrm * cnrm) DESC, cent_id) AS rk FROM n CROSS JOIN c2n),
+        |asg AS (SELECT vec_id, cent_id AS cell, cos FROM a3 WHERE rk = 1),
+        |rkd AS (SELECT vec_id, cell, cos, row_number() OVER (PARTITION BY cell ORDER BY cos DESC, vec_id) AS prk, count(*) OVER (PARTITION BY cell) AS n FROM asg)
+        |SELECT vec_id, cell, floor(cos * 1e6 + 0.5) / 1e6 AS proto_cos, CAST(prk AS BIGINT) AS proto_rank, CAST(CASE WHEN prk * 4 <= n THEN 1 ELSE 0 END AS BIGINT) AS pruned FROM rkd""".stripMargin.replace("\n", " "))),
+
     QueryDef("q73_semdedup_apply",
       "SemDeDup END-TO-END (Abbas et al. 2023): embedding-space near-dup pairs from the hyperplane-LSH candidate plane (8 sign bits, seed 11, cosine >= 0.35 — no all-pairs stage, same bucketing as q25b) -> connected components -> per-label keep/drop summary. The embedding-space twin of the q59 text dedup apply: at 100 TB the corpus shuffles once on the bucket key for pairs, groups resolve adaptively (driver union-find under the edge bound, distributed min-label above it), and the apply is one anti-join on the compact drop set",
       (s, d) => SimilaritySearch.semDedupSummary(

@@ -139,6 +139,25 @@ class PlanSpec extends SparkSpec {
       val p = planOf("q99_dsir_weights")
       assert(!p.contains("CartesianProduct"), s"plan:\n$p")
     }
+    it("q103 BM25 restricts postings via broadcast and ranks through TopKPerKey") {
+      val p = planOf("q103_bm25_search")
+      // the query-term list and restricted df table must come back as
+      // broadcasts — a shuffled join here means the corpus-sized tf
+      // table moved for a 6-row query set
+      assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
+      assert(p.contains("TopKPerKey"), s"plan:\n$p")
+    }
+    it("q104 drift joins per-lang totals as a broadcast, never a cartesian stage") {
+      val p = planOf("q104_corpus_drift")
+      assert(p.contains("BroadcastHashJoin"), s"totals must broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    }
+    it("q105 prototype assignment is the map-only native expression + broadcast centroid join") {
+      val p = planOf("q105_prototype_prune")
+      assert(p.contains("nearest_cells"), s"expected native assignment:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"centroids must broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    }
     it("q73 semantic dedup never degrades to a cartesian pair stage") {
       // candidate pairs come from the bucket equi-join; a lost bucket
       // key would silently re-plan as CartesianProduct = all-pairs

@@ -189,4 +189,52 @@ class TextSpec extends SparkSpec {
         s"target per-token mean $meanIn must exceed non-target $meanOut")
     }
   }
+
+  describe("BM25 search (q103)") {
+    it("ranks are dense from 1, scores positive and non-increasing, hit counts bounded by the query size") {
+      val rows = SparkEntry.queries("q103_bm25_search")(spark, "/root/testdata/sf0.001")
+        .as[(Long, Long, Double, Long, Long)].collect()
+      assert(rows.nonEmpty)
+      // idf = ln((N-df+0.5)/(df+0.5)+1) > 0 always, so every BM25
+      // contribution — and therefore every reported score — is positive
+      assert(rows.forall(_._3 > 0.0))
+      rows.groupBy(_._1).foreach { case (_, rs) =>
+        assert(rs.length <= 10)
+        val sorted = rs.sortBy(_._5)
+        assert(sorted.map(_._5).toSeq == (1L to sorted.length).toSeq)
+        sorted.iterator.sliding(2).withPartial(false).foreach { w =>
+          assert(w(0)._3 >= w(1)._3, "scores must be non-increasing in rank")
+        }
+        // each query has 2 terms, so 1 <= n_terms_hit <= 2
+        assert(rs.forall(r => r._4 >= 1L && r._4 <= 2L))
+      }
+    }
+  }
+
+  describe("corpus drift (q104)") {
+    it("a corpus whose snapshots are token-identical drifts exactly zero; the fixture drifts finitely") {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-drift").toString
+      // even/odd pairs with identical text -> ca == cb for every term ->
+      // surpA == surpB -> every contribution is exactly 0 pre-rounding
+      Seq((0L, "alpha beta gamma", "en", "s", 16L),
+          (1L, "alpha beta gamma", "en", "s", 16L),
+          (2L, "delta beta", "en", "s", 10L),
+          (3L, "delta beta", "en", "s", 10L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val self = SparkEntry.queries("q104_corpus_drift")(spark, tmp)
+        .as[(String, Long, Long, Long, Double, Double)].collect()
+      assert(self.toSeq == Seq(("en", 4L, 5L, 5L, 0.0, 0.0)))
+      val fx = SparkEntry.queries("q104_corpus_drift")(spark, "/root/testdata/sf0.001")
+        .as[(String, Long, Long, Long, Double, Double)].collect()
+      assert(fx.nonEmpty)
+      fx.foreach { case (_, v, na, nb, kab, kba) =>
+        assert(v > 0 && na > 0 && nb > 0)
+        // true smoothed KL >= 0; the 4 dp surprisal rounding can push a
+        // near-zero divergence negative by at most ~1e-4 + V*5e-7
+        val slack = -(1e-4 + v * 5e-7)
+        assert(kab > slack && kba > slack, s"KL below rounding floor: $kab / $kba")
+      }
+    }
+  }
 }

@@ -247,6 +247,34 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  describe("prototypePrune (q105)") {
+    it("prunes exactly the most-prototypical quartile of every cluster, rank-monotone in cosine") {
+      // the kmeansCodebook fixture: two tight clusters + their seeds
+      val vecs = (
+        (0 until 20).map(i => (i.toLong, Array(1.0f, 0.01f * i, 0f, 0f))) ++
+        (20 until 40).map(i => (i.toLong, Array(0f, 0.01f * (i - 20), 1.0f, 0f)))
+      ).toDF("vec_id", "embedding")
+      val out = SimilaritySearch.prototypePrune(vecs, initIds = Seq(0L, 20L), iters = 2)
+        .as[(Long, Long, Double, Long, Long)].collect()
+      assert(out.length == 40)
+      assert(out.map(_._1).distinct.length == 40, "every vector scored exactly once")
+      out.groupBy(_._2).foreach { case (_, rows) =>
+        val n = rows.length
+        // integer-arithmetic quartile: exactly n/4 pruned, and they are
+        // precisely the best-ranked (most prototypical) rows
+        assert(rows.count(_._5 == 1L) == n / 4)
+        assert(rows.filter(_._5 == 1L).map(_._4).sorted.toSeq ==
+          (1L to (n / 4).toLong).toSeq)
+        // prototypicality is non-increasing in rank
+        val byRank = rows.sortBy(_._4)
+        assert(byRank.map(_._4).toSeq == (1L to n.toLong).toSeq)
+        byRank.iterator.sliding(2).withPartial(false).foreach { w =>
+          assert(w(0)._3 >= w(1)._3)
+        }
+      }
+    }
+  }
+
   private implicit class Tup4Ops(rows: Array[(Int, Long, Long, Long)]) {
     def toMap2: Map[Int, (Long, Long, Long)] =
       rows.map { case (l, a, b, c) => l -> ((a, b, c)) }.toMap
