@@ -174,6 +174,42 @@ object Dedup {
     }
   }
 
+  /** Asymmetric shingle-set CONTAINMENT pairs (Broder's containment
+    * |A∩B|/|A| next to [[ngramJaccardPairs]]'s symmetric Jaccard): a
+    * short document quoted inside a long one has tiny Jaccard (the long
+    * doc's shingles swamp the union) but containment ≈ 1 on the short
+    * side — the quote/subset/boilerplate-inclusion detector the
+    * symmetric measure structurally misses. Reports both directions;
+    * a pair surfaces when EITHER direction clears `threshold`.
+    *
+    * Same two-shuffle posting-list shape as the uncapped Jaccard path
+    * (per-shingle lists with ride-along set sizes → in-row pair
+    * expansion → pair-count aggregate; the corpus text never
+    * self-joins). This is the exact tier: at open scale the same
+    * containment comes from the winnowed fingerprint sample (q102's
+    * MOSS join reports it at 2/(w+1) density with the q101 shared-run
+    * guarantee), which this operator's full-shingle answer certifies. */
+  def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
+                       blockCol: String, n: Int, threshold: Double): DataFrame = {
+    val in = graft.ops.Parallelize.forCompute(docs)
+    val sh = in.select(col(idCol).as("id"), col(blockCol).as("block"),
+                       wordShingleHashes(col(textCol), n).as("ss"))
+      .select(col("id"), col("block"), size(col("ss")).as("n_sh"),
+              explode(col("ss")).as("sh"))
+    val lists = sh.groupBy(col("block"), col("sh"))
+      .agg(array_sort(collect_list(struct(col("id"), col("n_sh")))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    listPairs(lists, "ids")
+      .select(col("pa.id").as("id_a"), col("pa.n_sh").as("na"),
+              col("pb.id").as("id_b"), col("pb.n_sh").as("nb"))
+      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("ic"))
+      .select(col("id_a"), col("id_b"), col("ic").as("n_shared"),
+              (col("ic").cast("double") / col("na")).as("cont_a"),
+              (col("ic").cast("double") / col("nb")).as("cont_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+  }
+
   /** MinHash family member j over the two md5 halves: h1 + j·h2
     * (Kirsch–Mitzenmacher double hashing — the standard construction
     * for MinHash/Bloom families from two base hashes). ONE md5 per

@@ -352,6 +352,27 @@ object SimilaritySearch {
     result
   }
 
+  /** Johnson–Lindenstrauss random projection: embed `dim`-dimensional
+    * vectors into `outDim` dimensions as raw dot products against the
+    * deterministic [[hyperplanes]] family — the dense cousin of the
+    * sign-bit LSH bucket ([[nearDupPairsLsh]] keeps only the SIGN of
+    * each projection; this keeps the value, trading 1 bit/plane for a
+    * distance-preserving sketch). At outDim=16 over 64 floats the
+    * projected corpus is 4× smaller — the storage/compute reduction
+    * knob for brute-force scoring, clustering, and shuffle-heavy
+    * vector ops at 100 TB.
+    *
+    * MAP-ONLY at any scale: the plane matrix is a compile-time
+    * constant (seeded portable hash), each row projects independently,
+    * zero shuffles. Every arithmetic op is IEEE +,×,/ in element
+    * order, so projections are bit-identical across engines. */
+  def jlProject(corpus: DataFrame, dim: Int, outDim: Int, seed: Int): DataFrame = {
+    val planes = hyperplanes(dim, outDim, seed)
+    corpus.select(col("vec_id"),
+      array((0 until outDim).map(j => dot(col("embedding"), lit(planes(j)))): _*)
+        .as("proj"))
+  }
+
   /** SSL-prototypes data pruning (Sorscher et al. 2022, "Beyond neural
     * scaling laws"): cluster the embedding space, measure each vector's
     * PROTOTYPICALITY (cosine to its assigned centroid), and prune the

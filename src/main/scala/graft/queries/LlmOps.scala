@@ -507,6 +507,16 @@ object LlmOps {
          |SELECT id_a, id_b, n_shared, CAST(n_shared AS DOUBLE) / least(ca.n_fp, cb.n_fp) AS containment
          |FROM p JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b""".stripMargin.replace("\n", " "))),
 
+    QueryDef("q107_containment_pairs",
+      "asymmetric shingle-set CONTAINMENT pairs (Broder): both directions |A∩B|/|A| and |A∩B|/|B| over word-3-gram sets, pair reported when either clears 0.6. The quote/subset/boilerplate-inclusion detector symmetric Jaccard structurally misses — a short doc quoted inside a long one has tiny Jaccard (the long doc's shingles swamp the union) but containment ~1 on the short side. Same two-shuffle posting-list shape as q21's uncapped fast path (ride-along set sizes, in-row pair expansion, text never self-joins); this is the exact tier whose full-shingle answer certifies q102's winnowed-sample containment (2/9 density, q101 shared-run guarantee) as the 100 TB path",
+      (s, d) => graft.ext.Dedup.containmentPairs(
+        t(s, d, "documents"), "text", "doc_id", "lang", n = 3, threshold = 0.6),
+      Some(s"""WITH $shingleCte,
+         |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS ic FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |con AS (SELECT id_a, id_b, ic AS n_shared, CAST(ic AS DOUBLE) / ca.n_sh AS cont_a, CAST(ic AS DOUBLE) / cb.n_sh AS cont_b FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b)
+         |SELECT id_a, id_b, n_shared, cont_a, cont_b FROM con WHERE greatest(cont_a, cont_b) >= 0.6""".stripMargin.replace("\n", " "))),
+
     QueryDef("q33_stratified_sample",
       "deterministic hash-based stratified sampling (corpus mixing): en 50%, de 100%, zh 25%",
       (s, d) => graft.ext.Sampling.stratifiedSample(

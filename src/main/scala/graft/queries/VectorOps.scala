@@ -3,7 +3,7 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import graft.ext.{Quantize, SimilaritySearch}
 import graft.ops.Num.lcount
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Vector/embedding plane beyond ANN ranking: storage-format
@@ -16,6 +16,16 @@ import org.apache.spark.sql.functions._
 object VectorOps {
 
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  /** DuckDB mirror of the JL projection: the SAME plane components
+    * embedded as double literals, raw dot values (not sign buckets). */
+  private def projSql(dim: Int, outDim: Int, seed: Int): String = {
+    val planes = SimilaritySearch.hyperplanes(dim, outDim, seed)
+    planes.map { p =>
+      val arr = p.map(v => java.lang.Double.toString(v.toDouble)).mkString("[", ", ", "]")
+      s"list_dot_product(v, $arr)"
+    }.mkString("[", ", ", "]")
+  }
 
   /** DuckDB mirror of the Spark-side hyperplane bucket: the SAME float
     * components embedded as double literals (same helper as q25b). */
@@ -112,6 +122,42 @@ object VectorOps {
         |iv AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM sc1) WHERE rk <= 5),
         |hit AS (SELECT t.query_id, t.neighbor_id FROM tr t JOIN iv USING (query_id, neighbor_id))
         |SELECT CAST((SELECT COUNT(*) FROM tr) AS BIGINT) AS n_truth, CAST((SELECT COUNT(*) FROM iv) AS BIGINT) AS n_ivf, CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit, CAST((SELECT COUNT(*) FROM hit) AS DOUBLE) / (SELECT COUNT(*) FROM tr) AS recall""".stripMargin.replace("\n", " "))),
+
+    QueryDef("q106_jl_distortion",
+      "Johnson-Lindenstrauss projection with in-engine distortion self-eval (the q96/q100 pattern applied to a TRANSFORM): embeddings project 64->16 dims as raw dot products against the deterministic hyperplane family (the dense cousin of q25b's sign-bit buckets — keep the value, not just the sign; 4x storage/compute reduction for downstream scoring and clustering), then the engine MEASURES what the compression costs: over all pairs of a deterministic sample (vec_id < 30), mean and max |cos_projected - cos_original|. This is the number that decides whether the 4x-cheaper sketch is usable for a given recall bar before pointing it at 100 TB. Projection is map-only (compile-time plane matrix, zero shuffles); the eval's pair stage is a broadcast self-join of the bounded sample. Parity: every op is IEEE +,x,/,sqrt in element order (no libm), per-pair errors floor-round to 6 dp into exact decimals for the order-independent mean",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        import graft.functions.VectorFunctions.cosine
+        val e = t(s, d, "embeddings")
+        val proj = SimilaritySearch.jlProject(e, dim = 64, outDim = 16, seed = 23)
+        val base = e.join(proj, "vec_id").filter(col("vec_id") < 30)
+        val a = base.select(col("vec_id").as("id_a"),
+          col("embedding").as("ea"), col("proj").as("pa"))
+        val b = base.select(col("vec_id").as("id_b"),
+          col("embedding").as("eb"), col("proj").as("pb"))
+        // double-array cosine via sequential-fold HOFs (the proj arrays
+        // are double; VectorDot serves the float originals) — both fold
+        // in element order, the list_dot_product contract
+        def dotD(x: Column, y: Column): Column =
+          aggregate(zip_with(x, y, (u, v) => u * v), lit(0.0), (acc, w) => acc + w)
+        def cosD(x: Column, y: Column): Column =
+          dotD(x, y) / (sqrt(dotD(x, x)) * sqrt(dotD(y, y)))
+        // the sample is bounded by construction (30 ids) — broadcast it
+        // so the pair expansion is a nested-loop over a broadcast, not
+        // a cartesian exchange
+        broadcast(a).join(b, col("id_a") < col("id_b"))
+          .select((floor(abs(cosD(col("pa"), col("pb")) - cosine(col("ea"), col("eb")))
+            * 1e6 + 0.5) / 1e6).as("err"))
+          .agg(lcount(lit(1)).as("n_pairs"),
+            (sum(col("err").cast(DecimalType(38, 6))).cast("double") /
+              count(lit(1))).as("mean_abs_err"),
+            max(col("err")).as("max_abs_err"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |pj AS (SELECT vec_id, v, ${projSql(dim = 64, outDim = 16, seed = 23)} AS p FROM e),
+        |s AS (SELECT vec_id, v, p FROM pj WHERE vec_id < 30),
+        |pr AS (SELECT floor(abs(list_dot_product(a.p, b.p) / (sqrt(list_dot_product(a.p, a.p)) * sqrt(list_dot_product(b.p, b.p))) - list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 1e6 + 0.5) / 1e6 AS err FROM s a JOIN s b ON a.vec_id < b.vec_id)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, CAST(SUM(CAST(err AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mean_abs_err, MAX(err) AS max_abs_err FROM pr""".stripMargin.replace("\n", " "))),
 
     QueryDef("q105_prototype_prune",
       "SSL-prototypes data pruning (Sorscher et al. 2022 'Beyond neural scaling laws'): cluster embeddings with the q85 codebook (same seeds, iterations, float32 round-trip — the centroids the ANN plane serves), score each vector's PROTOTYPICALITY as cosine to its assigned centroid, rank within each cluster, and prune the most-prototypical quartile (rank*4 <= n_members, integer arithmetic — no threshold knife-edge). The complement of SemDeDup (q73): that drops near-identical PAIRS, this thins over-dense cluster CORES even when no two vectors are pairwise-near — the 'easy redundant examples' the paper shows contribute least per training FLOP. Plan: assignment is the map-only native NearestCells expression over the driver-resident codebook (corpus embeddings never shuffle to find their cell); the ONLY exchange is the per-cell rank window, and at open scale the cutoff cosine comes from a two-pass per-cell histogram (q68b's sharded-prefix recipe) that this exact tier certifies. Oracle: q85's two unrolled Lloyd rounds extended by one assignment round under the final float32 codebook",

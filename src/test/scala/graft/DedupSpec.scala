@@ -34,6 +34,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  describe("containment pairs") {
+    it("surfaces the quote a symmetric jaccard misses, reports both directions exactly") {
+      // doc 11 is a verbatim quote inside the much longer doc 10:
+      // containment on the short side = 1.0 while jaccard stays low
+      val quoted = Seq(
+        (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+              "lambda mu nu xi omicron pi rho sigma tau upsilon", "en"),
+        (11L, "alpha beta gamma delta epsilon zeta", "en"),
+        (12L, "one two three four five six seven eight nine ten", "en")
+      ).toDF("doc_id", "text", "lang")
+      val out = Dedup.containmentPairs(quoted, "text", "doc_id", "lang", 3, 0.6)
+        .as[(Long, Long, Long, Double, Double)].collect()
+      assert(out.map(r => (r._1, r._2)).toSet == Set((10L, 11L)))
+      val (_, _, shared, contA, contB) = out.head
+      // doc 11 has 4 3-gram shingles, all inside doc 10 (18 shingles)
+      assert(shared == 4L)
+      assert(contB == 1.0)
+      assert(contA == 4.0 / 18.0)
+      // the same pair under symmetric jaccard: 4/18 — below any useful
+      // near-dup threshold, which is the point of the asymmetric measure
+      val jac = Dedup.ngramJaccardPairs(quoted, "text", "doc_id", "lang", 3, 0.5)
+        .as[(Long, Long, Double)].collect()
+      assert(!jac.exists(p => (p._1, p._2) == ((10L, 11L))))
+    }
+  }
+
   describe("minhash LSH") {
     it("recovers the same verified pairs as exact jaccard") {
       val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "lang", 3, 0.5)

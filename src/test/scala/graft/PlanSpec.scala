@@ -158,6 +158,23 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("BroadcastHashJoin"), s"centroids must broadcast:\n$p")
       assert(!p.contains("CartesianProduct"), s"plan:\n$p")
     }
+    it("q106 JL distortion eval broadcasts the bounded sample pair stage") {
+      val p = planOf("q106_jl_distortion")
+      // the <30-id sample side must broadcast for the id_a < id_b pair
+      // expansion; an unbroadcast plan would be a full cartesian stage
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        s"plan:\n$p")
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    }
+    it("q107 containment keeps q21's two-hash-shuffle posting-list shape") {
+      val docs = spark.read.parquet(s"$d/documents.parquet")
+      val p = graft.ext.Dedup.containmentPairs(docs, "text", "doc_id",
+          "lang", 3, 0.6)
+        .queryExecution.executedPlan.toString
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(hashEx == 2, s"expected 2 hash shuffles, plan:\n$p")
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    }
     it("q73 semantic dedup never degrades to a cartesian pair stage") {
       // candidate pairs come from the bucket equi-join; a lost bucket
       // key would silently re-plan as CartesianProduct = all-pairs

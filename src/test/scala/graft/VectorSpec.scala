@@ -247,6 +247,36 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  describe("jlProject (q106)") {
+    it("is deterministic, dimension-correct, and exact on identical/scaled vectors") {
+      val vecs = Seq(
+        (0L, Array.tabulate(8)(i => (i + 1).toFloat)),
+        (1L, Array.tabulate(8)(i => (i + 1).toFloat)),        // identical to 0
+        (2L, Array.tabulate(8)(i => 2f * (i + 1).toFloat)),   // 2× scale of 0
+        (3L, Array.tabulate(8)(i => if (i == 0) 1f else 0f))
+      ).toDF("vec_id", "embedding")
+      val out = SimilaritySearch.jlProject(vecs, dim = 8, outDim = 4, seed = 23)
+        .as[(Long, Array[Double])].collect().toMap
+      assert(out.values.forall(_.length == 4))
+      // projection is a pure function of the vector: identical in, identical out
+      assert(out(0L).toSeq == out(1L).toSeq)
+      // linearity: scaling the input scales every projection exactly
+      assert(out(2L).toSeq == out(0L).map(_ * 2.0).toSeq)
+      // rerun = same result (compile-time plane matrix, no RNG state)
+      val again = SimilaritySearch.jlProject(vecs, dim = 8, outDim = 4, seed = 23)
+        .as[(Long, Array[Double])].collect().toMap
+      assert(again(3L).toSeq == out(3L).toSeq)
+      // and identical vectors keep cosine ~1 after projection (not
+      // bit-exact 1: sqrt(S)*sqrt(S) need not equal S), so the q106
+      // distortion eval scores such pairs at error ~0
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        val d = a.zip(b).map { case (x, y) => x * y }.sum
+        d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      assert(math.abs(cos(out(0L), out(1L)) - 1.0) < 1e-12)
+    }
+  }
+
   describe("prototypePrune (q105)") {
     it("prunes exactly the most-prototypical quartile of every cluster, rank-monotone in cosine") {
       // the kmeansCodebook fixture: two tight clusters + their seeds
