@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.ops.Num._
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -280,6 +280,42 @@ object Analytics {
         .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_value"),
              round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_value"),
              lcount(lit(1)).as("n")),
-      Some("""SELECT o_orderpriority, ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_value, ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_value, CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY o_orderpriority"""))
+      Some("""SELECT o_orderpriority, ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_value, ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_value, CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY o_orderpriority""")),
+
+    QueryDef("q108_zorder_skipping",
+      "Z-order layout with in-engine data-skipping self-eval (the q96/q100/q106 pattern applied to STORAGE LAYOUT): rows get the Morton key of (l_suppkey mod 256, l_partkey mod 256) — the exact expression ReportSink.writeZOrdered lays files out by — the key space splits into 64 contiguous z-range files (file = zkey >> 10, deterministic, no range-sampling exchange), and the engine measures what the layout buys: for a 2-D range query (16x16 box), how many files' min/max stats survive pruning under the z-order layout vs a single-key sort layout. Z-order bounds each file to a rectangle of BOTH dimensions, so the 2-D query prunes on both; the single-key layout spreads the second dimension across every file (its min/max stats are vacuous) and only prunes on the first. This is the measurement that justifies rewriting 100 TB into a z-ordered layout before paying for it. Everything is integer shift/mask/count arithmetic — portable bit for bit, no rounding anywhere; map-only key assignment, two 64-group aggregates, broadcast combine",
+      (s, d) => {
+        import graft.sinks.ReportSink.zOrderKey
+        val b = Tables(s, d, "lineitem").select(
+          (col("l_suppkey") % 256).cast("int").as("sx"),
+          (col("l_partkey") % 256).cast("int").as("px"))
+        val f = b.select(col("sx"), col("px"),
+          shiftright(zOrderKey(col("sx"), col("px"), 8), 10).as("f_z"),
+          shiftright(col("sx"), 2).cast("long").as("f_lin"))
+        def hit(mnx: Column, mxx: Column, mnp: Column, mxp: Column): Column =
+          sum(when(mxx >= 32 && mnx <= 47 && mxp >= 64 && mnp <= 79, 1L)
+            .otherwise(0L)).cast("long")
+        val hz = f.groupBy(col("f_z"))
+          .agg(min(col("sx")).as("mnx"), max(col("sx")).as("mxx"),
+               min(col("px")).as("mnp"), max(col("px")).as("mxp"))
+          .agg(lcount(lit(1)).as("n_files_z"),
+               hit(col("mnx"), col("mxx"), col("mnp"), col("mxp")).as("files_hit_z"))
+        val hl = f.groupBy(col("f_lin"))
+          .agg(min(col("sx")).as("mnx"), max(col("sx")).as("mxx"),
+               min(col("px")).as("mnp"), max(col("px")).as("mxp"))
+          .agg(lcount(lit(1)).as("n_files_lin"),
+               hit(col("mnx"), col("mxx"), col("mnp"), col("mxp")).as("files_hit_lin"))
+        val rm = b.filter(col("sx").between(32, 47) && col("px").between(64, 79))
+          .agg(lcount(lit(1)).as("rows_matched"))
+        hz.crossJoin(broadcast(hl)).crossJoin(broadcast(rm))
+      },
+      Some(s"""WITH b AS (SELECT CAST(l_suppkey % 256 AS INT) AS sx, CAST(l_partkey % 256 AS INT) AS px FROM lineitem),
+         |f AS (SELECT sx, px, (${graft.sinks.ReportSink.zOrderSql("sx", "px", 8)}) >> 10 AS f_z, sx >> 2 AS f_lin FROM b),
+         |sz AS (SELECT f_z, min(sx) AS mnx, max(sx) AS mxx, min(px) AS mnp, max(px) AS mxp FROM f GROUP BY 1),
+         |sl AS (SELECT f_lin, min(sx) AS mnx, max(sx) AS mxx, min(px) AS mnp, max(px) AS mxp FROM f GROUP BY 1),
+         |hz AS (SELECT CAST(count(*) AS BIGINT) AS n_files_z, CAST(SUM(CASE WHEN mxx >= 32 AND mnx <= 47 AND mxp >= 64 AND mnp <= 79 THEN 1 ELSE 0 END) AS BIGINT) AS files_hit_z FROM sz),
+         |hl AS (SELECT CAST(count(*) AS BIGINT) AS n_files_lin, CAST(SUM(CASE WHEN mxx >= 32 AND mnx <= 47 AND mxp >= 64 AND mnp <= 79 THEN 1 ELSE 0 END) AS BIGINT) AS files_hit_lin FROM sl),
+         |rm AS (SELECT CAST(count(*) AS BIGINT) AS rows_matched FROM b WHERE sx BETWEEN 32 AND 47 AND px BETWEEN 64 AND 79)
+         |SELECT n_files_z, files_hit_z, n_files_lin, files_hit_lin, rows_matched FROM hz CROSS JOIN hl CROSS JOIN rm""".stripMargin.replace("\n", " ")))
   )
 }

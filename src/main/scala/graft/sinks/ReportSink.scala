@@ -96,6 +96,62 @@ object ReportSink {
       .cast("long")
   }
 
+  /** Morton (Z-order) key: interleaves the low `bits` bits of two
+    * non-negative int columns — x's bit i lands at position 2i, y's at
+    * 2i+1 — so sorting by the key clusters rows that are close in BOTH
+    * dimensions. The layout primitive behind multi-dimensional data
+    * skipping: a file holding a contiguous z-range covers a bounded
+    * rectangle of (x, y) space, so per-file min/max stats prune 2-D
+    * range queries that a single-column sort can only prune on its one
+    * sort key. Pure integer shift/mask arithmetic (codegen'd built-ins,
+    * engine-portable bit for bit); q108 oracle-checks the exact
+    * expression and measures the skipping win in-engine. */
+  def zOrderKey(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+                bits: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    require(bits >= 1 && bits <= 31, s"bits=$bits out of range")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1)), 2 * i + 1)
+    }.reduce(_ + _).cast("long")
+  }
+
+  /** The DuckDB mirror of [[zOrderKey]] — the same shift/mask formula
+    * as SQL text, exposed so the q108 oracle runs the writer's exact
+    * expression. */
+  def zOrderSql(x: String, y: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+
+  /** Z-ordered corpus layout: assigns each row the [[zOrderKey]] of
+    * (`xCol`, `yCol`), splits the key space into 2^`fileBits`
+    * CONTIGUOUS z-ranges (file id = zkey >> (2·bits − fileBits) —
+    * deterministic, no range-sampling exchange), and writes one
+    * partition dir per range with rows z-sorted inside. Readers prune
+    * on the dir id exactly as they would on parquet min/max stats:
+    * each dir covers a bounded (x, y) rectangle. One shuffle total
+    * (repartition on the file id), same as [[writeHashSharded]].
+    * Returns the file-id column name written. */
+  def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
+                    bits: Int = 8, fileBits: Int = 6,
+                    fileCol: String = "zfile"): String = {
+    import org.apache.spark.sql.functions._
+    require(fileBits >= 1 && fileBits <= 2 * bits,
+      s"fileBits=$fileBits out of range for bits=$bits")
+    require(!df.columns.contains(fileCol),
+      s"input already has a '$fileCol' column - pass a different fileCol")
+    val zc = "__zkey"
+    require(!df.columns.contains(zc), s"input already has a '$zc' column")
+    val keyed = df.withColumn(zc, zOrderKey(col(xCol), col(yCol), bits))
+      .withColumn(fileCol, shiftright(col(zc), 2 * bits - fileBits).cast("long"))
+      .repartition(1 << fileBits, col(fileCol))
+      .sortWithinPartitions(col(fileCol), col(zc))
+      .drop(zc)
+    keyed.write.mode("overwrite").partitionBy(fileCol).parquet(path)
+    fileCol
+  }
+
   /** Atomic hourly append — the commit-protocol story plain
     * `mode("append")` lacks (round-6 advice: a retried append at 100 TB
     * can leave readers seeing half a batch). Three layers make a batch

@@ -175,6 +175,12 @@ class PlanSpec extends SparkSpec {
       assert(hashEx == 2, s"expected 2 hash shuffles, plan:\n$p")
       assert(!p.contains("CartesianProduct"), s"plan:\n$p")
     }
+    it("q108 z-order eval prunes the scan to the two key columns; combine stage broadcasts") {
+      val p = planOf("q108_zorder_skipping")
+      assert(p.contains("ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>"),
+        s"scan must read only the layout keys:\n$p")
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    }
     it("q73 semantic dedup never degrades to a cartesian pair stage") {
       // candidate pairs come from the bucket equi-join; a lost bucket
       // key would silently re-plan as CartesianProduct = all-pairs

@@ -2,6 +2,7 @@ package graft
 
 import graft.sinks.ReportSink
 import java.nio.file.Files
+import org.apache.spark.sql.functions.{max, min, shiftright}
 import scala.jdk.CollectionConverters._
 
 class ReportSinkSpec extends SparkSpec {
@@ -110,6 +111,44 @@ class ReportSinkSpec extends SparkSpec {
         ReportSink.writeHashSharded(clash, path + "2", 4, "doc_id", Nil)
       }
     }
+    it("writeZOrdered: known interleavings, disjoint per-dir z-ranges, lossless roundtrip") {
+      // hand-checked Morton keys: x bits land even, y bits odd
+      val k = Seq(
+        ((3, 1), 7L),   // x=0b11 -> 1+4; y=0b01 -> 2
+        ((2, 2), 12L),  // x bit1 -> 4; y bit1 -> 8
+        ((0, 3), 10L),  // y=0b11 -> 2+8
+        ((255, 0), 0x5555L),
+        ((0, 255), 0xAAAAL)
+      )
+      val kdf = k.map(_._1).toDF("x", "y")
+        .select(ReportSink.zOrderKey($"x", $"y", 8).as("z")).as[Long].collect().toSeq
+      assert(kdf == k.map(_._2))
+
+      val path = Files.createTempDirectory("zsink").resolve("corpus").toString
+      val df = (0 until 256).map(i => (i.toLong, (i * 7) % 256, (i * 13) % 256))
+        .toDF("id", "sx", "px")
+      val colName = ReportSink.writeZOrdered(df, path, "sx", "px",
+        bits = 8, fileBits = 4)
+      assert(colName == "zfile")
+      val back = spark.read.parquet(path)
+      // lossless roundtrip and file assignment = zkey >> (16 - 4)
+      assert(back.count() == 256)
+      val expected = df.withColumn("zfile",
+        shiftright(ReportSink.zOrderKey($"sx", $"px", 8), 12).cast("long"))
+      assert(back.exceptAll(expected).isEmpty && expected.exceptAll(back).isEmpty)
+      // per-dir z-ranges are CONTIGUOUS and DISJOINT: max z of dir i
+      // sits below min z of dir i+1 — the property min/max pruning needs
+      val ranges = back
+        .select($"zfile", ReportSink.zOrderKey($"sx", $"px", 8).as("z"))
+        .groupBy($"zfile").agg(min($"z").as("mn"), max($"z").as("mx"))
+        .orderBy($"zfile").as[(Long, Long, Long)].collect()
+      ranges.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 < b._2,
+          s"z-ranges overlap across dirs: $a vs $b")
+        case _ =>
+      }
+    }
+
     it("supports ORC with identical partitioned union-all semantics") {
       val path = Files.createTempDirectory("osink").resolve("report").toString
       val b1 = Seq(("2024-01-01", 1L), ("2024-01-02", 2L)).toDF("day", "v")
