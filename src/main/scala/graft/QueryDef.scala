@@ -19,7 +19,7 @@ final case class QueryDef(
 
 object Tables {
   import org.apache.spark.sql.functions._
-  import org.apache.spark.sql.types.LongType
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
   /** All driver-provided parquet fixtures (TESTDATA.md). */
   val names: Seq[String] = Seq(
@@ -60,6 +60,14 @@ object Tables {
     val shaped =
       if (name == "events" && df.schema("ts").dataType == LongType)
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else if (name == "events" && df.schema("ts").dataType == TimestampNTZType)
+        // Fixtures regenerated via pandas/pyarrow write Timestamp(µs,
+        // isAdjustedToUTC=false), which Spark 4 reads as TIMESTAMP_NTZ;
+        // the µs-arithmetic plane (unix_micros, range/as-of joins,
+        // sessionize) requires TIMESTAMP. Under the engine's pinned UTC
+        // session zone the cast is value-preserving (same µs instant),
+        // and it matches DuckDB, which treats timestamp[us] as naive.
+        df.withColumn("ts", col("ts").cast(TimestampType))
       else df
     val parallelized = spark.conf.getOption(ParallelizeScans)
       .exists(_.split(",").map(_.trim).contains(name))

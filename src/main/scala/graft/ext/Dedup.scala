@@ -182,31 +182,60 @@ object Dedup {
     * symmetric measure structurally misses. Reports both directions;
     * a pair surfaces when EITHER direction clears `threshold`.
     *
-    * Same two-shuffle posting-list shape as the uncapped Jaccard path
-    * (per-shingle lists with ride-along set sizes → in-row pair
-    * expansion → pair-count aggregate; the corpus text never
-    * self-joins). This is the exact tier: at open scale the same
-    * containment comes from the winnowed fingerprint sample (q102's
-    * MOSS join reports it at 2/(w+1) density with the q101 shared-run
-    * guarantee), which this operator's full-shingle answer certifies. */
+    * Same two-shuffle posting-list shape as the Jaccard path (per-
+    * shingle lists with ride-along set sizes → in-row pair expansion →
+    * pair-count aggregate; the corpus text never self-joins), and the
+    * SAME `maxDf` hot-shingle bound with the same consistent-universe
+    * semantics: a shingle shared by more than `maxDf` docs in a block
+    * is removed from the shingle universe entirely — from the
+    * intersection counts AND from both containment denominators — so
+    * the result is exact containment over the df-filtered universe,
+    * never a deflated ratio mixing a filtered numerator with unfiltered
+    * denominators. Without the cap one stopword shingle shared by 10⁶
+    * docs would build a 10¹²-element in-row pair array (the k² blowup
+    * q21 documents); the correction costs one aggregate over the
+    * dropped lists only, EMPTY (→ AQE broadcast) whenever the cap never
+    * binds. This is the exact tier: at open scale the same containment
+    * comes from the winnowed fingerprint sample (q102's MOSS join
+    * reports it at 2/(w+1) density with the q101 shared-run guarantee),
+    * which this operator's full-shingle answer certifies. */
   def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
-                       blockCol: String, n: Int, threshold: Double): DataFrame = {
+                       blockCol: String, n: Int, threshold: Double,
+                       maxDf: Int = 100000): DataFrame = {
     val in = graft.ops.Parallelize.forCompute(docs)
     val sh = in.select(col(idCol).as("id"), col(blockCol).as("block"),
                        wordShingleHashes(col(textCol), n).as("ss"))
       .select(col("id"), col("block"), size(col("ss")).as("n_sh"),
               explode(col("ss")).as("sh"))
-    val lists = sh.groupBy(col("block"), col("sh"))
+    val allLists = sh.groupBy(col("block"), col("sh"))
       .agg(array_sort(collect_list(struct(col("id"), col("n_sh")))).as("ids"))
-      .filter(size(col("ids")) > 1)
-    listPairs(lists, "ids")
+    val lists = allLists.filter(size(col("ids")) > 1 && size(col("ids")) <= maxDf)
+    val rawPairs = listPairs(lists, "ids")
       .select(col("pa.id").as("id_a"), col("pa.n_sh").as("na"),
               col("pb.id").as("id_b"), col("pb.n_sh").as("nb"))
       .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("ic"))
+    val adjusted =
+      if (maxDf == Int.MaxValue)
+        rawPairs.select(col("id_a"), col("id_b"), col("ic"),
+                        col("na").as("da"), col("nb").as("db"))
+      else {
+        val hotAdjust = allLists.filter(size(col("ids")) > maxDf)
+          .select(explode(col("ids")).as("e"))
+          .groupBy(col("e.id").as("id")).agg(count(lit(1)).as("n_hot"))
+        rawPairs
+          .join(hotAdjust.select(col("id").as("id_a"), col("n_hot").as("hot_a")),
+                Seq("id_a"), "left")
+          .join(hotAdjust.select(col("id").as("id_b"), col("n_hot").as("hot_b")),
+                Seq("id_b"), "left")
+          .select(col("id_a"), col("id_b"), col("ic"),
+                  (col("na") - coalesce(col("hot_a"), lit(0L))).as("da"),
+                  (col("nb") - coalesce(col("hot_b"), lit(0L))).as("db"))
+      }
+    adjusted
       .select(col("id_a"), col("id_b"), col("ic").as("n_shared"),
-              (col("ic").cast("double") / col("na")).as("cont_a"),
-              (col("ic").cast("double") / col("nb")).as("cont_b"))
+              (col("ic").cast("double") / col("da")).as("cont_a"),
+              (col("ic").cast("double") / col("db")).as("cont_b"))
       .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
   }
 

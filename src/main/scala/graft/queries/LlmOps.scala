@@ -508,7 +508,7 @@ object LlmOps {
          |FROM p JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b""".stripMargin.replace("\n", " "))),
 
     QueryDef("q107_containment_pairs",
-      "asymmetric shingle-set CONTAINMENT pairs (Broder): both directions |A∩B|/|A| and |A∩B|/|B| over word-3-gram sets, pair reported when either clears 0.6. The quote/subset/boilerplate-inclusion detector symmetric Jaccard structurally misses — a short doc quoted inside a long one has tiny Jaccard (the long doc's shingles swamp the union) but containment ~1 on the short side. Same two-shuffle posting-list shape as q21's uncapped fast path (ride-along set sizes, in-row pair expansion, text never self-joins); this is the exact tier whose full-shingle answer certifies q102's winnowed-sample containment (2/9 density, q101 shared-run guarantee) as the 100 TB path",
+      "asymmetric shingle-set CONTAINMENT pairs (Broder): both directions |A∩B|/|A| and |A∩B|/|B| over word-3-gram sets, pair reported when either clears 0.6. The quote/subset/boilerplate-inclusion detector symmetric Jaccard structurally misses — a short doc quoted inside a long one has tiny Jaccard (the long doc's shingles swamp the union) but containment ~1 on the short side. Same posting-list shape AND same maxDf hot-shingle cap as q21 (ride-along set sizes, in-row pair expansion, text never self-joins; shingles above the df cap leave the intersection AND both denominators, so the result is exact over the df-filtered universe — the cap never binds on this fixture, so the oracle is plain exact containment); this is the exact tier whose full-shingle answer certifies q102's winnowed-sample containment (2/9 density, q101 shared-run guarantee) as the 100 TB path",
       (s, d) => graft.ext.Dedup.containmentPairs(
         t(s, d, "documents"), "text", "doc_id", "lang", n = 3, threshold = 0.6),
       Some(s"""WITH $shingleCte,

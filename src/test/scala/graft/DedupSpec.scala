@@ -120,6 +120,34 @@ class DedupSpec extends SparkSpec {
       assert(pairs.toSeq == Seq((100L, 101L, 0.6)))
     }
 
+    it("caps containment consistently: dropped shingles leave both denominators") {
+      // same planted corpus: "common base words" has df=12 > maxDf=5 and
+      // is dropped from the universe. Capped: 4 shingles per doc, 3
+      // shared → containment 3/4 = 0.75 each way. The inconsistent
+      // (numerator-only) math would report 3/5 = 0.6 and miss the 0.7
+      // threshold.
+      val docs = (Seq(
+        (100L, "common base words alpha beta gamma delta"),
+        (101L, "common base words alpha beta gamma epsilon")) ++
+        (0L until 10L).map(i => (i, s"common base words filler$i")))
+        .toDF("doc_id", "text").withColumn("lang", lit("en"))
+      val pairs = Dedup.containmentPairs(docs, "text", "doc_id", "lang",
+                                         3, 0.7, maxDf = 5)
+        .select($"id_a", $"id_b", $"cont_a", $"cont_b")
+        .as[(Long, Long, Double, Double)].collect()
+      assert(pairs.toSeq == Seq((100L, 101L, 0.75, 0.75)))
+    }
+
+    it("bounds containment pair expansion on a 10k-document hot shingle") {
+      val hot = spark.range(10000).select(
+        $"id".as("doc_id"),
+        concat(lit("common shingle words here plus tail "), $"id".cast("string")).as("text"),
+        lit("en").as("lang"))
+      val pairs = Dedup.containmentPairs(hot, "text", "doc_id", "lang", 3,
+                                         0.1, maxDf = 100)
+      assert(pairs.count() == 0)
+    }
+
     it("bounds pair expansion on a 10k-document hot shingle") {
       // 10k docs share 4 ultra-common shingles (uncapped: ~2×10⁸ pair
       // rows from those posting lists); each doc's remaining shingle is

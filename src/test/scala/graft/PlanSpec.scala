@@ -166,14 +166,47 @@ class PlanSpec extends SparkSpec {
         s"plan:\n$p")
       assert(!p.contains("CartesianProduct"), s"plan:\n$p")
     }
-    it("q107 containment keeps q21's two-hash-shuffle posting-list shape") {
+    it("q107 containment keeps q21's two-hash-shuffle posting-list shape when uncapped") {
       val docs = spark.read.parquet(s"$d/documents.parquet")
       val p = graft.ext.Dedup.containmentPairs(docs, "text", "doc_id",
-          "lang", 3, 0.6)
+          "lang", 3, 0.6, maxDf = Int.MaxValue)
         .queryExecution.executedPlan.toString
       val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
       assert(hashEx == 2, s"expected 2 hash shuffles, plan:\n$p")
       assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    }
+    it("q107 capped containment never goes cartesian and carries the df-cap correction joins") {
+      // production default maxDf=100000: the hot-shingle correction adds
+      // two left joins of an (almost always empty) adjustment table —
+      // never a cartesian stage, and the posting-list shape is retained
+      val docs = spark.read.parquet(s"$d/documents.parquet")
+      val p = graft.ext.Dedup.containmentPairs(docs, "text", "doc_id",
+          "lang", 3, 0.6)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    }
+    it("q110 OHLC endpoints come from declarative min_by/max_by — no window sort anywhere") {
+      // the row_number formulation would force a per-bar sort; the
+      // aggregate form partial-aggregates map-side and shuffles once
+      val p = planOf("q110_ohlc_bars")
+      assert(!p.contains("Window"), s"OHLC must not plan a window:\n$p")
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(hashEx == 1, s"expected 1 hash shuffle, plan:\n$p")
+    }
+    it("q111 TWAP's two windows and final aggregate share one (type, day) exchange") {
+      val p = planOf("q111_twap")
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(hashEx == 1, s"expected 1 hash shuffle, plan:\n$p")
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    }
+    it("q109 resample joins the spine back without a cartesian stage") {
+      val p = planOf("q109_resample_interpolate")
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    }
+    it("q112 unpivot is map-only Expand — no shuffle, no join") {
+      val p = planOf("q112_unpivot")
+      assert(p.contains("Expand"), s"expected native unpivot Expand:\n$p")
+      assert(!p.contains("Exchange"), s"unpivot must not shuffle:\n$p")
     }
     it("q108 z-order eval prunes the scan to the two key columns; combine stage broadcasts") {
       val p = planOf("q108_zorder_skipping")
