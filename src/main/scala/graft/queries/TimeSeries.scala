@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 /** Time-series operators over the event stream — the gap-fill /
   * bar-aggregation / time-weighting family a market-data or metrics
@@ -37,6 +38,65 @@ object TimeSeries {
       (s, d) => graft.ops.TimeSeriesOps.twap(
         t(s, d, "events"), "event_type", "ts", "event_id", "value"),
       Some("""WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id, value FROM events), l AS (SELECT *, lead(epoch_us(ts)) OVER (PARTITION BY event_type, day ORDER BY ts, event_id) - epoch_us(ts) AS w_us FROM e), f AS (SELECT *, SUM(w_us) OVER (PARTITION BY event_type, day) AS total_us FROM l WHERE w_us IS NOT NULL) SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n_intervals, CAST(SUM(CAST(value * (CAST(w_us AS DOUBLE) / CAST(total_us AS DOUBLE)) AS DECIMAL(38,6))) AS DOUBLE) AS twap FROM f WHERE total_us > 0 GROUP BY 1, 2""")),
+
+    QueryDef("q113_asof_directions",
+      "the full as-of join direction family (pandas merge_asof surface, completing q46's backward-only form): per event the user's strictly-previous purchase, strictly-next purchase (forward as-of), and the NEAREST purchase within a 1-hour tolerance (ties broken backward, pandas semantics). Every direction is the union + ignore-nulls-window formulation — one shuffle+sort per pass, never a per-row range probe — and all passes share the (user_id, ts) sort order, so at scale they reuse one exchange. Oracle uses correlated min/max subqueries (DuckDB de-correlates them itself)",
+      (s, d) => {
+        import graft.ops.AsOfJoin
+        val ev = t(s, d, "events").select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = t(s, d, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"))
+        val withPrev = AsOfJoin.lastBefore(ev, purchases, "user_id", "ts", "p")
+        val withNext = AsOfJoin.firstAfter(withPrev, purchases, "user_id", "ts", "n")
+        val withNear = AsOfJoin.nearestWithin(withNext, purchases, "user_id", "ts",
+                                              3600000000L, "z")
+        withNear.select(col("event_id"), col("user_id"),
+          unix_micros(col("asof_p")).as("prev_us"),
+          unix_micros(col("asof_n")).as("next_us"),
+          unix_micros(col("asof_z")).as("nearest_1h_us"))
+      },
+      Some("""WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'), base AS (SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ets, (SELECT epoch_us(max(p.ts)) FROM p WHERE p.user_id = e.user_id AND p.ts < e.ts) AS prev_us, (SELECT epoch_us(min(p.ts)) FROM p WHERE p.user_id = e.user_id AND p.ts > e.ts) AS next_us FROM events e) SELECT event_id, user_id, prev_us, next_us, CASE WHEN prev_us IS NULL AND next_us IS NULL THEN NULL WHEN prev_us IS NULL THEN (CASE WHEN next_us - ets <= 3600000000 THEN next_us END) WHEN next_us IS NULL THEN (CASE WHEN ets - prev_us <= 3600000000 THEN prev_us END) WHEN (next_us - ets) < (ets - prev_us) THEN (CASE WHEN next_us - ets <= 3600000000 THEN next_us END) ELSE (CASE WHEN ets - prev_us <= 3600000000 THEN prev_us END) END AS nearest_1h_us FROM base""")),
+
+    QueryDef("q114_trailing_range_window",
+      "TIME-RANGE window frames (RANGE BETWEEN µs PRECEDING, vs q13's row-count frames): per event, the trailing-1-hour event count and exact-decimal value sum for the same user. The frame is defined on the µs epoch of the ORDER key, so rows with equal timestamps are frame PEERS and the result is partitioning- and tie-order-invariant by construction (no id tiebreak needed — the frame, not the row order, drives the aggregate)",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(unix_micros(col("ts")))
+          .rangeBetween(-3600000000L, 0L)
+        t(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            count(lit(1)).over(w).cast("long").as("n_1h"),
+            sum(col("value").cast("decimal(38,6)")).over(w)
+              .cast("double").as("sum_1h"))
+      },
+      Some("""SELECT event_id, user_id, CAST(count(*) OVER w AS BIGINT) AS n_1h, CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sum_1h FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""")),
+
+    QueryDef("q115_psi_drift",
+      "population stability index (PSI) feature-drift monitor — the production ML data-quality check, the numeric-feature sibling of q104's vocabulary KL: l_extendedprice split into base/new populations (even/odd orderkey — the deterministic-split recipe), 10 equal-width bins from the GLOBAL min/max (exact double aggregates, broadcast back — never a percentile window), continuity-corrected (c+0.5) bin fractions, per-bin (p-q)*ln(p/q) contributions rounded to 4 dp BEFORE the exact-decimal total (the q63/q84 libm-portability recipe). One corpus pass + one 10-row aggregate; at 100 TB the same plan holds — the bin histogram is the only shuffled state",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice").as("x"))
+        val stats = li.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        val binned = li.crossJoin(broadcast(stats))
+          .select((col("l_orderkey") % 2 === 0).as("is_base"),
+                  least(lit(9.0), floor((col("x") - col("mn")) /
+                    ((col("mx") - col("mn")) / 10.0))).cast("long").as("bin"))
+        val counts = binned.groupBy(col("bin"))
+          .agg(count(when(col("is_base"), 1)).cast("long").as("n_base"),
+               count(when(!col("is_base"), 1)).cast("long").as("n_new"))
+        val totals = counts.agg(sum(col("n_base")).as("tb"), sum(col("n_new")).as("tn"))
+        val contrib = counts.crossJoin(broadcast(totals))
+          .withColumn("p", (col("n_base") + 0.5) / (col("tb") + 5.0))
+          .withColumn("q", (col("n_new") + 0.5) / (col("tn") + 5.0))
+          .withColumn("psi_contrib",
+            round((col("p") - col("q")) * log(col("p") / col("q")), 4))
+        val total = contrib.agg(
+          sum(col("psi_contrib").cast("decimal(38,6)")).cast("double").as("psi_total"))
+        contrib.select(col("bin"), col("n_base"), col("n_new"), col("psi_contrib"))
+          .crossJoin(broadcast(total))
+      },
+      Some("""WITH s AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem), b AS (SELECT (l_orderkey % 2 = 0) AS is_base, CAST(least(9.0, floor((l_extendedprice - mn) / ((mx - mn) / 10.0))) AS BIGINT) AS bin FROM lineitem, s), c AS (SELECT bin, CAST(count(*) FILTER (WHERE is_base) AS BIGINT) AS n_base, CAST(count(*) FILTER (WHERE NOT is_base) AS BIGINT) AS n_new FROM b GROUP BY 1), t AS (SELECT SUM(n_base) AS tb, SUM(n_new) AS tn FROM c), e AS (SELECT bin, n_base, n_new, round(((n_base + 0.5)/(tb + 5.0) - (n_new + 0.5)/(tn + 5.0)) * ln(((n_base + 0.5)/(tb + 5.0)) / ((n_new + 0.5)/(tn + 5.0))), 4) AS psi_contrib FROM c, t) SELECT bin, n_base, n_new, psi_contrib, (SELECT CAST(SUM(CAST(psi_contrib AS DECIMAL(38,6))) AS DOUBLE) FROM e) AS psi_total FROM e""")),
 
     QueryDef("q112_unpivot",
       "UNPIVOT/melt (the inverse of q40's pivot, completing the reshape family): lineitem's four per-line charge columns melted to (key, metric, val) long form — the feature-long layout ML preprocessing and plotting pipelines want. Spark's native unpivot (Expand-based: one pass, rows×4 output, NO shuffle, no join) against a portable UNION ALL oracle. Values pass through untouched, so cross-engine equality is exact",

@@ -47,6 +47,28 @@ object EventStreams {
 
   private def dailyStatsOn(events: DataFrame): DataFrame = dailyStats(events)
 
+  /** Streaming twin of the q110 OHLC bars
+    * ([[graft.ops.TimeSeriesOps.ohlcBars]]): the same DECLARATIVE
+    * min_by/max_by endpoint aggregate over 1-hour tumbling windows.
+    * Because the endpoint argmin/argmax is a merge-safe aggregate (not
+    * a window sort), it incrementalizes for free: a late tick within
+    * the watermark revises its bar's open/close in place, and state per
+    * bar is one candidate row per endpoint — constant-size, like the
+    * batch twin's map-side partials. */
+  def hourlyOhlcStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+      .agg(min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+           max(col("value")).as("high"),
+           min(col("value")).as("low"),
+           max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+           count(lit(1)).cast("long").as("n_ticks"),
+           sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+             .cast("double").as("volume"))
+      .select(col("event_type"), col("window.start").as("hour"),
+              col("open"), col("high"), col("low"), col("close"),
+              col("n_ticks"), col("volume"))
+
   /** Batch sessionization: a session break is a gap > gapMinutes between
     * consecutive events of a user; sessions counted via the classic
     * lag + conditional cumulative sum (one shuffle on user_id). */

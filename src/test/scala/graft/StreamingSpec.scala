@@ -34,6 +34,66 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  describe("hourlyOhlcStream") {
+    it("revises bar endpoints when a late-but-in-watermark tick arrives") {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val src = MemoryStream[Event]
+      val q = EventStreams.hourlyOhlcStream(src.toDF())
+        .writeStream.format("memory").queryName("ohlc_out")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        src.addData(
+          Event(2, ts("2024-01-01 10:20:00"), 1, "trade", 50.0),
+          Event(3, ts("2024-01-01 10:40:00"), 1, "trade", 99.0))
+        q.processAllAvailable()
+        // a LATE tick earlier in the same hour (inside the 1h watermark)
+        // must take over the bar's open
+        src.addData(Event(1, ts("2024-01-01 10:05:00"), 1, "trade", 10.0))
+        q.processAllAvailable()
+        val rows = spark.table("ohlc_out")
+          .groupBy($"event_type", $"hour")
+          .agg(org.apache.spark.sql.functions.last($"open").as("open"),
+               org.apache.spark.sql.functions.last($"high").as("high"),
+               org.apache.spark.sql.functions.last($"low").as("low"),
+               org.apache.spark.sql.functions.last($"close").as("close"),
+               org.apache.spark.sql.functions.last($"n_ticks").as("n"))
+          .select($"hour".cast("string"), $"open", $"high", $"low", $"close", $"n")
+          .as[(String, Double, Double, Double, Double, Long)].collect().toSet
+        assert(rows == Set(("2024-01-01 10:00:00", 10.0, 99.0, 10.0, 99.0, 3L)))
+      } finally q.stop()
+    }
+    it("matches the batch twin on the same rows") {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val events = Seq(
+        Event(1, ts("2024-01-01 10:05:00"), 1, "trade", 20.0),
+        Event(2, ts("2024-01-01 10:50:00"), 1, "trade", 80.0),
+        Event(3, ts("2024-01-01 11:10:00"), 1, "trade", 30.0),
+        Event(4, ts("2024-01-01 10:15:00"), 2, "quote", 5.0))
+      val src = MemoryStream[Event]
+      val q = EventStreams.hourlyOhlcStream(src.toDF())
+        .writeStream.format("memory").queryName("ohlc_twin_out")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        src.addData(events: _*)
+        q.processAllAvailable()
+        val stream = spark.table("ohlc_twin_out")
+          .groupBy($"event_type", $"hour")
+          .agg(org.apache.spark.sql.functions.last($"open").as("open"),
+               org.apache.spark.sql.functions.last($"close").as("close"),
+               org.apache.spark.sql.functions.last($"volume").as("volume"))
+          .select($"event_type", $"hour".cast("string"), $"open", $"close", $"volume")
+          .as[(String, String, Double, Double, Double)].collect().toSet
+        val batch = graft.ops.TimeSeriesOps
+          .ohlcBars(events.toDF(), "event_type", "ts", "event_id", "value")
+          .select($"event_type", $"hour".cast("string"), $"open", $"close", $"volume")
+          .as[(String, String, Double, Double, Double)].collect().toSet
+        assert(stream == batch)
+      } finally q.stop()
+    }
+  }
+
   describe("sessionizeStream (flatMapGroupsWithState)") {
     it("emits a closed session when the gap is exceeded") {
       implicit val sqlCtx = spark.sqlContext
