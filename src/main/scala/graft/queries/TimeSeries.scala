@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import graft.ops.Num._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -97,6 +98,63 @@ object TimeSeries {
           .crossJoin(broadcast(total))
       },
       Some("""WITH s AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem), b AS (SELECT (l_orderkey % 2 = 0) AS is_base, CAST(least(9.0, floor((l_extendedprice - mn) / ((mx - mn) / 10.0))) AS BIGINT) AS bin FROM lineitem, s), c AS (SELECT bin, CAST(count(*) FILTER (WHERE is_base) AS BIGINT) AS n_base, CAST(count(*) FILTER (WHERE NOT is_base) AS BIGINT) AS n_new FROM b GROUP BY 1), t AS (SELECT SUM(n_base) AS tb, SUM(n_new) AS tn FROM c), e AS (SELECT bin, n_base, n_new, round(((n_base + 0.5)/(tb + 5.0) - (n_new + 0.5)/(tn + 5.0)) * ln(((n_base + 0.5)/(tb + 5.0)) / ((n_new + 0.5)/(tn + 5.0))), 4) AS psi_contrib FROM c, t) SELECT bin, n_base, n_new, psi_contrib, (SELECT CAST(SUM(CAST(psi_contrib AS DECIMAL(38,6))) AS DOUBLE) FROM e) AS psi_total FROM e""")),
+
+    QueryDef("q116_scd2_intervals",
+      "SCD2 (slowly-changing-dimension type 2) interval build — the warehouse dimension-history op: each user's event stream collapses into validity intervals of their current event_type, one row per consecutive RUN of the same type (gaps-and-islands on value CHANGE, vs q19's islands on time gaps). lag-detected change points -> conditional cumsum run ids -> per-run min-ts/count -> lead() closes each interval with the next run's start (null = current row). Every stage keys on user_id, so the window, the run aggregate, and the closing window share ONE exchange at scale",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val wRun = Window.partitionBy(col("user_id")).orderBy(col("run"))
+        val marked = t(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("chg",
+            when(lag(col("event_type"), 1).over(w).isNull ||
+                 lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+              .otherwise(0L))
+          .withColumn("run",
+            sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        marked.groupBy(col("user_id"), col("run"))
+          .agg(max(col("event_type")).as("event_type"),
+               min(col("ts")).as("vf"),
+               lcount(lit(1)).as("n_events"))
+          .select(col("user_id"), col("run"), col("event_type"),
+                  unix_micros(col("vf")).as("valid_from_us"),
+                  lead(unix_micros(col("vf")), 1).over(wRun).as("valid_to_us"),
+                  col("n_events"))
+      },
+      Some("""WITH g AS (SELECT user_id, ts, event_id, event_type, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events), m AS (SELECT *, CASE WHEN prev_type IS NULL OR prev_type <> event_type THEN 1 ELSE 0 END AS chg FROM g), r AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM m), a AS (SELECT user_id, run, MAX(event_type) AS event_type, MIN(ts) AS vf, CAST(COUNT(*) AS BIGINT) AS n_events FROM r GROUP BY 1, 2) SELECT user_id, run, event_type, epoch_us(vf) AS valid_from_us, lead(epoch_us(vf)) OVER (PARTITION BY user_id ORDER BY run) AS valid_to_us, n_events FROM a""")),
+
+    QueryDef("q117_interval_overlap_join",
+      "interval-OVERLAP join (completing q55's point-in-interval range join): per user, every (view-session, purchase-session) pair whose closed intervals overlap, with the total overlap duration in µs. Both session sets come from the q19 lag+cumsum sessionizer (12 h gap — long enough that per-user intervals genuinely span and overlap; the 30 min tier is q19's) on filtered event subsets; the pair stage is a user_id equi-join whose per-key cardinality is BOUNDED (sessions per user per type, ~dozens) so the quadratic is per-key-bounded, then the overlap predicate filters and exact integer µs arithmetic sums the durations. Every stage — both sessionizers, the join, the final aggregate — keys on user_id: ONE partitioning end to end",
+      (s, d) => {
+        def sessions(tpe: String) = {
+          val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          t(s, d, "events").filter(col("event_type") === tpe)
+            .select(col("user_id"), col("ts"), col("event_id"))
+            .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+            .withColumn("chg",
+              when(col("prev_ts").isNull ||
+                   unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 43200000000L,
+                   1L).otherwise(0L))
+            .withColumn("seq",
+              sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+            .groupBy(col("user_id"), col("seq"))
+            .agg(unix_micros(min(col("ts"))).as("s"),
+                 unix_micros(max(col("ts"))).as("e"))
+        }
+        val v = sessions("view")
+          .select(col("user_id"), col("seq").as("v_seq"),
+                  col("s").as("vs"), col("e").as("ve"))
+        val p = sessions("purchase")
+          .select(col("user_id"), col("seq").as("p_seq"),
+                  col("s").as("ps"), col("e").as("pe"))
+        v.join(p, Seq("user_id"))
+          .filter(col("vs") <= col("pe") && col("ps") <= col("ve"))
+          .groupBy(col("user_id"))
+          .agg(lcount(lit(1)).as("n_overlap_pairs"),
+               lsum(least(col("ve"), col("pe")) - greatest(col("vs"), col("ps")))
+                 .as("total_overlap_us"))
+      },
+      Some("""WITH vv AS (SELECT user_id, ts, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events WHERE event_type = 'view'), vm AS (SELECT *, CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 43200000000 THEN 1 ELSE 0 END AS chg FROM vv), vr AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq FROM vm), vsess AS (SELECT user_id, seq, epoch_us(MIN(ts)) AS vs, epoch_us(MAX(ts)) AS ve FROM vr GROUP BY 1, 2), pv AS (SELECT user_id, ts, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events WHERE event_type = 'purchase'), pm AS (SELECT *, CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 43200000000 THEN 1 ELSE 0 END AS chg FROM pv), pr AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq FROM pm), psess AS (SELECT user_id, seq, epoch_us(MIN(ts)) AS ps, epoch_us(MAX(ts)) AS pe FROM pr GROUP BY 1, 2) SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_overlap_pairs, CAST(SUM(least(ve, pe) - greatest(vs, ps)) AS BIGINT) AS total_overlap_us FROM vsess JOIN psess USING (user_id) WHERE vs <= pe AND ps <= ve GROUP BY 1""")),
 
     QueryDef("q112_unpivot",
       "UNPIVOT/melt (the inverse of q40's pivot, completing the reshape family): lineitem's four per-line charge columns melted to (key, metric, val) long form — the feature-long layout ML preprocessing and plotting pipelines want. Spark's native unpivot (Expand-based: one pass, rows×4 output, NO shuffle, no join) against a portable UNION ALL oracle. Values pass through untouched, so cross-engine equality is exact",

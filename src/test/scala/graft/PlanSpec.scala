@@ -203,6 +203,21 @@ class PlanSpec extends SparkSpec {
       val p = planOf("q109_resample_interpolate")
       assert(!p.contains("CartesianProduct"), s"plan:\n$p")
     }
+    it("q116 SCD2's windows and run-aggregate all share the user_id exchange") {
+      val p = planOf("q116_scd2_intervals")
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(hashEx == 1, s"expected 1 hash shuffle, plan:\n$p")
+    }
+    it("q117 interval-overlap keeps one user_id exchange per session branch, no cartesian") {
+      // each sessionizer branch exchanges once on user_id; the
+      // (user_id, seq) run-aggregate and the user_id join REUSE that
+      // partitioning (ClusteredDistribution satisfied by the window's
+      // HashPartitioning) — 2 total, nothing re-shuffles
+      val p = planOf("q117_interval_overlap_join")
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(hashEx == 2, s"expected 2 hash shuffles, plan:\n$p")
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    }
     it("q112 unpivot is map-only Expand — no shuffle, no join") {
       val p = planOf("q112_unpivot")
       assert(p.contains("Expand"), s"expected native unpivot Expand:\n$p")
