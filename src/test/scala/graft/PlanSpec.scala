@@ -218,6 +218,15 @@ class PlanSpec extends SparkSpec {
       assert(hashEx == 2, s"expected 2 hash shuffles, plan:\n$p")
       assert(!p.contains("CartesianProduct"), s"plan:\n$p")
     }
+    it("q118 sliding windows expand map-side and aggregate without a join") {
+      // the x6 window assignment is map-side (explode/Expand, bounded by
+      // the overlap factor); the exact-distinct rewrite costs the second
+      // exchange ((window,type,user) partial then (window,type) final)
+      val p = planOf("q118_sliding_windows")
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(hashEx == 2, s"expected 2 hash shuffles, plan:\n$p")
+      assert(!p.contains("Join"), s"window assignment must not join:\n$p")
+    }
     it("q112 unpivot is map-only Expand — no shuffle, no join") {
       val p = planOf("q112_unpivot")
       assert(p.contains("Expand"), s"expected native unpivot Expand:\n$p")
