@@ -68,30 +68,39 @@ object AsOfJoin {
       .select(leftCols.map(col) :+ col(s"asof_$valueName"): _*)
   }
 
+  /** The nearest-selection COLUMN over already-computed directional
+    * matches (no window of its own): the closer of `prevCol`/`nextCol`
+    * relative to `tsCol`, ties broken BACKWARD (pandas semantics),
+    * matches farther than `toleranceUs` µs dropped to null. Exposed so
+    * a caller that already ran both directional passes (e.g. q113) pays
+    * ZERO extra window stages for the nearest column. */
+  def nearestCol(tsCol: String, prevCol: String, nextCol: String,
+                 toleranceUs: Long): Column = {
+    val dPrev = unix_micros(col(tsCol)) - unix_micros(col(prevCol))
+    val dNext = unix_micros(col(nextCol)) - unix_micros(col(tsCol))
+    val nearest =
+      when(col(prevCol).isNull, col(nextCol))
+        .when(col(nextCol).isNull, col(prevCol))
+        .when(dNext < dPrev, col(nextCol))
+        .otherwise(col(prevCol))
+    val dist = unix_micros(nearest) - unix_micros(col(tsCol))
+    when(abs(dist) <= toleranceUs, nearest)
+  }
+
   /** NEAREST as-of within a tolerance (pandas
     * `merge_asof(direction='nearest', tolerance=...)`, strict on both
-    * sides): the closer of the strictly-before and strictly-after
-    * matches, ties broken BACKWARD (pandas semantics), matches farther
-    * than `toleranceUs` µs dropped to null. Composes the two directional
-    * passes — two window stages over the same (key, ts) partitioning,
-    * so at scale the second reuses the first's exchange. */
+    * sides): [[nearestCol]] over the two directional passes — two
+    * window stages on the same (key, ts) partitioning, so at scale the
+    * second reuses the first's exchange. */
   def nearestWithin(left: DataFrame, right: DataFrame,
                     keyCol: String, tsCol: String, toleranceUs: Long,
                     valueName: String = "right_ts"): DataFrame = {
     val leftCols = left.columns
-    val withPrev = lastBefore(left, right, keyCol, tsCol, "__prev")
-    val withBoth = firstAfter(withPrev, right, keyCol, tsCol, "__next")
-    val dPrev = unix_micros(col(tsCol)) - unix_micros(col("asof___prev"))
-    val dNext = unix_micros(col("asof___next")) - unix_micros(col(tsCol))
-    val nearest =
-      when(col("asof___prev").isNull, col("asof___next"))
-        .when(col("asof___next").isNull, col("asof___prev"))
-        .when(dNext < dPrev, col("asof___next"))
-        .otherwise(col("asof___prev"))
-    val dist = unix_micros(nearest) - unix_micros(col(tsCol))
+    val withBoth = firstAfter(lastBefore(left, right, keyCol, tsCol, "__prev"),
+                              right, keyCol, tsCol, "__next")
     withBoth
       .withColumn(s"asof_$valueName",
-        when(abs(dist) <= toleranceUs, nearest))
+        nearestCol(tsCol, "asof___prev", "asof___next", toleranceUs))
       .select(leftCols.map(col) :+ col(s"asof_$valueName"): _*)
   }
 }

@@ -50,12 +50,13 @@ object TimeSeries {
           .select(col("user_id"), col("ts"))
         val withPrev = AsOfJoin.lastBefore(ev, purchases, "user_id", "ts", "p")
         val withNext = AsOfJoin.firstAfter(withPrev, purchases, "user_id", "ts", "n")
-        val withNear = AsOfJoin.nearestWithin(withNext, purchases, "user_id", "ts",
-                                              3600000000L, "z")
-        withNear.select(col("event_id"), col("user_id"),
+        // nearest is a pure column over the two directional matches —
+        // no third/fourth window pass (AsOfJoin.nearestCol)
+        withNext.select(col("event_id"), col("user_id"),
           unix_micros(col("asof_p")).as("prev_us"),
           unix_micros(col("asof_n")).as("next_us"),
-          unix_micros(col("asof_z")).as("nearest_1h_us"))
+          unix_micros(AsOfJoin.nearestCol("ts", "asof_p", "asof_n", 3600000000L))
+            .as("nearest_1h_us"))
       },
       Some("""WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'), base AS (SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ets, (SELECT epoch_us(max(p.ts)) FROM p WHERE p.user_id = e.user_id AND p.ts < e.ts) AS prev_us, (SELECT epoch_us(min(p.ts)) FROM p WHERE p.user_id = e.user_id AND p.ts > e.ts) AS next_us FROM events e) SELECT event_id, user_id, prev_us, next_us, CASE WHEN prev_us IS NULL AND next_us IS NULL THEN NULL WHEN prev_us IS NULL THEN (CASE WHEN next_us - ets <= 3600000000 THEN next_us END) WHEN next_us IS NULL THEN (CASE WHEN ets - prev_us <= 3600000000 THEN prev_us END) WHEN (next_us - ets) < (ets - prev_us) THEN (CASE WHEN next_us - ets <= 3600000000 THEN next_us END) ELSE (CASE WHEN ets - prev_us <= 3600000000 THEN prev_us END) END AS nearest_1h_us FROM base""")),
 
@@ -169,14 +170,17 @@ object TimeSeries {
       Some("""WITH w AS (SELECT DISTINCT date_trunc('hour', ts) - to_hours(i) AS ws FROM events, range(6) t(i)) SELECT epoch_us(ws) AS window_start_us, event_type, CAST(count(*) AS BIGINT) AS n_events, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS value_sum FROM w JOIN events e ON e.ts >= ws AND e.ts < ws + INTERVAL 6 HOUR GROUP BY 1, 2""")),
 
     QueryDef("q112_unpivot",
-      "UNPIVOT/melt (the inverse of q40's pivot, completing the reshape family): lineitem's four per-line charge columns melted to (key, metric, val) long form — the feature-long layout ML preprocessing and plotting pipelines want. Spark's native unpivot (Expand-based: one pass, rows×4 output, NO shuffle, no join) against a portable UNION ALL oracle. Values pass through untouched, so cross-engine equality is exact",
+      "UNPIVOT/melt (the inverse of q40's pivot, completing the reshape family): lineitem's four per-line charge columns melted to (metric, val) long form — the feature-long layout ML preprocessing wants — then per-metric count/exact-decimal-sum/min/max over the melted rows (the canonical melt->aggregate usage; aggregating also keeps both engines' bench outputs small instead of timing a 2.4M-row result fetch). Spark's native unpivot is a map-side Expand (one pass, rowsx4, no join); the only shuffle is the 4-key metric aggregate, against a portable UNION ALL oracle",
       (s, d) => t(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
                 col("l_extendedprice"), col("l_discount"), col("l_tax"))
         .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
                  Array(col("l_quantity"), col("l_extendedprice"),
                        col("l_discount"), col("l_tax")),
-                 "metric", "val"),
-      Some("""SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM lineitem UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem"""))
+                 "metric", "val")
+        .groupBy(col("metric"))
+        .agg(lcount(lit(1)).as("n"), dsum(col("val")).as("val_sum"),
+             min(col("val")).as("val_min"), max(col("val")).as("val_max")),
+      Some("""WITH long AS (SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem UNION ALL SELECT 'l_discount', l_discount FROM lineitem UNION ALL SELECT 'l_tax', l_tax FROM lineitem) SELECT metric, CAST(count(*) AS BIGINT) AS n, CAST(SUM(CAST(val AS DECIMAL(38,6))) AS DOUBLE) AS val_sum, MIN(val) AS val_min, MAX(val) AS val_max FROM long GROUP BY 1"""))
   )
 }

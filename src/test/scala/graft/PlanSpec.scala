@@ -227,10 +227,12 @@ class PlanSpec extends SparkSpec {
       assert(hashEx == 2, s"expected 2 hash shuffles, plan:\n$p")
       assert(!p.contains("Join"), s"window assignment must not join:\n$p")
     }
-    it("q112 unpivot is map-only Expand — no shuffle, no join") {
+    it("q112 unpivot expands map-side; only the 4-key metric aggregate shuffles") {
       val p = planOf("q112_unpivot")
       assert(p.contains("Expand"), s"expected native unpivot Expand:\n$p")
-      assert(!p.contains("Exchange"), s"unpivot must not shuffle:\n$p")
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(hashEx == 1, s"expected 1 hash shuffle, plan:\n$p")
+      assert(!p.contains("Join"), s"unpivot must not join:\n$p")
     }
     it("q108 z-order eval prunes the scan to the two key columns; combine stage broadcasts") {
       val p = planOf("q108_zorder_skipping")

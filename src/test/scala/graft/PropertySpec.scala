@@ -246,6 +246,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  describe("time-series ops partitioning invariance") {
+    // OHLC endpoints and TWAP weights derive from windows/aggregates
+    // with total (ts, id) orders — the results must not depend on how
+    // the input rows are routed across partitions
+    val evGen = Gen.listOfN(40, for {
+      key <- Gen.oneOf("x", "y")
+      tsOff <- Gen.choose(0L, 172800L) // two days, second granularity
+      value <- Gen.choose(-10000, 10000).map(_ / 10.0)
+    } yield (key, tsOff, value))
+
+    it("ohlcBars and twap are row-identical under any input partitioning") {
+      forAllSamples2(evGen, Gen.choose(1, 16)) { (rows, parts) =>
+        whenever(rows.nonEmpty) {
+          val withIds = rows.zipWithIndex.map { case ((k, off, v), i) =>
+            (i.toLong, new java.sql.Timestamp(1704067200000L + off * 1000L), k, v)
+          }
+          val base = withIds.toDF("event_id", "ts", "key", "value")
+          def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+            df.collect().map(_.toString).sorted.toSeq
+          assert(
+            canon(graft.ops.TimeSeriesOps.ohlcBars(
+              base.coalesce(1), "key", "ts", "event_id", "value")) ==
+            canon(graft.ops.TimeSeriesOps.ohlcBars(
+              base.repartition(parts), "key", "ts", "event_id", "value")))
+          assert(
+            canon(graft.ops.TimeSeriesOps.twap(
+              base.coalesce(1), "key", "ts", "event_id", "value")) ==
+            canon(graft.ops.TimeSeriesOps.twap(
+              base.repartition(parts), "key", "ts", "event_id", "value")))
+        }
+      }
+    }
+  }
+
   describe("append-sink semantics (K1)") {
     it("unionByName of batch splits equals the whole") {
       forAllSamples(rowGen) { rows =>
