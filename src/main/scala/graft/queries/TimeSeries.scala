@@ -158,15 +158,29 @@ object TimeSeries {
       Some("""WITH vv AS (SELECT user_id, ts, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events WHERE event_type = 'view'), vm AS (SELECT *, CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 43200000000 THEN 1 ELSE 0 END AS chg FROM vv), vr AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq FROM vm), vsess AS (SELECT user_id, seq, epoch_us(MIN(ts)) AS vs, epoch_us(MAX(ts)) AS ve FROM vr GROUP BY 1, 2), pv AS (SELECT user_id, ts, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events WHERE event_type = 'purchase'), pm AS (SELECT *, CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 43200000000 THEN 1 ELSE 0 END AS chg FROM pv), pr AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq FROM pm), psess AS (SELECT user_id, seq, epoch_us(MIN(ts)) AS ps, epoch_us(MAX(ts)) AS pe FROM pr GROUP BY 1, 2) SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_overlap_pairs, CAST(SUM(least(ve, pe) - greatest(vs, ps)) AS BIGINT) AS total_overlap_us FROM vsess JOIN psess USING (user_id) WHERE vs <= pe AND ps <= ve GROUP BY 1""")),
 
     QueryDef("q118_sliding_windows",
-      "SLIDING (hopping) time windows — the member of the window family tumbling (q12/q19b) can't express: per 6-hour window sliding every hour, per event_type event count, EXACT distinct users, and exact-decimal value sum. Spark's window(ts, '6 hours', '1 hour') expands each event to its 6 covering windows map-side (a bounded x6 Expand — the overlap factor, not data volume, sets the multiplier) then aggregates on the (window, type) key in ONE shuffle; epoch-aligned starts make the grid portable. The oracle regenerates the same grid from each event's covering hour starts and joins on the half-open range",
-      (s, d) => t(s, d, "events")
-        .groupBy(window(col("ts"), "6 hours", "1 hour").as("w"), col("event_type"))
-        .agg(lcount(lit(1)).as("n_events"),
-             count_distinct(col("user_id")).cast("long").as("n_users"),
-             dsum(col("value")).as("value_sum"))
-        .select(unix_micros(col("w.start")).as("window_start_us"),
-                col("event_type"), col("n_events"), col("n_users"),
-                col("value_sum")),
+      "SLIDING (hopping) time windows — the member of the window family tumbling (q12/q19b) can't express: per 6-hour window sliding every hour, per event_type event count, EXACT distinct users, and exact-decimal value sum. PRE-REDUCED formulation: the raw stream aggregates to the (hour, type) grid and the distinct (hour, type, user) triple set FIRST — both bounded by grid-size × active users, not event volume — and only those reduced tables expand x6 to covering windows (counts/decimal sums merge across hours exactly; distinct users re-dedup after the expand since a user may span hours). At 100 TB the x6 multiplier applies to the bounded grid, never the raw corpus — the naive window(ts, 6h, 1h) over raw events pays the expand on full volume. Epoch-aligned starts keep the grid portable; the oracle computes the same from each event's covering hour starts",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val hourly = ev
+          .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+          .agg(lcount(lit(1)).as("n"), sum(col("value").cast("decimal(38,6)")).as("sv"))
+        val win = (df: org.apache.spark.sql.DataFrame) => df
+          .withColumn("i", explode(sequence(lit(0), lit(5))))
+          .withColumn("ws",
+            timestamp_micros(unix_micros(col("h")) - col("i") * 3600000000L))
+        val stats = win(hourly)
+          .groupBy(col("ws"), col("event_type"))
+          .agg(lsum(col("n")).as("n_events"), sum(col("sv")).cast("double").as("value_sum"))
+        val users = win(ev.select(date_trunc("hour", col("ts")).as("h"),
+                                  col("event_type"), col("user_id")).distinct())
+          .select(col("ws"), col("event_type"), col("user_id")).distinct()
+          .groupBy(col("ws"), col("event_type"))
+          .agg(lcount(lit(1)).as("n_users"))
+        stats.join(users, Seq("ws", "event_type"))
+          .select(unix_micros(col("ws")).as("window_start_us"),
+                  col("event_type"), col("n_events"), col("n_users"),
+                  col("value_sum"))
+      },
       Some("""WITH w AS (SELECT DISTINCT date_trunc('hour', ts) - to_hours(i) AS ws FROM events, range(6) t(i)) SELECT epoch_us(ws) AS window_start_us, event_type, CAST(count(*) AS BIGINT) AS n_events, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS value_sum FROM w JOIN events e ON e.ts >= ws AND e.ts < ws + INTERVAL 6 HOUR GROUP BY 1, 2""")),
 
     QueryDef("q112_unpivot",

@@ -218,14 +218,25 @@ class PlanSpec extends SparkSpec {
       assert(hashEx == 2, s"expected 2 hash shuffles, plan:\n$p")
       assert(!p.contains("CartesianProduct"), s"plan:\n$p")
     }
-    it("q118 sliding windows expand map-side and aggregate without a join") {
-      // the x6 window assignment is map-side (explode/Expand, bounded by
-      // the overlap factor); the exact-distinct rewrite costs the second
-      // exchange ((window,type,user) partial then (window,type) final)
+    it("q118 expands only PRE-REDUCED tables to windows — both explodes sit above aggregates") {
+      // the scale contract: the x6 window expand applies to the bounded
+      // (hour,type) grid / (hour,type,user) triple set, never raw
+      // events. Both Generate operators must therefore appear ABOVE a
+      // HashAggregate/distinct in the plan (i.e., no Generate directly
+      // over the scan), and the stats×users join is grid-sized.
       val p = planOf("q118_sliding_windows")
-      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
-      assert(hashEx == 2, s"expected 2 hash shuffles, plan:\n$p")
-      assert(!p.contains("Join"), s"window assignment must not join:\n$p")
+      val generates = "Generate explode".r.findAllIn(p).length
+      assert(generates == 2, s"expected 2 bounded expands, plan:\n$p")
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+      // every Generate's subtree must contain an aggregate (the
+      // pre-reduction) before reaching the parquet scan
+      val lines = p.linesIterator.toVector
+      lines.zipWithIndex.filter(_._1.contains("Generate explode")).foreach {
+        case (_, i) =>
+          val below = lines.drop(i + 1).takeWhile(!_.contains("Scan parquet"))
+          assert(below.exists(l => l.contains("HashAggregate")),
+            s"Generate at line $i sits directly on the scan (unreduced expand):\n$p")
+      }
     }
     it("q112 unpivot expands map-side; only the 4-key metric aggregate shuffles") {
       val p = planOf("q112_unpivot")
