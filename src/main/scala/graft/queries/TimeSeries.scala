@@ -183,6 +183,32 @@ object TimeSeries {
       },
       Some("""WITH w AS (SELECT DISTINCT date_trunc('hour', ts) - to_hours(i) AS ws FROM events, range(6) t(i)) SELECT epoch_us(ws) AS window_start_us, event_type, CAST(count(*) AS BIGINT) AS n_events, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS value_sum FROM w JOIN events e ON e.ts >= ws AND e.ts < ws + INTERVAL 6 HOUR GROUP BY 1, 2""")),
 
+    QueryDef("q119_robust_scaling",
+      "robust feature scaling (median/IQR — the outlier-immune standardizer ML preprocessing uses over min-max): lineitem's four charge columns melt to long form (q112's Expand), per-metric exact interpolated quartiles compute once (q41's exact-tier recipe, 4-dp-rounded for cross-engine libm parity) and BROADCAST back to the row stream — scaling is then map-only IEEE arithmetic, never a per-row percentile — and the result reports per-metric scaled stats + |scaled|>3 outlier counts through the exact-decimal sum. safeDiv guards degenerate zero-IQR metrics to null (both engines agree via NULLIF). The broadcast-cutoffs-then-map shape is q86's CCNet pattern on the feature plane; at 100 TB the quartile pass swaps to q54's sketch tier",
+      (s, d) => {
+        val long = t(s, d, "lineitem")
+          .select(col("l_quantity"), col("l_extendedprice"),
+                  col("l_discount"), col("l_tax"))
+          .unpivot(Array.empty[org.apache.spark.sql.Column],
+                   Array(col("l_quantity"), col("l_extendedprice"),
+                         col("l_discount"), col("l_tax")),
+                   "metric", "val")
+        val stats = long.groupBy(col("metric"))
+          .agg(round(expr("percentile(val, 0.25)"), 4).as("q1"),
+               round(expr("percentile(val, 0.5)"), 4).as("med"),
+               round(expr("percentile(val, 0.75)"), 4).as("q3"))
+        val scaled = long.join(broadcast(stats), Seq("metric"))
+          .withColumn("scaled",
+            graft.ops.Num.safeDiv(col("val") - col("med"), col("q3") - col("q1")))
+        scaled.groupBy(col("metric"))
+          .agg(lcount(lit(1)).as("n"),
+               min(col("scaled")).as("scaled_min"),
+               max(col("scaled")).as("scaled_max"),
+               dsum(col("scaled")).as("scaled_sum"),
+               count(when(abs(col("scaled")) > 3, 1)).cast("long").as("n_outliers"))
+      },
+      Some("""WITH long AS (SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem UNION ALL SELECT 'l_discount', l_discount FROM lineitem UNION ALL SELECT 'l_tax', l_tax FROM lineitem), st AS (SELECT metric, ROUND(quantile_cont(val, 0.25), 4) AS q1, ROUND(quantile_cont(val, 0.5), 4) AS med, ROUND(quantile_cont(val, 0.75), 4) AS q3 FROM long GROUP BY 1), sc AS (SELECT l.metric, (val - med) / NULLIF(q3 - q1, 0) AS scaled FROM long l JOIN st USING (metric)) SELECT metric, CAST(count(*) AS BIGINT) AS n, MIN(scaled) AS scaled_min, MAX(scaled) AS scaled_max, CAST(SUM(CAST(scaled AS DECIMAL(38,6))) AS DOUBLE) AS scaled_sum, CAST(count(*) FILTER (WHERE abs(scaled) > 3) AS BIGINT) AS n_outliers FROM sc GROUP BY 1""")),
+
     QueryDef("q112_unpivot",
       "UNPIVOT/melt (the inverse of q40's pivot, completing the reshape family): lineitem's four per-line charge columns melted to (metric, val) long form — the feature-long layout ML preprocessing wants — then per-metric count/exact-decimal-sum/min/max over the melted rows (the canonical melt->aggregate usage; aggregating also keeps both engines' bench outputs small instead of timing a 2.4M-row result fetch). Spark's native unpivot is a map-side Expand (one pass, rowsx4, no join); the only shuffle is the 4-key metric aggregate, against a portable UNION ALL oracle",
       (s, d) => t(s, d, "lineitem")

@@ -238,6 +238,12 @@ class PlanSpec extends SparkSpec {
             s"Generate at line $i sits directly on the scan (unreduced expand):\n$p")
       }
     }
+    it("q119 scaling broadcasts the quartile cutoffs back — the row stream never re-shuffles for them") {
+      val p = planOf("q119_robust_scaling")
+      assert(p.contains("BroadcastHashJoin"), s"cutoffs must broadcast:\n$p")
+      assert(p.contains("Expand"), s"expected the melt Expand:\n$p")
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    }
     it("q112 unpivot expands map-side; only the 4-key metric aggregate shuffles") {
       val p = planOf("q112_unpivot")
       assert(p.contains("Expand"), s"expected native unpivot Expand:\n$p")
