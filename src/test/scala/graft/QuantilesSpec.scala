@@ -1,0 +1,64 @@
+package graft
+
+import graft.ops.Quantiles
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+class QuantilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def forAllSamples[A](gen: Gen[A], n: Int = 8)(body: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(body)
+    }
+
+  describe("two-pass histogram exact quantiles") {
+    it("matches Spark's buffering percentile aggregate exactly on generated corpora") {
+      val gen = Gen.listOfN(300, for {
+        g <- Gen.oneOf("a", "b")
+        v <- Gen.choose(-100000, 100000).map(_ / 7.0)
+      } yield (g, v))
+      forAllSamples(gen) { rows =>
+        val df = rows.toDF("g", "v")
+        // compare at 6 dp: the order statistics are bit-identical, but
+        // the final a + d*(b-a) interpolation differs from Spark's in
+        // the last ulp (~1e-13 relative) — which is why every consumer
+        // (q41, q119) rounds percentile outputs before hashing
+        val got = Quantiles.exactQuantiles(df, "g", "v", Seq(0.25, 0.5, 0.75, 0.9),
+                                           buckets = 16)
+          .select($"g", $"p", round($"value", 6).as("value"))
+          .as[(String, Double, Double)].collect().toSet
+        val want = Seq(0.25, 0.5, 0.75, 0.9).flatMap { p =>
+          df.groupBy($"g").agg(expr(s"percentile(v, $p)").as("value"))
+            .select($"g", lit(p).as("p"), round($"value", 6).as("value"))
+            .as[(String, Double, Double)].collect()
+        }.toSet
+        assert(got == want)
+      }
+    }
+    it("handles constant groups, single-row groups, and p in {0, 1}") {
+      val df = Seq(("c", 5.0), ("c", 5.0), ("c", 5.0), ("s", 42.0),
+                   ("m", 1.0), ("m", 2.0)).toDF("g", "v")
+      val out = Quantiles.exactQuantiles(df, "g", "v", Seq(0.0, 0.5, 1.0),
+                                         buckets = 4)
+        .select($"g", $"p", $"value").as[(String, Double, Double)]
+        .collect().toSet
+      assert(out == Set(
+        ("c", 0.0, 5.0), ("c", 0.5, 5.0), ("c", 1.0, 5.0),
+        ("s", 0.0, 42.0), ("s", 0.5, 42.0), ("s", 1.0, 42.0),
+        ("m", 0.0, 1.0), ("m", 0.5, 1.5), ("m", 1.0, 2.0)))
+    }
+    it("never buffers the corpus: pass-2 window partitions are bucket-sized") {
+      // structural check — the plan's only Window sits behind the
+      // target-bucket semi-join, so its partitions hold ~n/B rows
+      val df = spark.range(10000).select(
+        (col("id") % 3).cast("string").as("g"),
+        (col("id") * 37 % 10007).cast("double").as("v"))
+      val p = Quantiles.exactQuantiles(df, "g", "v", Seq(0.5), buckets = 64)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("percentile"), s"must not use the buffering aggregate:\n$p")
+      assert(p.contains("Window"), s"expected the bucket-local rank window:\n$p")
+    }
+  }
+}
