@@ -274,7 +274,7 @@ object Analytics {
       Some("""SELECT o_orderpriority, ROUND(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50, ROUND(quantile_cont(o_totalprice, 0.9), 4) AS exact_p90, TRUE AS p50_within_2pct, TRUE AS p90_within_2pct FROM orders GROUP BY o_orderpriority""")),
 
     QueryDef("q41_percentiles",
-      "exact interpolated percentiles (median/p90) of order value per priority. This is the declared EXACT TIER: Spark's percentile buffers every group's values in the aggregation state, which is fine for bounded groups and is the oracle-bit-exact answer, but is the anti-pattern at 100 TB (per-group value buffers OOM); the scale path is q54's approx_percentile sketch, whose error this exact tier certifies — the same exact/approximate pairing as q21(exact Jaccard)/q22(MinHash-LSH)",
+      "exact interpolated percentiles (median/p90) of order value per priority. This is the declared EXACT TIER: Spark's percentile buffers every group's values in the aggregation state, which is fine for bounded groups and is the oracle-bit-exact answer, but is the anti-pattern at 100 TB (per-group value buffers OOM). Two scale paths exist: q54's approx_percentile sketch (whose error this exact tier certifies — the q21/q22 pairing), and, when EXACTNESS is required at volume, ops.Quantiles' two-pass histogram refinement (B counters per group + target-bucket ranking; q119 runs it over a 2.4M-row melt)",
       (s, d) => t(s, d, "orders")
         .groupBy(col("o_orderpriority"))
         .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_value"),
