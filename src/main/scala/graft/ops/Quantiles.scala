@@ -68,15 +68,25 @@ object Quantiles {
       .filter(col("rank") >= col("below") && col("rank") < col("below") + col("cnt"))
       .select(col("g"), col("rank"), col("b"), (col("rank") - col("below")).as("local"))
       .localCheckpoint(true)
-    // pass 2: rank only the target buckets' rows (≈ n/buckets each)
+    // pass 2 over only the target buckets — but rank DISTINCT VALUES
+    // with cumulative counts, never rows: a tie-heavy bucket (a
+    // discrete column can drop 10% of the corpus on one value) would
+    // make a row_number partition corpus-sized, while its distinct
+    // values stay few. The order statistic at local index i is the
+    // value whose cumulative-count range contains i.
     val targetBuckets = targets.select(col("g"), col("b")).distinct()
-    val wLocal = Window.partitionBy(col("g"), col("b")).orderBy(col("v"))
-    val bucketRows = in.join(broadcast(stats), Seq("g"))
+    val valCounts = in.join(broadcast(stats), Seq("g"))
       .withColumn("b", bucketOf(col("v")))
       .join(broadcast(targetBuckets), Seq("g", "b"))
-      .withColumn("local", row_number().over(wLocal).cast("long") - 1)
-    val statValues = bucketRows
-      .join(broadcast(targets), Seq("g", "b", "local"))
+      .groupBy(col("g"), col("b"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val wVal = Window.partitionBy(col("g"), col("b")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val statValues = valCounts
+      .withColumn("vbelow", coalesce(sum(col("c")).over(wVal), lit(0L)))
+      .join(broadcast(targets), Seq("g", "b"))
+      .filter(col("local") >= col("vbelow") &&
+              col("local") < col("vbelow") + col("c"))
       .select(col("g"), col("rank"), col("v"))
     // interpolate: value(p) = lo + (k - ⌊k⌋) * (hi - lo); for integer k
     // the two rank branches resolve to the same row (lo == hi)

@@ -49,6 +49,19 @@ class QuantilesSpec extends SparkSpec {
         ("s", 0.0, 42.0), ("s", 0.5, 42.0), ("s", 1.0, 42.0),
         ("m", 0.0, 1.0), ("m", 0.5, 1.5), ("m", 1.0, 2.0)))
     }
+    it("tie-heavy discrete columns rank by distinct value, matching percentile exactly") {
+      // 100k rows over 7 distinct values: any row-ranking pass-2 would
+      // put ~14k rows in one window partition; value-ranking holds 7
+      val df = spark.range(100000).select(
+        lit("d").as("g"), ((col("id") * 31) % 7).cast("double").as("v"))
+      val got = Quantiles.exactQuantiles(df, "g", "v", Seq(0.1, 0.5, 0.9),
+                                         buckets = 8)
+        .select($"p", $"value").as[(Double, Double)].collect().toMap
+      val want = Seq(0.1, 0.5, 0.9).map { p =>
+        p -> df.agg(expr(s"percentile(v, $p)")).as[Double].head()
+      }.toMap
+      assert(got == want)
+    }
     it("never buffers the corpus: pass-2 window partitions are bucket-sized") {
       // structural check — the plan's only Window sits behind the
       // target-bucket semi-join, so its partitions hold ~n/B rows
