@@ -24,8 +24,15 @@ import org.apache.spark.sql.functions._
   */
 object Quantiles {
 
+  /** @param statsOpt optional precomputed per-group (group, n, mn, mx)
+    *   frame — groups' non-null counts and exact min/max. When the
+    *   input is a melt of a wide table, one no-Expand aggregate over
+    *   the wide form produces this and saves a whole corpus pass
+    *   (q119); table-metadata stats work too. Must agree exactly with
+    *   the data or bucket location breaks. */
   def exactQuantiles(df: DataFrame, groupCol: String, valCol: String,
-                     ps: Seq[Double], buckets: Int = 1024): DataFrame = {
+                     ps: Seq[Double], buckets: Int = 1024,
+                     statsOpt: Option[DataFrame] = None): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"quantile fractions must be in [0,1]: $ps")
     val in = df.select(col(groupCol).as("g"), col(valCol).as("v"))
@@ -35,8 +42,10 @@ object Quantiles {
     // once (they are ≤ groups×buckets rows) or every broadcast re-scans
     // and re-derives the corpus-sized input: measured 3.5 s → 1 s on
     // the q119 melt. The corpus itself is never checkpointed.
-    val stats = in.groupBy(col("g"))
-      .agg(count(lit(1)).as("n"), min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val stats = statsOpt
+      .map(_.select(col(groupCol).as("g"), col("n"), col("mn"), col("mx")))
+      .getOrElse(in.groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), min(col("v")).as("mn"), max(col("v")).as("mx")))
       .localCheckpoint(true)
     // bucket id: equal-width over [mn, mx]; constant groups (mx == mn)
     // collapse to bucket 0. The expression is shared by both passes so

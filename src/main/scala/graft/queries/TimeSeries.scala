@@ -190,15 +190,28 @@ object TimeSeries {
       (s, d) => {
         // NOT checkpointed: re-running the cheap Expand per pass measured
         // FASTER (2.07 s) than materializing the 2.4M-row melt (2.96 s)
-        val long = t(s, d, "lineitem")
-          .select(col("l_quantity"), col("l_extendedprice"),
-                  col("l_discount"), col("l_tax"))
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val wide = t(s, d, "lineitem").select(cols.map(col): _*)
+        val long = wide
           .unpivot(Array.empty[org.apache.spark.sql.Column],
-                   Array(col("l_quantity"), col("l_extendedprice"),
-                         col("l_discount"), col("l_tax")),
-                   "metric", "val")
+                   cols.map(col).toArray, "metric", "val")
+        // group stats for the quantile pass come from ONE no-Expand
+        // aggregate over the wide table (count/min/max per column),
+        // reshaped to long — saves a whole melt pass vs deriving them
+        // from the long form
+        val wideStats = wide
+          .agg(count(cols.head), cols.tail.map(c => count(col(c))) ++
+               cols.map(c => min(col(c))) ++ cols.map(c => max(col(c))): _*)
+          .select(explode(array(cols.zipWithIndex.map { case (c, i) =>
+            struct(lit(c).as("metric"),
+                   col(s"count($c)").as("n"),
+                   col(s"min($c)").as("mn"),
+                   col(s"max($c)").as("mx"))
+          }: _*)).as("s"))
+          .select(col("s.metric"), col("s.n"), col("s.mn"), col("s.mx"))
         val stats = graft.ops.Quantiles
-          .exactQuantiles(long, "metric", "val", Seq(0.25, 0.5, 0.75))
+          .exactQuantiles(long, "metric", "val", Seq(0.25, 0.5, 0.75),
+                          statsOpt = Some(wideStats))
           .groupBy(col("metric"))
           .agg(round(max(when(col("p") === 0.25, col("value"))), 4).as("q1"),
                round(max(when(col("p") === 0.5, col("value"))), 4).as("med"),

@@ -62,6 +62,18 @@ class QuantilesSpec extends SparkSpec {
       }.toMap
       assert(got == want)
     }
+    it("precomputed stats (statsOpt) produce identical results to the derived pass") {
+      val df = Seq(("a", 1.0), ("a", 9.0), ("a", 5.0), ("b", 2.0), ("b", 4.0))
+        .toDF("g", "v")
+      val stats = df.groupBy($"g")
+        .agg(count($"v").as("n"), min($"v").as("mn"), max($"v").as("mx"))
+      val derived = Quantiles.exactQuantiles(df, "g", "v", Seq(0.5, 0.75), buckets = 4)
+        .collect().map(_.toString).sorted.toSeq
+      val supplied = Quantiles.exactQuantiles(df, "g", "v", Seq(0.5, 0.75), buckets = 4,
+                                              statsOpt = Some(stats))
+        .collect().map(_.toString).sorted.toSeq
+      assert(derived == supplied)
+    }
     it("never buffers the corpus: pass-2 window partitions are bucket-sized") {
       // structural check — the plan's only Window sits behind the
       // target-bucket semi-join, so its partitions hold ~n/B rows
