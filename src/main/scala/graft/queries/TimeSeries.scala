@@ -124,7 +124,7 @@ object TimeSeries {
                   lead(unix_micros(col("vf")), 1).over(wRun).as("valid_to_us"),
                   col("n_events"))
       },
-      Some("""WITH g AS (SELECT user_id, ts, event_id, event_type, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events), m AS (SELECT *, CASE WHEN prev_type IS NULL OR prev_type <> event_type THEN 1 ELSE 0 END AS chg FROM g), r AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM m), a AS (SELECT user_id, run, MAX(event_type) AS event_type, MIN(ts) AS vf, CAST(COUNT(*) AS BIGINT) AS n_events FROM r GROUP BY 1, 2) SELECT user_id, run, event_type, epoch_us(vf) AS valid_from_us, lead(epoch_us(vf)) OVER (PARTITION BY user_id ORDER BY run) AS valid_to_us, n_events FROM a""")),
+      Some("""WITH g AS (SELECT user_id, ts, event_id, event_type, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events), m AS (SELECT *, CASE WHEN prev_type IS NULL OR prev_type <> event_type THEN 1 ELSE 0 END AS chg FROM g), r AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM m), a AS (SELECT user_id, run, MAX(event_type) AS event_type, MIN(ts) AS vf, CAST(COUNT(*) AS BIGINT) AS n_events FROM r GROUP BY 1, 2) SELECT user_id, CAST(run AS BIGINT) AS run, event_type, epoch_us(vf) AS valid_from_us, lead(epoch_us(vf)) OVER (PARTITION BY user_id ORDER BY run) AS valid_to_us, n_events FROM a""")),
 
     QueryDef("q117_interval_overlap_join",
       "interval-OVERLAP join (completing q55's point-in-interval range join): per user, every (view-session, purchase-session) pair whose closed intervals overlap, with the total overlap duration in µs. Both session sets come from the q19 lag+cumsum sessionizer (12 h gap — long enough that per-user intervals genuinely span and overlap; the 30 min tier is q19's) on filtered event subsets; the pair stage is a user_id equi-join whose per-key cardinality is BOUNDED (sessions per user per type, ~dozens) so the quadratic is per-key-bounded, then the overlap predicate filters and exact integer µs arithmetic sums the durations. Every stage — both sessionizers, the join, the final aggregate — keys on user_id: ONE partitioning end to end",
