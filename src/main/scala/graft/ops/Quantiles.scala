@@ -1,8 +1,11 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructField, StructType}
 
 /** Distributed EXACT interpolated quantiles via two-pass histogram
   * refinement — the scale path for what Spark's `percentile` aggregate
@@ -16,55 +19,290 @@ import org.apache.spark.sql.functions._
   * ONLY rows in those target buckets (≈ n/B rows per stat), ranks them
   * with a window whose partitions are bucket-sized, and interpolates.
   * Both passes shuffle on the group key; the histogram and target-set
-  * tables are grid-sized and broadcast.
+  * tables are grid-sized (≤ groups × buckets).
+  *
+  * The grid frames were ALWAYS driver-bounded — the distributed form
+  * broadcasts them, which presumes they fit on the driver. So when the
+  * group count is at most [[MaxDriverGroups]], the planning half runs
+  * ON the driver instead: collect the stats and histogram aggregates
+  * (two jobs), locate every order statistic's bucket in plain Scala,
+  * and re-enter Spark with LOCAL relations for the stats / target
+  * tables — a LocalTableScan broadcast builds on the driver thread
+  * without scheduling a job, collapsing the 6-stage broadcast chain
+  * (stats ⇒ hist ⇒ cum ⇒ targets ⇒ pass 2 ⇒ interpolate, each a
+  * query-stage barrier under AQE) to 3 jobs. Above the cap the fully
+  * distributed chain runs — same algorithm, same arithmetic, same
+  * results, just without the driver shortcut.
   *
   * Result: (group, p, value) with `percentile`/`quantile_cont`
-  * interpolation semantics — lo + (k − ⌊k⌋)·(hi − lo) on the two
-  * neighboring order statistics.
+  * interpolation semantics. The interpolation is computed EXACTLY as
+  * DuckDB's continuous Interpolator does —
+  * `lo·(⌈k⌉−k) + hi·(k−⌊k⌋)`, with integer k returning lo directly —
+  * NOT the algebraically-equal `lo + (k−⌊k⌋)·(hi−lo)`: the two differ
+  * in double low bits (measured on events.value p=0.25/0.99), and the
+  * driver's hash compare needs bit equality against `quantile_cont`.
+  *
+  * Two entry points sharing the refinement core:
+  *  - [[exactQuantiles]]: over raw rows; per-group state is B counters,
+  *    the corpus is scanned twice — the default at unbounded value
+  *    cardinality (continuous doubles at 100 TB).
+  *  - [[exactQuantilesFromCounts]]: over a pre-aggregated
+  *    (group, value, count) frame; ZERO corpus passes here, and a
+  *    caller that needs other value-level stats amortizes the one
+  *    groupBy(group, value) pass across all of them (q119 computes its
+  *    quantiles AND its final scaled aggregates from one such frame).
+  *    State is distinct-values-sized — use when the value domain is
+  *    discrete (prices, counts, grades), not for continuous doubles.
   */
 object Quantiles {
+
+  /** Group-count ceiling for driver-side bucket planning. Collected
+    * driver state under the cap is ≤ cap × buckets histogram rows —
+    * strictly less than what the distributed form would broadcast for
+    * the same input, so this adds no new scale assumption. */
+  val MaxDriverGroups = 4096
+
+  /** Row ceiling for finishing pass 2 on the driver. The histogram
+    * PROVES the bound before any collect happens (each target bucket
+    * holds at most its cnt distinct values); above it, the bucket-local
+    * window ranks distributedly. ~24 MB of (value, count) pairs. */
+  val MaxDriverPass2Rows: Long = 1L << 20
 
   /** @param statsOpt optional precomputed per-group (group, n, mn, mx)
     *   frame — groups' non-null counts and exact min/max. When the
     *   input is a melt of a wide table, one no-Expand aggregate over
-    *   the wide form produces this and saves a whole corpus pass
-    *   (q119); table-metadata stats work too. Must agree exactly with
-    *   the data or bucket location breaks. */
+    *   the wide form produces this and saves a whole corpus pass;
+    *   table-metadata stats work too. Must agree exactly with the data
+    *   or bucket location breaks. */
   def exactQuantiles(df: DataFrame, groupCol: String, valCol: String,
                      ps: Seq[Double], buckets: Int = 1024,
-                     statsOpt: Option[DataFrame] = None): DataFrame = {
+                     statsOpt: Option[DataFrame] = None,
+                     maxDriverGroups: Int = MaxDriverGroups): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"quantile fractions must be in [0,1]: $ps")
     val in = df.select(col(groupCol).as("g"), col(valCol).as("v"))
       .filter(col("v").isNotNull)
-    // the grid-sized intermediates (group stats, histogram cumsums,
-    // rank targets) are each REUSED by later stages — materialize them
-    // once (they are ≤ groups×buckets rows) or every broadcast re-scans
-    // and re-derives the corpus-sized input: measured 3.5 s → 1 s on
-    // the q119 melt. The corpus itself is never checkpointed.
-    val stats = statsOpt
+    val statsDf = statsOpt
       .map(_.select(col(groupCol).as("g"), col("n"), col("mn"), col("mx")))
       .getOrElse(in.groupBy(col("g"))
         .agg(count(lit(1)).as("n"), min(col("v")).as("mn"), max(col("v")).as("mx")))
-      .localCheckpoint(true)
-    // bucket id: equal-width over [mn, mx]; constant groups (mx == mn)
-    // collapse to bucket 0. The expression is shared by both passes so
-    // assignment is bit-identical.
-    def bucketOf(v: Column): Column =
-      when(col("mx") > col("mn"),
-        least(lit(buckets - 1),
-          floor((v - col("mn")) / ((col("mx") - col("mn")) / buckets))
-            .cast("int")))
-        .otherwise(lit(0))
-    val hist = in.join(broadcast(stats), Seq("g"))
-      .groupBy(col("g"), bucketOf(col("v")).as("b"))
-      .agg(count(lit(1)).as("cnt"))
+    driverPlanned(in.sparkSession, statsDf, ps, buckets, groupCol, maxDriverGroups)(
+      localStats => in.join(broadcast(localStats), Seq("g"))
+        .groupBy(col("g"), bucketOf(col("v"), buckets).as("b"))
+        .agg(count(lit(1)).as("cnt")),
+      (localStats, targetBuckets) =>
+        // pass 2 over only the target buckets — but rank DISTINCT
+        // VALUES with cumulative counts, never rows: a tie-heavy bucket
+        // (a discrete column can drop 10% of the corpus on one value)
+        // would make a row_number partition corpus-sized, while its
+        // distinct values stay few.
+        in.join(broadcast(localStats), Seq("g"))
+          .withColumn("b", bucketOf(col("v"), buckets))
+          .join(broadcast(targetBuckets), Seq("g", "b"))
+          .groupBy(col("g"), col("b"), col("v"))
+          .agg(count(lit(1)).as("c"))
+    ).getOrElse {
+      // > MaxDriverGroups: fully distributed chain. The stats frame is
+      // corpus-derived here, so materialize it once — every broadcast
+      // otherwise re-scans and re-derives the corpus-sized input
+      // (measured 3.5 s → 1 s on the q119 melt).
+      val stats = statsDf.localCheckpoint(true)
+      val hist = in.join(broadcast(stats), Seq("g"))
+        .groupBy(col("g"), bucketOf(col("v"), buckets).as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      refine(stats, hist, ps, groupCol) { targetBuckets =>
+        in.join(broadcast(stats), Seq("g"))
+          .withColumn("b", bucketOf(col("v"), buckets))
+          .join(broadcast(targetBuckets), Seq("g", "b"))
+          .groupBy(col("g"), col("b"), col("v"))
+          .agg(count(lit(1)).as("c"))
+      }
+    }
+  }
+
+  /** Quantiles from a pre-aggregated value-counts frame: one row per
+    * (group, value) with its row count. No corpus access at all — both
+    * the histogram and the target-bucket ranking re-aggregate `vc`,
+    * which the caller should `localCheckpoint` if it was expensive to
+    * build. Null values are ignored (as in [[exactQuantiles]]).
+    *
+    * @param vc one row per (groupCol, valCol) — MUST be pre-aggregated;
+    *   duplicate (group, value) rows would double-count
+    * @param cntCol the row-count column of `vc` */
+  def exactQuantilesFromCounts(vc: DataFrame, groupCol: String, valCol: String,
+                               cntCol: String, ps: Seq[Double],
+                               buckets: Int = 1024,
+                               statsOpt: Option[DataFrame] = None,
+                               maxDriverGroups: Int = MaxDriverGroups): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"quantile fractions must be in [0,1]: $ps")
+    val in = vc.select(col(groupCol).as("g"), col(valCol).as("v"),
+        col(cntCol).cast("long").as("c"))
+      .filter(col("v").isNotNull)
+    val statsDf = statsOpt
+      .map(_.select(col(groupCol).as("g"), col("n"), col("mn"), col("mx")))
+      .getOrElse(in.groupBy(col("g"))
+        .agg(sum(col("c")).as("n"), min(col("v")).as("mn"), max(col("v")).as("mx")))
+    def withB(localStats: DataFrame) = in.join(broadcast(localStats), Seq("g"))
+      .withColumn("b", bucketOf(col("v"), buckets))
+    driverPlanned(vc.sparkSession, statsDf, ps, buckets, groupCol, maxDriverGroups)(
+      localStats => withB(localStats).groupBy(col("g"), col("b"))
+        .agg(sum(col("c")).as("cnt")),
+      (localStats, targetBuckets) =>
+        // vc is already one row per (g, v) with its count — restricting
+        // to the target buckets is a semi-join, no re-aggregation
+        withB(localStats).join(broadcast(targetBuckets), Seq("g", "b"))
+          .select(col("g"), col("b"), col("v"), col("c"))
+    ).getOrElse {
+      val stats = statsDf
+      val hist = withB(stats).groupBy(col("g"), col("b")).agg(sum(col("c")).as("cnt"))
+      refine(stats, hist, ps, groupCol) { targetBuckets =>
+        withB(stats).join(broadcast(targetBuckets), Seq("g", "b"))
+          .select(col("g"), col("b"), col("v"), col("c"))
+      }
+    }
+  }
+
+  /** bucket id: equal-width over [mn, mx]; constant groups (mx == mn)
+    * collapse to bucket 0. Callers use the same expression for both
+    * passes so assignment is bit-identical. Expects joined stats
+    * columns mn/mx in scope. */
+  private def bucketOf(v: Column, buckets: Int): Column =
+    when(col("mx") > col("mn"),
+      least(lit(buckets - 1),
+        floor((v - col("mn")) / ((col("mx") - col("mn")) / buckets))
+          .cast("int")))
+      .otherwise(lit(0))
+
+  /** The order statistics every requested p needs: k = (n−1)·p, ranks
+    * ⌊k⌋ and ⌈k⌉. Pure per-group arithmetic — identical whether run in
+    * Catalyst or on the driver (plain IEEE multiply of exact longs). */
+  private def neededRanks(n: Long, ps: Seq[Double]): Seq[(Double, Double, Long)] =
+    ps.flatMap { p =>
+      val k = (n - 1).toDouble * p
+      Seq((p, k, math.floor(k).toLong), (p, k, math.ceil(k).toLong))
+    }
+
+  /** Driver-side planning path: collect the grid-sized stats and
+    * histogram aggregates, locate each order statistic's bucket in
+    * plain Scala, and run ONE final distributed job whose broadcast
+    * sides are all local relations (no broadcast-build jobs). Returns
+    * None when the group count exceeds [[MaxDriverGroups]] — the one
+    * extra cost of that probe is the stats aggregation job, which the
+    * fallback would have run anyway (for the FromCounts path it is a
+    * scan of the caller's checkpointed counts frame). */
+  private def driverPlanned(session: SparkSession, statsDf: DataFrame,
+                            ps: Seq[Double], buckets: Int, groupCol: String,
+                            maxDriverGroups: Int)(
+                            histOf: DataFrame => DataFrame,
+                            pass2: (DataFrame, DataFrame) => DataFrame)
+      : Option[DataFrame] = {
+    val statsRows = statsDf.collect()                              // job 1
+    if (statsRows.length > maxDriverGroups) return None
+    val statsSchema = statsDf.schema
+    val localStats = session.createDataFrame(statsRows.toSeq.asJava, statsSchema)
+    val histRows = histOf(localStats).collect()                    // job 2
+    // running "rows below bucket b" per group, in bucket order (absent
+    // buckets contribute nothing, exactly like the window cumsum)
+    val histByG = histRows.groupBy(_.get(0)).map { case (g, rows) =>
+      var below = 0L
+      g -> rows.sortBy(_.getInt(1)).map { r =>
+        val cnt = r.getLong(2); val lo = below; below += cnt
+        (r.getInt(1), lo, cnt)
+      }
+    }
+    val gType = statsSchema("g").dataType
+    // n ≤ 0 (possible only via a degenerate statsOpt) yields no rows for
+    // that group — mirrors the distributed chain, where its negative
+    // ranks match no bucket and drop out in the targets join
+    val needsRows = statsRows.filter(_.getAs[Number]("n").longValue > 0).flatMap { sr =>
+      val n = sr.getAs[Number]("n").longValue
+      neededRanks(n, ps).map { case (p, k, rank) => Row(sr.get(0), p, k, rank) }
+    }
+    // locate each needed rank's bucket: below <= rank < below + cnt
+    val targetRows = needsRows.map(r => (r.get(0), r.getLong(3))).distinct.map {
+      case (g, rank) =>
+        val (b, below, _) = histByG.getOrElse(g, Array.empty[(Int, Long, Long)])
+          .find { case (_, lo, cnt) => rank >= lo && rank < lo + cnt }
+          .getOrElse(throw new IllegalStateException(
+            s"rank $rank of group $g not covered by histogram — stats disagree with data"))
+        Row(g, rank, b, rank - below)
+    }
+    val targets = session.createDataFrame(targetRows.toSeq.asJava, StructType(Seq(
+      StructField("g", gType), StructField("rank", LongType, nullable = false),
+      StructField("b", IntegerType, nullable = false),
+      StructField("local", LongType, nullable = false))))
+    val targetBuckets = targets.select(col("g"), col("b")).distinct()
+    val vcDf = pass2(localStats, targetBuckets)
+    // The histogram tells the driver EXACTLY how many rows pass 2 can
+    // produce (each target bucket's cnt bounds its distinct values), so
+    // the collect-vs-distribute choice is made from facts already in
+    // hand, not a guess: small target buckets → collect them and finish
+    // ranking + interpolation here (one scan job, zero exchanges);
+    // large → the distributed window path. Long/decimal values skip the
+    // driver finish (their ordering must not round-trip through double).
+    val pass2Bound = targetRows.map(r => (r.get(0), r.getInt(2))).distinct.map {
+      case (g, b) => histByG(g).collectFirst { case (`b`, _, cnt) => cnt }.getOrElse(0L)
+    }.sum
+    val driverSafeValues = vcDf.schema("v").dataType match {
+      case DoubleType | FloatType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    if (driverSafeValues && pass2Bound <= MaxDriverPass2Rows) {
+      val byGB = vcDf.collect()                                    // job 3
+        .groupBy(r => (r.get(0), r.getInt(1)))
+        .map { case (k, rows) =>
+          k -> rows.map(r => (r.getAs[Number](2).doubleValue, r.getLong(3)))
+                   .sortBy(_._1)
+        }
+      val statValue = targetRows.map { t =>
+        val key = (t.get(0), t.getInt(2)); val local = t.getLong(3)
+        val vals = byGB.getOrElse(key, Array.empty[(Double, Long)])
+        var below = 0L; var i = 0; var found: Option[Double] = None
+        while (found.isEmpty && i < vals.length) {
+          val (v, c) = vals(i)
+          if (local >= below && local < below + c) found = Some(v)
+          below += c; i += 1
+        }
+        (t.get(0), t.getLong(1)) -> found.getOrElse(
+          throw new IllegalStateException(
+            s"order statistic ${t.getLong(1)} of group ${t.get(0)} missing from pass 2"))
+      }.toMap
+      // interpolate with the same IEEE arithmetic the Catalyst
+      // expression uses (see object doc) — plain JVM doubles either way
+      val resRows = needsRows.map(r => (r.get(0), r.getDouble(1), r.getDouble(2)))
+        .distinct.map { case (g, p, k) =>
+          val fl = math.floor(k); val ce = math.ceil(k)
+          val lo = statValue((g, fl.toLong))
+          val v = if (fl == ce) lo
+                  else lo * (ce - k) + statValue((g, ce.toLong)) * (k - fl)
+          Row(g, p, v)
+        }
+      Some(session.createDataFrame(resRows.toSeq.asJava, StructType(Seq(
+        StructField(groupCol, gType), StructField("p", DoubleType, nullable = false),
+        StructField("value", DoubleType)))))
+    } else {
+      val needs = session.createDataFrame(needsRows.toSeq.asJava, StructType(Seq(
+        StructField("g", gType), StructField("p", DoubleType, nullable = false),
+        StructField("k", DoubleType, nullable = false),
+        StructField("rank", LongType, nullable = false))))
+      Some(interpolate(needs, targets, vcDf, groupCol))
+    }
+  }
+
+  /** Shared distributed refinement (the > MaxDriverGroups path): locate
+    * each needed order statistic's bucket through the histogram cumsum,
+    * rank the target buckets' distinct values by cumulative count via
+    * `pass2` (which receives the grid-sized (g, b) target-bucket
+    * frame), and interpolate. */
+  private def refine(stats: DataFrame, hist: DataFrame, ps: Seq[Double],
+                     groupCol: String)
+                    (pass2: DataFrame => DataFrame): DataFrame = {
     val wCum = Window.partitionBy(col("g")).orderBy(col("b"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // cum feeds exactly one consumer (the targets join) — a checkpoint
+    // here would cost a materialization job and save nothing
     val cum = hist.withColumn("below", coalesce(sum(col("cnt")).over(wCum), lit(0L)))
-      .localCheckpoint(true)
-    // the order statistics every requested p needs: k = (n-1)p, ranks
-    // ⌊k⌋ and ⌈k⌉ (distinct-aggregated — p=0.5 and p=1 may share ranks)
     val needs = stats.select(col("g"), col("n"),
         explode(array(ps.map(lit(_)): _*)).as("p"))
       .withColumn("k", (col("n") - 1).cast("double") * col("p"))
@@ -77,18 +315,18 @@ object Quantiles {
       .filter(col("rank") >= col("below") && col("rank") < col("below") + col("cnt"))
       .select(col("g"), col("rank"), col("b"), (col("rank") - col("below")).as("local"))
       .localCheckpoint(true)
-    // pass 2 over only the target buckets — but rank DISTINCT VALUES
-    // with cumulative counts, never rows: a tie-heavy bucket (a
-    // discrete column can drop 10% of the corpus on one value) would
-    // make a row_number partition corpus-sized, while its distinct
-    // values stay few. The order statistic at local index i is the
-    // value whose cumulative-count range contains i.
     val targetBuckets = targets.select(col("g"), col("b")).distinct()
-    val valCounts = in.join(broadcast(stats), Seq("g"))
-      .withColumn("b", bucketOf(col("v")))
-      .join(broadcast(targetBuckets), Seq("g", "b"))
-      .groupBy(col("g"), col("b"), col("v"))
-      .agg(count(lit(1)).as("c"))
+    interpolate(needs, targets, pass2(targetBuckets), groupCol)
+  }
+
+  /** Rank the target buckets' distinct values by cumulative count, pick
+    * each needed order statistic, and interpolate (see object doc for
+    * the exact arithmetic). `valCounts` is (g, b, v, c) restricted to
+    * target buckets; `targets`/`needs` are grid-sized. */
+  private def interpolate(needs: DataFrame, targets: DataFrame,
+                          valCounts: DataFrame, groupCol: String): DataFrame = {
+    // the order statistic at local index i is the value whose
+    // cumulative-count range contains i
     val wVal = Window.partitionBy(col("g"), col("b")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val statValues = valCounts
@@ -97,14 +335,17 @@ object Quantiles {
       .filter(col("local") >= col("vbelow") &&
               col("local") < col("vbelow") + col("c"))
       .select(col("g"), col("rank"), col("v"))
-    // interpolate: value(p) = lo + (k - ⌊k⌋) * (hi - lo); for integer k
-    // the two rank branches resolve to the same row (lo == hi)
+    // interpolate with DuckDB's exact arithmetic (see object doc):
+    // integer k → lo; else lo·(⌈k⌉−k) + hi·(k−⌊k⌋). For integer k the
+    // two rank branches resolve to the same row (lo == hi).
     needs.join(statValues, Seq("g", "rank"))
       .groupBy(col("g"), col("p"), col("k"))
       .agg(max(when(col("rank") === floor(col("k")).cast("long"), col("v"))).as("lo"),
            max(when(col("rank") === ceil(col("k")).cast("long"), col("v"))).as("hi"))
       .select(col("g").as(groupCol), col("p"),
-        (col("lo") + (col("k") - floor(col("k"))) * (col("hi") - col("lo")))
+        when(floor(col("k")) === ceil(col("k")), col("lo"))
+          .otherwise(col("lo") * (ceil(col("k")) - col("k")) +
+                     col("hi") * (col("k") - floor(col("k"))))
           .as("value"))
   }
 }

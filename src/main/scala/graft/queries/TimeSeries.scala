@@ -5,7 +5,7 @@ import graft.ops.Num._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-/** Time-series + reshape/monitoring operators (q109–q119) — the
+/** Time-series + reshape/monitoring operators (q109–q120) — the
   * gap-fill / bar-aggregation / time-weighting / drift family a
   * market-data or metrics pipeline runs (the reference's domain is DEX
   * pool snapshots: `main.py`'s hourly loop IS a resample; these are the
@@ -186,47 +186,43 @@ object TimeSeries {
       Some("""WITH w AS (SELECT DISTINCT date_trunc('hour', ts) - to_hours(i) AS ws FROM events, range(6) t(i)) SELECT epoch_us(ws) AS window_start_us, event_type, CAST(count(*) AS BIGINT) AS n_events, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS value_sum FROM w JOIN events e ON e.ts >= ws AND e.ts < ws + INTERVAL 6 HOUR GROUP BY 1, 2""")),
 
     QueryDef("q119_robust_scaling",
-      "robust feature scaling (median/IQR — the outlier-immune standardizer ML preprocessing uses over min-max): lineitem's four charge columns melt to long form (q112's Expand), per-metric EXACT interpolated quartiles compute through the two-pass histogram refinement (ops.Quantiles — per-group state is 1024 counters, pass 2 ranks only the ~n/1024-row target buckets; NEVER the q41 buffer-every-value aggregate, which measured 3.8 s vs 2.1 s on the 2.4M-row melt) and BROADCAST back to the row stream — scaling is then map-only IEEE arithmetic — and the result reports per-metric scaled stats + |scaled|>3 outlier counts through the exact-decimal sum. Wall-clock is four inherently-linear corpus passes (group stats, histogram, target-bucket rank, scale) — each a map+bounded-aggregate that parallelizes perfectly, the honest price of EXACT quantiles at open scale. Quartiles round to 4 dp before use (interpolation ulp parity, the q41 recipe); safeDiv guards degenerate zero-IQR metrics to null (both engines agree via NULLIF)",
+      "robust feature scaling (median/IQR — the outlier-immune standardizer ML preprocessing uses over min-max): lineitem's four charge columns melt to long form (q112's Expand) and collapse in ONE corpus pass to a (metric, value, count) distinct-values table — the charge domain is discrete (prices/quantities on a grid: ~470k distinct values vs the 2.4M-row melt at sf0.1), so this is the exactQuantilesFromCounts regime and EVERY later stage reads the small counts table, zero further corpus passes: per-metric EXACT interpolated quartiles via the histogram-refinement core (NEVER the q41 buffer-every-value aggregate), then the scaled stats themselves — n as Σc, the exact-decimal sum as Σ decimal(scaled)·c (decimal·integer multiplication is exact, so it equals summing c identical rows), outliers as Σc over |scaled|>3 — all from the same checkpointed frame. Replaces round-8's four-corpus-pass shape (group stats, histogram, target rank, scale) with one pass + counts-table stages, unchanged hashes; measured 1.93 s → 1.53 s at sf0.1 (the residual is the melt-groupBy materialization ~0.7 s plus four bounded jobs over the 583k-row counts table — l_extendedprice is 97% distinct, so vc barely compresses; a column with a real grid compresses 1000× and the counts stages vanish). Quartiles round to 4 dp before use (interpolation ulp parity, the q41 recipe); safeDiv guards degenerate zero-IQR metrics to null (both engines agree via NULLIF)",
       (s, d) => {
-        // NOT checkpointed: re-running the cheap Expand per pass measured
-        // FASTER (2.07 s) than materializing the 2.4M-row melt (2.96 s)
         val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-        val wide = t(s, d, "lineitem").select(cols.map(col): _*)
-        val long = wide
+        val long = t(s, d, "lineitem").select(cols.map(col): _*)
           .unpivot(Array.empty[org.apache.spark.sql.Column],
                    cols.map(col).toArray, "metric", "val")
-        // group stats for the quantile pass come from ONE no-Expand
-        // aggregate over the wide table (count/min/max per column),
-        // reshaped to long — saves a whole melt pass vs deriving them
-        // from the long form
-        val wideStats = wide
-          .agg(count(cols.head), cols.tail.map(c => count(col(c))) ++
-               cols.map(c => min(col(c))) ++ cols.map(c => max(col(c))): _*)
-          .select(explode(array(cols.zipWithIndex.map { case (c, i) =>
-            struct(lit(c).as("metric"),
-                   col(s"count($c)").as("n"),
-                   col(s"min($c)").as("mn"),
-                   col(s"max($c)").as("mx"))
-          }: _*)).as("s"))
-          .select(col("s.metric"), col("s.n"), col("s.mn"), col("s.mx"))
+        // the ONE corpus pass; checkpointed because the quantile stages
+        // and the final stats all re-read it
+        val vc = long.groupBy(col("metric"), col("val"))
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint(true)
         val stats = graft.ops.Quantiles
-          .exactQuantiles(long, "metric", "val", Seq(0.25, 0.5, 0.75),
-                          statsOpt = Some(wideStats))
+          .exactQuantilesFromCounts(vc, "metric", "val", "c", Seq(0.25, 0.5, 0.75))
           .groupBy(col("metric"))
           .agg(round(max(when(col("p") === 0.25, col("value"))), 4).as("q1"),
                round(max(when(col("p") === 0.5, col("value"))), 4).as("med"),
                round(max(when(col("p") === 0.75, col("value"))), 4).as("q3"))
-        val scaled = long.join(broadcast(stats), Seq("metric"))
+        val scaled = vc.join(broadcast(stats), Seq("metric"))
           .withColumn("scaled",
             graft.ops.Num.safeDiv(col("val") - col("med"), col("q3") - col("q1")))
         scaled.groupBy(col("metric"))
-          .agg(lcount(lit(1)).as("n"),
+          .agg(sum(col("c")).cast("long").as("n"),
                min(col("scaled")).as("scaled_min"),
                max(col("scaled")).as("scaled_max"),
-               dsum(col("scaled")).as("scaled_sum"),
-               count(when(abs(col("scaled")) > 3, 1)).cast("long").as("n_outliers"))
+               sum(col("scaled").cast(graft.ops.Num.D) * col("c")).cast("double")
+                 .as("scaled_sum"),
+               coalesce(sum(when(abs(col("scaled")) > 3, col("c"))), lit(0L))
+                 .cast("long").as("n_outliers"))
       },
       Some("""WITH long AS (SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem UNION ALL SELECT 'l_discount', l_discount FROM lineitem UNION ALL SELECT 'l_tax', l_tax FROM lineitem), st AS (SELECT metric, ROUND(quantile_cont(val, 0.25), 4) AS q1, ROUND(quantile_cont(val, 0.5), 4) AS med, ROUND(quantile_cont(val, 0.75), 4) AS q3 FROM long GROUP BY 1), sc AS (SELECT l.metric, (val - med) / NULLIF(q3 - q1, 0) AS scaled FROM long l JOIN st USING (metric)) SELECT metric, CAST(count(*) AS BIGINT) AS n, MIN(scaled) AS scaled_min, MAX(scaled) AS scaled_max, CAST(SUM(CAST(scaled AS DECIMAL(38,6))) AS DOUBLE) AS scaled_sum, CAST(count(*) FILTER (WHERE abs(scaled) > 3) AS BIGINT) AS n_outliers FROM sc GROUP BY 1""")),
+
+    QueryDef("q120_exact_quantiles",
+      "distributed EXACT interpolated quantiles as a first-class operator (ops.Quantiles.exactQuantiles — the two-pass histogram refinement whose per-group state is 1024 counters and whose pass 2 ranks only the target buckets' DISTINCT VALUES; q41's `percentile` buffers every group value in aggregation state, the declared anti-pattern at 100 TB, and q54's approx_percentile trades exactness away): five quantiles (p1/q1/median/q3/p99) of events.value per event_type. Output is UNROUNDED doubles — possible because the interpolation arithmetic mirrors DuckDB's continuous interpolator bit-for-bit: lo·(⌈k⌉−k) + hi·(k−⌊k⌋) with the integer-k branch returning lo, NOT the algebraically-equal lo+(k−⌊k⌋)·(hi−lo), which drifts in the last ulp (measured on this very table at p=0.25/0.99). Scale: two corpus passes, each map + grid-sized aggregate; no window ever sees more than one bucket's distinct values; stats/histogram/target frames are broadcast",
+      (s, d) => graft.ops.Quantiles.exactQuantiles(
+        t(s, d, "events").select(col("event_type"), col("value")),
+        "event_type", "value", Seq(0.01, 0.25, 0.5, 0.75, 0.99)),
+      Some("""SELECT event_type, CAST(0.01 AS DOUBLE) AS p, quantile_cont(value, 0.01) AS value FROM events GROUP BY 1 UNION ALL SELECT event_type, CAST(0.25 AS DOUBLE), quantile_cont(value, 0.25) FROM events GROUP BY 1 UNION ALL SELECT event_type, CAST(0.5 AS DOUBLE), quantile_cont(value, 0.5) FROM events GROUP BY 1 UNION ALL SELECT event_type, CAST(0.75 AS DOUBLE), quantile_cont(value, 0.75) FROM events GROUP BY 1 UNION ALL SELECT event_type, CAST(0.99 AS DOUBLE), quantile_cont(value, 0.99) FROM events GROUP BY 1""")),
 
     QueryDef("q112_unpivot",
       "UNPIVOT/melt (the inverse of q40's pivot, completing the reshape family): lineitem's four per-line charge columns melted to (metric, val) long form — the feature-long layout ML preprocessing wants — then per-metric count/exact-decimal-sum/min/max over the melted rows (the canonical melt->aggregate usage; aggregating also keeps both engines' bench outputs small instead of timing a 2.4M-row result fetch). Spark's native unpivot is a map-side Expand (one pass, rowsx4, no join); the only shuffle is the 4-key metric aggregate, against a portable UNION ALL oracle",

@@ -241,7 +241,22 @@ class PlanSpec extends SparkSpec {
     it("q119 scaling broadcasts the quartile cutoffs back — the row stream never re-shuffles for them") {
       val p = planOf("q119_robust_scaling")
       assert(p.contains("BroadcastHashJoin"), s"cutoffs must broadcast:\n$p")
-      assert(p.contains("Expand"), s"expected the melt Expand:\n$p")
+      // the melt collapsed into the checkpointed value-counts table
+      // before this plan begins — the final stage reads the counts
+      // RDD, never the corpus (and so carries no Expand of its own)
+      assert(p.contains("Scan ExistingRDD"), s"expected the counts checkpoint:\n$p")
+      assert(!p.contains("Expand"), s"corpus melt must not re-run in the final stage:\n$p")
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    }
+    it("q120 exact quantiles never uses the buffering percentile aggregate") {
+      // 5 groups → driver-planned path: the RESULT frame is a local
+      // relation (the refinement ran as collect jobs during
+      // construction, the histogram proving the collect bounds first).
+      // QuantilesSpec pins the >MaxDriverGroups distributed shape and
+      // its bit-equality with this path.
+      val p = planOf("q120_exact_quantiles")
+      assert(!p.contains("percentile"), s"must refine, not buffer:\n$p")
+      assert(p.contains("LocalTableScan"), s"expected the driver-planned local result:\n$p")
       assert(!p.contains("CartesianProduct"), s"plan:\n$p")
     }
     it("q112 unpivot expands map-side; only the 4-key metric aggregate shuffles") {

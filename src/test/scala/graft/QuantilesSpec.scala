@@ -74,13 +74,60 @@ class QuantilesSpec extends SparkSpec {
         .collect().map(_.toString).sorted.toSeq
       assert(derived == supplied)
     }
+    it("exactQuantilesFromCounts equals the corpus path on generated data") {
+      val gen = Gen.listOfN(400, for {
+        g <- Gen.oneOf("a", "b", "c")
+        v <- Gen.choose(0, 50).map(_ / 3.0) // deliberately tie-heavy
+      } yield (g, v))
+      forAllSamples(gen) { rows =>
+        val df = rows.toDF("g", "v")
+        val vc = df.groupBy($"g", $"v").agg(count(lit(1)).as("c"))
+        val fromRows = Quantiles.exactQuantiles(df, "g", "v",
+            Seq(0.1, 0.5, 0.9), buckets = 8)
+          .select($"g", $"p", $"value").as[(String, Double, Double)]
+          .collect().toSet
+        val fromCounts = Quantiles.exactQuantilesFromCounts(vc, "g", "v", "c",
+            Seq(0.1, 0.5, 0.9), buckets = 8)
+          .select($"g", $"p", $"value").as[(String, Double, Double)]
+          .collect().toSet
+        // bit-exact, no rounding: both paths pick identical order
+        // statistics and share the interpolation expression
+        assert(fromRows == fromCounts)
+      }
+    }
+    it("interpolates exactly like DuckDB's continuous interpolator") {
+      // hand-computed: [10, 20, 40] at p=0.25 → k=0.5, lo=10, hi=20 →
+      // 10·0.5 + 20·0.5 = 15; p=0.75 → k=1.5 → 20·0.5 + 40·0.5 = 30
+      val df = Seq(("x", 10.0), ("x", 20.0), ("x", 40.0)).toDF("g", "v")
+      val out = Quantiles.exactQuantiles(df, "g", "v", Seq(0.25, 0.75), buckets = 4)
+        .select($"p", $"value").as[(Double, Double)].collect().toMap
+      assert(out == Map(0.25 -> 15.0, 0.75 -> 30.0))
+    }
+    it("the distributed fallback equals the driver-planned path bit-for-bit") {
+      val gen = Gen.listOfN(300, for {
+        g <- Gen.oneOf("a", "b")
+        v <- Gen.choose(-50000, 50000).map(_ / 11.0)
+      } yield (g, v))
+      forAllSamples(gen) { rows =>
+        val df = rows.toDF("g", "v")
+        val planned = Quantiles.exactQuantiles(df, "g", "v", Seq(0.25, 0.5, 0.9))
+          .select($"g", $"p", $"value").as[(String, Double, Double)].collect().toSet
+        // maxDriverGroups = 0 forces the fully distributed chain
+        val distributed = Quantiles.exactQuantiles(df, "g", "v", Seq(0.25, 0.5, 0.9),
+            maxDriverGroups = 0)
+          .select($"g", $"p", $"value").as[(String, Double, Double)].collect().toSet
+        assert(planned == distributed)
+      }
+    }
     it("never buffers the corpus: pass-2 window partitions are bucket-sized") {
-      // structural check — the plan's only Window sits behind the
+      // structural check on the DISTRIBUTED chain (forced via
+      // maxDriverGroups = 0) — the plan's only Window sits behind the
       // target-bucket semi-join, so its partitions hold ~n/B rows
       val df = spark.range(10000).select(
         (col("id") % 3).cast("string").as("g"),
         (col("id") * 37 % 10007).cast("double").as("v"))
-      val p = Quantiles.exactQuantiles(df, "g", "v", Seq(0.5), buckets = 64)
+      val p = Quantiles.exactQuantiles(df, "g", "v", Seq(0.5), buckets = 64,
+          maxDriverGroups = 0)
         .queryExecution.executedPlan.toString
       assert(!p.contains("percentile"), s"must not use the buffering aggregate:\n$p")
       assert(p.contains("Window"), s"expected the bucket-local rank window:\n$p")
