@@ -114,19 +114,42 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                         blockCol: String, n: Int, threshold: Double,
-                        maxDf: Int = 100000): DataFrame = {
+                        maxDf: Int = 100000): DataFrame =
+    shinglePairStats(docs, textCol, idCol, blockCol, n, maxDf)
+      .select(col("id_a"), col("id_b"),
+        (col("ic").cast("double") / (col("da") + col("db") - col("ic"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
+  /** Shared exact posting-list core of the shingle pair family
+    * ([[ngramJaccardPairs]], [[containmentPairs]],
+    * [[pairSimilarityStats]]): per-pair intersection count `ic` and the
+    * two df-capped set sizes `da`/`db` — every pair measure (jaccard,
+    * both containment directions, overlap coefficient, dice) is a pure
+    * column over these three.
+    *
+    * Shape: pairs from per-shingle posting lists instead of a
+    * self-join — one groupBy on (block, shingle) then in-row pair
+    * expansion, one full shuffle of the shingle table FEWER than the
+    * equi-join (which exchanges both sides). Each doc's set size rides
+    * along into the posting list, so the denominators normally need NO
+    * per-doc count aggregate: the whole core is exactly two shuffles
+    * (posting-list groupBy + pair-count groupBy). When the df-cap
+    * BINDS, dropped hot shingles must also leave the denominators: the
+    * correction is a per-doc count over the dropped lists only (linear
+    * in hot-shingle postings, a vanishing fraction of the corpus),
+    * EMPTY whenever the cap never binds — AQE then plans both
+    * correction joins as broadcasts at runtime; if a pathological
+    * corpus makes the adjustment table genuinely large, a shuffle join
+    * is the correct plan and AQE picks that instead (no explicit
+    * broadcast hint). The uncapped fast path keeps the ride-along
+    * sizes as the set sizes and joins nothing back; the capped default
+    * deliberately stays the production setting (an unbounded default
+    * would reinstate the hot-shingle k-squared blowup out of the box).
+    */
+  private def shinglePairStats(docs: DataFrame, textCol: String, idCol: String,
+                               blockCol: String, n: Int,
+                               maxDf: Int): DataFrame = {
     val in = graft.ops.Parallelize.forCompute(docs)
-    // pairs from per-shingle posting lists instead of a self-join: one
-    // groupBy on (block, shingle) then in-row pair expansion — one full
-    // shuffle of the shingle table FEWER than the equi-join (which
-    // exchanges both sides). Each doc's set size rides along into the
-    // posting list, so the jaccard denominator normally needs NO
-    // per-doc count aggregate — the whole operator is exactly two
-    // shuffles (posting-list groupBy + pair-count groupBy). When the
-    // df-cap BINDS, dropped hot shingles must also leave the
-    // denominators: the correction is a per-doc count over the dropped
-    // lists only (linear in hot-shingle postings, a vanishing fraction
-    // of the corpus) joined back onto the final per-pair rows.
     val sh = in.select(col(idCol).as("id"), col(blockCol).as("block"),
                        wordShingleHashes(col(textCol), n).as("ss"))
       .select(col("id"), col("block"), size(col("ss")).as("n_sh"),
@@ -139,25 +162,10 @@ object Dedup {
               col("pb.id").as("id_b"), col("pb.n_sh").as("nb"))
       .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("ic"))
-    if (maxDf == Int.MaxValue) {
-      // uncapped fast path: the ride-along sizes ARE the set sizes —
-      // exactly two shuffles, nothing joined back. With a finite cap
-      // the correction branch costs one extra aggregate over the
-      // (exchange-reused) posting lists plus two AQE joins that
-      // broadcast an EMPTY table whenever the cap never binds — cheap
-      // insurance, and the capped default is deliberately kept as the
-      // production setting (an unbounded default would reinstate the
-      // hot-shingle blowup as the out-of-the-box behavior)
-      rawPairs.select(col("id_a"), col("id_b"),
-          (col("ic").cast("double") / (col("na") + col("nb") - col("ic"))).as("jaccard"))
-        .filter(col("jaccard") >= threshold)
-    } else {
-      // per-doc count of CAPPED-AWAY shingles: linear in hot-shingle
-      // postings (a vanishing fraction of the corpus), EMPTY whenever
-      // the cap never binds — AQE then plans both corrections as
-      // broadcast joins at runtime; if a pathological corpus makes the
-      // adjustment table genuinely large, a shuffle join is the correct
-      // plan and AQE picks that instead (no explicit broadcast hint)
+    if (maxDf == Int.MaxValue)
+      rawPairs.select(col("id_a"), col("id_b"), col("ic"),
+                      col("na").as("da"), col("nb").as("db"))
+    else {
       val hotAdjust = allLists.filter(size(col("ids")) > maxDf)
         .select(explode(col("ids")).as("e"))
         .groupBy(col("e.id").as("id")).agg(count(lit(1)).as("n_hot"))
@@ -166,11 +174,9 @@ object Dedup {
               Seq("id_a"), "left")
         .join(hotAdjust.select(col("id").as("id_b"), col("n_hot").as("hot_b")),
               Seq("id_b"), "left")
-        .select(col("id_a"), col("id_b"),
-                (col("ic").cast("double") /
-                 ((col("na") - coalesce(col("hot_a"), lit(0L))) +
-                  (col("nb") - coalesce(col("hot_b"), lit(0L))) - col("ic"))).as("jaccard"))
-        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("ic"),
+                (col("na") - coalesce(col("hot_a"), lit(0L))).as("da"),
+                (col("nb") - coalesce(col("hot_b"), lit(0L))).as("db"))
     }
   }
 
@@ -201,43 +207,33 @@ object Dedup {
     * which this operator's full-shingle answer certifies. */
   def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
                        blockCol: String, n: Int, threshold: Double,
-                       maxDf: Int = 100000): DataFrame = {
-    val in = graft.ops.Parallelize.forCompute(docs)
-    val sh = in.select(col(idCol).as("id"), col(blockCol).as("block"),
-                       wordShingleHashes(col(textCol), n).as("ss"))
-      .select(col("id"), col("block"), size(col("ss")).as("n_sh"),
-              explode(col("ss")).as("sh"))
-    val allLists = sh.groupBy(col("block"), col("sh"))
-      .agg(array_sort(collect_list(struct(col("id"), col("n_sh")))).as("ids"))
-    val lists = allLists.filter(size(col("ids")) > 1 && size(col("ids")) <= maxDf)
-    val rawPairs = listPairs(lists, "ids")
-      .select(col("pa.id").as("id_a"), col("pa.n_sh").as("na"),
-              col("pb.id").as("id_b"), col("pb.n_sh").as("nb"))
-      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("ic"))
-    val adjusted =
-      if (maxDf == Int.MaxValue)
-        rawPairs.select(col("id_a"), col("id_b"), col("ic"),
-                        col("na").as("da"), col("nb").as("db"))
-      else {
-        val hotAdjust = allLists.filter(size(col("ids")) > maxDf)
-          .select(explode(col("ids")).as("e"))
-          .groupBy(col("e.id").as("id")).agg(count(lit(1)).as("n_hot"))
-        rawPairs
-          .join(hotAdjust.select(col("id").as("id_a"), col("n_hot").as("hot_a")),
-                Seq("id_a"), "left")
-          .join(hotAdjust.select(col("id").as("id_b"), col("n_hot").as("hot_b")),
-                Seq("id_b"), "left")
-          .select(col("id_a"), col("id_b"), col("ic"),
-                  (col("na") - coalesce(col("hot_a"), lit(0L))).as("da"),
-                  (col("nb") - coalesce(col("hot_b"), lit(0L))).as("db"))
-      }
-    adjusted
+                       maxDf: Int = 100000): DataFrame =
+    shinglePairStats(docs, textCol, idCol, blockCol, n, maxDf)
       .select(col("id_a"), col("id_b"), col("ic").as("n_shared"),
               (col("ic").cast("double") / col("da")).as("cont_a"),
               (col("ic").cast("double") / col("db")).as("cont_b"))
       .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
-  }
+
+  /** BOTH pair measures from ONE shingle pass: symmetric jaccard next
+    * to the two directional containments, each pair surfacing when
+    * jaccard clears `jaccardThreshold` OR either containment clears
+    * `containmentThreshold`. A caller running [[ngramJaccardPairs]] and
+    * [[containmentPairs]] separately pays the whole posting-list plane
+    * (shingle explode + two shuffles) twice for the same `(ic, da, db)`
+    * triple; this emits every measure in one pass — measured 2.05 s
+    * combined → 1.22 s fused at sf0.1 (q21 0.98 + q107 1.07 vs q121,
+    * same Bench session). */
+  def pairSimilarityStats(docs: DataFrame, textCol: String, idCol: String,
+                          blockCol: String, n: Int, jaccardThreshold: Double,
+                          containmentThreshold: Double,
+                          maxDf: Int = 100000): DataFrame =
+    shinglePairStats(docs, textCol, idCol, blockCol, n, maxDf)
+      .select(col("id_a"), col("id_b"), col("ic").as("n_shared"),
+        (col("ic").cast("double") / (col("da") + col("db") - col("ic"))).as("jaccard"),
+        (col("ic").cast("double") / col("da")).as("cont_a"),
+        (col("ic").cast("double") / col("db")).as("cont_b"))
+      .filter(col("jaccard") >= jaccardThreshold ||
+              greatest(col("cont_a"), col("cont_b")) >= containmentThreshold)
 
   /** MinHash family member j over the two md5 halves: h1 + j·h2
     * (Kirsch–Mitzenmacher double hashing — the standard construction

@@ -517,6 +517,17 @@ object LlmOps {
          |con AS (SELECT id_a, id_b, ic AS n_shared, CAST(ic AS DOUBLE) / ca.n_sh AS cont_a, CAST(ic AS DOUBLE) / cb.n_sh AS cont_b FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b)
          |SELECT id_a, id_b, n_shared, cont_a, cont_b FROM con WHERE greatest(cont_a, cont_b) >= 0.6""".stripMargin.replace("\n", " "))),
 
+    QueryDef("q121_pair_similarity",
+      "FUSED exact pair-similarity report (VERDICT r8 #5): jaccard AND both containment directions from ONE posting-list pass — q21 and q107 are pure column formulas over the same (intersection, |A|, |B|) triple, so a user needing both measures (dedup + quote/boilerplate detection together, the normal curation combo) pays the shingle plane once instead of twice. Same two-shuffle Dedup.shinglePairStats core, same df-cap semantics (cap can't bind on these fixtures — FixtureCanarySpec pins that); a pair surfaces when jaccard >= 0.5 OR either containment >= 0.6, i.e. exactly the union of q21's and q107's selections with both measures reported",
+      (s, d) => graft.ext.Dedup.pairSimilarityStats(
+        t(s, d, "documents"), "text", "doc_id", "lang", n = 3,
+        jaccardThreshold = 0.5, containmentThreshold = 0.6),
+      Some(s"""WITH $shingleCte,
+         |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS ic FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |m AS (SELECT id_a, id_b, ic AS n_shared, CAST(ic AS DOUBLE) / (ca.n_sh + cb.n_sh - ic) AS jaccard, CAST(ic AS DOUBLE) / ca.n_sh AS cont_a, CAST(ic AS DOUBLE) / cb.n_sh AS cont_b FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b)
+         |SELECT id_a, id_b, n_shared, jaccard, cont_a, cont_b FROM m WHERE jaccard >= 0.5 OR greatest(cont_a, cont_b) >= 0.6""".stripMargin.replace("\n", " "))),
+
     QueryDef("q33_stratified_sample",
       "deterministic hash-based stratified sampling (corpus mixing): en 50%, de 100%, zh 25%",
       (s, d) => graft.ext.Sampling.stratifiedSample(

@@ -185,6 +185,25 @@ class PlanSpec extends SparkSpec {
         .queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"plan:\n$p")
     }
+    it("q121 fused pair-similarity keeps the two-hash-shuffle posting-list shape when uncapped") {
+      // the fusion claim: both measures from ONE shinglePairStats core —
+      // the uncapped plan is exactly q21's two hash shuffles (posting
+      // lists + pair counts), nothing duplicated for the second
+      // measure. (The capped default adds the correction joins whose
+      // textual plan repeats the posting-list subtree; AQE reuses that
+      // exchange at runtime, same as q107's capped pin.)
+      val docs = spark.read.parquet(s"$d/documents.parquet")
+      val p = graft.ext.Dedup.pairSimilarityStats(docs, "text", "doc_id",
+          "lang", 3, 0.5, 0.6, maxDf = Int.MaxValue)
+        .queryExecution.executedPlan.toString
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(hashEx == 2, s"expected 2 hash shuffles, plan:\n$p")
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    }
+    it("q121 capped fused pair-similarity never goes cartesian") {
+      val p = planOf("q121_pair_similarity")
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    }
     it("q110 OHLC endpoints come from declarative min_by/max_by — no window sort anywhere") {
       // the row_number formulation would force a per-bar sort; the
       // aggregate form partial-aggregates map-side and shuffles once
