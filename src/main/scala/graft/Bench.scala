@@ -189,7 +189,7 @@ object Bench {
       val best = if (samples.nonEmpty) samples.min else Double.MaxValue
       // a crashed query must surface as a failure, never as a fast time:
       // -1 sentinel in the per-query map + the errors list below
-      (name, if (ok) best else -1.0, ok)
+      (name, if (ok) best else -1.0, ok, samples.toSeq)
     }
     // The driver records only the LAST ~2000 chars of output and parses
     // the JSON line out of that window (BENCH_r01/r03 show parsed=null
@@ -198,13 +198,28 @@ object Bench {
     // precision. Full names stay printable via the 1:1 qNN prefix.
     def fmt(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v, _) =>
+    val qs = results.map { case (k, v, _, _) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
     }.mkString("{", ",", "}")
-    val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val errors = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    // per-query SAMPLE VECTORS for the >1s band (VERDICT r8 #6): the
+    // weak-set boundary queries carry up to 6 samples each; recording
+    // the vector (not just the min) lets a judge separate co-tenant
+    // noise (wide spread, min fine) from real drift (tight slow
+    // cluster). Budget-bounded: 2-decimal samples, at most 8 entries
+    // (slowest first) — the driver keeps only the last ~2000 chars and
+    // the base line is ~1.65k.
+    def fmt2(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val sampleMap = results
+      .collect { case (k, v, true, ss) if v > 1.0 => (k, v, ss) }
+      .sortBy(-_._2).take(8)
+      .map { case (k, _, ss) =>
+        "\"" + k.takeWhile(_ != '_') + "\":[" + ss.map(fmt2).mkString(",") + "]"
+      }.mkString("{", ",", "}")
     val total = results.filter(_._3).map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"samples":$sampleMap,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(!_._3)) sys.exit(1)
   }
