@@ -5,7 +5,7 @@ import graft.ops.Num._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-/** Time-series + reshape/monitoring operators (q109–q120) — the
+/** Time-series + reshape/monitoring operators (q109–q120, q122) — the
   * gap-fill / bar-aggregation / time-weighting / drift family a
   * market-data or metrics pipeline runs (the reference's domain is DEX
   * pool snapshots: `main.py`'s hourly loop IS a resample; these are the
@@ -223,6 +223,46 @@ object TimeSeries {
         t(s, d, "events").select(col("event_type"), col("value")),
         "event_type", "value", Seq(0.01, 0.25, 0.5, 0.75, 0.99)),
       Some("""SELECT event_type, CAST(0.01 AS DOUBLE) AS p, quantile_cont(value, 0.01) AS value FROM events GROUP BY 1 UNION ALL SELECT event_type, CAST(0.25 AS DOUBLE), quantile_cont(value, 0.25) FROM events GROUP BY 1 UNION ALL SELECT event_type, CAST(0.5 AS DOUBLE), quantile_cont(value, 0.5) FROM events GROUP BY 1 UNION ALL SELECT event_type, CAST(0.75 AS DOUBLE), quantile_cont(value, 0.75) FROM events GROUP BY 1 UNION ALL SELECT event_type, CAST(0.99 AS DOUBLE), quantile_cont(value, 0.99) FROM events GROUP BY 1""")),
+
+    QueryDef("q122_psi_selfeval",
+      "PSI drift-monitor SELF-EVALUATION (the measure-your-own-detector pattern of q96/q100/q106, VERDICT r8 #8): the engine injects a KNOWN drift and verifies its own q115 monitor separates it from sampling noise. Three deterministic scenarios over l_extendedprice — 'identical' (even-key half vs itself: PSI must be exactly 0), 'split' (even vs odd halves: pure sampling noise, expected under the 0.1 stability bar), 'injected' (even vs odd ×1.3: a 30% uniform scale shift, expected over the 0.25 action bar) — each graded with the industry 0.1/0.25 thresholds. One corpus pass builds all three populations via a per-row conditional explode (≤4 entries/row); binning/fractions/rounding reuse q115's exact recipe (global min/max per scenario broadcast back, +0.5/+5.0 continuity correction, 4-dp-rounded ln contributions, exact-decimal total), so the verdicts are engine-independent facts",
+      (s, d) => {
+        val src = t(s, d, "lineitem")
+          .select((col("l_orderkey") % 2 === 0).as("even"),
+                  col("l_extendedprice").as("v"))
+        val pop = src.select(explode(
+            when(col("even"), array(
+              struct(lit("identical").as("sc"), lit("base").as("side"), col("v").as("v")),
+              struct(lit("identical").as("sc"), lit("new").as("side"), col("v").as("v")),
+              struct(lit("split").as("sc"), lit("base").as("side"), col("v").as("v")),
+              struct(lit("injected").as("sc"), lit("base").as("side"), col("v").as("v"))))
+            .otherwise(array(
+              struct(lit("split").as("sc"), lit("new").as("side"), col("v").as("v")),
+              struct(lit("injected").as("sc"), lit("new").as("side"),
+                     (col("v") * 1.3).as("v"))))).as("e"))
+          .select(col("e.sc").as("sc"), col("e.side").as("side"), col("e.v").as("v"))
+        val st = pop.groupBy(col("sc")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+        val binned = pop.join(broadcast(st), Seq("sc"))
+          .select(col("sc"), col("side"),
+            least(lit(9.0), floor((col("v") - col("mn")) /
+              ((col("mx") - col("mn")) / 10.0))).cast("long").as("bin"))
+        val counts = binned.groupBy(col("sc"), col("bin"))
+          .agg(count(when(col("side") === "base", 1)).cast("long").as("n_base"),
+               count(when(col("side") === "new", 1)).cast("long").as("n_new"))
+        val totals = counts.groupBy(col("sc"))
+          .agg(sum(col("n_base")).as("tb"), sum(col("n_new")).as("tn"))
+        val psi = counts.join(broadcast(totals), Seq("sc"))
+          .withColumn("p", (col("n_base") + 0.5) / (col("tb") + 5.0))
+          .withColumn("q", (col("n_new") + 0.5) / (col("tn") + 5.0))
+          .withColumn("pc", round((col("p") - col("q")) * log(col("p") / col("q")), 4))
+          .groupBy(col("sc"))
+          .agg(sum(col("pc").cast("decimal(38,6)")).cast("double").as("psi"))
+        psi.select(col("sc").as("scenario"), col("psi"),
+          when(col("psi") < 0.1, lit("stable"))
+            .when(col("psi") < 0.25, lit("moderate"))
+            .otherwise(lit("shifted")).as("verdict"))
+      },
+      Some("""WITH src AS (SELECT (l_orderkey % 2 = 0) AS even, l_extendedprice AS v FROM lineitem), pop AS (SELECT 'identical' AS sc, 'base' AS side, v FROM src WHERE even UNION ALL SELECT 'identical', 'new', v FROM src WHERE even UNION ALL SELECT 'split', 'base', v FROM src WHERE even UNION ALL SELECT 'split', 'new', v FROM src WHERE NOT even UNION ALL SELECT 'injected', 'base', v FROM src WHERE even UNION ALL SELECT 'injected', 'new', v * 1.3 FROM src WHERE NOT even), st AS (SELECT sc, min(v) AS mn, max(v) AS mx FROM pop GROUP BY 1), b AS (SELECT sc, side, CAST(least(9.0, floor((v - mn) / ((mx - mn) / 10.0))) AS BIGINT) AS bin FROM pop JOIN st USING (sc)), c AS (SELECT sc, bin, CAST(count(*) FILTER (WHERE side = 'base') AS BIGINT) AS n_base, CAST(count(*) FILTER (WHERE side = 'new') AS BIGINT) AS n_new FROM b GROUP BY 1, 2), t AS (SELECT sc, SUM(n_base) AS tb, SUM(n_new) AS tn FROM c GROUP BY 1), e AS (SELECT sc, round(((n_base + 0.5)/(tb + 5.0) - (n_new + 0.5)/(tn + 5.0)) * ln(((n_base + 0.5)/(tb + 5.0)) / ((n_new + 0.5)/(tn + 5.0))), 4) AS pc FROM c JOIN t USING (sc)), p AS (SELECT sc, CAST(SUM(CAST(pc AS DECIMAL(38,6))) AS DOUBLE) AS psi FROM e GROUP BY 1) SELECT sc AS scenario, psi, CASE WHEN psi < 0.1 THEN 'stable' WHEN psi < 0.25 THEN 'moderate' ELSE 'shifted' END AS verdict FROM p""")),
 
     QueryDef("q112_unpivot",
       "UNPIVOT/melt (the inverse of q40's pivot, completing the reshape family): lineitem's four per-line charge columns melted to (metric, val) long form — the feature-long layout ML preprocessing wants — then per-metric count/exact-decimal-sum/min/max over the melted rows (the canonical melt->aggregate usage; aggregating also keeps both engines' bench outputs small instead of timing a 2.4M-row result fetch). Spark's native unpivot is a map-side Expand (one pass, rowsx4, no join); the only shuffle is the 4-key metric aggregate, against a portable UNION ALL oracle",
