@@ -54,6 +54,37 @@ object SimilaritySearch {
               col("rk").cast("long").as("rk"))
   }
 
+  /** Hard-negative mining — the contrastive-training data-prep step:
+    * for each query vector, the k MOST-similar corpus vectors whose
+    * label DIFFERS from the query's. Those near-miss negatives (high
+    * cosine, wrong class) are what embedding/reranker training pairs
+    * against its positives; easy negatives (random different-label
+    * rows) teach nothing. Same bounded-heap shape as
+    * [[bruteForceTopK]]: the corpus never shuffles — each partition
+    * scores locally against the broadcast queries with the label
+    * inequality applied BEFORE the heap, so only k·|queries| surviving
+    * candidates cross the wire. Output keeps both labels so a training
+    * job can audit the class mix of its mined negatives. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+                    labelCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+                          col(labelCol).as("neg_label"), col("embedding").as("c_emb"))
+    val q = queries.select(col("vec_id").as("query_id"),
+                           col(labelCol).as("query_label"), col("embedding").as("q_emb"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id") &&
+              col("neg_label") =!= col("query_label"))
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+              col("neg_label"), cosine(col("q_emb"), col("c_emb")).as("sim"))
+    val top = graft.plans.TopK.perKey(scored, Seq(col("query_id")),
+      Seq(col("sim").desc, col("neighbor_id")), k)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    top.withColumn("rk", row_number().over(w))
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+              col("neg_label"), col("sim"), col("rk").cast("long").as("rk"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within a caller-supplied
     * block (e.g. label): O(block²) baseline, correct when blocks are
     * bounded. At open corpus scale use [[nearDupPairsLsh]], which

@@ -313,6 +313,14 @@ object LlmOps {
       },
       Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e), sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS sim FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id), r AS (SELECT query_id, neighbor_id, sim, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rk FROM sc) SELECT query_id, neighbor_id, sim, rk FROM r WHERE rk <= 5""")),
 
+    QueryDef("q123_hard_negatives",
+      "hard-negative mining (contrastive-training data prep, completing the q24 ANN family): for each query vector (vec_id<10) the top-5 most-similar corpus vectors with a DIFFERENT label — the high-cosine wrong-class near-misses an embedding/reranker training loop pairs against its positives (random negatives teach nothing). Same corpus-never-shuffles TopKPerKey shape as q24: label inequality applied before the bounded heap, k·|queries| rows cross the wire; both labels reported so the class mix of mined negatives is auditable",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        SimilaritySearch.hardNegatives(e, e.filter(col("vec_id") < 10), "label", 5)
+      },
+      Some("""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e), sc AS (SELECT q.vec_id AS query_id, q.label AS query_label, c.vec_id AS neighbor_id, c.label AS neg_label, list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS sim FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id AND c.label <> q.label), r AS (SELECT query_id, query_label, neighbor_id, neg_label, sim, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rk FROM sc) SELECT query_id, query_label, neighbor_id, neg_label, sim, rk FROM r WHERE rk <= 5""")),
+
     QueryDef("q24b_ann_ivf",
       "IVF-cell-probed approximate top-5 (16 deterministic centroids, nProbe=4)",
       (s, d) => {

@@ -112,6 +112,12 @@ class PlanSpec extends SparkSpec {
       val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).length
       assert(exchanges == 1, s"expected only the TopK exchange, found $exchanges:\n$p")
     }
+    it("q123 hard negatives: label filter sits under the bounded heap; corpus never shuffles") {
+      val p = planOf("q123_hard_negatives")
+      assert(p.contains("TopKPerKey"), s"plan:\n$p")
+      val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+      assert(exchanges == 1, s"expected only the TopK exchange, found $exchanges:\n$p")
+    }
     it("q85 k-means assignment is map-only: no window anywhere, corpus shuffles only for the bounded (cell, dim) means") {
       val p = planOf("q85_kmeans_codebook")
       assert(!p.contains("Window"), s"assignment must not window-sort:\n$p")
