@@ -88,4 +88,65 @@ object TimeSeriesOps {
       .agg(lcount(lit(1)).as("n_intervals"),
            dsum(col("contrib")).as("twap"))
   }
+
+  /** Fixed-bounds B-bucket histogram quantiles per (key, tumbling
+    * window) — the STREAMING-NATIVE quantile form (see
+    * [[graft.streaming.EventStreams.histogramQuantilesStream]] for the
+    * watermarked twin). EXACT quantiles ([[Quantiles]]) need a second
+    * pass over raw rows a stream no longer holds; the production
+    * streaming answer is a bounded histogram with CALLER-SUPPLIED
+    * bounds (the SLO/metrics convention — think latency buckets): state
+    * per (key, window) is exactly `buckets` counters, a merge-safe
+    * commutative aggregate, so late in-watermark rows revise their
+    * window in place and the estimate carries a PROVABLE error bound of
+    * one bucket width, (hi−lo)/buckets. Out-of-range values clamp into
+    * the edge buckets (standard histogram semantics — the tails stay
+    * counted, their position saturates).
+    *
+    * The quantile derivation is pure column arithmetic over the counts
+    * array (cumulative fold + first-covering-bucket search via
+    * higher-order functions — no explode, no second aggregation, so the
+    * same plan runs unchanged after a STREAMING aggregate): for target
+    * mass t = p·n, the first bucket i with cum ≥ t and c_i > 0 yields
+    * v(p) = lo + w·(i + (t − cum_{<i})/c_i) — the within-bucket linear
+    * interpolation metrics systems use. Deterministic double
+    * arithmetic, reproducible in the DuckDB oracle (q124).
+    */
+  def histogramQuantiles(df: DataFrame, keyCol: String, tsCol: String,
+                         valCol: String, windowDur: String,
+                         lo: Double, hi: Double, buckets: Int,
+                         ps: Seq[Double]): DataFrame = {
+    require(hi > lo, s"need hi > lo: [$lo, $hi]")
+    require(buckets > 0 && buckets <= 1024, s"buckets out of range: $buckets")
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"quantile fractions must be in [0,1]: $ps")
+    val w = (hi - lo) / buckets
+    val bucket = greatest(lit(0), least(lit(buckets - 1),
+      floor((col(valCol) - lo) / w).cast("int")))
+    val counters = (0 until buckets).map(i => count(when(bucket === i, 1)).as(s"c$i"))
+    val counted = df.groupBy(col(keyCol), window(col(tsCol), windowDur))
+      .agg(counters.head, counters.tail: _*)
+      .select(col(keyCol), col("window.start").as("win_start"),
+        array((0 until buckets).map(i => col(s"c$i")): _*).as("counts"))
+    // cumulative counts without a window/explode: per-row fold over the
+    // B-element array (O(B²) scalar ops on grid-sized rows — trivial)
+    val cum = transform(sequence(lit(0), lit(buckets - 1)),
+      i => aggregate(slice(col("counts"), lit(1), i + lit(1)), lit(0L), (a, c) => a + c))
+    val withCum = counted.withColumn("cum", cum)
+      .withColumn("n", element_at(col("cum"), buckets))
+    val qCols = ps.map { p =>
+      val t = lit(p) * col("n")
+      val idx = array_min(filter(sequence(lit(0), lit(buckets - 1)),
+        i => element_at(col("cum"), i + lit(1)) >= t &&
+             element_at(col("counts"), i + lit(1)) > lit(0L)))
+      val cAt = element_at(col("counts"), idx + lit(1))
+      val cBefore = element_at(col("cum"), idx + lit(1)) - cAt
+      struct(lit(p).as("p"),
+        (lit(lo) + lit(w) * (idx + (t - cBefore) / cAt)).as("value_est"))
+    }
+    withCum.select(col(keyCol), col("win_start"),
+        explode(array(qCols: _*)).as("q"), col("n"))
+      .select(col(keyCol), col("win_start"), col("q.p").as("p"),
+              col("q.value_est").as("value_est"), col("n"))
+  }
 }

@@ -224,6 +224,15 @@ object TimeSeries {
         "event_type", "value", Seq(0.01, 0.25, 0.5, 0.75, 0.99)),
       Some("""SELECT event_type, CAST(0.01 AS DOUBLE) AS p, quantile_cont(value, 0.01) AS value FROM events GROUP BY 1 UNION ALL SELECT event_type, CAST(0.25 AS DOUBLE), quantile_cont(value, 0.25) FROM events GROUP BY 1 UNION ALL SELECT event_type, CAST(0.5 AS DOUBLE), quantile_cont(value, 0.5) FROM events GROUP BY 1 UNION ALL SELECT event_type, CAST(0.75 AS DOUBLE), quantile_cont(value, 0.75) FROM events GROUP BY 1 UNION ALL SELECT event_type, CAST(0.99 AS DOUBLE), quantile_cont(value, 0.99) FROM events GROUP BY 1""")),
 
+    QueryDef("q124_histogram_quantiles",
+      "fixed-bounds histogram quantiles per (event_type, day) — the STREAMING-NATIVE quantile form (EventStreams.histogramQuantilesStream is the watermarked twin; StreamingSpec proves row equality): 32 caller-bounded buckets over [0, 600] (the SLO/latency-bucket convention; out-of-range clamps to edge buckets), p50/p90/p99 by within-bucket linear interpolation with a PROVABLE one-bucket-width error (600/32 = 18.75). State per (key, window) is exactly 32 mergeable counters — the form that incrementalizes, vs q120's exact two-pass refinement which needs raw rows a stream no longer holds. The derivation is pure higher-order-function column arithmetic over the counts array (cumulative fold + first-covering-bucket search — no explode before the aggregate, no second stateful op), so batch and streaming share one plan shape",
+      (s, d) => graft.ops.TimeSeriesOps.histogramQuantiles(
+          t(s, d, "events"), "event_type", "ts", "value", "1 day",
+          lo = 0.0, hi = 600.0, buckets = 32, ps = Seq(0.5, 0.9, 0.99))
+        .select(col("event_type"), unix_micros(col("win_start")).as("day_start_us"),
+                col("p"), col("value_est"), col("n")),
+      Some("""WITH b AS (SELECT event_type, date_trunc('day', ts) AS day, greatest(0, least(31, CAST(floor((value - 0.0) / (600.0/32)) AS INT))) AS bucket FROM events), c AS (SELECT event_type, day, bucket, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2, 3), cu AS (SELECT event_type, day, bucket, c, CAST(SUM(c) OVER (PARTITION BY event_type, day ORDER BY bucket) AS BIGINT) AS cum FROM c), n AS (SELECT event_type, day, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1, 2), ps AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS p), sel AS (SELECT cu.event_type, cu.day, ps.p, n.n, cu.bucket, cu.c, cu.cum - cu.c AS cumb, row_number() OVER (PARTITION BY cu.event_type, cu.day, ps.p ORDER BY cu.bucket) AS rn FROM cu JOIN n USING (event_type, day) CROSS JOIN ps WHERE cu.cum >= ps.p * n.n AND cu.c > 0) SELECT event_type, epoch_us(day) AS day_start_us, p, CAST(0.0 + (600.0/32) * (bucket + (p * n - cumb) / c) AS DOUBLE) AS value_est, n FROM sel WHERE rn = 1""")),
+
     QueryDef("q122_psi_selfeval",
       "PSI drift-monitor SELF-EVALUATION (the measure-your-own-detector pattern of q96/q100/q106, VERDICT r8 #8): the engine injects a KNOWN drift and verifies its own q115 monitor separates it from sampling noise. Three deterministic scenarios over l_extendedprice — 'identical' (even-key half vs itself: PSI must be exactly 0), 'split' (even vs odd halves: pure sampling noise, expected under the 0.1 stability bar), 'injected' (even vs odd ×1.3: a 30% uniform scale shift, expected over the 0.25 action bar) — each graded with the industry 0.1/0.25 thresholds. One corpus pass builds all three populations via a per-row conditional explode (≤4 entries/row); binning/fractions/rounding reuse q115's exact recipe (global min/max per scenario broadcast back, +0.5/+5.0 continuity correction, 4-dp-rounded ln contributions, exact-decimal total), so the verdicts are engine-independent facts",
       (s, d) => {

@@ -192,6 +192,26 @@ object EventStreams {
       .agg(graft.functions.CmsFns.cmsBuild(col(itemCol), width, depth).as("sketch"))
       .select(col("window.start").as("window_start"), col("sketch"))
 
+  /** Streaming twin of [[graft.ops.TimeSeriesOps.histogramQuantiles]]
+    * (q124): fixed-bounds bucket counters per (key, tumbling window) —
+    * a merge-safe commutative aggregate whose state is exactly
+    * `buckets` longs per open window, with the quantile interpolation
+    * running as stateless column arithmetic over the emitted counts
+    * array. This is the honest streaming quantile: the EXACT
+    * two-pass refinement ([[graft.ops.Quantiles]]) needs raw rows a
+    * stream no longer holds, while the bounded histogram estimate
+    * carries a provable one-bucket-width error and revises in place on
+    * late in-watermark rows. Identical code path to the batch twin —
+    * StreamingSpec asserts row equality. */
+  def histogramQuantilesStream(events: DataFrame, keyCol: String,
+                               tsCol: String, valCol: String,
+                               windowDur: String, lo: Double, hi: Double,
+                               buckets: Int, ps: Seq[Double],
+                               watermark: String = "1 hour"): DataFrame =
+    graft.ops.TimeSeriesOps.histogramQuantiles(
+      events.withWatermark(tsCol, watermark),
+      keyCol, tsCol, valCol, windowDur, lo, hi, buckets, ps)
+
   /** Continuous ingest into the batch plane's partitioned report sink:
     * micro-batches land day-partitioned parquet in the SAME directory
     * layout [[graft.sinks.ReportSink.appendPartitioned]] writes, but

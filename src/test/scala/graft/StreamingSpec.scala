@@ -94,6 +94,78 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  describe("histogramQuantilesStream") {
+    it("matches the batch twin row-for-row and lands the known medians") {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      // 4 trades in one hour over [0, 100) with 10 buckets (w = 10):
+      // values 5, 15, 15, 95 -> p50: t = 2, first bucket with cum >= 2
+      // and c > 0 is bucket 1 (cum = 3), frac = (2-1)/2 -> 15.0
+      val events = Seq(
+        Event(1, ts("2024-01-01 10:05:00"), 1, "trade", 5.0),
+        Event(2, ts("2024-01-01 10:10:00"), 1, "trade", 15.0),
+        Event(3, ts("2024-01-01 10:20:00"), 2, "trade", 15.0),
+        Event(4, ts("2024-01-01 10:40:00"), 2, "trade", 95.0),
+        Event(5, ts("2024-01-01 10:30:00"), 1, "quote", 250.0)) // clamps to top bucket
+      val src = MemoryStream[Event]
+      val q = EventStreams.histogramQuantilesStream(src.toDF(), "event_type",
+          "ts", "value", "1 hour", lo = 0.0, hi = 100.0, buckets = 10,
+          ps = Seq(0.5, 0.9))
+        .writeStream.format("memory").queryName("histq_out")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        src.addData(events: _*)
+        q.processAllAvailable()
+        val stream = spark.table("histq_out")
+          .groupBy($"event_type", $"win_start", $"p")
+          .agg(org.apache.spark.sql.functions.last($"value_est").as("value_est"),
+               org.apache.spark.sql.functions.last($"n").as("n"))
+          .select($"event_type", $"win_start".cast("string"), $"p", $"value_est", $"n")
+          .as[(String, String, Double, Double, Long)].collect().toSet
+        val batch = graft.ops.TimeSeriesOps.histogramQuantiles(events.toDF(),
+            "event_type", "ts", "value", "1 hour", lo = 0.0, hi = 100.0,
+            buckets = 10, ps = Seq(0.5, 0.9))
+          .select($"event_type", $"win_start".cast("string"), $"p", $"value_est", $"n")
+          .as[(String, String, Double, Double, Long)].collect().toSet
+        assert(stream == batch)
+        val trade50 = stream.collectFirst {
+          case ("trade", _, 0.5, v, n) => (v, n) }.get
+        assert(trade50 == ((15.0, 4L)))
+        // the clamped 250 lands in the TOP bucket: quote p50 sits in
+        // bucket 9 -> 90 + 10*(0.5*1 - 0)/1 = 95.0
+        val quote50 = stream.collectFirst {
+          case ("quote", _, 0.5, v, _) => v }.get
+        assert(quote50 == 95.0)
+      } finally q.stop()
+    }
+    it("revises a window in place on a late in-watermark row") {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val src = MemoryStream[Event]
+      val q = EventStreams.histogramQuantilesStream(src.toDF(), "event_type",
+          "ts", "value", "1 hour", lo = 0.0, hi = 100.0, buckets = 10,
+          ps = Seq(0.5))
+        .writeStream.format("memory").queryName("histq_late_out")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        src.addData(
+          Event(1, ts("2024-01-01 10:05:00"), 1, "trade", 5.0),
+          Event(2, ts("2024-01-01 10:50:00"), 1, "trade", 85.0))
+        q.processAllAvailable()
+        // late but inside the 1h watermark: same window, revises n 2 -> 3
+        src.addData(Event(3, ts("2024-01-01 10:20:00"), 2, "trade", 45.0))
+        q.processAllAvailable()
+        val latest = spark.table("histq_late_out")
+          .groupBy($"event_type", $"win_start", $"p")
+          .agg(org.apache.spark.sql.functions.last($"n").as("n"),
+               org.apache.spark.sql.functions.last($"value_est").as("value_est"))
+          .select($"n", $"value_est").as[(Long, Double)].collect().toSet
+        // 3 values 5/45/85: t = 1.5, bucket 4 (cum 2), frac (1.5-1)/1 -> 45.0
+        assert(latest == Set((3L, 45.0)))
+      } finally q.stop()
+    }
+  }
+
   describe("sessionizeStream (flatMapGroupsWithState)") {
     it("emits a closed session when the gap is exceeded") {
       implicit val sqlCtx = spark.sqlContext
