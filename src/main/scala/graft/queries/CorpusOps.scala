@@ -151,6 +151,30 @@ object CorpusOps {
          |x AS (SELECT ls.id_a, ls.id_b, sa.split AS split_a, sb.split AS split_b FROM ls JOIN sp sa ON sa.doc_id = ls.id_a JOIN sp sb ON sb.doc_id = ls.id_b)
          |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, CAST(SUM(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END) AS BIGINT) AS n_cross, CAST(SUM(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS cross_frac FROM x""".stripMargin.replace("\n", " "))),
 
+    QueryDef("q125_split_repair",
+      "cross-split leakage REPAIR, closing the q98 detect loop: every near-dup COMPONENT (q48's min-label connected components over exact jaccard pairs) is re-unified onto its representative's q97 split — after repair no near-dup pair can straddle a boundary, because both endpoints share a component and each component lands in exactly one split (the standard Lee-et-al-motivated fix: move whole dup clusters, never split them). Output is the full per-member repair decision (doc_id, group_rep, old_split, new_split, moved) — singleton docs never appear (no component, cannot leak). Deterministic end to end: components from exact pairs, splits a pure hash — the repair is a reproducible data fact, not a random rebalance. Scale: pair/group planes are q21/q48's (LSH at open corpus scale); the repair itself is one map over the grid-sized groups table",
+      (s, d) => {
+        val groups = Dedup.dedupGroups(
+          Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id",
+                                  "lang", 3, 0.5, maxDf = Int.MaxValue),
+          "id_a", "id_b")
+        def splitOf(c: org.apache.spark.sql.Column) = {
+          val b = pmod(portableHash(c.cast("string"), 23), lit(100))
+          when(b < 80, lit("train")).when(b < 90, lit("val")).otherwise(lit("test"))
+        }
+        groups.select(col("doc_id"), col("group_rep"),
+            splitOf(col("doc_id")).as("old_split"),
+            splitOf(col("group_rep")).as("new_split"))
+          .withColumn("moved", col("old_split") =!= col("new_split"))
+      },
+      Some(s"""WITH RECURSIVE ${LlmOps.shingleCte}, ${LlmOps.jaccardTail},
+         |p AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+         |reach(id, lbl) AS (SELECT src, src FROM e UNION SELECT e2.src, r.lbl FROM e e2 JOIN reach r ON r.id = e2.dst),
+         |g AS (SELECT id AS doc_id, MIN(lbl) AS group_rep FROM reach GROUP BY id),
+         |sp AS (SELECT doc_id, group_rep, CASE WHEN ${ph("CAST(doc_id AS VARCHAR)", 23)} % 100 < 80 THEN 'train' WHEN ${ph("CAST(doc_id AS VARCHAR)", 23)} % 100 < 90 THEN 'val' ELSE 'test' END AS old_split, CASE WHEN ${ph("CAST(group_rep AS VARCHAR)", 23)} % 100 < 80 THEN 'train' WHEN ${ph("CAST(group_rep AS VARCHAR)", 23)} % 100 < 90 THEN 'val' ELSE 'test' END AS new_split FROM g)
+         |SELECT doc_id, group_rep, old_split, new_split, (old_split <> new_split) AS moved FROM sp""".stripMargin.replace("\n", " "))),
+
     QueryDef("q64_mixture_weights",
       "corpus mixing: temperature-scaled language sampling weights p_l ∝ n_l^0.3 (multilingual up-sampling à la mBERT/XLM-R exponent smoothing) next to the raw proportions",
       (s, d) => {
