@@ -1,0 +1,161 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions
+import graft.ops.{KmvSketch, PageRank}
+import graft.ops.Num._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-9 batch 2: the portable set-cardinality sketch plane (KMV /
+  * theta-style distinct, union and intersection estimation — the
+  * sketches the reference's dashboards would keep per pool/day instead
+  * of raw member lists, cf. main.py:53's per-pool user aggregation
+  * needs) and fixed-iteration link-graph rank propagation (the crawl
+  * -curation authority signal). Every estimate — not just a bound on
+  * it — hash-matches the DuckDB oracle, because the sketches are built
+  * on the portable md5 hash plane (TextFunctions.portableHash).
+  */
+object SetGraphOps {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  private def ph(expr: String, seed: Int) = TextFunctions.sql.portableHash(expr, seed)
+
+  /** Distinct (month, member-hash) frame over orders — the "active
+    * members per period" base both KMV queries work on. ONE corpus
+    * pass: exact counts, sketches, and exact overlaps all run on the
+    * 60-bit hash plane (a distinct (m, custkey) pre-pass would scan
+    * orders a second time for numbers that differ only if two custkeys
+    * collide in 60 bits — 2⁻⁶⁰·pairs, and identically in both engines
+    * since the oracle counts the same hashes). */
+  private def monthlyHashes(s: SparkSession, d: String) =
+    t(s, d, "orders").select(
+      date_format(col("o_orderdate"), "yyyy-MM").as("m"),
+      TextFunctions.portableHash(col("o_custkey").cast("string"), 7).as("h")).distinct()
+
+  private def monthlyCte =
+    s"d AS (SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS m, ${ph("CAST(o_custkey AS VARCHAR)", 7)} AS h FROM orders)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q126_kmv_distinct",
+      "KMV (k-minimum-values) distinct-count sketch, k=64, over monthly-active customers — the PORTABLE twin of q37's HLL: the k smallest 60-bit hashes per group are concrete values any md5-capable engine reproduces, so the oracle hash-matches the ESTIMATE itself (q37 can only bound its engine-specific HLL within 5%). Self-eval in the q96/q100 style: exact distinct count, sketch estimate, and relative error per month (k=64 → ~13% stderr; measured mean ~10%). Build = one distinct + the map-side-bounded TopKPerKey heap: a month with 10⁹ members ships 64 rows per input partition, never its member list",
+      (s, d) => {
+        val k = 64
+        val d0 = monthlyHashes(s, d)
+        val exact = d0.groupBy(col("m")).agg(lcount(lit(1)).as("exact_custs"))
+        val sk = KmvSketch.sketchHashed(d0.select(col("m").as("g"), col("h")))(k)
+        val stats = sk.groupBy(col("g"))
+          .agg(lcount(lit(1)).as("sketch_size"), max(col("h")).as("mk"))
+        val est = KmvSketch.estimate(col("sketch_size"), col("mk"), k)
+        exact.join(stats, col("m") === col("g"))
+          .select(col("m").as("month"), col("exact_custs"), col("sketch_size"),
+            est.as("kmv_estimate"),
+            (floor(abs(est - col("exact_custs")) / col("exact_custs") * 1e4 + 0.5) / 1e4)
+              .as("rel_err"))
+      },
+      Some(s"""WITH $monthlyCte,
+        ex AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS exact_custs FROM d GROUP BY 1),
+        r AS (SELECT m, h, row_number() OVER (PARTITION BY m ORDER BY h) AS rn FROM d),
+        ks AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS sketch_size, MAX(h) AS mk FROM r WHERE rn <= 64 GROUP BY 1),
+        j AS (SELECT ex.m, exact_custs, sketch_size, ${KmvSketch.estimateSql("sketch_size", "mk", 64)} AS kmv_estimate FROM ex JOIN ks ON ex.m = ks.m)
+        SELECT m AS month, exact_custs, sketch_size, kmv_estimate,
+               floor(abs(kmv_estimate - exact_custs) / exact_custs * 1e4 + 0.5) / 1e4 AS rel_err
+        FROM j""")),
+
+    QueryDef("q127_kmv_intersect",
+      "theta-sketch-style SET OPERATIONS on KMV sketches (k=128): month-over-month returning-customer estimates from the sketches ALONE. k smallest of K(A) ∪ K(B) = k smallest of A ∪ B (sketch mergeability), θ = its max; ρ = survivors present in BOTH sketches estimates Jaccard ρ/k; overlap ≈ (ρ/k)·((k−1)·2⁶⁰/θ). At 100 TB this is the whole point: per-period sketches are 128 longs, and ANY pair/union/intersection question over months is answered from k·|periods| rows without re-touching the corpus. Self-eval: exact overlap vs estimate per consecutive-month pair (ρ≈9 of k=128 → coarse by design; the honest price of 1 KB sketches)",
+      (s, d) => {
+        val k = 128
+        val d0 = monthlyHashes(s, d).localCheckpoint(true)
+        val sk = KmvSketch.sketchHashed(d0.select(col("m").as("g"), col("h")))(k)
+          .select(col("g").as("m"), col("h")).localCheckpoint(true)
+        val months = sk.select(col("m")).distinct()
+        val pairs = months
+          .select(col("m").as("ma"), lead(col("m"), 1).over(Window.orderBy(col("m"))).as("mb"))
+          .filter(col("mb").isNotNull)
+        val aSide = pairs.join(sk, sk("m") === pairs("ma"))
+          .select(col("ma"), col("mb"), col("h"), lit(1).as("ia"), lit(0).as("ib"))
+        val bSide = pairs.join(sk, sk("m") === pairs("mb"))
+          .select(col("ma"), col("mb"), col("h"), lit(0).as("ia"), lit(1).as("ib"))
+        val u = aSide.union(bSide).groupBy(col("ma"), col("mb"), col("h"))
+          .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
+        val w = u.withColumn("rn",
+          row_number().over(Window.partitionBy(col("ma"), col("mb")).orderBy(col("h"))))
+        val agg = w.filter(col("rn") <= k).groupBy(col("ma"), col("mb"))
+          .agg(lcount(lit(1)).as("usz"), max(col("h")).as("theta"),
+            lsum(when(col("ia") === 1 && col("ib") === 1, 1L).otherwise(0L)).as("rho"))
+        val unionEst =
+          floor(lit((k - 1).toDouble) * lit(KmvSketch.HashSpace) / col("theta").cast("double") * 1e4 + 0.5) / 1e4
+        val est = when(col("usz") < k, col("rho").cast("double"))
+          .otherwise(floor(col("rho").cast("double") / lit(k.toDouble) * unionEst * 1e4 + 0.5) / 1e4)
+        val ex = pairs.join(d0.as("x"), col("x.m") === pairs("ma"))
+          .join(d0.as("y"), col("y.m") === col("mb") && col("y.h") === col("x.h"))
+          .groupBy(col("ma"), col("mb")).agg(lcount(lit(1)).as("exact_overlap"))
+        agg.join(ex, Seq("ma", "mb"), "left")
+          .select(col("ma").as("month_a"), col("mb").as("month_b"),
+            coalesce(col("exact_overlap"), lit(0L)).as("exact_overlap"),
+            est.as("kmv_overlap_est"),
+            (floor(abs(est - coalesce(col("exact_overlap"), lit(0L))) * 1e4 + 0.5) / 1e4)
+              .as("abs_err"))
+      },
+      Some(s"""WITH $monthlyCte,
+        r AS (SELECT m, h, row_number() OVER (PARTITION BY m ORDER BY h) AS rn FROM d),
+        sk AS (SELECT m, h FROM r WHERE rn <= 128),
+        mo AS (SELECT DISTINCT m FROM d),
+        pr AS (SELECT m AS ma, lead(m) OVER (ORDER BY m) AS mb FROM mo),
+        p AS (SELECT ma, mb FROM pr WHERE mb IS NOT NULL),
+        u AS (SELECT ma, mb, h, MAX(ia) AS ia, MAX(ib) AS ib FROM (
+                SELECT p.ma, p.mb, sk.h, 1 AS ia, 0 AS ib FROM p JOIN sk ON sk.m = p.ma
+                UNION ALL
+                SELECT p.ma, p.mb, sk.h, 0 AS ia, 1 AS ib FROM p JOIN sk ON sk.m = p.mb)
+              GROUP BY 1, 2, 3),
+        w AS (SELECT ma, mb, h, ia, ib, row_number() OVER (PARTITION BY ma, mb ORDER BY h) AS rn FROM u),
+        agg AS (SELECT ma, mb, CAST(COUNT(*) AS BIGINT) AS usz, MAX(h) AS theta,
+                       CAST(SUM(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END) AS BIGINT) AS rho
+                FROM w WHERE rn <= 128 GROUP BY 1, 2),
+        ex AS (SELECT p.ma, p.mb, CAST(COUNT(*) AS BIGINT) AS exact_overlap
+               FROM p JOIN d x ON x.m = p.ma JOIN d y ON y.m = p.mb AND y.h = x.h GROUP BY 1, 2),
+        j AS (SELECT agg.ma, agg.mb, COALESCE(exact_overlap, 0) AS exact_overlap,
+                     CASE WHEN usz < 128 THEN CAST(rho AS DOUBLE)
+                          ELSE floor(CAST(rho AS DOUBLE) / 128.0 * (floor(127.0 * 1152921504606846976.0 / CAST(theta AS DOUBLE) * 1e4 + 0.5) / 1e4) * 1e4 + 0.5) / 1e4 END AS kmv_overlap_est
+              FROM agg LEFT JOIN ex ON agg.ma = ex.ma AND agg.mb = ex.mb)
+        SELECT ma AS month_a, mb AS month_b, exact_overlap, kmv_overlap_est,
+               floor(abs(kmv_overlap_est - exact_overlap) * 1e4 + 0.5) / 1e4 AS abs_err
+        FROM j""")),
+
+    QueryDef("q128_pagerank",
+      "fixed-iteration PageRank (d=0.85, 3 unrolled supersteps) over the undirected supplier↔part bipartite graph from lineitem — the link-graph authority signal crawl curation attaches to documents (host-level PageRank as a quality feature in CommonCrawl-derived corpora). Each superstep: vertex state (21k rows) BROADCASTS into the edge table for a map-side lookup, so the only exchange is the map-side-partial contribution aggregate (billion-vertex graphs flip broadcastRanks=false for the src-keyed shuffle join, property-tested bit-equal); contributions r/deg are 10-dp floor-rounded then summed as exact DECIMAL(38,12) (the q63 recipe applied ITERATIVELY), so three rounds of float recursion stay bit-identical to the DuckDB oracle under any partitioning. Rank state is checkpointed per step (one-superstep lineage; a fused 3-step plan measured SLOWER — 4.1 vs 3.4 s — paying a 26 s deep-plan codegen first run). Wall profile at sf0.1: every stage sits at the ~0.5-0.7 s local-mode job floor (distinct 0.68, supersteps ~0.6-1.0 each) — the q82/q119 small-input floor, amortized at real scale",
+      (s, d) => {
+        // internal vertex ids are LONGS (supplier 2k, part 2k+1): every
+        // superstep shuffle/join keys on 8 bytes instead of a built
+        // string — the 's'/'p' labels materialize once, on the 21k-row
+        // output, where the oracle's string plane needs them
+        val e0 = t(s, d, "lineitem")
+          .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+          .select((col("sk") * 2).as("src"), (col("pk") * 2 + 1).as("dst"))
+        PageRank.run(e0, 3)
+          .select(
+            concat(when(col("v") % 2 === 0, lit("s")).otherwise(lit("p")),
+                   expr("v div 2").cast("string")).as("vertex"),
+            col("deg"), col("pr"))
+      },
+      Some("""WITH e0 AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src, 'p' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),
+        ed AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        dg AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS deg FROM ed GROUP BY 1),
+        nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM dg),
+        r0 AS (SELECT v, deg, CAST(1.0 AS DOUBLE) / CAST(nv AS DOUBLE) AS pr FROM dg CROSS JOIN nv),
+        c1 AS (SELECT ed.dst, floor(r0.pr / CAST(r0.deg AS DOUBLE) * 1e10 + 0.5) / 1e10 AS c FROM ed JOIN r0 ON ed.src = r0.v),
+        s1 AS (SELECT dst, CAST(SUM(CAST(c AS DECIMAL(38,12))) AS DOUBLE) AS s FROM c1 GROUP BY 1),
+        r1 AS (SELECT dg.v, dg.deg, floor((CAST(0.15 AS DOUBLE) / CAST(nv AS DOUBLE) + CAST(0.85 AS DOUBLE) * COALESCE(s1.s, 0.0)) * 1e10 + 0.5) / 1e10 AS pr FROM dg CROSS JOIN nv LEFT JOIN s1 ON dg.v = s1.dst),
+        c2 AS (SELECT ed.dst, floor(r1.pr / CAST(r1.deg AS DOUBLE) * 1e10 + 0.5) / 1e10 AS c FROM ed JOIN r1 ON ed.src = r1.v),
+        s2 AS (SELECT dst, CAST(SUM(CAST(c AS DECIMAL(38,12))) AS DOUBLE) AS s FROM c2 GROUP BY 1),
+        r2 AS (SELECT dg.v, dg.deg, floor((CAST(0.15 AS DOUBLE) / CAST(nv AS DOUBLE) + CAST(0.85 AS DOUBLE) * COALESCE(s2.s, 0.0)) * 1e10 + 0.5) / 1e10 AS pr FROM dg CROSS JOIN nv LEFT JOIN s2 ON dg.v = s2.dst),
+        c3 AS (SELECT ed.dst, floor(r2.pr / CAST(r2.deg AS DOUBLE) * 1e10 + 0.5) / 1e10 AS c FROM ed JOIN r2 ON ed.src = r2.v),
+        s3 AS (SELECT dst, CAST(SUM(CAST(c AS DECIMAL(38,12))) AS DOUBLE) AS s FROM c3 GROUP BY 1),
+        r3 AS (SELECT dg.v, dg.deg, floor((CAST(0.15 AS DOUBLE) / CAST(nv AS DOUBLE) + CAST(0.85 AS DOUBLE) * COALESCE(s3.s, 0.0)) * 1e10 + 0.5) / 1e10 AS pr FROM dg CROSS JOIN nv LEFT JOIN s3 ON dg.v = s3.dst)
+        SELECT v AS vertex, deg, pr FROM r3"""))
+  )
+}

@@ -429,4 +429,28 @@ class PlanSpec extends SparkSpec {
       } finally spark.conf.unset(Tables.ParallelizeScans)
     }
   }
+
+  describe("set-sketch / graph plane") {
+    it("q126 builds the KMV sketch through the bounded TopK heap (partial + final), never a corpus window") {
+      val p = planOf("q126_kmv_distinct")
+      assert(p.contains("TopKPerKey"), s"sketch build lost the bounded heap:\n$p")
+      // the only window functions allowed are none — sketch selection is
+      // heap-based; a row_number fallback would sort whole groups
+      assert(!p.contains("Window"), s"sketch regressed to a window sort:\n$p")
+    }
+    it("q128 PageRank supersteps are equi-joins — no cartesian; the 1-row N frame broadcasts") {
+      // checkpoint=false keeps the unrolled lineage visible (the
+      // production per-superstep checkpoint would hide the join
+      // strategy behind LogicalRDD leaves)
+      import org.apache.spark.sql.functions.col
+      val e0 = Tables(spark, d, "lineitem")
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+        .select((col("sk") * 2).as("src"), (col("pk") * 2 + 1).as("dst"))
+      val p = graft.ops.PageRank.run(e0, 2, checkpoint = false)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+             p.contains("BroadcastHashJoin"), s"superstep join strategy:\n$p")
+    }
+  }
 }
