@@ -360,6 +360,75 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Adds a per-row MinHash signature column (`array<long>` of
+    * `numHashes` values, the h1 + j·h2 double-hashed family) computed
+    * ENTIRELY IN-ROW via higher-order functions — no shuffle, no
+    * explode: the formulation a STREAM can evaluate statelessly per
+    * document (the groupBy formulation in [[lshBandRows]] needs an
+    * aggregation exchange a continuous pipeline cannot re-run).
+    * Identical values to the batch signature: min over the in-row
+    * shingle multiset = MIN over the exploded shingle rows. Computed by
+    * the one-pass native [[graft.functions.MinhashSigExpr]] (tokenize →
+    * window → md5 halves → running minima, inside whole-stage codegen);
+    * the first formulation here — `transform(shingles, md5Halves60)`
+    * then numHashes `array_min(transform(...))` lambdas — was
+    * value-identical but evaluated interpreted with per-element
+    * allocations (the winnowing lesson; NativeTextSpec pins the
+    * equivalence). Docs with fewer than `n` tokens get an EMPTY
+    * signature — filter on `size(sig) > 0`. */
+  def withMinhashSig(docs: DataFrame, textCol: String, sigCol: String,
+                     n: Int, numHashes: Int): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    docs.withColumn(sigCol, GraftColumnBridge.column(
+      graft.functions.MinhashSigExpr(
+        GraftColumnBridge.expression(col(textCol)), n, numHashes)))
+  }
+
+  /** Batch twin of the STREAMING near-dup suppressor
+    * ([[graft.streaming.EventStreams.nearDupSuppressStream]]): per LSH
+    * band bucket (block, band_idx, band-key), the first-arriving
+    * document (min (`orderCol`, id)) is the bucket's REPRESENTATIVE;
+    * every later document in the bucket emits a suppression candidate
+    * (id, band_idx, rep_id, agreement), where agreement is the
+    * fraction of the `numHashes` signature positions equal to the
+    * rep's — the ingest-gate decision row (suppress when any band's
+    * agreement clears the caller's threshold; bands that merely
+    * collide on their slice report low agreement and are kept).
+    *
+    * Scale shape: signatures are in-row ([[withMinhashSig]]); the only
+    * exchanges are the bucket-keyed rep aggregate (min_by — no window
+    * sort) and the hits join back on the same bucket key. Per-doc
+    * cost is fixed (bands rows of ~24 bytes); text never shuffles. */
+  def nearDupSuppressBatch(docs: DataFrame, textCol: String, idCol: String,
+                           blockCol: String, orderCol: String, n: Int,
+                           numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rpb = numHashes / bands
+    val base = withMinhashSig(
+        docs.select(col(idCol).as("id"), col(blockCol).as("block"),
+                    col(orderCol).as("ord"), col(textCol).as("__text")),
+        "__text", "sig", n, numHashes)
+      .filter(size(col("sig")) > 0)
+      .drop("__text")
+    val banded = base.select(col("id"), col("block"), col("ord"), col("sig"),
+        posexplode(array((0 until bands).map { b =>
+          concat_ws("|", (b * rpb until (b + 1) * rpb)
+            .map(j => element_at(col("sig"), j + 1).cast("string")): _*)
+        }: _*)))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "bk")
+    val reps = banded.groupBy(col("block"), col("band_idx"), col("bk"))
+      .agg(min_by(struct(col("id").as("rid"), col("sig").as("rsig")),
+                  struct(col("ord"), col("id"))).as("rep"))
+      .select(col("block"), col("band_idx"), col("bk"),
+              col("rep.rid").as("rep_id"), col("rep.rsig").as("rep_sig"))
+    banded.join(reps, Seq("block", "band_idx", "bk"))
+      .filter(col("id") =!= col("rep_id"))
+      .select(col("id"), col("band_idx"), col("rep_id"),
+        (size(filter(zip_with(col("sig"), col("rep_sig"), (a, b) => a === b),
+                     x => x)).cast("double") / lit(numHashes.toDouble)).as("agreement"))
+  }
+
   /** Sub-document dedup (the C4/Falcon "line dedup" analogue for
     * unpunctuated text): documents split into disjoint `segLen`-token
     * segments; a segment occurring >= `minRep` times corpus-wide is

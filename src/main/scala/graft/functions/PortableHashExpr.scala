@@ -80,6 +80,30 @@ object PortableHashExpr {
     first8 >>> 4
   }
 
+  /** Both 60-bit halves of md5 over raw bytes — the allocation-free
+    * core [[computeHalves]] and [[TextNative.minhashSig]] share.
+    * Returns packed (h1, h2) via a reusable 2-slot scratch per thread. */
+  private val halvesScratch: ThreadLocal[Array[Long]] =
+    ThreadLocal.withInitial(() => new Array[Long](2))
+
+  def halvesOfBytes(bytes: Array[Byte], off: Int, len: Int): Array[Long] = {
+    val md = digests.get()
+    md.reset()
+    md.update(bytes, off, len)
+    val d = md.digest()
+    def top60(o: Int): Long = {
+      val be =
+        ((d(o) & 0xffL) << 56) | ((d(o + 1) & 0xffL) << 48) |
+        ((d(o + 2) & 0xffL) << 40) | ((d(o + 3) & 0xffL) << 32) |
+        ((d(o + 4) & 0xffL) << 24) | ((d(o + 5) & 0xffL) << 16) |
+        ((d(o + 6) & 0xffL) << 8) | (d(o + 7) & 0xffL)
+      be >>> 4
+    }
+    val out = halvesScratch.get()
+    out(0) = top60(0); out(1) = top60(8)
+    out
+  }
+
   def computeHalves(v: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val md = digests.get()
     md.reset()

@@ -156,6 +156,59 @@ object TextNative {
     UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, cnt))
   }
 
+  /** One-pass per-row MinHash signature: for every n-token window
+    * (duplicates harmless — min over a multiset = min over its set, so
+    * no dedup structure is kept), md5 halves (h1, h2) feed the
+    * double-hashed family h1 + j·h2 and `numHashes` running minima
+    * update in place. Values identical to the exploded-shingle
+    * `MIN(h1 + j*h2) GROUP BY doc` formulation the oracle uses, and to
+    * the higher-order-column formulation (`transform` + `array_min`) it
+    * replaces — which evaluated its lambdas interpreted, one md5 plus
+    * per-element allocations per shingle OUTSIDE codegen (the winnowing
+    * lesson, TextFunctions.winnowFingerprints). Returns an EMPTY array
+    * when the text has < n tokens (callers filter
+    * `size(sig) > 0`). */
+  def minhashSig(text: UTF8String, n: Int, numHashes: Int): ArrayData = {
+    val bytes = text.getBytes
+    val b = tokenBounds(bytes)
+    val m = b.length - (n - 1)
+    if (m < 1) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    // reusable shingle buffer sized to the longest window
+    var maxLen = 0
+    var w0 = 0
+    while (w0 < m) {
+      var len = n - 1
+      var k = 0
+      while (k < n) { len += b(w0 + k).toInt - (b(w0 + k) >>> 32).toInt; k += 1 }
+      if (len > maxLen) maxLen = len
+      w0 += 1
+    }
+    val g = new Array[Byte](maxLen)
+    var w = 0
+    while (w < m) {
+      var p = 0
+      var k = 0
+      while (k < n) {
+        if (k > 0) { g(p) = 0x20; p += 1 }
+        val s = (b(w + k) >>> 32).toInt; val e = b(w + k).toInt
+        System.arraycopy(bytes, s, g, p, e - s); p += e - s
+        k += 1
+      }
+      val hh = PortableHashExpr.halvesOfBytes(g, 0, p)
+      val h1 = hh(0); val h2 = hh(1)
+      var j = 0
+      while (j < numHashes) {
+        val v = h1 + j.toLong * h2
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      w += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
   /** Winnowing fingerprint selection (Schleimer–Wilkerson–Aiken 2003)
     * in ONE pass: portable-md5 gram hashes, then the rightmost minimum
     * of every `w`-window of consecutive hashes, recorded when the
@@ -267,6 +320,22 @@ case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextNative$$.MODULE$$.shingles($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
+    copy(child = newChild)
+}
+
+case class MinhashSigExpr(child: Expression, n: Int, numHashes: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+  require(numHashes >= 1 && numHashes <= 8,
+    "double-hashed family h1 + j*h2 is overflow-proof only for j <= 7")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig_native"
+  override def nullSafeEval(input: Any): Any =
+    TextNative.minhashSig(input.asInstanceOf[UTF8String], n, numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextNative$$.MODULE$$.minhashSig($c, $n, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): MinhashSigExpr =
     copy(child = newChild)
 }
 

@@ -33,6 +33,34 @@ object StreamingParity {
           (sum(col("value").cast(DecimalType(38, 6))).as("ps"),
            sum(col("ps")).cast("double").as("value_sum")),
           (count(lit(1)).as("pn"), sum(col("pn")).cast("long").as("n"))),
-      Some("""SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS value_sum, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY event_type"""))
+      Some("""SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS value_sum, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY event_type""")),
+
+    QueryDef("q129_streaming_neardup_twin",
+      "batch twin of the STREAMING near-dup suppressor (EventStreams.nearDupSuppressStream — the ingest-time LSH gate): per (lang, band, band-key) bucket the first-arriving doc (min doc_id here; event time on the stream) is the representative, every later bucket member emits (doc_id, band_idx, rep_id, agreement = matching fraction of the 8-hash MinHash signature). Signatures are computed IN-ROW (withMinhashSig higher-order columns — the formulation a stream evaluates statelessly; min over the in-row shingle array = MIN over exploded shingle rows, oracle-pinned); the only exchanges are the bucket-keyed min_by rep aggregate (no window sort) and the hits join on the same key. StreamingSpec proves stream ≡ this twin row-for-row, including cross-micro-batch suppression",
+      (s, d) => graft.ext.Dedup.nearDupSuppressBatch(
+          Tables(s, d, "documents"), "text", "doc_id", "lang", "doc_id",
+          n = 3, numHashes = 8, bands = 4)
+        .withColumnRenamed("id", "doc_id"),
+      Some {
+        val h1 = graft.functions.TextFunctions.sql.md5Half("s", 1)
+        val h2 = graft.functions.TextFunctions.sql.md5Half("s", 17)
+        val mhCols = (0 until 8).map(j => s"MIN($h1 + $j * $h2) AS mh$j").mkString(", ")
+        val bandCase = (0 until 4).map { b =>
+          s"WHEN $b THEN CAST(mh${2 * b} AS VARCHAR) || '|' || CAST(mh${2 * b + 1} AS VARCHAR)"
+        }.mkString(" ")
+        val agree = (0 until 8)
+          .map(j => s"(CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""WITH ${LlmOps.shingleCte},
+           |mh AS (SELECT doc_id, lang, $mhCols FROM sh GROUP BY doc_id, lang),
+           |bd AS (SELECT doc_id, lang, band_idx, CASE band_idx $bandCase END AS bk
+           |       FROM mh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_idx)),
+           |rep AS (SELECT lang, band_idx, bk, MIN(doc_id) AS rep_id FROM bd GROUP BY 1, 2, 3),
+           |hits AS (SELECT d.doc_id, d.band_idx, r.rep_id FROM bd d
+           |         JOIN rep r ON r.lang = d.lang AND r.band_idx = d.band_idx AND r.bk = d.bk
+           |         WHERE d.doc_id <> r.rep_id)
+           |SELECT h.doc_id, CAST(h.band_idx AS INTEGER) AS band_idx, h.rep_id,
+           |       CAST($agree AS DOUBLE) / CAST(8 AS DOUBLE) AS agreement
+           |FROM hits h JOIN mh a ON a.doc_id = h.doc_id JOIN mh b ON b.doc_id = h.rep_id""".stripMargin.replace("\n", " ")
+      })
   )
 }

@@ -171,6 +171,92 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("__dedup_key")
       .drop("__dedup_key")
 
+  /** One exploded LSH band row of an incoming document (public: the
+    * Dataset Encoder's generated code cannot touch private classes). */
+  final case class BandRow(doc_id: Long, ts: Timestamp, block: String,
+                           band_idx: Int, bk: String, sig: Seq[Long])
+
+  /** Per-band-bucket state: the first-arriving (representative)
+    * document's id, arrival time, and full signature. */
+  final case class BandBucketState(repId: Long, repTs: Long, repSig: Seq[Long])
+
+  /** A suppression candidate: `doc_id` collided with `rep_id` in band
+    * `band_idx`; `agreement` is the matching fraction of the full
+    * MinHash signature. */
+  final case class NearDupHit(doc_id: Long, band_idx: Int, rep_id: Long,
+                              agreement: Double)
+
+  /** STREAMING near-dup suppression — the ingest-time gate the batch
+    * LSH pipeline (q22) cannot provide: documents arriving on a stream
+    * are checked against everything already admitted, continuously.
+    * Per-row MinHash signatures ([[graft.ext.Dedup.withMinhashSig]] —
+    * stateless, no aggregation exchange) explode into LSH band rows;
+    * state per (block, band, band-key) bucket is ONE representative
+    * (id, ts, signature ≈ 100 bytes) with event-time timeout after
+    * `horizonMs` of bucket inactivity — O(distinct buckets per
+    * horizon), never per-document. Each later arrival in a bucket
+    * emits a [[NearDupHit]] with its signature agreement against the
+    * rep; consumers suppress a doc when any band's agreement clears
+    * their threshold. Within-batch arrival order is canonicalized to
+    * (ts, doc_id), so replays are deterministic; reps older than the
+    * horizon expire and their later dups are the periodic batch
+    * compaction's job (same lambda split as [[dedupStream]]).
+    * Batch twin: [[graft.ext.Dedup.nearDupSuppressBatch]] (q129's
+    * oracle row) — StreamingSpec asserts row equality. */
+  def nearDupSuppressStream(docs: DataFrame, textCol: String, idCol: String,
+                            tsCol: String, blockCol: String, watermark: String,
+                            horizonMs: Long, n: Int = 3, numHashes: Int = 8,
+                            bands: Int = 4): Dataset[NearDupHit] = {
+    import docs.sparkSession.implicits._
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rpb = numHashes / bands
+    val base = graft.ext.Dedup.withMinhashSig(
+        docs.select(col(idCol).as("doc_id"), col(tsCol).as("ts"),
+                    col(blockCol).as("block"), col(textCol).as("__text")),
+        "__text", "sig", n, numHashes)
+      .filter(size(col("sig")) > 0)
+    val banded = base.select(col("doc_id"), col("ts"), col("block"), col("sig"),
+        posexplode(array((0 until bands).map { b =>
+          concat_ws("|", (b * rpb until (b + 1) * rpb)
+            .map(j => element_at(col("sig"), j + 1).cast("string")): _*)
+        }: _*)))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "bk")
+      .withWatermark("ts", watermark)
+      .as[BandRow]
+    banded
+      .groupByKey(r => s"${r.block}" + '\u0001' + s"${r.band_idx}" + '\u0001' + r.bk)
+      .flatMapGroupsWithState[BandBucketState, NearDupHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, rows: Iterator[BandRow], state: GroupState[BandBucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+            var cur = state.getOption
+            val out = Seq.newBuilder[NearDupHit]
+            sorted.foreach { r =>
+              cur match {
+                case None =>
+                  cur = Some(BandBucketState(r.doc_id, r.ts.getTime, r.sig))
+                case Some(st) =>
+                  val agree = st.repSig.zip(r.sig)
+                    .count { case (a, b) => a == b }.toDouble / numHashes
+                  out += NearDupHit(r.doc_id, r.band_idx, st.repId, agree)
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              // horizon counts from the bucket's LAST activity (rep
+              // arrival or latest dup), so an actively-colliding rep
+              // never expires mid-stream
+              val lastTs = if (sorted.nonEmpty) sorted.last.ts.getTime else st.repTs
+              state.setTimeoutTimestamp(math.max(st.repTs, lastTs) + horizonMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Streaming windowed heavy-hitter sketch: per event-time window, the
     * item stream folds into ONE fixed-size Count–Min matrix
     * ([[graft.functions.CmsBuildAgg]] — the same deterministic sketch

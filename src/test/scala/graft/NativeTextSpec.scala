@@ -91,6 +91,27 @@ class NativeTextSpec extends SparkSpec {
       compare(TextFunctions.wordShingleHashes(_, 3), legacyShingleHashes(_, 3),
               sampleTexts(300, 120))
     }
+    it("minhashSig(3, 8) = array_min over the md5-halves double-hash family") {
+      def legacySig(t: Column): Column = {
+        val hh = transform(TextFunctions.wordShingles(t, 3),
+                           s => TextFunctions.md5Halves60(s))
+        // legacy yields nulls for < n tokens where native yields [];
+        // normalize both to the defined (non-empty) shape for compare
+        array((0 until 8).map(j =>
+          array_min(transform(hh, x => x.getItem(0) + lit(j.toLong) * x.getItem(1)))): _*)
+      }
+      def nativeSig(t: Column): Column = {
+        import org.apache.spark.sql.GraftColumnBridge
+        GraftColumnBridge.column(graft.functions.MinhashSigExpr(
+          GraftColumnBridge.expression(t), 3, 8))
+      }
+      // each side signals "< n tokens" differently (native: empty
+      // array; legacy: 8 nulls) — normalize both to NULL for compare
+      def dn(c: Column): Column = when(size(c) > 0, c)
+      def dl(c: Column): Column = when(element_at(c, 1).isNotNull, c)
+      compare(t => dn(nativeSig(t)), t => dl(legacySig(t)), pinned)
+      compare(t => dn(nativeSig(t)), t => dl(legacySig(t)), sampleTexts(400, 120))
+    }
     it("null text propagates null through every native expression") {
       val df = Seq[Option[String]](None, Some("a b")).toDF("t")
       val r = df.select(

@@ -438,6 +438,11 @@ class PlanSpec extends SparkSpec {
       // heap-based; a row_number fallback would sort whole groups
       assert(!p.contains("Window"), s"sketch regressed to a window sort:\n$p")
     }
+    it("q129 near-dup gate: in-row signatures, min_by reps (no window sort), no cartesian") {
+      val p = planOf("q129_streaming_neardup_twin")
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+      assert(!p.contains("Window"), s"rep selection regressed to a window sort:\n$p")
+    }
     it("q128 PageRank supersteps are equi-joins — no cartesian; the 1-row N frame broadcasts") {
       // checkpoint=false keeps the unrolled lineage visible (the
       // production per-superstep checkpoint would hide the join

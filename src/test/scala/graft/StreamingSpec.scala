@@ -299,6 +299,67 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  describe("nearDupSuppressStream (LSH ingest gate)") {
+    // arrival order = ts then doc_id; doc texts chosen so 1 and 2 are
+    // near-identical (most bands collide, high agreement) and 3 is
+    // unrelated (no collisions)
+    val docRows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "en",
+       "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, ts("2024-01-01 10:01:00"), "en",
+       "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+      (3L, ts("2024-01-01 10:02:00"), "en",
+       "completely different subject matter with entirely other words present here"))
+
+    it("matches the batch twin row-for-row on a single micro-batch") {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val src = MemoryStream[(Long, Timestamp, String, String)]
+      val q = EventStreams.nearDupSuppressStream(
+          src.toDF().toDF("doc_id", "ts", "lang", "text"),
+          "text", "doc_id", "ts", "lang", "10 minutes", horizonMs = 3600000L)
+        .writeStream.format("memory").queryName("ndup_out")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        src.addData(docRows: _*)
+        q.processAllAvailable()
+        val got = spark.table("ndup_out")
+          .as[(Long, Int, Long, Double)].collect().toSet
+        val want = graft.ext.Dedup.nearDupSuppressBatch(
+            docRows.toDF("doc_id", "ts", "lang", "text"),
+            "text", "doc_id", "lang", "ts", n = 3, numHashes = 8, bands = 4)
+          .as[(Long, Int, Long, Double)].collect().toSet
+        assert(got == want)
+        assert(got.nonEmpty && got.forall(_._3 == 1L),
+          "doc 1 arrived first and must be every bucket's representative")
+        assert(got.forall(h => h._1 == 2L && h._4 >= 0.25),
+          "only the near-dup doc 2 may be flagged; band collision implies >= 2/8 agreement")
+      } finally q.stop()
+    }
+
+    it("suppresses across micro-batches: state carries the representative") {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val src = MemoryStream[(Long, Timestamp, String, String)]
+      val q = EventStreams.nearDupSuppressStream(
+          src.toDF().toDF("doc_id", "ts", "lang", "text"),
+          "text", "doc_id", "ts", "lang", "10 minutes", horizonMs = 3600000L)
+        .writeStream.format("memory").queryName("ndup_out2")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        src.addData(docRows.head)
+        q.processAllAvailable()
+        assert(spark.table("ndup_out2").count() == 0, "first doc is the rep, no hits")
+        src.addData(docRows(1), docRows(2))
+        q.processAllAvailable()
+        val got = spark.table("ndup_out2")
+          .as[(Long, Int, Long, Double)].collect().toSet
+        assert(got.nonEmpty && got.forall(h => h._1 == 2L && h._3 == 1L),
+          "batch-2 near-dup must hit the batch-1 representative; unrelated doc stays clean")
+      } finally q.stop()
+    }
+  }
+
   describe("batch/stream agreement") {
     it("sessionizeBatch matches the streaming sessions on closed sessions") {
       import spark.implicits._
