@@ -235,16 +235,13 @@ object Dedup {
       .filter(col("jaccard") >= jaccardThreshold ||
               greatest(col("cont_a"), col("cont_b")) >= containmentThreshold)
 
-  /** MinHash family member j over the two md5 halves: h1 + j·h2
-    * (Kirsch–Mitzenmacher double hashing — the standard construction
-    * for MinHash/Bloom families from two base hashes). ONE md5 per
-    * shingle feeds the whole family instead of `numHashes` digests.
-    * Overflow-safe by construction: h1, h2 < 2⁶⁰, so
-    * h1 + 7·h2 ≤ 2⁶³ − 8 < Long.MaxValue — provably no wraparound,
-    * which matters because the DuckDB oracle RAISES on BIGINT overflow
-    * rather than wrapping. */
-  private def minhashCol(j: Int): Column =
-    min(col("h1") + lit(j.toLong) * col("h2")).as(s"mh$j")
+  // The signature family is h1 + j·h2 over the two md5 halves
+  // (Kirsch–Mitzenmacher double hashing): ONE md5 per shingle feeds the
+  // whole family. Overflow-safe by construction: h1, h2 < 2⁶⁰, so
+  // h1 + 7·h2 ≤ 2⁶³ − 8 < Long.MaxValue — provably no wraparound, which
+  // matters because the DuckDB oracle RAISES on BIGINT overflow rather
+  // than wrapping. Computed by graft.functions.MinhashSigExpr since
+  // round 9 (see withMinhashSig).
 
   /** MinHash + LSH banding near-dup candidates, verified by exact
     * Jaccard. `numHashes` minhashes split into `bands` bands; a pair is
@@ -290,34 +287,35 @@ object Dedup {
   }
 
   /** The LSH banding pipeline shared by the within-corpus pair path and
-    * the cross-corpus join path: shingle md5 halves → double-hashed
-    * minhash signature → '|'-joined band keys, exploded to one row per
-    * (id, block, band_idx, band-key). The explode keeps the expensive
-    * signature subtree referenced ONCE (a per-band join union would
-    * reference it 2×bands times, and exchange reuse does not reliably
-    * deduplicate it). */
+    * the cross-corpus join path: per-row native MinHash signature
+    * ([[withMinhashSig]]) → '|'-joined band keys, exploded to one row
+    * per (id, block, band_idx, band-key).
+    *
+    * MAP-ONLY since round 9: the original formulation exploded shingle
+    * rows and rebuilt signatures with a (id, block) groupBy — a full
+    * shuffle of the shingle table BEFORE any banding. The one-pass
+    * [[graft.functions.MinhashSigExpr]] computes the identical
+    * double-hashed family in-row (min over the in-row shingle multiset
+    * = MIN over exploded rows; NativeTextSpec pins it), so signature
+    * construction now costs zero exchanges at any corpus size and the
+    * first shuffle of every LSH consumer is the band-key candidate
+    * stage itself. Band keys are unchanged ('|'-joined signature
+    * slices, portable to SQL string concat). */
   private def lshBandRows(in: DataFrame, textCol: String, idCol: String,
                           blockCol: String, n: Int, numHashes: Int,
                           bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    require(numHashes <= 8,
-      "double-hashed family h1 + j*h2 is overflow-proof only for j <= 7")
     val rowsPerBand = numHashes / bands
-    val sh = shingleRows(in, textCol, idCol, blockCol, n)
-      .select(col("id"), col("block"), md5Halves60(col("s")).as("hh"))
-      .select(col("id"), col("block"),
-              col("hh").getItem(0).as("h1"), col("hh").getItem(1).as("h2"))
-    val sig = sh.groupBy(col("id"), col("block"))
-      .agg(minhashCol(0), (1 until numHashes).map(minhashCol): _*)
-    // band key: '|'-joined signature slice (portable to SQL string concat)
-    val banded = sig.select(
-      col("id") +: col("block") +: (0 until bands).map { b =>
-        concat_ws("|",
-          (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh$j")): _*)
-          .as(s"band$b")
-      }: _*)
-    banded.select(col("id"), col("block"),
-        posexplode(array((0 until bands).map(b => col(s"band$b")): _*)))
+    val sig = withMinhashSig(
+        in.select(col(idCol).as("id"), col(blockCol).as("block"),
+                  col(textCol).as("__t")),
+        "__t", "sig", n, numHashes)
+      .filter(size(col("sig")) > 0)
+    sig.select(col("id"), col("block"),
+        posexplode(array((0 until bands).map { b =>
+          concat_ws("|", (b * rowsPerBand until (b + 1) * rowsPerBand)
+            .map(j => element_at(col("sig"), j + 1).cast("string")): _*)
+        }: _*)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "bk")
   }
