@@ -126,6 +126,25 @@ object SetGraphOps {
                floor(abs(kmv_overlap_est - exact_overlap) * 1e4 + 0.5) / 1e4 AS abs_err
         FROM j""")),
 
+    QueryDef("q130_kmv_aggregate",
+      "the KMV sketch as a first-class merge-safe AGGREGATE (kmv_build, a TypedImperativeAggregate like q80's CMS): the same per-month estimator as q126 but built by groupBy().agg() with NO pre-distinct — dedup lives inside the bounded TreeSet buffer, update is insert-if-smaller, merge is sketch-union re-capped at k, so map-side partials ship one <= 64-long sketch per partition per group, never members. The form that composes everywhere an aggregate goes: streaming windows (EventStreams.kmvDistinctStream — bounded state per open window, watermark-expired), cube/rollup, and bucketed layouts. Same oracle shape as q126's sketch half — aggregate path ≡ TopK-operator path, hash-checked",
+      (s, d) => {
+        val k = 64
+        t(s, d, "orders")
+          .select(date_format(col("o_orderdate"), "yyyy-MM").as("m"),
+                  TextFunctions.portableHash(col("o_custkey").cast("string"), 7).as("h"))
+          .groupBy(col("m"))
+          .agg(graft.functions.KmvFns.kmvBuild(col("h"), k).as("sk"))
+          .select(col("m").as("month"),
+                  size(col("sk")).cast("long").as("sketch_size"),
+                  graft.functions.KmvFns.kmvEstimate(col("sk"), k).as("kmv_estimate"))
+      },
+      Some(s"""WITH $monthlyCte,
+        r AS (SELECT m, h, row_number() OVER (PARTITION BY m ORDER BY h) AS rn FROM d),
+        ks AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS sketch_size, MAX(h) AS mk FROM r WHERE rn <= 64 GROUP BY 1)
+        SELECT m AS month, sketch_size, ${KmvSketch.estimateSql("sketch_size", "mk", 64)} AS kmv_estimate
+        FROM ks""")),
+
     QueryDef("q128_pagerank",
       "fixed-iteration PageRank (d=0.85, 3 unrolled supersteps) over the undirected supplier↔part bipartite graph from lineitem — the link-graph authority signal crawl curation attaches to documents (host-level PageRank as a quality feature in CommonCrawl-derived corpora). Each superstep: vertex state (21k rows) BROADCASTS into the edge table for a map-side lookup, so the only exchange is the map-side-partial contribution aggregate (billion-vertex graphs flip broadcastRanks=false for the src-keyed shuffle join, property-tested bit-equal); contributions r/deg are 10-dp floor-rounded then summed as exact DECIMAL(38,12) (the q63 recipe applied ITERATIVELY), so three rounds of float recursion stay bit-identical to the DuckDB oracle under any partitioning. Rank state is checkpointed per step (one-superstep lineage; a fused 3-step plan measured SLOWER — 4.1 vs 3.4 s — paying a 26 s deep-plan codegen first run). Wall profile at sf0.1: every stage sits at the ~0.5-0.7 s local-mode job floor (distinct 0.68, supersteps ~0.6-1.0 each) — the q82/q119 small-input floor, amortized at real scale",
       (s, d) => {

@@ -298,6 +298,28 @@ object EventStreams {
       events.withWatermark(tsCol, watermark),
       keyCol, tsCol, valCol, windowDur, lo, hi, buckets, ps)
 
+  /** Streaming windowed DISTINCT-count sketch: per event-time window,
+    * the item stream folds into one bounded KMV sketch
+    * ([[graft.functions.KmvBuildAgg]] — the same merge-safe aggregate
+    * q130 runs in batch). Exact per-window distinct counting needs
+    * state proportional to the item cardinality; the sketch holds
+    * ≤ k longs per OPEN window, late in-watermark rows revise the
+    * estimate in place, and the watermark expires closed windows. The
+    * estimate column is the portable q126/q130 estimator, so a batch
+    * twin over the same rows lands identical values (StreamingSpec). */
+  def kmvDistinctStream(events: DataFrame, itemCol: String, tsCol: String,
+                        watermark: String, windowLen: String,
+                        k: Int): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(graft.functions.KmvFns.kmvBuild(
+        graft.functions.TextFunctions.portableHash(col(itemCol).cast("string"), 7),
+        k).as("sketch"))
+      .select(col("window.start").as("window_start"),
+              size(col("sketch")).cast("long").as("sketch_size"),
+              graft.functions.KmvFns.kmvEstimate(col("sketch"), k).as("distinct_est"))
+
   /** Continuous ingest into the batch plane's partitioned report sink:
     * micro-batches land day-partitioned parquet in the SAME directory
     * layout [[graft.sinks.ReportSink.appendPartitioned]] writes, but

@@ -52,6 +52,43 @@ class SetGraphSpec extends SparkSpec {
     }
   }
 
+  describe("KMV aggregate (kmv_build)") {
+    import graft.functions.KmvFns
+
+    it("equals the k smallest distinct hashes, duplicates and partitioning ignored") {
+      val rows = (1 to 500).map(i => ("g", (i % 150).toLong * 7919)) // dups by construction
+      val expect = rows.map(_._2).distinct.sorted.take(32)
+      Seq(1, 7).foreach { parts =>
+        val got = rows.toDF("grp", "h").repartition(parts)
+          .groupBy($"grp").agg(KmvFns.kmvBuild($"h", 32).as("sk"))
+          .select($"sk").as[Seq[Long]].head()
+        assert(got == expect)
+      }
+    }
+
+    it("aggregate path produces the same (size, kth) sketch stats as the TopK operator path") {
+      val df = (1 to 3000).map(i => (s"g${i % 3}", i)).toDF("grp", "v")
+      val hashed = df.select($"grp".as("g"),
+        graft.functions.TextFunctions.portableHash($"v".cast("string"), 7).as("h"))
+      val viaAgg = hashed.groupBy($"g").agg(KmvFns.kmvBuild($"h", 64).as("sk"))
+        .select($"g", size($"sk"), element_at($"sk", 64))
+        .as[(String, Int, Long)].collect().toSet
+      val viaTopK = KmvSketch.sketchHashed(hashed.distinct())(64)
+        .groupBy($"g").agg(count(lit(1)).cast("int").as("sz"), max($"h").as("mk"))
+        .as[(String, Int, Long)].collect().toSet
+      assert(viaAgg == viaTopK)
+    }
+
+    it("kmvEstimate is exact below k and matches the operator-path estimator above it") {
+      val hashed = (1 to 40).map(i => ("s", i)).toDF("grp", "v")
+        .select($"grp".as("g"),
+          graft.functions.TextFunctions.portableHash($"v".cast("string"), 7).as("h"))
+      val small = hashed.groupBy($"g").agg(KmvFns.kmvBuild($"h", 64).as("sk"))
+        .select(KmvFns.kmvEstimate($"sk", 64)).as[Double].head()
+      assert(small == 40.0)
+    }
+  }
+
   describe("fixed-iteration PageRank") {
     it("conserves rank mass (sums to ~1) and favors the hub of a star graph") {
       val edges = (1 to 20).map(i => ("hub", s"leaf$i")).toDF("src", "dst")

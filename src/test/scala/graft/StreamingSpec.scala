@@ -299,6 +299,34 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  describe("kmvDistinctStream (windowed distinct sketch)") {
+    it("counts window-distinct users exactly below k and revises on late rows") {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val src = MemoryStream[Event]
+      val q = EventStreams.kmvDistinctStream(
+          src.toDF(), "user_id", "ts", "1 hour", "1 day", k = 64)
+        .writeStream.format("memory").queryName("kmv_out")
+        .outputMode(OutputMode.Complete()).start()
+      try {
+        src.addData(
+          Event(1, ts("2024-01-01 10:00:00"), 7, "view", 0.0),
+          Event(2, ts("2024-01-01 11:00:00"), 7, "view", 0.0), // dup user
+          Event(3, ts("2024-01-01 12:00:00"), 8, "view", 0.0),
+          Event(4, ts("2024-01-02 09:00:00"), 9, "view", 0.0))
+        q.processAllAvailable()
+        def ests = spark.table("kmv_out")
+          .select($"window_start".cast("string"), $"distinct_est")
+          .as[(String, Double)].collect().toMap
+        assert(ests == Map("2024-01-01 00:00:00" -> 2.0, "2024-01-02 00:00:00" -> 1.0))
+        // late-but-in-watermark new user revises day 1 in place
+        src.addData(Event(5, ts("2024-01-01 23:30:00"), 11, "view", 0.0))
+        q.processAllAvailable()
+        assert(ests("2024-01-01 00:00:00") == 3.0)
+      } finally q.stop()
+    }
+  }
+
   describe("nearDupSuppressStream (LSH ingest gate)") {
     // arrival order = ts then doc_id; doc texts chosen so 1 and 2 are
     // near-identical (most bands collide, high agreement) and 3 is
