@@ -145,6 +145,47 @@ object SetGraphOps {
         SELECT m AS month, sketch_size, ${KmvSketch.estimateSql("sketch_size", "mk", 64)} AS kmv_estimate
         FROM ks""")),
 
+    QueryDef("q131_kmv_rollup",
+      "sketch ALGEBRA as an operator: quarterly distinct-customer estimates built purely by MERGING the monthly KMV sketches (explode month sketches -> kmv_build per quarter = k smallest of the sketch union = k smallest of the set union, the mergeability theorem SetGraphSpec pins) — the corpus is touched once to build monthly sketches, then ANY coarser rollup (quarter/year/trailing-window) derives from |periods|·k longs without re-scanning. This is the production shape at 100 TB: persist per-partition-period sketches at ingest, answer every cardinality rollup from the sketch table. Self-eval: exact quarterly distinct counts (computed independently) vs the merged-sketch estimate",
+      (s, d) => {
+        val k = 64
+        val hashed = t(s, d, "orders")
+          .select(date_format(col("o_orderdate"), "yyyy-MM").as("m"),
+                  concat(year(col("o_orderdate")).cast("string"), lit("-Q"),
+                         quarter(col("o_orderdate")).cast("string")).as("q"),
+                  TextFunctions.portableHash(col("o_custkey").cast("string"), 7).as("h"))
+        // corpus pass 1 (the ONLY one the rollup path uses): monthly sketches
+        val monthly = hashed.groupBy(col("q"), col("m"))
+          .agg(graft.functions.KmvFns.kmvBuild(col("h"), k).as("sk"))
+        // rollup WITHOUT the corpus: merge month sketches per quarter
+        val quarterly = monthly
+          .select(col("q"), explode(col("sk")).as("h"))
+          .groupBy(col("q"))
+          .agg(graft.functions.KmvFns.kmvBuild(col("h"), k).as("sk"))
+          .select(col("q"),
+                  graft.functions.KmvFns.kmvEstimate(col("sk"), k).as("kmv_estimate"))
+        // independent exact side, for the self-eval only
+        val exact = hashed.select(col("q"), col("h")).distinct()
+          .groupBy(col("q")).agg(lcount(lit(1)).as("exact_custs"))
+        exact.join(quarterly, Seq("q"))
+          .select(col("q").as("quarter"), col("exact_custs"), col("kmv_estimate"),
+            (floor(abs(col("kmv_estimate") - col("exact_custs")) / col("exact_custs") * 1e4 + 0.5) / 1e4)
+              .as("rel_err"))
+      },
+      Some(s"""WITH dq AS (SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS m,
+                     CAST(year(o_orderdate) AS VARCHAR) || '-Q' || CAST(quarter(o_orderdate) AS VARCHAR) AS q,
+                     ${ph("CAST(o_custkey AS VARCHAR)", 7)} AS h FROM orders),
+        rm AS (SELECT q, m, h, row_number() OVER (PARTITION BY m ORDER BY h) AS rn FROM dq),
+        msk AS (SELECT q, m, h FROM rm WHERE rn <= 64),
+        rq AS (SELECT q, h, row_number() OVER (PARTITION BY q ORDER BY h) AS rn
+               FROM (SELECT DISTINCT q, h FROM msk)),
+        qs AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS sz, MAX(h) AS mk FROM rq WHERE rn <= 64 GROUP BY 1),
+        ex AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS exact_custs FROM (SELECT DISTINCT q, h FROM dq) GROUP BY 1),
+        j AS (SELECT ex.q, exact_custs, ${KmvSketch.estimateSql("sz", "mk", 64)} AS kmv_estimate FROM ex JOIN qs ON ex.q = qs.q)
+        SELECT q AS quarter, exact_custs, kmv_estimate,
+               floor(abs(kmv_estimate - exact_custs) / exact_custs * 1e4 + 0.5) / 1e4 AS rel_err
+        FROM j""")),
+
     QueryDef("q128_pagerank",
       "fixed-iteration PageRank (d=0.85, 3 unrolled supersteps) over the undirected supplier↔part bipartite graph from lineitem — the link-graph authority signal crawl curation attaches to documents (host-level PageRank as a quality feature in CommonCrawl-derived corpora). Each superstep: vertex state (21k rows) BROADCASTS into the edge table for a map-side lookup, so the only exchange is the map-side-partial contribution aggregate (billion-vertex graphs flip broadcastRanks=false for the src-keyed shuffle join, property-tested bit-equal); contributions r/deg are 10-dp floor-rounded then summed as exact DECIMAL(38,12) (the q63 recipe applied ITERATIVELY), so three rounds of float recursion stay bit-identical to the DuckDB oracle under any partitioning. Rank state is checkpointed per step (one-superstep lineage; a fused 3-step plan measured SLOWER — 4.1 vs 3.4 s — paying a 26 s deep-plan codegen first run). Wall profile at sf0.1: every stage sits at the ~0.5-0.7 s local-mode job floor (distinct 0.68, supersteps ~0.6-1.0 each) — the q82/q119 small-input floor, amortized at real scale",
       (s, d) => {
