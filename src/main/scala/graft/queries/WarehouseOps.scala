@@ -1,0 +1,178 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ops.Num._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse-maintenance & data-quality plane (q132–q137, round 9
+  * third batch): the operations that keep a 100 TB warehouse TRUSTWORTHY
+  * — declarative constraint checking, CDC snapshot diffing, incremental
+  * SCD2 merge — plus the classic derived-analytics trio a reference
+  * user runs downstream of its snapshots (market-basket affinity,
+  * cohort retention, rolling anomaly detection). The reference
+  * validates implicitly (coercion sweeps + null fills around every
+  * fetch, `main.py`'s try/except) and rebuilds its history from scratch
+  * each run; these are the explicit, incremental, auditable forms.
+  *
+  * Determinism contract (SURVEY.md §5): cross-row sums in exact
+  * DECIMAL(38,6); per-row double arithmetic IEEE-deterministic; ratios
+  * rounded (4–6 dp) before output; every window order made total via
+  * unique-id tiebreaks.
+  */
+object WarehouseOps {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q132_dq_constraints",
+      "declarative data-quality constraint suite (the Deequ/Great-Expectations surface as pure Catalyst aggregates): 4 row predicates + a PK-uniqueness check over lineitem, 2 row predicates + a customer FK referential check over orders, each emitting (check_name, n_rows, n_violations, pass). The engine point is FUSION: all row checks over a table compile into ONE aggregate pass (one scan, one map-side partial count per predicate — never a job per constraint), uniqueness is one hash aggregate on the key, the FK check one equi-join against DISTINCT dim keys that AQE broadcasts when small. Two checks genuinely FIRE on this fixture (discount>0.08 rows; the synthetic lineitem PK has ~12k duplicate groups) — a DQ suite that only ever passes demonstrates nothing",
+      (s, d) => {
+        import graft.ops.DataQuality._
+        val li = t(s, d, "lineitem")
+        val orders = t(s, d, "orders")
+        val customer = t(s, d, "customer")
+        val liChecks = check(li,
+          rowChecks = Seq(
+            RowCheck("lineitem.quantity_range",
+              !(col("l_quantity") > 0 && col("l_quantity") <= 60)),
+            RowCheck("lineitem.discount_range",
+              !(col("l_discount") >= 0 && col("l_discount") <= 0.08)),
+            RowCheck("lineitem.shipdate_complete", col("l_shipdate").isNull),
+            RowCheck("lineitem.returnflag_accepted",
+              !col("l_returnflag").isin("A", "N", "R"))),
+          uniques = Seq(UniqueCheck("lineitem.line_pk_unique",
+            Seq("l_orderkey", "l_linenumber"))))
+        val oChecks = check(orders,
+          rowChecks = Seq(
+            RowCheck("orders.totalprice_positive", !(col("o_totalprice") > 0)),
+            RowCheck("orders.status_accepted",
+              !col("o_orderstatus").isin("F", "O", "P"))),
+          fks = Seq(FkCheck("orders.custkey_fk", "o_custkey",
+            customer, "c_custkey")))
+        liChecks.unionByName(oChecks)
+      },
+      Some("""WITH lrc AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(*) FILTER (WHERE NOT (l_quantity > 0 AND l_quantity <= 60)) AS BIGINT) AS v_qty, CAST(count(*) FILTER (WHERE NOT (l_discount >= 0 AND l_discount <= 0.08)) AS BIGINT) AS v_disc, CAST(count(*) FILTER (WHERE l_shipdate IS NULL) AS BIGINT) AS v_ship, CAST(count(*) FILTER (WHERE l_returnflag NOT IN ('A','N','R')) AS BIGINT) AS v_rf FROM lineitem), orc AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(*) FILTER (WHERE NOT (o_totalprice > 0)) AS BIGINT) AS v_tp, CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('F','O','P')) AS BIGINT) AS v_st FROM orders), uq AS (SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS v FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber)), fk AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT) AS v FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c ON o_custkey = c.c_custkey), allc AS (SELECT 'lineitem.quantity_range' AS check_name, n AS n_rows, v_qty AS n_violations FROM lrc UNION ALL SELECT 'lineitem.discount_range', n, v_disc FROM lrc UNION ALL SELECT 'lineitem.shipdate_complete', n, v_ship FROM lrc UNION ALL SELECT 'lineitem.returnflag_accepted', n, v_rf FROM lrc UNION ALL SELECT 'lineitem.line_pk_unique', n, v FROM uq UNION ALL SELECT 'orders.totalprice_positive', n, v_tp FROM orc UNION ALL SELECT 'orders.status_accepted', n, v_st FROM orc UNION ALL SELECT 'orders.custkey_fk', n, v FROM fk) SELECT check_name, n_rows, n_violations, n_violations = 0 AS pass FROM allc""")),
+
+    QueryDef("q133_snapshot_diff",
+      "CDC snapshot diff (ops.Cdc.snapshotDiff): two deterministic full snapshots derived from orders — old drops keys ending in 3, new drops keys ending in 7, bumps o_totalprice by +1.0 on every 5th key and rewrites o_orderstatus to 'X' on every 20th — diffed into the per-key change set (insert/delete/update with old_/new_ column pairs) a MERGE INTO would apply; unchanged keys are dropped before materialization. ONE full-outer equi-join on the key, change classification a map-side null-safe <=> chain — no window, no subquery, no second pass. The +1.0 mutation (not a multiply-round) keeps the updated values IEEE-deterministic across engines. At 100 TB this is the periodic-full-dump half of CDC — exactly what diffing the reference's consecutive hourly snapshots (main.py:353-359) needs",
+      (s, d) => {
+        val orders = t(s, d, "orders")
+        val oldSnap = orders.filter(col("o_orderkey") % 10 =!= 3)
+        val newSnap = orders.filter(col("o_orderkey") % 10 =!= 7)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
+              .otherwise(col("o_totalprice")))
+          .withColumn("o_orderstatus",
+            when(col("o_orderkey") % 20 === 0, lit("X"))
+              .otherwise(col("o_orderstatus")))
+        graft.ops.Cdc.snapshotDiff(oldSnap, newSnap,
+          Seq("o_orderkey"), Seq("o_totalprice", "o_orderstatus"))
+      },
+      Some("""WITH olds AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 10 <> 3), news AS (SELECT o_orderkey, CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice, CASE WHEN o_orderkey % 20 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus FROM orders WHERE o_orderkey % 10 <> 7), j AS (SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey, CASE WHEN o.o_orderkey IS NULL THEN 'insert' WHEN n.o_orderkey IS NULL THEN 'delete' WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus THEN 'update' ELSE 'unchanged' END AS change_type, o.o_totalprice AS old_o_totalprice, n.o_totalprice AS new_o_totalprice, o.o_orderstatus AS old_o_orderstatus, n.o_orderstatus AS new_o_orderstatus FROM olds o FULL OUTER JOIN news n ON o.o_orderkey = n.o_orderkey) SELECT * FROM j WHERE change_type <> 'unchanged'""")),
+
+    QueryDef("q134_scd2_merge",
+      "INCREMENTAL SCD2 merge (ops.Scd2.merge — the warehouse MERGE INTO q116's batch build lacks): the dimension built from events BEFORE 2024-01-16 folds in the post-cutoff delta WITHOUT re-reading history — each touched user's open interval re-enters the run machinery as ONE weighted seed pseudo-event (valid_from as ts, n_events as weight, run−1 as the per-user run base), so a delta continuing the open run extends it in place and a type change closes it exactly where batch would; closed history and untouched users pass through untouched. The ORACLE IS THE BATCH SQL over the full stream — merge(build(<T), ≥T) must equal build(all) row-for-row, run ids included (WarehouseSpec proves the property on adversarial cases; this row proves it on 100k real events). Every stage keys on user_id = one partitioning; only delta users' rows are rewritten — at 100 TB the difference between appending to a dimension and rebuilding it",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+        val dimOld = graft.ops.Scd2.build(ev.filter(col("ts") < cutoff))
+        graft.ops.Scd2.merge(dimOld, ev.filter(col("ts") >= cutoff))
+      },
+      Some("""WITH g AS (SELECT user_id, ts, event_id, event_type, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events), m AS (SELECT *, CASE WHEN prev_type IS NULL OR prev_type <> event_type THEN 1 ELSE 0 END AS chg FROM g), r AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM m), a AS (SELECT user_id, run, MAX(event_type) AS event_type, MIN(ts) AS vf, CAST(COUNT(*) AS BIGINT) AS n_events FROM r GROUP BY 1, 2) SELECT user_id, CAST(run AS BIGINT) AS run, event_type, epoch_us(vf) AS valid_from_us, lead(epoch_us(vf)) OVER (PARTITION BY user_id ORDER BY run) AS valid_to_us, n_events FROM a""")),
+
+    QueryDef("q135_market_basket",
+      "market-basket affinity (association rules over order baskets): per-order DISTINCT brand sets (lineitem⋈part — the dim join AQE broadcasts), same-order brand pairs with brand_a < brand_b, then support / confidence(a→b) / lift from the pair, per-brand, and total order counts. ONE wide shuffle total: the raw join output groups straight into sorted per-order collect_sets (map-side partial; the set IS the dedup — no separate DISTINCT exchange) and pairs explode IN-ROW from each set (q21's posting-list idiom), bounded by basket size squared — never a self-join of the basket table, never an all-pairs stage; downstream everything is |brands|-bounded and broadcasts. Ratios are long-integer inputs through one IEEE division, rounded to 6 dp — deterministic. Support threshold 10 documented as the demo cut",
+      (s, d) => {
+        val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+        val part = t(s, d, "part").select(col("p_partkey"), col("p_brand"))
+        // materialized once: three branches (pairs, brand support, order
+        // total) read the basket table and cross-branch subtree reuse is
+        // not guaranteed — without this the collect_set reduce runs 3×
+        val sets = li.join(part, col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_orderkey"))
+          .agg(array_sort(collect_set(col("p_brand"))).as("bs"))
+          .localCheckpoint(true)
+        val pairs = sets
+          .select(posexplode(col("bs")).as(Seq("i", "brand_a")), col("bs"))
+          .select(col("brand_a"),
+            explode(slice(col("bs"), col("i") + lit(2),
+                          greatest(size(col("bs")) - col("i") - 1, lit(0))))
+              .as("brand_b"))
+          .groupBy(col("brand_a"), col("brand_b"))
+          .agg(lcount(lit(1)).as("support"))
+        val bs = sets.select(explode(col("bs")).as("p_brand"))
+          .groupBy(col("p_brand")).agg(lcount(lit(1)).as("s"))
+        val nOrders = sets.agg(lcount(lit(1)).as("n_orders"))
+        pairs.filter(col("support") >= 10)
+          .join(broadcast(bs.select(col("p_brand").as("brand_a"), col("s").as("sa"))),
+                Seq("brand_a"))
+          .join(broadcast(bs.select(col("p_brand").as("brand_b"), col("s").as("sb"))),
+                Seq("brand_b"))
+          .crossJoin(broadcast(nOrders))
+          .select(col("brand_a"), col("brand_b"), col("support"),
+                  round(col("support") / col("sa"), 6).as("confidence"),
+                  round(col("support") * col("n_orders") / (col("sa") * col("sb")), 6)
+                    .as("lift"))
+      },
+      Some("""WITH b AS (SELECT DISTINCT l_orderkey, p_brand FROM lineitem JOIN part ON l_partkey = p_partkey), pr AS (SELECT a.p_brand AS brand_a, b2.p_brand AS brand_b, CAST(count(*) AS BIGINT) AS support FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey AND a.p_brand < b2.p_brand GROUP BY 1, 2), bs AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS s FROM b GROUP BY 1), n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM b) SELECT brand_a, brand_b, support, round(support / sa.s, 6) AS confidence, round(support * n_orders / (sa.s * sb.s), 6) AS lift FROM pr JOIN bs sa ON pr.brand_a = sa.p_brand JOIN bs sb ON pr.brand_b = sb.p_brand CROSS JOIN n WHERE support >= 10""")),
+
+    QueryDef("q136_cohort_retention",
+      "cohort retention matrix (the classic product-analytics triangle): customers cohorted by FIRST-order month over orders' 80-month span, activity as the distinct (customer, month) grid, offset = month-index difference (integer year*12+month arithmetic — portable, no interval math), retention = cohort's active customers at each offset / cohort size. ONE customer-keyed shuffle total: each customer's distinct active months collapse to a set (map-side partial), the cohort month and offsets derive IN-ROW (array_min + transform — bounded by months per customer, ≤ the retention span), and the (cohort, offset) rollup is grid-bounded (months², ~6400 rows regardless of volume). Cohort sizes are NOT a second aggregate — a cohort's size IS its offset-0 cell (every member is active in their first month by definition), so the tiny grid self-joins its own diagonal, broadcast. Retention is one IEEE division of two longs rounded to 6 dp; the offset-0 diagonal (retention 1.0) is kept as the standard sanity row",
+      (s, d) => {
+        val o = t(s, d, "orders").select(col("o_custkey"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("mi"))
+        val perCust = o.groupBy(col("o_custkey"))
+          .agg(collect_set(col("mi")).as("ms"))
+          .select(array_min(col("ms")).as("cmi"),
+                  explode(transform(col("ms"), m => m - array_min(col("ms"))))
+                    .as("month_offset"))
+        val grid = perCust.groupBy(col("cmi"), col("month_offset"))
+          .agg(lcount(lit(1)).as("n_active"))
+        val sizes = grid.filter(col("month_offset") === 0)
+          .select(col("cmi"), col("n_active").as("cohort_size"))
+        grid.join(broadcast(sizes), Seq("cmi"))
+          .select(
+            make_date(expr("(cmi - 1) div 12"), expr("(cmi - 1) % 12 + 1"), lit(1))
+              .as("cohort_month"),
+            col("month_offset").cast("long").as("month_offset"),
+            col("n_active"), col("cohort_size"),
+            round(col("n_active") / col("cohort_size"), 6).as("retention"))
+      },
+      Some("""WITH o AS (SELECT o_custkey, year(o_orderdate) * 12 + month(o_orderdate) AS mi FROM orders), activity AS (SELECT DISTINCT o_custkey, mi FROM o), f AS (SELECT o_custkey, MIN(mi) AS cmi FROM activity GROUP BY 1), act AS (SELECT cmi, mi - cmi AS month_offset, CAST(count(*) AS BIGINT) AS n_active FROM activity JOIN f USING (o_custkey) GROUP BY 1, 2), sz AS (SELECT cmi, CAST(count(*) AS BIGINT) AS cohort_size FROM f GROUP BY 1) SELECT make_date(CAST((cmi - 1) // 12 AS INT), CAST((cmi - 1) % 12 + 1 AS INT), 1) AS cohort_month, CAST(month_offset AS BIGINT) AS month_offset, n_active, cohort_size, round(n_active / cohort_size, 6) AS retention FROM act JOIN sz USING (cmi)""")),
+
+    QueryDef("q137_rolling_zscore",
+      "rolling z-score anomaly detection (the streaming-adjacent monitoring op a metrics pipeline runs on every series): per event_type, each value scored against the TRAILING 96 observations' mean/std (the ROWS 96 PRECEDING .. 1 PRECEDING frame — the current row is EXCLUDED so an outlier cannot mask itself), emitting only |z| > 3 rows after a 48-observation warmup. The trailing sums are NOT computed as sliding-frame aggregates: Spark's WindowExec re-evaluates a moving frame from scratch per row (O(n·k) — measured 3.5 s at sf0.1 for k=96), so the query computes ONE running cumulative sum per metric (incremental, O(n)) and differences it with lag(cum, 1) − lag(cum, k+1) — EXACTLY equal to the frame sum because the accumulator is exact DECIMAL(38,6) (integer-like arithmetic: no cancellation, order-independent; measured 3.46 → 0.66 s at sf0.1, unchanged hashes — the oracle keeps the direct frame formulation as the independent derivation). mean/variance/z are then fixed IEEE expressions over the exact sums, z rounded to 4 dp before the threshold; the event_id tiebreak makes the order total. Scale: one window pass per series; at per-key volumes beyond one partition the ShardedPrefix two-pass recipe (q61b/q68b) shards the same prefix sums by time range with a k-row overlap carry — same algebra, bounded partitions",
+      (s, d) => {
+        val wc = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        val wcum = wc.rowsBetween(Window.unboundedPreceding, 0)
+        val zeroD = lit(0).cast(D)
+        t(s, d, "events")
+          .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+          .withColumn("rn", row_number().over(wc))
+          .withColumn("c1", sum(col("value").cast(D)).over(wcum))
+          .withColumn("c2", sum((col("value") * col("value")).cast(D)).over(wcum))
+          .withColumn("n_win", least(col("rn") - 1, lit(96)).cast("long"))
+          .withColumn("s1",
+            (coalesce(lag(col("c1"), 1).over(wc), zeroD) -
+             coalesce(lag(col("c1"), 97).over(wc), zeroD)).cast("double"))
+          .withColumn("s2",
+            (coalesce(lag(col("c2"), 1).over(wc), zeroD) -
+             coalesce(lag(col("c2"), 97).over(wc), zeroD)).cast("double"))
+          .filter(col("n_win") >= 48)
+          .withColumn("mean", col("s1") / col("n_win"))
+          .withColumn("variance",
+            (col("s2") - col("s1") * col("s1") / col("n_win")) / (col("n_win") - 1))
+          .filter(col("variance") > 0)
+          .withColumn("z", round((col("value") - col("mean")) / sqrt(col("variance")), 4))
+          .filter(abs(col("z")) > 3)
+          .select(col("event_type"), col("event_id"), col("value"),
+                  col("n_win"), col("z"))
+      },
+      Some("""WITH b AS (SELECT event_type, event_id, value, CAST(count(*) OVER w AS BIGINT) AS n_win, CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s1, CAST(SUM(CAST(value * value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s2 FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id ROWS BETWEEN 96 PRECEDING AND 1 PRECEDING)), f AS (SELECT *, s1 / n_win AS mean, (s2 - s1 * s1 / n_win) / (n_win - 1) AS variance FROM b WHERE n_win >= 48), z AS (SELECT event_type, event_id, value, n_win, round((value - mean) / sqrt(variance), 4) AS z FROM f WHERE variance > 0) SELECT * FROM z WHERE abs(z) > 3"""))
+  )
+}
