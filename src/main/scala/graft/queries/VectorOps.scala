@@ -201,6 +201,41 @@ object VectorOps {
            |kept AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_kept FROM embeddings WHERE vec_id NOT IN (SELECT vec_id FROM dropped) GROUP BY label),
            |tot AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM embeddings GROUP BY label)
            |SELECT label, n_vecs, n_kept, n_vecs - n_kept AS n_dropped FROM tot JOIN kept USING (label)""".stripMargin.replace("\n", " ")
-      })
+      }),
+
+    QueryDef("q138_embedding_covariance",
+      "exact covariance matrix of the embedding column (ext.EmbeddingStats.covariance) — the embedding-collapse / feature-correlation monitor, and the input to PCA (q139): all d(d+1)/2 = 2080 upper-triangle cells with cov = (Σxᵢxⱼ − ΣxᵢΣxⱼ/n)/(n−1). Scale: ONE corpus pass — each vector expands IN-ROW to its triangle products (the d²/2 multiplies ANY covariance algorithm must perform; posexplode + slice keeps them in codegen) and the sums partial-aggregate map-side, so the shuffle carries d(d+1)/2 rows per partition, never the corpus; the d-sized mean vector broadcasts back onto the d²-sized cell table. Determinism: products are float→double (exact) then one IEEE multiply, summed in DECIMAL(38,12) (order-independent); the final covariance formula is a fixed double expression over the exact sums, written identically in the oracle — no rounding slack needed",
+      (s, d) => graft.ext.EmbeddingStats.covariance(
+        t(s, d, "embeddings"), "embedding", 64),
+      Some(covCte + " SELECT i, j, n, cov FROM cov0")),
+
+    QueryDef("q139_pca_power",
+      "top principal component by FIXED-ITERATION POWER ITERATION over q138's covariance (ext.EmbeddingStats.topComponent) — the q128 unrolled-BSP pattern applied to eigen-decomposition, with the q96/q100 self-eval attached: 3 matvec+normalize steps from the uniform start 1/√64 = 0.125, then loading vector, eigenvalue λ, explained-variance fraction λ/trace, and the measured convergence residual ‖Av−λv‖/λ (honestly reporting how converged 3 iterations actually got). Determinism is the q128 recipe applied iteratively: every matvec term and every scalar update is half-up-rounded at 10 dp (floor(x·1e10+0.5)/1e10), every cross-term sum exact DECIMAL(38,12), so three rounds of float recursion are bit-identical to the DuckDB oracle's three unrolled CTE iterations. Scale: the corpus appears ONLY in the covariance pass; the eigensolve is d×d MODEL state — driver-planned under an explicit dim≤256 cap (the q85 codebook-collect regime, output a broadcastable LocalRelation), with the fully distributed matvec-join twin above the cap, property-tested bit-equal (the Quantiles/PageRank twin recipe)",
+      (s, d) => graft.ext.EmbeddingStats.topComponent(
+        graft.ext.EmbeddingStats.covariance(t(s, d, "embeddings"), "embedding", 64), 64),
+      Some(covCte + """, cov AS (SELECT i, j, cov FROM cov0 UNION ALL SELECT j AS i, i AS j, cov FROM cov0 WHERE i <> j),
+        |w1 AS (SELECT c.i, CAST(SUM(CAST(floor(c.cov * CAST(0.125 AS DOUBLE) * 1e10 + 0.5) / 1e10 AS DECIMAL(38,12))) AS DOUBLE) AS w FROM cov c GROUP BY 1),
+        |l1 AS (SELECT sqrt(CAST(SUM(CAST(floor(w * w * 1e10 + 0.5) / 1e10 AS DECIMAL(38,12))) AS DOUBLE)) AS l FROM w1),
+        |u1 AS (SELECT i, floor(w / l * 1e10 + 0.5) / 1e10 AS v FROM w1 CROSS JOIN l1),
+        |w2 AS (SELECT c.i, CAST(SUM(CAST(floor(c.cov * u.v * 1e10 + 0.5) / 1e10 AS DECIMAL(38,12))) AS DOUBLE) AS w FROM cov c JOIN u1 u ON c.j = u.i GROUP BY 1),
+        |l2 AS (SELECT sqrt(CAST(SUM(CAST(floor(w * w * 1e10 + 0.5) / 1e10 AS DECIMAL(38,12))) AS DOUBLE)) AS l FROM w2),
+        |u2 AS (SELECT i, floor(w / l * 1e10 + 0.5) / 1e10 AS v FROM w2 CROSS JOIN l2),
+        |w3 AS (SELECT c.i, CAST(SUM(CAST(floor(c.cov * u.v * 1e10 + 0.5) / 1e10 AS DECIMAL(38,12))) AS DOUBLE) AS w FROM cov c JOIN u2 u ON c.j = u.i GROUP BY 1),
+        |l3 AS (SELECT sqrt(CAST(SUM(CAST(floor(w * w * 1e10 + 0.5) / 1e10 AS DECIMAL(38,12))) AS DOUBLE)) AS l FROM w3),
+        |u3 AS (SELECT i, floor(w / l * 1e10 + 0.5) / 1e10 AS v FROM w3 CROSS JOIN l3),
+        |tr AS (SELECT CAST(SUM(CAST(cov AS DECIMAL(38,12))) AS DOUBLE) AS tr FROM cov0 WHERE i = j),
+        |w4 AS (SELECT c.i, CAST(SUM(CAST(floor(c.cov * u.v * 1e10 + 0.5) / 1e10 AS DECIMAL(38,12))) AS DOUBLE) AS w FROM cov c JOIN u3 u ON c.j = u.i GROUP BY 1),
+        |r AS (SELECT w4.i, floor((w4.w - l3.l * u3.v) * 1e10 + 0.5) / 1e10 AS r FROM w4 JOIN u3 ON w4.i = u3.i CROSS JOIN l3),
+        |rr AS (SELECT sqrt(CAST(SUM(CAST(floor(r * r * 1e10 + 0.5) / 1e10 AS DECIMAL(38,12))) AS DOUBLE)) AS rn FROM r)
+        |SELECT u3.i, u3.v AS loading, l3.l AS lambda, l3.l / tr.tr AS explained_frac, rr.rn / l3.l AS residual_rel FROM u3 CROSS JOIN l3 CROSS JOIN tr CROSS JOIN rr""".stripMargin.replace("\n", " ")))
   )
+
+  /** Shared covariance CTE: exact-decimal sums of in-double products,
+    * 1-based indices, identical arithmetic to EmbeddingStats.covariance. */
+  private def covCte: String =
+    """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+      |ij AS (SELECT a.i, b.j FROM range(1, 65) a(i), range(1, 65) b(j) WHERE b.j >= a.i),
+      |s AS (SELECT ij.i, ij.j, SUM(CAST(floor(CAST(e.embedding[ij.i] AS DOUBLE) * CAST(e.embedding[ij.j] AS DOUBLE) * 1e12 + 0.5) / 1e12 AS DECIMAL(38,12))) AS sij FROM embeddings e, ij GROUP BY 1, 2),
+      |m AS (SELECT t.i, SUM(CAST(floor(CAST(e.embedding[t.i] AS DOUBLE) * 1e12 + 0.5) / 1e12 AS DECIMAL(38,12))) AS si FROM embeddings e, range(1, 65) t(i) GROUP BY 1),
+      |cov0 AS (SELECT s.i, s.j, nn.n, (CAST(s.sij AS DOUBLE) - CAST(mi.si AS DOUBLE) * CAST(mj.si AS DOUBLE) / nn.n) / (nn.n - 1) AS cov FROM s JOIN m mi ON s.i = mi.i JOIN m mj ON s.j = mj.i CROSS JOIN nn)""".stripMargin.replace("\n", " ")
 }
