@@ -48,7 +48,9 @@ object EmbeddingStats {
     * loss relative to the cast itself. */
   def covariance(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
     def r12(c: org.apache.spark.sql.Column) = floor(c * 1e12 + 0.5) / 1e12
-    val e = df.select(col(vecCol).as("e"))
+    // the d²/2-per-row product expand is CPU-heavy per input row — guard
+    // against the one-row-group scan serializing it onto a single core
+    val e = graft.ops.Parallelize.forCompute(df.select(col(vecCol).as("e")))
     val base = e.select(col("e"), posexplode(col("e")).as(Seq("p", "xi")))
     val sij = base
       .select(col("p"), col("xi"),

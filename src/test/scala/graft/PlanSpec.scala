@@ -458,4 +458,47 @@ class PlanSpec extends SparkSpec {
              p.contains("BroadcastHashJoin"), s"superstep join strategy:\n$p")
     }
   }
+
+  describe("warehouse & embedding-stats plane strategy") {
+    it("q133 CDC diff is one full-outer equi-join — no window, no cartesian, no second pass") {
+      val p = planOf("q133_snapshot_diff")
+      assert(p.contains("FullOuter"), s"expected the full-outer diff join:\n$p")
+      assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).length == 1,
+        s"expected exactly one join:\n$p")
+      assert(!p.contains("Window"), s"plan:\n$p")
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    }
+    it("q135 basket pairs explode in-row from the checkpointed set table — no basket self-join") {
+      val p = planOf("q135_market_basket")
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+      assert(p.contains("Generate"), s"expected the in-row pair explode:\n$p")
+      assert(p.contains("Scan ExistingRDD"), s"expected the checkpointed set table:\n$p")
+      // downstream joins are |brands|-bounded broadcasts, never shuffles
+      assert(!p.contains("SortMergeJoin"), s"stats joins must broadcast:\n$p")
+    }
+    it("q137 anomaly scoring shares ONE series exchange across rank, prefix sums and lags") {
+      val p = planOf("q137_rolling_zscore")
+      assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+        s"expected one (event_type) exchange:\n$p")
+      assert(!p.contains("Join"), s"plan:\n$p")
+      // the trailing sums must come from running aggregates + lags, not
+      // a sliding frame re-aggregated per row (the O(n·k) shape)
+      assert(!p.toLowerCase.contains("specifiedwindowframe(rowframe, -96"),
+        s"sliding-frame aggregate regressed in:\n$p")
+    }
+    it("q138 covariance is the in-row product expand + one cell aggregate — corpus never cartesians") {
+      val p = planOf("q138_embedding_covariance")
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+      assert(p.contains("Generate"), s"expected the in-row product expand:\n$p")
+      assert(!p.contains("Window"), s"plan:\n$p")
+      // mean vector and the 1-row n frame come back as broadcasts
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"bounded frames must broadcast:\n$p")
+    }
+    it("q139 PCA eigensolve is driver-planned model state — the result is a local relation") {
+      val p = planOf("q139_pca_power")
+      assert(p.contains("LocalTableScan"), s"expected the driver-planned component:\n$p")
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    }
+  }
 }
