@@ -252,6 +252,41 @@ object Analytics {
       },
       Some("""SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b, CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist FROM supplier a JOIN supplier b ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey AND abs(length(a.s_name) - length(b.s_name)) <= 2 WHERE levenshtein(a.s_name, b.s_name) <= 2""")),
 
+    QueryDef("q140_name_similarity",
+      "catalog name reconciliation with the NATIVE Jaro-Winkler expression (functions.JaroWinklerExpr — bit-identical to DuckDB's jaro_winkler_similarity, validated on 5k+ fixture pairs and the classic literature cases; doGenCode static call, stays inside whole-stage codegen): all pairs of DISTINCT part names scored, pairs ≥ 0.8 reported. The distinct-name table is VOCABULARY-sized (64 names at every SF — catalogs repeat names), so the all-pairs stage is bounded-domain, the q63 no-broadcast-vocabulary regime: at 100 TB the distinct aggregate is the only corpus pass and the pair stage never grows. jw floor-rounded at 6 dp on both engines (identical doubles in, identical grid out)",
+      (s, d) => {
+        import graft.functions.JaroWinkler.jaroWinkler
+        val names = t(s, d, "part").select(col("p_name")).distinct()
+        val a = names.select(col("p_name").as("name_a"))
+        val b = names.select(col("p_name").as("name_b"))
+        a.join(b, col("name_a") < col("name_b"))
+          .select(col("name_a"), col("name_b"),
+            (floor(jaroWinkler(col("name_a"), col("name_b")) * 1e6 + 0.5) / 1e6)
+              .as("jw"))
+          .filter(col("jw") >= 0.8)
+      },
+      Some("""WITH n AS (SELECT DISTINCT p_name FROM part) SELECT a.p_name AS name_a, b.p_name AS name_b, floor(jaro_winkler_similarity(a.p_name, b.p_name) * 1e6 + 0.5) / 1e6 AS jw FROM n a JOIN n b ON a.p_name < b.p_name WHERE floor(jaro_winkler_similarity(a.p_name, b.p_name) * 1e6 + 0.5) / 1e6 >= 0.8""")),
+
+    QueryDef("q141_entity_blocking",
+      "blocked entity resolution at volume — the record-linkage scale recipe: customers pair ONLY within their (nation, market-segment) block (the standard blocking-key technique: the quadratic is per-block-bounded, and the block key is an EQUI-join so Catalyst plans a hash join, never a cartesian), each pair scored by the native Jaro-Winkler expression (~900k scored pairs at sf0.1 — the codegen'd scalar is the whole map-side cost), matches ≥ 0.97 reported. At 100 TB blocks must stay bounded — oversized blocks route to the LSH candidate plane (q22) exactly as oversized posting lists route through q21's df-cap; jw floor-rounded at 6 dp",
+      (s, d) => {
+        import graft.functions.JaroWinkler.jaroWinkler
+        val c = t(s, d, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+                  col("c_mktsegment"))
+        val a = c.select(col("c_custkey").as("id_a"), col("c_name").as("name_a"),
+                         col("c_nationkey"), col("c_mktsegment"))
+        val b = c.select(col("c_custkey").as("id_b"), col("c_name").as("name_b"),
+                         col("c_nationkey"), col("c_mktsegment"))
+        a.join(b, Seq("c_nationkey", "c_mktsegment"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            (floor(jaroWinkler(col("name_a"), col("name_b")) * 1e6 + 0.5) / 1e6)
+              .as("jw"))
+          .filter(col("jw") >= 0.97)
+      },
+      Some("""SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, floor(jaro_winkler_similarity(a.c_name, b.c_name) * 1e6 + 0.5) / 1e6 AS jw FROM customer a JOIN customer b ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment AND a.c_custkey < b.c_custkey WHERE floor(jaro_winkler_similarity(a.c_name, b.c_name) * 1e6 + 0.5) / 1e6 >= 0.97""")),
+
     QueryDef("q54_approx_quantiles",
       "approximate quantile sketch (mergeable, one pass) vs exact: sketch estimates are engine-specific, so the oracle checks exact values + a 2%-relative accuracy bound (q37 HLL pattern). THE SKETCH IS THE PRODUCT and the only side that runs at 100 TB (fixed-size mergeable state, map-side combine); the exact side exists to certify the sketch's error and is q41's buffer-all exact tier — mirror of the q21(exact)/q22(LSH) pairing. The two sides run as SEPARATE aggregates joined on the 5-row key: round 6 measured the mixed ObjectHashAggregate (exact percentile + approx_percentile in one operator) at 3x the split form's cost, because mixing the buffer-all percentile with the sketch serializes both object buffers through the same partial-merge path",
       (s, d) => {
