@@ -216,6 +216,24 @@ object SetGraphOps {
         c3 AS (SELECT ed.dst, floor(r2.pr / CAST(r2.deg AS DOUBLE) * 1e10 + 0.5) / 1e10 AS c FROM ed JOIN r2 ON ed.src = r2.v),
         s3 AS (SELECT dst, CAST(SUM(CAST(c AS DECIMAL(38,12))) AS DOUBLE) AS s FROM c3 GROUP BY 1),
         r3 AS (SELECT dg.v, dg.deg, floor((CAST(0.15 AS DOUBLE) / CAST(nv AS DOUBLE) + CAST(0.85 AS DOUBLE) * COALESCE(s3.s, 0.0)) * 1e10 + 0.5) / 1e10 AS pr FROM dg CROSS JOIN nv LEFT JOIN s3 ON dg.v = s3.dst)
-        SELECT v AS vertex, deg, pr FROM r3"""))
+        SELECT v AS vertex, deg, pr FROM r3""")),
+
+    QueryDef("q142_triangle_count",
+      "degree-ordered triangle census (ops.Triangles — Schank-Wagner orientation, completing the graph plane: components/PageRank/triangles): the co-purchase part graph (distinct same-order part pairs, built with q135's one-shuffle collect_set + in-row pair explode — 1.2M edges at sf0.1) census'd into n_nodes / n_edges / n_triangles / global clustering coefficient (3·triangles/wedges, 6 dp). Edges orient from the (degree, id)-smaller endpoint, so every triangle counts exactly once AND out-degrees are bounded O(√m) — the wedge stage is Σ outdeg² ≤ O(m^1.5), immune to the hub-with-small-id blowup of naive id orientation; wedge candidates explode IN-ROW from sorted adjacency arrays and immediately probe the closing-edge equi-join (unclosed wedges never materialize through a shuffle). The oracle is the naive id-oriented 3-way self-join — an independent derivation of the same 1.88M-triangle count",
+      (s, d) => {
+        val sets = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+          .groupBy(col("l_orderkey"))
+          .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+        val edges = sets
+          .select(posexplode(col("ps")).as(Seq("i", "u")), col("ps"))
+          .select(col("u"),
+            explode(slice(col("ps"), col("i") + lit(2),
+                          greatest(size(col("ps")) - col("i") - 1, lit(0))))
+              .as("v"))
+          .distinct()
+        graft.ops.Triangles.census(edges)
+      },
+      Some("""WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), e AS (SELECT a.l_partkey AS u, b2.l_partkey AS v FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey AND a.l_partkey < b2.l_partkey GROUP BY 1, 2), deg AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS deg FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY 1), tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v), w AS (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS wedges, CAST(count(*) AS BIGINT) AS n_nodes FROM deg), ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e) SELECT n_nodes, n_edges, n_triangles, round(3.0 * n_triangles / wedges, 6) AS global_clustering FROM w CROSS JOIN ne CROSS JOIN tri"""))
   )
 }
