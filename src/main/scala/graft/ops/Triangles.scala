@@ -32,11 +32,12 @@ import org.apache.spark.sql.functions._
   */
 object Triangles {
 
-  /** Census of the undirected simple graph `edges` (cols u, v; each
-    * edge once, u ≠ v). Returns ONE row: (n_nodes, n_edges,
-    * n_triangles, global_clustering = 3·triangles/wedges, 6 dp). */
-  def census(edges: DataFrame,
-             maxBroadcastRows: Long = 2L * 1000 * 1000): DataFrame = {
+  /** Shared core: materialized edges, degree table, degree-oriented
+    * edges, and the edge⨝adjacency frame carrying both endpoints'
+    * out-neighbor arrays (na, nb) — the triangles of edge (src, dst)
+    * are exactly the members of na ∩ nb. */
+  private def core(edges: DataFrame, maxBroadcastRows: Long)
+      : (DataFrame, DataFrame, DataFrame) = {
     val e = edges.select(col("u"), col("v")).localCheckpoint(true)
     val deg = e.select(col("u").as("x")).union(e.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).cast("long").as("deg"))
@@ -57,9 +58,19 @@ object Triangles {
       .agg(collect_set(col("dst")).as("ns"))
       .localCheckpoint(true)
     val adjB = adapt(adj, adj.count())
-    val tri = oriented
+    val edgeTriangles = oriented
       .join(adjB.select(col("src"), col("ns").as("na")), Seq("src"))
       .join(adjB.select(col("src").as("dst"), col("ns").as("nb")), Seq("dst"))
+    (e, deg, edgeTriangles)
+  }
+
+  /** Census of the undirected simple graph `edges` (cols u, v; each
+    * edge once, u ≠ v). Returns ONE row: (n_nodes, n_edges,
+    * n_triangles, global_clustering = 3·triangles/wedges, 6 dp). */
+  def census(edges: DataFrame,
+             maxBroadcastRows: Long = 2L * 1000 * 1000): DataFrame = {
+    val (e, deg, edgeTriangles) = core(edges, maxBroadcastRows)
+    val tri = edgeTriangles
       .select(size(array_intersect(col("na"), col("nb"))).as("k"))
       .agg(coalesce(sum(col("k")), lit(0L)).cast("long").as("n_triangles"))
     val wedges = deg.agg(
@@ -70,5 +81,29 @@ object Triangles {
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
         round(lit(3.0) * col("n_triangles") / col("wedges"), 6)
           .as("global_clustering"))
+  }
+
+  /** Per-node triangle participation and local clustering coefficient
+    * (Watts–Strogatz): (v, deg, n_triangles, local_cc) for EVERY node,
+    * local_cc = 2·t/(deg·(deg−1)) at 6 dp, NULL for degree-1 nodes.
+    * Each triangle found on its (src, dst) edge explodes to its three
+    * corners — 3 rows per triangle, never wedge-sized — and the corner
+    * counts aggregate by node. The per-node form is the spam/bot-ring
+    * feature (hubs with near-zero clustering vs dense rings at 1.0);
+    * the global census is its weighted average. */
+  def perNode(edges: DataFrame,
+              maxBroadcastRows: Long = 2L * 1000 * 1000): DataFrame = {
+    val (_, deg, edgeTriangles) = core(edges, maxBroadcastRows)
+    val corners = edgeTriangles
+      .select(col("src"), col("dst"),
+        explode(array_intersect(col("na"), col("nb"))).as("w"))
+      .select(explode(array(col("src"), col("dst"), col("w"))).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).cast("long").as("t"))
+    deg.join(corners, Seq("x"), "left")
+      .select(col("x").as("v"), col("deg"),
+        coalesce(col("t"), lit(0L)).as("n_triangles"),
+        when(col("deg") > 1,
+          round(lit(2.0) * coalesce(col("t"), lit(0L)) /
+                (col("deg") * (col("deg") - 1)), 6)).as("local_cc"))
   }
 }

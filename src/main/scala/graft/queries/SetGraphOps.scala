@@ -234,6 +234,24 @@ object SetGraphOps {
           .distinct()
         graft.ops.Triangles.census(edges)
       },
-      Some("""WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), e AS (SELECT a.l_partkey AS u, b2.l_partkey AS v FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey AND a.l_partkey < b2.l_partkey GROUP BY 1, 2), deg AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS deg FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY 1), tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v), w AS (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS wedges, CAST(count(*) AS BIGINT) AS n_nodes FROM deg), ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e) SELECT n_nodes, n_edges, n_triangles, round(3.0 * n_triangles / wedges, 6) AS global_clustering FROM w CROSS JOIN ne CROSS JOIN tri"""))
+      Some("""WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), e AS (SELECT a.l_partkey AS u, b2.l_partkey AS v FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey AND a.l_partkey < b2.l_partkey GROUP BY 1, 2), deg AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS deg FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY 1), tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v), w AS (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS wedges, CAST(count(*) AS BIGINT) AS n_nodes FROM deg), ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e) SELECT n_nodes, n_edges, n_triangles, round(3.0 * n_triangles / wedges, 6) AS global_clustering FROM w CROSS JOIN ne CROSS JOIN tri""")),
+
+    QueryDef("q144_local_clustering",
+      "per-node LOCAL clustering coefficients (Watts-Strogatz — the spam/bot-ring feature the global census averages away: a hub with near-zero clustering is an aggregator, a node at 1.0 sits in a closed ring) over the same co-purchase graph as q142, via ops.Triangles.perNode: each triangle found on its oriented (src, dst) edge explodes to its THREE corners — 3 rows per triangle, never wedge-sized — and corner counts aggregate by node; local_cc = 2·t/(deg·(deg−1)) at 6 dp, NULL for degree-1 nodes, zero-triangle nodes included (left join against the degree table). Shares q142's whole scale argument (degree orientation, edge-iterator intersection, adaptive node-table broadcasts); the oracle independently re-derives per-node counts from the naive 3-join triangle table unioned over its corners",
+      (s, d) => {
+        val sets = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+          .groupBy(col("l_orderkey"))
+          .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+        val edges = sets
+          .select(posexplode(col("ps")).as(Seq("i", "u")), col("ps"))
+          .select(col("u"),
+            explode(slice(col("ps"), col("i") + lit(2),
+                          greatest(size(col("ps")) - col("i") - 1, lit(0))))
+              .as("v"))
+          .distinct()
+        graft.ops.Triangles.perNode(edges)
+      },
+      Some("""WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), e AS (SELECT a.l_partkey AS u, b2.l_partkey AS v FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey AND a.l_partkey < b2.l_partkey GROUP BY 1, 2), deg AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS deg FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY 1), t3 AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v), corners AS (SELECT a AS x FROM t3 UNION ALL SELECT b FROM t3 UNION ALL SELECT c FROM t3), tc AS (SELECT x, CAST(count(*) AS BIGINT) AS t FROM corners GROUP BY 1) SELECT deg.v, deg.deg, COALESCE(tc.t, 0) AS n_triangles, CASE WHEN deg.deg > 1 THEN round(2.0 * COALESCE(tc.t, 0) / (deg.deg * (deg.deg - 1)), 6) END AS local_cc FROM deg LEFT JOIN tc ON deg.v = tc.x"""))
   )
 }

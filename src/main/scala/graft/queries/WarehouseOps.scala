@@ -173,6 +173,42 @@ object WarehouseOps {
           .select(col("event_type"), col("event_id"), col("value"),
                   col("n_win"), col("z"))
       },
-      Some("""WITH b AS (SELECT event_type, event_id, value, CAST(count(*) OVER w AS BIGINT) AS n_win, CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s1, CAST(SUM(CAST(value * value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s2 FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id ROWS BETWEEN 96 PRECEDING AND 1 PRECEDING)), f AS (SELECT *, s1 / n_win AS mean, (s2 - s1 * s1 / n_win) / (n_win - 1) AS variance FROM b WHERE n_win >= 48), z AS (SELECT event_type, event_id, value, n_win, round((value - mean) / sqrt(variance), 4) AS z FROM f WHERE variance > 0) SELECT * FROM z WHERE abs(z) > 3"""))
+      Some("""WITH b AS (SELECT event_type, event_id, value, CAST(count(*) OVER w AS BIGINT) AS n_win, CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s1, CAST(SUM(CAST(value * value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s2 FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id ROWS BETWEEN 96 PRECEDING AND 1 PRECEDING)), f AS (SELECT *, s1 / n_win AS mean, (s2 - s1 * s1 / n_win) / (n_win - 1) AS variance FROM b WHERE n_win >= 48), z AS (SELECT event_type, event_id, value, n_win, round((value - mean) / sqrt(variance), 4) AS z FROM f WHERE variance > 0) SELECT * FROM z WHERE abs(z) > 3""")),
+
+    QueryDef("q143_incremental_agg",
+      "INCREMENTAL AGGREGATE MAINTENANCE from a CDC change feed — the materialized-view half of the warehouse plane (q134 maintains a dimension; this maintains a METRIC): a per-priority (count, exact-decimal revenue) rollup of the old snapshot is folded forward by the q133 diff's signed contributions — delete/update subtract the OLD row from its OLD group, insert/update add the NEW row to its NEW group (a reprioritized order moves between groups correctly) — and the oracle RECOMPUTES FROM SCRATCH over the new snapshot: incremental must equal batch to the bit. That equality is a THEOREM here, not luck: the maintained state is the exact DECIMAL(38,6) sum, and decimal addition is associative/commutative, so old − removed + added is literally the same number batch computes (a double-state rollup could never promise this — the engine-wide exact-sum recipe is what makes aggregates INCREMENTALIZABLE). Scale: only the delta and the group-sized aggregate are touched — the full table is never re-read; groups emptied by the delta drop (n = 0 filter) exactly as batch drops them",
+      (s, d) => {
+        import graft.ops.Num.D
+        val k = col("o_orderkey")
+        val orders = t(s, d, "orders")
+        val oldS = orders.filter(k % 10 =!= 3)
+        val newS = orders.filter(k % 10 =!= 7)
+          .withColumn("o_totalprice",
+            when(k % 5 === 0, col("o_totalprice") + 1.0).otherwise(col("o_totalprice")))
+          .withColumn("o_orderpriority",
+            when(k % 7 === 0, lit("0-REPRIORITIZED")).otherwise(col("o_orderpriority")))
+        val oldAgg = oldS.groupBy(col("o_orderpriority").as("g"))
+          .agg(count(lit(1)).cast("long").as("n"),
+               sum(col("o_totalprice").cast(D)).as("sd"))
+        val diff = graft.ops.Cdc.snapshotDiff(oldS, newS,
+            Seq("o_orderkey"), Seq("o_totalprice", "o_orderpriority"))
+          .localCheckpoint(true)
+        val removed = diff.filter(col("change_type").isin("delete", "update"))
+          .select(col("old_o_orderpriority").as("g"), lit(-1L).as("dn"),
+                  (col("old_o_totalprice").cast(D) * -1).as("dv"))
+        val added = diff.filter(col("change_type").isin("insert", "update"))
+          .select(col("new_o_orderpriority").as("g"), lit(1L).as("dn"),
+                  col("new_o_totalprice").cast(D).as("dv"))
+        val delta = removed.unionByName(added).groupBy(col("g"))
+          .agg(sum(col("dn")).as("dn"), sum(col("dv")).as("dv"))
+        oldAgg.join(delta, Seq("g"), "full_outer")
+          .select(col("g").as("o_orderpriority"),
+            (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+              .cast("long").as("n_orders"),
+            (coalesce(col("sd"), lit(0).cast(D)) + coalesce(col("dv"), lit(0).cast(D)))
+              .cast("double").as("total_price"))
+          .filter(col("n_orders") > 0)
+      },
+      Some("""WITH news AS (SELECT o_orderkey, CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice, CASE WHEN o_orderkey % 7 = 0 THEN '0-REPRIORITIZED' ELSE o_orderpriority END AS o_orderpriority FROM orders WHERE o_orderkey % 10 <> 7) SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price FROM news GROUP BY 1"""))
   )
 }

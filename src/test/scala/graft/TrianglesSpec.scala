@@ -51,4 +51,29 @@ class TrianglesSpec extends SparkSpec {
       assert(bc == sh)
     }
   }
+
+  describe("Triangles.perNode") {
+    it("hand-computes local coefficients on K3 plus a pendant node") {
+      // triangle 1-2-3 plus pendant edge 3-4: node 3 has deg 3, 1
+      // triangle -> cc = 2/6; nodes 1,2 have deg 2, 1 triangle -> 1.0;
+      // node 4 deg 1 -> NULL cc, 0 triangles
+      val out = Triangles.perNode(
+          Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("u", "v"))
+        .as[(Long, Long, Long, Option[Double])].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(out(1L) == ((2L, 1L, Some(1.0))))
+      assert(out(2L) == ((2L, 1L, Some(1.0))))
+      assert(out(3L) == ((3L, 1L, Some(0.333333))))
+      assert(out(4L) == ((1L, 0L, None)))
+    }
+    it("per-node counts sum to 3x the census count on a dense graph") {
+      val edges = (for {
+        a <- 1L to 24L; b <- (a + 1) to 24L if (a * 31 + b * 17) % 5 == 0
+      } yield (a, b)).toSeq
+      val total = census(edges)._3
+      val perNodeSum = Triangles.perNode(edges.toDF("u", "v"))
+        .as[(Long, Long, Long, Option[Double])].collect().map(_._3).sum
+      assert(perNodeSum == 3 * total)
+    }
+  }
 }
