@@ -133,6 +133,65 @@ object EventStreams {
       }
   }
 
+  /** Closed SCD2 validity interval emitted by [[scd2Stream]]; same
+    * shape as the batch build's closed rows (q116 / ops.Scd2). */
+  final case class Scd2Out(user_id: Long, run: Long, event_type: String,
+                           valid_from_us: Long, valid_to_us: Long,
+                           n_events: Long)
+
+  /** The user's OPEN dimension row — public for the state Encoder. */
+  final case class Scd2State(run: Long, eventType: String,
+                             validFromUs: Long, n: Long)
+
+  /** STREAMING SCD2 dimension maintenance — the ingest-time twin of
+    * [[graft.ops.Scd2.merge]] (q134): each user's current attribute
+    * value lives as ONE state row (run id, type, valid_from, count);
+    * an arriving event of the same type extends it in place, a type
+    * change EMITS the closed interval — identical to the batch build's
+    * closed rows, run ids included — and opens the next run. Append
+    * mode emits only closed intervals; the open rows ARE the state
+    * (query them by snapshotting the state store, or run the periodic
+    * batch merge — the dedupStream lambda-split pattern).
+    *
+    * State is DIMENSION-sized (one row per user, ~50 B), not
+    * horizon-bounded — deliberately NoTimeout: the current dimension
+    * row is the product and must never expire; this is exactly the
+    * state size the batch dimension table occupies. Within a
+    * micro-batch events process in (ts, event_id) order; like
+    * sessionizeStream, cross-batch event-time regression (late rows
+    * older than already-applied state) is out of scope for the O(1)
+    * in-place form — route such feeds through the batch merge.
+    * Timestamps keep full µs precision (getTime is ms-truncated;
+    * getNanos restores the sub-ms digits). */
+  def scd2Stream(events: Dataset[Event]): Dataset[Scd2Out] = {
+    import events.sparkSession.implicits._
+    def micros(t: Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Out](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[Scd2State]) =>
+          val out = scala.collection.mutable.ListBuffer.empty[Scd2Out]
+          var cur = state.getOption
+          batch.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            cur match {
+              case Some(s) if s.eventType == e.event_type =>
+                cur = Some(s.copy(n = s.n + 1))
+              case Some(s) =>
+                out += Scd2Out(userId, s.run, s.eventType, s.validFromUs,
+                               micros(e.ts), s.n)
+                cur = Some(Scd2State(s.run + 1, e.event_type, micros(e.ts), 1))
+              case None =>
+                cur = Some(Scd2State(1, e.event_type, micros(e.ts), 1))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Watermarked stream-stream interval join (conversion attribution):
     * each view event joins the SAME user's purchases landing within
     * `horizonMinutes` after it. Both sides carry watermarks and the

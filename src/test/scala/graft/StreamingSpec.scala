@@ -404,4 +404,62 @@ class StreamingSpec extends SparkSpec {
         SessionOut(8, ts("2024-01-01 09:00:00"), 1, 4.0)))
     }
   }
+
+  describe("scd2Stream (streaming dimension maintenance)") {
+    import graft.streaming.EventStreams.Scd2Out
+
+    it("emits closed intervals on type change, extends same-type runs in place, across micro-batches") {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val src = MemoryStream[Event]
+      val q = EventStreams.scd2Stream(src.toDS())
+        .writeStream.format("memory").queryName("scd2_out")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        src.addData(
+          Event(1, ts("2024-01-01 10:00:00"), 7, "view", 0),
+          Event(2, ts("2024-01-01 11:00:00"), 7, "view", 0))
+        q.processAllAvailable()
+        assert(spark.table("scd2_out").count() == 0, "open run stays in state")
+        // next batch: same type extends (no emission), then a change
+        // closes run 1 exactly at the changing event's timestamp
+        src.addData(
+          Event(3, ts("2024-01-01 12:00:00"), 7, "view", 0),
+          Event(4, ts("2024-01-01 13:00:00"), 7, "purchase", 0))
+        q.processAllAvailable()
+        val rows = spark.table("scd2_out").as[Scd2Out].collect().toSeq
+        assert(rows == Seq(Scd2Out(7, 1, "view",
+          micros("2024-01-01 10:00:00"), micros("2024-01-01 13:00:00"), 3)))
+      } finally q.stop()
+    }
+
+    it("closed rows equal the batch build's closed rows, run ids included (the q134 twin contract)") {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val evs = Seq(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "a", 0),
+        Event(2, ts("2024-01-01 10:30:00"), 1, "b", 0),
+        Event(3, ts("2024-01-01 11:00:00"), 1, "b", 0),
+        Event(4, ts("2024-01-01 12:00:00"), 1, "c", 0),
+        Event(5, ts("2024-01-01 10:15:00"), 2, "x", 0),
+        Event(6, ts("2024-01-01 10:45:00"), 2, "y", 0))
+      val src = MemoryStream[Event]
+      val q = EventStreams.scd2Stream(src.toDS())
+        .writeStream.format("memory").queryName("scd2_twin")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        evs.grouped(2).foreach { g => src.addData(g: _*); q.processAllAvailable() }
+        val streamed = spark.table("scd2_twin").as[Scd2Out].collect()
+          .map(r => (r.user_id, r.run, r.event_type, r.valid_from_us,
+                     r.valid_to_us, r.n_events)).toSet
+        val batchClosed = graft.ops.Scd2.build(
+            evs.toDF().select($"user_id", $"ts", $"event_id", $"event_type"))
+          .filter($"valid_to_us".isNotNull)
+          .as[(Long, Long, String, Long, Long, Long)].collect().toSet
+        assert(streamed == batchClosed)
+      } finally q.stop()
+    }
+  }
+
+  private def micros(s: String): Long = ts(s).getTime * 1000L
 }
