@@ -1,0 +1,128 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Keyed sequential scan-fold: the per-key running state updates that are
+  * NOT associative and therefore cannot be a window aggregate at all —
+  * the canonical case being a clamped (saturating) running sum, where
+  * `clamp(clamp(a+b)+c) != clamp(a+b+c)`: an inventory balance that
+  * floors at zero, a credit wallet that caps at a limit, a rate-limiter
+  * token bucket. `SUM(...) OVER (...)` computes the UNclamped prefix and
+  * clamping afterwards is simply a different (wrong) function, so no
+  * composition of built-in window frames expresses this; the reference's
+  * pandas plane would write it as a Python loop per group.
+  *
+  * Execution shape (SURVEY.md §2.12 tier (d), deliberately): ONE hash
+  * exchange on the key, a within-partition sort on (key, order), then a
+  * single forward pass with O(1) state per key — `mapPartitions` is the
+  * documented last resort, and a sequential dependence from each row to
+  * its predecessor is exactly the case that earns it (contrast
+  * [[ShardedPrefix]], whose PLAIN prefix sums stay declarative because
+  * addition associates and shard bases can be pre-aggregated; a clamped
+  * fold has no such decomposition — saturation at a bound erases state
+  * in a data-dependent way no per-shard summary can reconstruct).
+  * At 100 TB this scales like any keyed shuffle: each key's history
+  * streams through one task in sorted order with constant memory; the
+  * spill path is Spark's own sort machinery, and hot keys are bounded by
+  * per-user event volume (millions of rows per user stream fine — the
+  * pass is O(n) with no buffering).
+  *
+  * Determinism: pure integer arithmetic (callers scale doubles to
+  * integer micros first — SURVEY.md §5's exact-sum recipe), total order
+  * via the caller's unique tiebreak column, saturation bounds checked
+  * for headroom so `bal + d` cannot overflow.
+  */
+object ScanFold {
+
+  // NOT private: Encoders codegen object-constructor access from
+  // generated classes, which cannot see private members
+  case class ScanRow(k: Long, o1: Long, o2: Long, d: Long)
+  case class BalRow(k: Long, o1: Long, o2: Long, bal: Long)
+  case class DScanRow(k: Long, o1: Long, o2: Long, x: Double)
+  case class DOutRow(k: Long, o1: Long, o2: Long, s: Double)
+
+  /** Saturating running sum per key: rows of `df` are folded in
+    * `(key, ord1, ord2)` order with `bal := min(hi, max(lo, bal + delta))`,
+    * starting from `clamp(0)`. All four columns must be (castable to)
+    * integral; `(key, ord1, ord2)` must be unique for a total order.
+    * Returns one row per input row: `(key, ord1, ord2, bal)` with the
+    * caller's column names preserved.
+    */
+  def clampedRunningSum(df: DataFrame, key: String, ord1: String, ord2: String,
+                        delta: String, lo: Long, hi: Long): DataFrame = {
+    require(lo <= hi, s"lo=$lo must be <= hi=$hi")
+    // headroom so bal + d stays in Long for any |d| <= 2^61
+    require(lo > -(1L << 61) && hi < (1L << 61),
+      s"bounds [$lo,$hi] leave no overflow headroom")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val start = math.min(hi, math.max(lo, 0L))
+    val ds: Dataset[ScanRow] = df.select(
+        col(key).cast(LongType).as("k"),
+        col(ord1).cast(LongType).as("o1"),
+        col(ord2).cast(LongType).as("o2"),
+        col(delta).cast(LongType).as("d"))
+      .as[ScanRow]
+    ds.repartition(col("k"))
+      .sortWithinPartitions(col("k"), col("o1"), col("o2"))
+      .mapPartitions { it =>
+        var cur = Long.MinValue
+        var started = false
+        var bal = start
+        it.map { r =>
+          if (!started || r.k != cur) { cur = r.k; started = true; bal = start }
+          bal = math.min(hi, math.max(lo, bal + r.d))
+          BalRow(r.k, r.o1, r.o2, bal)
+        }
+      }
+      .toDF(key, ord1, ord2, "bal")
+  }
+
+  /** Exponentially-weighted moving average per key: the linear
+    * recurrence `s := alpha*x + (1-alpha)*s`, seeded with the key's
+    * first value — pandas' `ewm(adjust=False)` semantics, the smoother
+    * behind monitoring baselines and trading signals. Same execution
+    * shape as [[clampedRunningSum]].
+    *
+    * A linear recurrence DOES have an associative pair-composition
+    * `(a1,b1)∘(a2,b2) = (a1·a2, a2·b1+b2)`, so a ShardedPrefix-style
+    * two-pass scan exists mathematically — but float composition
+    * REASSOCIATES the products, which changes rounding and breaks
+    * bit-stable results across partitionings (and Spark has no native
+    * scan primitive to hand it to). The sequential fold is the
+    * hash-stable choice: every engine that evaluates
+    * `alpha*x + (1-alpha)*s` left-to-right on the same doubles produces
+    * the identical bit pattern, which is what lets a recursive-CTE
+    * oracle match it exactly. Callers pass `alpha` as an exactly-
+    * representable binary fraction (0.125, 0.25, 0.5) so `1-alpha` is
+    * also exact and the cross-engine literal agrees.
+    */
+  def ewma(df: DataFrame, key: String, ord1: String, ord2: String,
+           value: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha=$alpha out of (0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val beta = 1.0 - alpha
+    val ds: Dataset[DScanRow] = df.select(
+        col(key).cast(LongType).as("k"),
+        col(ord1).cast(LongType).as("o1"),
+        col(ord2).cast(LongType).as("o2"),
+        col(value).cast("double").as("x"))
+      .as[DScanRow]
+    ds.repartition(col("k"))
+      .sortWithinPartitions(col("k"), col("o1"), col("o2"))
+      .mapPartitions { it =>
+        var cur = Long.MinValue
+        var started = false
+        var s = 0.0
+        it.map { r =>
+          if (!started || r.k != cur) { cur = r.k; started = true; s = r.x }
+          else s = alpha * r.x + beta * s
+          DOutRow(r.k, r.o1, r.o2, s)
+        }
+      }
+      .toDF(key, ord1, ord2, "ewma")
+  }
+}

@@ -1,0 +1,216 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ops.Num._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Behavioral-analytics & sequential-state plane (q145–q149, round 9
+  * fourth batch): the clickstream operators a reference user runs over
+  * its event history downstream of the snapshot plane — saturating
+  * per-key state folds, marketing attribution, journey mining, a
+  * distribution-shape DQ test, and session transition matrices.
+  *
+  * The headline engine point is q145: a CLAMPED running sum is not
+  * associative (`clamp(clamp(a+b)+c) != clamp(a+b+c)`), so no window
+  * frame or two-pass sharded prefix ([[graft.ext.ShardedPrefix]])
+  * expresses it — it is the one shape that genuinely earns the
+  * SURVEY §7.3 tier-(d) sorted `mapPartitions` pass ([[graft.ext.ScanFold]]).
+  * Everything else in the batch stays declarative: one user-keyed
+  * exchange feeding windows/aggregates, broadcast-joined tiny
+  * normalizers, and the q45 custom TopK physical operator for the
+  * global path ranking (map-side k-bounded heaps — never a
+  * single-partition global window over an unbounded count table).
+  *
+  * Determinism contract (SURVEY.md §5): cross-row sums in exact
+  * DECIMAL (dsum / the q138 12-dp pre-round recipe for double terms),
+  * per-row double arithmetic IEEE-deterministic, money scaled to
+  * integer micros via floor (floor is exact on identical doubles —
+  * no cross-engine rounding-mode hazard), ratios rounded 6 dp before
+  * output, every window order total via event_id tiebreaks.
+  */
+object BehaviorOps {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  /** q19-family sessionizer at the 12 h tier (q117's gap — long enough
+    * on this fixture for multi-event sessions; the 30 min tier is
+    * q19's): lag-detected gap starts -> conditional cumsum session ids.
+    * ONE user-keyed exchange shared by both windows. */
+  private def sessionized(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, d, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("chg",
+        when(col("prev_ts").isNull ||
+             unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 43200000000L,
+             1L).otherwise(0L))
+      .withColumn("sess",
+        sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  private val sessionizerSql =
+    """g AS (SELECT user_id, ts, event_id, event_type, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), m AS (SELECT *, CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 43200000000 THEN 1 ELSE 0 END AS chg FROM g), r AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess FROM m)"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q145_clamped_balance",
+      "saturating per-user credit balance (ext.ScanFold.clampedRunningSum): earn events (signup/click/view) add value, spend events (purchase/error) subtract it, and the balance CLAMPS to [0, 100] credits after every event — the inventory-floor / wallet-cap / token-bucket semantics. This fold is NOT associative (clamp(clamp(a+b)+c) != clamp(a+b+c)), so it is inexpressible as any window aggregate — SUM OVER computes the unclamped prefix, which is a different function the moment one bound binds (and on this fixture the floor binds constantly: spends arrive before earns for most users) — and it has no ShardedPrefix two-pass decomposition either (saturation erases state data-dependently; no per-shard summary reconstructs it). The engine shape is the one that genuinely earns SURVEY §7.3 tier (d): ONE hash exchange on user_id, a within-partition sort on (user, ts, event_id), a single O(1)-state forward pass — at 100 TB each user's history streams through one task in sorted order, spilling via Spark's own sort machinery. Money is scaled to integer micros via floor (exact on identical doubles — no cross-engine rounding-mode hazard) so the fold is pure Long arithmetic; the oracle recomputes it as a recursive CTE over row_number ranks (one frontier join per rank — the SQL-native sequential fold)",
+      (s, d) => {
+        val ev = t(s, d, "events").select(
+          col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("event_id"),
+          (floor(col("value") * lit(1e6)).cast("long") *
+            when(col("event_type").isin("signup", "click", "view"), 1L)
+              .otherwise(-1L)).as("delta"))
+        graft.ext.ScanFold
+          .clampedRunningSum(ev, "user_id", "ts_us", "event_id", "delta",
+            lo = 0L, hi = 100000000L)
+          .select(col("user_id"), col("event_id"),
+                  col("bal").as("balance_micros"))
+      },
+      Some("""WITH RECURSIVE d AS (SELECT user_id, event_id, CAST(floor(value * 1e6) AS BIGINT) * (CASE WHEN event_type IN ('signup','click','view') THEN 1 ELSE -1 END) AS delta, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events), r AS (SELECT user_id, event_id, rn, greatest(0, least(100000000, delta)) AS bal FROM d WHERE rn = 1 UNION ALL SELECT d.user_id, d.event_id, d.rn, greatest(0, least(100000000, r.bal + d.delta)) FROM r JOIN d ON d.user_id = r.user_id AND d.rn = r.rn + 1) SELECT user_id, event_id, CAST(bal AS BIGINT) AS balance_micros FROM r""")),
+
+    QueryDef("q146_last_touch_attribution",
+      "last-touch marketing attribution with a 7-day lookback: every purchase is credited to the user's most recent STRICTLY-PRECEDING view/click touch (frame UNBOUNDED PRECEDING .. 1 PRECEDING — a purchase never attributes to a same-instant touch sorted after it), falling back to 'direct' when the last touch is absent or older than 7 days; output is per-channel purchase count and exact-decimal revenue. The as-of machinery here is the UNION-window form of ops.AsOfJoin: touches and purchases interleave in ONE user-keyed stream and last_value(touch IGNORE NULLS) carries the most recent touch forward — one exchange, no join, no per-purchase subquery (the correlated form a naive translation would write). The 3-row channel rollup then collapses with full map-side combine. At 100 TB: the window state is O(1) per user (one carried touch), the aggregate is channel-cardinality-bounded",
+      (s, d) => {
+        val touch = when(col("event_type").isin("view", "click"), col("event_type"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        t(s, d, "events")
+          .filter(col("event_type").isin("view", "click", "purchase"))
+          .select(col("user_id"), col("ts"), col("event_id"),
+                  col("event_type"), col("value"))
+          .withColumn("lt_type", last(touch, ignoreNulls = true).over(w))
+          .withColumn("lt_ts",
+            last(when(touch.isNotNull, col("ts")), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .withColumn("channel", coalesce(
+            when(col("lt_ts").isNotNull &&
+                 unix_micros(col("ts")) - unix_micros(col("lt_ts")) <= 604800000000L,
+                 col("lt_type")),
+            lit("direct")))
+          .groupBy(col("channel"))
+          .agg(lcount(lit(1)).as("n_purchases"),
+               dsum(round(col("value"), 6)).as("total_value"))
+      },
+      Some("""WITH u AS (SELECT user_id, ts, event_id, event_type, value, CASE WHEN event_type IN ('view','click') THEN event_type END AS touch_type, CASE WHEN event_type IN ('view','click') THEN ts END AS touch_ts FROM events WHERE event_type IN ('view','click','purchase')), w AS (SELECT user_id, ts, event_id, event_type, value, last_value(touch_type IGNORE NULLS) OVER win AS lt_type, last_value(touch_ts IGNORE NULLS) OVER win AS lt_ts FROM u WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) SELECT COALESCE(CASE WHEN lt_ts IS NOT NULL AND epoch_us(ts) - epoch_us(lt_ts) <= 604800000000 THEN lt_type END, 'direct') AS channel, CAST(count(*) AS BIGINT) AS n_purchases, CAST(SUM(CAST(round(value, 6) AS DECIMAL(38,6))) AS DOUBLE) AS total_value FROM w WHERE event_type = 'purchase' GROUP BY 1""")),
+
+    QueryDef("q147_session_paths",
+      "journey mining: the top-20 session event-type paths ('view>click>purchase') by session count, with distinct-user reach — the funnel-discovery complement of q87's FIXED funnel (q87 checks one hypothesized sequence; this surfaces which sequences actually happen). Sessions from the shared 12 h sessionizer (one user-keyed exchange), each session's path built IN-ROW by the q09 ordered-fold recipe (array_sort(collect_list(struct)) + transform + array_join — distributed collect_list order is nondeterministic, the struct sort restores the total (ts, event_id) order). The global ranking deliberately does NOT use a global window — row_number over an unpartitioned window funnels the whole path-count table (unbounded: distinct paths grow with the corpus) through ONE task after a full sort; instead the q45 TopKPerKey physical operator keeps map-side 20-bounded heaps so the final exchange moves <= 20 rows per partition, and only the returned 20 rows pay a rank window",
+      (s, d) => {
+        val paths = sessionized(s, d)
+          .groupBy(col("user_id"), col("sess"))
+          .agg(array_join(
+            transform(
+              array_sort(collect_list(struct(col("ts"), col("event_id"),
+                                             col("event_type")))),
+              x => x.getField("event_type")),
+            ">").as("path"))
+        val counts = paths.groupBy(col("path"))
+          .agg(lcount(lit(1)).as("n_sessions"),
+               countDistinct(col("user_id")).cast("long").as("n_users"))
+        val top = graft.plans.TopK.perKey(counts, Seq(lit(1)),
+          Seq(col("n_sessions").desc, col("path").asc), 20)
+        top.withColumn("rk",
+          row_number().over(Window.orderBy(col("n_sessions").desc,
+                                           col("path").asc)).cast("long"))
+      },
+      Some(s"""WITH $sessionizerSql, p AS (SELECT user_id, sess, string_agg(event_type, '>' ORDER BY ts, event_id) AS path FROM r GROUP BY 1, 2), c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM p GROUP BY 1), k AS (SELECT *, row_number() OVER (ORDER BY n_sessions DESC, path) AS rk FROM c) SELECT path, n_sessions, n_users, CAST(rk AS BIGINT) AS rk FROM k WHERE rk <= 20""")),
+
+    QueryDef("q148_benford_dq",
+      "Benford first-digit distribution test on o_totalprice — the fraud/synthetic-data screen that belongs beside q132's row constraints: real-world monetary amounts follow P(d) = log10(1 + 1/d), and a chi-square-style divergence from that law flags fabricated or truncated feeds. Per digit: observed count, observed vs expected frequency (6 dp), plus the total divergence statistic broadcast onto every row (q115's psi_total pattern). The test genuinely FIRES here — the synthetic uniform-ish totals are nothing like Benford (digits 1-4 dominate because totals cap at 500k), exactly what a DQ screen must surface. First digit extracted via DECIMAL(18,2)->string (both engines format decimals identically; no log10-of-value floor whose ulp could differ cross-engine); the 9-term chi-square sum uses the q138 recipe (terms pre-rounded 12 dp -> exact DECIMAL(38,12) sum) so even the tiny reduction is order-independent. Shape: one map+count aggregate, two 1-to-9-row broadcasts — fully scan-bound at 100 TB",
+      (s, d) => {
+        val c = t(s, d, "orders")
+          .filter(col("o_totalprice") >= 1)
+          .select(substring(col("o_totalprice").cast(DecimalType(18, 2))
+            .cast("string"), 1, 1).as("digit"))
+          .groupBy(col("digit")).agg(lcount(lit(1)).as("n"))
+        val tot = c.agg(lsum(col("n")).as("tot"))
+        val e = c.crossJoin(broadcast(tot))
+          .withColumn("obs_freq", round(col("n").cast("double") / col("tot"), 6))
+          .withColumn("exp_freq",
+            round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6))
+        val term = round((col("obs_freq") - col("exp_freq")) *
+          (col("obs_freq") - col("exp_freq")) / col("exp_freq"), 12)
+        val chi = e.agg(round(sum(term.cast(DecimalType(38, 12))).cast("double"), 6)
+          .as("chi2"))
+        e.select(col("digit"), col("n"), col("obs_freq"), col("exp_freq"))
+          .crossJoin(broadcast(chi))
+      },
+      Some("""WITH b AS (SELECT substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS digit FROM orders WHERE o_totalprice >= 1), c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1), t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c), e AS (SELECT digit, n, round(n / tot, 6) AS obs_freq, round(log10(1 + 1.0 / CAST(digit AS DOUBLE)), 6) AS exp_freq FROM c, t), x AS (SELECT round(CAST(SUM(CAST(round((obs_freq - exp_freq) * (obs_freq - exp_freq) / exp_freq, 12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS chi2 FROM e) SELECT digit, n, obs_freq, exp_freq, chi2 FROM e, x""")),
+
+    QueryDef("q149_markov_transitions",
+      "first-order Markov transition matrix over session event streams: P(next event type | current), estimated within the shared 12 h sessions so cross-session gaps never fabricate transitions — the clickstream what-happens-next model (next-step prediction, anomaly scoring of improbable jumps, simulation input) and the event-plane analogue of q84's text-bigram fluency. lead() inside the (user, session) window pairs each event with its successor — the SAME user-keyed exchange the sessionizer built, no second shuffle for the pairing — then the pair counts collapse to a <=|types|^2 table with full map-side combine, and the per-source normalizer joins back as a broadcast (never a window over the corpus). Probabilities rounded 6 dp after a long/long->double division both engines perform identically",
+      (s, d) => {
+        val wl = Window.partitionBy(col("user_id"), col("sess"))
+          .orderBy(col("ts"), col("event_id"))
+        val pairs = sessionized(s, d)
+          .withColumn("nxt", lead(col("event_type"), 1).over(wl))
+          .filter(col("nxt").isNotNull)
+          .select(col("event_type").as("cur"), col("nxt"))
+        val c = pairs.groupBy(col("cur"), col("nxt")).agg(lcount(lit(1)).as("n"))
+        val totals = c.groupBy(col("cur")).agg(lsum(col("n")).as("tot"))
+        c.join(broadcast(totals), Seq("cur"))
+          .select(col("cur"), col("nxt"), col("n"),
+                  round(col("n").cast("double") / col("tot"), 6).as("p"))
+      },
+      Some(s"""WITH $sessionizerSql, pr AS (SELECT event_type AS cur, lead(event_type) OVER (PARTITION BY user_id, sess ORDER BY ts, event_id) AS nxt FROM r), c AS (SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n FROM pr WHERE nxt IS NOT NULL GROUP BY 1, 2), t AS (SELECT cur, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1) SELECT c.cur, c.nxt, n, round(n / tot, 6) AS p FROM c JOIN t USING (cur)""")),
+
+    QueryDef("q150_ewma_smoothing",
+      "per-user EWMA of event value (ext.ScanFold.ewma, alpha=0.125): the pandas ewm(adjust=False) smoother behind monitoring baselines and trading signals, seeded with each user's first value. A linear recurrence has an associative pair-composition ((a1,b1)o(a2,b2) = (a1*a2, a2*b1+b2)) so a two-pass sharded scan exists mathematically, but float composition REASSOCIATES the products and breaks bit-stable results across partitionings — the sequential fold is the hash-stable form, and because both engines evaluate alpha*x + (1-alpha)*s left-to-right on identical doubles, a recursive-CTE oracle matches it bit-for-bit before the 6 dp output round. alpha=0.125 is an exact binary fraction so 1-alpha=0.875 is exact in both engines' literals. Same one-exchange sorted O(1)-state shape as q145",
+      (s, d) => {
+        val ev = t(s, d, "events").select(
+          col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("value"))
+        graft.ext.ScanFold.ewma(ev, "user_id", "ts_us", "event_id",
+            "value", alpha = 0.125)
+          // floor-grid round (EmbeddingStats' r12 recipe at 6 dp):
+          // round(x, 6) diverges on half boundaries — Spark rounds the
+          // SHORTEST decimal repr, DuckDB the exact binary — and the /8
+          // fold makes exact 7-dp decimals constantly. floor(x*1e6+0.5)
+          // is pure float ops, identical on identical doubles.
+          .select(col("user_id"), col("event_id"),
+                  (floor(col("ewma") * 1e6 + 0.5) / 1e6).as("ewma"))
+      },
+      Some("""WITH RECURSIVE d AS (SELECT user_id, event_id, value, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events), r AS (SELECT user_id, event_id, rn, value AS s FROM d WHERE rn = 1 UNION ALL SELECT d.user_id, d.event_id, d.rn, 0.125 * d.value + 0.875 * r.s FROM r JOIN d ON d.user_id = r.user_id AND d.rn = r.rn + 1) SELECT user_id, event_id, floor(s * 1e6 + 0.5) / 1e6 AS ewma FROM r""")),
+
+    QueryDef("q151_groupwise_ols",
+      "group-wise ordinary-least-squares trend: per event_type, regress value on time (days since a fixed day-19700 origin — centering keeps every moment sum under 2^53*1e-6, where BOTH engines' DECIMAL(38,6)->double conversion is a single correctly-rounded step; at raw epoch-day magnitude the sxx sum reaches 7.8e11 = 18 sig digits and the conversions differ by one ulp, measured as a 2e-6 intercept drift. slope/r2 are centering-invariant; the intercept is the fitted value AT the origin) — slope, intercept, r^2 from the five closed-form moment sums (n, sx, sy, sxy, sxx, syy) in ONE aggregate pass with full map-side combine; no iterative solver, no per-group collect. Every cross-row sum uses the q138 recipe (terms pre-rounded 12 dp -> exact DECIMAL(38,12) -> double), so the moment values are identical across engines and every downstream double expression — written with the SAME tree shape in Spark and the oracle — evaluates bit-identically before the 6 dp round. The int64-microsecond epoch fits double exactly (~2^51), so the days conversion is deterministic. At 100 TB this is the scan-bound shape: 5 multiplies per row inside codegen, a |event_type|-row result",
+      (s, d) => {
+        // q138 recipe, grid widened to 6 dp: the pre-round grid must sit
+        // WELL ABOVE the terms' float ulp or the two engines' double->
+        // decimal cast conventions (shortest-repr vs exact-binary) still
+        // disagree — x*x reaches ~4e8 where ulp ~ 6e-8, so a 12-dp grid
+        // is below ulp (measured ±3e-6 drift on the intercept) while the
+        // 1e-6 quantum is 20x above it. Quantization at 1e-6 of 1e8-
+        // magnitude terms is relative 1e-14 — inside double noise.
+        def dsum6(c: Column) =
+          sum((floor(c * 1e6 + 0.5) / 1e6).cast(DecimalType(38, 6))).cast("double")
+        val base = t(s, d, "events").select(col("event_type"),
+          (unix_micros(col("ts")).cast("double") / lit(86400000000.0) - lit(19700.0)).as("x"),
+          col("value").as("y"))
+        val sums = base.groupBy(col("event_type")).agg(
+          lcount(lit(1)).as("n"),
+          dsum6(col("x")).as("sx"), dsum6(col("y")).as("sy"),
+          dsum6(col("x") * col("y")).as("sxy"),
+          dsum6(col("x") * col("x")).as("sxx"),
+          dsum6(col("y") * col("y")).as("syy"))
+        val nd = col("n").cast("double")
+        val covn = nd * col("sxy") - col("sx") * col("sy")
+        val varxn = nd * col("sxx") - col("sx") * col("sx")
+        val varyn = nd * col("syy") - col("sy") * col("sy")
+        // floor-grid round at 6 dp (not round(): half-boundary hazard)
+        def g6(c: Column) = floor(c * 1e6 + 0.5) / 1e6
+        sums.select(col("event_type"), col("n"),
+          g6(covn / varxn).as("slope"),
+          g6((col("sy") - (covn / varxn) * col("sx")) / nd).as("intercept"),
+          g6(covn * covn / (varxn * varyn)).as("r2"))
+      },
+      Some("""WITH b AS (SELECT event_type, epoch_us(ts) / 86400000000.0 - 19700.0 AS x, value AS y FROM events), s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(SUM(CAST(floor(x * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS sx, CAST(SUM(CAST(floor(y * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS sy, CAST(SUM(CAST(floor(x * y * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS sxy, CAST(SUM(CAST(floor(x * x * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS sxx, CAST(SUM(CAST(floor(y * y * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS syy FROM b GROUP BY 1) SELECT event_type, n, floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6 + 0.5) / 1e6 AS slope, floor((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n * 1e6 + 0.5) / 1e6 AS intercept, floor((n * sxy - sx * sy) * (n * sxy - sx * sy) / ((n * sxx - sx * sx) * (n * syy - sy * sy)) * 1e6 + 0.5) / 1e6 AS r2 FROM s"""))
+  )
+}

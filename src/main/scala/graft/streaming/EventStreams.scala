@@ -192,6 +192,60 @@ object EventStreams {
       }
   }
 
+  /** Per-event balance row emitted by [[clampedBalanceStream]] — same
+    * shape as q145's batch fold output. */
+  final case class BalanceOut(user_id: Long, event_id: Long,
+                              balance_micros: Long)
+
+  /** The user's current saturated balance — public for the state
+    * Encoder. */
+  final case class BalanceState(bal: Long)
+
+  /** STREAMING saturating wallet — the ingest-time twin of
+    * [[graft.ext.ScanFold.clampedRunningSum]] (q145): the clamped fold
+    * is non-associative, which costs the BATCH engine a dedicated
+    * sorted scan, but incrementalizes for free on a stream — the fold
+    * state IS one Long per user, and `bal := clamp(bal + delta)`
+    * applied at arrival is exactly the sequential recurrence. Events
+    * in `earnTypes` add `floor(value·1e6)` micros, all others subtract
+    * it; the balance clamps to [lo, hi] after every event and every
+    * event emits its post-update balance (Append mode).
+    *
+    * State is DIMENSION-sized (8 bytes per user) under NoTimeout — the
+    * wallet is the product and must never expire, the same state-size
+    * argument as [[scd2Stream]]. Within a micro-batch events apply in
+    * (ts, event_id) order; cross-batch event-time regression cannot be
+    * repaired in O(1) state (saturation erases history — the SAME
+    * reason no ShardedPrefix decomposition exists), so late feeds
+    * route through the batch fold, the dedupStream lambda split. */
+  def clampedBalanceStream(events: Dataset[Event], lo: Long, hi: Long,
+                           earnTypes: Set[String] = Set("signup", "click", "view")
+                          ): Dataset[BalanceOut] = {
+    import events.sparkSession.implicits._
+    require(lo <= hi, s"lo=$lo must be <= hi=$hi")
+    require(lo > -(1L << 61) && hi < (1L << 61),
+      s"bounds [$lo,$hi] leave no overflow headroom")
+    def micros(t: Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    val start = math.min(hi, math.max(lo, 0L))
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[BalanceState, BalanceOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[BalanceState]) =>
+          var bal = state.getOption.map(_.bal).getOrElse(start)
+          val out = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id)).map { e =>
+            val delta = math.floor(e.value * 1e6).toLong *
+              (if (earnTypes.contains(e.event_type)) 1L else -1L)
+            bal = math.min(hi, math.max(lo, bal + delta))
+            BalanceOut(userId, e.event_id, bal)
+          }
+          state.update(BalanceState(bal))
+          out.iterator
+      }
+  }
+
   /** Watermarked stream-stream interval join (conversion attribution):
     * each view event joins the SAME user's purchases landing within
     * `horizonMinutes` after it. Both sides carry watermarks and the

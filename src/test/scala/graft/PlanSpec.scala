@@ -501,4 +501,32 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"plan:\n$p")
     }
   }
+
+  describe("behavioral plane strategy") {
+    it("q145 clamped balance is one keyed exchange + in-partition sort — no window, no join") {
+      val p = planOf("q145_clamped_balance")
+      assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+        s"expected the single user_id exchange:\n$p")
+      assert(!p.contains("Window"), s"the fold must not be a window:\n$p")
+      assert(!p.contains("Join"), s"plan:\n$p")
+    }
+    it("q146 attribution carries the touch in ONE user window — no join, no per-purchase subquery") {
+      val p = planOf("q146_last_touch_attribution")
+      assert(!p.contains("Join"), s"the as-of must be the union-window form:\n$p")
+      assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+        s"expected user exchange + channel-rollup exchange only:\n$p")
+    }
+    it("q147 path ranking uses the TopK operator, never a global window over the count table") {
+      val p = planOf("q147_session_paths")
+      assert(p.contains("TopKPerKey"), s"expected the custom top-k operator:\n$p")
+      // the only Window ops are the sessionizer's user-keyed ones and the
+      // 20-row rank — none over an unpartitioned full table before TopK
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    }
+    it("q149 transition normalizer joins back as a broadcast, never a corpus window") {
+      val p = planOf("q149_markov_transitions")
+      assert(p.contains("BroadcastHashJoin"), s"expected the broadcast normalizer:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+    }
+  }
 }

@@ -461,5 +461,70 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  describe("clampedBalanceStream (streaming saturating wallet)") {
+    import graft.streaming.EventStreams.BalanceOut
+
+    it("carries the clamped balance across micro-batches and clamps at both bounds") {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val src = MemoryStream[Event]
+      // lo=0, hi=10_000_000 micros (10 credits)
+      val q = EventStreams.clampedBalanceStream(src.toDS(), 0L, 10000000L)
+        .writeStream.format("memory").queryName("wallet_out")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        src.addData(
+          Event(1, ts("2024-01-01 10:00:00"), 7, "click", 20.0), // +20 -> cap 10
+          Event(2, ts("2024-01-01 11:00:00"), 7, "purchase", 15.0)) // -15 -> floor 0
+        q.processAllAvailable()
+        src.addData(
+          Event(3, ts("2024-01-01 12:00:00"), 7, "view", 3.0)) // 0 + 3 = 3
+        q.processAllAvailable()
+        val rows = spark.table("wallet_out").as[BalanceOut].collect()
+          .sortBy(_.event_id).toSeq
+        assert(rows == Seq(
+          BalanceOut(7, 1, 10000000L),
+          BalanceOut(7, 2, 0L),
+          // state carried across the batch boundary: NOT min(hi, 3) of
+          // a fresh fold over batch 2 alone under a stale unclamped sum
+          BalanceOut(7, 3, 3000000L)))
+      } finally q.stop()
+    }
+
+    it("equals the batch ScanFold twin row-for-row (the q145 contract)") {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val evs = Seq(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 4.5),
+        Event(2, ts("2024-01-01 10:30:00"), 1, "purchase", 2.0),
+        Event(3, ts("2024-01-01 11:00:00"), 1, "purchase", 9.0),
+        Event(4, ts("2024-01-01 12:00:00"), 1, "signup", 1.25),
+        Event(5, ts("2024-01-01 10:15:00"), 2, "error", 3.0),
+        Event(6, ts("2024-01-01 10:45:00"), 2, "view", 12.0),
+        Event(7, ts("2024-01-01 11:45:00"), 2, "purchase", 5.0))
+      val src = MemoryStream[Event]
+      val q = EventStreams.clampedBalanceStream(src.toDS(), 0L, 8000000L)
+        .writeStream.format("memory").queryName("wallet_twin")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        evs.grouped(3).foreach { g => src.addData(g: _*); q.processAllAvailable() }
+        val streamed = spark.table("wallet_twin").as[BalanceOut].collect()
+          .map(r => (r.user_id, r.event_id, r.balance_micros)).toSet
+        val prepped = evs.toDF().select(col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          (floor(col("value") * lit(1e6)).cast("long") *
+            when(col("event_type").isin("signup", "click", "view"), 1L)
+              .otherwise(-1L)).as("delta"))
+        val batch = graft.ext.ScanFold
+          .clampedRunningSum(prepped, "user_id", "ts_us", "event_id", "delta",
+            0L, 8000000L)
+          .select(col("user_id"), col("event_id"), col("bal"))
+          .as[(Long, Long, Long)].collect().toSet
+        assert(streamed == batch)
+      } finally q.stop()
+    }
+  }
+
   private def micros(s: String): Long = ts(s).getTime * 1000L
 }
