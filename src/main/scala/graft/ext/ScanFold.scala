@@ -42,6 +42,8 @@ object ScanFold {
   case class BalRow(k: Long, o1: Long, o2: Long, bal: Long)
   case class DScanRow(k: Long, o1: Long, o2: Long, x: Double)
   case class DOutRow(k: Long, o1: Long, o2: Long, s: Double)
+  case class SScanRow(k: String, o1: Long, o2: Long, d: Long)
+  case class SBalRow(k: String, o1: Long, o2: Long, bal: Long)
 
   /** Saturating running sum per key: rows of `df` are folded in
     * `(key, ord1, ord2)` order with `bal := min(hi, max(lo, bal + delta))`,
@@ -75,6 +77,40 @@ object ScanFold {
           if (!started || r.k != cur) { cur = r.k; started = true; bal = start }
           bal = math.min(hi, math.max(lo, bal + r.d))
           BalRow(r.k, r.o1, r.o2, bal)
+        }
+      }
+      .toDF(key, ord1, ord2, "bal")
+  }
+
+  /** [[clampedRunningSum]] for STRING keys (series names, event types)
+    * — same contract, same single-exchange sorted O(1)-state shape.
+    * Kept as a separate typed path rather than hashing the key to a
+    * long: a hash key would force a re-join to recover the name and
+    * make collisions a (remote) correctness hazard. */
+  def clampedRunningSumS(df: DataFrame, key: String, ord1: String, ord2: String,
+                         delta: String, lo: Long, hi: Long): DataFrame = {
+    require(lo <= hi, s"lo=$lo must be <= hi=$hi")
+    require(lo > -(1L << 61) && hi < (1L << 61),
+      s"bounds [$lo,$hi] leave no overflow headroom")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val start = math.min(hi, math.max(lo, 0L))
+    val ds: Dataset[SScanRow] = df.select(
+        col(key).cast("string").as("k"),
+        col(ord1).cast(LongType).as("o1"),
+        col(ord2).cast(LongType).as("o2"),
+        col(delta).cast(LongType).as("d"))
+      .as[SScanRow]
+    ds.repartition(col("k"))
+      .sortWithinPartitions(col("k"), col("o1"), col("o2"))
+      .mapPartitions { it =>
+        var cur: String = null
+        var started = false
+        var bal = start
+        it.map { r =>
+          if (!started || r.k != cur) { cur = r.k; started = true; bal = start }
+          bal = math.min(hi, math.max(lo, bal + r.d))
+          SBalRow(r.k, r.o1, r.o2, bal)
         }
       }
       .toDF(key, ord1, ord2, "bal")

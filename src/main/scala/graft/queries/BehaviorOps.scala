@@ -211,6 +211,69 @@ object BehaviorOps {
           g6((col("sy") - (covn / varxn) * col("sx")) / nd).as("intercept"),
           g6(covn * covn / (varxn * varyn)).as("r2"))
       },
-      Some("""WITH b AS (SELECT event_type, epoch_us(ts) / 86400000000.0 - 19700.0 AS x, value AS y FROM events), s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(SUM(CAST(floor(x * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS sx, CAST(SUM(CAST(floor(y * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS sy, CAST(SUM(CAST(floor(x * y * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS sxy, CAST(SUM(CAST(floor(x * x * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS sxx, CAST(SUM(CAST(floor(y * y * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS syy FROM b GROUP BY 1) SELECT event_type, n, floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6 + 0.5) / 1e6 AS slope, floor((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n * 1e6 + 0.5) / 1e6 AS intercept, floor((n * sxy - sx * sy) * (n * sxy - sx * sy) / ((n * sxx - sx * sx) * (n * syy - sy * sy)) * 1e6 + 0.5) / 1e6 AS r2 FROM s"""))
+      Some("""WITH b AS (SELECT event_type, epoch_us(ts) / 86400000000.0 - 19700.0 AS x, value AS y FROM events), s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(SUM(CAST(floor(x * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS sx, CAST(SUM(CAST(floor(y * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS sy, CAST(SUM(CAST(floor(x * y * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS sxy, CAST(SUM(CAST(floor(x * x * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS sxx, CAST(SUM(CAST(floor(y * y * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS syy FROM b GROUP BY 1) SELECT event_type, n, floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6 + 0.5) / 1e6 AS slope, floor((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n * 1e6 + 0.5) / 1e6 AS intercept, floor((n * sxy - sx * sy) * (n * sxy - sx * sy) / ((n * sxx - sx * sx) * (n * syy - sy * sy)) * 1e6 + 0.5) / 1e6 AS r2 FROM s""")),
+
+    QueryDef("q152_cusum_drift",
+      "CUSUM changepoint detection over hourly series (Page's one-sided cumulative-sum chart): per event_type, the hourly value sums feed S := max(0, S + (x - mu - 0.5*sd)) and an hour is flagged once S exceeds 4*sd — the standard upward-drift monitor (the 0.5*sd slack makes a stationary series decay to 0 instead of random-walking; measured: no slack flags 82% of hours, slacked 3.5%). The reflected fold is EXACTLY the clamped running sum — max(0, .) IS a saturating floor — so the engine is ScanFold.clampedRunningSumS (string series keys, same one-exchange sorted O(1)-state shape) over integer-micro deltas; mu/sd come from one decimal-exact moment pass broadcast back (sqrt is IEEE-correctly-rounded, so sd is cross-engine deterministic). Series per key = hours, shuffled rows = |types| x hours — bounded; the raw corpus only pays the hourly rollup",
+      (s, d) => {
+        def g6sum(c: Column) =
+          sum((floor(c * 1e6 + 0.5) / 1e6).cast(DecimalType(38, 6))).cast("double")
+        val h = t(s, d, "events")
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+          .agg(dsum(col("value")).as("h_sum"))
+          .select(col("event_type"), unix_micros(col("hour")).as("hour_us"),
+                  col("h_sum"))
+        val mu = dsum(col("h_sum")) / count(lit(1))
+        val m = h.groupBy(col("event_type")).agg(
+          mu.as("mu"),
+          sqrt(g6sum(col("h_sum") * col("h_sum")) / count(lit(1)) - mu * mu).as("sd"))
+        val dd = h.join(broadcast(m), Seq("event_type"))
+          .select(col("event_type"), col("hour_us"),
+            floor((col("h_sum") - col("mu") - lit(0.5) * col("sd")) * 1e6)
+              .cast("long").as("delta"))
+          .withColumn("z", lit(0L))
+        graft.ext.ScanFold
+          .clampedRunningSumS(dd, "event_type", "hour_us", "z", "delta",
+            lo = 0L, hi = 1152921504606846976L)
+          .join(broadcast(m.select(col("event_type"), col("sd"))), Seq("event_type"))
+          .select(col("event_type"), col("hour_us"),
+            col("bal").as("cusum_micros"),
+            (col("bal") > floor(lit(4.0) * col("sd") * lit(1e6)).cast("long"))
+              .as("drift"))
+      },
+      Some("""WITH RECURSIVE h AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS h_sum FROM events GROUP BY 1, 2), m AS (SELECT event_type, CAST(SUM(CAST(h_sum AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS mu, sqrt(CAST(SUM(CAST(floor(h_sum * h_sum * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) / count(*) - (CAST(SUM(CAST(h_sum AS DECIMAL(38,6))) AS DOUBLE) / count(*)) * (CAST(SUM(CAST(h_sum AS DECIMAL(38,6))) AS DOUBLE) / count(*))) AS sd FROM h GROUP BY 1), d AS (SELECT h.event_type, hour_us, CAST(floor((h_sum - mu - 0.5 * sd) * 1e6) AS BIGINT) AS delta, row_number() OVER (PARTITION BY h.event_type ORDER BY hour_us) AS rn FROM h JOIN m ON h.event_type = m.event_type), r AS (SELECT event_type, hour_us, rn, greatest(0, least(1152921504606846976, delta)) AS cusum FROM d WHERE rn = 1 UNION ALL SELECT d.event_type, d.hour_us, d.rn, greatest(0, least(1152921504606846976, r.cusum + d.delta)) FROM r JOIN d ON d.event_type = r.event_type AND d.rn = r.rn + 1) SELECT r.event_type, r.hour_us, CAST(r.cusum AS BIGINT) AS cusum_micros, r.cusum > CAST(floor(4.0 * m.sd * 1e6) AS BIGINT) AS drift FROM r JOIN m ON r.event_type = m.event_type""")),
+
+    QueryDef("q153_autocorrelation",
+      "autocorrelation function at lags 1-3 over the hourly series per event_type — the seasonality/persistence diagnostic run before any forecasting model: r_k = sum(c_t * c_{t-k}) / sum(c_t^2) with c = h_sum - mu. ONE series-keyed window pass produces all three lag columns (lags on the OBSERVED hour sequence; the fixture's hours are dense), products pre-round onto the 6-dp floor-grid into exact DECIMAL(38,6) sums (order-independent), the per-type moment row is |types|-sized, and the 3-lag unpivot explodes in-row. Null lags at each series head drop out of the sums in both engines (null-skipping SUM == FILTER). All downstream ratios share identical expression trees -> bit-equal before the 6-dp output grid",
+      (s, d) => {
+        def g6(c: Column) = (floor(c * 1e6 + 0.5) / 1e6).cast(DecimalType(38, 6))
+        val h = t(s, d, "events")
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+          .agg(dsum(col("value")).as("h_sum"))
+          .select(col("event_type"), unix_micros(col("hour")).as("hour_us"),
+                  col("h_sum"))
+        val m = h.groupBy(col("event_type"))
+          .agg((dsum(col("h_sum")) / count(lit(1))).as("mu"))
+        val c = h.join(broadcast(m), Seq("event_type"))
+          .select(col("event_type"), col("hour_us"),
+                  (col("h_sum") - col("mu")).as("c"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("hour_us"))
+        val l = c.select(col("event_type"), col("c"),
+          lag(col("c"), 1).over(w).as("c1"),
+          lag(col("c"), 2).over(w).as("c2"),
+          lag(col("c"), 3).over(w).as("c3"))
+        val sums = l.groupBy(col("event_type")).agg(
+          sum(g6(col("c") * col("c"))).cast("double").as("s0"),
+          sum(g6(col("c") * col("c1"))).cast("double").as("s1"),
+          sum(g6(col("c") * col("c2"))).cast("double").as("s2"),
+          sum(g6(col("c") * col("c3"))).cast("double").as("s3"))
+        sums.select(col("event_type"), explode(array(
+            struct(lit(1L).as("lag_k"), (col("s1") / col("s0")).as("r")),
+            struct(lit(2L).as("lag_k"), (col("s2") / col("s0")).as("r")),
+            struct(lit(3L).as("lag_k"), (col("s3") / col("s0")).as("r")))).as("e"))
+          .select(col("event_type"), col("e.lag_k").as("lag_k"),
+                  (floor(col("e.r") * lit(1e6) + lit(0.5)) / lit(1e6)).as("acf"))
+      },
+      Some("""WITH h AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS h_sum FROM events GROUP BY 1, 2), m AS (SELECT event_type, CAST(SUM(CAST(h_sum AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS mu FROM h GROUP BY 1), c AS (SELECT h.event_type, hour_us, h_sum - mu AS c FROM h JOIN m ON h.event_type = m.event_type), l AS (SELECT event_type, c, lag(c, 1) OVER w AS c1, lag(c, 2) OVER w AS c2, lag(c, 3) OVER w AS c3 FROM c WINDOW w AS (PARTITION BY event_type ORDER BY hour_us)), s AS (SELECT event_type, CAST(SUM(CAST(floor(c * c * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS s0, CAST(SUM(CAST(floor(c * c1 * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS s1, CAST(SUM(CAST(floor(c * c2 * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS s2, CAST(SUM(CAST(floor(c * c3 * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS s3 FROM l GROUP BY 1) SELECT event_type, CAST(lag_k AS BIGINT) AS lag_k, floor(sk / s0 * 1e6 + 0.5) / 1e6 AS acf FROM (SELECT event_type, 1 AS lag_k, s1 AS sk, s0 FROM s UNION ALL SELECT event_type, 2, s2, s0 FROM s UNION ALL SELECT event_type, 3, s3, s0 FROM s)"""))
   )
 }

@@ -528,5 +528,17 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("BroadcastHashJoin"), s"expected the broadcast normalizer:\n$p")
       assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
     }
+    it("q152 CUSUM stats broadcast onto the series; the fold is never a window") {
+      val p = planOf("q152_cusum_drift")
+      assert(p.contains("BroadcastHashJoin"), s"expected broadcast mu/sd:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+      assert(!p.contains("Window"), s"the reflected fold must be ScanFold:\n$p")
+    }
+    it("q153 ACF lag columns come from one series window; no cartesian, broadcast mean") {
+      val p = planOf("q153_autocorrelation")
+      assert(p.contains("BroadcastHashJoin"), s"expected broadcast mu:\n$p")
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+      assert("Window".r.findAllIn(p).length == 1, s"expected ONE window op:\n$p")
+    }
   }
 }

@@ -143,6 +143,21 @@ class ScanFoldSpec extends SparkSpec {
       }
     }
 
+    it("string-key variant matches the long-key fold on the same data") {
+      forAllSamples(rowsGen, n = 6) { rows =>
+        val expect = reference(rows, 0L, 30L)
+        val got = ScanFold.clampedRunningSumS(
+            rows.toDF("k", "o1", "o2", "d")
+              .withColumn("k", concat(lit("type_"), col("k"))),
+            "k", "o1", "o2", "d", 0L, 30L)
+          .collect()
+          .map(r => (r.getString(0).stripPrefix("type_").toLong,
+                     r.getLong(1), r.getLong(2)) -> r.getLong(3))
+          .toMap
+        assert(got === expect)
+      }
+    }
+
     it("ewma with alpha = 1 is the identity") {
       val rows = Seq((1L, 1L, 1L, 3.5), (1L, 2L, 2L, 7.25), (2L, 1L, 1L, 0.5))
       val got = ScanFold.ewma(rows.toDF("k", "o1", "o2", "x"),
