@@ -246,6 +246,48 @@ object EventStreams {
       }
   }
 
+  /** Per-event smoothed value emitted by [[ewmaStream]] — same shape as
+    * q150's batch fold output (pre-grid: the raw recurrence value). */
+  final case class EwmaOut(user_id: Long, event_id: Long, ewma: Double)
+
+  /** The user's current smoothing state — public for the state
+    * Encoder. */
+  final case class EwmaState(s: Double)
+
+  /** STREAMING EWMA — the ingest-time twin of
+    * [[graft.ext.ScanFold.ewma]] (q150): one Double of state per user,
+    * `s := alpha*x + (1-alpha)*s` at arrival, seeded with the first
+    * value. Because the batch fold is defined as the LEFT-TO-RIGHT
+    * recurrence (bit-stability is its contract), the stream applying
+    * the same update in (ts, event_id) order produces EXACTLY the
+    * batch values — StreamingSpec asserts bit equality, not tolerance.
+    * Same dimension-sized NoTimeout state argument as
+    * [[clampedBalanceStream]]; late cross-batch events route through
+    * the batch fold (a smoothed value cannot be un-smoothed). */
+  def ewmaStream(events: Dataset[Event], alpha: Double): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    require(alpha > 0 && alpha <= 1, s"alpha=$alpha out of (0, 1]")
+    val beta = 1.0 - alpha
+    def micros(t: Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[EwmaState]) =>
+          var s = state.getOption.map(_.s).getOrElse(Double.NaN)
+          var started = state.exists
+          val out = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id)).map { e =>
+            if (!started) { s = e.value; started = true }
+            else s = alpha * e.value + beta * s
+            EwmaOut(userId, e.event_id, s)
+          }
+          state.update(EwmaState(s))
+          out.iterator
+      }
+  }
+
   /** Watermarked stream-stream interval join (conversion attribution):
     * each view event joins the SAME user's purchases landing within
     * `horizonMinutes` after it. Both sides carry watermarks and the

@@ -526,5 +526,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  describe("ewmaStream (streaming smoother)") {
+    import graft.streaming.EventStreams.EwmaOut
+
+    it("matches the batch ScanFold.ewma fold BIT-FOR-BIT across micro-batches") {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val evs = Seq(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "view", 4.5),
+        Event(2, ts("2024-01-01 10:30:00"), 1, "view", 2.0),
+        Event(3, ts("2024-01-01 11:00:00"), 1, "view", 9.37),
+        Event(4, ts("2024-01-01 12:00:00"), 1, "view", 1.25),
+        Event(5, ts("2024-01-01 10:15:00"), 2, "view", 3.03),
+        Event(6, ts("2024-01-01 10:45:00"), 2, "view", 12.0))
+      val src = MemoryStream[Event]
+      val q = EventStreams.ewmaStream(src.toDS(), alpha = 0.125)
+        .writeStream.format("memory").queryName("ewma_twin")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        evs.grouped(2).foreach { g => src.addData(g: _*); q.processAllAvailable() }
+        val streamed = spark.table("ewma_twin").as[EwmaOut].collect()
+          .map(r => (r.user_id, r.event_id) -> r.ewma).toMap
+        val batch = graft.ext.ScanFold.ewma(
+            evs.toDF().select(col("user_id"),
+              unix_micros(col("ts")).as("ts_us"), col("event_id"),
+              col("value")),
+            "user_id", "ts_us", "event_id", "value", alpha = 0.125)
+          .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+        // exact equality: both sides run the identical left-to-right
+        // recurrence on identical doubles
+        assert(streamed === batch)
+      } finally q.stop()
+    }
+  }
+
   private def micros(s: String): Long = ts(s).getTime * 1000L
 }
