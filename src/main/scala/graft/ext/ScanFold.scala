@@ -44,6 +44,7 @@ object ScanFold {
   case class DOutRow(k: Long, o1: Long, o2: Long, s: Double)
   case class SScanRow(k: String, o1: Long, o2: Long, d: Long)
   case class SBalRow(k: String, o1: Long, o2: Long, bal: Long)
+  case class HoltRow(k: Long, o1: Long, o2: Long, level: Double, trend: Double)
 
   /** Saturating running sum per key: rows of `df` are folded in
     * `(key, ord1, ord2)` order with `bal := min(hi, max(lo, bal + delta))`,
@@ -114,6 +115,56 @@ object ScanFold {
         }
       }
       .toDF(key, ord1, ord2, "bal")
+  }
+
+  /** Holt's linear-trend smoothing per key — the two-state member of
+    * the fold family ([[ewma]] is the one-state case):
+    * {{{
+    *   l' = alpha*x + (1-alpha)*(l + b)
+    *   b' = beta*(l' - l) + (1-beta)*b
+    * }}}
+    * seeded `l = first x, b = 0`. Emits (level, trend) after every
+    * observation; `level + trend` is the one-step-ahead forecast. The
+    * same bit-stability contract as [[ewma]] — both engines evaluate
+    * the pinned expression trees left-to-right on identical doubles
+    * (an oracle repeats the l' expression inside b'; same value, since
+    * double evaluation is deterministic) — and the same reason it is a
+    * sequential fold: the 2×2 affine composition exists but float
+    * reassociation breaks bit-stability. Pass exact binary fractions
+    * for both smoothing constants. */
+  def holt(df: DataFrame, key: String, ord1: String, ord2: String,
+           value: String, alpha: Double, beta: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha=$alpha out of (0, 1]")
+    require(beta >= 0 && beta <= 1, s"beta=$beta out of [0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val a1 = 1.0 - alpha
+    val b1 = 1.0 - beta
+    val ds: Dataset[DScanRow] = df.select(
+        col(key).cast(LongType).as("k"),
+        col(ord1).cast(LongType).as("o1"),
+        col(ord2).cast(LongType).as("o2"),
+        col(value).cast("double").as("x"))
+      .as[DScanRow]
+    ds.repartition(col("k"))
+      .sortWithinPartitions(col("k"), col("o1"), col("o2"))
+      .mapPartitions { it =>
+        var cur = Long.MinValue
+        var started = false
+        var l = 0.0
+        var b = 0.0
+        it.map { r =>
+          if (!started || r.k != cur) {
+            cur = r.k; started = true; l = r.x; b = 0.0
+          } else {
+            val l1 = alpha * r.x + a1 * (l + b)
+            b = beta * (l1 - l) + b1 * b
+            l = l1
+          }
+          HoltRow(r.k, r.o1, r.o2, l, b)
+        }
+      }
+      .toDF(key, ord1, ord2, "level", "trend")
   }
 
   /** Exponentially-weighted moving average per key: the linear

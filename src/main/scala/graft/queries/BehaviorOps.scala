@@ -274,6 +274,22 @@ object BehaviorOps {
           .select(col("event_type"), col("e.lag_k").as("lag_k"),
                   (floor(col("e.r") * lit(1e6) + lit(0.5)) / lit(1e6)).as("acf"))
       },
-      Some("""WITH h AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS h_sum FROM events GROUP BY 1, 2), m AS (SELECT event_type, CAST(SUM(CAST(h_sum AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS mu FROM h GROUP BY 1), c AS (SELECT h.event_type, hour_us, h_sum - mu AS c FROM h JOIN m ON h.event_type = m.event_type), l AS (SELECT event_type, c, lag(c, 1) OVER w AS c1, lag(c, 2) OVER w AS c2, lag(c, 3) OVER w AS c3 FROM c WINDOW w AS (PARTITION BY event_type ORDER BY hour_us)), s AS (SELECT event_type, CAST(SUM(CAST(floor(c * c * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS s0, CAST(SUM(CAST(floor(c * c1 * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS s1, CAST(SUM(CAST(floor(c * c2 * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS s2, CAST(SUM(CAST(floor(c * c3 * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS s3 FROM l GROUP BY 1) SELECT event_type, CAST(lag_k AS BIGINT) AS lag_k, floor(sk / s0 * 1e6 + 0.5) / 1e6 AS acf FROM (SELECT event_type, 1 AS lag_k, s1 AS sk, s0 FROM s UNION ALL SELECT event_type, 2, s2, s0 FROM s UNION ALL SELECT event_type, 3, s3, s0 FROM s)"""))
+      Some("""WITH h AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS h_sum FROM events GROUP BY 1, 2), m AS (SELECT event_type, CAST(SUM(CAST(h_sum AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS mu FROM h GROUP BY 1), c AS (SELECT h.event_type, hour_us, h_sum - mu AS c FROM h JOIN m ON h.event_type = m.event_type), l AS (SELECT event_type, c, lag(c, 1) OVER w AS c1, lag(c, 2) OVER w AS c2, lag(c, 3) OVER w AS c3 FROM c WINDOW w AS (PARTITION BY event_type ORDER BY hour_us)), s AS (SELECT event_type, CAST(SUM(CAST(floor(c * c * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS s0, CAST(SUM(CAST(floor(c * c1 * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS s1, CAST(SUM(CAST(floor(c * c2 * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS s2, CAST(SUM(CAST(floor(c * c3 * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS s3 FROM l GROUP BY 1) SELECT event_type, CAST(lag_k AS BIGINT) AS lag_k, floor(sk / s0 * 1e6 + 0.5) / 1e6 AS acf FROM (SELECT event_type, 1 AS lag_k, s1 AS sk, s0 FROM s UNION ALL SELECT event_type, 2, s2, s0 FROM s UNION ALL SELECT event_type, 3, s3, s0 FROM s)""")),
+
+    QueryDef("q154_holt_trend",
+      "Holt linear-trend smoothing per user (ext.ScanFold.holt, alpha=0.25, beta=0.125): the two-state member of the fold family — level tracks the series, trend tracks its slope, level+trend is the one-step-ahead forecast; q150's EWMA is the beta=0 special case. Seeded (l = first value, b = 0). The oracle's recursive CTE repeats the level-update expression inside the trend update (SQL cannot bind l' mid-row) — deterministically the same value, so stream-order bit-equality still holds before the 6-dp output grid. Both smoothing constants exact binary fractions; same one-exchange sorted O(1)x2-state shape as q145/q150",
+      (s, d) => {
+        val ev = t(s, d, "events").select(
+          col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("value"))
+        graft.ext.ScanFold.holt(ev, "user_id", "ts_us", "event_id", "value",
+            alpha = 0.25, beta = 0.125)
+          .select(col("user_id"), col("event_id"),
+            (floor(col("level") * lit(1e6) + lit(0.5)) / lit(1e6)).as("level"),
+            (floor(col("trend") * lit(1e6) + lit(0.5)) / lit(1e6)).as("trend"),
+            (floor((col("level") + col("trend")) * lit(1e6) + lit(0.5)) / lit(1e6))
+              .as("forecast"))
+      },
+      Some("""WITH RECURSIVE d AS (SELECT user_id, event_id, value, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events), r AS (SELECT user_id, event_id, rn, value AS l, CAST(0.0 AS DOUBLE) AS b FROM d WHERE rn = 1 UNION ALL SELECT d.user_id, d.event_id, d.rn, 0.25 * d.value + 0.75 * (r.l + r.b), 0.125 * ((0.25 * d.value + 0.75 * (r.l + r.b)) - r.l) + 0.875 * r.b FROM r JOIN d ON d.user_id = r.user_id AND d.rn = r.rn + 1) SELECT user_id, event_id, floor(l * 1e6 + 0.5) / 1e6 AS level, floor(b * 1e6 + 0.5) / 1e6 AS trend, floor((l + b) * 1e6 + 0.5) / 1e6 AS forecast FROM r"""))
   )
 }

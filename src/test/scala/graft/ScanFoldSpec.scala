@@ -158,6 +158,50 @@ class ScanFoldSpec extends SparkSpec {
       }
     }
 
+    it("holt equals the sequential two-state recurrence bit-for-bit; beta=0 degenerates to ewma") {
+      val vGen: Gen[List[(Long, Long, Long, Double)]] =
+        Gen.listOfN(50, for {
+          k <- Gen.choose(0L, 2L)
+          o1 <- Gen.choose(0L, 20L)
+          o2 <- Gen.choose(0L, 1000000L)
+          x <- Gen.choose(0, 99999).map(_ / 100.0)
+        } yield (k, o1, o2, x)).map(_.distinctBy(r => (r._1, r._2, r._3)))
+      forAllSamples(vGen, n = 6) { rows =>
+        val (alpha, beta) = (0.25, 0.125)
+        val expect: Map[(Long, Long, Long), (Double, Double)] =
+          rows.groupBy(_._1).flatMap { case (_, ks) =>
+            var l = 0.0; var b = 0.0; var first = true
+            ks.sortBy(r => (r._2, r._3)).map { r =>
+              if (first) { l = r._4; b = 0.0; first = false }
+              else {
+                val l1 = alpha * r._4 + (1.0 - alpha) * (l + b)
+                b = beta * (l1 - l) + (1.0 - beta) * b
+                l = l1
+              }
+              (r._1, r._2, r._3) -> ((l, b))
+            }
+          }
+        val got = ScanFold.holt(rows.toDF("k", "o1", "o2", "x").repartition(4),
+            "k", "o1", "o2", "x", alpha, beta)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+            ((r.getDouble(3), r.getDouble(4)))).toMap
+        assert(got === expect)
+        // beta = 0: trend stays 0 and level IS the EWMA recurrence
+        val hl = ScanFold.holt(rows.toDF("k", "o1", "o2", "x"),
+            "k", "o1", "o2", "x", alpha, 0.0)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+            ((r.getDouble(3), r.getDouble(4)))).toMap
+        val ew = ScanFold.ewma(rows.toDF("k", "o1", "o2", "x"),
+            "k", "o1", "o2", "x", alpha)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+          .toMap
+        hl.foreach { case (key, (l, b)) =>
+          assert(b === 0.0)
+          assert(l === ew(key))
+        }
+      }
+    }
+
     it("ewma with alpha = 1 is the identity") {
       val rows = Seq((1L, 1L, 1L, 3.5), (1L, 2L, 2L, 7.25), (2L, 1L, 1L, 0.5))
       val got = ScanFold.ewma(rows.toDF("k", "o1", "o2", "x"),
