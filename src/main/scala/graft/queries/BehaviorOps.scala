@@ -290,6 +290,40 @@ object BehaviorOps {
             (floor((col("level") + col("trend")) * lit(1e6) + lit(0.5)) / lit(1e6))
               .as("forecast"))
       },
-      Some("""WITH RECURSIVE d AS (SELECT user_id, event_id, value, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events), r AS (SELECT user_id, event_id, rn, value AS l, CAST(0.0 AS DOUBLE) AS b FROM d WHERE rn = 1 UNION ALL SELECT d.user_id, d.event_id, d.rn, 0.25 * d.value + 0.75 * (r.l + r.b), 0.125 * ((0.25 * d.value + 0.75 * (r.l + r.b)) - r.l) + 0.875 * r.b FROM r JOIN d ON d.user_id = r.user_id AND d.rn = r.rn + 1) SELECT user_id, event_id, floor(l * 1e6 + 0.5) / 1e6 AS level, floor(b * 1e6 + 0.5) / 1e6 AS trend, floor((l + b) * 1e6 + 0.5) / 1e6 AS forecast FROM r"""))
+      Some("""WITH RECURSIVE d AS (SELECT user_id, event_id, value, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events), r AS (SELECT user_id, event_id, rn, value AS l, CAST(0.0 AS DOUBLE) AS b FROM d WHERE rn = 1 UNION ALL SELECT d.user_id, d.event_id, d.rn, 0.25 * d.value + 0.75 * (r.l + r.b), 0.125 * ((0.25 * d.value + 0.75 * (r.l + r.b)) - r.l) + 0.875 * r.b FROM r JOIN d ON d.user_id = r.user_id AND d.rn = r.rn + 1) SELECT user_id, event_id, floor(l * 1e6 + 0.5) / 1e6 AS level, floor(b * 1e6 + 0.5) / 1e6 AS trend, floor((l + b) * 1e6 + 0.5) / 1e6 AS forecast FROM r""")),
+
+    QueryDef("q155_linear_attribution",
+      "multi-touch LINEAR attribution — the fractional-credit complement of q146's last-touch: every view/click touch in the 7-day window strictly preceding a purchase (same (ts, event_id) total-order convention as q146) receives an equal share value/n_touches, per-channel credits and touchpoint counts roll up, and untouched purchases land in 'direct' at full value (q146's direct revenue, 3610.44 at sf0.01, reappears here EXACTLY — the two models must agree on the unattributable set). The pair stage is a user_id EQUI-join with the time predicates as residuals (hash join, never cartesian — the q117 per-key-bounded quadratic: touches per user per week, ~dozens); per-purchase touch counts are one pid-keyed aggregate joined back; fractional credits pre-round onto the 6-dp floor-grid into exact decimal sums. At 100 TB every stage keys on user_id or pid — no global structure",
+      (s, d) => {
+        def g6sum(c: Column) =
+          sum((floor(c * 1e6 + 0.5) / 1e6).cast(DecimalType(38, 6))).cast("double")
+        val ev = t(s, d, "events")
+        val t0 = ev.filter(col("event_type").isin("view", "click"))
+          .select(col("user_id"), col("ts"), col("event_id"),
+                  col("event_type"))
+        val p0 = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("pts"),
+                  col("event_id").as("pid"), col("value"))
+        val pr = p0.join(t0,
+            col("p_user") === t0("user_id") &&
+            (t0("ts") < col("pts") ||
+             (t0("ts") === col("pts") && t0("event_id") < col("pid"))) &&
+            (unix_micros(col("pts")) - unix_micros(t0("ts")) <= 604800000000L))
+          .select(col("pid"), col("value"), col("event_type").as("channel"))
+        val n = pr.groupBy(col("pid")).agg(lcount(lit(1)).as("nt"))
+        val agg = pr.join(n, Seq("pid"))
+          .select(col("channel"), (col("value") / col("nt")).as("credit"))
+          .groupBy(col("channel"))
+          .agg(g6sum(col("credit")).as("credit"),
+               lcount(lit(1)).as("n_touchpoints"))
+        val direct = p0.join(n, p0("pid") === n("pid"), "left_anti")
+          .agg(dsum(round(col("value"), 6)).as("credit"),
+               lcount(lit(1)).as("n_touchpoints"))
+          .select(lit("direct").as("channel"), col("credit"),
+                  col("n_touchpoints"))
+          .filter(col("n_touchpoints") > 0)
+        agg.unionByName(direct)
+      },
+      Some("""WITH t AS (SELECT user_id, ts, event_id, event_type FROM events WHERE event_type IN ('view','click')), p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'), pr AS (SELECT p.user_id, p.event_id AS pid, p.value, t.event_type AS channel FROM p JOIN t ON t.user_id = p.user_id AND (t.ts < p.ts OR (t.ts = p.ts AND t.event_id < p.event_id)) AND epoch_us(p.ts) - epoch_us(t.ts) <= 604800000000), n AS (SELECT pid, CAST(count(*) AS BIGINT) AS nt FROM pr GROUP BY 1), c AS (SELECT channel, value / nt AS credit FROM pr JOIN n USING (pid)), agg AS (SELECT channel, CAST(SUM(CAST(floor(credit * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS credit, CAST(count(*) AS BIGINT) AS n_touchpoints FROM c GROUP BY 1), d AS (SELECT 'direct' AS channel, CAST(SUM(CAST(round(value, 6) AS DECIMAL(38,6))) AS DOUBLE) AS credit, CAST(count(*) AS BIGINT) AS n_touchpoints FROM p WHERE NOT EXISTS (SELECT 1 FROM n WHERE n.pid = p.event_id) HAVING count(*) > 0) SELECT * FROM agg UNION ALL SELECT * FROM d"""))
   )
 }

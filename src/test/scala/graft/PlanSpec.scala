@@ -534,6 +534,11 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
       assert(!p.contains("Window"), s"the reflected fold must be ScanFold:\n$p")
     }
+    it("q155 linear attribution pairs on a user_id EQUI-join with residual time predicates — never cartesian") {
+      val p = planOf("q155_linear_attribution")
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+    }
     it("q153 ACF lag columns come from one series window; no cartesian, broadcast mean") {
       val p = planOf("q153_autocorrelation")
       assert(p.contains("BroadcastHashJoin"), s"expected broadcast mu:\n$p")
