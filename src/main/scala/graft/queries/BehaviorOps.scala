@@ -324,6 +324,32 @@ object BehaviorOps {
           .filter(col("n_touchpoints") > 0)
         agg.unionByName(direct)
       },
-      Some("""WITH t AS (SELECT user_id, ts, event_id, event_type FROM events WHERE event_type IN ('view','click')), p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'), pr AS (SELECT p.user_id, p.event_id AS pid, p.value, t.event_type AS channel FROM p JOIN t ON t.user_id = p.user_id AND (t.ts < p.ts OR (t.ts = p.ts AND t.event_id < p.event_id)) AND epoch_us(p.ts) - epoch_us(t.ts) <= 604800000000), n AS (SELECT pid, CAST(count(*) AS BIGINT) AS nt FROM pr GROUP BY 1), c AS (SELECT channel, value / nt AS credit FROM pr JOIN n USING (pid)), agg AS (SELECT channel, CAST(SUM(CAST(floor(credit * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS credit, CAST(count(*) AS BIGINT) AS n_touchpoints FROM c GROUP BY 1), d AS (SELECT 'direct' AS channel, CAST(SUM(CAST(round(value, 6) AS DECIMAL(38,6))) AS DOUBLE) AS credit, CAST(count(*) AS BIGINT) AS n_touchpoints FROM p WHERE NOT EXISTS (SELECT 1 FROM n WHERE n.pid = p.event_id) HAVING count(*) > 0) SELECT * FROM agg UNION ALL SELECT * FROM d"""))
+      Some("""WITH t AS (SELECT user_id, ts, event_id, event_type FROM events WHERE event_type IN ('view','click')), p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'), pr AS (SELECT p.user_id, p.event_id AS pid, p.value, t.event_type AS channel FROM p JOIN t ON t.user_id = p.user_id AND (t.ts < p.ts OR (t.ts = p.ts AND t.event_id < p.event_id)) AND epoch_us(p.ts) - epoch_us(t.ts) <= 604800000000), n AS (SELECT pid, CAST(count(*) AS BIGINT) AS nt FROM pr GROUP BY 1), c AS (SELECT channel, value / nt AS credit FROM pr JOIN n USING (pid)), agg AS (SELECT channel, CAST(SUM(CAST(floor(credit * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS credit, CAST(count(*) AS BIGINT) AS n_touchpoints FROM c GROUP BY 1), d AS (SELECT 'direct' AS channel, CAST(SUM(CAST(round(value, 6) AS DECIMAL(38,6))) AS DOUBLE) AS credit, CAST(count(*) AS BIGINT) AS n_touchpoints FROM p WHERE NOT EXISTS (SELECT 1 FROM n WHERE n.pid = p.event_id) HAVING count(*) > 0) SELECT * FROM agg UNION ALL SELECT * FROM d""")),
+
+    QueryDef("q156_mad_outliers",
+      "MAD robust outlier detection per event_type — the second consumer of ops.Quantiles (VERDICT r8 #4's reusable-operator point): median via exact interpolated quantiles, MAD = median(|x - med|) via a SECOND exact-quantile pass over the deviations, outliers flagged at |x - med| > 3 * 1.4826 * MAD (the Gaussian-consistency convention) — the robust alternative to q137's mean/std z-scores that one corrupted batch cannot drag. Both medians ride Quantiles' two-pass histogram refinement (bounded counters, never a buffering percentile aggregate); because q120 proved the interpolation bit-equal to DuckDB's quantile_cont, the downstream threshold arithmetic on those UNROUNDED medians is also bit-equal. Four corpus passes total (2 per quantile op), each map + grid-sized aggregate; med/mad broadcast back; output one row per type",
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("event_type"), col("value"))
+        val med = graft.ops.Quantiles
+          .exactQuantiles(ev, "event_type", "value", Seq(0.5))
+          .select(col("event_type"), col("value").as("med"))
+        val dev = ev.join(broadcast(med), Seq("event_type"))
+          .select(col("event_type"), col("value"), col("med"),
+                  abs(col("value") - col("med")).as("adev"))
+        val mad = graft.ops.Quantiles
+          .exactQuantiles(dev, "event_type", "adev", Seq(0.5))
+          .select(col("event_type"), col("value").as("mad"))
+        dev.join(broadcast(mad), Seq("event_type"))
+          .groupBy(col("event_type"), col("med"), col("mad"))
+          .agg(
+            lcount(lit(1)).as("n"),
+            count(when(col("adev") > lit(3.0) * lit(1.4826) * col("mad"), 1))
+              .cast("long").as("n_outliers"))
+          .select(col("event_type"), col("med"), col("mad"), col("n"),
+            col("n_outliers"),
+            (floor(col("n_outliers").cast("double") / col("n") * lit(1e6) + lit(0.5))
+              / lit(1e6)).as("outlier_frac"))
+      },
+      Some("""WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1), a AS (SELECT e.event_type, value, med, abs(value - med) AS adev FROM events e JOIN m USING (event_type)), md AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM a GROUP BY 1) SELECT a.event_type, a.med, md.mad, CAST(count(*) AS BIGINT) AS n, CAST(count(*) FILTER (WHERE adev > 3.0 * 1.4826 * mad) AS BIGINT) AS n_outliers, floor(count(*) FILTER (WHERE adev > 3.0 * 1.4826 * mad) / count(*) * 1e6 + 0.5) / 1e6 AS outlier_frac FROM a JOIN md USING (event_type) GROUP BY 1, 2, 3"""))
   )
 }
