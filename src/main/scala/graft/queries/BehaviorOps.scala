@@ -350,6 +350,41 @@ object BehaviorOps {
             (floor(col("n_outliers").cast("double") / col("n") * lit(1e6) + lit(0.5))
               / lit(1e6)).as("outlier_frac"))
       },
-      Some("""WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1), a AS (SELECT e.event_type, value, med, abs(value - med) AS adev FROM events e JOIN m USING (event_type)), md AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM a GROUP BY 1) SELECT a.event_type, a.med, md.mad, CAST(count(*) AS BIGINT) AS n, CAST(count(*) FILTER (WHERE adev > 3.0 * 1.4826 * mad) AS BIGINT) AS n_outliers, floor(count(*) FILTER (WHERE adev > 3.0 * 1.4826 * mad) / count(*) * 1e6 + 0.5) / 1e6 AS outlier_frac FROM a JOIN md USING (event_type) GROUP BY 1, 2, 3"""))
+      Some("""WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1), a AS (SELECT e.event_type, value, med, abs(value - med) AS adev FROM events e JOIN m USING (event_type)), md AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM a GROUP BY 1) SELECT a.event_type, a.med, md.mad, CAST(count(*) AS BIGINT) AS n, CAST(count(*) FILTER (WHERE adev > 3.0 * 1.4826 * mad) AS BIGINT) AS n_outliers, floor(count(*) FILTER (WHERE adev > 3.0 * 1.4826 * mad) / count(*) * 1e6 + 0.5) / 1e6 AS outlier_frac FROM a JOIN md USING (event_type) GROUP BY 1, 2, 3""")),
+
+    QueryDef("q157_woe_iv",
+      "weight-of-evidence / information-value feature binning (the credit-scoring feature screen): l_extendedprice cut at its EXACT deciles (ops.Quantiles, third consumer — q120 proved the interpolation bit-equal to quantile_cont, so the bin edges and every v>edge comparison agree across engines), target = returnflag 'R'; per-bin good/bad counts, WOE = ln(good_share/bad_share) with the q115 continuity correction ((n+0.5)/(N+5.0)), and IV = sum(share_diff * woe) broadcast on every row (the psi_total pattern, grid-6 exact-decimal reduction). Bin assignment is the branch-free sum of nine v>q_k comparisons against the ONE broadcast decile row — no per-row binary search, no 9x row expand. The measured IV ~0.0004 is the HONEST answer on this fixture: the synthetic price carries no return-flag signal, and a feature screen that reports 'no predictive power' correctly is doing its job (the fires-on-fixture counterpart is q148/q156)",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(lit("all").as("g"), col("l_extendedprice").as("v"),
+                  (col("l_returnflag") === "R").as("bad"))
+        val ps = (1 to 9).map(_ / 10.0)
+        val qCols = ps.map(p => max(when(col("p") === p, col("value")))
+          .as(s"q${(p * 10).round}"))
+        val qrow = graft.ops.Quantiles.exactQuantiles(
+            li.select(col("g"), col("v")), "g", "v", ps)
+          .groupBy(col("g"))
+          .agg(qCols.head, qCols.tail: _*)
+          .drop("g")
+        val bin = ps.map(p => when(col("v") > col(s"q${(p * 10).round}"), 1L)
+          .otherwise(0L)).reduce(_ + _)
+        val c = li.crossJoin(broadcast(qrow))
+          .select(bin.cast("long").as("bin"), col("bad"))
+          .groupBy(col("bin"))
+          .agg(count(when(!col("bad"), 1)).cast("long").as("n_good"),
+               count(when(col("bad"), 1)).cast("long").as("n_bad"))
+        val tot = c.agg(lsum(col("n_good")).as("tg"), lsum(col("n_bad")).as("tb"))
+        val e = c.crossJoin(broadcast(tot))
+          .withColumn("gs", (col("n_good") + lit(0.5)) / (col("tg") + lit(5.0)))
+          .withColumn("bs", (col("n_bad") + lit(0.5)) / (col("tb") + lit(5.0)))
+          .withColumn("woe", round(log(col("gs") / col("bs")), 4))
+          .withColumn("share_diff", col("gs") - col("bs"))
+        val iv = e.agg(
+          sum((floor(col("share_diff") * col("woe") * lit(1e6) + lit(0.5)) / lit(1e6))
+            .cast(DecimalType(38, 6))).cast("double").as("iv"))
+        e.select(col("bin"), col("n_good"), col("n_bad"), col("woe"))
+          .crossJoin(broadcast(iv))
+      },
+      Some("""WITH q AS (SELECT quantile_cont(l_extendedprice, 0.1) AS q1, quantile_cont(l_extendedprice, 0.2) AS q2, quantile_cont(l_extendedprice, 0.3) AS q3, quantile_cont(l_extendedprice, 0.4) AS q4, quantile_cont(l_extendedprice, 0.5) AS q5, quantile_cont(l_extendedprice, 0.6) AS q6, quantile_cont(l_extendedprice, 0.7) AS q7, quantile_cont(l_extendedprice, 0.8) AS q8, quantile_cont(l_extendedprice, 0.9) AS q9 FROM lineitem), b AS (SELECT CAST((CASE WHEN l_extendedprice > q1 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > q2 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > q3 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > q4 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > q5 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > q6 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > q7 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > q8 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > q9 THEN 1 ELSE 0 END) AS BIGINT) AS bin, (l_returnflag = 'R') AS bad FROM lineitem, q), c AS (SELECT bin, CAST(count(*) FILTER (WHERE NOT bad) AS BIGINT) AS n_good, CAST(count(*) FILTER (WHERE bad) AS BIGINT) AS n_bad FROM b GROUP BY 1), t AS (SELECT CAST(SUM(n_good) AS BIGINT) AS tg, CAST(SUM(n_bad) AS BIGINT) AS tb FROM c), e AS (SELECT bin, n_good, n_bad, round(ln(((n_good + 0.5) / (tg + 5.0)) / ((n_bad + 0.5) / (tb + 5.0))), 4) AS woe, (n_good + 0.5) / (tg + 5.0) - (n_bad + 0.5) / (tb + 5.0) AS share_diff FROM c, t), iv AS (SELECT CAST(SUM(CAST(floor(share_diff * woe * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS iv FROM e) SELECT bin, n_good, n_bad, woe, iv FROM e, iv"""))
   )
 }
