@@ -385,6 +385,54 @@ object BehaviorOps {
         e.select(col("bin"), col("n_good"), col("n_bad"), col("woe"))
           .crossJoin(broadcast(iv))
       },
-      Some("""WITH q AS (SELECT quantile_cont(l_extendedprice, 0.1) AS q1, quantile_cont(l_extendedprice, 0.2) AS q2, quantile_cont(l_extendedprice, 0.3) AS q3, quantile_cont(l_extendedprice, 0.4) AS q4, quantile_cont(l_extendedprice, 0.5) AS q5, quantile_cont(l_extendedprice, 0.6) AS q6, quantile_cont(l_extendedprice, 0.7) AS q7, quantile_cont(l_extendedprice, 0.8) AS q8, quantile_cont(l_extendedprice, 0.9) AS q9 FROM lineitem), b AS (SELECT CAST((CASE WHEN l_extendedprice > q1 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > q2 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > q3 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > q4 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > q5 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > q6 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > q7 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > q8 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > q9 THEN 1 ELSE 0 END) AS BIGINT) AS bin, (l_returnflag = 'R') AS bad FROM lineitem, q), c AS (SELECT bin, CAST(count(*) FILTER (WHERE NOT bad) AS BIGINT) AS n_good, CAST(count(*) FILTER (WHERE bad) AS BIGINT) AS n_bad FROM b GROUP BY 1), t AS (SELECT CAST(SUM(n_good) AS BIGINT) AS tg, CAST(SUM(n_bad) AS BIGINT) AS tb FROM c), e AS (SELECT bin, n_good, n_bad, round(ln(((n_good + 0.5) / (tg + 5.0)) / ((n_bad + 0.5) / (tb + 5.0))), 4) AS woe, (n_good + 0.5) / (tg + 5.0) - (n_bad + 0.5) / (tb + 5.0) AS share_diff FROM c, t), iv AS (SELECT CAST(SUM(CAST(floor(share_diff * woe * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS iv FROM e) SELECT bin, n_good, n_bad, woe, iv FROM e, iv"""))
+      Some("""WITH q AS (SELECT quantile_cont(l_extendedprice, 0.1) AS q1, quantile_cont(l_extendedprice, 0.2) AS q2, quantile_cont(l_extendedprice, 0.3) AS q3, quantile_cont(l_extendedprice, 0.4) AS q4, quantile_cont(l_extendedprice, 0.5) AS q5, quantile_cont(l_extendedprice, 0.6) AS q6, quantile_cont(l_extendedprice, 0.7) AS q7, quantile_cont(l_extendedprice, 0.8) AS q8, quantile_cont(l_extendedprice, 0.9) AS q9 FROM lineitem), b AS (SELECT CAST((CASE WHEN l_extendedprice > q1 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > q2 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > q3 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > q4 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > q5 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > q6 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > q7 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > q8 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > q9 THEN 1 ELSE 0 END) AS BIGINT) AS bin, (l_returnflag = 'R') AS bad FROM lineitem, q), c AS (SELECT bin, CAST(count(*) FILTER (WHERE NOT bad) AS BIGINT) AS n_good, CAST(count(*) FILTER (WHERE bad) AS BIGINT) AS n_bad FROM b GROUP BY 1), t AS (SELECT CAST(SUM(n_good) AS BIGINT) AS tg, CAST(SUM(n_bad) AS BIGINT) AS tb FROM c), e AS (SELECT bin, n_good, n_bad, round(ln(((n_good + 0.5) / (tg + 5.0)) / ((n_bad + 0.5) / (tb + 5.0))), 4) AS woe, (n_good + 0.5) / (tg + 5.0) - (n_bad + 0.5) / (tb + 5.0) AS share_diff FROM c, t), iv AS (SELECT CAST(SUM(CAST(floor(share_diff * woe * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS iv FROM e) SELECT bin, n_good, n_bad, woe, iv FROM e, iv""")),
+
+    QueryDef("q158_session_survival",
+      "Kaplan-Meier survival curve of session lifetime (whole hours, shared 12 h sessionizer): deaths per duration, at-risk via the reverse cumulative sum, S(t) = PRODUCT(1 - d/n) realized as exp(cumsum(ln terms)) — SQL and Spark both lack a product aggregate, and the ordered-decimal cumulative sum of 12-dp-rounded ln terms keeps the product order-independent and cross-engine deterministic (exp on identical doubles; 6-dp output grid absorbs any last-ulp libm drift, the q115 ln precedent). The terminal row (deaths = at_risk, ln undefined) is the explicit S=0 case. On this closed fixture every session has ended, so KM reduces to the empirical survival curve — the estimator's value is the risk-set form, which handles right-censored open sessions at a snapshot boundary with the SAME plan (censored rows join the risk set without a death row). Scale: the corpus pays one session rollup; every window runs over the duration GRID (~100 rows)",
+      (s, d) => {
+        val durs = sessionized(s, d)
+          .groupBy(col("user_id"), col("sess"))
+          .agg(floor((unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+            / lit(3600000000.0)).cast("long").as("dur_h"))
+        val deaths = durs.groupBy(col("dur_h")).agg(lcount(lit(1)).as("deaths"))
+        val wDesc = Window.orderBy(col("dur_h").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wAsc = Window.orderBy(col("dur_h"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        deaths
+          .withColumn("at_risk", sum(col("deaths")).over(wDesc).cast("long"))
+          .withColumn("lnterm",
+            when(col("deaths") < col("at_risk"),
+              round(log(lit(1.0) - col("deaths").cast("double")
+                / col("at_risk").cast("double")), 12)))
+          .withColumn("lnsurv",
+            sum(col("lnterm").cast(DecimalType(38, 12))).over(wAsc).cast("double"))
+          .select(col("dur_h"), col("deaths"), col("at_risk"),
+            when(col("deaths") === col("at_risk"), lit(0.0))
+              .otherwise(floor(exp(col("lnsurv")) * lit(1e6) + lit(0.5)) / lit(1e6))
+              .as("survival"))
+      },
+      Some(s"""WITH $sessionizerSql, s AS (SELECT user_id, sess, CAST(floor((epoch_us(max(ts)) - epoch_us(min(ts))) / 3600000000.0) AS BIGINT) AS dur_h FROM r GROUP BY 1, 2), d AS (SELECT dur_h, CAST(count(*) AS BIGINT) AS deaths FROM s GROUP BY 1), n AS (SELECT dur_h, deaths, CAST(SUM(deaths) OVER (ORDER BY dur_h DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS at_risk FROM d), e AS (SELECT dur_h, deaths, at_risk, CASE WHEN deaths < at_risk THEN round(ln(1.0 - CAST(deaths AS DOUBLE) / CAST(at_risk AS DOUBLE)), 12) END AS lnterm FROM n), c AS (SELECT dur_h, deaths, at_risk, CAST(SUM(CAST(lnterm AS DECIMAL(38,12))) OVER (ORDER BY dur_h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS lnsurv FROM e) SELECT dur_h, deaths, at_risk, CASE WHEN deaths = at_risk THEN 0.0 ELSE floor(exp(lnsurv) * 1e6 + 0.5) / 1e6 END AS survival FROM c""")),
+
+    QueryDef("q159_auc_rank",
+      "rank-based AUC (Mann-Whitney U) of a feature as a classifier — does n_chars predict lang='en'? The evaluation-plane op every quality-classifier pipeline needs (q74's scorer, q157's IV are feature screens; this is the standard ranking metric). Scale-correct formulation: ranks are NOT a corpus-sized single-partition window — scores aggregate to their DISTINCT-VALUE domain first (the q82 recipe), average tie-ranks derive from cumulative counts over that bounded grid, and the whole statistic stays INTEGER until one final division: 2*avgrank = 2*cum_before + n + 1, rsum2 = sum(n_pos * (2*cum_before + n + 1)), AUC = (rsum2 - n1*(n1+1)) / (2*n1*n0) — zero float accumulation, zero rounding hazard, grid-6 output only for presentation. AUC ~0.49 is the honest no-signal answer on this fixture (length does not predict language), the q157 counterpart",
+      (s, d) => {
+        val c = t(s, d, "documents")
+          .select(col("n_chars").as("score"), (col("lang") === "en").as("pos"))
+          .groupBy(col("score"))
+          .agg(lcount(lit(1)).as("n"),
+               count(when(col("pos"), 1)).cast("long").as("np"))
+        val w = Window.orderBy(col("score"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val t2 = c.withColumn("cumb", coalesce(sum(col("n")).over(w), lit(0L)).cast("long"))
+          .agg(lsum(col("np")).as("n1"),
+               lsum(col("n") - col("np")).as("n0"),
+               lsum(col("np") * (lit(2L) * col("cumb") + col("n") + lit(1L))).as("rsum2"))
+        t2.select(col("n1"), col("n0"),
+          (floor((col("rsum2") - col("n1") * (col("n1") + lit(1L))).cast("double")
+            / (lit(2L) * col("n1") * col("n0")).cast("double") * lit(1e6) + lit(0.5))
+            / lit(1e6)).as("auc"))
+      },
+      Some("""WITH d AS (SELECT n_chars AS score, (lang = 'en') AS pos FROM documents), c AS (SELECT score, CAST(count(*) AS BIGINT) AS n, CAST(count(*) FILTER (WHERE pos) AS BIGINT) AS np FROM d GROUP BY 1), w AS (SELECT score, n, np, CAST(COALESCE(SUM(n) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumb FROM c), t AS (SELECT CAST(SUM(np) AS BIGINT) AS n1, CAST(SUM(n - np) AS BIGINT) AS n0, CAST(SUM(np * (2 * cumb + n + 1)) AS BIGINT) AS rsum2 FROM w) SELECT n1, n0, floor(CAST(rsum2 - n1 * (n1 + 1) AS DOUBLE) / CAST(2 * n1 * n0 AS DOUBLE) * 1e6 + 0.5) / 1e6 AS auc FROM t"""))
   )
 }
