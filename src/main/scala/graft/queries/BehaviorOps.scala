@@ -433,6 +433,51 @@ object BehaviorOps {
             / (lit(2L) * col("n1") * col("n0")).cast("double") * lit(1e6) + lit(0.5))
             / lit(1e6)).as("auc"))
       },
-      Some("""WITH d AS (SELECT n_chars AS score, (lang = 'en') AS pos FROM documents), c AS (SELECT score, CAST(count(*) AS BIGINT) AS n, CAST(count(*) FILTER (WHERE pos) AS BIGINT) AS np FROM d GROUP BY 1), w AS (SELECT score, n, np, CAST(COALESCE(SUM(n) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumb FROM c), t AS (SELECT CAST(SUM(np) AS BIGINT) AS n1, CAST(SUM(n - np) AS BIGINT) AS n0, CAST(SUM(np * (2 * cumb + n + 1)) AS BIGINT) AS rsum2 FROM w) SELECT n1, n0, floor(CAST(rsum2 - n1 * (n1 + 1) AS DOUBLE) / CAST(2 * n1 * n0 AS DOUBLE) * 1e6 + 0.5) / 1e6 AS auc FROM t"""))
+      Some("""WITH d AS (SELECT n_chars AS score, (lang = 'en') AS pos FROM documents), c AS (SELECT score, CAST(count(*) AS BIGINT) AS n, CAST(count(*) FILTER (WHERE pos) AS BIGINT) AS np FROM d GROUP BY 1), w AS (SELECT score, n, np, CAST(COALESCE(SUM(n) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumb FROM c), t AS (SELECT CAST(SUM(np) AS BIGINT) AS n1, CAST(SUM(n - np) AS BIGINT) AS n0, CAST(SUM(np * (2 * cumb + n + 1)) AS BIGINT) AS rsum2 FROM w) SELECT n1, n0, floor(CAST(rsum2 - n1 * (n1 + 1) AS DOUBLE) / CAST(2 * n1 * n0 AS DOUBLE) * 1e6 + 0.5) / 1e6 AS auc FROM t""")),
+
+    QueryDef("q160_position_attribution",
+      "position-based (U-shaped 40/20/40) attribution completing the model family: q146 last-touch, q155 linear, and here first touch 40% / last touch 40% / middles splitting 20% (1 touch takes 100%, 2 touches 50/50) — the industry default that values discovery AND closing. Fully RATIONAL weights (no exp-decay libm hazard — a time-decay variant would pay per-row exp ulp risk; the U-shape is deterministic division only), same strictly-preceding 7-day pair join as q155 (user-keyed equi-join, per-key-bounded), positions from ONE pid-keyed window pass (rank + count share the exchange), credits on the 6-dp grid into exact decimal sums, 'direct' unchanged — all three models agree on the unattributable set by construction",
+      (s, d) => {
+        def g6sum(c: Column) =
+          sum((floor(c * 1e6 + 0.5) / 1e6).cast(DecimalType(38, 6))).cast("double")
+        val ev = t(s, d, "events")
+        val t0 = ev.filter(col("event_type").isin("view", "click"))
+          .select(col("user_id").as("t_user"), col("ts").as("tts"),
+                  col("event_id").as("tid"), col("event_type").as("channel"))
+        val p0 = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("pts"),
+                  col("event_id").as("pid"), col("value"))
+        val pr = p0.join(t0,
+            col("p_user") === col("t_user") &&
+            (col("tts") < col("pts") ||
+             (col("tts") === col("pts") && col("tid") < col("pid"))) &&
+            (unix_micros(col("pts")) - unix_micros(col("tts")) <= 604800000000L))
+          .select(col("pid"), col("value"), col("channel"),
+                  col("tts"), col("tid"))
+        val wOrd = Window.partitionBy(col("pid")).orderBy(col("tts"), col("tid"))
+        val wAll = Window.partitionBy(col("pid"))
+        val weight =
+          when(col("nt") === 1, lit(1.0))
+            .when(col("nt") === 2, lit(0.5))
+            .when(col("rn") === 1, lit(0.4))
+            .when(col("rn") === col("nt"), lit(0.4))
+            .otherwise(lit(0.2) / (col("nt") - 2))
+        val agg = pr
+          .withColumn("rn", row_number().over(wOrd))
+          .withColumn("nt", count(lit(1)).over(wAll).cast("long"))
+          .select(col("channel"), (col("value") * weight).as("credit"))
+          .groupBy(col("channel"))
+          .agg(g6sum(col("credit")).as("credit"),
+               lcount(lit(1)).as("n_touchpoints"))
+        val direct = p0.join(pr.select(col("pid")).distinct(),
+            Seq("pid"), "left_anti")
+          .agg(dsum(round(col("value"), 6)).as("credit"),
+               lcount(lit(1)).as("n_touchpoints"))
+          .select(lit("direct").as("channel"), col("credit"),
+                  col("n_touchpoints"))
+          .filter(col("n_touchpoints") > 0)
+        agg.unionByName(direct)
+      },
+      Some("""WITH t AS (SELECT user_id, ts, event_id, event_type FROM events WHERE event_type IN ('view','click')), p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'), pr AS (SELECT p.event_id AS pid, p.value, t.event_type AS channel, t.ts AS tts, t.event_id AS tid FROM p JOIN t ON t.user_id = p.user_id AND (t.ts < p.ts OR (t.ts = p.ts AND t.event_id < p.event_id)) AND epoch_us(p.ts) - epoch_us(t.ts) <= 604800000000), rk AS (SELECT pid, value, channel, row_number() OVER (PARTITION BY pid ORDER BY tts, tid) AS rn, CAST(count(*) OVER (PARTITION BY pid) AS BIGINT) AS nt FROM pr), cr AS (SELECT channel, value * (CASE WHEN nt = 1 THEN 1.0 WHEN nt = 2 THEN 0.5 WHEN rn = 1 THEN 0.4 WHEN rn = nt THEN 0.4 ELSE 0.2 / (nt - 2) END) AS credit FROM rk), agg AS (SELECT channel, CAST(SUM(CAST(floor(credit * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS credit, CAST(count(*) AS BIGINT) AS n_touchpoints FROM cr GROUP BY 1), d AS (SELECT 'direct' AS channel, CAST(SUM(CAST(round(value, 6) AS DECIMAL(38,6))) AS DOUBLE) AS credit, CAST(count(*) AS BIGINT) AS n_touchpoints FROM p WHERE NOT EXISTS (SELECT 1 FROM pr WHERE pr.pid = p.event_id) HAVING count(*) > 0) SELECT * FROM agg UNION ALL SELECT * FROM d"""))
   )
 }
