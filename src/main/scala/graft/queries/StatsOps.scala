@@ -1,0 +1,126 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ops.Num._
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Statistical-tests plane (q161–q163, round 9 fifth batch): the
+  * hypothesis-testing layer over the drift/DQ monitors — two-sample
+  * Kolmogorov–Smirnov, chi-square independence, Spearman rank
+  * correlation. Each is formulated the scale-correct way: values
+  * collapse to a BOUNDED domain first (the 256-bucket histogram tier
+  * of q115/q124 for continuous columns, the distinct-value domain of
+  * q159 for discrete ones), cumulative structures run over that grid
+  * — never a corpus-sized single-partition window — and the
+  * statistics stay INTEGER (counts, 2×rank sums) until one final
+  * division, so cross-engine determinism needs no float-sum recipe at
+  * all (sqrt is IEEE-correctly-rounded; output on the 6-dp grid).
+  */
+object StatsOps {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q161_ks_test",
+      "two-sample Kolmogorov-Smirnov test on the 256-bucket histogram tier: D = max|CDF_a - CDF_b| between the even- and odd-orderkey halves of l_extendedprice, with the alpha=0.05 critical value 1.36*sqrt((na+nb)/(na*nb)) and the reject verdict. The distribution-SHAPE complement of q115's PSI (PSI weights by mass, KS by worst-case CDF gap — the standard pair in drift monitoring); the iid halves must NOT reject, and don't (D=0.0069 < crit=0.0111) — the q122 'split' scenario as a formal test. Scale form: binning bounds the domain at 256 (exact D on the binned distributions — the D a streaming/histogram system can actually compute; raw-value KS on near-unique prices would need a corpus-sized global sort), min/max broadcast back (q115 recipe), cumulative counts INTEGER over the 256-row grid, one division per row at the end",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val st = li.agg(min(col("l_extendedprice")).as("mn"),
+                        max(col("l_extendedprice")).as("mx"))
+        val dd = li.crossJoin(broadcast(st))
+          .select(
+            least(lit(255.0), floor((col("l_extendedprice") - col("mn"))
+              / ((col("mx") - col("mn")) / lit(256.0)))).cast("long").as("b"),
+            (col("l_orderkey") % 2 === 0).as("a"))
+        val c = dd.groupBy(col("b")).agg(
+          count(when(col("a"), 1)).cast("long").as("na"),
+          count(when(!col("a"), 1)).cast("long").as("nb"))
+        val w = Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, 0)
+        val cum = c.select(col("b"),
+          sum(col("na")).over(w).cast("long").as("ca"),
+          sum(col("nb")).over(w).cast("long").as("cb"))
+        val tot = cum.agg(max(col("ca")).cast("long").as("ta"),
+                          max(col("cb")).cast("long").as("tb"))
+        val m = cum.crossJoin(broadcast(tot))
+          .agg(max(abs(col("ca").cast("double") / col("ta")
+            - col("cb").cast("double") / col("tb"))).as("dstat"))
+        val crit = lit(1.36) * sqrt((col("ta").cast("double") + col("tb"))
+          / (col("ta").cast("double") * col("tb")))
+        m.crossJoin(broadcast(tot)).select(
+          col("ta").as("n_a"), col("tb").as("n_b"),
+          (floor(col("dstat") * lit(1e6) + lit(0.5)) / lit(1e6)).as("d_stat"),
+          (floor(crit * lit(1e6) + lit(0.5)) / lit(1e6)).as("d_crit"),
+          (col("dstat") > crit).as("reject"))
+      },
+      Some("""WITH s AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem), d AS (SELECT CAST(least(255.0, floor((l_extendedprice - mn) / ((mx - mn) / 256.0))) AS BIGINT) AS b, (l_orderkey % 2 = 0) AS a FROM lineitem, s), c AS (SELECT b, CAST(count(*) FILTER (WHERE a) AS BIGINT) AS na, CAST(count(*) FILTER (WHERE NOT a) AS BIGINT) AS nb FROM d GROUP BY 1), w AS (SELECT b, CAST(SUM(na) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca, CAST(SUM(nb) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb FROM c), t AS (SELECT CAST(max(ca) AS BIGINT) AS ta, CAST(max(cb) AS BIGINT) AS tb FROM w), m AS (SELECT max(abs(CAST(ca AS DOUBLE) / ta - CAST(cb AS DOUBLE) / tb)) AS dstat FROM w, t) SELECT ta AS n_a, tb AS n_b, floor(dstat * 1e6 + 0.5) / 1e6 AS d_stat, floor(1.36 * sqrt((CAST(ta AS DOUBLE) + tb) / (CAST(ta AS DOUBLE) * tb)) * 1e6 + 0.5) / 1e6 AS d_crit, dstat > 1.36 * sqrt((CAST(ta AS DOUBLE) + tb) / (CAST(ta AS DOUBLE) * tb)) AS reject FROM m, t""")),
+
+    QueryDef("q162_chi2_independence",
+      "chi-square test of independence on the event_type x day-of-week contingency grid — is activity mix stable across the week? (the categorical complement of q161's continuous test; the DQ question behind weekday-seasonality assumptions). Counts grid is |types|x7, expected cells nr*nc/nt from broadcast marginals, each (n-exp)^2/exp term pre-rounds onto an 8-dp floor-grid into an exact DECIMAL(38,8) sum (terms are O(1e4), ulp ~2e-12 - far below the grid: the q138 quantum-above-ulp rule), chi2 and cell/df counts broadcast onto one summary row. Day-of-week NORMALIZED to DuckDB's Sunday=0 convention (Spark's dayofweek is Sunday=1 - an off-by-one that type-checks and silently shifts every label). Scale: one corpus scan into a 35-cell grid; everything downstream is grid-sized",
+      (s, d) => {
+        val c = t(s, d, "events")
+          .select(col("event_type"),
+                  (dayofweek(col("ts")) - lit(1)).cast("long").as("dow"))
+          .groupBy(col("event_type"), col("dow"))
+          .agg(lcount(lit(1)).as("n"))
+        val rt = c.groupBy(col("event_type")).agg(lsum(col("n")).as("nr"))
+        val ct = c.groupBy(col("dow")).agg(lsum(col("n")).as("nc"))
+        val tt = c.agg(lsum(col("n")).as("nt"))
+        val e = c.join(broadcast(rt), Seq("event_type"))
+          .join(broadcast(ct), Seq("dow"))
+          .crossJoin(broadcast(tt))
+          .withColumn("exp",
+            col("nr").cast("double") * col("nc") / col("nt"))
+        val term = floor((col("n") - col("exp")) * (col("n") - col("exp"))
+          / col("exp") * lit(1e8) + lit(0.5)) / lit(1e8)
+        val dfree = rt.crossJoin(ct)
+          .agg(((countDistinct(col("event_type")) - 1)
+            * (countDistinct(col("dow")) - 1)).cast("long").as("dof"))
+        e.agg(
+            (floor(sum(term.cast(DecimalType(38, 8))).cast("double")
+              * lit(1e4) + lit(0.5)) / lit(1e4)).as("chi2"),
+            lcount(lit(1)).as("cells"))
+          .crossJoin(broadcast(dfree))
+      },
+      Some("""WITH d AS (SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow FROM events), c AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1, 2), rt AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS nr FROM c GROUP BY 1), ct AS (SELECT dow, CAST(SUM(n) AS BIGINT) AS nc FROM c GROUP BY 1), tt AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM c), e AS (SELECT c.event_type, c.dow, n, CAST(nr AS DOUBLE) * nc / nt AS exp FROM c JOIN rt USING (event_type) JOIN ct USING (dow), tt), dfree AS (SELECT CAST((count(DISTINCT event_type) - 1) * (count(DISTINCT dow) - 1) AS BIGINT) AS dof FROM c) SELECT floor(CAST(SUM(CAST(floor((n - exp) * (n - exp) / exp * 1e8 + 0.5) / 1e8 AS DECIMAL(38,8))) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS chi2, CAST(count(*) AS BIGINT) AS cells, dof FROM e, dfree GROUP BY dof""")),
+
+    QueryDef("q163_spearman",
+      "Spearman rank correlation between line quantity and line revenue (quantity x price, 256-binned): the monotone-association measure robust to the heavy price tail where Pearson is not. Formulated by the q159 integer-rank recipe on BOTH sides: each variable collapses to its bounded domain (quantity's 50 values; revenue through the histogram tier), tie-averaged DOUBLED ranks derive from cumulative counts over those grids (2r = 2*cum+n+1 - integer), rank moments sum as int64, and only the FINAL Pearson-on-ranks step widens to 128-bit (n*sxy overflows int64 at 60k rows - HUGEINT in the oracle, DECIMAL(38,0) here, both correctly rounded to double) before one division and one sqrt. rho = 0.671 FIRES (revenue tracks quantity; the raw quantity-price pair measures 0.003 on this independent synthetic fixture - both facts recorded). Scale: two domain aggregates + two grid windows + one corpus join against broadcast rank maps",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val st = li.agg(min(col("l_quantity") * col("l_extendedprice")).as("mn"),
+                        max(col("l_quantity") * col("l_extendedprice")).as("mx"))
+        val dd = li.crossJoin(broadcast(st))
+          .select(col("l_quantity").as("x"),
+            least(lit(255.0), floor((col("l_quantity") * col("l_extendedprice")
+              - col("mn")) / ((col("mx") - col("mn")) / lit(256.0))))
+              .cast("long").as("y"))
+        def ranks(src: org.apache.spark.sql.DataFrame, vc: String, out: String) = {
+          val c = src.groupBy(col(vc)).agg(lcount(lit(1)).as("n"))
+          val w = Window.orderBy(col(vc)).rowsBetween(Window.unboundedPreceding, -1)
+          c.select(col(vc),
+            (lit(2L) * coalesce(sum(col("n")).over(w), lit(0L))
+              + col("n") + lit(1L)).cast("long").as(out))
+        }
+        val r = dd
+          .join(broadcast(ranks(dd, "x", "rx2")), Seq("x"))
+          .join(broadcast(ranks(dd, "y", "ry2")), Seq("y"))
+        val m = r.agg(lcount(lit(1)).as("n"),
+          lsum(col("rx2")).as("sx"), lsum(col("ry2")).as("sy"),
+          lsum(col("rx2") * col("ry2")).as("sxy"),
+          lsum(col("rx2") * col("rx2")).as("sxx"),
+          lsum(col("ry2") * col("ry2")).as("syy"))
+        val D38 = DecimalType(38, 0)
+        def h(c: Column) = c.cast(D38)
+        m.select(col("n"),
+          (floor((h(col("n")) * h(col("sxy")) - h(col("sx")) * h(col("sy"))).cast("double")
+            / sqrt((h(col("n")) * h(col("sxx")) - h(col("sx")) * h(col("sx"))).cast("double")
+              * (h(col("n")) * h(col("syy")) - h(col("sy")) * h(col("sy"))).cast("double"))
+            * lit(1e6) + lit(0.5)) / lit(1e6)).as("rho"))
+      },
+      Some("""WITH s AS (SELECT min(l_quantity * l_extendedprice) AS mn, max(l_quantity * l_extendedprice) AS mx FROM lineitem), d AS (SELECT l_quantity AS x, CAST(least(255.0, floor((l_quantity * l_extendedprice - mn) / ((mx - mn) / 256.0))) AS BIGINT) AS y FROM lineitem, s), cx AS (SELECT x, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1), wx AS (SELECT x, CAST(2 * COALESCE(SUM(n) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n + 1 AS BIGINT) AS rx2 FROM cx), cy AS (SELECT y, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1), wy AS (SELECT y, CAST(2 * COALESCE(SUM(n) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n + 1 AS BIGINT) AS ry2 FROM cy), r AS (SELECT rx2, ry2 FROM d JOIN wx USING (x) JOIN wy USING (y)), st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(rx2) AS BIGINT) AS sx, CAST(SUM(ry2) AS BIGINT) AS sy, CAST(SUM(rx2 * ry2) AS BIGINT) AS sxy, CAST(SUM(rx2 * rx2) AS BIGINT) AS sxx, CAST(SUM(ry2 * ry2) AS BIGINT) AS syy FROM r) SELECT n, floor(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) / sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) * CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS rho FROM st"""))
+  )
+}
