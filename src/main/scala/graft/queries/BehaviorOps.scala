@@ -318,6 +318,33 @@ object BehaviorOps {
       },
       Some("""WITH RECURSIVE d AS (SELECT user_id, event_id, value, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events), r AS (SELECT user_id, event_id, rn, value AS l, CAST(0.0 AS DOUBLE) AS b FROM d WHERE rn = 1 UNION ALL SELECT d.user_id, d.event_id, d.rn, 0.25 * d.value + 0.75 * (r.l + r.b), 0.125 * ((0.25 * d.value + 0.75 * (r.l + r.b)) - r.l) + 0.875 * r.b FROM r JOIN d ON d.user_id = r.user_id AND d.rn = r.rn + 1), f AS (SELECT user_id, rn, l + b AS forecast FROM r), j AS (SELECT d.user_id, d.value, f.forecast, lv.value AS naive FROM d JOIN f ON f.user_id = d.user_id AND f.rn = d.rn - 1 JOIN d lv ON lv.user_id = d.user_id AND lv.rn = d.rn - 1), s AS (SELECT CAST(count(*) AS BIGINT) AS n_forecasts, CAST(SUM(CAST(floor(abs(value - forecast) * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS ae_holt, CAST(SUM(CAST(floor(abs(value - naive) * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS ae_naive FROM j) SELECT n_forecasts, floor(ae_holt / n_forecasts * 1e6 + 0.5) / 1e6 AS mae_holt, floor(ae_naive / n_forecasts * 1e6 + 0.5) / 1e6 AS mae_naive, floor(ae_holt / ae_naive * 1e6 + 0.5) / 1e6 AS skill, ae_holt < ae_naive AS holt_wins FROM s""")),
 
+    QueryDef("q165_ab_test",
+      "two-proportion z-test — the A/B experiment readout completing the statistical-tests plane (q161 continuous, q162 categorical, here proportions): unit = session (shared 12 h sessionizer), arm = user-id parity (the deterministic stand-in for an assignment column), conversion = session contains a purchase; per-arm n/conversions/rates, the pooled-variance z statistic, and the |z| > 1.96 verdict. INTEGER counts until the final rate/z arithmetic (identical expression trees both engines; sqrt correctly rounded). Arm assignment here is synthetic parity, so any 'significant' verdict is sampling fluctuation the test is honestly reporting — what matters is the machinery: per-session max-flag rollup (one user-keyed exchange shared with the sessionizer), four FILTER counts in ONE summary aggregate, no joins at all",
+      (s, d) => {
+        val u = sessionized(s, d)
+          .groupBy(col("user_id"), col("sess"))
+          .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("hit"))
+          .select((col("user_id") % 2 === 0).as("arm_a"), col("hit"))
+        val st = u.agg(
+          count(when(col("arm_a"), 1)).cast("long").as("n_a"),
+          count(when(!col("arm_a"), 1)).cast("long").as("n_b"),
+          sum(when(col("arm_a"), col("hit"))).cast("long").as("c_a"),
+          sum(when(!col("arm_a"), col("hit"))).cast("long").as("c_b"))
+        val pA = col("c_a").cast("double") / col("n_a")
+        val pB = col("c_b").cast("double") / col("n_b")
+        val pp = (col("c_a") + col("c_b")).cast("double") / (col("n_a") + col("n_b"))
+        val z = (pA - pB) / sqrt(pp * (lit(1.0) - pp)
+          * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+        st.select(col("n_a"), col("c_a"),
+          (floor(pA * lit(1e6) + lit(0.5)) / lit(1e6)).as("rate_a"),
+          col("n_b"), col("c_b"),
+          (floor(pB * lit(1e6) + lit(0.5)) / lit(1e6)).as("rate_b"),
+          (floor(z * lit(1e6) + lit(0.5)) / lit(1e6)).as("z_stat"),
+          (abs(z) > lit(1.96)).as("significant"))
+      },
+      Some(s"""WITH $sessionizerSql, u AS (SELECT (user_id % 2 = 0) AS arm_a, CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS hit FROM r GROUP BY user_id, sess), s AS (SELECT CAST(count(*) FILTER (WHERE arm_a) AS BIGINT) AS n_a, CAST(count(*) FILTER (WHERE NOT arm_a) AS BIGINT) AS n_b, CAST(SUM(hit) FILTER (WHERE arm_a) AS BIGINT) AS c_a, CAST(SUM(hit) FILTER (WHERE NOT arm_a) AS BIGINT) AS c_b FROM u), z AS (SELECT n_a, n_b, c_a, c_b, CAST(c_a AS DOUBLE) / n_a AS p_a, CAST(c_b AS DOUBLE) / n_b AS p_b, CAST(c_a + c_b AS DOUBLE) / (n_a + n_b) AS pp FROM s) SELECT n_a, c_a, floor(p_a * 1e6 + 0.5) / 1e6 AS rate_a, n_b, c_b, floor(p_b * 1e6 + 0.5) / 1e6 AS rate_b, floor((p_a - p_b) / sqrt(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b)) * 1e6 + 0.5) / 1e6 AS z_stat, abs((p_a - p_b) / sqrt(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b))) > 1.96 AS significant FROM z""")),
+
     QueryDef("q155_linear_attribution",
       "multi-touch LINEAR attribution — the fractional-credit complement of q146's last-touch: every view/click touch in the 7-day window strictly preceding a purchase (same (ts, event_id) total-order convention as q146) receives an equal share value/n_touches, per-channel credits and touchpoint counts roll up, and untouched purchases land in 'direct' at full value (q146's direct revenue, 3610.44 at sf0.01, reappears here EXACTLY — the two models must agree on the unattributable set). The pair stage is a user_id EQUI-join with the time predicates as residuals (hash join, never cartesian — the q117 per-key-bounded quadratic: touches per user per week, ~dozens); per-purchase touch counts are one pid-keyed aggregate joined back; fractional credits pre-round onto the 6-dp floor-grid into exact decimal sums. At 100 TB every stage keys on user_id or pid — no global structure",
       (s, d) => {

@@ -546,4 +546,29 @@ class PlanSpec extends SparkSpec {
       assert("Window".r.findAllIn(p).length == 1, s"expected ONE window op:\n$p")
     }
   }
+
+  describe("statistical-tests plane strategy") {
+    it("q161 KS runs on the 256-bucket grid — stats broadcast, no real cartesian, no corpus sort") {
+      val p = planOf("q161_ks_test")
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+      // the only sorts are the 256-row grid window's, never a corpus
+      // global sort (raw-value KS would need one)
+      assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+    }
+    it("q162 chi-square joins |types|x7 counts against BROADCAST marginals") {
+      val p = planOf("q162_chi2_independence")
+      assert(p.contains("BroadcastHashJoin"), s"expected broadcast marginals:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    }
+    it("q163 Spearman joins the corpus against BROADCAST rank maps only") {
+      val p = planOf("q163_spearman")
+      assert(p.contains("BroadcastHashJoin"), s"expected broadcast rank maps:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+    }
+    it("q165 A/B readout is aggregates only — no join anywhere") {
+      val p = planOf("q165_ab_test")
+      assert(!p.contains("Join"), s"plan:\n$p")
+    }
+  }
 }
