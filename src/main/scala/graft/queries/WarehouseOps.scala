@@ -5,6 +5,7 @@ import graft.ops.Num._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Warehouse-maintenance & data-quality plane (q132–q137, round 9
   * third batch): the operations that keep a 100 TB warehouse TRUSTWORTHY
@@ -26,6 +27,30 @@ object WarehouseOps {
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
 
   val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q166_reconciliation",
+      "cross-table amount reconciliation — the warehouse DQ op q132's row constraints cannot express: does each order header's o_totalprice equal its lineitem detail rollup? Per status: order count, mismatches beyond a 0.01 tolerance, rate, exact-decimal total absolute gap, max gap. FIRES at 100% on this fixture (the synthetic header and detail amounts are independently generated — avg gap ~158k) — exactly what a reconciliation screen exists to surface loudly. Shape: one orderkey-keyed detail rollup with full map-side combine (exact dsum), one LEFT equi-join header↔rollup (null rollup = 0.0: an order with no lines is ALL gap, not a silent skip), a status-cardinality-bounded summary. At 100 TB both sides key on orderkey — bucketed layouts make the join co-located",
+      (s, d) => {
+        val ls = t(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(dsum(col("l_extendedprice")).as("line_sum"))
+        val g = t(s, d, "orders")
+          .join(ls, col("o_orderkey") === col("l_orderkey"), "left")
+          .select(col("o_orderstatus"),
+            (col("o_totalprice") - coalesce(col("line_sum"), lit(0.0))).as("gap"))
+        g.groupBy(col("o_orderstatus")).agg(
+            lcount(lit(1)).as("n_orders"),
+            count(when(abs(col("gap")) > 0.01, 1)).cast("long").as("n_mismatch"),
+            sum((floor(abs(col("gap")) * 1e6 + 0.5) / 1e6)
+              .cast(DecimalType(38, 6))).cast("double").as("total_abs_gap"),
+            (floor(max(abs(col("gap"))) * lit(1e2) + lit(0.5)) / lit(1e2))
+              .as("max_abs_gap"))
+          .select(col("o_orderstatus"), col("n_orders"), col("n_mismatch"),
+            (floor(col("n_mismatch").cast("double") / col("n_orders") * lit(1e6)
+              + lit(0.5)) / lit(1e6)).as("mismatch_rate"),
+            col("total_abs_gap"), col("max_abs_gap"))
+      },
+      Some("""WITH ls AS (SELECT l_orderkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS line_sum FROM lineitem GROUP BY 1), j AS (SELECT o_orderstatus, o_totalprice, COALESCE(line_sum, 0.0) AS line_sum FROM orders LEFT JOIN ls ON o_orderkey = l_orderkey), g AS (SELECT o_orderstatus, o_totalprice - line_sum AS gap FROM j) SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders, CAST(count(*) FILTER (WHERE abs(gap) > 0.01) AS BIGINT) AS n_mismatch, floor(count(*) FILTER (WHERE abs(gap) > 0.01) / count(*) * 1e6 + 0.5) / 1e6 AS mismatch_rate, CAST(SUM(CAST(floor(abs(gap) * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS total_abs_gap, floor(max(abs(gap)) * 1e2 + 0.5) / 1e2 AS max_abs_gap FROM g GROUP BY 1""")),
 
     QueryDef("q132_dq_constraints",
       "declarative data-quality constraint suite (the Deequ/Great-Expectations surface as pure Catalyst aggregates): 4 row predicates + a PK-uniqueness check over lineitem, 2 row predicates + a customer FK referential check over orders, each emitting (check_name, n_rows, n_violations, pass). The engine point is FUSION: all row checks over a table compile into ONE aggregate pass (one scan, one map-side partial count per predicate — never a job per constraint), uniqueness is one hash aggregate on the key, the FK check one equi-join against DISTINCT dim keys that AQE broadcasts when small. Two checks genuinely FIRE on this fixture (discount>0.08 rows; the synthetic lineitem PK has ~12k duplicate groups) — a DQ suite that only ever passes demonstrates nothing",
