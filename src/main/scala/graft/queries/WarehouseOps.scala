@@ -52,6 +52,19 @@ object WarehouseOps {
       },
       Some("""WITH ls AS (SELECT l_orderkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS line_sum FROM lineitem GROUP BY 1), j AS (SELECT o_orderstatus, o_totalprice, COALESCE(line_sum, 0.0) AS line_sum FROM orders LEFT JOIN ls ON o_orderkey = l_orderkey), g AS (SELECT o_orderstatus, o_totalprice - line_sum AS gap FROM j) SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders, CAST(count(*) FILTER (WHERE abs(gap) > 0.01) AS BIGINT) AS n_mismatch, floor(count(*) FILTER (WHERE abs(gap) > 0.01) / count(*) * 1e6 + 0.5) / 1e6 AS mismatch_rate, CAST(SUM(CAST(floor(abs(gap) * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS total_abs_gap, floor(max(abs(gap)) * 1e2 + 0.5) / 1e2 AS max_abs_gap FROM g GROUP BY 1""")),
 
+    QueryDef("q168_ship_latency_quantiles",
+      "order-to-ship latency SLA profile: EXACT p50/p90/p99 of (l_shipdate - o_orderdate) in days per order priority — the fulfillment readout behind every 'urgent ships faster?' question, and the fourth ops.Quantiles consumer, here on a JOIN-DERIVED measure (detail joined to header on orderkey before the quantile passes — the operator composes with the relational plane, not just raw columns). Latency is an integer day count cast double; quantile interpolation rides the q120 bit-equal path so the unrounded outputs hash-match. The fixture's synthetic dates produce negative latencies and a heavy tail (p90 ~1400 days) — honest readings of decorrelated dates, and exactly the shape a latency SLA screen must not hide. Scale: one orderkey equi-join (bucket-co-locatable) + the two bounded-counter quantile passes",
+      (s, d) => {
+        val j = t(s, d, "lineitem")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderpriority"),
+                  datediff(col("l_shipdate"), col("o_orderdate"))
+                    .cast("double").as("lat"))
+        graft.ops.Quantiles.exactQuantiles(j, "o_orderpriority", "lat",
+          Seq(0.5, 0.9, 0.99))
+      },
+      Some("""WITH l AS (SELECT o_orderpriority, CAST(date_diff('day', o_orderdate, l_shipdate) AS DOUBLE) AS lat FROM lineitem JOIN orders ON l_orderkey = o_orderkey) SELECT o_orderpriority, CAST(0.5 AS DOUBLE) AS p, quantile_cont(lat, 0.5) AS value FROM l GROUP BY 1 UNION ALL SELECT o_orderpriority, CAST(0.9 AS DOUBLE), quantile_cont(lat, 0.9) FROM l GROUP BY 1 UNION ALL SELECT o_orderpriority, CAST(0.99 AS DOUBLE), quantile_cont(lat, 0.99) FROM l GROUP BY 1""")),
+
     QueryDef("q132_dq_constraints",
       "declarative data-quality constraint suite (the Deequ/Great-Expectations surface as pure Catalyst aggregates): 4 row predicates + a PK-uniqueness check over lineitem, 2 row predicates + a customer FK referential check over orders, each emitting (check_name, n_rows, n_violations, pass). The engine point is FUSION: all row checks over a table compile into ONE aggregate pass (one scan, one map-side partial count per predicate — never a job per constraint), uniqueness is one hash aggregate on the key, the FK check one equi-join against DISTINCT dim keys that AQE broadcasts when small. Two checks genuinely FIRE on this fixture (discount>0.08 rows; the synthetic lineitem PK has ~12k duplicate groups) — a DQ suite that only ever passes demonstrates nothing",
       (s, d) => {
