@@ -65,6 +65,44 @@ object WarehouseOps {
       },
       Some("""WITH l AS (SELECT o_orderpriority, CAST(date_diff('day', o_orderdate, l_shipdate) AS DOUBLE) AS lat FROM lineitem JOIN orders ON l_orderkey = o_orderkey) SELECT o_orderpriority, CAST(0.5 AS DOUBLE) AS p, quantile_cont(lat, 0.5) AS value FROM l GROUP BY 1 UNION ALL SELECT o_orderpriority, CAST(0.9 AS DOUBLE), quantile_cont(lat, 0.9) FROM l GROUP BY 1 UNION ALL SELECT o_orderpriority, CAST(0.99 AS DOUBLE), quantile_cont(lat, 0.99) FROM l GROUP BY 1""")),
 
+    QueryDef("q169_rfm_segmentation",
+      "RFM customer segmentation — THE classic customer-analytics op: recency (days since last order, anchored at the dataset's max order date), frequency (order count), monetary (exact-decimal revenue) per customer, each scored 1-5 by quintile, then the (r,f,m) segment grid with customer counts and exact-decimal revenue. Scores deliberately do NOT use ntile() — a global ntile over the customer dimension single-partitions at 1e9 customers; instead the quintile EDGES come from three ops.Quantiles passes (fifth consumer; bit-equal interpolation makes the unrounded edges safe comparison constants) pivoted to ONE broadcast row, and each score is the branch-free 1 + sum of v>edge comparisons (the q157 recipe). Uniform convention: score 5 = highest value of the metric, so r_score 5 = LEAST recent (stated, not hidden). Segment grid <= 125 rows",
+      (s, d) => {
+        val orders = t(s, d, "orders")
+        val ref = orders.agg(max(col("o_orderdate")).as("ref"))
+        val cust = orders.groupBy(col("o_custkey")).agg(
+            max(col("o_orderdate")).as("last"),
+            lcount(lit(1)).as("freq"),
+            dsum(col("o_totalprice")).as("mon"))
+          .crossJoin(broadcast(ref))
+          .select(col("o_custkey"),
+            datediff(col("ref"), col("last")).cast("long").as("rec"),
+            col("freq"), col("mon"))
+        def edges(metric: String, pfx: String) = {
+          val ps = Seq(0.2, 0.4, 0.6, 0.8)
+          val cols = ps.zipWithIndex.map { case (p, i) =>
+            max(when(col("p") === p, col("value"))).as(s"$pfx${i + 1}") }
+          graft.ops.Quantiles.exactQuantiles(
+              cust.select(lit("all").as("g"), col(metric).as("v")), "g", "v", ps)
+            .groupBy(col("g")).agg(cols.head, cols.tail: _*).drop("g")
+        }
+        def score(metric: String, pfx: String) =
+          (1 to 4).map(i => when(col(metric) > col(s"$pfx$i"), 1L).otherwise(0L))
+            .foldLeft(lit(1L))(_ + _).cast("long")
+        cust
+          .crossJoin(broadcast(edges("rec", "r")))
+          .crossJoin(broadcast(edges("freq", "f")))
+          .crossJoin(broadcast(edges("mon", "m")))
+          .select(score("rec", "r").as("r_score"),
+                  score("freq", "f").as("f_score"),
+                  score("mon", "m").as("m_score"), col("mon"))
+          .groupBy(col("r_score"), col("f_score"), col("m_score"))
+          .agg(lcount(lit(1)).as("n_customers"),
+               sum((floor(col("mon") * 1e6 + 0.5) / 1e6)
+                 .cast(DecimalType(38, 6))).cast("double").as("total_monetary"))
+      },
+      Some("""WITH cust AS (SELECT o_custkey, CAST(date_diff('day', max(o_orderdate), (SELECT max(o_orderdate) FROM orders)) AS BIGINT) AS rec, CAST(count(*) AS BIGINT) AS freq, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS mon FROM orders GROUP BY 1), q AS (SELECT quantile_cont(rec, 0.2) AS r1, quantile_cont(rec, 0.4) AS r2, quantile_cont(rec, 0.6) AS r3, quantile_cont(rec, 0.8) AS r4, quantile_cont(freq, 0.2) AS f1, quantile_cont(freq, 0.4) AS f2, quantile_cont(freq, 0.6) AS f3, quantile_cont(freq, 0.8) AS f4, quantile_cont(mon, 0.2) AS m1, quantile_cont(mon, 0.4) AS m2, quantile_cont(mon, 0.6) AS m3, quantile_cont(mon, 0.8) AS m4 FROM cust), sc AS (SELECT CAST(1 + (CASE WHEN rec > r1 THEN 1 ELSE 0 END) + (CASE WHEN rec > r2 THEN 1 ELSE 0 END) + (CASE WHEN rec > r3 THEN 1 ELSE 0 END) + (CASE WHEN rec > r4 THEN 1 ELSE 0 END) AS BIGINT) AS r_score, CAST(1 + (CASE WHEN freq > f1 THEN 1 ELSE 0 END) + (CASE WHEN freq > f2 THEN 1 ELSE 0 END) + (CASE WHEN freq > f3 THEN 1 ELSE 0 END) + (CASE WHEN freq > f4 THEN 1 ELSE 0 END) AS BIGINT) AS f_score, CAST(1 + (CASE WHEN mon > m1 THEN 1 ELSE 0 END) + (CASE WHEN mon > m2 THEN 1 ELSE 0 END) + (CASE WHEN mon > m3 THEN 1 ELSE 0 END) + (CASE WHEN mon > m4 THEN 1 ELSE 0 END) AS BIGINT) AS m_score, mon FROM cust, q) SELECT r_score, f_score, m_score, CAST(count(*) AS BIGINT) AS n_customers, CAST(SUM(CAST(floor(mon * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS total_monetary FROM sc GROUP BY 1, 2, 3""")),
+
     QueryDef("q132_dq_constraints",
       "declarative data-quality constraint suite (the Deequ/Great-Expectations surface as pure Catalyst aggregates): 4 row predicates + a PK-uniqueness check over lineitem, 2 row predicates + a customer FK referential check over orders, each emitting (check_name, n_rows, n_violations, pass). The engine point is FUSION: all row checks over a table compile into ONE aggregate pass (one scan, one map-side partial count per predicate — never a job per constraint), uniqueness is one hash aggregate on the key, the FK check one equi-join against DISTINCT dim keys that AQE broadcasts when small. Two checks genuinely FIRE on this fixture (discount>0.08 rows; the synthetic lineitem PK has ~12k duplicate groups) — a DQ suite that only ever passes demonstrates nothing",
       (s, d) => {
