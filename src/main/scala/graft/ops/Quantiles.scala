@@ -120,6 +120,28 @@ object Quantiles {
     }
   }
 
+  /** Multi-metric quantiles over ONE input frame: melts `valCols` into
+    * a long (metric, v) frame — values cast to double, exact for the
+    * integer-like metrics callers pass (all < 2^53, and interpolation
+    * arithmetic is double either way, so the results are bit-identical
+    * to per-column [[exactQuantiles]] calls; QuantilesSpec pins it) —
+    * and runs ONE driver-planned pass with the metric NAME as the
+    * group. k metrics of the same frame cost one 3-job call instead of
+    * k (q169 paid 3 calls = 9 driver-planned jobs over the same
+    * customer rollup — the round-9 #3 fix). The caller should
+    * `localCheckpoint` an expensive input: each pass re-reads the melt,
+    * and the melt re-derives the input per pass.
+    *
+    * Result: (metric, p, value) — `metric` is the source column name. */
+  def exactQuantilesMulti(df: DataFrame, valCols: Seq[String], ps: Seq[Double],
+                          buckets: Int = 1024): DataFrame = {
+    require(valCols.nonEmpty, "exactQuantilesMulti needs at least one column")
+    val melted = df.select(explode(array(valCols.map(c =>
+        struct(lit(c).as("metric"), col(c).cast("double").as("v"))): _*)).as("e"))
+      .select(col("e.metric").as("metric"), col("e.v").as("v"))
+    exactQuantiles(melted, "metric", "v", ps, buckets)
+  }
+
   /** Quantiles from a pre-aggregated value-counts frame: one row per
     * (group, value) with its row count. No corpus access at all — both
     * the histogram and the target-bucket ranking re-aggregate `vc`,

@@ -126,9 +126,14 @@ object StatsOps {
     QueryDef("q167_revenue_gini",
       "revenue-concentration analysis: the binned Lorenz curve of per-customer revenue plus the Gini coefficient (trapezoid integration) broadcast on every curve point — the whale-dependence diagnostic behind 'top X% of customers drive Y% of revenue'. Per-customer revenue is one custkey-keyed exact-decimal rollup; the 256-bucket histogram tier (broadcast min/max) bounds the curve domain, cumulative population counts stay INTEGER while cumulative revenue runs as an ordered decimal window over grid-rounded bin sums, and each trapezoid term (p-p0)(q+q0) pre-rounds onto a 9-dp grid into an exact DECIMAL(38,9) reduction. Gini = 0.204 on this fixture (mild concentration: synthetic order totals are near-uniform per customer) — an honest magnitude, sanity-checked against the shape of the curve rows themselves. All windows run on the <=256-row bin grid",
       (s, d) => {
+        // checkpointed: the custkey rollup feeds the min/max stats pass,
+        // the binning pass, and (through the curve) the area + final
+        // selects — un-checkpointed each re-derived the orders groupBy
+        // (round-9 69x plan bug)
         val rev = t(s, d, "orders")
           .groupBy(col("o_custkey"))
           .agg(dsum(col("o_totalprice")).as("r"))
+          .localCheckpoint(true)
         val st = rev.agg(min(col("r")).as("mn"), max(col("r")).as("mx"))
         val b = rev.crossJoin(broadcast(st))
           .select(least(lit(255.0), floor((col("r") - col("mn"))

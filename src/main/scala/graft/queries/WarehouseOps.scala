@@ -53,23 +53,35 @@ object WarehouseOps {
       Some("""WITH ls AS (SELECT l_orderkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS line_sum FROM lineitem GROUP BY 1), j AS (SELECT o_orderstatus, o_totalprice, COALESCE(line_sum, 0.0) AS line_sum FROM orders LEFT JOIN ls ON o_orderkey = l_orderkey), g AS (SELECT o_orderstatus, o_totalprice - line_sum AS gap FROM j) SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders, CAST(count(*) FILTER (WHERE abs(gap) > 0.01) AS BIGINT) AS n_mismatch, floor(count(*) FILTER (WHERE abs(gap) > 0.01) / count(*) * 1e6 + 0.5) / 1e6 AS mismatch_rate, CAST(SUM(CAST(floor(abs(gap) * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS total_abs_gap, floor(max(abs(gap)) * 1e2 + 0.5) / 1e2 AS max_abs_gap FROM g GROUP BY 1""")),
 
     QueryDef("q168_ship_latency_quantiles",
-      "order-to-ship latency SLA profile: EXACT p50/p90/p99 of (l_shipdate - o_orderdate) in days per order priority — the fulfillment readout behind every 'urgent ships faster?' question, and the fourth ops.Quantiles consumer, here on a JOIN-DERIVED measure (detail joined to header on orderkey before the quantile passes — the operator composes with the relational plane, not just raw columns). Latency is an integer day count cast double; quantile interpolation rides the q120 bit-equal path so the unrounded outputs hash-match. The fixture's synthetic dates produce negative latencies and a heavy tail (p90 ~1400 days) — honest readings of decorrelated dates, and exactly the shape a latency SLA screen must not hide. Scale: one orderkey equi-join (bucket-co-locatable) + the two bounded-counter quantile passes",
+      "order-to-ship latency SLA profile: EXACT p50/p90/p99 of (l_shipdate - o_orderdate) in days per order priority — the fulfillment readout behind every 'urgent ships faster?' question, and the fourth ops.Quantiles consumer, here on a JOIN-DERIVED measure (detail joined to header on orderkey — the operator composes with the relational plane, not just raw columns). Latency is an INTEGER day count, so the exactQuantilesFromCounts path applies: ONE join+aggregate pass collapses the corpus to the (priority, latency) counts grid (priorities x distinct day counts — bounded), the checkpointed grid feeds every quantile pass with ZERO further corpus access, and interpolation rides the q120 bit-equal path so the unrounded outputs hash-match. The fixture's synthetic dates produce negative latencies and a heavy tail (p90 ~1400 days) — honest readings of decorrelated dates, and exactly the shape a latency SLA screen must not hide. Scale: one orderkey equi-join (bucket-co-locatable) fused with the grid rollup, then grid-sized work only",
       (s, d) => {
-        val j = t(s, d, "lineitem")
+        // latency is an INTEGER day count — a bounded domain (priorities
+        // x distinct day counts), so the counts-frame path applies: ONE
+        // join+aggregate pass collapses the corpus to (priority, lat, n),
+        // the checkpointed grid feeds every quantile pass, and the
+        // join never runs twice (round-9 #3: the un-checkpointed join
+        // re-ran once per driver-planned job)
+        val vc = t(s, d, "lineitem")
           .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
           .select(col("o_orderpriority"),
                   datediff(col("l_shipdate"), col("o_orderdate"))
                     .cast("double").as("lat"))
-        graft.ops.Quantiles.exactQuantiles(j, "o_orderpriority", "lat",
-          Seq(0.5, 0.9, 0.99))
+          .groupBy(col("o_orderpriority"), col("lat"))
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint(true)
+        graft.ops.Quantiles.exactQuantilesFromCounts(vc, "o_orderpriority",
+          "lat", "c", Seq(0.5, 0.9, 0.99))
       },
       Some("""WITH l AS (SELECT o_orderpriority, CAST(date_diff('day', o_orderdate, l_shipdate) AS DOUBLE) AS lat FROM lineitem JOIN orders ON l_orderkey = o_orderkey) SELECT o_orderpriority, CAST(0.5 AS DOUBLE) AS p, quantile_cont(lat, 0.5) AS value FROM l GROUP BY 1 UNION ALL SELECT o_orderpriority, CAST(0.9 AS DOUBLE), quantile_cont(lat, 0.9) FROM l GROUP BY 1 UNION ALL SELECT o_orderpriority, CAST(0.99 AS DOUBLE), quantile_cont(lat, 0.99) FROM l GROUP BY 1""")),
 
     QueryDef("q169_rfm_segmentation",
-      "RFM customer segmentation — THE classic customer-analytics op: recency (days since last order, anchored at the dataset's max order date), frequency (order count), monetary (exact-decimal revenue) per customer, each scored 1-5 by quintile, then the (r,f,m) segment grid with customer counts and exact-decimal revenue. Scores deliberately do NOT use ntile() — a global ntile over the customer dimension single-partitions at 1e9 customers; instead the quintile EDGES come from three ops.Quantiles passes (fifth consumer; bit-equal interpolation makes the unrounded edges safe comparison constants) pivoted to ONE broadcast row, and each score is the branch-free 1 + sum of v>edge comparisons (the q157 recipe). Uniform convention: score 5 = highest value of the metric, so r_score 5 = LEAST recent (stated, not hidden). Segment grid <= 125 rows",
+      "RFM customer segmentation — THE classic customer-analytics op: recency (days since last order, anchored at the dataset's max order date), frequency (order count), monetary (exact-decimal revenue) per customer, each scored 1-5 by quintile, then the (r,f,m) segment grid with customer counts and exact-decimal revenue. Scores deliberately do NOT use ntile() — a global ntile over the customer dimension single-partitions at 1e9 customers; instead all 12 quintile EDGES come from ONE ops.Quantiles.exactQuantilesMulti pass (fifth consumer; the three metrics melt into one (metric, v) frame so one driver-planned 3-job call replaces round 9's three calls = 9 jobs — and the customer rollup feeding it is localCheckpoint'd, so the quantile passes and the final scoring pass scan a materialization instead of re-deriving the orders groupBy ~10x: the round-9 251x plan bug), pivoted to ONE broadcast row; each score is the branch-free 1 + sum of v>edge comparisons (the q157 recipe). Bit-equality of the cast-to-double melt vs per-column calls is QuantilesSpec-pinned. Uniform convention: score 5 = highest value of the metric, so r_score 5 = LEAST recent (stated, not hidden). Segment grid <= 125 rows",
       (s, d) => {
         val orders = t(s, d, "orders")
         val ref = orders.agg(max(col("o_orderdate")).as("ref"))
+        // checkpointed: feeds the quantile passes AND the scoring pass —
+        // un-checkpointed, Quantiles' driver-planned jobs re-derive the
+        // orders rollup once per job (ops/Quantiles.scala caller contract)
         val cust = orders.groupBy(col("o_custkey")).agg(
             max(col("o_orderdate")).as("last"),
             lcount(lit(1)).as("freq"),
@@ -78,21 +90,20 @@ object WarehouseOps {
           .select(col("o_custkey"),
             datediff(col("ref"), col("last")).cast("long").as("rec"),
             col("freq"), col("mon"))
-        def edges(metric: String, pfx: String) = {
-          val ps = Seq(0.2, 0.4, 0.6, 0.8)
-          val cols = ps.zipWithIndex.map { case (p, i) =>
-            max(when(col("p") === p, col("value"))).as(s"$pfx${i + 1}") }
-          graft.ops.Quantiles.exactQuantiles(
-              cust.select(lit("all").as("g"), col(metric).as("v")), "g", "v", ps)
-            .groupBy(col("g")).agg(cols.head, cols.tail: _*).drop("g")
-        }
+          .localCheckpoint(true)
+        val ps = Seq(0.2, 0.4, 0.6, 0.8)
+        val metricPfx = Seq("rec" -> "r", "freq" -> "f", "mon" -> "m")
+        val edgeCols = for ((m, pfx) <- metricPfx; (p, i) <- ps.zipWithIndex)
+          yield max(when(col("metric") === m && col("p") === p, col("value")))
+            .as(s"$pfx${i + 1}")
+        val edgeRow = graft.ops.Quantiles
+          .exactQuantilesMulti(cust, metricPfx.map(_._1), ps)
+          .agg(edgeCols.head, edgeCols.tail: _*)
         def score(metric: String, pfx: String) =
           (1 to 4).map(i => when(col(metric) > col(s"$pfx$i"), 1L).otherwise(0L))
             .foldLeft(lit(1L))(_ + _).cast("long")
         cust
-          .crossJoin(broadcast(edges("rec", "r")))
-          .crossJoin(broadcast(edges("freq", "f")))
-          .crossJoin(broadcast(edges("mon", "m")))
+          .crossJoin(broadcast(edgeRow))
           .select(score("rec", "r").as("r_score"),
                   score("freq", "f").as("f_score"),
                   score("mon", "m").as("m_score"), col("mon"))

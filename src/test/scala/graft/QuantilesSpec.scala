@@ -119,6 +119,31 @@ class QuantilesSpec extends SparkSpec {
         assert(planned == distributed)
       }
     }
+    it("exactQuantilesMulti equals per-column calls bit-for-bit (long and double metrics)") {
+      // q169's shape: one frame, three metrics (two integer-like, one
+      // continuous). The melt casts to double; per-column calls on the
+      // raw long columns take the distributed interpolate path (longs
+      // skip the driver finish) — results must still be bit-identical.
+      val gen = Gen.listOfN(250, for {
+        a <- Gen.choose(0L, 4000L)
+        b <- Gen.choose(1L, 60L)
+        c <- Gen.choose(-90000, 90000).map(_ / 13.0)
+      } yield (a, b, c))
+      val ps = Seq(0.2, 0.4, 0.6, 0.8)
+      forAllSamples(gen, n = 4) { rows =>
+        val df = rows.toDF("rec", "freq", "mon")
+        val multi = Quantiles.exactQuantilesMulti(df, Seq("rec", "freq", "mon"), ps)
+          .select($"metric", $"p", $"value").as[(String, Double, Double)]
+          .collect().toSet
+        val single = Seq("rec", "freq", "mon").flatMap { m =>
+          Quantiles.exactQuantiles(
+              df.select(lit(m).as("g"), col(m).as("v")), "g", "v", ps)
+            .select($"g", $"p", $"value").as[(String, Double, Double)]
+            .collect()
+        }.toSet
+        assert(multi == single)
+      }
+    }
     it("never buffers the corpus: pass-2 window partitions are bucket-sized") {
       // structural check on the DISTRIBUTED chain (forced via
       // maxDriverGroups = 0) — the plan's only Window sits behind the
