@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: times every registered query on
@@ -219,7 +221,18 @@ object Bench {
         "\"" + k.takeWhile(_ != '_') + "\":[" + ss.map(fmt2).mkString(",") + "]"
       }.mkString("{", ",", "}")
     val total = results.filter(_._3).map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"samples":$sampleMap,"errors":$errors,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"samples":$sampleMap,"errors":$errors,"sf":"$sfDir"}"""
+    println(fullLine)
+    // The driver keeps only the LAST ~2000 chars of stdout; by round 9
+    // the per-query dict outgrew that window and the line's leading
+    // "total" was cut off (VERDICT r9 #2 — the headline number needed
+    // forensics). Two defenses: persist the full JSON to a file the
+    // artifact can reference, and emit a TRAILING compact line that
+    // always fits the tail window even if the dict above is truncated.
+    try Files.writeString(Paths.get("BENCH_full.json"), fullLine + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] BENCH_full.json: $e") }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.count(_._3)},"errors":$errors,"sf":"$sfDir","full":"BENCH_full.json"}""")
     spark.stop()
     if (results.exists(!_._3)) sys.exit(1)
   }
