@@ -224,9 +224,15 @@ object BehaviorOps {
           .select(col("event_type"), unix_micros(col("hour")).as("hour_us"),
                   col("h_sum"))
         val mu = dsum(col("h_sum")) / count(lit(1))
+        // variance clamped at 0 IDENTICALLY in both engines: on a
+        // degenerate constant series the 6-dp pre-round can push the
+        // grid-rounded E[x^2] a hair below mu^2, and sqrt(negative)
+        // would go NaN — which Spark and DuckDB then CAST differently
+        // (silent divergence instead of a loud failure; round-9 ADVICE)
         val m = h.groupBy(col("event_type")).agg(
           mu.as("mu"),
-          sqrt(g6sum(col("h_sum") * col("h_sum")) / count(lit(1)) - mu * mu).as("sd"))
+          sqrt(greatest(lit(0.0),
+            g6sum(col("h_sum") * col("h_sum")) / count(lit(1)) - mu * mu)).as("sd"))
         val dd = h.join(broadcast(m), Seq("event_type"))
           .select(col("event_type"), col("hour_us"),
             floor((col("h_sum") - col("mu") - lit(0.5) * col("sd")) * 1e6)
@@ -241,7 +247,7 @@ object BehaviorOps {
             (col("bal") > floor(lit(4.0) * col("sd") * lit(1e6)).cast("long"))
               .as("drift"))
       },
-      Some("""WITH RECURSIVE h AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS h_sum FROM events GROUP BY 1, 2), m AS (SELECT event_type, CAST(SUM(CAST(h_sum AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS mu, sqrt(CAST(SUM(CAST(floor(h_sum * h_sum * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) / count(*) - (CAST(SUM(CAST(h_sum AS DECIMAL(38,6))) AS DOUBLE) / count(*)) * (CAST(SUM(CAST(h_sum AS DECIMAL(38,6))) AS DOUBLE) / count(*))) AS sd FROM h GROUP BY 1), d AS (SELECT h.event_type, hour_us, CAST(floor((h_sum - mu - 0.5 * sd) * 1e6) AS BIGINT) AS delta, row_number() OVER (PARTITION BY h.event_type ORDER BY hour_us) AS rn FROM h JOIN m ON h.event_type = m.event_type), r AS (SELECT event_type, hour_us, rn, greatest(0, least(1152921504606846976, delta)) AS cusum FROM d WHERE rn = 1 UNION ALL SELECT d.event_type, d.hour_us, d.rn, greatest(0, least(1152921504606846976, r.cusum + d.delta)) FROM r JOIN d ON d.event_type = r.event_type AND d.rn = r.rn + 1) SELECT r.event_type, r.hour_us, CAST(r.cusum AS BIGINT) AS cusum_micros, r.cusum > CAST(floor(4.0 * m.sd * 1e6) AS BIGINT) AS drift FROM r JOIN m ON r.event_type = m.event_type""")),
+      Some("""WITH RECURSIVE h AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS h_sum FROM events GROUP BY 1, 2), m AS (SELECT event_type, CAST(SUM(CAST(h_sum AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS mu, sqrt(greatest(0.0, CAST(SUM(CAST(floor(h_sum * h_sum * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) / count(*) - (CAST(SUM(CAST(h_sum AS DECIMAL(38,6))) AS DOUBLE) / count(*)) * (CAST(SUM(CAST(h_sum AS DECIMAL(38,6))) AS DOUBLE) / count(*)))) AS sd FROM h GROUP BY 1), d AS (SELECT h.event_type, hour_us, CAST(floor((h_sum - mu - 0.5 * sd) * 1e6) AS BIGINT) AS delta, row_number() OVER (PARTITION BY h.event_type ORDER BY hour_us) AS rn FROM h JOIN m ON h.event_type = m.event_type), r AS (SELECT event_type, hour_us, rn, greatest(0, least(1152921504606846976, delta)) AS cusum FROM d WHERE rn = 1 UNION ALL SELECT d.event_type, d.hour_us, d.rn, greatest(0, least(1152921504606846976, r.cusum + d.delta)) FROM r JOIN d ON d.event_type = r.event_type AND d.rn = r.rn + 1) SELECT r.event_type, r.hour_us, CAST(r.cusum AS BIGINT) AS cusum_micros, r.cusum > CAST(floor(4.0 * m.sd * 1e6) AS BIGINT) AS drift FROM r JOIN m ON r.event_type = m.event_type""")),
 
     QueryDef("q153_autocorrelation",
       "autocorrelation function at lags 1-3 over the hourly series per event_type — the seasonality/persistence diagnostic run before any forecasting model: r_k = sum(c_t * c_{t-k}) / sum(c_t^2) with c = h_sum - mu. ONE series-keyed window pass produces all three lag columns (lags on the OBSERVED hour sequence; the fixture's hours are dense), products pre-round onto the 6-dp floor-grid into exact DECIMAL(38,6) sums (order-independent), the per-type moment row is |types|-sized, and the 3-lag unpivot explodes in-row. Null lags at each series head drop out of the sums in both engines (null-skipping SUM == FILTER). All downstream ratios share identical expression trees -> bit-equal before the 6-dp output grid",
@@ -468,7 +474,7 @@ object BehaviorOps {
       Some(s"""WITH $sessionizerSql, s AS (SELECT user_id, sess, CAST(floor((epoch_us(max(ts)) - epoch_us(min(ts))) / 3600000000.0) AS BIGINT) AS dur_h FROM r GROUP BY 1, 2), d AS (SELECT dur_h, CAST(count(*) AS BIGINT) AS deaths FROM s GROUP BY 1), n AS (SELECT dur_h, deaths, CAST(SUM(deaths) OVER (ORDER BY dur_h DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS at_risk FROM d), e AS (SELECT dur_h, deaths, at_risk, CASE WHEN deaths < at_risk THEN round(ln(1.0 - CAST(deaths AS DOUBLE) / CAST(at_risk AS DOUBLE)), 12) END AS lnterm FROM n), c AS (SELECT dur_h, deaths, at_risk, CAST(SUM(CAST(lnterm AS DECIMAL(38,12))) OVER (ORDER BY dur_h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS lnsurv FROM e) SELECT dur_h, deaths, at_risk, CASE WHEN deaths = at_risk THEN 0.0 ELSE floor(exp(lnsurv) * 1e6 + 0.5) / 1e6 END AS survival FROM c""")),
 
     QueryDef("q159_auc_rank",
-      "rank-based AUC (Mann-Whitney U) of a feature as a classifier — does n_chars predict lang='en'? The evaluation-plane op every quality-classifier pipeline needs (q74's scorer, q157's IV are feature screens; this is the standard ranking metric). Scale-correct formulation: ranks are NOT a corpus-sized single-partition window — scores aggregate to their DISTINCT-VALUE domain first (the q82 recipe), average tie-ranks derive from cumulative counts over that bounded grid, and the whole statistic stays INTEGER until one final division: 2*avgrank = 2*cum_before + n + 1, rsum2 = sum(n_pos * (2*cum_before + n + 1)), AUC = (rsum2 - n1*(n1+1)) / (2*n1*n0) — zero float accumulation, zero rounding hazard, grid-6 output only for presentation. AUC ~0.49 is the honest no-signal answer on this fixture (length does not predict language), the q157 counterpart",
+      "rank-based AUC (Mann-Whitney U) of a feature as a classifier — does n_chars predict lang='en'? The evaluation-plane op every quality-classifier pipeline needs (q74's scorer, q157's IV are feature screens; this is the standard ranking metric). Scale-correct formulation: ranks are NOT a corpus-sized single-partition window — scores aggregate to their DISTINCT-VALUE domain first (the q82 recipe), average tie-ranks derive from cumulative counts over that bounded grid, and the whole statistic stays INTEGER until one final division: 2*avgrank = 2*cum_before + n + 1, rsum2 = sum(n_pos * (2*cum_before + n + 1)) accumulated in 128-bit (DECIMAL(38,0) / HUGEINT — the ~2N^2 sum would silently wrap int64 past ~2e9 docs), AUC = (rsum2 - n1*(n1+1)) / (2*n1*n0) — zero float accumulation, zero rounding hazard, grid-6 output only for presentation. AUC ~0.49 is the honest no-signal answer on this fixture (length does not predict language), the q157 counterpart",
       (s, d) => {
         val c = t(s, d, "documents")
           .select(col("n_chars").as("score"), (col("lang") === "en").as("pos"))
@@ -477,16 +483,23 @@ object BehaviorOps {
                count(when(col("pos"), 1)).cast("long").as("np"))
         val w = Window.orderBy(col("score"))
           .rowsBetween(Window.unboundedPreceding, -1)
+        // rsum2 accumulates as DECIMAL(38,0), not int64: np*(2*cumb+n+1)
+        // ~ 2N^2 per grid row and ~2N^2 summed — a silent non-ANSI wrap
+        // past N ~ 2e9 documents while the oracle widens to HUGEINT
+        // (round-9 ADVICE; the q163 pattern). Operands cast before the
+        // multiply; n1-family terms stay int64 (bounded by N)
+        val D38 = DecimalType(38, 0)
         val t2 = c.withColumn("cumb", coalesce(sum(col("n")).over(w), lit(0L)).cast("long"))
           .agg(lsum(col("np")).as("n1"),
                lsum(col("n") - col("np")).as("n0"),
-               lsum(col("np") * (lit(2L) * col("cumb") + col("n") + lit(1L))).as("rsum2"))
+               sum(col("np").cast(D38) *
+                   (lit(2L) * col("cumb") + col("n") + lit(1L)).cast(D38)).as("rsum2"))
         t2.select(col("n1"), col("n0"),
           (floor((col("rsum2") - col("n1") * (col("n1") + lit(1L))).cast("double")
             / (lit(2L) * col("n1") * col("n0")).cast("double") * lit(1e6) + lit(0.5))
             / lit(1e6)).as("auc"))
       },
-      Some("""WITH d AS (SELECT n_chars AS score, (lang = 'en') AS pos FROM documents), c AS (SELECT score, CAST(count(*) AS BIGINT) AS n, CAST(count(*) FILTER (WHERE pos) AS BIGINT) AS np FROM d GROUP BY 1), w AS (SELECT score, n, np, CAST(COALESCE(SUM(n) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumb FROM c), t AS (SELECT CAST(SUM(np) AS BIGINT) AS n1, CAST(SUM(n - np) AS BIGINT) AS n0, CAST(SUM(np * (2 * cumb + n + 1)) AS BIGINT) AS rsum2 FROM w) SELECT n1, n0, floor(CAST(rsum2 - n1 * (n1 + 1) AS DOUBLE) / CAST(2 * n1 * n0 AS DOUBLE) * 1e6 + 0.5) / 1e6 AS auc FROM t""")),
+      Some("""WITH d AS (SELECT n_chars AS score, (lang = 'en') AS pos FROM documents), c AS (SELECT score, CAST(count(*) AS BIGINT) AS n, CAST(count(*) FILTER (WHERE pos) AS BIGINT) AS np FROM d GROUP BY 1), w AS (SELECT score, n, np, CAST(COALESCE(SUM(n) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumb FROM c), t AS (SELECT CAST(SUM(np) AS BIGINT) AS n1, CAST(SUM(n - np) AS BIGINT) AS n0, SUM(CAST(np AS HUGEINT) * (2 * cumb + n + 1)) AS rsum2 FROM w) SELECT n1, n0, floor(CAST(rsum2 - n1 * (n1 + 1) AS DOUBLE) / CAST(2 * n1 * n0 AS DOUBLE) * 1e6 + 0.5) / 1e6 AS auc FROM t""")),
 
     QueryDef("q160_position_attribution",
       "position-based (U-shaped 40/20/40) attribution completing the model family: q146 last-touch, q155 linear, and here first touch 40% / last touch 40% / middles splitting 20% (1 touch takes 100%, 2 touches 50/50) — the industry default that values discovery AND closing. Fully RATIONAL weights (no exp-decay libm hazard — a time-decay variant would pay per-row exp ulp risk; the U-shape is deterministic division only), same strictly-preceding 7-day pair join as q155 (user-keyed equi-join, per-key-bounded), positions from ONE pid-keyed window pass (rank + count share the exchange), credits on the 6-dp grid into exact decimal sums, 'direct' unchanged — all three models agree on the unattributable set by construction",

@@ -88,7 +88,7 @@ object StatsOps {
       Some("""WITH d AS (SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow FROM events), c AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1, 2), rt AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS nr FROM c GROUP BY 1), ct AS (SELECT dow, CAST(SUM(n) AS BIGINT) AS nc FROM c GROUP BY 1), tt AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM c), e AS (SELECT c.event_type, c.dow, n, CAST(nr AS DOUBLE) * nc / nt AS exp FROM c JOIN rt USING (event_type) JOIN ct USING (dow), tt), dfree AS (SELECT CAST((count(DISTINCT event_type) - 1) * (count(DISTINCT dow) - 1) AS BIGINT) AS dof FROM c) SELECT floor(CAST(SUM(CAST(floor((n - exp) * (n - exp) / exp * 1e8 + 0.5) / 1e8 AS DECIMAL(38,8))) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS chi2, CAST(count(*) AS BIGINT) AS cells, dof FROM e, dfree GROUP BY dof""")),
 
     QueryDef("q163_spearman",
-      "Spearman rank correlation between line quantity and line revenue (quantity x price, 256-binned): the monotone-association measure robust to the heavy price tail where Pearson is not. Formulated by the q159 integer-rank recipe on BOTH sides: each variable collapses to its bounded domain (quantity's 50 values; revenue through the histogram tier), tie-averaged DOUBLED ranks derive from cumulative counts over those grids (2r = 2*cum+n+1 - integer), rank moments sum as int64, and only the FINAL Pearson-on-ranks step widens to 128-bit (n*sxy overflows int64 at 60k rows - HUGEINT in the oracle, DECIMAL(38,0) here, both correctly rounded to double) before one division and one sqrt. rho = 0.671 FIRES (revenue tracks quantity; the raw quantity-price pair measures 0.003 on this independent synthetic fixture - both facts recorded). Scale: two domain aggregates + two grid windows + one corpus join against broadcast rank maps",
+      "Spearman rank correlation between line quantity and line revenue (quantity x price, 256-binned): the monotone-association measure robust to the heavy price tail where Pearson is not. Formulated by the q159 integer-rank recipe on BOTH sides: each variable collapses to its bounded domain (quantity's 50 values; revenue through the histogram tier), tie-averaged DOUBLED ranks derive from cumulative counts over those grids (2r = 2*cum+n+1 - integer), rank moments accumulate in 128-bit integer arithmetic (DECIMAL(38,0) here, HUGEINT in the oracle - sum(rx2^2) ~ 4N^3 would silently wrap an int64 sum past ~1.3M rows; both engines' wide sums are exact and correctly rounded to double), and the final Pearson-on-ranks products share the same 128-bit tier (loud overflow, never silent, past N ~ 1.3e9 per test) before one division and one sqrt. rho = 0.671 FIRES (revenue tracks quantity; the raw quantity-price pair measures 0.003 on this independent synthetic fixture - both facts recorded). Scale: two domain aggregates + two grid windows + one corpus join against broadcast rank maps",
       (s, d) => {
         val li = t(s, d, "lineitem")
         val st = li.agg(min(col("l_quantity") * col("l_extendedprice")).as("mn"),
@@ -108,20 +108,29 @@ object StatsOps {
         val r = dd
           .join(broadcast(ranks(dd, "x", "rx2")), Seq("x"))
           .join(broadcast(ranks(dd, "y", "ry2")), Seq("y"))
-        val m = r.agg(lcount(lit(1)).as("n"),
-          lsum(col("rx2")).as("sx"), lsum(col("ry2")).as("sy"),
-          lsum(col("rx2") * col("ry2")).as("sxy"),
-          lsum(col("rx2") * col("rx2")).as("sxx"),
-          lsum(col("ry2") * col("ry2")).as("syy"))
+        // moments accumulate as DECIMAL(38,0), never int64: rx2 ~ 2N, so
+        // sum(rx2*rx2) ~ 4N^3 silently wraps a non-ANSI int64 sum once
+        // lineitem exceeds ~1.3M rows (sf>=1) while the oracle's
+        // SUM(BIGINT) widens to HUGEINT — a latent cross-engine
+        // divergence (round-9 ADVICE). Operands cast BEFORE the multiply
+        // (the per-row product 4N^2 wraps at N~1.5e9). The shared
+        // remaining bound: the final n*sxy product needs 4N^4 < 1e38 —
+        // both engines (DECIMAL(38) here, HUGEINT there) overflow
+        // LOUDLY, not silently, past N ~ 1.3e9 rows per test
         val D38 = DecimalType(38, 0)
         def h(c: Column) = c.cast(D38)
+        val m = r.agg(lcount(lit(1)).as("n"),
+          sum(h(col("rx2"))).as("sx"), sum(h(col("ry2"))).as("sy"),
+          sum(h(col("rx2")) * h(col("ry2"))).as("sxy"),
+          sum(h(col("rx2")) * h(col("rx2"))).as("sxx"),
+          sum(h(col("ry2")) * h(col("ry2"))).as("syy"))
         m.select(col("n"),
           (floor((h(col("n")) * h(col("sxy")) - h(col("sx")) * h(col("sy"))).cast("double")
             / sqrt((h(col("n")) * h(col("sxx")) - h(col("sx")) * h(col("sx"))).cast("double")
               * (h(col("n")) * h(col("syy")) - h(col("sy")) * h(col("sy"))).cast("double"))
             * lit(1e6) + lit(0.5)) / lit(1e6)).as("rho"))
       },
-      Some("""WITH s AS (SELECT min(l_quantity * l_extendedprice) AS mn, max(l_quantity * l_extendedprice) AS mx FROM lineitem), d AS (SELECT l_quantity AS x, CAST(least(255.0, floor((l_quantity * l_extendedprice - mn) / ((mx - mn) / 256.0))) AS BIGINT) AS y FROM lineitem, s), cx AS (SELECT x, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1), wx AS (SELECT x, CAST(2 * COALESCE(SUM(n) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n + 1 AS BIGINT) AS rx2 FROM cx), cy AS (SELECT y, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1), wy AS (SELECT y, CAST(2 * COALESCE(SUM(n) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n + 1 AS BIGINT) AS ry2 FROM cy), r AS (SELECT rx2, ry2 FROM d JOIN wx USING (x) JOIN wy USING (y)), st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(rx2) AS BIGINT) AS sx, CAST(SUM(ry2) AS BIGINT) AS sy, CAST(SUM(rx2 * ry2) AS BIGINT) AS sxy, CAST(SUM(rx2 * rx2) AS BIGINT) AS sxx, CAST(SUM(ry2 * ry2) AS BIGINT) AS syy FROM r) SELECT n, floor(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) / sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) * CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS rho FROM st""")),
+      Some("""WITH s AS (SELECT min(l_quantity * l_extendedprice) AS mn, max(l_quantity * l_extendedprice) AS mx FROM lineitem), d AS (SELECT l_quantity AS x, CAST(least(255.0, floor((l_quantity * l_extendedprice - mn) / ((mx - mn) / 256.0))) AS BIGINT) AS y FROM lineitem, s), cx AS (SELECT x, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1), wx AS (SELECT x, CAST(2 * COALESCE(SUM(n) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n + 1 AS BIGINT) AS rx2 FROM cx), cy AS (SELECT y, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1), wy AS (SELECT y, CAST(2 * COALESCE(SUM(n) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n + 1 AS BIGINT) AS ry2 FROM cy), r AS (SELECT rx2, ry2 FROM d JOIN wx USING (x) JOIN wy USING (y)), st AS (SELECT CAST(count(*) AS BIGINT) AS n, SUM(CAST(rx2 AS HUGEINT)) AS sx, SUM(CAST(ry2 AS HUGEINT)) AS sy, SUM(CAST(rx2 AS HUGEINT) * ry2) AS sxy, SUM(CAST(rx2 AS HUGEINT) * rx2) AS sxx, SUM(CAST(ry2 AS HUGEINT) * ry2) AS syy FROM r) SELECT n, floor(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) / sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) * CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS rho FROM st""")),
 
     QueryDef("q167_revenue_gini",
       "revenue-concentration analysis: the binned Lorenz curve of per-customer revenue plus the Gini coefficient (trapezoid integration) broadcast on every curve point — the whale-dependence diagnostic behind 'top X% of customers drive Y% of revenue'. Per-customer revenue is one custkey-keyed exact-decimal rollup; the 256-bucket histogram tier (broadcast min/max) bounds the curve domain, cumulative population counts stay INTEGER while cumulative revenue runs as an ordered decimal window over grid-rounded bin sums, and each trapezoid term (p-p0)(q+q0) pre-rounds onto a 9-dp grid into an exact DECIMAL(38,9) reduction. Gini = 0.204 on this fixture (mild concentration: synthetic order totals are near-uniform per customer) — an honest magnitude, sanity-checked against the shape of the curve rows themselves. All windows run on the <=256-row bin grid",

@@ -217,7 +217,16 @@ object EventStreams {
     * (ts, event_id) order; cross-batch event-time regression cannot be
     * repaired in O(1) state (saturation erases history — the SAME
     * reason no ShardedPrefix decomposition exists), so late feeds
-    * route through the batch fold, the dedupStream lambda split. */
+    * route through the batch fold, the dedupStream lambda split.
+    *
+    * State-size honesty: the 8-bytes-per-user claim covers the
+    * PERSISTED state only. Within a micro-batch the group's events are
+    * buffered and sorted in memory (`batch.toSeq.sortBy`) before the
+    * fold — per-key memory during a batch is bounded by that key's
+    * events per trigger, not O(1). A hot key at extreme per-trigger
+    * volume needs shorter triggers (bounding the buffer) or an
+    * upstream sort via the query plan; the batch fold's sorted
+    * one-pass scan is the O(1)-in-flight form. */
   def clampedBalanceStream(events: Dataset[Event], lo: Long, hi: Long,
                            earnTypes: Set[String] = Set("signup", "click", "view")
                           ): Dataset[BalanceOut] = {
@@ -263,7 +272,10 @@ object EventStreams {
     * batch values — StreamingSpec asserts bit equality, not tolerance.
     * Same dimension-sized NoTimeout state argument as
     * [[clampedBalanceStream]]; late cross-batch events route through
-    * the batch fold (a smoothed value cannot be un-smoothed). */
+    * the batch fold (a smoothed value cannot be un-smoothed). As
+    * there, the one-Double-per-user claim covers persisted state —
+    * each micro-batch buffers and sorts the key's in-batch events
+    * before folding (see [[clampedBalanceStream]]'s state-size note). */
   def ewmaStream(events: Dataset[Event], alpha: Double): Dataset[EwmaOut] = {
     import events.sparkSession.implicits._
     require(alpha > 0 && alpha <= 1, s"alpha=$alpha out of (0, 1]")
