@@ -412,7 +412,7 @@ object BehaviorOps {
       Some("""WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1), a AS (SELECT e.event_type, value, med, abs(value - med) AS adev FROM events e JOIN m USING (event_type)), md AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM a GROUP BY 1) SELECT a.event_type, a.med, md.mad, CAST(count(*) AS BIGINT) AS n, CAST(count(*) FILTER (WHERE adev > 3.0 * 1.4826 * mad) AS BIGINT) AS n_outliers, floor(count(*) FILTER (WHERE adev > 3.0 * 1.4826 * mad) / count(*) * 1e6 + 0.5) / 1e6 AS outlier_frac FROM a JOIN md USING (event_type) GROUP BY 1, 2, 3""")),
 
     QueryDef("q157_woe_iv",
-      "weight-of-evidence / information-value feature binning (the credit-scoring feature screen): l_extendedprice cut at its EXACT deciles (ops.Quantiles, third consumer — q120 proved the interpolation bit-equal to quantile_cont, so the bin edges and every v>edge comparison agree across engines), target = returnflag 'R'; per-bin good/bad counts, WOE = ln(good_share/bad_share) with the q115 continuity correction ((n+0.5)/(N+5.0)), and IV = sum(share_diff * woe) broadcast on every row (the psi_total pattern, grid-6 exact-decimal reduction). Bin assignment is the branch-free sum of nine v>q_k comparisons against the ONE broadcast decile row — no per-row binary search, no 9x row expand. The measured IV ~0.0004 is the HONEST answer on this fixture: the synthetic price carries no return-flag signal, and a feature screen that reports 'no predictive power' correctly is doing its job (the fires-on-fixture counterpart is q148/q156)",
+      "weight-of-evidence / information-value feature binning (the credit-scoring feature screen): l_extendedprice cut at its EXACT deciles (ops.Quantiles, third consumer — q120 proved the interpolation bit-equal to quantile_cont, so the bin edges and every v>edge comparison agree across engines), target = returnflag 'R'; per-bin good/bad counts, WOE = ln(good_share/bad_share) with the q115 continuity correction ((n+0.5)/(N+5.0)), and IV = sum(share_diff * woe) broadcast on every row (the psi_total pattern, grid-6 exact-decimal reduction). Bin assignment is the branch-free sum of nine v>q_k comparisons against the ONE broadcast decile row — no per-row binary search, no 9x row expand. The measured IV ~0.0004 is the HONEST answer on this fixture: the synthetic price carries no return-flag signal, and a feature screen that reports 'no predictive power' correctly is doing its job (the fires-on-fixture counterpart is q148/q156). Round-10 profiling (Prof6): the query is exactly 4 corpus jobs — the quantile operator's stats/hist/pass-2 plus ONE binning aggregate whose 10-row grid is collected and finished over a local relation (round 9 re-derived the binning pass once per consumer, ~7 corpus scans) — and each job over cached sf0.1 lineitem floors at ~0.3s on this box, so ~1.3-1.7s is the 4-job floor; cutting below 4 would need edge-bucket-aware good/bad counting fused INTO the quantile histogram passes (complexity not justified by a 25% win — at 100 TB the scan dominates and the job count is already minimal). Negative result documented",
       (s, d) => {
         val li = t(s, d, "lineitem")
           .select(lit("all").as("g"), col("l_extendedprice").as("v"),
@@ -427,15 +427,30 @@ object BehaviorOps {
           .drop("g")
         val bin = ps.map(p => when(col("v") > col(s"q${(p * 10).round}"), 1L)
           .otherwise(0L)).reduce(_ + _)
-        val c = li.crossJoin(broadcast(qrow))
+        // the 10-row bin grid is collected (grid-bounded — the Quantiles
+        // driver-planning pattern) and the WOE/IV tail runs over a LOCAL
+        // relation: round 9's declarative tail re-derived the corpus
+        // binning pass once per consumer (~7 corpus scans in one query);
+        // now the corpus pays exactly 4 jobs (the quantile operator's 3
+        // + this one). Arithmetic stays in Catalyst expressions over the
+        // local frame, so round/log semantics are untouched
+        import scala.jdk.CollectionConverters._
+        import org.apache.spark.sql.types.{LongType, StructField, StructType}
+        val cRows = li.crossJoin(broadcast(qrow))
           .select(bin.cast("long").as("bin"), col("bad"))
           .groupBy(col("bin"))
           .agg(count(when(!col("bad"), 1)).cast("long").as("n_good"),
                count(when(col("bad"), 1)).cast("long").as("n_bad"))
-        val tot = c.agg(lsum(col("n_good")).as("tg"), lsum(col("n_bad")).as("tb"))
-        val e = c.crossJoin(broadcast(tot))
-          .withColumn("gs", (col("n_good") + lit(0.5)) / (col("tg") + lit(5.0)))
-          .withColumn("bs", (col("n_bad") + lit(0.5)) / (col("tb") + lit(5.0)))
+          .collect()
+        val tg = cRows.map(_.getLong(1)).sum
+        val tb = cRows.map(_.getLong(2)).sum
+        val c = s.createDataFrame(cRows.toSeq.asJava, StructType(Seq(
+          StructField("bin", LongType, nullable = false),
+          StructField("n_good", LongType, nullable = false),
+          StructField("n_bad", LongType, nullable = false))))
+        val e = c
+          .withColumn("gs", (col("n_good") + lit(0.5)) / (lit(tg) + lit(5.0)))
+          .withColumn("bs", (col("n_bad") + lit(0.5)) / (lit(tb) + lit(5.0)))
           .withColumn("woe", round(log(col("gs") / col("bs")), 4))
           .withColumn("share_diff", col("gs") - col("bs"))
         val iv = e.agg(

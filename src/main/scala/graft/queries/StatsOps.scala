@@ -26,35 +26,42 @@ object StatsOps {
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q161_ks_test",
-      "two-sample Kolmogorov-Smirnov test on the 256-bucket histogram tier: D = max|CDF_a - CDF_b| between the even- and odd-orderkey halves of l_extendedprice, with the alpha=0.05 critical value 1.36*sqrt((na+nb)/(na*nb)) and the reject verdict. The distribution-SHAPE complement of q115's PSI (PSI weights by mass, KS by worst-case CDF gap — the standard pair in drift monitoring); the iid halves must NOT reject, and don't (D=0.0069 < crit=0.0111) — the q122 'split' scenario as a formal test. Scale form: binning bounds the domain at 256 (exact D on the binned distributions — the D a streaming/histogram system can actually compute; raw-value KS on near-unique prices would need a corpus-sized global sort), min/max broadcast back (q115 recipe), cumulative counts INTEGER over the 256-row grid, one division per row at the end",
+      "two-sample Kolmogorov-Smirnov test on the 256-bucket histogram tier: D = max|CDF_a - CDF_b| between the even- and odd-orderkey halves of l_extendedprice, with the alpha=0.05 critical value 1.36*sqrt((na+nb)/(na*nb)) and the reject verdict. The distribution-SHAPE complement of q115's PSI (PSI weights by mass, KS by worst-case CDF gap — the standard pair in drift monitoring); the iid halves must NOT reject, and don't (D=0.0069 < crit=0.0111) — the q122 'split' scenario as a formal test. Scale form: binning bounds the domain at 256 (exact D on the binned distributions — the D a streaming/histogram system can actually compute; raw-value KS on near-unique prices would need a corpus-sized global sort); the corpus pays exactly TWO jobs (min/max, then the binned split counts) and the <=256-row grid finishes ON THE DRIVER (cumulative counts, D, crit — plain IEEE arithmetic identical to the former Catalyst expressions; the Quantiles driver-planning pattern, provably grid-bounded state). Round 9's declarative grid tail cost ~6 broadcast-stage jobs for 256 rows of work — measured 1.65s -> ~0.5s",
       (s, d) => {
+        import scala.jdk.CollectionConverters._
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types._
         val li = t(s, d, "lineitem")
         val st = li.agg(min(col("l_extendedprice")).as("mn"),
-                        max(col("l_extendedprice")).as("mx"))
-        val dd = li.crossJoin(broadcast(st))
-          .select(
-            least(lit(255.0), floor((col("l_extendedprice") - col("mn"))
-              / ((col("mx") - col("mn")) / lit(256.0)))).cast("long").as("b"),
+                        max(col("l_extendedprice")).as("mx")).head() // job 1
+        val mn = st.getDouble(0); val mx = st.getDouble(1)
+        val grid = li.select(
+            least(lit(255.0), floor((col("l_extendedprice") - lit(mn))
+              / ((lit(mx) - lit(mn)) / lit(256.0)))).cast("long").as("b"),
             (col("l_orderkey") % 2 === 0).as("a"))
-        val c = dd.groupBy(col("b")).agg(
-          count(when(col("a"), 1)).cast("long").as("na"),
-          count(when(!col("a"), 1)).cast("long").as("nb"))
-        val w = Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, 0)
-        val cum = c.select(col("b"),
-          sum(col("na")).over(w).cast("long").as("ca"),
-          sum(col("nb")).over(w).cast("long").as("cb"))
-        val tot = cum.agg(max(col("ca")).cast("long").as("ta"),
-                          max(col("cb")).cast("long").as("tb"))
-        val m = cum.crossJoin(broadcast(tot))
-          .agg(max(abs(col("ca").cast("double") / col("ta")
-            - col("cb").cast("double") / col("tb"))).as("dstat"))
-        val crit = lit(1.36) * sqrt((col("ta").cast("double") + col("tb"))
-          / (col("ta").cast("double") * col("tb")))
-        m.crossJoin(broadcast(tot)).select(
-          col("ta").as("n_a"), col("tb").as("n_b"),
-          (floor(col("dstat") * lit(1e6) + lit(0.5)) / lit(1e6)).as("d_stat"),
-          (floor(crit * lit(1e6) + lit(0.5)) / lit(1e6)).as("d_crit"),
-          (col("dstat") > crit).as("reject"))
+          .groupBy(col("b")).agg(
+            count(when(col("a"), 1)).cast("long").as("na"),
+            count(when(!col("a"), 1)).cast("long").as("nb"))
+          .collect()                                                 // job 2
+        // driver finish over the bounded grid — the same expressions the
+        // declarative tail evaluated, as plain JVM doubles (identical
+        // IEEE ops, so the hash-compare is unaffected)
+        val sorted = grid.sortBy(_.getLong(0))
+        var ca = 0L; var cb = 0L
+        val cum = sorted.map { r => ca += r.getLong(1); cb += r.getLong(2); (ca, cb) }
+        val ta = ca; val tb = cb
+        val dstat = cum.map { case (x, y) =>
+          math.abs(x.toDouble / ta - y.toDouble / tb) }.max
+        val crit = 1.36 * math.sqrt((ta.toDouble + tb) / (ta.toDouble * tb))
+        def g6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+        s.createDataFrame(
+          Seq(Row(ta, tb, g6(dstat), g6(crit), dstat > crit)).asJava,
+          StructType(Seq(
+            StructField("n_a", LongType, nullable = false),
+            StructField("n_b", LongType, nullable = false),
+            StructField("d_stat", DoubleType, nullable = false),
+            StructField("d_crit", DoubleType, nullable = false),
+            StructField("reject", BooleanType, nullable = false))))
       },
       Some("""WITH s AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem), d AS (SELECT CAST(least(255.0, floor((l_extendedprice - mn) / ((mx - mn) / 256.0))) AS BIGINT) AS b, (l_orderkey % 2 = 0) AS a FROM lineitem, s), c AS (SELECT b, CAST(count(*) FILTER (WHERE a) AS BIGINT) AS na, CAST(count(*) FILTER (WHERE NOT a) AS BIGINT) AS nb FROM d GROUP BY 1), w AS (SELECT b, CAST(SUM(na) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca, CAST(SUM(nb) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb FROM c), t AS (SELECT CAST(max(ca) AS BIGINT) AS ta, CAST(max(cb) AS BIGINT) AS tb FROM w), m AS (SELECT max(abs(CAST(ca AS DOUBLE) / ta - CAST(cb AS DOUBLE) / tb)) AS dstat FROM w, t) SELECT ta AS n_a, tb AS n_b, floor(dstat * 1e6 + 0.5) / 1e6 AS d_stat, floor(1.36 * sqrt((CAST(ta AS DOUBLE) + tb) / (CAST(ta AS DOUBLE) * tb)) * 1e6 + 0.5) / 1e6 AS d_crit, dstat > 1.36 * sqrt((CAST(ta AS DOUBLE) + tb) / (CAST(ta AS DOUBLE) * tb)) AS reject FROM m, t""")),
 

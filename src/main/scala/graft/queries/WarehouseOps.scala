@@ -263,7 +263,7 @@ object WarehouseOps {
       Some("""WITH b AS (SELECT event_type, event_id, value, CAST(count(*) OVER w AS BIGINT) AS n_win, CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s1, CAST(SUM(CAST(value * value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s2 FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id ROWS BETWEEN 96 PRECEDING AND 1 PRECEDING)), f AS (SELECT *, s1 / n_win AS mean, (s2 - s1 * s1 / n_win) / (n_win - 1) AS variance FROM b WHERE n_win >= 48), z AS (SELECT event_type, event_id, value, n_win, round((value - mean) / sqrt(variance), 4) AS z FROM f WHERE variance > 0) SELECT * FROM z WHERE abs(z) > 3""")),
 
     QueryDef("q143_incremental_agg",
-      "INCREMENTAL AGGREGATE MAINTENANCE from a CDC change feed — the materialized-view half of the warehouse plane (q134 maintains a dimension; this maintains a METRIC): a per-priority (count, exact-decimal revenue) rollup of the old snapshot is folded forward by the q133 diff's signed contributions — delete/update subtract the OLD row from its OLD group, insert/update add the NEW row to its NEW group (a reprioritized order moves between groups correctly) — and the oracle RECOMPUTES FROM SCRATCH over the new snapshot: incremental must equal batch to the bit. That equality is a THEOREM here, not luck: the maintained state is the exact DECIMAL(38,6) sum, and decimal addition is associative/commutative, so old − removed + added is literally the same number batch computes (a double-state rollup could never promise this — the engine-wide exact-sum recipe is what makes aggregates INCREMENTALIZABLE). Scale: only the delta and the group-sized aggregate are touched — the full table is never re-read; groups emptied by the delta drop (n = 0 filter) exactly as batch drops them",
+      "INCREMENTAL AGGREGATE MAINTENANCE from a CDC change feed — the materialized-view half of the warehouse plane (q134 maintains a dimension; this maintains a METRIC): a per-priority (count, exact-decimal revenue) rollup of the old snapshot is folded forward by the q133 diff's signed contributions — delete/update subtract the OLD row from its OLD group, insert/update add the NEW row to its NEW group (a reprioritized order moves between groups correctly) — and the oracle RECOMPUTES FROM SCRATCH over the new snapshot: incremental must equal batch to the bit. That equality is a THEOREM here, not luck: the maintained state is the exact DECIMAL(38,6) sum, and decimal addition is associative/commutative, so old − removed + added is literally the same number batch computes (a double-state rollup could never promise this — the engine-wide exact-sum recipe is what makes aggregates INCREMENTALIZABLE). Scale: only the delta and the group-sized aggregate are touched — the full table is never re-read; groups emptied by the delta drop (n = 0 filter) exactly as batch drops them. Round-10 profiling: the ~1.2s residual is the 3-job chain floor (the diff's full-outer checkpoint job, the old-snapshot rollup, the delta+merge job) at this box's ~0.3-0.4s/job scheduling floor — the DEMO derives both snapshots from the same orders table, so the jobs are irreducible without faking the inputs; in production old/new arrive pre-materialized and the chain is 2 jobs. Negative result documented",
       (s, d) => {
         import graft.ops.Num.D
         val k = col("o_orderkey")
