@@ -22,6 +22,18 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Production default for the hot-shingle df cap shared by every
+    * shingle-pair entry point ([[ngramJaccardPairs]],
+    * [[containmentPairs]], [[pairSimilarityStats]]). Named (not an
+    * inline literal) so FixtureCanarySpec can assert the cap does NOT
+    * bind on the shipped fixtures: the q107/q121 oracle rows compute
+    * UNCAPPED exact similarity, which equals the capped production
+    * default only while every (block, shingle) posting list stays at or
+    * under this bound — a regenerated fixture that crosses it must fail
+    * one named spec, not silently shift the oracle comparison's
+    * semantics (round-9 next-round #5). */
+  val DefaultMaxDf: Int = 100000
+
   /** Exact dedup core, parameterized on the grouping key so specs can
     * inject deliberately-colliding keys and prove the production key is
     * what prevents merges. `key` decides group identity; `fp` is the
@@ -114,7 +126,7 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                         blockCol: String, n: Int, threshold: Double,
-                        maxDf: Int = 100000): DataFrame =
+                        maxDf: Int = DefaultMaxDf): DataFrame =
     shinglePairStats(docs, textCol, idCol, blockCol, n, maxDf)
       .select(col("id_a"), col("id_b"),
         (col("ic").cast("double") / (col("da") + col("db") - col("ic"))).as("jaccard"))
@@ -207,7 +219,7 @@ object Dedup {
     * which this operator's full-shingle answer certifies. */
   def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
                        blockCol: String, n: Int, threshold: Double,
-                       maxDf: Int = 100000): DataFrame =
+                       maxDf: Int = DefaultMaxDf): DataFrame =
     shinglePairStats(docs, textCol, idCol, blockCol, n, maxDf)
       .select(col("id_a"), col("id_b"), col("ic").as("n_shared"),
               (col("ic").cast("double") / col("da")).as("cont_a"),
@@ -226,7 +238,7 @@ object Dedup {
   def pairSimilarityStats(docs: DataFrame, textCol: String, idCol: String,
                           blockCol: String, n: Int, jaccardThreshold: Double,
                           containmentThreshold: Double,
-                          maxDf: Int = 100000): DataFrame =
+                          maxDf: Int = DefaultMaxDf): DataFrame =
     shinglePairStats(docs, textCol, idCol, blockCol, n, maxDf)
       .select(col("id_a"), col("id_b"), col("ic").as("n_shared"),
         (col("ic").cast("double") / (col("da") + col("db") - col("ic"))).as("jaccard"),

@@ -106,20 +106,36 @@ class FixtureCanarySpec extends SparkSpec {
       "embedding" -> ArrayType(FloatType), "label" -> IntegerType))
   }
 
-  describe("df-cap canary (ADVICE r8)") {
-    it("the q21/q107 hot-shingle cap cannot bind on any fixture (df ≤ doc count < maxDf)") {
-      // ngramJaccardPairs/containmentPairs default maxDf = 100000; a
-      // shingle's document frequency is bounded by the corpus size, so
-      // as long as every fixture holds fewer documents than the cap,
+  describe("df-cap canary (ADVICE r8 / VERDICT r9 #5)") {
+    it("the q21/q107/q121 hot-shingle cap cannot bind on any fixture (df ≤ doc count < maxDf)") {
+      // A shingle's block-df is bounded by the corpus size, so as long
+      // as every fixture holds fewer documents than Dedup.DefaultMaxDf,
       // the capped engine and the UNCAPPED DuckDB oracles are provably
       // identical. A regenerated fixture crossing this line must fail
-      // HERE (then: model the df filter in the q21/q107 oracle CTEs).
+      // HERE (then: model the df filter in the q21/q107/q121 oracles).
       Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
         val n = Tables(spark, s"/root/testdata/$sf", "documents").count()
-        assert(n < 100000L,
-          s"$sf documents ($n) >= default maxDf 100000 — the cap can now bind; " +
-            "q21/q107 oracles must model the df filter")
+        assert(n < graft.ext.Dedup.DefaultMaxDf.toLong,
+          s"$sf documents ($n) >= default maxDf ${graft.ext.Dedup.DefaultMaxDf} " +
+            "— the cap can now bind; q21/q107/q121 oracles must model the df filter")
       }
+    }
+    it("directly measured max block-df on sf0.01 stays under the cap with margin") {
+      // The direct form of the same canary: compute the actual max
+      // (lang, shingle) document frequency with the SAME shingle
+      // function the production path uses. Catches any future fixture
+      // whose text distribution (not just size) concentrates a shingle,
+      // and reports the margin instead of just the bound.
+      val docs = Tables(spark, "/root/testdata/sf0.01", "documents")
+      val maxDf = docs.select(col("lang"),
+          explode(graft.functions.TextFunctions.wordShingleHashes(col("text"), 3))
+            .as("sh"))
+        .groupBy(col("lang"), col("sh")).agg(count(lit(1)).as("df"))
+        .agg(max(col("df"))).as[Long].head()
+      assert(maxDf <= graft.ext.Dedup.DefaultMaxDf.toLong,
+        s"max block-df $maxDf exceeds default maxDf ${graft.ext.Dedup.DefaultMaxDf}")
+      info(s"sf0.01 max (lang, 3-shingle) df = $maxDf " +
+        s"(cap ${graft.ext.Dedup.DefaultMaxDf})")
     }
   }
 }
