@@ -149,4 +149,65 @@ object TimeSeriesOps {
       .select(col(keyCol), col("win_start"), col("q.p").as("p"),
               col("q.value_est").as("value_est"), col("n"))
   }
+
+  /** Windowed ONE-SAMPLE Kolmogorov–Smirnov drift screen against a
+    * FROZEN reference CDF — the streaming-native form of q161's
+    * two-sample KS and the shape-sensitive sibling of the q115/q122
+    * PSI monitors (see
+    * [[graft.streaming.EventStreams.ksDriftStream]] for the
+    * watermarked twin and q170 for the calibrate-then-monitor batch
+    * composition): per tumbling window, `valCol` folds into the same
+    * fixed-bounds B-bucket counters as [[histogramQuantiles]] —
+    * merge-safe commutative state, exactly `buckets` longs per open
+    * window, late in-watermark rows revise their window's D in place —
+    * and D = max_i |cum_i/n − ref_i| evaluates as STATELESS
+    * higher-order column arithmetic over the emitted counts array (no
+    * second stateful op, so the identical plan runs batch and
+    * streaming).
+    *
+    * `refCdf` is the frozen baseline: cumulative probabilities at each
+    * bucket's upper edge, from a calibration period. That is how
+    * production drift monitors work — freeze a reference, test every
+    * window against it; a streaming TWO-sample KS would need the
+    * reference window's raw counts inside the same aggregate row. The
+    * reject bar is the asymptotic one-sample critical value
+    * 1.36/sqrt(n) (alpha = 0.05, the q161 constant; the exact
+    * one-sample constant is 1.358 — 1.36 kept for family consistency
+    * and stated here). D is EXACT on the binned distributions (the
+    * q161 scale argument: the histogram is what a streaming system can
+    * hold; out-of-range values clamp to edge buckets as in
+    * [[histogramQuantiles]]). */
+  def ksDrift(df: DataFrame, tsCol: String, valCol: String,
+              windowDur: String, lo: Double, hi: Double, buckets: Int,
+              refCdf: Seq[Double]): DataFrame = {
+    require(hi > lo, s"need hi > lo: [$lo, $hi]")
+    require(buckets > 0 && buckets <= 1024, s"buckets out of range: $buckets")
+    require(refCdf.length == buckets,
+      s"refCdf needs one cumulative probability per bucket: got ${refCdf.length}, want $buckets")
+    val w = (hi - lo) / buckets
+    val bucket = greatest(lit(0), least(lit(buckets - 1),
+      floor((col(valCol) - lo) / w).cast("int")))
+    val counters = (0 until buckets).map(i => count(when(bucket === i, 1)).as(s"c$i"))
+    val counted = df.groupBy(window(col(tsCol), windowDur))
+      .agg(counters.head, counters.tail: _*)
+      .select(col("window.start").as("win_start"),
+        array((0 until buckets).map(i => col(s"c$i")): _*).as("counts"))
+    val cum = transform(sequence(lit(0), lit(buckets - 1)),
+      i => aggregate(slice(col("counts"), lit(1), i + lit(1)), lit(0L), (a, c) => a + c))
+    val refArr = array(refCdf.map(lit(_)): _*)
+    // max over buckets of |window CDF − reference CDF|: a fold with
+    // greatest — order-independent on doubles, no explode, stateless
+    val dRaw = aggregate(sequence(lit(1), lit(buckets)), lit(0.0), (acc, i) =>
+      greatest(acc, abs(element_at(col("cum"), i).cast("double") / col("n")
+        - element_at(refArr, i))))
+    counted.withColumn("cum", cum)
+      .withColumn("n", element_at(col("cum"), buckets))
+      .filter(col("n") > 0)
+      .withColumn("draw", dRaw)
+      .withColumn("craw", lit(1.36) / sqrt(col("n").cast("double")))
+      .select(col("win_start"), col("n"),
+        (floor(col("draw") * 1e6 + 0.5) / 1e6).as("d_stat"),
+        (floor(col("craw") * 1e6 + 0.5) / 1e6).as("d_crit"),
+        (col("draw") > col("craw")).as("drift"))
+  }
 }

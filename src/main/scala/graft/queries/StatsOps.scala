@@ -139,6 +139,31 @@ object StatsOps {
       },
       Some("""WITH s AS (SELECT min(l_quantity * l_extendedprice) AS mn, max(l_quantity * l_extendedprice) AS mx FROM lineitem), d AS (SELECT l_quantity AS x, CAST(least(255.0, floor((l_quantity * l_extendedprice - mn) / ((mx - mn) / 256.0))) AS BIGINT) AS y FROM lineitem, s), cx AS (SELECT x, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1), wx AS (SELECT x, CAST(2 * COALESCE(SUM(n) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n + 1 AS BIGINT) AS rx2 FROM cx), cy AS (SELECT y, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1), wy AS (SELECT y, CAST(2 * COALESCE(SUM(n) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n + 1 AS BIGINT) AS ry2 FROM cy), r AS (SELECT rx2, ry2 FROM d JOIN wx USING (x) JOIN wy USING (y)), st AS (SELECT CAST(count(*) AS BIGINT) AS n, SUM(CAST(rx2 AS HUGEINT)) AS sx, SUM(CAST(ry2 AS HUGEINT)) AS sy, SUM(CAST(rx2 AS HUGEINT) * ry2) AS sxy, SUM(CAST(rx2 AS HUGEINT) * rx2) AS sxx, SUM(CAST(ry2 AS HUGEINT) * ry2) AS syy FROM r) SELECT n, floor(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) / sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) * CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS rho FROM st""")),
 
+    QueryDef("q170_ks_windowed_drift",
+      "windowed one-sample KS drift monitor (ops.TimeSeriesOps.ksDrift; EventStreams.ksDriftStream is the watermarked twin, StreamingSpec proves row equality): the calibrate-then-monitor composition production drift detection actually runs — job 1 freezes the reference CDF from the full corpus (32 fixed-bound buckets over [0,600], the q124 convention; counts collected as grid-bounded driver state and re-entered as literals), then every DAY's value distribution is KS-tested against it: D = max_i |day CDF_i - ref CDF_i| with the 1.36/sqrt(n) asymptotic bar. Completes the drift family as the SHAPE test beside q115/q122's mass-weighted PSI and q161's batch two-sample form. Windows drawn from the calibration distribution itself mostly must NOT reject - the honest self-consistency reading; per-day verdicts recorded either way. Streaming scale shape: B mergeable counters per open window (late in-watermark rows revise the verdict in place), D as stateless higher-order column arithmetic over the counts array - the corpus pays one calibration aggregate and one windowed aggregate",
+      (s, d) => {
+        val lo = 0.0; val hi = 600.0; val b = 32
+        val ev = t(s, d, "events")
+        val w = (hi - lo) / b
+        val bucket = greatest(lit(0), least(lit(b - 1),
+          floor((col("value") - lo) / w).cast("int")))
+        // calibration pass: global bucket counts -> frozen reference CDF
+        // (B-bounded driver state, the Quantiles driver-planning pattern)
+        val gRows = ev.groupBy(bucket.as("bk")).agg(count(lit(1)).as("cnt"))
+          .collect()
+        val counts = Array.fill(b)(0L)
+        gRows.foreach(r => counts(r.getInt(0)) = r.getLong(1))
+        val gn = counts.sum
+        val refCdf = counts.scanLeft(0L)(_ + _).drop(1)
+          .map(c => c.toDouble / gn).toSeq
+        graft.ops.TimeSeriesOps.ksDrift(ev, "ts", "value", "1 day",
+            lo, hi, b, refCdf)
+          .select(unix_micros(col("win_start")).as("day_start_us"),
+            col("n"), col("d_stat"), col("d_crit"), col("drift"))
+      },
+      Some("""WITH b AS (SELECT date_trunc('day', ts) AS day, greatest(0, least(31, CAST(floor((value - 0.0) / (600.0 / 32)) AS INT))) AS bk FROM events), gi AS (SELECT unnest(generate_series(0, 31)) AS i), gc AS (SELECT bk, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1), gt AS (SELECT CAST(count(*) AS BIGINT) AS gn FROM b), g AS (SELECT i, CAST(COALESCE((SELECT SUM(n) FROM gc WHERE bk <= i), 0) AS BIGINT) AS gcum FROM gi), wc AS (SELECT day, bk, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1, 2), wt AS (SELECT day, CAST(count(*) AS BIGINT) AS wn FROM b GROUP BY 1), grid AS (SELECT wt.day, wt.wn, g.i, g.gcum, gt.gn FROM wt CROSS JOIN g CROSS JOIN gt), wcum AS (SELECT day, wn, i, gcum, gn, CAST(COALESCE((SELECT SUM(n) FROM wc WHERE wc.day = grid.day AND wc.bk <= grid.i), 0) AS BIGINT) AS wcum FROM grid), d AS (SELECT day, wn, max(abs(CAST(wcum AS DOUBLE) / wn - CAST(gcum AS DOUBLE) / gn)) AS dstat FROM wcum GROUP BY 1, 2) SELECT epoch_us(day) AS day_start_us, wn AS n, floor(dstat * 1e6 + 0.5) / 1e6 AS d_stat, floor(1.36 / sqrt(CAST(wn AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS d_crit, dstat > 1.36 / sqrt(CAST(wn AS DOUBLE)) AS drift FROM d"""),
+      ),
+
     QueryDef("q167_revenue_gini",
       "revenue-concentration analysis: the binned Lorenz curve of per-customer revenue plus the Gini coefficient (trapezoid integration) broadcast on every curve point — the whale-dependence diagnostic behind 'top X% of customers drive Y% of revenue'. Per-customer revenue is one custkey-keyed exact-decimal rollup; the 256-bucket histogram tier (broadcast min/max) bounds the curve domain, cumulative population counts stay INTEGER while cumulative revenue runs as an ordered decimal window over grid-rounded bin sums, and each trapezoid term (p-p0)(q+q0) pre-rounds onto a 9-dp grid into an exact DECIMAL(38,9) reduction. Gini = 0.204 on this fixture (mild concentration: synthetic order totals are near-uniform per customer) — an honest magnitude, sanity-checked against the shape of the curve rows themselves. All windows run on the <=256-row bin grid",
       (s, d) => {

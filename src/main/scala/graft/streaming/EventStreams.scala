@@ -465,6 +465,23 @@ object EventStreams {
       events.withWatermark(tsCol, watermark),
       keyCol, tsCol, valCol, windowDur, lo, hi, buckets, ps)
 
+  /** Streaming twin of [[graft.ops.TimeSeriesOps.ksDrift]] (q170): the
+    * windowed one-sample KS drift monitor as an ingest-time screen —
+    * per (tumbling window), B mergeable bucket counters (the q124
+    * histogram state shape), D = max CDF gap vs the FROZEN reference
+    * CDF as stateless column arithmetic over the emitted counts, late
+    * in-watermark rows revising their window's verdict in place.
+    * Identical code path to the batch twin — StreamingSpec asserts row
+    * equality. Completes the streaming drift family: q115/q122 PSI
+    * (mass-weighted), histogram quantiles (location), KS (shape). */
+  def ksDriftStream(events: DataFrame, tsCol: String, valCol: String,
+                    windowDur: String, lo: Double, hi: Double, buckets: Int,
+                    refCdf: Seq[Double],
+                    watermark: String = "1 hour"): DataFrame =
+    graft.ops.TimeSeriesOps.ksDrift(
+      events.withWatermark(tsCol, watermark),
+      tsCol, valCol, windowDur, lo, hi, buckets, refCdf)
+
   /** Streaming windowed DISTINCT-count sketch: per event-time window,
     * the item stream folds into one bounded KMV sketch
     * ([[graft.functions.KmvBuildAgg]] — the same merge-safe aggregate

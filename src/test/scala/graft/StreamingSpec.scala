@@ -34,6 +34,78 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  describe("ksDriftStream") {
+    it("matches the batch twin row-for-row and flags an injected shape shift") {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      // reference: uniform over [0, 100) in 10 buckets (CDF 0.1 .. 1.0)
+      val ref = (1 to 10).map(_ / 10.0)
+      val events =
+        // hour 1: one value per bucket — CDF equals the reference
+        // exactly, D = 0 < 1.36/sqrt(10): no drift
+        (0 until 10).map(i => Event(i + 1, ts(f"2024-01-01 10:0$i%d:00"), 1,
+          "trade", i * 10.0 + 5.0)) ++
+        // hour 2: all mass in the top bucket — D = 0.9 (the CDF gap at
+        // bucket 9's lower edge) > 1.36/sqrt(4) = 0.68: drift
+        (0 until 4).map(i => Event(20 + i, ts(f"2024-01-01 11:1$i%d:00"), 2,
+          "trade", 95.0))
+      val src = MemoryStream[Event]
+      val q = EventStreams.ksDriftStream(src.toDF(), "ts", "value", "1 hour",
+          lo = 0.0, hi = 100.0, buckets = 10, refCdf = ref)
+        .writeStream.format("memory").queryName("ks_out")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        src.addData(events: _*)
+        q.processAllAvailable()
+        val stream = spark.table("ks_out")
+          .groupBy($"win_start")
+          .agg(org.apache.spark.sql.functions.last($"n").as("n"),
+               org.apache.spark.sql.functions.last($"d_stat").as("d_stat"),
+               org.apache.spark.sql.functions.last($"d_crit").as("d_crit"),
+               org.apache.spark.sql.functions.last($"drift").as("drift"))
+          .select($"win_start".cast("string"), $"n", $"d_stat", $"d_crit", $"drift")
+          .as[(String, Long, Double, Double, Boolean)].collect().toSet
+        val batch = graft.ops.TimeSeriesOps.ksDrift(events.toDF(), "ts", "value",
+            "1 hour", lo = 0.0, hi = 100.0, buckets = 10, refCdf = ref)
+          .select($"win_start".cast("string"), $"n", $"d_stat", $"d_crit", $"drift")
+          .as[(String, Long, Double, Double, Boolean)].collect().toSet
+        assert(stream == batch)
+        assert(stream.collectFirst { case (_, 10L, d, _, fl) => (d, fl) }
+          .contains((0.0, false)))
+        assert(stream.collectFirst { case (_, 4L, d, _, fl) => (d, fl) }
+          .contains((0.9, true)))
+      } finally q.stop()
+    }
+    it("a late in-watermark row revises the window's verdict in place") {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val ref = (1 to 10).map(_ / 10.0)
+      val src = MemoryStream[Event]
+      val q = EventStreams.ksDriftStream(src.toDF(), "ts", "value", "1 hour",
+          lo = 0.0, hi = 100.0, buckets = 10, refCdf = ref)
+        .writeStream.format("memory").queryName("ks_late_out")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        // two top-bucket values: D = 0.9 just below crit 1.36/sqrt(2) —
+        // no wait: 1.36/1.414 = 0.9617 > 0.9 -> no drift yet
+        src.addData(
+          Event(1, ts("2024-01-01 10:05:00"), 1, "trade", 95.0),
+          Event(2, ts("2024-01-01 10:50:00"), 1, "trade", 95.0))
+        q.processAllAvailable()
+        // late but in-watermark third top-bucket value: n=3, crit
+        // 1.36/sqrt(3) = 0.785 < 0.9 -> the SAME window flips to drift
+        src.addData(Event(3, ts("2024-01-01 10:20:00"), 2, "trade", 95.0))
+        q.processAllAvailable()
+        val latest = spark.table("ks_late_out")
+          .groupBy($"win_start")
+          .agg(org.apache.spark.sql.functions.last($"n").as("n"),
+               org.apache.spark.sql.functions.last($"drift").as("drift"))
+          .select($"n", $"drift").as[(Long, Boolean)].collect().toSet
+        assert(latest == Set((3L, true)))
+      } finally q.stop()
+    }
+  }
+
   describe("hourlyOhlcStream") {
     it("revises bar endpoints when a late-but-in-watermark tick arrives") {
       implicit val sqlCtx = spark.sqlContext
