@@ -26,6 +26,48 @@ object WarehouseOps {
 
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
 
+  /** The q169 RFM machinery as a reusable stage (q171 runs it over a
+    * DQ-gated snapshot): per-customer recency/frequency/monetary, all
+    * 12 quintile edges from ONE exactQuantilesMulti pass over the
+    * checkpointed rollup, branch-free 1+sum(v>edge) scores, and the
+    * (r,f,m) segment grid with counts + exact-decimal revenue. */
+  private[queries] def rfmGrid(orders: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ref = orders.agg(max(col("o_orderdate")).as("ref"))
+    // checkpointed: feeds the quantile passes AND the scoring pass —
+    // un-checkpointed, Quantiles' driver-planned jobs re-derive the
+    // orders rollup once per job (ops/Quantiles.scala caller contract)
+    val cust = orders.groupBy(col("o_custkey")).agg(
+        max(col("o_orderdate")).as("last"),
+        lcount(lit(1)).as("freq"),
+        dsum(col("o_totalprice")).as("mon"))
+      .crossJoin(broadcast(ref))
+      .select(col("o_custkey"),
+        datediff(col("ref"), col("last")).cast("long").as("rec"),
+        col("freq"), col("mon"))
+      .localCheckpoint(true)
+    val ps = Seq(0.2, 0.4, 0.6, 0.8)
+    val metricPfx = Seq("rec" -> "r", "freq" -> "f", "mon" -> "m")
+    val edgeCols = for ((m, pfx) <- metricPfx; (p, i) <- ps.zipWithIndex)
+      yield max(when(col("metric") === m && col("p") === p, col("value")))
+        .as(s"$pfx${i + 1}")
+    val edgeRow = graft.ops.Quantiles
+      .exactQuantilesMulti(cust, metricPfx.map(_._1), ps)
+      .agg(edgeCols.head, edgeCols.tail: _*)
+    def score(metric: String, pfx: String) =
+      (1 to 4).map(i => when(col(metric) > col(s"$pfx$i"), 1L).otherwise(0L))
+        .foldLeft(lit(1L))(_ + _).cast("long")
+    cust
+      .crossJoin(broadcast(edgeRow))
+      .select(score("rec", "r").as("r_score"),
+              score("freq", "f").as("f_score"),
+              score("mon", "m").as("m_score"), col("mon"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(lcount(lit(1)).as("n_customers"),
+           sum((floor(col("mon") * 1e6 + 0.5) / 1e6)
+             .cast(DecimalType(38, 6))).cast("double").as("total_monetary"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q166_reconciliation",
@@ -76,43 +118,70 @@ object WarehouseOps {
 
     QueryDef("q169_rfm_segmentation",
       "RFM customer segmentation — THE classic customer-analytics op: recency (days since last order, anchored at the dataset's max order date), frequency (order count), monetary (exact-decimal revenue) per customer, each scored 1-5 by quintile, then the (r,f,m) segment grid with customer counts and exact-decimal revenue. Scores deliberately do NOT use ntile() — a global ntile over the customer dimension single-partitions at 1e9 customers; instead all 12 quintile EDGES come from ONE ops.Quantiles.exactQuantilesMulti pass (fifth consumer; the three metrics melt into one (metric, v) frame so one driver-planned 3-job call replaces round 9's three calls = 9 jobs — and the customer rollup feeding it is localCheckpoint'd, so the quantile passes and the final scoring pass scan a materialization instead of re-deriving the orders groupBy ~10x: the round-9 251x plan bug), pivoted to ONE broadcast row; each score is the branch-free 1 + sum of v>edge comparisons (the q157 recipe). Bit-equality of the cast-to-double melt vs per-column calls is QuantilesSpec-pinned. Uniform convention: score 5 = highest value of the metric, so r_score 5 = LEAST recent (stated, not hidden). Segment grid <= 125 rows",
-      (s, d) => {
-        val orders = t(s, d, "orders")
-        val ref = orders.agg(max(col("o_orderdate")).as("ref"))
-        // checkpointed: feeds the quantile passes AND the scoring pass —
-        // un-checkpointed, Quantiles' driver-planned jobs re-derive the
-        // orders rollup once per job (ops/Quantiles.scala caller contract)
-        val cust = orders.groupBy(col("o_custkey")).agg(
-            max(col("o_orderdate")).as("last"),
-            lcount(lit(1)).as("freq"),
-            dsum(col("o_totalprice")).as("mon"))
-          .crossJoin(broadcast(ref))
-          .select(col("o_custkey"),
-            datediff(col("ref"), col("last")).cast("long").as("rec"),
-            col("freq"), col("mon"))
-          .localCheckpoint(true)
-        val ps = Seq(0.2, 0.4, 0.6, 0.8)
-        val metricPfx = Seq("rec" -> "r", "freq" -> "f", "mon" -> "m")
-        val edgeCols = for ((m, pfx) <- metricPfx; (p, i) <- ps.zipWithIndex)
-          yield max(when(col("metric") === m && col("p") === p, col("value")))
-            .as(s"$pfx${i + 1}")
-        val edgeRow = graft.ops.Quantiles
-          .exactQuantilesMulti(cust, metricPfx.map(_._1), ps)
-          .agg(edgeCols.head, edgeCols.tail: _*)
-        def score(metric: String, pfx: String) =
-          (1 to 4).map(i => when(col(metric) > col(s"$pfx$i"), 1L).otherwise(0L))
-            .foldLeft(lit(1L))(_ + _).cast("long")
-        cust
-          .crossJoin(broadcast(edgeRow))
-          .select(score("rec", "r").as("r_score"),
-                  score("freq", "f").as("f_score"),
-                  score("mon", "m").as("m_score"), col("mon"))
-          .groupBy(col("r_score"), col("f_score"), col("m_score"))
-          .agg(lcount(lit(1)).as("n_customers"),
-               sum((floor(col("mon") * 1e6 + 0.5) / 1e6)
-                 .cast(DecimalType(38, 6))).cast("double").as("total_monetary"))
-      },
+      (s, d) => rfmGrid(t(s, d, "orders")),
       Some("""WITH cust AS (SELECT o_custkey, CAST(date_diff('day', max(o_orderdate), (SELECT max(o_orderdate) FROM orders)) AS BIGINT) AS rec, CAST(count(*) AS BIGINT) AS freq, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS mon FROM orders GROUP BY 1), q AS (SELECT quantile_cont(rec, 0.2) AS r1, quantile_cont(rec, 0.4) AS r2, quantile_cont(rec, 0.6) AS r3, quantile_cont(rec, 0.8) AS r4, quantile_cont(freq, 0.2) AS f1, quantile_cont(freq, 0.4) AS f2, quantile_cont(freq, 0.6) AS f3, quantile_cont(freq, 0.8) AS f4, quantile_cont(mon, 0.2) AS m1, quantile_cont(mon, 0.4) AS m2, quantile_cont(mon, 0.6) AS m3, quantile_cont(mon, 0.8) AS m4 FROM cust), sc AS (SELECT CAST(1 + (CASE WHEN rec > r1 THEN 1 ELSE 0 END) + (CASE WHEN rec > r2 THEN 1 ELSE 0 END) + (CASE WHEN rec > r3 THEN 1 ELSE 0 END) + (CASE WHEN rec > r4 THEN 1 ELSE 0 END) AS BIGINT) AS r_score, CAST(1 + (CASE WHEN freq > f1 THEN 1 ELSE 0 END) + (CASE WHEN freq > f2 THEN 1 ELSE 0 END) + (CASE WHEN freq > f3 THEN 1 ELSE 0 END) + (CASE WHEN freq > f4 THEN 1 ELSE 0 END) AS BIGINT) AS f_score, CAST(1 + (CASE WHEN mon > m1 THEN 1 ELSE 0 END) + (CASE WHEN mon > m2 THEN 1 ELSE 0 END) + (CASE WHEN mon > m3 THEN 1 ELSE 0 END) + (CASE WHEN mon > m4 THEN 1 ELSE 0 END) AS BIGINT) AS m_score, mon FROM cust, q) SELECT r_score, f_score, m_score, CAST(count(*) AS BIGINT) AS n_customers, CAST(SUM(CAST(floor(mon * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS total_monetary FROM sc GROUP BY 1, 2, 3""")),
+
+    QueryDef("q171_warehouse_pipeline",
+      "END-TO-END warehouse maintenance cycle in ONE pipeline (VERDICT r9 #8 — the round-9 operators COMPOSING, not just coexisting; the q78 pattern for the warehouse plane): an incoming snapshot with injected corruption (every 13th key's total negated) passes the DQ GATE (q132's row predicates as a quarantine filter — violating rows never reach the warehouse, their count is reported), the gated snapshot is CDC-DIFFED against the previous one (q133's ops.Cdc.snapshotDiff — quarantined rows that existed before surface honestly as deletes), the diff FOLDS FORWARD the maintained per-priority aggregate (q143's incremental machinery, state kept in exact DECIMAL(38,6) so incremental==batch is a theorem — the oracle recomputes the maintained totals FROM SCRATCH over the gated snapshot and the hash must agree), and the final readout is the RFM SEGMENT GRID (q169's quantile-edge machinery) over the accepted data, with the pipeline audit (n_quarantined, insert/delete/update counts, maintained totals, surviving priority-group count) broadcast on every row. Scale: each stage keys on orderkey or custkey (bucket-co-locatable), audit scalars are grid-bounded driver state, and the RFM stage reuses the checkpointed-rollup + one-multi-quantile-pass plan",
+      (s, d) => {
+        import graft.ops.Num.D
+        val k = col("o_orderkey")
+        val orders = t(s, d, "orders")
+        val oldS = orders.filter(k % 10 =!= 3)
+        val raw = orders.filter(k % 10 =!= 7)
+          .withColumn("o_totalprice",
+            when(k % 13 === 0, -col("o_totalprice"))
+              .otherwise(when(k % 5 === 0, col("o_totalprice") + 1.0)
+                .otherwise(col("o_totalprice"))))
+          .withColumn("o_orderpriority",
+            when(k % 7 === 0, lit("0-REPRIORITIZED"))
+              .otherwise(col("o_orderpriority")))
+        // 1. DQ gate (q132 predicates as a filter): quarantine violators
+        val ok = col("o_totalprice") > 0 &&
+          col("o_orderstatus").isin("F", "O", "P")
+        val gated = raw.filter(ok).localCheckpoint(true)
+        val nQuar = raw.filter(!ok).agg(count(lit(1))).head.getLong(0)
+        // 2. CDC diff previous -> gated (checkpointed: feeds the change
+        // audit AND the incremental fold)
+        val diff = graft.ops.Cdc.snapshotDiff(oldS, gated,
+            Seq("o_orderkey"), Seq("o_totalprice", "o_orderpriority"))
+          .localCheckpoint(true)
+        val chg = diff.groupBy(col("change_type")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        // 3. incremental aggregate maintenance (q143): fold the diff into
+        // the per-priority rollup; totals stay DECIMAL until the end
+        val oldAgg = oldS.groupBy(col("o_orderpriority").as("g"))
+          .agg(count(lit(1)).cast("long").as("n"),
+               sum(col("o_totalprice").cast(D)).as("sd"))
+        val removed = diff.filter(col("change_type").isin("delete", "update"))
+          .select(col("old_o_orderpriority").as("g"), lit(-1L).as("dn"),
+                  (col("old_o_totalprice").cast(D) * -1).as("dv"))
+        val added = diff.filter(col("change_type").isin("insert", "update"))
+          .select(col("new_o_orderpriority").as("g"), lit(1L).as("dn"),
+                  col("new_o_totalprice").cast(D).as("dv"))
+        val delta = removed.unionByName(added).groupBy(col("g"))
+          .agg(sum(col("dn")).as("dn"), sum(col("dv")).as("dv"))
+        val m = oldAgg.join(delta, Seq("g"), "full_outer")
+          .select(
+            (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+              .cast("long").as("n"),
+            (coalesce(col("sd"), lit(0).cast(D)) + coalesce(col("dv"), lit(0).cast(D)))
+              .as("sd"))
+          .filter(col("n") > 0)
+          .agg(sum(col("n")).cast("long").as("mn"),
+               sum(col("sd")).cast("double").as("mt"),
+               count(lit(1)).cast("long").as("np")).head()
+        // 4. RFM readout over the accepted snapshot + broadcast audit
+        rfmGrid(gated)
+          .withColumn("n_quarantined", lit(nQuar))
+          .withColumn("n_insert", lit(chg.getOrElse("insert", 0L)))
+          .withColumn("n_delete", lit(chg.getOrElse("delete", 0L)))
+          .withColumn("n_update", lit(chg.getOrElse("update", 0L)))
+          .withColumn("maintained_n_orders", lit(m.getLong(0)))
+          .withColumn("maintained_total_price", lit(m.getDouble(1)))
+          .withColumn("n_priorities", lit(m.getLong(2)))
+      },
+      Some("""WITH raw AS (SELECT o_orderkey, o_custkey, o_orderdate, o_orderstatus, CASE WHEN o_orderkey % 13 = 0 THEN -o_totalprice WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice, CASE WHEN o_orderkey % 7 = 0 THEN '0-REPRIORITIZED' ELSE o_orderpriority END AS o_orderpriority FROM orders WHERE o_orderkey % 10 <> 7), gated AS (SELECT * FROM raw WHERE o_totalprice > 0 AND o_orderstatus IN ('F','O','P')), quar AS (SELECT CAST(count(*) AS BIGINT) AS n_quarantined FROM raw WHERE NOT (o_totalprice > 0 AND o_orderstatus IN ('F','O','P'))), olds AS (SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders WHERE o_orderkey % 10 <> 3), chg AS (SELECT CAST(count(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT) AS n_insert, CAST(count(*) FILTER (WHERE n.o_orderkey IS NULL) AS BIGINT) AS n_delete, CAST(count(*) FILTER (WHERE o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL AND (o.o_totalprice IS DISTINCT FROM n.o_totalprice OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority)) AS BIGINT) AS n_update FROM olds o FULL OUTER JOIN (SELECT o_orderkey, o_totalprice, o_orderpriority FROM gated) n ON o.o_orderkey = n.o_orderkey), mm AS (SELECT CAST(count(*) AS BIGINT) AS maintained_n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS maintained_total_price, CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities FROM gated), cust AS (SELECT o_custkey, CAST(date_diff('day', max(o_orderdate), (SELECT max(o_orderdate) FROM gated)) AS BIGINT) AS rec, CAST(count(*) AS BIGINT) AS freq, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS mon FROM gated GROUP BY 1), q AS (SELECT quantile_cont(rec, 0.2) AS r1, quantile_cont(rec, 0.4) AS r2, quantile_cont(rec, 0.6) AS r3, quantile_cont(rec, 0.8) AS r4, quantile_cont(freq, 0.2) AS f1, quantile_cont(freq, 0.4) AS f2, quantile_cont(freq, 0.6) AS f3, quantile_cont(freq, 0.8) AS f4, quantile_cont(mon, 0.2) AS m1, quantile_cont(mon, 0.4) AS m2, quantile_cont(mon, 0.6) AS m3, quantile_cont(mon, 0.8) AS m4 FROM cust), sc AS (SELECT CAST(1 + (CASE WHEN rec > r1 THEN 1 ELSE 0 END) + (CASE WHEN rec > r2 THEN 1 ELSE 0 END) + (CASE WHEN rec > r3 THEN 1 ELSE 0 END) + (CASE WHEN rec > r4 THEN 1 ELSE 0 END) AS BIGINT) AS r_score, CAST(1 + (CASE WHEN freq > f1 THEN 1 ELSE 0 END) + (CASE WHEN freq > f2 THEN 1 ELSE 0 END) + (CASE WHEN freq > f3 THEN 1 ELSE 0 END) + (CASE WHEN freq > f4 THEN 1 ELSE 0 END) AS BIGINT) AS f_score, CAST(1 + (CASE WHEN mon > m1 THEN 1 ELSE 0 END) + (CASE WHEN mon > m2 THEN 1 ELSE 0 END) + (CASE WHEN mon > m3 THEN 1 ELSE 0 END) + (CASE WHEN mon > m4 THEN 1 ELSE 0 END) AS BIGINT) AS m_score, mon FROM cust, q), grid AS (SELECT r_score, f_score, m_score, CAST(count(*) AS BIGINT) AS n_customers, CAST(SUM(CAST(floor(mon * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS total_monetary FROM sc GROUP BY 1, 2, 3) SELECT grid.*, quar.n_quarantined, chg.n_insert, chg.n_delete, chg.n_update, mm.maintained_n_orders, mm.maintained_total_price, mm.n_priorities FROM grid, quar, chg, mm""")),
 
     QueryDef("q132_dq_constraints",
       "declarative data-quality constraint suite (the Deequ/Great-Expectations surface as pure Catalyst aggregates): 4 row predicates + a PK-uniqueness check over lineitem, 2 row predicates + a customer FK referential check over orders, each emitting (check_name, n_rows, n_violations, pass). The engine point is FUSION: all row checks over a table compile into ONE aggregate pass (one scan, one map-side partial count per predicate — never a job per constraint), uniqueness is one hash aggregate on the key, the FK check one equi-join against DISTINCT dim keys that AQE broadcasts when small. Two checks genuinely FIRE on this fixture (discount>0.08 rows; the synthetic lineitem PK has ~12k duplicate groups) — a DQ suite that only ever passes demonstrates nothing",
