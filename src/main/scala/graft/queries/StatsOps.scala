@@ -164,6 +164,14 @@ object StatsOps {
       Some("""WITH b AS (SELECT date_trunc('day', ts) AS day, greatest(0, least(31, CAST(floor((value - 0.0) / (600.0 / 32)) AS INT))) AS bk FROM events), gi AS (SELECT unnest(generate_series(0, 31)) AS i), gc AS (SELECT bk, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1), gt AS (SELECT CAST(count(*) AS BIGINT) AS gn FROM b), g AS (SELECT i, CAST(COALESCE((SELECT SUM(n) FROM gc WHERE bk <= i), 0) AS BIGINT) AS gcum FROM gi), wc AS (SELECT day, bk, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1, 2), wt AS (SELECT day, CAST(count(*) AS BIGINT) AS wn FROM b GROUP BY 1), grid AS (SELECT wt.day, wt.wn, g.i, g.gcum, gt.gn FROM wt CROSS JOIN g CROSS JOIN gt), wcum AS (SELECT day, wn, i, gcum, gn, CAST(COALESCE((SELECT SUM(n) FROM wc WHERE wc.day = grid.day AND wc.bk <= grid.i), 0) AS BIGINT) AS wcum FROM grid), d AS (SELECT day, wn, max(abs(CAST(wcum AS DOUBLE) / wn - CAST(gcum AS DOUBLE) / gn)) AS dstat FROM wcum GROUP BY 1, 2) SELECT epoch_us(day) AS day_start_us, wn AS n, floor(dstat * 1e6 + 0.5) / 1e6 AS d_stat, floor(1.36 / sqrt(CAST(wn AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS d_crit, dstat > 1.36 / sqrt(CAST(wn AS DOUBLE)) AS drift FROM d"""),
       ),
 
+    QueryDef("q172_benford_windowed",
+      "windowed Benford first-digit screen (ops.TimeSeriesOps.benfordDrift; EventStreams.benfordStream is the watermarked twin, StreamingSpec proves row equality): q148's fraud/synthetic-feed test re-shaped as the per-window MONITOR a feed-quality pipeline actually runs - per day, nine mergeable digit counters (late in-watermark rows revise the verdict in place at ingest) and the chi-square-style frequency divergence vs log10(1+1/d) as stateless arithmetic over the emitted counts. Reuses q148's exact numeric recipe (DECIMAL(18,2)->string digit extraction, 6-dp frequencies, 12-dp decimal term reduction - order-independent 9-term sum); FIRES on every window here (the synthetic uniform-ish values are nothing like Benford - divergence ~0.5 vs the 0.05 screening bar), the q148 honesty point per-window. One corpus aggregate; everything else is a 9-element in-row fold",
+      (s, d) => graft.ops.TimeSeriesOps.benfordDrift(
+          t(s, d, "events"), "ts", "value", "1 day")
+        .select(unix_micros(col("win_start")).as("day_start_us"),
+          col("n"), col("chi2"), col("violation")),
+      Some("""WITH b AS (SELECT date_trunc('day', ts) AS day, substr(CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS digit FROM events WHERE value >= 1), wc AS (SELECT day, digit, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1, 2), wt AS (SELECT day, CAST(count(*) AS BIGINT) AS wn FROM b GROUP BY 1), di AS (SELECT unnest(generate_series(1, 9)) AS i), grid AS (SELECT wt.day, wt.wn, di.i, COALESCE(wc.n, 0) AS cnt FROM wt CROSS JOIN di LEFT JOIN wc ON wc.day = wt.day AND wc.digit = CAST(di.i AS VARCHAR)), t AS (SELECT day, wn, round(cnt / wn, 6) AS obs, round(log10(1 + 1.0 / CAST(i AS DOUBLE)), 6) AS ex FROM grid), x AS (SELECT day, wn, floor(CAST(SUM(CAST(round((obs - ex) * (obs - ex) / ex, 12) AS DECIMAL(38,12))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS chi2 FROM t GROUP BY 1, 2) SELECT epoch_us(day) AS day_start_us, wn AS n, chi2, chi2 > 0.05 AS violation FROM x""")),
+
     QueryDef("q167_revenue_gini",
       "revenue-concentration analysis: the binned Lorenz curve of per-customer revenue plus the Gini coefficient (trapezoid integration) broadcast on every curve point — the whale-dependence diagnostic behind 'top X% of customers drive Y% of revenue'. Per-customer revenue is one custkey-keyed exact-decimal rollup; the 256-bucket histogram tier (broadcast min/max) bounds the curve domain, cumulative population counts stay INTEGER while cumulative revenue runs as an ordered decimal window over grid-rounded bin sums, and each trapezoid term (p-p0)(q+q0) pre-rounds onto a 9-dp grid into an exact DECIMAL(38,9) reduction. Gini = 0.204 on this fixture (mild concentration: synthetic order totals are near-uniform per customer) — an honest magnitude, sanity-checked against the shape of the curve rows themselves. All windows run on the <=256-row bin grid",
       (s, d) => {

@@ -482,6 +482,18 @@ object EventStreams {
       events.withWatermark(tsCol, watermark),
       tsCol, valCol, windowDur, lo, hi, buckets, refCdf)
 
+  /** Streaming twin of [[graft.ops.TimeSeriesOps.benfordDrift]] (q172):
+    * the windowed Benford first-digit screen at ingest — nine mergeable
+    * digit counters per open window, divergence vs log10(1 + 1/d) as
+    * stateless arithmetic over the emitted counts, late in-watermark
+    * rows revising the verdict in place. Identical code path to the
+    * batch twin — StreamingSpec asserts row equality. */
+  def benfordStream(events: DataFrame, tsCol: String, valCol: String,
+                    windowDur: String, bar: Double = 0.05,
+                    watermark: String = "1 hour"): DataFrame =
+    graft.ops.TimeSeriesOps.benfordDrift(
+      events.withWatermark(tsCol, watermark), tsCol, valCol, windowDur, bar)
+
   /** Streaming windowed DISTINCT-count sketch: per event-time window,
     * the item stream folds into one bounded KMV sketch
     * ([[graft.functions.KmvBuildAgg]] — the same merge-safe aggregate

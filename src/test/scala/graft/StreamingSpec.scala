@@ -106,6 +106,49 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  describe("benfordStream") {
+    it("matches the batch twin and separates a Benford-ish hour from a uniform one") {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      // hour 1: digit counts [30,18,12,10,8,7,6,5,4] of 100 — close to
+      // Benford (divergence ~1.4e-3 < 0.05: no violation). hour 2: one
+      // value per digit — uniform 1/9 frequencies, the d=1 term alone is
+      // (1/9 - 0.30103)^2/0.30103 ~ 0.12 > 0.05: violation.
+      val benfordCounts = Seq(30, 18, 12, 10, 8, 7, 6, 5, 4)
+      val h1 = benfordCounts.zipWithIndex.flatMap { case (c, d) =>
+        (0 until c).map(j => (d + 1) * 10.0 + j % 10) }
+      val events =
+        h1.zipWithIndex.map { case (v, i) =>
+          Event(i + 1, ts(f"2024-01-01 10:${i % 60}%02d:00"), 1, "trade", v) } ++
+        (1 to 9).map(dg => Event(200 + dg, ts(f"2024-01-01 11:0$dg%d:00"), 2,
+          "trade", dg * 10.0))
+      val src = MemoryStream[Event]
+      val q = EventStreams.benfordStream(src.toDF(), "ts", "value", "1 hour")
+        .writeStream.format("memory").queryName("benford_out")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        src.addData(events: _*)
+        q.processAllAvailable()
+        val stream = spark.table("benford_out")
+          .groupBy($"win_start")
+          .agg(org.apache.spark.sql.functions.last($"n").as("n"),
+               org.apache.spark.sql.functions.last($"chi2").as("chi2"),
+               org.apache.spark.sql.functions.last($"violation").as("violation"))
+          .select($"win_start".cast("string"), $"n", $"chi2", $"violation")
+          .as[(String, Long, Double, Boolean)].collect().toSet
+        val batch = graft.ops.TimeSeriesOps.benfordDrift(events.toDF(), "ts",
+            "value", "1 hour")
+          .select($"win_start".cast("string"), $"n", $"chi2", $"violation")
+          .as[(String, Long, Double, Boolean)].collect().toSet
+        assert(stream == batch)
+        assert(stream.collectFirst { case (_, 100L, c, v) => (c < 0.05, v) }
+          .contains((true, false)))
+        assert(stream.collectFirst { case (_, 9L, c, v) => (c > 0.05, v) }
+          .contains((true, true)))
+      } finally q.stop()
+    }
+  }
+
   describe("hourlyOhlcStream") {
     it("revises bar endpoints when a late-but-in-watermark tick arrives") {
       implicit val sqlCtx = spark.sqlContext
