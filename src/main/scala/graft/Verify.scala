@@ -17,9 +17,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // stale-output guard (round 10): a query that THROWS before its
+    // write (e.g. during driver-side planning) used to leave the
+    // previous dump's parquet in place, and the oracle compare would
+    // false-PASS on stale rows. Delete the target first so a failure
+    // surfaces as "no spark output".
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      f.delete(); ()
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .foreach { case (name, fn) =>
+      val target = new java.io.File(s"$outDir/$name")
+      if (target.exists()) rmTree(target)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
