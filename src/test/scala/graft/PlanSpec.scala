@@ -571,4 +571,27 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("Join"), s"plan:\n$p")
     }
   }
+
+  describe("windowed drift monitors (round 10): one mergeable aggregate, stateless tail") {
+    it("q170 KS drift is ONE windowed aggregate — no join, no window op, no explode") {
+      // the monitored plan (post-calibration) must be the shape that
+      // runs unchanged under a streaming watermark: a single groupBy
+      // aggregate whose D arithmetic is per-row column work
+      val p = planOf("q170_ks_windowed_drift")
+      assert(!p.contains("Join"), s"plan:\n$p")
+      assert(!p.contains("Window"), s"plan:\n$p")
+      assert(!p.contains("Generate"), s"plan:\n$p")
+    }
+    it("q172 Benford screen is ONE windowed aggregate — no join, no window op, no explode") {
+      val p = planOf("q172_benford_windowed")
+      assert(!p.contains("Join"), s"plan:\n$p")
+      assert(!p.contains("Window"), s"plan:\n$p")
+      assert(!p.contains("Generate"), s"plan:\n$p")
+    }
+    it("q171 pipeline readout never goes cartesian or sort-merge (broadcast edges only)") {
+      val p = planOf("q171_warehouse_pipeline")
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+    }
+  }
 }
