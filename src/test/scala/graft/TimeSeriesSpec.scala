@@ -37,6 +37,61 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  describe("ksDrift (batch edge cases; stream parity in StreamingSpec)") {
+    it("rejects a refCdf whose length disagrees with the bucket count") {
+      val ev = mkEvents(Seq((1L, "2024-01-01 10:00:00", "a", 5.0)))
+      assertThrows[IllegalArgumentException] {
+        TimeSeriesOps.ksDrift(ev, "ts", "value", "1 hour", 0.0, 100.0,
+          buckets = 10, refCdf = Seq(0.5, 1.0))
+      }
+    }
+    it("clamps out-of-range values into the edge buckets (D reads them there)") {
+      // both values clamp to the TOP bucket of [0, 10) with 2 buckets:
+      // window CDF = [0, 1]; ref uniform [0.5, 1.0] -> D = 0.5 exactly
+      val ev = mkEvents(Seq(
+        (1L, "2024-01-01 10:00:00", "a", 999.0),
+        (2L, "2024-01-01 10:30:00", "a", -7.0))) // -7 floors below 0 -> bucket 0
+      val out = TimeSeriesOps.ksDrift(ev, "ts", "value", "1 hour", 0.0, 10.0,
+          buckets = 2, refCdf = Seq(0.5, 1.0))
+        .select($"n", $"d_stat").as[(Long, Double)].collect().toSet
+      // one value in each edge bucket: CDF = [0.5, 1.0] == ref -> D = 0
+      assert(out == Set((2L, 0.0)))
+    }
+    it("D is exactly the max CDF gap on a hand case") {
+      // 4 values all in bucket 0 of 4 over [0,40): CDF [1,1,1,1] vs
+      // uniform ref [0.25,0.5,0.75,1.0] -> D = |1-0.25| = 0.75
+      val ev = mkEvents((1 to 4).map(i =>
+        (i.toLong, s"2024-01-01 10:0$i:00", "a", 5.0)))
+      val out = TimeSeriesOps.ksDrift(ev, "ts", "value", "1 hour", 0.0, 40.0,
+          buckets = 4, refCdf = Seq(0.25, 0.5, 0.75, 1.0))
+        .select($"d_stat", $"drift").as[(Double, Boolean)].head()
+      assert(out == ((0.75, true))) // crit = 1.36/2 = 0.68 < 0.75
+    }
+  }
+
+  describe("benfordDrift (batch edge cases; stream parity in StreamingSpec)") {
+    it("excludes values below 1 and windows with no qualifying rows") {
+      val ev = mkEvents(Seq(
+        (1L, "2024-01-01 10:00:00", "a", 0.5),   // excluded
+        (2L, "2024-01-01 10:10:00", "a", 0.07),  // excluded
+        (3L, "2024-01-01 11:00:00", "a", 23.0))) // hour 11 only
+      val out = TimeSeriesOps.benfordDrift(ev, "ts", "value", "1 hour")
+        .select($"n").as[Long].collect().toSeq
+      assert(out == Seq(1L)) // hour 10 vanishes entirely (n = 0 filter)
+    }
+    it("reads the first digit through the DECIMAL(18,2) string form") {
+      // 9.99 -> digit 9; 10.01 -> digit 1; 100.5 -> digit 1
+      val ev = mkEvents(Seq(
+        (1L, "2024-01-01 10:00:00", "a", 9.99),
+        (2L, "2024-01-01 10:10:00", "a", 10.01),
+        (3L, "2024-01-01 10:20:00", "a", 100.5)))
+      // digits {9: 1/3, 1: 2/3}: chi2 fires hugely vs Benford
+      val out = TimeSeriesOps.benfordDrift(ev, "ts", "value", "1 hour")
+        .select($"n", $"violation").as[(Long, Boolean)].head()
+      assert(out == ((3L, true)))
+    }
+  }
+
   describe("ohlcBars") {
     it("takes time-ordered endpoints, not value extremes, for open/close") {
       val ev = mkEvents(Seq(
