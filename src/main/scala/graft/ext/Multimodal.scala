@@ -115,6 +115,28 @@ object Multimodal {
       }(enc)
   }
 
+  /** Budget-uniform frame-sampling PLAN over video metadata — the
+    * deterministic scheduling half of frame extraction (what a real
+    * pipeline computes BEFORE touching any pixels, and all it ever
+    * shuffles): per video, sample min(n_frames, budget) frames at
+    * uniform stride, frame_idx = floor(i * n_frames / m). Pure
+    * Catalyst (sequence + explode, in-row, map-only at any corpus
+    * size); [[sampleFrames]] is the payload-chunking consumer of this
+    * schedule. The index arithmetic is EXACT in double (m = budget is
+    * the power-of-two 8 when n >= budget, and i*n/n = i when n <
+    * budget), so the plan is oracle-checkable bit-for-bit. */
+  def frameSamplePlan(media: DataFrame, budget: Int): DataFrame = {
+    val m = least(col("n_frames"), lit(budget))
+    media.filter(col("modality") === "video")
+      .select(col("media_id"), col("meta.n_frames").as("n_frames"))
+      .withColumn("m", m)
+      .select(col("media_id"), col("n_frames"),
+              explode(sequence(lit(0), col("m") - 1)).as("sample_i"), col("m"))
+      .select(col("media_id"), col("n_frames"), col("sample_i"),
+              floor((col("sample_i") * col("n_frames")).cast("double") / col("m"))
+                .cast("long").as("frame_idx"))
+  }
+
   /** Oracle-checkable metadata lineage over the binary column (the
     * deterministic, non-stub part): byte length, sha256, per-source
     * first-byte bucket histogram. */

@@ -351,6 +351,41 @@ object Analytics {
          |hz AS (SELECT CAST(count(*) AS BIGINT) AS n_files_z, CAST(SUM(CASE WHEN mxx >= 32 AND mnx <= 47 AND mxp >= 64 AND mnp <= 79 THEN 1 ELSE 0 END) AS BIGINT) AS files_hit_z FROM sz),
          |hl AS (SELECT CAST(count(*) AS BIGINT) AS n_files_lin, CAST(SUM(CASE WHEN mxx >= 32 AND mnx <= 47 AND mxp >= 64 AND mnp <= 79 THEN 1 ELSE 0 END) AS BIGINT) AS files_hit_lin FROM sl),
          |rm AS (SELECT CAST(count(*) AS BIGINT) AS rows_matched FROM b WHERE sx BETWEEN 32 AND 47 AND px BETWEEN 64 AND 79)
-         |SELECT n_files_z, files_hit_z, n_files_lin, files_hit_lin, rows_matched FROM hz CROSS JOIN hl CROSS JOIN rm""".stripMargin.replace("\n", " ")))
+         |SELECT n_files_z, files_hit_z, n_files_lin, files_hit_lin, rows_matched FROM hz CROSS JOIN hl CROSS JOIN rm""".stripMargin.replace("\n", " "))),
+
+    QueryDef("q173_pareto_frontier",
+      "2-D Pareto frontier (skyline query, Borzsony et al. 2001 — the preference-query operator class the engine lacked): customers not dominated on (account balance, lifetime spend), where q dominates p iff q >= p on both axes and q > p on at least one; exact duplicates are mutually non-dominating and BOTH survive (the standard strict-dominance skyline). Scale form is two-tier grid pruning, never the quadratic dominance self-join the oracle states: (1) bucket acctbal (width 500, ~22 buckets on this domain; pick ~1e4 at 100 TB), take max(spend) per bucket, and a BOUNDED-grid window gives hmax(b) = best spend in any strictly HIGHER bucket — any point with spend <= hmax is dominated by an (ultimately unpruned, by induction up the bucket chain) point with strictly greater balance, so only spend > hmax survives: candidates shrink to ~frontier size while skyline(candidates) = skyline(all) since pruning is dominance-transitive-closed; (2) the exact pass runs only on candidates — per-balance max, then a frontier-sized cummax window over strictly-greater balances (ties on balance keep only its max-spend rows; equal spend at strictly higher balance dominates, hence the STRICT > filter). Every comparison is on raw doubles (acctbal) or exact-decimal-sum doubles (spend) — identical values in both engines, so the frontier SET hash-matches with zero rounding. The corpus pays one custkey shuffle (spend rollup) + the co-keyed customer join; the windows run over an ~22-row bucket grid and a frontier-sized candidate set, both broadcast back",
+      (s, d) => {
+        val spend = t(s, d, "orders").groupBy(col("o_custkey"))
+          .agg(dsum(col("o_totalprice")).as("spend"))
+        val g = t(s, d, "customer")
+          .select(col("c_custkey"), col("c_acctbal").as("acctbal"))
+          .join(spend, col("c_custkey") === col("o_custkey"))
+          .select(col("c_custkey"), col("acctbal"), col("spend"))
+        // tier 1: bucket prune — hmax(b) = max spend over strictly higher
+        // buckets; spend <= hmax(b) is provably dominated (bucket floors
+        // make "higher bucket" imply "strictly greater acctbal")
+        val b = g.withColumn("bkt", floor(col("acctbal") / lit(500.0)).cast("long"))
+        val wb = Window.orderBy(col("bkt").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val hmax = b.groupBy(col("bkt")).agg(max(col("spend")).as("bmax"))
+          .withColumn("hmax", max(col("bmax")).over(wb))
+          .select(col("bkt"), col("hmax"))
+        val cand = b.join(broadcast(hmax), Seq("bkt"))
+          .filter(col("hmax").isNull || col("spend") > col("hmax"))
+        // tier 2: exact skyline over the pruned candidates — within a
+        // balance only its max-spend rows can survive; across balances a
+        // point dies iff any strictly-greater balance reaches >= spend
+        val wa = Window.orderBy(col("acctbal").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val keep = cand.groupBy(col("acctbal")).agg(max(col("spend")).as("gmax"))
+          .withColumn("amax", max(col("gmax")).over(wa))
+          .filter(col("amax").isNull || col("gmax") > col("amax"))
+          .select(col("acctbal").as("k_bal"), col("gmax"))
+        cand.join(broadcast(keep),
+            col("acctbal") === col("k_bal") && col("spend") === col("gmax"))
+          .select(col("c_custkey"), col("acctbal"), col("spend"))
+      },
+      Some("""WITH o AS (SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS spend FROM orders GROUP BY 1), g AS (SELECT c_custkey, c_acctbal AS acctbal, spend FROM customer JOIN o ON c_custkey = o_custkey) SELECT c_custkey, acctbal, spend FROM g p WHERE NOT EXISTS (SELECT 1 FROM g q WHERE q.acctbal >= p.acctbal AND q.spend >= p.spend AND (q.acctbal > p.acctbal OR q.spend > p.spend))"""))
   )
 }

@@ -557,5 +557,11 @@ object LlmOps {
         fingerprint(col("text")).as("fp"),
         tokenCount(col("text")).as("n_tokens")),
       Some(s"""SELECT doc_id, ${ph(TextFunctions.sql.normalize("text"), 0)} AS fp, CAST(len(${TextFunctions.sql.tokensOf("text")}) AS BIGINT) AS n_tokens FROM documents"""))
+,
+    QueryDef("q174_frame_sampling",
+      "multimodal frame-sampling PLAN (the second oracle-checked multimodal row next to q30): per video in the q30 media table (round-robin modality over documents, n_frames from metadata), a budget-8 uniform-stride sample schedule — sample_i in [0, min(n,8)), frame_idx = floor(i*n/m). This is the half of frame extraction a 100 TB pipeline actually plans and shuffles (indices and byte ranges; the codec touch stays a narrow map over the schedule — ext.Multimodal.sampleFrames is the stubbed consumer). Entirely in-row (sequence+explode, map-only at any scale, bounded 8x fan-out); the index arithmetic is EXACT in double — m=8 is a power of two when n>=8, and i*n/n=i when n<8 — so the schedule hash-matches an uncorrelated generate_series join in DuckDB with zero rounding hazard. Strictly increasing per video, first frame always 0, never exceeds n-1: MultimodalSpec pins the stride properties",
+      (s, d) => graft.ext.Multimodal.frameSamplePlan(
+        graft.ext.Multimodal.mediaFromDocuments(t(s, d, "documents")), 8),
+      Some("""WITH v AS (SELECT doc_id AS media_id, CAST(n_chars % 64 + 1 AS INT) AS n_frames FROM documents WHERE doc_id % 3 = 2), r AS (SELECT CAST(i AS INT) AS sample_i FROM generate_series(0, 7) AS t(i)), e AS (SELECT media_id, n_frames, sample_i, least(n_frames, 8) AS m FROM v JOIN r ON sample_i < least(n_frames, 8)) SELECT media_id, n_frames, sample_i, CAST(floor(CAST(sample_i * n_frames AS DOUBLE) / m) AS BIGINT) AS frame_idx FROM e"""))
   )
 }
