@@ -601,6 +601,33 @@ object BehaviorOps {
               / (col("cum_n").cast("double") / col("tot_n").cast("double")))
               .as("lift"))
       },
-      Some("""WITH q AS (SELECT quantile_cont(l_extendedprice, 0.1) AS q1, quantile_cont(l_extendedprice, 0.2) AS q2, quantile_cont(l_extendedprice, 0.3) AS q3, quantile_cont(l_extendedprice, 0.4) AS q4, quantile_cont(l_extendedprice, 0.5) AS q5, quantile_cont(l_extendedprice, 0.6) AS q6, quantile_cont(l_extendedprice, 0.7) AS q7, quantile_cont(l_extendedprice, 0.8) AS q8, quantile_cont(l_extendedprice, 0.9) AS q9 FROM lineitem), b AS (SELECT CAST((CASE WHEN l_extendedprice > q1 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > q2 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > q3 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > q4 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > q5 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > q6 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > q7 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > q8 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > q9 THEN 1 ELSE 0 END) AS BIGINT) AS bin, (l_returnflag = 'R') AS pos FROM lineitem, q), c AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(count(*) FILTER (WHERE pos) AS BIGINT) AS n_pos FROM b GROUP BY 1), w AS (SELECT bin, n, n_pos, CAST(SUM(n) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n, CAST(SUM(n_pos) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos, CAST(SUM(n) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS tot_n, CAST(SUM(n_pos) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS tot_pos FROM c) SELECT bin, n, n_pos, cum_n, cum_pos, floor(CAST(cum_n AS DOUBLE) / CAST(tot_n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS cum_pop_share, floor(CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE) * 1e6 + 0.5) / 1e6 AS gain, floor((CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE)) / (CAST(cum_n AS DOUBLE) / CAST(tot_n AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS lift FROM w"""))
+      Some("""WITH q AS (SELECT quantile_cont(l_extendedprice, 0.1) AS q1, quantile_cont(l_extendedprice, 0.2) AS q2, quantile_cont(l_extendedprice, 0.3) AS q3, quantile_cont(l_extendedprice, 0.4) AS q4, quantile_cont(l_extendedprice, 0.5) AS q5, quantile_cont(l_extendedprice, 0.6) AS q6, quantile_cont(l_extendedprice, 0.7) AS q7, quantile_cont(l_extendedprice, 0.8) AS q8, quantile_cont(l_extendedprice, 0.9) AS q9 FROM lineitem), b AS (SELECT CAST((CASE WHEN l_extendedprice > q1 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > q2 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > q3 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > q4 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > q5 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > q6 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > q7 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > q8 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > q9 THEN 1 ELSE 0 END) AS BIGINT) AS bin, (l_returnflag = 'R') AS pos FROM lineitem, q), c AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(count(*) FILTER (WHERE pos) AS BIGINT) AS n_pos FROM b GROUP BY 1), w AS (SELECT bin, n, n_pos, CAST(SUM(n) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n, CAST(SUM(n_pos) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos, CAST(SUM(n) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS tot_n, CAST(SUM(n_pos) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS tot_pos FROM c) SELECT bin, n, n_pos, cum_n, cum_pos, floor(CAST(cum_n AS DOUBLE) / CAST(tot_n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS cum_pop_share, floor(CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE) * 1e6 + 0.5) / 1e6 AS gain, floor((CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE)) / (CAST(cum_n AS DOUBLE) / CAST(tot_n AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS lift FROM w""")),
+
+    QueryDef("q176_seasonal_decomposition",
+      "classical additive seasonal decomposition of the daily revenue series — the CONSTRUCTIVE member completing the time-series triad (q153 DIAGNOSES seasonality via ACF, q154 SMOOTHS trend via Holt, this SPLITS the series into the three parts every forecast/anomaly pipeline consumes): day_total = trend + seasonal + residual. Trend = centered 7-day moving average (the moving-average filter that exactly annihilates a period-7 seasonal pattern; null at each edge where the window is partial, the classical convention), seasonal = per-day-of-week mean of the detrended series (dow NORMALIZED to DuckDB's Sunday=0 — Spark's dayofweek is Sunday=1, the q162 off-by-one), residual = what neither explains. Determinism: daily totals and the 7-day window sum accumulate in exact DECIMAL(38,6) (order-independent; the trend division by 7.0 and every downstream subtraction are per-row IEEE ops on identical doubles), detrended values pre-round onto the 6-dp floor-grid before the per-dow decimal mean, all outputs 6-dp. Scale: the corpus pays ONE map-side-combined scan into the day grid (~2.4k rows here, bounded by calendar span at any SF — 36.5k rows per century); the unpartitioned trend window and the 7-row dow profile join (broadcast) are grid-sized, never corpus-sized. The honest fixture readout: seasonal amplitude ~±2% of the daily mean — this fixture's synthetic orders carry weak weekday structure, and the residual column says exactly how weak",
+      (s, d) => {
+        def g6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+        val daily = t(s, d, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(dsum(col("o_totalprice")).as("day_total"))
+        val wt = Window.orderBy(col("day")).rowsBetween(-3, 3)
+        val tr = daily
+          .withColumn("wsum",
+            sum(col("day_total").cast(DecimalType(38, 6))).over(wt).cast("double"))
+          .withColumn("wn", count(lit(1)).over(wt))
+          .withColumn("trend",
+            when(col("wn") === 7, g6(col("wsum") / lit(7.0))))
+          .withColumn("dow", dayofweek(col("day")).cast("long") - 1L)
+        val seas = tr.filter(col("trend").isNotNull)
+          .groupBy(col("dow"))
+          .agg((sum(g6(col("day_total") - col("trend")).cast(DecimalType(38, 6)))
+            .cast("double") / count(lit(1))).as("sraw"))
+          .select(col("dow"), g6(col("sraw")).as("seasonal"))
+        tr.join(broadcast(seas), Seq("dow"))
+          .select(col("day"), col("day_total"), col("trend"), col("seasonal"),
+            when(col("trend").isNotNull,
+              g6(col("day_total") - col("trend") - col("seasonal"))).as("residual"))
+      },
+      Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS day_total FROM orders GROUP BY 1), tr AS (SELECT day, day_total, CAST(SUM(CAST(day_total AS DECIMAL(38,6))) OVER w AS DOUBLE) AS wsum, count(*) OVER w AS wn, dayofweek(day) AS dow FROM daily WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), t2 AS (SELECT day, day_total, CASE WHEN wn = 7 THEN floor(wsum / 7.0 * 1e6 + 0.5) / 1e6 END AS trend, CAST(dow AS BIGINT) AS dow FROM tr), seas AS (SELECT dow, floor(CAST(SUM(CAST(floor((day_total - trend) * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS seasonal FROM t2 WHERE trend IS NOT NULL GROUP BY 1) SELECT day, day_total, trend, seasonal, CASE WHEN trend IS NOT NULL THEN floor((day_total - trend - seasonal) * 1e6 + 0.5) / 1e6 END AS residual FROM t2 JOIN seas USING (dow)"""))
   )
 }

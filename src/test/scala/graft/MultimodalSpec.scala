@@ -39,6 +39,36 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  describe("frameSamplePlan (q174 schedule)") {
+    it("pins the uniform-stride schedule properties per video") {
+      // videos with n_frames sweeping below/at/above the budget:
+      // doc_id % 3 == 2 selects videos; n_frames = n_chars % 64 + 1
+      val wide = (0L until 60L).map { i =>
+        (i, "x" * (i % 70).toInt, "en", s"src${i % 3}", i % 70)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val plan = Multimodal
+        .frameSamplePlan(Multimodal.mediaFromDocuments(wide), budget = 8)
+        .collect()
+        .groupBy(_.getAs[Long]("media_id"))
+      assert(plan.nonEmpty)
+      plan.foreach { case (_, rows) =>
+        val n = rows.head.getAs[Int]("n_frames")
+        val sorted = rows.sortBy(_.getAs[Int]("sample_i"))
+        val idx = sorted.map(_.getAs[Long]("frame_idx"))
+        // exactly min(n, budget) samples, sample_i dense from 0
+        assert(rows.length == math.min(n, 8))
+        assert(sorted.map(_.getAs[Int]("sample_i")).toSeq ==
+          (0 until rows.length))
+        // schedule starts at frame 0, stays in range, strictly increases
+        assert(idx.head == 0L)
+        assert(idx.last <= n - 1L)
+        assert(idx.zip(idx.tail).forall { case (a, b) => a < b })
+        // below the budget the schedule is the identity (every frame)
+        if (n < 8) assert(idx.toSeq == (0L until n.toLong))
+      }
+    }
+  }
+
   describe("sampleFrames") {
     it("partitions the payload into stride-sampled frame chunks") {
       val frames = Multimodal.sampleFrames(Multimodal.mediaFromDocuments(docs), stride = 2)
