@@ -371,8 +371,14 @@ object Analytics {
         val hmax = b.groupBy(col("bkt")).agg(max(col("spend")).as("bmax"))
           .withColumn("hmax", max(col("bmax")).over(wb))
           .select(col("bkt"), col("hmax"))
+        // candidates are ~frontier-sized after pruning, and BOTH the
+        // exact pass and the final membership join read them — checkpoint
+        // (the ops.Quantiles caller contract, VERDICT r9) so the corpus
+        // subtree (spend shuffle + customer join + grid broadcast) runs
+        // once, not once per consumer
         val cand = b.join(broadcast(hmax), Seq("bkt"))
           .filter(col("hmax").isNull || col("spend") > col("hmax"))
+          .localCheckpoint(true)
         // tier 2: exact skyline over the pruned candidates — within a
         // balance only its max-spend rows can survive; across balances a
         // point dies iff any strictly-greater balance reaches >= spend
