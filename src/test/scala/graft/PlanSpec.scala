@@ -594,4 +594,32 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
     }
   }
+
+  describe("seventh batch strategy (round 10)") {
+    it("q173 skyline is broadcast joins only — never the dominance self-join") {
+      // the oracle STATES a quadratic NOT EXISTS; the engine must never
+      // plan one: bucket pruning + grid/frontier broadcasts only
+      val p = planOf("q173_pareto_frontier")
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
+    }
+    it("q174 frame-sampling plan is map-only: no exchange anywhere") {
+      val p = planOf("q174_frame_sampling")
+      assert(!p.contains("Exchange"), s"plan:\n$p")
+      assert(!p.contains("Join"), s"plan:\n$p")
+    }
+    it("q175 gains table binning joins only a broadcast one-row edge frame") {
+      val p = planOf("q175_gains_deciles")
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+    }
+    it("q176 seasonal split pays one corpus aggregate; dow profile joins broadcast") {
+      val p = planOf("q176_seasonal_decomposition")
+      assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
+    }
+  }
 }
