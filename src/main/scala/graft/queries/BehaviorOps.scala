@@ -628,6 +628,37 @@ object BehaviorOps {
             when(col("trend").isNotNull,
               g6(col("day_total") - col("trend") - col("seasonal"))).as("residual"))
       },
-      Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS day_total FROM orders GROUP BY 1), tr AS (SELECT day, day_total, CAST(SUM(CAST(day_total AS DECIMAL(38,6))) OVER w AS DOUBLE) AS wsum, count(*) OVER w AS wn, dayofweek(day) AS dow FROM daily WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), t2 AS (SELECT day, day_total, CASE WHEN wn = 7 THEN floor(wsum / 7.0 * 1e6 + 0.5) / 1e6 END AS trend, CAST(dow AS BIGINT) AS dow FROM tr), seas AS (SELECT dow, floor(CAST(SUM(CAST(floor((day_total - trend) * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS seasonal FROM t2 WHERE trend IS NOT NULL GROUP BY 1) SELECT day, day_total, trend, seasonal, CASE WHEN trend IS NOT NULL THEN floor((day_total - trend - seasonal) * 1e6 + 0.5) / 1e6 END AS residual FROM t2 JOIN seas USING (dow)"""))
+      Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS day_total FROM orders GROUP BY 1), tr AS (SELECT day, day_total, CAST(SUM(CAST(day_total AS DECIMAL(38,6))) OVER w AS DOUBLE) AS wsum, count(*) OVER w AS wn, dayofweek(day) AS dow FROM daily WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), t2 AS (SELECT day, day_total, CASE WHEN wn = 7 THEN floor(wsum / 7.0 * 1e6 + 0.5) / 1e6 END AS trend, CAST(dow AS BIGINT) AS dow FROM tr), seas AS (SELECT dow, floor(CAST(SUM(CAST(floor((day_total - trend) * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS seasonal FROM t2 WHERE trend IS NOT NULL GROUP BY 1) SELECT day, day_total, trend, seasonal, CASE WHEN trend IS NOT NULL THEN floor((day_total - trend - seasonal) * 1e6 + 0.5) / 1e6 END AS residual FROM t2 JOIN seas USING (dow)""")),
+
+    QueryDef("q178_calibration_ece",
+      "reliability diagram + expected calibration error — the CALIBRATION leg completing model evaluation (q159 scores DISCRIMINATION by AUC, q175 sizes DEPLOYMENT by lift; this asks whether the score MEANS what it says): the naive length scorer conf = n_chars/max(n_chars) predicting lang='en', cut into 10 equal-width confidence bins; per bin the mean claimed confidence, the empirical positive rate, their gap, and ECE = sum over bins of (n_b/N)*|gap| broadcast on every row (the q167 curve+scalar shape). A perfectly calibrated scorer has gap~0 everywhere; this one is HONESTLY terrible (ECE ~0.37: length claims high confidence it can't cash — consistent with q159's AUC~0.49 no-signal readout), and the diagram shows exactly where. Determinism: conf is one shared IEEE division against a broadcast max row, per-bin conf sums pre-round onto the 6-dp floor-grid into exact decimal, every downstream column derives from already-rounded columns with identical expression trees, ECE's weighted terms re-round before their exact grid sum. Scale: ONE corpus aggregate into the 10-row bin grid with map-side combine; the max row broadcasts; every window is grid-sized",
+      (s, d) => {
+        def g6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+        val docs = t(s, d, "documents")
+          .select(col("n_chars"), (col("lang") === "en").as("pos"))
+        val mx = docs.agg(max(col("n_chars")).cast("double").as("maxc"))
+        val binned = docs.crossJoin(broadcast(mx))
+          .select((col("n_chars").cast("double") / col("maxc")).as("conf"),
+                  col("pos"))
+          .select(least(floor(col("conf") * 10).cast("long"), lit(9L)).as("bin"),
+                  col("conf"), col("pos"))
+          .groupBy(col("bin"))
+          .agg(lcount(lit(1)).as("n"),
+               count(when(col("pos"), 1)).cast("long").as("n_pos"),
+               sum(g6(col("conf")).cast(DecimalType(38, 6))).cast("double").as("csum"))
+        val wAll = Window.orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        binned
+          .withColumn("tot", sum(col("n")).over(wAll).cast("long"))
+          .withColumn("mean_conf", g6(col("csum") / col("n")))
+          .withColumn("pos_rate", g6(col("n_pos").cast("double") / col("n")))
+          .withColumn("gap", g6(abs(col("mean_conf") - col("pos_rate"))))
+          .withColumn("ece", g6(sum(
+              g6(col("n").cast("double") / col("tot") * col("gap"))
+                .cast(DecimalType(38, 6))).over(wAll).cast("double")))
+          .select(col("bin"), col("n"), col("n_pos"), col("mean_conf"),
+                  col("pos_rate"), col("gap"), col("ece"))
+      },
+      Some("""WITH mx AS (SELECT CAST(max(n_chars) AS DOUBLE) AS maxc FROM documents), s AS (SELECT CAST(n_chars AS DOUBLE) / maxc AS conf, (lang = 'en') AS pos FROM documents, mx), b AS (SELECT least(CAST(floor(conf * 10) AS BIGINT), 9) AS bin, conf, pos FROM s), c AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(count(*) FILTER (WHERE pos) AS BIGINT) AS n_pos, CAST(SUM(CAST(floor(conf * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS csum FROM b GROUP BY 1), w AS (SELECT bin, n, n_pos, CAST(SUM(n) OVER () AS BIGINT) AS tot, floor(csum / n * 1e6 + 0.5) / 1e6 AS mean_conf, floor(CAST(n_pos AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS pos_rate FROM c), g AS (SELECT *, floor(abs(mean_conf - pos_rate) * 1e6 + 0.5) / 1e6 AS gap FROM w) SELECT bin, n, n_pos, mean_conf, pos_rate, gap, floor(CAST(SUM(CAST(floor(CAST(n AS DOUBLE) / tot * gap * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) OVER () AS DOUBLE) * 1e6 + 0.5) / 1e6 AS ece FROM g"""))
   )
 }

@@ -562,6 +562,27 @@ object LlmOps {
       "multimodal frame-sampling PLAN (the second oracle-checked multimodal row next to q30): per video in the q30 media table (round-robin modality over documents, n_frames from metadata), a budget-8 uniform-stride sample schedule — sample_i in [0, min(n,8)), frame_idx = floor(i*n/m). This is the half of frame extraction a 100 TB pipeline actually plans and shuffles (indices and byte ranges; the codec touch stays a narrow map over the schedule — ext.Multimodal.sampleFrames is the stubbed consumer). Entirely in-row (sequence+explode, map-only at any scale, bounded 8x fan-out); the index arithmetic is EXACT in double — m=8 is a power of two when n>=8, and i*n/n=i when n<8 — so the schedule hash-matches an uncorrelated generate_series join in DuckDB with zero rounding hazard. Strictly increasing per video, first frame always 0, never exceeds n-1: MultimodalSpec pins the stride properties",
       (s, d) => graft.ext.Multimodal.frameSamplePlan(
         graft.ext.Multimodal.mediaFromDocuments(t(s, d, "documents")), 8),
-      Some("""WITH v AS (SELECT doc_id AS media_id, CAST(n_chars % 64 + 1 AS INT) AS n_frames FROM documents WHERE doc_id % 3 = 2), r AS (SELECT CAST(i AS INT) AS sample_i FROM generate_series(0, 7) AS t(i)), e AS (SELECT media_id, n_frames, sample_i, least(n_frames, 8) AS m FROM v JOIN r ON sample_i < least(n_frames, 8)) SELECT media_id, n_frames, sample_i, CAST(floor(CAST(sample_i * n_frames AS DOUBLE) / m) AS BIGINT) AS frame_idx FROM e"""))
+      Some("""WITH v AS (SELECT doc_id AS media_id, CAST(n_chars % 64 + 1 AS INT) AS n_frames FROM documents WHERE doc_id % 3 = 2), r AS (SELECT CAST(i AS INT) AS sample_i FROM generate_series(0, 7) AS t(i)), e AS (SELECT media_id, n_frames, sample_i, least(n_frames, 8) AS m FROM v JOIN r ON sample_i < least(n_frames, 8)) SELECT media_id, n_frames, sample_i, CAST(floor(CAST(sample_i * n_frames AS DOUBLE) / m) AS BIGINT) AS frame_idx FROM e""")),
+
+    QueryDef("q177_canonical_election",
+      "SURVIVORSHIP election over the q48 dup clusters — the half of dedup q48/q52 don't do: those keep the MIN-ID representative (an arbitrary choice), while a production pipeline keeps the BEST member and rolls provenance up. Per connected component of the exact-jaccard pair graph: canonical = the longest member (max n_chars, min doc_id tiebreak — elected via ONE max(struct) aggregate, never a per-cluster window over the corpus), plus member count, total chars, and the sorted distinct source list (array_sort(collect_set) == string_agg DISTINCT ORDER BY — both engines order the same way on ASCII source names). Scale: clusters ship as the bounded dedupGroups output (driver union-find under the 4M-edge cap, distributed min-label propagation above — both proven identical fixpoints); the election joins corpus rows to their cluster once and aggregates — cluster cardinality bounds every group, and the sources set is bounded by the source vocabulary",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val groups = Dedup.dedupGroups(
+          Dedup.ngramJaccardPairs(docs, "text", "doc_id", "lang", 3, 0.5,
+                                  maxDf = Int.MaxValue),
+          "id_a", "id_b")
+        docs.join(groups, Seq("doc_id"))
+          .groupBy(col("group_rep"))
+          .agg(
+            max(struct(col("n_chars"), (-col("doc_id")).as("nd"))).as("m"),
+            lcount(lit(1)).as("n_members"),
+            lsum(col("n_chars")).as("total_chars"),
+            array_join(array_sort(collect_set(col("source"))), ",").as("sources"))
+          .select(col("group_rep"), (-col("m.nd")).as("canonical_id"),
+                  col("m.n_chars").as("canonical_chars"),
+                  col("n_members"), col("total_chars"), col("sources"))
+      },
+      Some(s"""WITH RECURSIVE $shingleCte, $jaccardTail, p AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5), e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p), reach(id, lbl) AS (SELECT src, src FROM e UNION SELECT e2.src, r.lbl FROM e e2 JOIN reach r ON r.id = e2.dst), g AS (SELECT id AS doc_id, MIN(lbl) AS group_rep FROM reach GROUP BY id), j AS (SELECT g.group_rep, d.doc_id, d.n_chars, d.source FROM g JOIN documents d USING (doc_id)), rk AS (SELECT *, row_number() OVER (PARTITION BY group_rep ORDER BY n_chars DESC, doc_id) AS rn FROM j), agg AS (SELECT group_rep, CAST(count(*) AS BIGINT) AS n_members, CAST(SUM(n_chars) AS BIGINT) AS total_chars, string_agg(DISTINCT source, ',' ORDER BY source) AS sources FROM j GROUP BY 1) SELECT a.group_rep, c.doc_id AS canonical_id, c.n_chars AS canonical_chars, a.n_members, a.total_chars, a.sources FROM agg a JOIN (SELECT group_rep, doc_id, n_chars FROM rk WHERE rn = 1) c USING (group_rep)"""))
   )
 }

@@ -214,6 +214,33 @@ object StatsOps {
             (floor((lit(1.0) - col("area")) * lit(1e6) + lit(0.5)) / lit(1e6))
               .as("gini"))))
       },
-      Some("""WITH rev AS (SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS r FROM orders GROUP BY 1), s AS (SELECT min(r) AS mn, max(r) AS mx FROM rev), b AS (SELECT CAST(least(255.0, floor((r - mn) / ((mx - mn) / 256.0))) AS BIGINT) AS bin, r FROM rev, s), c AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(SUM(CAST(floor(r * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS rs FROM b GROUP BY 1), w AS (SELECT bin, n, CAST(SUM(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn, CAST(SUM(CAST(floor(rs * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cr FROM c), t AS (SELECT CAST(max(cn) AS BIGINT) AS tn, max(cr) AS tr FROM w), l AS (SELECT bin, n, CAST(cn AS DOUBLE) / tn AS p, cr / tr AS q, CAST(COALESCE(lag(cn) OVER (ORDER BY bin), 0) AS DOUBLE) / tn AS p0, COALESCE(lag(cr) OVER (ORDER BY bin), 0.0) / tr AS q0 FROM w, t), g AS (SELECT CAST(SUM(CAST(floor((p - p0) * (q + q0) * 1e9 + 0.5) / 1e9 AS DECIMAL(38,9))) AS DOUBLE) AS area FROM l) SELECT bin, n, floor(p * 1e6 + 0.5) / 1e6 AS cum_pop, floor(q * 1e6 + 0.5) / 1e6 AS cum_rev, floor((1.0 - area) * 1e6 + 0.5) / 1e6 AS gini FROM l, g"""))
+      Some("""WITH rev AS (SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS r FROM orders GROUP BY 1), s AS (SELECT min(r) AS mn, max(r) AS mx FROM rev), b AS (SELECT CAST(least(255.0, floor((r - mn) / ((mx - mn) / 256.0))) AS BIGINT) AS bin, r FROM rev, s), c AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(SUM(CAST(floor(r * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS rs FROM b GROUP BY 1), w AS (SELECT bin, n, CAST(SUM(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn, CAST(SUM(CAST(floor(rs * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cr FROM c), t AS (SELECT CAST(max(cn) AS BIGINT) AS tn, max(cr) AS tr FROM w), l AS (SELECT bin, n, CAST(cn AS DOUBLE) / tn AS p, cr / tr AS q, CAST(COALESCE(lag(cn) OVER (ORDER BY bin), 0) AS DOUBLE) / tn AS p0, COALESCE(lag(cr) OVER (ORDER BY bin), 0.0) / tr AS q0 FROM w, t), g AS (SELECT CAST(SUM(CAST(floor((p - p0) * (q + q0) * 1e9 + 0.5) / 1e9 AS DECIMAL(38,9))) AS DOUBLE) AS area FROM l) SELECT bin, n, floor(p * 1e6 + 0.5) / 1e6 AS cum_pop, floor(q * 1e6 + 0.5) / 1e6 AS cum_rev, floor((1.0 - area) * 1e6 + 0.5) / 1e6 AS gini FROM l, g""")),
+
+    QueryDef("q179_neyman_allocation",
+      "Neyman-optimal stratified sampling DESIGN — the planning step the q61-q65 sampling executors consume: for a budget of 1000 customers stratified by nation, allocate n_h proportional to N_h*sigma_h of acctbal (strata that are big AND internally varied get more samples; minimizes the variance of the stratified mean at fixed budget, Neyman 1934), next to the naive proportional allocation for contrast. Per stratum: N_h, the population sd (exact decimal moments — x and x^2 pre-rounded onto the 6-dp grid; x^2~1e8 sits well above its ~1.5e-8 ulp, the q138 quantum-above-ulp rule; variance CLAMPED at 0 before sqrt, the q152 degenerate-series lesson), weight w_h = N_h*sd_h rounded to the grid, then both allocations as shared-expression IEEE divisions against window totals over the ~25-row nation grid. The honest readout: acctbal is uniform across nations on this fixture, so Neyman ~ proportional — the design DETECTS that stratification buys nothing here, which is exactly what the planning step is for. Scale: ONE corpus aggregate with map-side combine into the nation grid; everything downstream is grid-sized",
+      (s, d) => {
+        def g6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+        val st = t(s, d, "customer")
+          .groupBy(col("c_nationkey").as("nation"))
+          .agg(lcount(lit(1)).as("n_h"),
+               sum(g6(col("c_acctbal")).cast(DecimalType(38, 6)))
+                 .cast("double").as("sx"),
+               sum(g6(col("c_acctbal") * col("c_acctbal"))
+                 .cast(DecimalType(38, 6))).cast("double").as("sxx"))
+        val mu = col("sx") / col("n_h")
+        val sd = sqrt(greatest(lit(0.0), col("sxx") / col("n_h") - mu * mu))
+        val g = st.select(col("nation"), col("n_h"),
+          g6(sd).as("sd_h"))
+          .withColumn("w_h", g6(col("n_h") * col("sd_h")))
+        val wAll = Window.orderBy(col("nation"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        g.withColumn("tw", sum(col("w_h").cast(DecimalType(38, 6))).over(wAll)
+            .cast("double"))
+          .withColumn("tn", sum(col("n_h")).over(wAll).cast("long"))
+          .select(col("nation"), col("n_h"), col("sd_h"),
+            g6(lit(1000.0) * col("w_h") / col("tw")).as("neyman_n"),
+            g6(lit(1000.0) * col("n_h").cast("double") / col("tn")).as("prop_n"))
+      },
+      Some("""WITH st AS (SELECT c_nationkey AS nation, CAST(count(*) AS BIGINT) AS n_h, CAST(SUM(CAST(floor(c_acctbal * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS sx, CAST(SUM(CAST(floor(c_acctbal * c_acctbal * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS sxx FROM customer GROUP BY 1), g AS (SELECT nation, n_h, floor(sqrt(greatest(0.0, sxx / n_h - (sx / n_h) * (sx / n_h))) * 1e6 + 0.5) / 1e6 AS sd_h FROM st), w AS (SELECT nation, n_h, sd_h, floor(n_h * sd_h * 1e6 + 0.5) / 1e6 AS w_h FROM g), tot AS (SELECT nation, n_h, sd_h, w_h, CAST(SUM(CAST(w_h AS DECIMAL(38,6))) OVER () AS DOUBLE) AS tw, CAST(SUM(n_h) OVER () AS BIGINT) AS tn FROM w) SELECT nation, n_h, sd_h, floor(1000.0 * w_h / tw * 1e6 + 0.5) / 1e6 AS neyman_n, floor(1000.0 * CAST(n_h AS DOUBLE) / tn * 1e6 + 0.5) / 1e6 AS prop_n FROM tot"""))
   )
 }

@@ -622,4 +622,26 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
     }
   }
+
+  describe("eighth batch strategy (round 10)") {
+    it("q177 election joins clusters once, never cartesian or sort-merge") {
+      val p = planOf("q177_canonical_election")
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+    }
+    it("q178 ECE pays one corpus aggregate; only the one-row max frame broadcasts") {
+      val p = planOf("q178_calibration_ece")
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+    }
+    it("q179 Neyman design is one aggregate + grid windows — no join anywhere") {
+      val p = planOf("q179_neyman_allocation")
+      assert(!p.contains("Join"), s"plan:\n$p")
+    }
+    it("q180 FIFO's range predicate rides the user equi-join — never nested-loop") {
+      val p = planOf("q180_fifo_matching")
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+    }
+  }
 }
