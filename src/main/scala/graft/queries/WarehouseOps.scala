@@ -386,29 +386,14 @@ object WarehouseOps {
     QueryDef("q180_fifo_matching",
       "FIFO lot matching — cost-basis / inventory-consumption allocation, the warehouse op everyone writes as a sequential queue and then can't scale: per user, inflow events (signup/click/view, quantity = value) build lots in time order, purchases consume them oldest-first, output = every (purchase, lot) match with its consumed quantity and holding time. The engine form is the DECLARATIVE one: FIFO allocation is EXACTLY interval overlap on the two cumulative-quantity axes — lot i occupies [cum_in_before, cum_in_after) of the user's inflow axis, purchase o consumes [cum_out_before, cum_out_after) of the same axis, matched qty = overlap length — so the whole operator is two per-user prefix-sum windows + ONE user-keyed equi-join with a range post-filter. No queue, no fold, no per-row state: the q145-family sequential shape turns out NOT to need tier-(d) mapPartitions because prefix sums linearize it (the ShardedPrefix insight applied to matching). Determinism: quantities floor to the 6-dp grid ONCE, every cumsum/endpoint/overlap stays exact DECIMAL(38,6) until the final cast — with one cross-engine trap found by the hash gate: DuckDB's least/greatest SILENTLY promote DECIMAL operands to DOUBLE (measured 2e-13 drift on 3274 rows), so the oracle writes the endpoint min/max as CASE comparisons, which stay decimal. Scale: two user-keyed window passes + one co-keyed join; per-user match count is n_in + n_out - 1 at most (FIFO intervals are consecutive), so output is linear in the corpus; the join's range filter evaluates streamed per user — never a materialized per-user cross product",
       (s, d) => {
-        val D6 = DecimalType(38, 6)
         val ev = t(s, d, "events").select(col("user_id"), col("ts"),
-          col("event_id"), col("event_type"),
-          (floor(col("value") * lit(1e6) + lit(0.5)) / lit(1e6)).cast(D6).as("qty"))
-        val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts"), col("event_id"))
-          .rowsBetween(Window.unboundedPreceding, 0)
-        val inf = ev.filter(col("event_type").isin("signup", "click", "view"))
-          .withColumn("in_hi", sum(col("qty")).over(w))
-          .select(col("user_id"), col("event_id").as("in_event"),
-                  col("ts").as("in_ts"),
-                  (col("in_hi") - col("qty")).as("in_lo"), col("in_hi"))
-        val out = ev.filter(col("event_type") === "purchase")
-          .withColumn("out_hi", sum(col("qty")).over(w))
-          .select(col("user_id"), col("event_id").as("out_event"),
-                  col("ts").as("out_ts"),
-                  (col("out_hi") - col("qty")).as("out_lo"), col("out_hi"))
-        inf.join(out, Seq("user_id"))
-          .filter(col("in_lo") < col("out_hi") && col("out_lo") < col("in_hi"))
-          .select(col("user_id"), col("out_event"), col("in_event"),
-            (least(col("in_hi"), col("out_hi"))
-              - greatest(col("in_lo"), col("out_lo"))).cast("double")
-              .as("matched_qty"),
+          col("event_id"), col("event_type"), col("value"))
+        graft.ops.Fifo.matchLots(
+            ev.filter(col("event_type").isin("signup", "click", "view")),
+            ev.filter(col("event_type") === "purchase"),
+            "user_id", "ts", "event_id", "value")
+          .select(col("user_id"), col("out_id").as("out_event"),
+            col("in_id").as("in_event"), col("matched_qty"),
             (unix_micros(col("out_ts")) - unix_micros(col("in_ts")))
               .as("hold_us"))
       },

@@ -170,4 +170,43 @@ class WarehouseSpec extends SparkSpec {
         .foreach(assertMergeEqualsBatch(all, _))
     }
   }
+
+  // -------------------------------------------------------------- FIFO
+
+  describe("Fifo.matchLots (q180)") {
+    def frame(rows: (Long, Long, Long, Double)*): DataFrame =
+      rows.toDF("k", "ts", "id", "qty")
+
+    def matches(inf: DataFrame, out: DataFrame): Map[(Long, Long), Double] =
+      graft.ops.Fifo.matchLots(inf, out, "k", "ts", "id", "qty")
+        .select($"out_id", $"in_id", $"matched_qty")
+        .as[(Long, Long, Double)].collect()
+        .map { case (o, i, q) => (o, i) -> q }.toMap
+
+    it("splits outflows across lot boundaries oldest-first, drops unbacked demand") {
+      // lots: 5 then 3 -> axis [0,5) [5,8); outs: 2, 4, 5 -> [0,2) [2,6) [6,11)
+      val inf = frame((1L, 1L, 101L, 5.0), (1L, 2L, 102L, 3.0))
+      val out = frame((1L, 3L, 201L, 2.0), (1L, 4L, 202L, 4.0), (1L, 5L, 203L, 5.0))
+      val m = matches(inf, out)
+      assert(m == Map(
+        (201L, 101L) -> 2.0,            // fully inside lot 1
+        (202L, 101L) -> 3.0,            // drains lot 1...
+        (202L, 102L) -> 1.0,            // ...spills into lot 2
+        (203L, 102L) -> 2.0))           // last 3 units unbacked -> no row
+      // conservation: matched total == min(total inflow, total outflow)
+      assert(m.values.sum == 8.0)
+    }
+    it("orders same-timestamp events by id to make the axis total") {
+      val inf = frame((1L, 1L, 102L, 2.0), (1L, 1L, 101L, 1.0))
+      val out = frame((1L, 2L, 201L, 1.0))
+      // id 101 sorts first despite appearing second -> it backs the outflow
+      assert(matches(inf, out) == Map((201L, 101L) -> 1.0))
+    }
+    it("keeps keys independent and exact on the 6-dp grid") {
+      val inf = frame((1L, 1L, 101L, 0.000001), (2L, 1L, 102L, 7.5))
+      val out = frame((1L, 2L, 201L, 0.000001), (2L, 2L, 202L, 2.5))
+      assert(matches(inf, out) == Map(
+        (201L, 101L) -> 0.000001, (202L, 102L) -> 2.5))
+    }
+  }
 }
