@@ -562,8 +562,16 @@ object BehaviorOps {
       Some("""WITH t AS (SELECT user_id, ts, event_id, event_type FROM events WHERE event_type IN ('view','click')), p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'), pr AS (SELECT p.event_id AS pid, p.value, t.event_type AS channel, t.ts AS tts, t.event_id AS tid FROM p JOIN t ON t.user_id = p.user_id AND (t.ts < p.ts OR (t.ts = p.ts AND t.event_id < p.event_id)) AND epoch_us(p.ts) - epoch_us(t.ts) <= 604800000000), rk AS (SELECT pid, value, channel, row_number() OVER (PARTITION BY pid ORDER BY tts, tid) AS rn, CAST(count(*) OVER (PARTITION BY pid) AS BIGINT) AS nt FROM pr), cr AS (SELECT channel, value * (CASE WHEN nt = 1 THEN 1.0 WHEN nt = 2 THEN 0.5 WHEN rn = 1 THEN 0.4 WHEN rn = nt THEN 0.4 ELSE 0.2 / (nt - 2) END) AS credit FROM rk), agg AS (SELECT channel, CAST(SUM(CAST(floor(credit * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS credit, CAST(count(*) AS BIGINT) AS n_touchpoints FROM cr GROUP BY 1), d AS (SELECT 'direct' AS channel, CAST(SUM(CAST(round(value, 6) AS DECIMAL(38,6))) AS DOUBLE) AS credit, CAST(count(*) AS BIGINT) AS n_touchpoints FROM p WHERE NOT EXISTS (SELECT 1 FROM pr WHERE pr.pid = p.event_id) HAVING count(*) > 0) SELECT * FROM agg UNION ALL SELECT * FROM d""")),
 
     QueryDef("q175_gains_deciles",
-      "cumulative gains / lift table (the third leg of the model-evaluation plane: q157 screens a feature by IV, q159 scores its ranking by AUC, this is the DEPLOYMENT readout — 'target the top k deciles, capture what share of positives at what lift'): l_extendedprice cut at its EXACT deciles (ops.Quantiles, q157's recipe — interpolation proven bit-equal to quantile_cont, branch-free v>edge bin assignment against ONE broadcast edge row), target = returnflag 'R'; per decile from the TOP down, cumulative population share, cumulative positive capture (gain), and lift = gain/pop_share. Everything stays INTEGER counts until three IEEE divisions written with the SAME expression tree in both engines (no float accumulation anywhere, no overflow: no count-count products — the lift is a ratio of ratios, not the q159 rank-sum shape), outputs on the 6-dp grid. The cumulative structure runs over the 10-row decile GRID (never a corpus-sized window), totals via an unbounded frame over the same grid so the corpus pays exactly the quantile operator's jobs + ONE binning aggregate with map-side combine. Lift ~1.0 in every decile is the HONEST readout on this fixture (price carries no return-flag signal, consistent with q157's IV~0.0004 and q159's AUC~0.49) — the value is the table, which at 100 TB is the campaign-sizing artifact every targeting decision reads",
+      "cumulative gains / lift table (the third leg of the model-evaluation plane: q157 screens a feature by IV, q159 scores its ranking by AUC, this is the DEPLOYMENT readout — 'target the top k deciles, capture what share of positives at what lift'): l_extendedprice cut at its EXACT deciles (ops.Quantiles — interpolation proven bit-equal to quantile_cont, branch-free v>edge bin assignment against ONE broadcast edge row; the q168 counts-grid idiom was A/B'd and rejected with numbers in the code comment: prices are near-unique, so the counts 'grid' is corpus-sized), target = returnflag 'R'; per decile from the TOP down, cumulative population share, cumulative positive capture (gain), and lift = gain/pop_share. Everything stays INTEGER counts until three IEEE divisions written with the SAME expression tree in both engines (no float accumulation anywhere, no overflow: no count-count products — the lift is a ratio of ratios, not the q159 rank-sum shape), outputs on the 6-dp grid. The cumulative structure runs over the 10-row decile GRID (never a corpus-sized window), totals via an unbounded frame over the same grid so the corpus pays exactly the quantile operator's jobs + ONE binning aggregate with map-side combine. Lift ~1.0 in every decile is the HONEST readout on this fixture (price carries no return-flag signal, consistent with q157's IV~0.0004 and q159's AUC~0.49) — the value is the table, which at 100 TB is the campaign-sizing artifact every targeting decision reads",
       (s, d) => {
+        // job-chain profile (r10): the quantile operator's driver-planned
+        // jobs + one binning aggregate over the (bench-cached) scan is
+        // the floor here, ~1.0s isolated. The q168 counts-grid idiom was
+        // A/B'd and measured SLOWER (1.44 vs 1.06s warm): prices are
+        // NEAR-UNIQUE (583k distinct of 600k rows at sf0.1), so the
+        // (v, pos) "grid" is corpus-sized and its groupBy+checkpoint
+        // costs more than the re-scans it saves — the idiom pays only
+        // on genuinely bounded value domains (q168's integer day counts)
         val li = t(s, d, "lineitem")
           .select(lit("all").as("g"), col("l_extendedprice").as("v"),
                   (col("l_returnflag") === "R").as("pos"))
@@ -618,6 +626,10 @@ object BehaviorOps {
           .withColumn("trend",
             when(col("wn") === 7, g6(col("wsum") / lit(7.0))))
           .withColumn("dow", dayofweek(col("day")).cast("long") - 1L)
+          // the calendar-bounded grid feeds BOTH the dow profile (via
+          // the broadcast branch) and the final select — checkpoint so
+          // the corpus aggregate + trend window run once, not per branch
+          .localCheckpoint(true)
         val seas = tr.filter(col("trend").isNotNull)
           .groupBy(col("dow"))
           .agg((sum(g6(col("day_total") - col("trend")).cast(DecimalType(38, 6)))

@@ -13,8 +13,7 @@ object Prof9 {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
-    val names = Seq("q177_canonical_election", "q178_calibration_ece",
-      "q179_neyman_allocation", "q180_fifo_matching")
+    val names = Seq("q175_gains_deciles", "q176_seasonal_decomposition")
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, d)
       println(s"===== $n")
