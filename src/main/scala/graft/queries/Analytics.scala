@@ -362,34 +362,10 @@ object Analytics {
           .select(col("c_custkey"), col("c_acctbal").as("acctbal"))
           .join(spend, col("c_custkey") === col("o_custkey"))
           .select(col("c_custkey"), col("acctbal"), col("spend"))
-        // tier 1: bucket prune — hmax(b) = max spend over strictly higher
-        // buckets; spend <= hmax(b) is provably dominated (bucket floors
-        // make "higher bucket" imply "strictly greater acctbal")
-        val b = g.withColumn("bkt", floor(col("acctbal") / lit(500.0)).cast("long"))
-        val wb = Window.orderBy(col("bkt").desc)
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val hmax = b.groupBy(col("bkt")).agg(max(col("spend")).as("bmax"))
-          .withColumn("hmax", max(col("bmax")).over(wb))
-          .select(col("bkt"), col("hmax"))
-        // candidates are ~frontier-sized after pruning, and BOTH the
-        // exact pass and the final membership join read them — checkpoint
-        // (the ops.Quantiles caller contract, VERDICT r9) so the corpus
-        // subtree (spend shuffle + customer join + grid broadcast) runs
-        // once, not once per consumer
-        val cand = b.join(broadcast(hmax), Seq("bkt"))
-          .filter(col("hmax").isNull || col("spend") > col("hmax"))
-          .localCheckpoint(true)
-        // tier 2: exact skyline over the pruned candidates — within a
-        // balance only its max-spend rows can survive; across balances a
-        // point dies iff any strictly-greater balance reaches >= spend
-        val wa = Window.orderBy(col("acctbal").desc)
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val keep = cand.groupBy(col("acctbal")).agg(max(col("spend")).as("gmax"))
-          .withColumn("amax", max(col("gmax")).over(wa))
-          .filter(col("amax").isNull || col("gmax") > col("amax"))
-          .select(col("acctbal").as("k_bal"), col("gmax"))
-        cand.join(broadcast(keep),
-            col("acctbal") === col("k_bal") && col("spend") === col("gmax"))
+        // ops.Skyline two-tier grid pruning (PropertySpec-proven equal
+        // to naive dominance on arbitrary point sets incl. duplicates);
+        // width 500 ≈ 22 buckets on this acctbal domain
+        graft.ops.Skyline.frontier2d(g, "acctbal", "spend", 500.0)
           .select(col("c_custkey"), col("acctbal"), col("spend"))
       },
       Some("""WITH o AS (SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS spend FROM orders GROUP BY 1), g AS (SELECT c_custkey, c_acctbal AS acctbal, spend FROM customer JOIN o ON c_custkey = o_custkey) SELECT c_custkey, acctbal, spend FROM g p WHERE NOT EXISTS (SELECT 1 FROM g q WHERE q.acctbal >= p.acctbal AND q.spend >= p.spend AND (q.acctbal > p.acctbal OR q.spend > p.spend))"""))

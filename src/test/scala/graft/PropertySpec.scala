@@ -280,6 +280,88 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  describe("Skyline.frontier2d vs naive dominance (q173)") {
+    // points with deliberate collisions on both axes (small value
+    // domains) so duplicate points, x-ties, and y-ties all occur
+    val ptsGen = Gen.listOfN(40, for {
+      x <- Gen.choose(0, 12).map(_ * 0.5)
+      y <- Gen.choose(0, 12).map(_ * 0.5)
+    } yield (x, y))
+
+    it("matches the O(n²) dominance filter on arbitrary points, any bucket width") {
+      forAllSamples2(ptsGen, Gen.oneOf(0.25, 1.0, 3.0, 100.0)) { (pts, width) =>
+        whenever(pts.nonEmpty) {
+          val rows = pts.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+          val out = graft.ops.Skyline
+            .frontier2d(rows.toDF("id", "x", "y"), "x", "y", width)
+            .as[(Long, Double, Double)].collect().toSet
+          val naive = rows.filter { case (_, px, py) =>
+            !rows.exists { case (_, qx, qy) =>
+              qx >= px && qy >= py && (qx > px || qy > py)
+            }
+          }.toSet
+          assert(out == naive, s"width=$width pts=$pts")
+        }
+      }
+    }
+  }
+
+  describe("Fifo.matchLots vs a sequential queue (q180)") {
+    // per-key event streams; quantities on the cent grid so the
+    // reference queue can use exact BigDecimal arithmetic
+    val evGen = Gen.listOfN(30, for {
+      k <- Gen.choose(1L, 3L)
+      ts <- Gen.choose(0L, 9L)
+      isIn <- Gen.oneOf(true, false)
+      q <- Gen.choose(1, 400).map(_ / 100.0)
+    } yield (k, ts, isIn, q))
+
+    /** Reference implementation: literal FIFO queue per key. */
+    def queueFifo(evs: List[(Long, Long, Boolean, Double)])
+        : Map[(Long, Long, Long), BigDecimal] = {
+      val ids = evs.zipWithIndex.map { case ((k, ts, in, q), i) =>
+        (k, ts, i.toLong, in, BigDecimal(q).setScale(6))
+      }
+      ids.groupBy(_._1).flatMap { case (k, es) =>
+        val sorted = es.sortBy(e => (e._2, e._3))
+        val lots = scala.collection.mutable.Queue[(Long, BigDecimal)]()
+        sorted.collect { case (_, _, id, true, q) => lots.enqueue((id, q)) }
+        val matches = scala.collection.mutable.Map[(Long, Long, Long), BigDecimal]()
+        sorted.collect { case (_, _, oid, false, q0) =>
+          var need = q0
+          while (need > 0 && lots.nonEmpty) {
+            val (lid, avail) = lots.head
+            val take = need.min(avail)
+            matches((k, oid, lid)) = take
+            if (avail > take) { lots.dequeue(); lots.prepend((lid, avail - take)) }
+            else lots.dequeue()
+            need -= take
+          }
+        }
+        matches
+      }
+    }
+
+    it("matches the queue's (purchase, lot) → qty map on arbitrary streams") {
+      forAllSamples(evGen) { evs =>
+        whenever(evs.nonEmpty) {
+          val rows = evs.zipWithIndex.map { case ((k, ts, in, q), i) =>
+            (k, ts, i.toLong, in, q)
+          }
+          val df = rows.toDF("k", "ts", "id", "inflow", "qty")
+          val got = graft.ops.Fifo.matchLots(
+              df.filter($"inflow"), df.filter(!$"inflow"),
+              "k", "ts", "id", "qty")
+            .select($"k", $"out_id", $"in_id", $"matched_qty")
+            .as[(Long, Long, Long, Double)].collect()
+            .map { case (k, o, i2, q) => (k, o, i2) -> BigDecimal(q).setScale(6) }
+            .toMap
+          assert(got == queueFifo(evs), s"evs=$evs")
+        }
+      }
+    }
+  }
+
   describe("append-sink semantics (K1)") {
     it("unionByName of batch splits equals the whole") {
       forAllSamples(rowGen) { rows =>
