@@ -671,6 +671,41 @@ object BehaviorOps {
           .select(col("bin"), col("n"), col("n_pos"), col("mean_conf"),
                   col("pos_rate"), col("gap"), col("ece"))
       },
-      Some("""WITH mx AS (SELECT CAST(max(n_chars) AS DOUBLE) AS maxc FROM documents), s AS (SELECT CAST(n_chars AS DOUBLE) / maxc AS conf, (lang = 'en') AS pos FROM documents, mx), b AS (SELECT least(CAST(floor(conf * 10) AS BIGINT), 9) AS bin, conf, pos FROM s), c AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(count(*) FILTER (WHERE pos) AS BIGINT) AS n_pos, CAST(SUM(CAST(floor(conf * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS csum FROM b GROUP BY 1), w AS (SELECT bin, n, n_pos, CAST(SUM(n) OVER () AS BIGINT) AS tot, floor(csum / n * 1e6 + 0.5) / 1e6 AS mean_conf, floor(CAST(n_pos AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS pos_rate FROM c), g AS (SELECT *, floor(abs(mean_conf - pos_rate) * 1e6 + 0.5) / 1e6 AS gap FROM w) SELECT bin, n, n_pos, mean_conf, pos_rate, gap, floor(CAST(SUM(CAST(floor(CAST(n AS DOUBLE) / tot * gap * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) OVER () AS DOUBLE) * 1e6 + 0.5) / 1e6 AS ece FROM g"""))
+      Some("""WITH mx AS (SELECT CAST(max(n_chars) AS DOUBLE) AS maxc FROM documents), s AS (SELECT CAST(n_chars AS DOUBLE) / maxc AS conf, (lang = 'en') AS pos FROM documents, mx), b AS (SELECT least(CAST(floor(conf * 10) AS BIGINT), 9) AS bin, conf, pos FROM s), c AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(count(*) FILTER (WHERE pos) AS BIGINT) AS n_pos, CAST(SUM(CAST(floor(conf * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS csum FROM b GROUP BY 1), w AS (SELECT bin, n, n_pos, CAST(SUM(n) OVER () AS BIGINT) AS tot, floor(csum / n * 1e6 + 0.5) / 1e6 AS mean_conf, floor(CAST(n_pos AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS pos_rate FROM c), g AS (SELECT *, floor(abs(mean_conf - pos_rate) * 1e6 + 0.5) / 1e6 AS gap FROM w) SELECT bin, n, n_pos, mean_conf, pos_rate, gap, floor(CAST(SUM(CAST(floor(CAST(n AS DOUBLE) / tot * gap * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) OVER () AS DOUBLE) * 1e6 + 0.5) / 1e6 AS ece FROM g""")),
+
+    QueryDef("q182_isotonic_calibration",
+      "isotonic (PAV) calibration of the q178 reliability curve — the FIX for what q178 diagnoses: fit the best monotone-non-decreasing map from claimed confidence to empirical positive rate, which is exactly what a production scorer ships as its calibration layer (Zadrozny & Elkan 2002). Computed via the pool-adjacent-violators MINIMAX CLOSED FORM instead of the sequential pooling loop: fit_i = max_{j<=i} min_{k>=i} A(j,k) where A(j,k) is the weighted mean positive rate over bins j..k — the classical identity that turns PAV's data-dependent iteration into three declarative grid aggregates (range means over the 55 (j,k) pairs, min over k, max over j), every intermediate a shared-expression exact value (weighted sums pre-rounded 6-dp into exact decimal over the 10-row grid, integer weights, min/max of identical doubles). The oracle restates the same closed form, so the hash gate checks the IDENTITY, not a port of the loop. Scale: the corpus pays q178's ONE binning aggregate into the checkpointed 10-row grid; everything else is 10x10 grid algebra that stays grid-sized at any corpus size. Fixture readout: the fit pools the wildly non-monotone tail bins into long flat runs — the calibrated scorer honestly says 'above the first bins, predict ~the base rate'",
+      (s, d) => {
+        def g6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+        val docs = t(s, d, "documents")
+          .select(col("n_chars"), (col("lang") === "en").as("pos"))
+        val mx = docs.agg(max(col("n_chars")).cast("double").as("maxc"))
+        val grid = docs.crossJoin(broadcast(mx))
+          .select(least(floor(col("n_chars").cast("double") / col("maxc") * 10)
+            .cast("long"), lit(9L)).as("bin"), col("pos"))
+          .groupBy(col("bin"))
+          .agg(lcount(lit(1)).as("n"),
+               count(when(col("pos"), 1)).cast("long").as("n_pos"))
+          .select(col("bin"), col("n"),
+                  g6(col("n_pos").cast("double") / col("n")).as("pos_rate"))
+          .localCheckpoint(true)
+        val pairs = grid.select(col("bin").as("j"))
+          .crossJoin(grid.select(col("bin").as("k")))
+          .filter(col("j") <= col("k"))
+        val ranges = pairs
+          .join(grid, col("bin") >= col("j") && col("bin") <= col("k"))
+          .groupBy(col("j"), col("k"))
+          .agg((sum(g6(col("n") * col("pos_rate")).cast(DecimalType(38, 6)))
+            .cast("double") / sum(col("n"))).as("araw"))
+          .select(col("j"), col("k"), g6(col("araw")).as("a"))
+        val fit = ranges
+          .join(grid.select(col("bin").as("i")),
+                col("j") <= col("i") && col("k") >= col("i"))
+          .groupBy(col("i"), col("j")).agg(min(col("a")).as("mina"))
+          .groupBy(col("i")).agg(max(col("mina")).as("fit"))
+        grid.join(fit, col("bin") === col("i"))
+          .select(col("bin"), col("n"), col("pos_rate"), col("fit"))
+      },
+      Some("""WITH mx AS (SELECT CAST(max(n_chars) AS DOUBLE) AS maxc FROM documents), b AS (SELECT least(CAST(floor(CAST(n_chars AS DOUBLE) / maxc * 10) AS BIGINT), 9) AS bin, (lang = 'en') AS pos FROM documents, mx), g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, floor(CAST(count(*) FILTER (WHERE pos) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS pos_rate FROM b GROUP BY 1), pairs AS (SELECT j.bin AS j, k.bin AS k FROM g j, g k WHERE j.bin <= k.bin), ranges AS (SELECT p.j, p.k, floor(CAST(SUM(CAST(floor(g.n * g.pos_rate * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) / SUM(g.n) * 1e6 + 0.5) / 1e6 AS a FROM pairs p JOIN g ON g.bin BETWEEN p.j AND p.k GROUP BY 1, 2), mk AS (SELECT i.bin AS i, r.j, min(r.a) AS mina FROM ranges r JOIN g i ON r.j <= i.bin AND r.k >= i.bin GROUP BY 1, 2), f AS (SELECT i, max(mina) AS fit FROM mk GROUP BY 1) SELECT g.bin, g.n, g.pos_rate, f.fit FROM g JOIN f ON g.bin = f.i"""))
   )
 }

@@ -241,6 +241,38 @@ object StatsOps {
             g6(lit(1000.0) * col("w_h") / col("tw")).as("neyman_n"),
             g6(lit(1000.0) * col("n_h").cast("double") / col("tn")).as("prop_n"))
       },
-      Some("""WITH st AS (SELECT c_nationkey AS nation, CAST(count(*) AS BIGINT) AS n_h, CAST(SUM(CAST(floor(c_acctbal * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS sx, CAST(SUM(CAST(floor(c_acctbal * c_acctbal * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS sxx FROM customer GROUP BY 1), g AS (SELECT nation, n_h, floor(sqrt(greatest(0.0, sxx / n_h - (sx / n_h) * (sx / n_h))) * 1e6 + 0.5) / 1e6 AS sd_h FROM st), w AS (SELECT nation, n_h, sd_h, floor(n_h * sd_h * 1e6 + 0.5) / 1e6 AS w_h FROM g), tot AS (SELECT nation, n_h, sd_h, w_h, CAST(SUM(CAST(w_h AS DECIMAL(38,6))) OVER () AS DOUBLE) AS tw, CAST(SUM(n_h) OVER () AS BIGINT) AS tn FROM w) SELECT nation, n_h, sd_h, floor(1000.0 * w_h / tw * 1e6 + 0.5) / 1e6 AS neyman_n, floor(1000.0 * CAST(n_h AS DOUBLE) / tn * 1e6 + 0.5) / 1e6 AS prop_n FROM tot"""))
+      Some("""WITH st AS (SELECT c_nationkey AS nation, CAST(count(*) AS BIGINT) AS n_h, CAST(SUM(CAST(floor(c_acctbal * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS sx, CAST(SUM(CAST(floor(c_acctbal * c_acctbal * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS sxx FROM customer GROUP BY 1), g AS (SELECT nation, n_h, floor(sqrt(greatest(0.0, sxx / n_h - (sx / n_h) * (sx / n_h))) * 1e6 + 0.5) / 1e6 AS sd_h FROM st), w AS (SELECT nation, n_h, sd_h, floor(n_h * sd_h * 1e6 + 0.5) / 1e6 AS w_h FROM g), tot AS (SELECT nation, n_h, sd_h, w_h, CAST(SUM(CAST(w_h AS DECIMAL(38,6))) OVER () AS DOUBLE) AS tw, CAST(SUM(n_h) OVER () AS BIGINT) AS tn FROM w) SELECT nation, n_h, sd_h, floor(1000.0 * w_h / tw * 1e6 + 0.5) / 1e6 AS neyman_n, floor(1000.0 * CAST(n_h AS DOUBLE) / tn * 1e6 + 0.5) / 1e6 AS prop_n FROM tot""")),
+
+    QueryDef("q181_changepoint",
+      "offline changepoint detection — binary segmentation's first split (Scott & Knott / CUSUM-statistic form) on the daily revenue series: for every candidate split t, stat(t) = sqrt(t*(n-t)/n) * |mean_left - mean_right|, report the argmax split with its day, both segment means, and the statistic. Completes the monitoring family's missing verb: PSI/KS/Benford detect THAT a distribution drifted (q115/q161/q170/q172), CUSUM tracks level online (q152) — this LOCATES the shift offline, the post-incident forensics op ('exactly when did revenue change regime?'). Determinism: the day grid's totals and prefix sums are exact decimal; t, n are integers; the means/stat are shared-expression IEEE arithmetic (sqrt correctly rounded) rounded 6-dp before the ONE argmax rank (stat desc, day asc tiebreak — total order). Scale: one corpus aggregate into the calendar-bounded day grid, one grid window pass for prefix sums, one grid rank — the corpus never feeds the O(n) candidate evaluation because the GRID does. The honest fixture readout: a shallow max (synthetic orders have no regime shift), which is exactly what no-changepoint data should report",
+      (s, d) => {
+        def g6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+        val daily = t(s, d, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(dsum(col("o_totalprice")).as("v"))
+        val wOrd = Window.orderBy(col("day"))
+        val wCum = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+        val wAll = wOrd.rowsBetween(Window.unboundedPreceding,
+                                    Window.unboundedFollowing)
+        val grid = daily
+          .withColumn("t", count(lit(1)).over(wCum).cast("long"))
+          .withColumn("s_t", sum(col("v").cast(DecimalType(38, 6))).over(wCum)
+            .cast("double"))
+          .withColumn("n", count(lit(1)).over(wAll).cast("long"))
+          .withColumn("tot", sum(col("v").cast(DecimalType(38, 6))).over(wAll)
+            .cast("double"))
+          .filter(col("t") < col("n"))
+        val ml = col("s_t") / col("t")
+        val mr = (col("tot") - col("s_t")) / (col("n") - col("t"))
+        val stat = sqrt((col("t") * (col("n") - col("t"))).cast("double")
+            / col("n")) * abs(ml - mr)
+        val scored = grid.select(col("day"), col("t"), col("n"),
+          g6(ml).as("mean_left"), g6(mr).as("mean_right"), g6(stat).as("stat"))
+        scored
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("stat").desc, col("day"))))
+          .filter(col("rn") === 1).drop("rn")
+      },
+      Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS v FROM orders GROUP BY 1), g AS (SELECT day, CAST(count(*) OVER wc AS BIGINT) AS t, CAST(SUM(CAST(v AS DECIMAL(38,6))) OVER wc AS DOUBLE) AS s_t, CAST(count(*) OVER wa AS BIGINT) AS n, CAST(SUM(CAST(v AS DECIMAL(38,6))) OVER wa AS DOUBLE) AS tot FROM daily WINDOW wc AS (ORDER BY day ROWS UNBOUNDED PRECEDING), wa AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)), sc AS (SELECT day, t, n, floor(s_t / t * 1e6 + 0.5) / 1e6 AS mean_left, floor((tot - s_t) / (n - t) * 1e6 + 0.5) / 1e6 AS mean_right, floor(sqrt(CAST(t * (n - t) AS DOUBLE) / n) * abs(s_t / t - (tot - s_t) / (n - t)) * 1e6 + 0.5) / 1e6 AS stat FROM g WHERE t < n), rk AS (SELECT *, row_number() OVER (ORDER BY stat DESC, day) AS rn FROM sc) SELECT day, t, n, mean_left, mean_right, stat FROM rk WHERE rn = 1"""))
   )
 }

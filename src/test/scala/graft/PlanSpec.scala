@@ -643,5 +643,14 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"plan:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
     }
+    it("q181 changepoint never joins: one corpus aggregate + grid windows") {
+      val p = planOf("q181_changepoint")
+      assert(!p.contains("Join"), s"plan:\n$p")
+    }
+    it("q182 isotonic fit joins only broadcast grid frames — never sort-merge") {
+      val p = planOf("q182_isotonic_calibration")
+      assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    }
   }
 }
