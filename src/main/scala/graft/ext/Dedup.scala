@@ -793,4 +793,53 @@ object Dedup {
         "- raise maxIter (labels at this point would be silently wrong groupings)")
     labels.select(col("id").as("doc_id"), col("label").as("group_rep"))
   }
+
+  /** BFS hop distance from every pair-graph node to its cluster
+    * representative (q184) — the dedup-QA readout on top of
+    * [[dedupGroups]]: hops == 1 is a direct near-dup of the kept doc,
+    * larger hops survive only through TRANSITIVE chains, i.e. docs the
+    * cluster absorbed without ever matching the representative
+    * directly. A fat hops>=2 tail is the classic symptom of an
+    * over-aggressive threshold chaining unrelated docs together.
+    *
+    * Frontier min-distance relaxation seeded at the representatives:
+    * each round joins the edge list to the current distance table and
+    * keeps the per-node minimum; BFS distances are unique, so the
+    * fixpoint is deterministic under any partitioning, and convergence
+    * takes diameter+1 rounds (near-dup clusters are near-cliques that
+    * settle in 2-3). Same refuse-if-unconverged contract and
+    * constant-plan-size checkpointing as [[dedupGroupsDistributed]];
+    * every stage keys on node id — unbounded scale. */
+  def hopsToRep(pairs: DataFrame, aCol: String, bCol: String,
+                maxIter: Int = 20): DataFrame = {
+    val half = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .localCheckpoint(true)
+    val groups = dedupGroups(half, "src", "dst")
+    val edges = half.union(half.select(col("dst"), col("src")))
+      .distinct().localCheckpoint(true)
+    var dist = groups.select(col("group_rep").as("id")).distinct()
+      .select(col("id"), lit(0L).as("hops")).localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nd = edges
+        .join(dist.select(col("id").as("dst"), col("hops")), "dst")
+        .select(col("src").as("id"), (col("hops") + lit(1L)).as("hops"))
+      val next = dist.unionByName(nd)
+        .groupBy(col("id")).agg(min(col("hops")).as("hops"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(dist.select(col("id"), col("hops").as("prev")), Seq("id"), "left")
+        .filter(col("prev").isNull || col("hops") < col("prev"))
+        .limit(1).count()
+      dist = next
+      converged = changed == 0
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"hopsToRep: BFS relaxation did not converge in $maxIter rounds " +
+        "- raise maxIter (distances at this point would be silently wrong)")
+    groups.join(dist.select(col("id").as("doc_id"), col("hops")), Seq("doc_id"))
+  }
 }

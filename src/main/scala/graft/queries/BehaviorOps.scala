@@ -706,6 +706,46 @@ object BehaviorOps {
         grid.join(fit, col("bin") === col("i"))
           .select(col("bin"), col("n"), col("pos_rate"), col("fit"))
       },
-      Some("""WITH mx AS (SELECT CAST(max(n_chars) AS DOUBLE) AS maxc FROM documents), b AS (SELECT least(CAST(floor(CAST(n_chars AS DOUBLE) / maxc * 10) AS BIGINT), 9) AS bin, (lang = 'en') AS pos FROM documents, mx), g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, floor(CAST(count(*) FILTER (WHERE pos) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS pos_rate FROM b GROUP BY 1), pairs AS (SELECT j.bin AS j, k.bin AS k FROM g j, g k WHERE j.bin <= k.bin), ranges AS (SELECT p.j, p.k, floor(CAST(SUM(CAST(floor(g.n * g.pos_rate * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) / SUM(g.n) * 1e6 + 0.5) / 1e6 AS a FROM pairs p JOIN g ON g.bin BETWEEN p.j AND p.k GROUP BY 1, 2), mk AS (SELECT i.bin AS i, r.j, min(r.a) AS mina FROM ranges r JOIN g i ON r.j <= i.bin AND r.k >= i.bin GROUP BY 1, 2), f AS (SELECT i, max(mina) AS fit FROM mk GROUP BY 1) SELECT g.bin, g.n, g.pos_rate, f.fit FROM g JOIN f ON g.bin = f.i"""))
+      Some("""WITH mx AS (SELECT CAST(max(n_chars) AS DOUBLE) AS maxc FROM documents), b AS (SELECT least(CAST(floor(CAST(n_chars AS DOUBLE) / maxc * 10) AS BIGINT), 9) AS bin, (lang = 'en') AS pos FROM documents, mx), g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, floor(CAST(count(*) FILTER (WHERE pos) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS pos_rate FROM b GROUP BY 1), pairs AS (SELECT j.bin AS j, k.bin AS k FROM g j, g k WHERE j.bin <= k.bin), ranges AS (SELECT p.j, p.k, floor(CAST(SUM(CAST(floor(g.n * g.pos_rate * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) / SUM(g.n) * 1e6 + 0.5) / 1e6 AS a FROM pairs p JOIN g ON g.bin BETWEEN p.j AND p.k GROUP BY 1, 2), mk AS (SELECT i.bin AS i, r.j, min(r.a) AS mina FROM ranges r JOIN g i ON r.j <= i.bin AND r.k >= i.bin GROUP BY 1, 2), f AS (SELECT i, max(mina) AS fit FROM mk GROUP BY 1) SELECT g.bin, g.n, g.pos_rate, f.fit FROM g JOIN f ON g.bin = f.i""")),
+
+    QueryDef("q183_time_decay_attribution",
+      "TIME-DECAY multi-touch attribution, completing the attribution family's fourth canonical model (q146 last-touch, q155 linear, q160 U-shaped): each view/click touch in the 7-day window before a purchase earns weight 0.5^(age/half-life) with a 7-day half-life — a touch at the purchase instant weighs 1, a week-old touch 0.5 — and the purchase value splits proportionally; untouched purchases land in 'direct' at full value, which must equal q146/q155's direct revenue EXACTLY (the family's cross-model invariant). Numerics: the decay is the suite's one libm pow in a hot path, handled by the established q17 recipe — the exponent is O(1) (age/half-life in [0,1]), the weight lands on the 4-dp floor-grid BEFORE any cross-row use, so a last-ulp libm disagreement between engines dies at the grid; per-purchase weight totals then sum exactly in DECIMAL(38,4), and fractional credits pre-round 6-dp into exact decimal channel sums. Scale: identical shape to q155 — user-keyed equi-join with residual time predicates (per-user-week bounded), pid-keyed weight-total aggregate joined back, no global structure anywhere",
+      (s, d) => {
+        def g6sum(c: Column) =
+          sum((floor(c * 1e6 + 0.5) / 1e6).cast(DecimalType(38, 6))).cast("double")
+        val ev = t(s, d, "events")
+        val t0 = ev.filter(col("event_type").isin("view", "click"))
+          .select(col("user_id"), col("ts").as("tts"),
+                  col("event_id").as("tid"), col("event_type"))
+        val p0 = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("pts"),
+                  col("event_id").as("pid"), col("value"))
+        val pr = p0.join(t0,
+            col("p_user") === col("user_id") &&
+            (col("tts") < col("pts") ||
+             (col("tts") === col("pts") && col("tid") < col("pid"))) &&
+            (unix_micros(col("pts")) - unix_micros(col("tts")) <= 604800000000L))
+          .select(col("pid"), col("value"), col("event_type").as("channel"),
+            (floor(pow(lit(0.5),
+              (unix_micros(col("pts")) - unix_micros(col("tts"))).cast("double")
+                / lit(604800000000.0)) * lit(1e4) + lit(0.5)) / lit(1e4))
+              .cast(DecimalType(38, 4)).as("w"))
+        val wt = pr.groupBy(col("pid")).agg(sum(col("w")).as("wsum"))
+        val agg = pr.join(wt, Seq("pid"))
+          .select(col("channel"),
+            (col("value") * col("w").cast("double")
+              / col("wsum").cast("double")).as("credit"))
+          .groupBy(col("channel"))
+          .agg(g6sum(col("credit")).as("credit"),
+               lcount(lit(1)).as("n_touchpoints"))
+        val direct = p0.join(wt, p0("pid") === wt("pid"), "left_anti")
+          .agg(dsum(round(col("value"), 6)).as("credit"),
+               lcount(lit(1)).as("n_touchpoints"))
+          .select(lit("direct").as("channel"), col("credit"),
+                  col("n_touchpoints"))
+          .filter(col("n_touchpoints") > 0)
+        agg.unionByName(direct)
+      },
+      Some("""WITH t AS (SELECT user_id, ts, event_id, event_type FROM events WHERE event_type IN ('view','click')), p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'), pr AS (SELECT p.user_id, p.event_id AS pid, p.value, t.event_type AS channel, CAST(floor(pow(0.5, CAST(epoch_us(p.ts) - epoch_us(t.ts) AS DOUBLE) / 604800000000.0) * 1e4 + 0.5) / 1e4 AS DECIMAL(38,4)) AS w FROM p JOIN t ON t.user_id = p.user_id AND (t.ts < p.ts OR (t.ts = p.ts AND t.event_id < p.event_id)) AND epoch_us(p.ts) - epoch_us(t.ts) <= 604800000000), wt AS (SELECT pid, SUM(w) AS wsum FROM pr GROUP BY 1), c AS (SELECT channel, value * CAST(w AS DOUBLE) / CAST(wsum AS DOUBLE) AS credit FROM pr JOIN wt USING (pid)), agg AS (SELECT channel, CAST(SUM(CAST(floor(credit * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS credit, CAST(count(*) AS BIGINT) AS n_touchpoints FROM c GROUP BY 1), d AS (SELECT 'direct' AS channel, CAST(SUM(CAST(round(value, 6) AS DECIMAL(38,6))) AS DOUBLE) AS credit, CAST(count(*) AS BIGINT) AS n_touchpoints FROM p WHERE NOT EXISTS (SELECT 1 FROM wt WHERE wt.pid = p.event_id) HAVING count(*) > 0) SELECT * FROM agg UNION ALL SELECT * FROM d"""))
   )
 }

@@ -214,6 +214,40 @@ class PropertySpec extends SparkSpec {
         }
       }
     }
+
+    it("hopsToRep matches a local BFS from each component's min node") {
+      forAllSamples(edgeGen, n = 8) { edges =>
+        whenever(edges.nonEmpty) {
+          // local oracle: adjacency + BFS seeded at every component min
+          val adj = scala.collection.mutable.Map
+            .empty[Long, scala.collection.mutable.Set[Long]]
+          edges.foreach { case (a, b) =>
+            adj.getOrElseUpdate(a, scala.collection.mutable.Set()) += b
+            adj.getOrElseUpdate(b, scala.collection.mutable.Set()) += a
+          }
+          val dist = scala.collection.mutable.Map.empty[Long, Long]
+          val groupOf = graft.ext.Dedup.dedupGroups(
+              edges.toDF("id_a", "id_b"), "id_a", "id_b")
+            .as[(Long, Long)].collect().toMap
+          groupOf.values.toSet[Long].foreach { rep =>
+            val q = scala.collection.mutable.Queue(rep -> 0L)
+            while (q.nonEmpty) {
+              val (v, d) = q.dequeue()
+              if (!dist.contains(v)) {
+                dist(v) = d
+                adj(v).foreach(u => if (!dist.contains(u)) q.enqueue(u -> (d + 1)))
+              }
+            }
+          }
+          val got = graft.ext.Dedup.hopsToRep(
+              edges.toDF("id_a", "id_b"), "id_a", "id_b")
+            .as[(Long, Long, Long)].collect()
+            .map { case (id, rep, h) => id -> (rep, h) }.toMap
+          val expected = adj.keys.map(v => v -> (groupOf(v), dist(v))).toMap
+          assert(got == expected)
+        }
+      }
+    }
   }
 
   describe("segmentDedup identity") {
