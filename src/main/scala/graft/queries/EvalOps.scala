@@ -1,0 +1,167 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions
+import graft.ops.Num._
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Model-evaluation / inference plane (q185–q188, round 10 ninth
+  * batch): the readouts an ML-adjacent data platform runs AFTER the
+  * curation/training planes — robust trend estimation (Theil–Sen),
+  * ranking evaluation (NDCG@10), distribution-free uncertainty
+  * (half-sample replication CI, split conformal intervals). Each
+  * follows the established determinism recipes: exact-decimal corpus
+  * sums, the q120 bit-equal quantile interpolation for every order
+  * statistic, 6/9-dp floor-grids before any float reduction, and
+  * grid-bounded tails (month grid, nation grid, 60-replicate grid)
+  * after one or two corpus passes.
+  */
+object EvalOps {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+  private def ph(expr: String, seed: Int) = TextFunctions.sql.portableHash(expr, seed)
+  private def g6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q185_theil_sen",
+      "Theil-Sen robust trend of monthly revenue: slope = median over all month-pair slopes (v_j - v_i)/(t_j - t_i), intercept = median of the per-month residuals v - slope*t — the trend estimator with a 29% breakdown point where q151's OLS has 0 (one corrupted month drags a least-squares line arbitrarily; the pairwise-median line doesn't move). The family completion next to q151 (parametric fit), q164 (forecast backtest) and q181 (changepoint): same daily/monthly revenue plane, complementary verbs. Scale form: the corpus pays ONE aggregate into the calendar-bounded month grid (~79 months here; even 30 years is 360 rows); the O(grid^2) pair set (~3k pairs) is a grid self-join both sides of which broadcast — the quadratic blowup intentionally lives on the CALENDAR grid, never the corpus (a per-row Theil-Sen would be the anti-pattern) — and both medians ride ops.Quantiles' bit-equal quantile_cont interpolation (q120), so slope and intercept publish UNROUNDED. Grid checkpointed once (3 consumers: pair join twice + residual pass). Honest readout: the synthetic fixture has no trend, and the near-zero slope says so",
+      (s, d) => {
+        val raw = t(s, d, "orders")
+          .groupBy((year(col("o_orderdate")) * lit(12) + month(col("o_orderdate")))
+            .cast("long").as("tm"))
+          .agg(dsum(col("o_totalprice")).as("v"))
+        // re-index months from the first month so the intercept reads as
+        // the trend level AT THE SERIES START, not an extrapolation to
+        // year 0 (t = year*12+month ~ 24000 would put it at -7.6e8)
+        val monthly = raw
+          .crossJoin(broadcast(raw.agg(min(col("tm")).as("t0"))))
+          .select((col("tm") - col("t0")).as("t"), col("v"))
+          .localCheckpoint(true) // month grid: 3 consumers below
+        val a = monthly.select(col("t").as("t1"), col("v").as("v1"))
+        val b = monthly.select(col("t").as("t2"), col("v").as("v2"))
+        // the when-guard is load-bearing, not defensive: the downstream
+        // IsNotNull(slope) filter gets pushed into the nested-loop join
+        // condition, where ANSI mode evaluates the division on t1==t2
+        // pairs before the t1<t2 predicate can reject them
+        val pairs = a.join(b, col("t1") < col("t2"))
+          .select(when(col("t2") > col("t1"), (col("v2") - col("v1"))
+            / (col("t2") - col("t1")).cast("double")).as("slope"))
+        val slopeQ = graft.ops.Quantiles.exactQuantiles(
+            pairs.select(lit("all").as("g"), col("slope").as("x")),
+            "g", "x", Seq(0.5))
+          .select(col("value").as("slope"))
+        val resid = monthly.crossJoin(broadcast(slopeQ))
+          .select(lit("all").as("g"),
+            (col("v") - col("slope") * col("t").cast("double")).as("x"))
+        val iceptQ = graft.ops.Quantiles.exactQuantiles(resid, "g", "x", Seq(0.5))
+          .select(col("value").as("intercept"))
+        monthly.agg(lcount(lit(1)).as("n_months"))
+          .select(col("n_months"),
+            (col("n_months") * (col("n_months") - 1) / 2).cast("long").as("n_pairs"))
+          .crossJoin(broadcast(slopeQ))
+          .crossJoin(broadcast(iceptQ))
+      },
+      Some("""WITH raw AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS tm, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS v FROM orders GROUP BY 1), m AS (SELECT tm - (SELECT min(tm) FROM raw) AS t, v FROM raw), p AS (SELECT (b.v - a.v) / CAST(b.t - a.t AS DOUBLE) AS slope FROM m a JOIN m b ON a.t < b.t), sq AS (SELECT quantile_cont(slope, 0.5) AS slope FROM p), iq AS (SELECT quantile_cont(v - sq.slope * t, 0.5) AS intercept FROM m, sq), n AS (SELECT CAST(count(*) AS BIGINT) AS n_months FROM m) SELECT n_months, CAST(n_months * (n_months - 1) / 2 AS BIGINT) AS n_pairs, sq.slope AS slope, iq.intercept AS intercept FROM n, sq, iq""")),
+
+    QueryDef("q186_ndcg",
+      "ranking evaluation — NDCG@10 per nation: rank customers by account balance (the stand-in 'model score'), relevance = min(3, order count) (graded 0-3 ground truth), DCG = sum((2^rel - 1)/log2(rank+1)) over the top 10, normalized by the ideal ordering's IDCG. Completes the eval family's RANKING verb next to q159 (AUC, binary discrimination), q175 (gains/lift, selection), q178 (ECE, probability calibration): NDCG is what search/recommender evals report, and q103's BM25 ranking is the natural production consumer. Scale form: relevance is one orders rollup joined once onto customer; BOTH the model and ideal top-10 extractions ride the bounded-heap TopKPerKey physical operator (<=10 rows per nation cross the wire; a per-nation row_number window over the full customer table is the declared anti-pattern) and the row_number that assigns ranks runs over <=10 rows per nation. Each DCG term (40 possible values: gain in {0,1,3,7} x rank 1-10) pre-rounds onto a 9-dp grid — far above log2's cross-engine ulp — into an exact DECIMAL(38,9) per-nation reduction on the 25-row grid. Honest readout: balances are independent of order counts on this fixture, so NDCG ~ the random-ranking baseline (~0.4-0.6 with graded gains), not 1.0 — the metric correctly reports an uninformative ranker",
+      (s, d) => {
+        val cnt = t(s, d, "orders").groupBy(col("o_custkey"))
+          .agg(lcount(lit(1)).as("cnt"))
+        val cust = t(s, d, "customer")
+          .join(cnt, col("c_custkey") === col("o_custkey"), "left")
+          .select(col("c_nationkey").cast("long").as("nation"),
+            col("c_custkey").as("cust"), col("c_acctbal").as("score"),
+            // graded, not saturated: avg ~10 orders/customer would push
+            // min(3, cnt) to 3 everywhere and make every ranking ideal
+            least(lit(3L), floor(coalesce(col("cnt"), lit(0L)) / 5).cast("long"))
+              .as("rel"))
+          .localCheckpoint(true) // feeds both top-10 extractions
+        val gain = when(col("rel") === 0, 0L).when(col("rel") === 1, 1L)
+          .when(col("rel") === 2, 3L).otherwise(7L)
+        def dcgOf(top: org.apache.spark.sql.DataFrame, ord: Seq[Column],
+                  out: String) = {
+          val w = Window.partitionBy(col("nation")).orderBy(ord: _*)
+          top.withColumn("rk", row_number().over(w).cast("long"))
+            .groupBy(col("nation"))
+            .agg(sum((floor(gain.cast("double") / log2(col("rk") + 1)
+              * lit(1e9) + lit(0.5)) / lit(1e9)).cast(DecimalType(38, 9)))
+              .cast("double").as(out))
+        }
+        val model = dcgOf(
+          graft.plans.TopK.perKey(cust, Seq(col("nation")),
+            Seq(col("score").desc, col("cust")), 10),
+          Seq(col("score").desc, col("cust")), "dcg")
+        val ideal = dcgOf(
+          graft.plans.TopK.perKey(cust, Seq(col("nation")),
+            Seq(col("rel").desc, col("cust")), 10),
+          Seq(col("rel").desc, col("cust")), "idcg")
+        model.join(ideal, Seq("nation"))
+          .select(col("nation"), g6(col("dcg")).as("dcg"),
+            g6(col("idcg")).as("idcg"),
+            when(col("idcg") > 0, g6(col("dcg") / col("idcg"))).as("ndcg"))
+      },
+      Some("""WITH cnt AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt FROM orders GROUP BY 1), c AS (SELECT CAST(c_nationkey AS BIGINT) AS nation, c_custkey AS cust, c_acctbal AS score, least(3, CAST(floor(COALESCE(cnt, 0) / 5) AS BIGINT)) AS rel FROM customer LEFT JOIN cnt ON c_custkey = o_custkey), mr AS (SELECT nation, rel, row_number() OVER (PARTITION BY nation ORDER BY score DESC, cust) AS rk FROM c), ir AS (SELECT nation, rel, row_number() OVER (PARTITION BY nation ORDER BY rel DESC, cust) AS rk FROM c), dcg AS (SELECT nation, CAST(SUM(CAST(floor((CASE rel WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 7 END) / log2(rk + 1) * 1e9 + 0.5) / 1e9 AS DECIMAL(38,9))) AS DOUBLE) AS dcg FROM mr WHERE rk <= 10 GROUP BY 1), idcg AS (SELECT nation, CAST(SUM(CAST(floor((CASE rel WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 7 END) / log2(rk + 1) * 1e9 + 0.5) / 1e9 AS DECIMAL(38,9))) AS DOUBLE) AS idcg FROM ir WHERE rk <= 10 GROUP BY 1) SELECT nation, floor(dcg * 1e6 + 0.5) / 1e6 AS dcg, floor(idcg * 1e6 + 0.5) / 1e6 AS idcg, CASE WHEN idcg > 0 THEN floor(dcg / idcg * 1e6 + 0.5) / 1e6 END AS ndcg FROM dcg JOIN idcg USING (nation)""")),
+
+    QueryDef("q187_half_sample_ci",
+      "distribution-free CI of mean order value by half-sample replication (McCarthy 1969 / BRR): 60 deterministic half-samples drawn from the BITS of one portable 60-bit hash per order (replicate r keeps rows whose hash bit r is set — no random state, reproducible under reruns and any partitioning; the q62/q72 seeded-hash sampling idiom taken to its limit: ONE hash evaluation yields 60 independent replicates), mean per replicate, and se = sqrt(mean((theta_r - theta)^2)) with the 1.96 normal interval. The uncertainty companion to q165's parametric z-test: BRR needs no variance formula, so it generalizes to medians/ratios where the CLT plug-in doesn't. Scale form: the corpus pays ONE scan whose 60x in-row replicate expand feeds a map-side-combinable aggregate (the shuffle moves 60 rows per partition, never 60x the data) plus one total pass; everything downstream is the 60-row replicate grid (exact-decimal per-replicate sums -> 6-dp means; squared deviations pre-rounded 9-dp into an exact decimal reduction; summary broadcast back onto the rows). Honest magnitude: se ~ sd/sqrt(n/2) * sqrt(2)/... ~ tight on 15k orders — the interval half-width lands near the parametric one, which is the method validating itself on CLT-friendly data",
+      (s, d) => {
+        val base = t(s, d, "orders").select(
+          TextFunctions.portableHash(col("o_orderkey").cast("string"), 131).as("h"),
+          g6(col("o_totalprice")).cast(DecimalType(38, 6)).as("p6"))
+        val tot = base.agg(
+          g6(sum(col("p6")).cast("double") / count(lit(1))).as("theta"))
+        val reps = base
+          .select(explode(sequence(lit(0), lit(59))).as("r"), col("h"), col("p6"))
+          .filter(expr("(shiftright(h, r) & 1) = 1"))
+          .groupBy(col("r").cast("long").as("replicate"))
+          .agg(lcount(lit(1)).as("n_r"),
+            g6(sum(col("p6")).cast("double") / count(lit(1))).as("mean_r"))
+        val grid = reps.crossJoin(broadcast(tot)).localCheckpoint(true) // 60-row grid
+        val sm = grid.agg(
+          sqrt(sum((floor((col("mean_r") - col("theta"))
+              * (col("mean_r") - col("theta")) * lit(1e9) + lit(0.5)) / lit(1e9))
+            .cast(DecimalType(38, 9))).cast("double") / count(lit(1))).as("se"))
+          .select(g6(col("se")).as("se"))
+        grid.crossJoin(broadcast(sm))
+          .select(col("replicate"), col("n_r"), col("mean_r"), col("theta"),
+            col("se"), g6(col("theta") - lit(1.96) * col("se")).as("ci_lo"),
+            g6(col("theta") + lit(1.96) * col("se")).as("ci_hi"))
+      },
+      Some(s"""WITH b AS (SELECT ${ph("CAST(o_orderkey AS VARCHAR)", 131)} AS h, CAST(floor(o_totalprice * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6)) AS p6 FROM orders), tot AS (SELECT floor(CAST(SUM(p6) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS theta FROM b), reps AS (SELECT i.r AS replicate, CAST(count(*) AS BIGINT) AS n_r, floor(CAST(SUM(p6) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS mean_r FROM b, (SELECT unnest(generate_series(0, 59)) AS r) i WHERE ((h >> r) & 1) = 1 GROUP BY 1), g AS (SELECT replicate, n_r, mean_r, theta FROM reps, tot), sm AS (SELECT floor(sqrt(CAST(SUM(CAST(floor((mean_r - theta) * (mean_r - theta) * 1e9 + 0.5) / 1e9 AS DECIMAL(38,9))) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS se FROM g) SELECT replicate, n_r, mean_r, theta, se, floor((theta - 1.96 * se) * 1e6 + 0.5) / 1e6 AS ci_lo, floor((theta + 1.96 * se) * 1e6 + 0.5) / 1e6 AS ci_hi FROM g, sm""")),
+
+    QueryDef("q188_conformal_interval",
+      "split conformal prediction interval (Papadopoulos 2002 / Vovk): 3-way orderkey split of lineitem — TRAIN fits the predictor (group-mean price per quantity, a 50-cell bounded model), CALIBRATION takes qhat = the 0.90 quantile of its absolute residuals, TEST reports empirical coverage of yhat +/- qhat. The distribution-free guarantee P(covered) >= alpha holds for ANY predictor — this query is the engine-side validation harness a model team runs before shipping intervals (the uncertainty counterpart of q178's calibration ECE: ECE audits probabilities, conformal audits intervals). quantile_cont(0.90) stands in for the finite-sample ceil((n+1)alpha)/n order statistic — at n_cal ~ 20k the two differ by < 2e-4 in rank fraction; the n->infinity limit, noted honestly. Scale form: one aggregate fits the model (bounded grid, broadcast back), the calibration residual frame is checkpointed ONCE and feeds count + ops.Quantiles' two bounded-state passes (qhat publishes UNROUNDED via the q120 bit-equal interpolation), and the test pass is one scan against the broadcast model and one-row qhat. Honest readout: coverage ~ 0.90 on iid splits — the guarantee demonstrated, not assumed",
+      (s, d) => {
+        val li = t(s, d, "lineitem").select(
+          (col("l_orderkey") % 3).as("split"),
+          col("l_quantity").as("q"), col("l_extendedprice").as("y"))
+        val model = li.filter(col("split") === 0).groupBy(col("q"))
+          .agg((sum(g6(col("y")).cast(DecimalType(38, 6))).cast("double")
+            / count(lit(1))).as("yhat"))
+          .localCheckpoint(true) // 50-row model grid: joined twice
+        val cal = li.filter(col("split") === 1)
+          .join(broadcast(model), Seq("q"))
+          .select(lit("all").as("g"), abs(col("y") - col("yhat")).as("r"))
+          .localCheckpoint(true) // feeds count + the two quantile passes
+        val nCal = cal.agg(lcount(lit(1)).as("n_cal"))
+        val qhat = graft.ops.Quantiles.exactQuantiles(cal, "g", "r", Seq(0.9))
+          .select(col("value").as("qhat"))
+        li.filter(col("split") === 2).join(broadcast(model), Seq("q"))
+          .crossJoin(broadcast(qhat))
+          .agg(lcount(lit(1)).as("n_test"),
+            lcount(when(abs(col("y") - col("yhat")) <= col("qhat"), 1))
+              .as("n_covered"))
+          .crossJoin(broadcast(nCal))
+          .crossJoin(broadcast(qhat))
+          .select(col("n_cal"), col("n_test"), col("n_covered"), col("qhat"),
+            g6(col("n_covered").cast("double") / col("n_test")).as("coverage"),
+            lit(0.9).as("target"))
+      },
+      Some("""WITH li AS (SELECT l_orderkey % 3 AS split, l_quantity AS q, l_extendedprice AS y FROM lineitem), m AS (SELECT q, CAST(SUM(CAST(floor(y * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS yhat FROM li WHERE split = 0 GROUP BY 1), cal AS (SELECT abs(y - yhat) AS r FROM li JOIN m USING (q) WHERE split = 1), qh AS (SELECT quantile_cont(r, 0.9) AS qhat, CAST(count(*) AS BIGINT) AS n_cal FROM cal), te AS (SELECT CAST(count(*) AS BIGINT) AS n_test, CAST(count(*) FILTER (WHERE abs(y - yhat) <= qhat) AS BIGINT) AS n_covered FROM li JOIN m USING (q), qh WHERE split = 2) SELECT n_cal, n_test, n_covered, qhat, floor(CAST(n_covered AS DOUBLE) / n_test * 1e6 + 0.5) / 1e6 AS coverage, CAST(0.9 AS DOUBLE) AS target FROM te, qh"""))
+  )
+}

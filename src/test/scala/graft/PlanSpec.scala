@@ -653,4 +653,36 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"plan:\n$p")
     }
   }
+
+  describe("ninth batch strategy (round 10)") {
+    it("q185 pair blowup lives on the broadcast month grid, never the corpus") {
+      val p = planOf("q185_theil_sen")
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+      // the O(grid^2) self-join is an inequality join over the
+      // checkpointed month grid: broadcast nested-loop by design
+      assert(p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+    }
+    it("q186 both top-10 extractions ride the bounded-heap operator") {
+      val p = planOf("q186_ndcg")
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+      assert(p.sliding("TopKPerKey".length).count(_ == "TopKPerKey") >= 2,
+        s"plan:\n$p")
+    }
+    it("q187 replicate expand feeds a partial aggregate; no corpus join") {
+      val p = planOf("q187_half_sample_ci")
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+      // the corpus-side Generate (explode) + partial aggregate ran inside
+      // the grid's localCheckpoint, so the visible plan reads the
+      // materialized 60-row replicate grid, not the corpus
+      assert(p.contains("Scan ExistingRDD"), s"plan:\n$p")
+    }
+    it("q188 model and qhat reach the corpus passes as broadcasts only") {
+      val p = planOf("q188_conformal_interval")
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
+    }
+  }
 }
