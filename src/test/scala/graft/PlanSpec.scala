@@ -684,5 +684,18 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
       assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
     }
+    it("q189 shapley: channel dim broadcasts onto the corpus; no sort-merge") {
+      val p = planOf("q189_shapley_attribution")
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+    }
+    it("q190 corr matrix reads the one-row moment frame — one corpus pass total") {
+      val p = planOf("q190_corr_matrix")
+      assert(!p.contains("Join"), s"plan:\n$p")
+      // the single 15-moment aggregate ran inside the localCheckpoint;
+      // the visible plan unions six selects over the materialized row
+      assert(p.contains("Scan ExistingRDD"), s"plan:\n$p")
+      assert(!p.contains("parquet"), s"plan:\n$p")
+    }
   }
 }
