@@ -252,6 +252,18 @@ object SetGraphOps {
           .distinct()
         graft.ops.Triangles.perNode(edges)
       },
-      Some("""WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), e AS (SELECT a.l_partkey AS u, b2.l_partkey AS v FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey AND a.l_partkey < b2.l_partkey GROUP BY 1, 2), deg AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS deg FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY 1), t3 AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v), corners AS (SELECT a AS x FROM t3 UNION ALL SELECT b FROM t3 UNION ALL SELECT c FROM t3), tc AS (SELECT x, CAST(count(*) AS BIGINT) AS t FROM corners GROUP BY 1) SELECT deg.v, deg.deg, COALESCE(tc.t, 0) AS n_triangles, CASE WHEN deg.deg > 1 THEN round(2.0 * COALESCE(tc.t, 0) / (deg.deg * (deg.deg - 1)), 6) END AS local_cc FROM deg LEFT JOIN tc ON deg.v = tc.x"""))
+      Some("""WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), e AS (SELECT a.l_partkey AS u, b2.l_partkey AS v FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey AND a.l_partkey < b2.l_partkey GROUP BY 1, 2), deg AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS deg FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY 1), t3 AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v), corners AS (SELECT a AS x FROM t3 UNION ALL SELECT b FROM t3 UNION ALL SELECT c FROM t3), tc AS (SELECT x, CAST(count(*) AS BIGINT) AS t FROM corners GROUP BY 1) SELECT deg.v, deg.deg, COALESCE(tc.t, 0) AS n_triangles, CASE WHEN deg.deg > 1 THEN round(2.0 * COALESCE(tc.t, 0) / (deg.deg * (deg.deg - 1)), 6) END AS local_cc FROM deg LEFT JOIN tc ON deg.v = tc.x""")),
+
+    QueryDef("q191_label_propagation",
+      "community detection by fixed-iteration synchronous label propagation (ops.LabelProp, Raghavan 2007) over the q128 supplier-part bipartite graph, 3 supersteps, reported as the community-size distribution — the COMMUNITY verb completing the graph plane (components find what's CONNECTED, PageRank what's CENTRAL, triangles what's COHESIVE; LPA finds what CLUSTERS). Each vertex simultaneously adopts the most frequent label among neighbours AND itself (the self-vote damps the 2-cycle oscillation synchronous LPA exhibits on bipartite graphs — load-bearing, documented in the op), ties to the smallest label; init label = vertex id, so communities are canonical smallest-dominating-id with no random seed. All arithmetic is integer — counts and ids — so three rounds of recursion are bit-stable with NO float-grid machinery at all (the only graph op in the plane with that property; PageRank needs the 10-dp iterated grid). Scale: one edge materialization, then per superstep ONE neighbour equi-join + ONE count aggregate whose argmax is min(struct(-c, lbl)) — a plain map-side-combinable aggregate, never a per-vertex window, so hub vote lists stay distributed. Honest readout: the dense near-complete bipartite fixture yields exactly the textbook failure mode — the two bipartite SIDES as 'communities' (all 2000 parts adopt the smallest supplier's label, all 100 suppliers the smallest part's), the label-exchange signature self-voting only damps, not cures, at degree ~27. Recorded as-is: LPA on a graph with no community structure reports the graph's bipartition, and the fixed-iteration snapshot is still deterministic and hash-verified; graphs with GENUINE communities resolve correctly (LabelPropSpec's bridged triangles and ring-of-cliques, property-tested against the naive reference)",
+      (s, d) => {
+        val e0 = t(s, d, "lineitem")
+          .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+          .select((col("sk") * 2).as("src"), (col("pk") * 2 + 1).as("dst"))
+        graft.ops.LabelProp.run(e0, 3)
+          .groupBy(col("lbl").as("community"))
+          .agg(lcount(lit(1)).as("size"))
+      },
+      Some("""WITH e0 AS (SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem), ed AS (SELECT src AS a, dst AS b FROM e0 UNION ALL SELECT dst, src FROM e0), l0 AS (SELECT DISTINCT a AS v, a AS lbl FROM ed), v1 AS (SELECT ed.a AS v, l0.lbl FROM ed JOIN l0 ON ed.b = l0.v UNION ALL SELECT v, lbl FROM l0), c1 AS (SELECT v, lbl, count(*) AS c FROM v1 GROUP BY 1, 2), l1 AS (SELECT v, lbl FROM (SELECT v, lbl, row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rn FROM c1) q WHERE rn = 1), v2 AS (SELECT ed.a AS v, l1.lbl FROM ed JOIN l1 ON ed.b = l1.v UNION ALL SELECT v, lbl FROM l1), c2 AS (SELECT v, lbl, count(*) AS c FROM v2 GROUP BY 1, 2), l2 AS (SELECT v, lbl FROM (SELECT v, lbl, row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rn FROM c2) q WHERE rn = 1), v3 AS (SELECT ed.a AS v, l2.lbl FROM ed JOIN l2 ON ed.b = l2.v UNION ALL SELECT v, lbl FROM l2), c3 AS (SELECT v, lbl, count(*) AS c FROM v3 GROUP BY 1, 2), l3 AS (SELECT v, lbl FROM (SELECT v, lbl, row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rn FROM c3) q WHERE rn = 1) SELECT CAST(lbl AS BIGINT) AS community, CAST(count(*) AS BIGINT) AS size FROM l3 GROUP BY 1"""))
   )
 }

@@ -689,6 +689,12 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"plan:\n$p")
       assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
     }
+    it("q191 LPA final rollup reads checkpointed label state; no corpus window") {
+      val p = planOf("q191_label_propagation")
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+      assert(!p.contains("Window"), s"plan:\n$p")
+      assert(p.contains("Scan ExistingRDD"), s"plan:\n$p")
+    }
     it("q190 corr matrix reads the one-row moment frame — one corpus pass total") {
       val p = planOf("q190_corr_matrix")
       assert(!p.contains("Join"), s"plan:\n$p")
