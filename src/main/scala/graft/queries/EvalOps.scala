@@ -232,6 +232,35 @@ object EvalOps {
         }
         out.reduce(_ unionAll _)
       },
-      Some("""WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(CAST(floor(l_quantity * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS s_qty, CAST(SUM(CAST(floor(l_quantity * l_quantity * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS ss_qty, CAST(SUM(CAST(floor(l_extendedprice * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS s_price, CAST(SUM(CAST(floor(l_extendedprice * l_extendedprice * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS ss_price, CAST(SUM(CAST(floor(l_discount * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS s_disc, CAST(SUM(CAST(floor(l_discount * l_discount * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS ss_disc, CAST(SUM(CAST(floor(l_tax * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS s_tax, CAST(SUM(CAST(floor(l_tax * l_tax * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS ss_tax, CAST(SUM(CAST(floor(l_quantity * l_extendedprice * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS sp_qty_price, CAST(SUM(CAST(floor(l_quantity * l_discount * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS sp_qty_disc, CAST(SUM(CAST(floor(l_quantity * l_tax * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS sp_qty_tax, CAST(SUM(CAST(floor(l_extendedprice * l_discount * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS sp_price_disc, CAST(SUM(CAST(floor(l_extendedprice * l_tax * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS sp_price_tax, CAST(SUM(CAST(floor(l_discount * l_tax * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS sp_disc_tax FROM lineitem) SELECT 'qty' AS col_a, 'price' AS col_b, floor((n * sp_qty_price - s_qty * s_price) / sqrt((n * ss_qty - s_qty * s_qty) * (n * ss_price - s_price * s_price)) * 1e6 + 0.5) / 1e6 AS corr FROM m UNION ALL SELECT 'qty', 'disc', floor((n * sp_qty_disc - s_qty * s_disc) / sqrt((n * ss_qty - s_qty * s_qty) * (n * ss_disc - s_disc * s_disc)) * 1e6 + 0.5) / 1e6 FROM m UNION ALL SELECT 'qty', 'tax', floor((n * sp_qty_tax - s_qty * s_tax) / sqrt((n * ss_qty - s_qty * s_qty) * (n * ss_tax - s_tax * s_tax)) * 1e6 + 0.5) / 1e6 FROM m UNION ALL SELECT 'price', 'disc', floor((n * sp_price_disc - s_price * s_disc) / sqrt((n * ss_price - s_price * s_price) * (n * ss_disc - s_disc * s_disc)) * 1e6 + 0.5) / 1e6 FROM m UNION ALL SELECT 'price', 'tax', floor((n * sp_price_tax - s_price * s_tax) / sqrt((n * ss_price - s_price * s_price) * (n * ss_tax - s_tax * s_tax)) * 1e6 + 0.5) / 1e6 FROM m UNION ALL SELECT 'disc', 'tax', floor((n * sp_disc_tax - s_disc * s_tax) / sqrt((n * ss_disc - s_disc * s_disc) * (n * ss_tax - s_tax * s_tax)) * 1e6 + 0.5) / 1e6 FROM m"""))
+      Some("""WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(CAST(floor(l_quantity * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS s_qty, CAST(SUM(CAST(floor(l_quantity * l_quantity * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS ss_qty, CAST(SUM(CAST(floor(l_extendedprice * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS s_price, CAST(SUM(CAST(floor(l_extendedprice * l_extendedprice * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS ss_price, CAST(SUM(CAST(floor(l_discount * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS s_disc, CAST(SUM(CAST(floor(l_discount * l_discount * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS ss_disc, CAST(SUM(CAST(floor(l_tax * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS s_tax, CAST(SUM(CAST(floor(l_tax * l_tax * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS ss_tax, CAST(SUM(CAST(floor(l_quantity * l_extendedprice * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS sp_qty_price, CAST(SUM(CAST(floor(l_quantity * l_discount * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS sp_qty_disc, CAST(SUM(CAST(floor(l_quantity * l_tax * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS sp_qty_tax, CAST(SUM(CAST(floor(l_extendedprice * l_discount * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS sp_price_disc, CAST(SUM(CAST(floor(l_extendedprice * l_tax * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS sp_price_tax, CAST(SUM(CAST(floor(l_discount * l_tax * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS sp_disc_tax FROM lineitem) SELECT 'qty' AS col_a, 'price' AS col_b, floor((n * sp_qty_price - s_qty * s_price) / sqrt((n * ss_qty - s_qty * s_qty) * (n * ss_price - s_price * s_price)) * 1e6 + 0.5) / 1e6 AS corr FROM m UNION ALL SELECT 'qty', 'disc', floor((n * sp_qty_disc - s_qty * s_disc) / sqrt((n * ss_qty - s_qty * s_qty) * (n * ss_disc - s_disc * s_disc)) * 1e6 + 0.5) / 1e6 FROM m UNION ALL SELECT 'qty', 'tax', floor((n * sp_qty_tax - s_qty * s_tax) / sqrt((n * ss_qty - s_qty * s_qty) * (n * ss_tax - s_tax * s_tax)) * 1e6 + 0.5) / 1e6 FROM m UNION ALL SELECT 'price', 'disc', floor((n * sp_price_disc - s_price * s_disc) / sqrt((n * ss_price - s_price * s_price) * (n * ss_disc - s_disc * s_disc)) * 1e6 + 0.5) / 1e6 FROM m UNION ALL SELECT 'price', 'tax', floor((n * sp_price_tax - s_price * s_tax) / sqrt((n * ss_price - s_price * s_price) * (n * ss_tax - s_tax * s_tax)) * 1e6 + 0.5) / 1e6 FROM m UNION ALL SELECT 'disc', 'tax', floor((n * sp_disc_tax - s_disc * s_tax) / sqrt((n * ss_disc - s_disc * s_disc) * (n * ss_tax - s_tax * s_tax)) * 1e6 + 0.5) / 1e6 FROM m""")),
+
+    QueryDef("q193_trimmed_winsorized",
+      "10% two-sided trimmed and winsorized means of value per event_type, next to the raw mean — the robust-location pair completing the robust plane (q156 flags outliers via MAD, q119 rescales via IQR; trimming DROPS the tails, winsorizing CLAMPS them — the estimator pair a metrics platform publishes when a corrupted feed cannot be allowed to drag a KPI). The p10/p90 cut points are exact interpolated quantiles (ops.Quantiles, fifth consumer — the q120 bit-equal interpolation makes every v>=p10 comparison and every clamp agree across engines on UNROUNDED edges); trimmed keeps [p10, p90] inclusive, winsorized clamps via least/greatest, and all three means run exact-decimal (6-dp pre-round into DECIMAL(38,6), one division at the end). Scale: the quantile op's two bounded-state corpus passes + ONE final aggregate with the <=|types|-row edge frame broadcast back — the filter and clamp are free inside the same scan. Honest readout: value is RIGHT-SKEWED on this fixture, and the estimators say so — raw ~51 > winsorized ~46 > trimmed ~42 per type (trimming drops the heavy upper tail entirely, winsorizing only caps it at p90): the ordering itself is the tail diagnostic the pair exists to reveal, cross-consistent with q156's MAD medians sitting below the means",
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("event_type"), col("value"))
+          .filter(col("value").isNotNull) // mirror the oracle's null gate
+        val edges = graft.ops.Quantiles
+          .exactQuantiles(ev, "event_type", "value", Seq(0.1, 0.9))
+          .groupBy(col("event_type"))
+          .agg(max(when(col("p") === 0.1, col("value"))).as("p10"),
+               max(when(col("p") === 0.9, col("value"))).as("p90"))
+        val D6 = DecimalType(38, 6)
+        def m6(c: Column) = sum(g6(c).cast(D6)).cast("double")
+        val w = least(greatest(col("value"), col("p10")), col("p90"))
+        val inBand = col("value") >= col("p10") && col("value") <= col("p90")
+        ev.join(broadcast(edges), Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(lcount(lit(1)).as("n"),
+            max(col("p10")).as("p10"), max(col("p90")).as("p90"),
+            (m6(col("value")) / count(lit(1))).as("mean_raw0"),
+            (m6(when(inBand, col("value"))) / count(when(inBand, 1)))
+              .as("mean_trimmed0"),
+            (m6(w) / count(lit(1))).as("mean_winsorized0"))
+          .select(col("event_type"), col("n"), col("p10"), col("p90"),
+            g6(col("mean_raw0")).as("mean_raw"),
+            g6(col("mean_trimmed0")).as("mean_trimmed"),
+            g6(col("mean_winsorized0")).as("mean_winsorized"))
+      },
+      Some("""WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL), q AS (SELECT event_type, quantile_cont(value, 0.1) AS p10, quantile_cont(value, 0.9) AS p90 FROM e GROUP BY 1), j AS (SELECT e.event_type, value, p10, p90, least(greatest(value, p10), p90) AS w, (value >= p10 AND value <= p90) AS inb FROM e JOIN q USING (event_type)) SELECT event_type, CAST(count(*) AS BIGINT) AS n, max(p10) AS p10, max(p90) AS p90, floor(CAST(SUM(CAST(floor(value * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS mean_raw, floor(CAST(SUM(CAST(floor(value * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) FILTER (WHERE inb) AS DOUBLE) / count(*) FILTER (WHERE inb) * 1e6 + 0.5) / 1e6 AS mean_trimmed, floor(CAST(SUM(CAST(floor(w * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS mean_winsorized FROM j GROUP BY 1"""))
   )
 }

@@ -273,6 +273,40 @@ object StatsOps {
             Window.orderBy(col("stat").desc, col("day"))))
           .filter(col("rn") === 1).drop("rn")
       },
-      Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS v FROM orders GROUP BY 1), g AS (SELECT day, CAST(count(*) OVER wc AS BIGINT) AS t, CAST(SUM(CAST(v AS DECIMAL(38,6))) OVER wc AS DOUBLE) AS s_t, CAST(count(*) OVER wa AS BIGINT) AS n, CAST(SUM(CAST(v AS DECIMAL(38,6))) OVER wa AS DOUBLE) AS tot FROM daily WINDOW wc AS (ORDER BY day ROWS UNBOUNDED PRECEDING), wa AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)), sc AS (SELECT day, t, n, floor(s_t / t * 1e6 + 0.5) / 1e6 AS mean_left, floor((tot - s_t) / (n - t) * 1e6 + 0.5) / 1e6 AS mean_right, floor(sqrt(CAST(t * (n - t) AS DOUBLE) / n) * abs(s_t / t - (tot - s_t) / (n - t)) * 1e6 + 0.5) / 1e6 AS stat FROM g WHERE t < n), rk AS (SELECT *, row_number() OVER (ORDER BY stat DESC, day) AS rn FROM sc) SELECT day, t, n, mean_left, mean_right, stat FROM rk WHERE rn = 1"""))
+      Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS v FROM orders GROUP BY 1), g AS (SELECT day, CAST(count(*) OVER wc AS BIGINT) AS t, CAST(SUM(CAST(v AS DECIMAL(38,6))) OVER wc AS DOUBLE) AS s_t, CAST(count(*) OVER wa AS BIGINT) AS n, CAST(SUM(CAST(v AS DECIMAL(38,6))) OVER wa AS DOUBLE) AS tot FROM daily WINDOW wc AS (ORDER BY day ROWS UNBOUNDED PRECEDING), wa AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)), sc AS (SELECT day, t, n, floor(s_t / t * 1e6 + 0.5) / 1e6 AS mean_left, floor((tot - s_t) / (n - t) * 1e6 + 0.5) / 1e6 AS mean_right, floor(sqrt(CAST(t * (n - t) AS DOUBLE) / n) * abs(s_t / t - (tot - s_t) / (n - t)) * 1e6 + 0.5) / 1e6 AS stat FROM g WHERE t < n), rk AS (SELECT *, row_number() OVER (ORDER BY stat DESC, day) AS rn FROM sc) SELECT day, t, n, mean_left, mean_right, stat FROM rk WHERE rn = 1""")),
+
+    QueryDef("q192_mutual_information",
+      "mutual information + normalized MI between event_type and day-of-week — the information-theoretic association measure on exactly q162's contingency grid (chi-square asks 'is there ANY dependence?'; MI measures HOW MANY NATS of information one variable carries about the other, and NMI = MI/sqrt(H_row*H_col) normalizes it to [0,1] for cross-feature comparison — the feature-redundancy screen a selection pass ranks by). All distribution arguments stay INTEGER until inside the log: each MI term is (n_xy/N)*ln(n_xy*N/(n_x*n_y)) with integer counts composing the log argument exactly, pre-rounded onto a 12-dp floor-grid (term magnitudes are O(0.1): quantum far above ln's cross-engine ulp) into an exact DECIMAL(38,12) reduction; the marginal entropies reuse the identical recipe. dow normalized to DuckDB's Sunday=0 (the q162 off-by-one lesson). Scale: one corpus aggregate into the 35-cell grid (checkpointed: marginals, total and terms all read it); marginals/total derive from the GRID, never a second corpus pass; everything downstream is grid arithmetic against broadcast one-row frames. Honest readout: activity mix is weekday-independent on this fixture — MI = 0.0012 nats against entropies of 1.61/1.94, NMI = 0.0007 (cross-validated against q162's non-significant chi2 on the same grid)",
+      (s, d) => {
+        val c = t(s, d, "events")
+          .select(col("event_type"),
+                  (dayofweek(col("ts")) - lit(1)).cast("long").as("dow"))
+          .groupBy(col("event_type"), col("dow"))
+          .agg(lcount(lit(1)).as("n"))
+          .localCheckpoint(true) // 35-cell grid: marginals + total + terms
+        val rt = c.groupBy(col("event_type")).agg(lsum(col("n")).as("nr"))
+        val ct = c.groupBy(col("dow")).agg(lsum(col("n")).as("nc"))
+        val tt = c.agg(lsum(col("n")).as("nt"))
+        def g6(x: Column) = floor(x * lit(1e6) + lit(0.5)) / lit(1e6)
+        def red12(x: Column) =
+          sum((floor(x * lit(1e12) + lit(0.5)) / lit(1e12))
+            .cast(DecimalType(38, 12))).cast("double")
+        val mi = c.join(broadcast(rt), Seq("event_type"))
+          .join(broadcast(ct), Seq("dow"))
+          .crossJoin(broadcast(tt))
+          .agg(red12((col("n").cast("double") / col("nt"))
+            * log(col("n").cast("double") * col("nt")
+              / (col("nr").cast("double") * col("nc")))).as("mi"))
+        def entropy(m: org.apache.spark.sql.DataFrame, nCol: String, out: String) =
+          m.crossJoin(broadcast(tt))
+            .agg(red12(-(col(nCol).cast("double") / col("nt"))
+              * log(col(nCol).cast("double") / col("nt"))).as(out))
+        mi.crossJoin(broadcast(entropy(rt, "nr", "h_row")))
+          .crossJoin(broadcast(entropy(ct, "nc", "h_col")))
+          .select(g6(col("mi")).as("mi"), g6(col("h_row")).as("h_row"),
+            g6(col("h_col")).as("h_col"),
+            g6(col("mi") / sqrt(col("h_row") * col("h_col"))).as("nmi"))
+      },
+      Some("""WITH d AS (SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow FROM events), c AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1, 2), rt AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS nr FROM c GROUP BY 1), ct AS (SELECT dow, CAST(SUM(n) AS BIGINT) AS nc FROM c GROUP BY 1), tt AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM c), mi AS (SELECT CAST(SUM(CAST(floor((CAST(n AS DOUBLE) / nt) * ln(CAST(n AS DOUBLE) * nt / (CAST(nr AS DOUBLE) * nc)) * 1e12 + 0.5) / 1e12 AS DECIMAL(38,12))) AS DOUBLE) AS mi FROM c JOIN rt USING (event_type) JOIN ct USING (dow), tt), hr AS (SELECT CAST(SUM(CAST(floor(-(CAST(nr AS DOUBLE) / nt) * ln(CAST(nr AS DOUBLE) / nt) * 1e12 + 0.5) / 1e12 AS DECIMAL(38,12))) AS DOUBLE) AS h_row FROM rt, tt), hc AS (SELECT CAST(SUM(CAST(floor(-(CAST(nc AS DOUBLE) / nt) * ln(CAST(nc AS DOUBLE) / nt) * 1e12 + 0.5) / 1e12 AS DECIMAL(38,12))) AS DOUBLE) AS h_col FROM ct, tt) SELECT floor(mi * 1e6 + 0.5) / 1e6 AS mi, floor(h_row * 1e6 + 0.5) / 1e6 AS h_row, floor(h_col * 1e6 + 0.5) / 1e6 AS h_col, floor(mi / sqrt(h_row * h_col) * 1e6 + 0.5) / 1e6 AS nmi FROM mi, hr, hc"""))
   )
 }

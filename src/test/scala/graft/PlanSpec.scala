@@ -689,6 +689,18 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"plan:\n$p")
       assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
     }
+    it("q192 MI pays one corpus aggregate; marginals derive from the grid") {
+      val p = planOf("q192_mutual_information")
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+      assert(!p.contains("parquet"), s"plan:\n$p") // grid checkpointed once
+    }
+    it("q193 trim/winsorize means fuse into one scan against broadcast edges") {
+      val p = planOf("q193_trimmed_winsorized")
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
+    }
     it("q191 LPA final rollup reads checkpointed label state; no corpus window") {
       val p = planOf("q191_label_propagation")
       assert(!p.contains("CartesianProduct"), s"plan:\n$p")
