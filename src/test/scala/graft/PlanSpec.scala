@@ -701,6 +701,20 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
       assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
     }
+    it("q194 CV: all five leave-one-fold-out models come from one grid") {
+      val p = planOf("q194_kfold_cv")
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+      // the model/scoring corpus joins ran inside the fold grid's
+      // localCheckpoint; the visible plan reads the 5-row grid
+      assert(p.contains("Scan ExistingRDD"), s"plan:\n$p")
+    }
+    it("q195 JS tail is grid-only: no join below the final one-row select") {
+      val p = planOf("q195_js_divergence")
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+      assert(!p.contains("parquet"), s"plan:\n$p") // grid checkpointed
+    }
     it("q191 LPA final rollup reads checkpointed label state; no corpus window") {
       val p = planOf("q191_label_propagation")
       assert(!p.contains("CartesianProduct"), s"plan:\n$p")
