@@ -181,6 +181,13 @@ object EvalOps {
           .filter(col("mask") > 0)
         val grid = j.groupBy(col("mask"))
           .agg(lcount(lit(1)).as("n"), lsum(col("conv")).as("c"))
+        // LOUD cap, not silent: Spark's factorial() returns NULL past 20
+        // (terms would silently drop from the sum) while DuckDB errors —
+        // refuse here, on the bounded dim, before either engine diverges.
+        // k > ~20 channels must route to sampling-based Shapley anyway.
+        val kCount = dim.count()
+        require(kCount <= 20,
+          s"shapley factorial weights overflow past 20 channels: $kCount")
         val kk = dim.agg(lcount(lit(1)).as("k"))
         val v = col("c").cast("double") / col("n")
         val cnt = expr("CAST(bit_count(mask) AS BIGINT)")
@@ -277,10 +284,16 @@ object EvalOps {
           .localCheckpoint(true) // 250-cell grid: totals + loo models read it
         val tot = cell.groupBy(col("q"))
           .agg(sum(col("s_f")).as("s_all"), lsum(col("n_f")).as("n_all"))
+        // when-guard: a quantity seen ONLY in fold f has an empty training
+        // set (n_all == n_f) — unguarded, ANSI Spark throws on the zero
+        // divide while DuckDB yields inf: a silent cross-engine fork. Such
+        // cells can't be scored; both engines drop them identically.
         val model = cell.join(broadcast(tot), Seq("q"))
           .select(col("f"), col("q"),
-            ((col("s_all") - col("s_f")).cast("double")
-              / (col("n_all") - col("n_f"))).as("yhat"))
+            when(col("n_all") > col("n_f"),
+              (col("s_all") - col("s_f")).cast("double")
+                / (col("n_all") - col("n_f"))).as("yhat"))
+          .filter(col("yhat").isNotNull)
         val folds = li.join(broadcast(model), Seq("f", "q"))
           .groupBy(col("f").as("fold"))
           .agg(lcount(lit(1)).as("n_test"),
@@ -299,7 +312,7 @@ object EvalOps {
               .as("rmse_sd"))
         folds.crossJoin(broadcast(sm))
       },
-      Some(s"""WITH li AS (SELECT ${ph("CAST(l_orderkey AS VARCHAR)", 53)} % 5 AS f, l_quantity AS q, l_extendedprice AS y FROM lineitem), cell AS (SELECT f, q, SUM(CAST(floor(y * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS s_f, CAST(count(*) AS BIGINT) AS n_f FROM li GROUP BY 1, 2), tot AS (SELECT q, SUM(s_f) AS s_all, CAST(SUM(n_f) AS BIGINT) AS n_all FROM cell GROUP BY 1), model AS (SELECT f, cell.q, CAST(s_all - s_f AS DOUBLE) / (n_all - n_f) AS yhat FROM cell JOIN tot USING (q)), folds AS (SELECT f AS fold, CAST(count(*) AS BIGINT) AS n_test, floor(sqrt(CAST(SUM(CAST(floor((y - yhat) * (y - yhat) * 1e4 + 0.5) / 1e4 AS DECIMAL(38,4))) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS rmse FROM li JOIN model USING (f, q) GROUP BY 1), sm AS (SELECT CAST(SUM(CAST(rmse AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS m, CAST(SUM(CAST(rmse * rmse AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS m2 FROM folds) SELECT fold, n_test, rmse, floor(m * 1e6 + 0.5) / 1e6 AS rmse_mean, floor(sqrt(greatest(0.0, m2 - m * m)) * 1e6 + 0.5) / 1e6 AS rmse_sd FROM folds, sm""")),
+      Some(s"""WITH li AS (SELECT ${ph("CAST(l_orderkey AS VARCHAR)", 53)} % 5 AS f, l_quantity AS q, l_extendedprice AS y FROM lineitem), cell AS (SELECT f, q, SUM(CAST(floor(y * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS s_f, CAST(count(*) AS BIGINT) AS n_f FROM li GROUP BY 1, 2), tot AS (SELECT q, SUM(s_f) AS s_all, CAST(SUM(n_f) AS BIGINT) AS n_all FROM cell GROUP BY 1), model AS (SELECT f, cell.q, CASE WHEN n_all > n_f THEN CAST(s_all - s_f AS DOUBLE) / (n_all - n_f) END AS yhat FROM cell JOIN tot USING (q)), model2 AS (SELECT * FROM model WHERE yhat IS NOT NULL), folds AS (SELECT f AS fold, CAST(count(*) AS BIGINT) AS n_test, floor(sqrt(CAST(SUM(CAST(floor((y - yhat) * (y - yhat) * 1e4 + 0.5) / 1e4 AS DECIMAL(38,4))) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS rmse FROM li JOIN model2 USING (f, q) GROUP BY 1), sm AS (SELECT CAST(SUM(CAST(rmse AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS m, CAST(SUM(CAST(rmse * rmse AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS m2 FROM folds) SELECT fold, n_test, rmse, floor(m * 1e6 + 0.5) / 1e6 AS rmse_mean, floor(sqrt(greatest(0.0, m2 - m * m)) * 1e6 + 0.5) / 1e6 AS rmse_sd FROM folds, sm""")),
 
     QueryDef("q195_js_divergence",
       "Jensen-Shannon divergence between the even- and odd-orderkey halves of l_extendedprice on the 256-bucket histogram tier — the bounded, symmetric drift measure completing the divergence family (q115 PSI weights by mass with a continuity correction, q161 KS takes the worst CDF gap, MI q192 measures association; JS = (KL(p||m) + KL(q||m))/2 with m the mixture is what embedding/LM data work reports because it is finite even on disjoint supports and sqrt(JS) is a metric). Zero-count bins contribute EXACTLY zero (0*ln0 = 0 via a null-safe guard, not a continuity epsilon — JS needs none, unlike PSI); each KL term keeps integer counts inside the log argument and pre-rounds onto the 12-dp grid into exact DECIMAL(38,12) reductions; both KLs and the JS/sqrt(JS) finish derive from the same broadcast totals. Scale: the corpus pays the q161 two-job shape — one min/max pass, one binned split-count aggregate — and the <=256-row grid does everything else. Honest readout: iid halves measure JS = 0.0023 nats (sqrt = 0.048) at sf0.01 — the O(bins/N) sampling-noise floor of identically-distributed splits, shrinking with corpus size, NOT a drift signal (the q122-style self-consistency reading)",
