@@ -307,6 +307,86 @@ object StatsOps {
             g6(col("h_col")).as("h_col"),
             g6(col("mi") / sqrt(col("h_row") * col("h_col"))).as("nmi"))
       },
-      Some("""WITH d AS (SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow FROM events), c AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1, 2), rt AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS nr FROM c GROUP BY 1), ct AS (SELECT dow, CAST(SUM(n) AS BIGINT) AS nc FROM c GROUP BY 1), tt AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM c), mi AS (SELECT CAST(SUM(CAST(floor((CAST(n AS DOUBLE) / nt) * ln(CAST(n AS DOUBLE) * nt / (CAST(nr AS DOUBLE) * nc)) * 1e12 + 0.5) / 1e12 AS DECIMAL(38,12))) AS DOUBLE) AS mi FROM c JOIN rt USING (event_type) JOIN ct USING (dow), tt), hr AS (SELECT CAST(SUM(CAST(floor(-(CAST(nr AS DOUBLE) / nt) * ln(CAST(nr AS DOUBLE) / nt) * 1e12 + 0.5) / 1e12 AS DECIMAL(38,12))) AS DOUBLE) AS h_row FROM rt, tt), hc AS (SELECT CAST(SUM(CAST(floor(-(CAST(nc AS DOUBLE) / nt) * ln(CAST(nc AS DOUBLE) / nt) * 1e12 + 0.5) / 1e12 AS DECIMAL(38,12))) AS DOUBLE) AS h_col FROM ct, tt) SELECT floor(mi * 1e6 + 0.5) / 1e6 AS mi, floor(h_row * 1e6 + 0.5) / 1e6 AS h_row, floor(h_col * 1e6 + 0.5) / 1e6 AS h_col, floor(mi / sqrt(h_row * h_col) * 1e6 + 0.5) / 1e6 AS nmi FROM mi, hr, hc"""))
+      Some("""WITH d AS (SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow FROM events), c AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1, 2), rt AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS nr FROM c GROUP BY 1), ct AS (SELECT dow, CAST(SUM(n) AS BIGINT) AS nc FROM c GROUP BY 1), tt AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM c), mi AS (SELECT CAST(SUM(CAST(floor((CAST(n AS DOUBLE) / nt) * ln(CAST(n AS DOUBLE) * nt / (CAST(nr AS DOUBLE) * nc)) * 1e12 + 0.5) / 1e12 AS DECIMAL(38,12))) AS DOUBLE) AS mi FROM c JOIN rt USING (event_type) JOIN ct USING (dow), tt), hr AS (SELECT CAST(SUM(CAST(floor(-(CAST(nr AS DOUBLE) / nt) * ln(CAST(nr AS DOUBLE) / nt) * 1e12 + 0.5) / 1e12 AS DECIMAL(38,12))) AS DOUBLE) AS h_row FROM rt, tt), hc AS (SELECT CAST(SUM(CAST(floor(-(CAST(nc AS DOUBLE) / nt) * ln(CAST(nc AS DOUBLE) / nt) * 1e12 + 0.5) / 1e12 AS DECIMAL(38,12))) AS DOUBLE) AS h_col FROM ct, tt) SELECT floor(mi * 1e6 + 0.5) / 1e6 AS mi, floor(h_row * 1e6 + 0.5) / 1e6 AS h_row, floor(h_col * 1e6 + 0.5) / 1e6 AS h_col, floor(mi / sqrt(h_row * h_col) * 1e6 + 0.5) / 1e6 AS nmi FROM mi, hr, hc""")),
+
+    QueryDef("q197_anova_f",
+      "one-way ANOVA F-test of l_extendedprice across the l_returnflag groups - the numeric x categorical member that completes the tests-plane grid (q162 chi2 = categorical x categorical, q163 Spearman / q190 Pearson = numeric x numeric, q165 z = proportions, q161/q195 = distribution vs distribution). Does mean price differ by return flag? On this iid fixture the honest answer is NO (group means within +-70 of 52952; F ~ 1.2 < 3.0), and the test says so. Numerics: values quantize to integer cents via floor(x*100+0.5) - a pure function of the identical stored doubles, so both engines see the same integers; the corpus pays ONE aggregate into the |flags|-row grid carrying (n, sum, sum-of-squares) with the squares accumulated DECIMAL(38,0)/HUGEINT (sum c^2 ~ 2e19 wraps int64 at sf0.1 already - the q163 lesson applies from the start here); every between/within term then lives on a 1e6-cents^2 grid (floor-round WELL above the ~1e3 ulp of the ~5e18 terms) summed exactly in 128-bit, so SSB's catastrophic cancellation (two ~1.7e19 terms differing by ~2e13) happens on identical integers in both engines, never in re-associated float sums. F = (SSB/df1)/(SSW/df2) off the exact m-unit integers (the 1e6 scale cancels in the ratio); verdict vs the df1=2, df2=inf asymptote 2.995732 (= ln 20; the fixture has exactly 3 flags - crit/reject null out loudly if that ever changes). Scale: one corpus pass, grid-sized tail, no window anywhere",
+      (s, d) => {
+        val D38 = DecimalType(38, 0)
+        def h(x: Column) = x.cast(D38)
+        val c = floor(col("l_extendedprice") * lit(100.0) + lit(0.5))
+          .cast("long")
+        val g = t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(lcount(lit(1)).as("n"), sum(h(c)).as("s"),
+               sum(h(c) * h(c)).as("q"))
+          .localCheckpoint(true) // |flags|-row grid; totals + term passes
+        val tot = g.agg(lsum(col("n")).as("nt"),
+          sum(col("s")).cast(D38).as("st"), sum(col("q")).cast(D38).as("qt"),
+          lcount(lit(1)).as("k"))
+        // per-group between-term S_g^2/n_g on the 1e6-cents^2 grid, then an
+        // exact 128-bit sum: the doubles feeding floor() are identical in
+        // both engines (exact-int casts, correctly-rounded * and /)
+        val bsum = g.select(
+            floor(((col("s").cast("double") * col("s").cast("double"))
+              / col("n").cast("double")) / lit(1e6) + lit(0.5))
+              .cast(D38).as("tm"))
+          .agg(sum(col("tm")).cast(D38).as("bt"))
+        val fin = tot.crossJoin(broadcast(bsum)).select(
+          col("k"), col("nt"),
+          (col("bt") - floor(((col("st").cast("double") * col("st").cast("double"))
+            / col("nt").cast("double")) / lit(1e6) + lit(0.5)).cast(D38))
+            .cast("double").as("ssb"),
+          (floor(col("qt").cast("double") / lit(1e6) + lit(0.5)).cast(D38)
+            - col("bt")).cast("double").as("ssw"))
+        val f = (col("ssb") / (col("k") - lit(1L))) /
+          (col("ssw") / (col("nt") - col("k")))
+        fin.select(
+          col("k").as("groups"), col("nt").as("n"),
+          (col("k") - lit(1L)).cast("long").as("df1"),
+          (col("nt") - col("k")).cast("long").as("df2"),
+          (floor(f * lit(1e6) + lit(0.5)) / lit(1e6)).as("f_stat"),
+          when(col("k") === 3, lit(2.995732)).as("f_crit"),
+          when(col("k") === 3, f > lit(2.995732)).as("reject"))
+      },
+      Some("""WITH c AS (SELECT l_returnflag AS g, CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS c FROM lineitem), gr AS (SELECT g, CAST(count(*) AS BIGINT) AS n, SUM(CAST(c AS HUGEINT)) AS s, SUM(CAST(c AS HUGEINT) * c) AS q FROM c GROUP BY 1), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, SUM(s) AS st, SUM(q) AS qt, CAST(count(*) AS BIGINT) AS k FROM gr), bs AS (SELECT SUM(CAST(floor(((CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n AS DOUBLE)) / 1e6 + 0.5) AS HUGEINT)) AS bt FROM gr), fin AS (SELECT k, nt, CAST(bt - CAST(floor(((CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) / CAST(nt AS DOUBLE)) / 1e6 + 0.5) AS HUGEINT) AS DOUBLE) AS ssb, CAST(CAST(floor(CAST(qt AS DOUBLE) / 1e6 + 0.5) AS HUGEINT) - bt AS DOUBLE) AS ssw FROM tot, bs) SELECT k AS groups, nt AS n, CAST(k - 1 AS BIGINT) AS df1, CAST(nt - k AS BIGINT) AS df2, floor((ssb / (k - 1)) / (ssw / (nt - k)) * 1e6 + 0.5) / 1e6 AS f_stat, CASE WHEN k = 3 THEN 2.995732 ELSE NULL END AS f_crit, CASE WHEN k = 3 THEN (ssb / (k - 1)) / (ssw / (nt - k)) > 2.995732 ELSE NULL END AS reject FROM fin""")),
+
+    QueryDef("q198_mann_kendall",
+      "Mann-Kendall trend test on monthly revenue - the SIGNIFICANCE twin of q185's Theil-Sen estimator (q185 answers 'how steep', this answers 'is it real'), and the nonparametric member beside q151's parametric OLS fit: S = sum over month pairs of sign(v_j - v_i), Var(S) = [n(n-1)(2n+5) - tie term]/18, Z with the +-1 continuity correction, verdict at |Z| > 1.96. The statistic is a pure INTEGER until the final division - monthly revenues are exact DECIMAL(38,6) sums compared exactly (never subtracted as floats), so every sign, S, and the tie census are engine-independent facts, and Var's integer numerator / 18.0 / sqrt are single correctly-rounded IEEE ops on identical inputs. Scale form: the corpus pays the ONE month rollup (calendar-bounded grid, ~79 rows); the O(grid^2) pair set is the q185 broadcast grid self-join (the quadratic lives on the calendar, never the corpus); the tie census is a grid groupBy. Honest readout: the iid fixture has no trend and the test must not invent one - |Z| < 1.96, trend=false",
+      (s, d) => {
+        val D386 = DecimalType(38, 6)
+        val monthly = t(s, d, "orders")
+          .groupBy((year(col("o_orderdate")) * lit(12) + month(col("o_orderdate")))
+            .cast("long").as("tm"))
+          .agg(sum(col("o_totalprice").cast(D386)).as("v"))
+          .localCheckpoint(true) // month grid: pair join x2 + tie pass + count
+        val a = monthly.select(col("tm").as("t1"), col("v").as("v1"))
+        val b = monthly.select(col("tm").as("t2"), col("v").as("v2"))
+        val sAgg = a.join(b, col("t1") < col("t2"))
+          .agg(lsum(when(col("v2") > col("v1"), lit(1L))
+            .when(col("v2") < col("v1"), lit(-1L))
+            .otherwise(lit(0L))).as("s_stat"))
+        val ties = monthly.groupBy(col("v")).agg(lcount(lit(1)).as("tn"))
+          .agg(lsum(when(col("tn") > 1,
+              col("tn") * (col("tn") - lit(1L)) * (lit(2L) * col("tn") + lit(5L)))
+            .otherwise(lit(0L))).as("tie_term"),
+            lsum(when(col("tn") > 1, col("tn")).otherwise(lit(0L))).as("n_tied"))
+        val fin = monthly.agg(lcount(lit(1)).as("n_months"))
+          .crossJoin(broadcast(sAgg)).crossJoin(broadcast(ties))
+          .select(col("n_months"), col("s_stat"), col("n_tied"),
+            ((col("n_months") * (col("n_months") - lit(1L))
+              * (lit(2L) * col("n_months") + lit(5L)) - col("tie_term"))
+              .cast("double") / lit(18.0)).as("var_s"))
+        val z = when(col("s_stat") > 0,
+            (col("s_stat") - lit(1L)).cast("double") / sqrt(col("var_s")))
+          .when(col("s_stat") < 0,
+            (col("s_stat") + lit(1L)).cast("double") / sqrt(col("var_s")))
+          .otherwise(lit(0.0))
+        fin.select(col("n_months"), col("s_stat"), col("n_tied"),
+          (floor(col("var_s") * lit(1e6) + lit(0.5)) / lit(1e6)).as("var_s"),
+          (floor(z * lit(1e6) + lit(0.5)) / lit(1e6)).as("z_stat"),
+          (abs(z) > lit(1.96)).as("trend"))
+      },
+      Some("""WITH m AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS tm, SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS v FROM orders GROUP BY 1), s AS (SELECT CAST(SUM(CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s_stat FROM m a JOIN m b ON a.tm < b.tm), tg AS (SELECT v, CAST(count(*) AS BIGINT) AS tn FROM m GROUP BY 1), tt AS (SELECT CAST(SUM(CASE WHEN tn > 1 THEN tn * (tn - 1) * (2 * tn + 5) ELSE 0 END) AS BIGINT) AS tie_term, CAST(SUM(CASE WHEN tn > 1 THEN tn ELSE 0 END) AS BIGINT) AS n_tied FROM tg), n AS (SELECT CAST(count(*) AS BIGINT) AS n_months FROM m), f AS (SELECT n_months, s_stat, n_tied, CAST(n_months * (n_months - 1) * (2 * n_months + 5) - tie_term AS DOUBLE) / 18.0 AS var_s FROM n, s, tt), z AS (SELECT n_months, s_stat, n_tied, var_s, CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s) WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s) ELSE 0.0 END AS zv FROM f) SELECT n_months, s_stat, n_tied, floor(var_s * 1e6 + 0.5) / 1e6 AS var_s, floor(zv * 1e6 + 0.5) / 1e6 AS z_stat, abs(zv) > 1.96 AS trend FROM z"""))
   )
 }
