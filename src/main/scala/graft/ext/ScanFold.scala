@@ -45,6 +45,8 @@ object ScanFold {
   case class SScanRow(k: String, o1: Long, o2: Long, d: Long)
   case class SBalRow(k: String, o1: Long, o2: Long, bal: Long)
   case class HoltRow(k: Long, o1: Long, o2: Long, level: Double, trend: Double)
+  case class HwRow(k: Long, o1: Long, o2: Long,
+                   level: Double, trend: Double, seasonal: Double)
 
   /** Saturating running sum per key: rows of `df` are folded in
     * `(key, ord1, ord2)` order with `bal := min(hi, max(lo, bal + delta))`,
@@ -165,6 +167,75 @@ object ScanFold {
         }
       }
       .toDF(key, ord1, ord2, "level", "trend")
+  }
+
+  /** Holt–Winters additive-seasonal smoothing per key — the
+    * (2+m)-state member of the fold family ([[holt]] is the m=0 case):
+    * {{{
+    *   l' = alpha*(x - s[t mod m]) + (1-alpha)*(l + b)
+    *   b' = beta*(l' - l) + (1-beta)*b
+    *   s[t mod m] := gamma*(x - l') + (1-gamma)*s[t mod m]
+    * }}}
+    * seeded `l = first x, b = 0, s = zeros` (the seasonal profile is
+    * LEARNED by the recursion rather than pre-estimated from the first
+    * cycle — a deterministic seed that needs no lookahead buffering,
+    * so the fold stays a one-pass O(m)-state scan; after a few cycles
+    * the slots converge to the usual additive profile). Emits
+    * (level, trend, seasonal-after-update) per observation;
+    * `level + trend + s[(t+1) mod m]` is the one-step-ahead forecast.
+    * Same bit-stability contract as [[ewma]]/[[holt]]: both engines
+    * evaluate the pinned expression trees left-to-right on identical
+    * doubles — the oracle's recursive CTE carries the m seasonal slots
+    * as a DOUBLE list and repeats the l' expression where SQL cannot
+    * bind it mid-row (deterministically the same value). All three
+    * smoothing constants must be exact binary fractions. Sequential for
+    * the [[holt]] reason, plus the seasonal array makes even the
+    * affine-composition escape hatch (m+2)-dimensional — there is
+    * genuinely no window form. */
+  def holtWinters(df: DataFrame, key: String, ord1: String, ord2: String,
+                  value: String, alpha: Double, beta: Double, gamma: Double,
+                  m: Int): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha=$alpha out of (0, 1]")
+    require(beta >= 0 && beta <= 1, s"beta=$beta out of [0, 1]")
+    require(gamma >= 0 && gamma <= 1, s"gamma=$gamma out of [0, 1]")
+    require(m >= 2, s"seasonal period m=$m must be >= 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val a1 = 1.0 - alpha
+    val b1 = 1.0 - beta
+    val g1 = 1.0 - gamma
+    val ds: Dataset[DScanRow] = df.select(
+        col(key).cast(LongType).as("k"),
+        col(ord1).cast(LongType).as("o1"),
+        col(ord2).cast(LongType).as("o2"),
+        col(value).cast("double").as("x"))
+      .as[DScanRow]
+    ds.repartition(col("k"))
+      .sortWithinPartitions(col("k"), col("o1"), col("o2"))
+      .mapPartitions { it =>
+        var cur = Long.MinValue
+        var started = false
+        var l = 0.0
+        var b = 0.0
+        var t = 0L
+        var s: Array[Double] = null
+        it.map { r =>
+          if (!started || r.k != cur) {
+            cur = r.k; started = true
+            l = r.x; b = 0.0; t = 0L; s = new Array[Double](m)
+          } else {
+            t += 1
+            val sl = (t % m).toInt
+            val sOld = s(sl)
+            val l1 = alpha * (r.x - sOld) + a1 * (l + b)
+            b = beta * (l1 - l) + b1 * b
+            s(sl) = gamma * (r.x - l1) + g1 * sOld
+            l = l1
+          }
+          HwRow(r.k, r.o1, r.o2, l, b, s((t % m).toInt))
+        }
+      }
+      .toDF(key, ord1, ord2, "level", "trend", "seasonal")
   }
 
   /** Exponentially-weighted moving average per key: the linear

@@ -746,6 +746,24 @@ object BehaviorOps {
           .filter(col("n_touchpoints") > 0)
         agg.unionByName(direct)
       },
-      Some("""WITH t AS (SELECT user_id, ts, event_id, event_type FROM events WHERE event_type IN ('view','click')), p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'), pr AS (SELECT p.user_id, p.event_id AS pid, p.value, t.event_type AS channel, CAST(floor(pow(0.5, CAST(epoch_us(p.ts) - epoch_us(t.ts) AS DOUBLE) / 604800000000.0) * 1e4 + 0.5) / 1e4 AS DECIMAL(38,4)) AS w FROM p JOIN t ON t.user_id = p.user_id AND (t.ts < p.ts OR (t.ts = p.ts AND t.event_id < p.event_id)) AND epoch_us(p.ts) - epoch_us(t.ts) <= 604800000000), wt AS (SELECT pid, SUM(w) AS wsum FROM pr GROUP BY 1), c AS (SELECT channel, value * CAST(w AS DOUBLE) / CAST(wsum AS DOUBLE) AS credit FROM pr JOIN wt USING (pid)), agg AS (SELECT channel, CAST(SUM(CAST(floor(credit * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS credit, CAST(count(*) AS BIGINT) AS n_touchpoints FROM c GROUP BY 1), d AS (SELECT 'direct' AS channel, CAST(SUM(CAST(round(value, 6) AS DECIMAL(38,6))) AS DOUBLE) AS credit, CAST(count(*) AS BIGINT) AS n_touchpoints FROM p WHERE NOT EXISTS (SELECT 1 FROM wt WHERE wt.pid = p.event_id) HAVING count(*) > 0) SELECT * FROM agg UNION ALL SELECT * FROM d"""))
+      Some("""WITH t AS (SELECT user_id, ts, event_id, event_type FROM events WHERE event_type IN ('view','click')), p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'), pr AS (SELECT p.user_id, p.event_id AS pid, p.value, t.event_type AS channel, CAST(floor(pow(0.5, CAST(epoch_us(p.ts) - epoch_us(t.ts) AS DOUBLE) / 604800000000.0) * 1e4 + 0.5) / 1e4 AS DECIMAL(38,4)) AS w FROM p JOIN t ON t.user_id = p.user_id AND (t.ts < p.ts OR (t.ts = p.ts AND t.event_id < p.event_id)) AND epoch_us(p.ts) - epoch_us(t.ts) <= 604800000000), wt AS (SELECT pid, SUM(w) AS wsum FROM pr GROUP BY 1), c AS (SELECT channel, value * CAST(w AS DOUBLE) / CAST(wsum AS DOUBLE) AS credit FROM pr JOIN wt USING (pid)), agg AS (SELECT channel, CAST(SUM(CAST(floor(credit * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS credit, CAST(count(*) AS BIGINT) AS n_touchpoints FROM c GROUP BY 1), d AS (SELECT 'direct' AS channel, CAST(SUM(CAST(round(value, 6) AS DECIMAL(38,6))) AS DOUBLE) AS credit, CAST(count(*) AS BIGINT) AS n_touchpoints FROM p WHERE NOT EXISTS (SELECT 1 FROM wt WHERE wt.pid = p.event_id) HAVING count(*) > 0) SELECT * FROM agg UNION ALL SELECT * FROM d""")),
+
+    QueryDef("q200_holt_winters",
+      "Holt-Winters additive-seasonal smoothing of the monthly revenue series (ext.ScanFold.holtWinters, alpha=0.25, beta=0.125, gamma=0.25, m=12): the (2+m)-state completion of the forecasting fold family - q150 EWMA (level), q154 Holt (level+trend), here level+trend+a 12-slot learned seasonal profile, so the one-step-ahead forecast carries the annual cycle q176's decomposition measures statically. Seeded l=first, b=0, s=zeros - a deterministic no-lookahead seed, so the operator stays a one-pass O(m)-state fold (classic first-cycle seasonal seeding needs a buffered pre-pass). The oracle's recursive CTE carries the 12 seasonal slots as a DOUBLE list rebuilt per step (list_slice ++ [s'] ++ list_slice) and repeats the l' expression where SQL cannot bind it mid-row - deterministically identical doubles, so the fold's stream-order bit-equality holds through the 6-dp output grid. All three constants exact binary fractions. Scale: the corpus pays the one month rollup; the recursion runs on the ~79-row calendar grid (q198's), and the keyed fold itself is the q145/q154 one-exchange sorted O(m)-state shape - per-series state is 14 doubles at any corpus size",
+      (s, d) => {
+        val monthly = t(s, d, "orders")
+          .groupBy((year(col("o_orderdate")) * lit(12) + month(col("o_orderdate")))
+            .cast("long").as("tm"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(38, 6)))
+            .cast("double").as("x"))
+          .withColumn("k", lit(0L)).withColumn("z", lit(0L))
+        graft.ext.ScanFold.holtWinters(monthly, "k", "tm", "z", "x",
+            alpha = 0.25, beta = 0.125, gamma = 0.25, m = 12)
+          .select(col("tm"),
+            (floor(col("level") * lit(1e6) + lit(0.5)) / lit(1e6)).as("level"),
+            (floor(col("trend") * lit(1e6) + lit(0.5)) / lit(1e6)).as("trend"),
+            (floor(col("seasonal") * lit(1e6) + lit(0.5)) / lit(1e6)).as("seasonal"))
+      },
+      Some("""WITH RECURSIVE d0 AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS tm, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS x FROM orders GROUP BY 1), d AS (SELECT tm, x, row_number() OVER (ORDER BY tm) AS rn FROM d0), r AS (SELECT rn, tm, x, x AS l, CAST(0.0 AS DOUBLE) AS b, [CAST(0.0 AS DOUBLE),0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0] AS s FROM d WHERE rn = 1 UNION ALL SELECT d.rn, d.tm, d.x, 0.25 * (d.x - list_extract(r.s, CAST((d.rn - 1) % 12 AS INTEGER) + 1)) + 0.75 * (r.l + r.b), 0.125 * ((0.25 * (d.x - list_extract(r.s, CAST((d.rn - 1) % 12 AS INTEGER) + 1)) + 0.75 * (r.l + r.b)) - r.l) + 0.875 * r.b, list_concat(list_concat(list_slice(r.s, 1, CAST((d.rn - 1) % 12 AS INTEGER)), [0.25 * (d.x - (0.25 * (d.x - list_extract(r.s, CAST((d.rn - 1) % 12 AS INTEGER) + 1)) + 0.75 * (r.l + r.b))) + 0.75 * list_extract(r.s, CAST((d.rn - 1) % 12 AS INTEGER) + 1)]), list_slice(r.s, CAST((d.rn - 1) % 12 AS INTEGER) + 2, 12)) FROM r JOIN d ON d.rn = r.rn + 1) SELECT tm, floor(l * 1e6 + 0.5) / 1e6 AS level, floor(b * 1e6 + 0.5) / 1e6 AS trend, floor(list_extract(s, CAST((rn - 1) % 12 AS INTEGER) + 1) * 1e6 + 0.5) / 1e6 AS seasonal FROM r"""))
   )
 }

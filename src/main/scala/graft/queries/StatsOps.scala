@@ -387,6 +387,55 @@ object StatsOps {
           (floor(z * lit(1e6) + lit(0.5)) / lit(1e6)).as("z_stat"),
           (abs(z) > lit(1.96)).as("trend"))
       },
-      Some("""WITH m AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS tm, SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS v FROM orders GROUP BY 1), s AS (SELECT CAST(SUM(CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s_stat FROM m a JOIN m b ON a.tm < b.tm), tg AS (SELECT v, CAST(count(*) AS BIGINT) AS tn FROM m GROUP BY 1), tt AS (SELECT CAST(SUM(CASE WHEN tn > 1 THEN tn * (tn - 1) * (2 * tn + 5) ELSE 0 END) AS BIGINT) AS tie_term, CAST(SUM(CASE WHEN tn > 1 THEN tn ELSE 0 END) AS BIGINT) AS n_tied FROM tg), n AS (SELECT CAST(count(*) AS BIGINT) AS n_months FROM m), f AS (SELECT n_months, s_stat, n_tied, CAST(n_months * (n_months - 1) * (2 * n_months + 5) - tie_term AS DOUBLE) / 18.0 AS var_s FROM n, s, tt), z AS (SELECT n_months, s_stat, n_tied, var_s, CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s) WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s) ELSE 0.0 END AS zv FROM f) SELECT n_months, s_stat, n_tied, floor(var_s * 1e6 + 0.5) / 1e6 AS var_s, floor(zv * 1e6 + 0.5) / 1e6 AS z_stat, abs(zv) > 1.96 AS trend FROM z"""))
+      Some("""WITH m AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS tm, SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS v FROM orders GROUP BY 1), s AS (SELECT CAST(SUM(CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s_stat FROM m a JOIN m b ON a.tm < b.tm), tg AS (SELECT v, CAST(count(*) AS BIGINT) AS tn FROM m GROUP BY 1), tt AS (SELECT CAST(SUM(CASE WHEN tn > 1 THEN tn * (tn - 1) * (2 * tn + 5) ELSE 0 END) AS BIGINT) AS tie_term, CAST(SUM(CASE WHEN tn > 1 THEN tn ELSE 0 END) AS BIGINT) AS n_tied FROM tg), n AS (SELECT CAST(count(*) AS BIGINT) AS n_months FROM m), f AS (SELECT n_months, s_stat, n_tied, CAST(n_months * (n_months - 1) * (2 * n_months + 5) - tie_term AS DOUBLE) / 18.0 AS var_s FROM n, s, tt), z AS (SELECT n_months, s_stat, n_tied, var_s, CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s) WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s) ELSE 0.0 END AS zv FROM f) SELECT n_months, s_stat, n_tied, floor(var_s * 1e6 + 0.5) / 1e6 AS var_s, floor(zv * 1e6 + 0.5) / 1e6 AS z_stat, abs(zv) > 1.96 AS trend FROM z""")),
+
+    QueryDef("q199_kruskal_wallis",
+      "Kruskal-Wallis H test of l_quantity across l_returnflag groups - the NONPARAMETRIC twin of q197's ANOVA (the same pairing as q151 OLS <-> q185 Theil-Sen and q190 Pearson <-> q163 Spearman): does the quantity DISTRIBUTION differ by return flag, asked through ranks so no normality assumption is spent. Rank machinery is the q163 integer recipe on the 50-value quantity domain: tie-averaged DOUBLED ranks 2r = 2*cum_prev + tn + 1 derive from the value-total grid (integers, engine-independent), per-flag rank sums R2_g = sum n_gv * 2r_v accumulate DECIMAL(38,0)/HUGEINT (R2_g ~ 2N*n_g wraps int64 past N~2e9 - loud, never silent), and with doubled ranks H = 3/(N(N+1)) * sum R2_g^2/n_g - 3(N+1) (the 12 becomes 3). Each R2_g^2/n_g term floor-rounds onto a 1e6-unit grid (far above its ~30-ulp noise) into an exact 128-bit sum - the q197 SSB recipe - and the heavy-tie correction C = 1 - sum(t^3-t)/(N^3-N) runs entirely in DECIMAL(38,0) integers (t^3 ~ 1.7e21 at sf100 wraps int64; N^3 needs 128-bit from sf1000) before ONE double division. Honest readout: quantity is iid across flags on this fixture, H_c = 1.84 < chi2_{2,0.05} = 5.991465, reject=false. Scale: one corpus aggregate into the 150-cell (flag x quantity) grid - checkpointed, so the corpus is touched ONCE - then everything is grid-sized; no corpus rank window anywhere",
+      (s, d) => {
+        val D38 = DecimalType(38, 0)
+        def h(x: Column) = x.cast(D38)
+        val cnt = t(s, d, "lineitem")
+          .select(col("l_returnflag").as("g"),
+                  col("l_quantity").cast("long").as("q"))
+          .groupBy(col("g"), col("q")).agg(lcount(lit(1)).as("n"))
+          .localCheckpoint(true) // 150-cell grid: value totals + flag rollup
+        val vt = cnt.groupBy(col("q")).agg(lsum(col("n")).as("tn"))
+        val w = Window.orderBy(col("q")).rowsBetween(Window.unboundedPreceding, -1)
+        val ranks = vt.select(col("q"),
+          (lit(2L) * coalesce(sum(col("tn")).over(w), lit(0L))
+            + col("tn") + lit(1L)).cast("long").as("r2"))
+        val grp = cnt.join(broadcast(ranks), Seq("q"))
+          .groupBy(col("g"))
+          .agg(lsum(col("n")).as("ng"), sum(h(col("n")) * h(col("r2"))).as("rs"))
+        // per-group R2_g^2/n_g on a 1e6-unit grid, then an exact 128-bit
+        // sum: floor's input is a chain of correctly-rounded IEEE ops on
+        // identical operands in both engines (the q197 between-term shape)
+        val terms = grp.select(
+            floor((col("rs").cast("double") * col("rs").cast("double"))
+              / col("ng").cast("double") / lit(1e6) + lit(0.5))
+              .cast(D38).as("tm"))
+          .agg(sum(col("tm")).cast(D38).as("ts"), lcount(lit(1)).as("k"))
+        val ties = vt.agg(
+          lsum(col("tn")).as("n"),
+          sum(when(col("tn") > 1,
+              h(col("tn")) * h(col("tn") - lit(1L)) * h(col("tn") + lit(1L)))
+            .otherwise(h(lit(0L)))).cast(D38).as("tie"))
+        val fin = terms.crossJoin(broadcast(ties)).select(
+          col("k"), col("n"), (col("k") - lit(1L)).cast("long").as("df"),
+          (lit(3.0) * col("ts").cast("double") * lit(1e6)
+            / (col("n").cast("double") * (col("n").cast("double") + lit(1.0)))
+            - lit(3.0) * (col("n").cast("double") + lit(1.0))).as("h_raw"),
+          (lit(1.0) - col("tie").cast("double")
+            / (h(col("n")) * h(col("n") - lit(1L)) * h(col("n") + lit(1L)))
+              .cast("double")).as("corr"))
+        val hc = col("h_raw") / col("corr")
+        fin.select(
+          col("k").as("groups"), col("n"), col("df"),
+          (floor(col("h_raw") * lit(1e6) + lit(0.5)) / lit(1e6)).as("h_stat"),
+          (floor(hc * lit(1e6) + lit(0.5)) / lit(1e6)).as("h_corrected"),
+          when(col("k") === 3, lit(5.991465)).as("h_crit"),
+          when(col("k") === 3, hc > lit(5.991465)).as("reject"))
+      },
+      Some("""WITH c AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS q, CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1, 2), vt AS (SELECT q, CAST(SUM(n) AS BIGINT) AS tn FROM c GROUP BY 1), r AS (SELECT q, CAST(2 * COALESCE(SUM(tn) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + tn + 1 AS BIGINT) AS r2 FROM vt), g AS (SELECT g, CAST(SUM(n) AS BIGINT) AS ng, SUM(CAST(n AS HUGEINT) * r2) AS rs FROM c JOIN r USING (q) GROUP BY 1), tr AS (SELECT SUM(CAST(floor((CAST(rs AS DOUBLE) * CAST(rs AS DOUBLE)) / CAST(ng AS DOUBLE) / 1e6 + 0.5) AS HUGEINT)) AS ts, CAST(count(*) AS BIGINT) AS k FROM g), ti AS (SELECT CAST(SUM(tn) AS BIGINT) AS n, SUM(CASE WHEN tn > 1 THEN CAST(tn AS HUGEINT) * (tn - 1) * (tn + 1) ELSE 0 END) AS tie FROM vt), f AS (SELECT k, n, CAST(k - 1 AS BIGINT) AS df, 3.0 * CAST(ts AS DOUBLE) * 1e6 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h_raw, 1.0 - CAST(tie AS DOUBLE) / CAST(CAST(n AS HUGEINT) * (n - 1) * (n + 1) AS DOUBLE) AS corr FROM tr, ti) SELECT k AS groups, n, df, floor(h_raw * 1e6 + 0.5) / 1e6 AS h_stat, floor(h_raw / corr * 1e6 + 0.5) / 1e6 AS h_corrected, CASE WHEN k = 3 THEN 5.991465 ELSE NULL END AS h_crit, CASE WHEN k = 3 THEN h_raw / corr > 5.991465 ELSE NULL END AS reject FROM f"""))
   )
 }

@@ -726,6 +726,29 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("Window"), s"plan:\n$p")
       assert(p.contains("Scan ExistingRDD"), s"plan:\n$p")
     }
+    it("q197 ANOVA tail reads the checkpointed flag grid; no sort-merge") {
+      val p = planOf("q197_anova_f")
+      assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+      assert(!p.contains("parquet"), s"plan:\n$p") // grid checkpointed once
+      assert(p.contains("Scan ExistingRDD"), s"plan:\n$p")
+    }
+    it("q198 Mann-Kendall pair blowup lives on the checkpointed month grid") {
+      val p = planOf("q198_mann_kendall")
+      assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+      assert(!p.contains("parquet"), s"plan:\n$p") // corpus paid in checkpoint
+    }
+    it("q199 Kruskal-Wallis: ranks broadcast onto the checkpointed grid") {
+      val p = planOf("q199_kruskal_wallis")
+      assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+      assert(!p.contains("parquet"), s"plan:\n$p") // 150-cell grid checkpointed
+      assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
+    }
+    it("q200 Holt-Winters is a joinless windowless fold over the month grid") {
+      val p = planOf("q200_holt_winters")
+      assert(!p.contains("Join"), s"plan:\n$p")
+      assert(!p.contains("Window"), s"plan:\n$p")
+      assert(p.contains("MapPartitions"), s"plan:\n$p")
+    }
     it("q190 corr matrix reads the one-row moment frame — one corpus pass total") {
       val p = planOf("q190_corr_matrix")
       assert(!p.contains("Join"), s"plan:\n$p")

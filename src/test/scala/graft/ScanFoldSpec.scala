@@ -202,6 +202,58 @@ class ScanFoldSpec extends SparkSpec {
       }
     }
 
+    it("holtWinters equals the sequential (2+m)-state recurrence bit-for-bit; gamma=0 degenerates to holt") {
+      val vGen: Gen[List[(Long, Long, Long, Double)]] =
+        Gen.listOfN(50, for {
+          k <- Gen.choose(0L, 2L)
+          o1 <- Gen.choose(0L, 20L)
+          o2 <- Gen.choose(0L, 1000000L)
+          x <- Gen.choose(0, 99999).map(_ / 100.0)
+        } yield (k, o1, o2, x)).map(_.distinctBy(r => (r._1, r._2, r._3)))
+      forAllSamples(vGen, n = 6) { rows =>
+        val (alpha, beta, gamma, m) = (0.25, 0.125, 0.25, 4)
+        val expect: Map[(Long, Long, Long), (Double, Double, Double)] =
+          rows.groupBy(_._1).flatMap { case (_, ks) =>
+            var l = 0.0; var b = 0.0; var t = 0L; var s: Array[Double] = null
+            var first = true
+            ks.sortBy(r => (r._2, r._3)).map { r =>
+              if (first) {
+                l = r._4; b = 0.0; t = 0L; s = new Array[Double](m); first = false
+              } else {
+                t += 1
+                val sl = (t % m).toInt
+                val sOld = s(sl)
+                val l1 = alpha * (r._4 - sOld) + (1.0 - alpha) * (l + b)
+                b = beta * (l1 - l) + (1.0 - beta) * b
+                s(sl) = gamma * (r._4 - l1) + (1.0 - gamma) * sOld
+                l = l1
+              }
+              (r._1, r._2, r._3) -> ((l, b, s((t % m).toInt)))
+            }
+          }
+        val got = ScanFold.holtWinters(
+            rows.toDF("k", "o1", "o2", "x").repartition(4),
+            "k", "o1", "o2", "x", alpha, beta, gamma, m)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+            ((r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+        assert(got === expect)
+        // gamma = 0 with zero seasonal seeds: the seasonal slots never
+        // move, so (level, trend) IS the holt recurrence bit-for-bit
+        val hw0 = ScanFold.holtWinters(rows.toDF("k", "o1", "o2", "x"),
+            "k", "o1", "o2", "x", alpha, beta, 0.0, m)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+            ((r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+        val hl = ScanFold.holt(rows.toDF("k", "o1", "o2", "x"),
+            "k", "o1", "o2", "x", alpha, beta)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+            ((r.getDouble(3), r.getDouble(4)))).toMap
+        hw0.foreach { case (key, (l, b, sv)) =>
+          assert(sv === 0.0)
+          assert((l, b) === hl(key))
+        }
+      }
+    }
+
     it("ewma with alpha = 1 is the identity") {
       val rows = Seq((1L, 1L, 1L, 3.5), (1L, 2L, 2L, 7.25), (2L, 1L, 1L, 0.5))
       val got = ScanFold.ewma(rows.toDF("k", "o1", "o2", "x"),
