@@ -436,6 +436,68 @@ object StatsOps {
           when(col("k") === 3, lit(5.991465)).as("h_crit"),
           when(col("k") === 3, hc > lit(5.991465)).as("reject"))
       },
-      Some("""WITH c AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS q, CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1, 2), vt AS (SELECT q, CAST(SUM(n) AS BIGINT) AS tn FROM c GROUP BY 1), r AS (SELECT q, CAST(2 * COALESCE(SUM(tn) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + tn + 1 AS BIGINT) AS r2 FROM vt), g AS (SELECT g, CAST(SUM(n) AS BIGINT) AS ng, SUM(CAST(n AS HUGEINT) * r2) AS rs FROM c JOIN r USING (q) GROUP BY 1), tr AS (SELECT SUM(CAST(floor((CAST(rs AS DOUBLE) * CAST(rs AS DOUBLE)) / CAST(ng AS DOUBLE) / 1e6 + 0.5) AS HUGEINT)) AS ts, CAST(count(*) AS BIGINT) AS k FROM g), ti AS (SELECT CAST(SUM(tn) AS BIGINT) AS n, SUM(CASE WHEN tn > 1 THEN CAST(tn AS HUGEINT) * (tn - 1) * (tn + 1) ELSE 0 END) AS tie FROM vt), f AS (SELECT k, n, CAST(k - 1 AS BIGINT) AS df, 3.0 * CAST(ts AS DOUBLE) * 1e6 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h_raw, 1.0 - CAST(tie AS DOUBLE) / CAST(CAST(n AS HUGEINT) * (n - 1) * (n + 1) AS DOUBLE) AS corr FROM tr, ti) SELECT k AS groups, n, df, floor(h_raw * 1e6 + 0.5) / 1e6 AS h_stat, floor(h_raw / corr * 1e6 + 0.5) / 1e6 AS h_corrected, CASE WHEN k = 3 THEN 5.991465 ELSE NULL END AS h_crit, CASE WHEN k = 3 THEN h_raw / corr > 5.991465 ELSE NULL END AS reject FROM f"""))
+      Some("""WITH c AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS q, CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1, 2), vt AS (SELECT q, CAST(SUM(n) AS BIGINT) AS tn FROM c GROUP BY 1), r AS (SELECT q, CAST(2 * COALESCE(SUM(tn) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + tn + 1 AS BIGINT) AS r2 FROM vt), g AS (SELECT g, CAST(SUM(n) AS BIGINT) AS ng, SUM(CAST(n AS HUGEINT) * r2) AS rs FROM c JOIN r USING (q) GROUP BY 1), tr AS (SELECT SUM(CAST(floor((CAST(rs AS DOUBLE) * CAST(rs AS DOUBLE)) / CAST(ng AS DOUBLE) / 1e6 + 0.5) AS HUGEINT)) AS ts, CAST(count(*) AS BIGINT) AS k FROM g), ti AS (SELECT CAST(SUM(tn) AS BIGINT) AS n, SUM(CASE WHEN tn > 1 THEN CAST(tn AS HUGEINT) * (tn - 1) * (tn + 1) ELSE 0 END) AS tie FROM vt), f AS (SELECT k, n, CAST(k - 1 AS BIGINT) AS df, 3.0 * CAST(ts AS DOUBLE) * 1e6 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h_raw, 1.0 - CAST(tie AS DOUBLE) / CAST(CAST(n AS HUGEINT) * (n - 1) * (n + 1) AS DOUBLE) AS corr FROM tr, ti) SELECT k AS groups, n, df, floor(h_raw * 1e6 + 0.5) / 1e6 AS h_stat, floor(h_raw / corr * 1e6 + 0.5) / 1e6 AS h_corrected, CASE WHEN k = 3 THEN 5.991465 ELSE NULL END AS h_crit, CASE WHEN k = 3 THEN h_raw / corr > 5.991465 ELSE NULL END AS reject FROM f""")),
+
+    QueryDef("q201_logistic_irls",
+      "logistic regression fit by IRLS/Newton on BINNED sufficient statistics - P(event is a purchase | value decile), intercept + slope on the centered bin index, 4 fixed Newton iterations. The first iterative MODEL FIT in the engine (q151/q185 are closed-form, q194 evaluates a closed-form model), and the scale recipe is the important part: the corpus pays exactly TWO jobs (the q161 min/max pass, then the 10-bin (n, successes) rollup) and every Newton iteration runs on the <=10-row grid - at 100 TB the fit costs the same two corpus passes, because logistic IRLS only ever needs the per-bin sufficient statistics, not the rows. Cross-engine bit-equality through an iterative float computation: each iteration's sigmoid lands on a 1e9 floor-grid (libm exp is not guaranteed cross-engine correctly-rounded - the q192 ln precedent - and the grid absorbs sub-ulp divergence), every gradient/Hessian term floor-rounds onto a 1e6-unit grid into EXACT integer sums (order-free on both engines), the 2x2 Newton solve is a chain of correctly-rounded IEEE ops on those identical integers, and the updated betas re-grid at 1e9 before the next iteration - so all 4 iterations see bit-identical state in both engines; the oracle unrolls them as 4 CTE stages. Honest readout: slope beta1 = -0.0125/decile at sf0.1 (odds ratio 0.988 - purchase probability is essentially FLAT in value on this fixture, as iid generation predicts; the fit must not invent a gradient and doesn't), log-likelihood -50155.6 for model comparison",
+      (s, d) => {
+        import scala.jdk.CollectionConverters._
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types._
+        val ev = t(s, d, "events")
+        val st = ev.agg(min(col("value")).as("mn"),
+                        max(col("value")).as("mx")).head() // corpus job 1
+        val mn = st.getDouble(0); val mx = st.getDouble(1)
+        val grid = ev.select(
+            least(lit(9.0), floor((col("value") - lit(mn))
+              / ((lit(mx) - lit(mn)) / lit(10.0)))).cast("long").as("b"),
+            (col("event_type") === "purchase").as("y"))
+          .groupBy(col("b"))
+          .agg(lcount(lit(1)).as("n"),
+               count(when(col("y"), 1)).cast("long").as("yy"))
+          .collect().sortBy(_.getLong(0))                  // corpus job 2
+        // driver finish on the <=10-row grid (the q161 pattern): plain
+        // JVM doubles evaluate the SAME pinned expression trees the
+        // oracle's unrolled CTEs do
+        def g9(v: Double) = math.floor(v * 1e9 + 0.5) / 1e9
+        def u6(v: Double) = math.floor(v * 1e6 + 0.5).toLong
+        var b0 = 0.0; var b1 = 0.0
+        for (_ <- 1 to 4) {
+          var g0u = 0L; var g1u = 0L; var h00u = 0L; var h01u = 0L; var h11u = 0L
+          grid.foreach { r =>
+            val n = r.getLong(1); val y = r.getLong(2)
+            val x = r.getLong(0) - 4.5
+            val p = g9(1.0 / (1.0 + math.exp(-(b0 + b1 * x))))
+            g0u += u6(y - n * p)
+            g1u += u6(x * (y - n * p))
+            h00u += u6(n * p * (1.0 - p))
+            h01u += u6(x * (n * p * (1.0 - p)))
+            h11u += u6(x * x * (n * p * (1.0 - p)))
+          }
+          val det = h00u.toDouble * h11u.toDouble - h01u.toDouble * h01u.toDouble
+          b0 = g9(b0 + (g0u.toDouble * h11u.toDouble - g1u.toDouble * h01u.toDouble) / det)
+          b1 = g9(b1 + (h00u.toDouble * g1u.toDouble - h01u.toDouble * g0u.toDouble) / det)
+        }
+        var llu = 0L; var nTot = 0L
+        grid.foreach { r =>
+          val n = r.getLong(1); val y = r.getLong(2)
+          val x = r.getLong(0) - 4.5
+          val p = g9(1.0 / (1.0 + math.exp(-(b0 + b1 * x))))
+          llu += u6(y * math.log(p) + (n - y) * math.log(1.0 - p))
+          nTot += n
+        }
+        s.createDataFrame(
+          Seq(Row(nTot, grid.length.toLong, b0, b1,
+                  llu.toDouble / 1e6,
+                  math.floor(math.exp(b1) * 1e6 + 0.5) / 1e6)).asJava,
+          StructType(Seq(
+            StructField("n_events", LongType, nullable = false),
+            StructField("n_bins", LongType, nullable = false),
+            StructField("beta0", DoubleType, nullable = false),
+            StructField("beta1", DoubleType, nullable = false),
+            StructField("log_lik", DoubleType, nullable = false),
+            StructField("odds_ratio", DoubleType, nullable = false))))
+      },
+      Some("""WITH s AS (SELECT min(value) AS mn, max(value) AS mx FROM events), g AS (SELECT CAST(least(9.0, floor((value - mn) / ((mx - mn) / 10.0))) AS BIGINT) AS b, CAST(count(*) AS BIGINT) AS n, CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS yy FROM events, s GROUP BY 1), i0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1), p1 AS (SELECT b, n, yy, CAST(b AS DOUBLE) - 4.5 AS x, floor(1.0 / (1.0 + exp(-(b0 + b1 * (CAST(b AS DOUBLE) - 4.5)))) * 1e9 + 0.5) / 1e9 AS p FROM g, i0), s1 AS (SELECT CAST(SUM(CAST(floor((yy - n * p) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS g0u, CAST(SUM(CAST(floor(x * (yy - n * p) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS g1u, CAST(SUM(CAST(floor(n * p * (1.0 - p) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS h00u, CAST(SUM(CAST(floor(x * (n * p * (1.0 - p)) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS h01u, CAST(SUM(CAST(floor(x * x * (n * p * (1.0 - p)) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS h11u FROM p1), i1 AS (SELECT floor((b0 + (CAST(g0u AS DOUBLE) * CAST(h11u AS DOUBLE) - CAST(g1u AS DOUBLE) * CAST(h01u AS DOUBLE)) / (CAST(h00u AS DOUBLE) * CAST(h11u AS DOUBLE) - CAST(h01u AS DOUBLE) * CAST(h01u AS DOUBLE))) * 1e9 + 0.5) / 1e9 AS b0, floor((b1 + (CAST(h00u AS DOUBLE) * CAST(g1u AS DOUBLE) - CAST(h01u AS DOUBLE) * CAST(g0u AS DOUBLE)) / (CAST(h00u AS DOUBLE) * CAST(h11u AS DOUBLE) - CAST(h01u AS DOUBLE) * CAST(h01u AS DOUBLE))) * 1e9 + 0.5) / 1e9 AS b1 FROM i0, s1), p2 AS (SELECT b, n, yy, CAST(b AS DOUBLE) - 4.5 AS x, floor(1.0 / (1.0 + exp(-(b0 + b1 * (CAST(b AS DOUBLE) - 4.5)))) * 1e9 + 0.5) / 1e9 AS p FROM g, i1), s2 AS (SELECT CAST(SUM(CAST(floor((yy - n * p) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS g0u, CAST(SUM(CAST(floor(x * (yy - n * p) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS g1u, CAST(SUM(CAST(floor(n * p * (1.0 - p) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS h00u, CAST(SUM(CAST(floor(x * (n * p * (1.0 - p)) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS h01u, CAST(SUM(CAST(floor(x * x * (n * p * (1.0 - p)) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS h11u FROM p2), i2 AS (SELECT floor((b0 + (CAST(g0u AS DOUBLE) * CAST(h11u AS DOUBLE) - CAST(g1u AS DOUBLE) * CAST(h01u AS DOUBLE)) / (CAST(h00u AS DOUBLE) * CAST(h11u AS DOUBLE) - CAST(h01u AS DOUBLE) * CAST(h01u AS DOUBLE))) * 1e9 + 0.5) / 1e9 AS b0, floor((b1 + (CAST(h00u AS DOUBLE) * CAST(g1u AS DOUBLE) - CAST(h01u AS DOUBLE) * CAST(g0u AS DOUBLE)) / (CAST(h00u AS DOUBLE) * CAST(h11u AS DOUBLE) - CAST(h01u AS DOUBLE) * CAST(h01u AS DOUBLE))) * 1e9 + 0.5) / 1e9 AS b1 FROM i1, s2), p3 AS (SELECT b, n, yy, CAST(b AS DOUBLE) - 4.5 AS x, floor(1.0 / (1.0 + exp(-(b0 + b1 * (CAST(b AS DOUBLE) - 4.5)))) * 1e9 + 0.5) / 1e9 AS p FROM g, i2), s3 AS (SELECT CAST(SUM(CAST(floor((yy - n * p) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS g0u, CAST(SUM(CAST(floor(x * (yy - n * p) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS g1u, CAST(SUM(CAST(floor(n * p * (1.0 - p) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS h00u, CAST(SUM(CAST(floor(x * (n * p * (1.0 - p)) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS h01u, CAST(SUM(CAST(floor(x * x * (n * p * (1.0 - p)) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS h11u FROM p3), i3 AS (SELECT floor((b0 + (CAST(g0u AS DOUBLE) * CAST(h11u AS DOUBLE) - CAST(g1u AS DOUBLE) * CAST(h01u AS DOUBLE)) / (CAST(h00u AS DOUBLE) * CAST(h11u AS DOUBLE) - CAST(h01u AS DOUBLE) * CAST(h01u AS DOUBLE))) * 1e9 + 0.5) / 1e9 AS b0, floor((b1 + (CAST(h00u AS DOUBLE) * CAST(g1u AS DOUBLE) - CAST(h01u AS DOUBLE) * CAST(g0u AS DOUBLE)) / (CAST(h00u AS DOUBLE) * CAST(h11u AS DOUBLE) - CAST(h01u AS DOUBLE) * CAST(h01u AS DOUBLE))) * 1e9 + 0.5) / 1e9 AS b1 FROM i2, s3), p4 AS (SELECT b, n, yy, CAST(b AS DOUBLE) - 4.5 AS x, floor(1.0 / (1.0 + exp(-(b0 + b1 * (CAST(b AS DOUBLE) - 4.5)))) * 1e9 + 0.5) / 1e9 AS p FROM g, i3), s4 AS (SELECT CAST(SUM(CAST(floor((yy - n * p) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS g0u, CAST(SUM(CAST(floor(x * (yy - n * p) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS g1u, CAST(SUM(CAST(floor(n * p * (1.0 - p) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS h00u, CAST(SUM(CAST(floor(x * (n * p * (1.0 - p)) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS h01u, CAST(SUM(CAST(floor(x * x * (n * p * (1.0 - p)) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS h11u FROM p4), i4 AS (SELECT floor((b0 + (CAST(g0u AS DOUBLE) * CAST(h11u AS DOUBLE) - CAST(g1u AS DOUBLE) * CAST(h01u AS DOUBLE)) / (CAST(h00u AS DOUBLE) * CAST(h11u AS DOUBLE) - CAST(h01u AS DOUBLE) * CAST(h01u AS DOUBLE))) * 1e9 + 0.5) / 1e9 AS b0, floor((b1 + (CAST(h00u AS DOUBLE) * CAST(g1u AS DOUBLE) - CAST(h01u AS DOUBLE) * CAST(g0u AS DOUBLE)) / (CAST(h00u AS DOUBLE) * CAST(h11u AS DOUBLE) - CAST(h01u AS DOUBLE) * CAST(h01u AS DOUBLE))) * 1e9 + 0.5) / 1e9 AS b1 FROM i3, s4), pf AS (SELECT b, n, yy, floor(1.0 / (1.0 + exp(-(b0 + b1 * (CAST(b AS DOUBLE) - 4.5)))) * 1e9 + 0.5) / 1e9 AS p FROM g, i4), lf AS (SELECT CAST(SUM(CAST(floor((yy * ln(p) + (n - yy) * ln(1.0 - p)) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS llu, CAST(SUM(n) AS BIGINT) AS n_events, CAST(count(*) AS BIGINT) AS n_bins FROM pf) SELECT n_events, n_bins, b0 AS beta0, b1 AS beta1, CAST(llu AS DOUBLE) / 1e6 AS log_lik, floor(exp(b1) * 1e6 + 0.5) / 1e6 AS odds_ratio FROM lf, i4"""))
   )
 }

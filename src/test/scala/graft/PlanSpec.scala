@@ -749,6 +749,14 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("Window"), s"plan:\n$p")
       assert(p.contains("MapPartitions"), s"plan:\n$p")
     }
+    it("q201 logistic IRLS: the fit itself is driver-side on the collected grid") {
+      // the two corpus jobs (min/max, bin rollup) run eagerly inside the
+      // query builder; the returned frame is the finished one-row result
+      val p = planOf("q201_logistic_irls")
+      assert(p.contains("LocalTableScan"), s"plan:\n$p")
+      assert(!p.contains("Join"), s"plan:\n$p")
+      assert(!p.contains("parquet"), s"plan:\n$p")
+    }
     it("q190 corr matrix reads the one-row moment frame — one corpus pass total") {
       val p = planOf("q190_corr_matrix")
       assert(!p.contains("Join"), s"plan:\n$p")
