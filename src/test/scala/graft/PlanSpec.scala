@@ -757,6 +757,13 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("Join"), s"plan:\n$p")
       assert(!p.contains("parquet"), s"plan:\n$p")
     }
+    it("q202 item-item CF: pair grid checkpointed, counts broadcast, TopK heap ranks") {
+      val p = planOf("q202_item_similarity")
+      assert(p.contains("TopKPerKey"), s"plan:\n$p")
+      assert(!p.contains("Window"), s"plan:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+      assert(!p.contains("parquet"), s"plan:\n$p") // incidence + grid checkpointed
+    }
     it("q190 corr matrix reads the one-row moment frame — one corpus pass total") {
       val p = planOf("q190_corr_matrix")
       assert(!p.contains("Join"), s"plan:\n$p")
