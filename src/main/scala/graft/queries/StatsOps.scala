@@ -498,6 +498,84 @@ object StatsOps {
             StructField("log_lik", DoubleType, nullable = false),
             StructField("odds_ratio", DoubleType, nullable = false))))
       },
-      Some("""WITH s AS (SELECT min(value) AS mn, max(value) AS mx FROM events), g AS (SELECT CAST(least(9.0, floor((value - mn) / ((mx - mn) / 10.0))) AS BIGINT) AS b, CAST(count(*) AS BIGINT) AS n, CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS yy FROM events, s GROUP BY 1), i0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1), p1 AS (SELECT b, n, yy, CAST(b AS DOUBLE) - 4.5 AS x, floor(1.0 / (1.0 + exp(-(b0 + b1 * (CAST(b AS DOUBLE) - 4.5)))) * 1e9 + 0.5) / 1e9 AS p FROM g, i0), s1 AS (SELECT CAST(SUM(CAST(floor((yy - n * p) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS g0u, CAST(SUM(CAST(floor(x * (yy - n * p) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS g1u, CAST(SUM(CAST(floor(n * p * (1.0 - p) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS h00u, CAST(SUM(CAST(floor(x * (n * p * (1.0 - p)) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS h01u, CAST(SUM(CAST(floor(x * x * (n * p * (1.0 - p)) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS h11u FROM p1), i1 AS (SELECT floor((b0 + (CAST(g0u AS DOUBLE) * CAST(h11u AS DOUBLE) - CAST(g1u AS DOUBLE) * CAST(h01u AS DOUBLE)) / (CAST(h00u AS DOUBLE) * CAST(h11u AS DOUBLE) - CAST(h01u AS DOUBLE) * CAST(h01u AS DOUBLE))) * 1e9 + 0.5) / 1e9 AS b0, floor((b1 + (CAST(h00u AS DOUBLE) * CAST(g1u AS DOUBLE) - CAST(h01u AS DOUBLE) * CAST(g0u AS DOUBLE)) / (CAST(h00u AS DOUBLE) * CAST(h11u AS DOUBLE) - CAST(h01u AS DOUBLE) * CAST(h01u AS DOUBLE))) * 1e9 + 0.5) / 1e9 AS b1 FROM i0, s1), p2 AS (SELECT b, n, yy, CAST(b AS DOUBLE) - 4.5 AS x, floor(1.0 / (1.0 + exp(-(b0 + b1 * (CAST(b AS DOUBLE) - 4.5)))) * 1e9 + 0.5) / 1e9 AS p FROM g, i1), s2 AS (SELECT CAST(SUM(CAST(floor((yy - n * p) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS g0u, CAST(SUM(CAST(floor(x * (yy - n * p) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS g1u, CAST(SUM(CAST(floor(n * p * (1.0 - p) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS h00u, CAST(SUM(CAST(floor(x * (n * p * (1.0 - p)) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS h01u, CAST(SUM(CAST(floor(x * x * (n * p * (1.0 - p)) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS h11u FROM p2), i2 AS (SELECT floor((b0 + (CAST(g0u AS DOUBLE) * CAST(h11u AS DOUBLE) - CAST(g1u AS DOUBLE) * CAST(h01u AS DOUBLE)) / (CAST(h00u AS DOUBLE) * CAST(h11u AS DOUBLE) - CAST(h01u AS DOUBLE) * CAST(h01u AS DOUBLE))) * 1e9 + 0.5) / 1e9 AS b0, floor((b1 + (CAST(h00u AS DOUBLE) * CAST(g1u AS DOUBLE) - CAST(h01u AS DOUBLE) * CAST(g0u AS DOUBLE)) / (CAST(h00u AS DOUBLE) * CAST(h11u AS DOUBLE) - CAST(h01u AS DOUBLE) * CAST(h01u AS DOUBLE))) * 1e9 + 0.5) / 1e9 AS b1 FROM i1, s2), p3 AS (SELECT b, n, yy, CAST(b AS DOUBLE) - 4.5 AS x, floor(1.0 / (1.0 + exp(-(b0 + b1 * (CAST(b AS DOUBLE) - 4.5)))) * 1e9 + 0.5) / 1e9 AS p FROM g, i2), s3 AS (SELECT CAST(SUM(CAST(floor((yy - n * p) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS g0u, CAST(SUM(CAST(floor(x * (yy - n * p) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS g1u, CAST(SUM(CAST(floor(n * p * (1.0 - p) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS h00u, CAST(SUM(CAST(floor(x * (n * p * (1.0 - p)) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS h01u, CAST(SUM(CAST(floor(x * x * (n * p * (1.0 - p)) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS h11u FROM p3), i3 AS (SELECT floor((b0 + (CAST(g0u AS DOUBLE) * CAST(h11u AS DOUBLE) - CAST(g1u AS DOUBLE) * CAST(h01u AS DOUBLE)) / (CAST(h00u AS DOUBLE) * CAST(h11u AS DOUBLE) - CAST(h01u AS DOUBLE) * CAST(h01u AS DOUBLE))) * 1e9 + 0.5) / 1e9 AS b0, floor((b1 + (CAST(h00u AS DOUBLE) * CAST(g1u AS DOUBLE) - CAST(h01u AS DOUBLE) * CAST(g0u AS DOUBLE)) / (CAST(h00u AS DOUBLE) * CAST(h11u AS DOUBLE) - CAST(h01u AS DOUBLE) * CAST(h01u AS DOUBLE))) * 1e9 + 0.5) / 1e9 AS b1 FROM i2, s3), p4 AS (SELECT b, n, yy, CAST(b AS DOUBLE) - 4.5 AS x, floor(1.0 / (1.0 + exp(-(b0 + b1 * (CAST(b AS DOUBLE) - 4.5)))) * 1e9 + 0.5) / 1e9 AS p FROM g, i3), s4 AS (SELECT CAST(SUM(CAST(floor((yy - n * p) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS g0u, CAST(SUM(CAST(floor(x * (yy - n * p) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS g1u, CAST(SUM(CAST(floor(n * p * (1.0 - p) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS h00u, CAST(SUM(CAST(floor(x * (n * p * (1.0 - p)) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS h01u, CAST(SUM(CAST(floor(x * x * (n * p * (1.0 - p)) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS h11u FROM p4), i4 AS (SELECT floor((b0 + (CAST(g0u AS DOUBLE) * CAST(h11u AS DOUBLE) - CAST(g1u AS DOUBLE) * CAST(h01u AS DOUBLE)) / (CAST(h00u AS DOUBLE) * CAST(h11u AS DOUBLE) - CAST(h01u AS DOUBLE) * CAST(h01u AS DOUBLE))) * 1e9 + 0.5) / 1e9 AS b0, floor((b1 + (CAST(h00u AS DOUBLE) * CAST(g1u AS DOUBLE) - CAST(h01u AS DOUBLE) * CAST(g0u AS DOUBLE)) / (CAST(h00u AS DOUBLE) * CAST(h11u AS DOUBLE) - CAST(h01u AS DOUBLE) * CAST(h01u AS DOUBLE))) * 1e9 + 0.5) / 1e9 AS b1 FROM i3, s4), pf AS (SELECT b, n, yy, floor(1.0 / (1.0 + exp(-(b0 + b1 * (CAST(b AS DOUBLE) - 4.5)))) * 1e9 + 0.5) / 1e9 AS p FROM g, i4), lf AS (SELECT CAST(SUM(CAST(floor((yy * ln(p) + (n - yy) * ln(1.0 - p)) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS llu, CAST(SUM(n) AS BIGINT) AS n_events, CAST(count(*) AS BIGINT) AS n_bins FROM pf) SELECT n_events, n_bins, b0 AS beta0, b1 AS beta1, CAST(llu AS DOUBLE) / 1e6 AS log_lik, floor(exp(b1) * 1e6 + 0.5) / 1e6 AS odds_ratio FROM lf, i4"""))
+      Some("""WITH s AS (SELECT min(value) AS mn, max(value) AS mx FROM events), g AS (SELECT CAST(least(9.0, floor((value - mn) / ((mx - mn) / 10.0))) AS BIGINT) AS b, CAST(count(*) AS BIGINT) AS n, CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS yy FROM events, s GROUP BY 1), i0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1), p1 AS (SELECT b, n, yy, CAST(b AS DOUBLE) - 4.5 AS x, floor(1.0 / (1.0 + exp(-(b0 + b1 * (CAST(b AS DOUBLE) - 4.5)))) * 1e9 + 0.5) / 1e9 AS p FROM g, i0), s1 AS (SELECT CAST(SUM(CAST(floor((yy - n * p) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS g0u, CAST(SUM(CAST(floor(x * (yy - n * p) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS g1u, CAST(SUM(CAST(floor(n * p * (1.0 - p) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS h00u, CAST(SUM(CAST(floor(x * (n * p * (1.0 - p)) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS h01u, CAST(SUM(CAST(floor(x * x * (n * p * (1.0 - p)) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS h11u FROM p1), i1 AS (SELECT floor((b0 + (CAST(g0u AS DOUBLE) * CAST(h11u AS DOUBLE) - CAST(g1u AS DOUBLE) * CAST(h01u AS DOUBLE)) / (CAST(h00u AS DOUBLE) * CAST(h11u AS DOUBLE) - CAST(h01u AS DOUBLE) * CAST(h01u AS DOUBLE))) * 1e9 + 0.5) / 1e9 AS b0, floor((b1 + (CAST(h00u AS DOUBLE) * CAST(g1u AS DOUBLE) - CAST(h01u AS DOUBLE) * CAST(g0u AS DOUBLE)) / (CAST(h00u AS DOUBLE) * CAST(h11u AS DOUBLE) - CAST(h01u AS DOUBLE) * CAST(h01u AS DOUBLE))) * 1e9 + 0.5) / 1e9 AS b1 FROM i0, s1), p2 AS (SELECT b, n, yy, CAST(b AS DOUBLE) - 4.5 AS x, floor(1.0 / (1.0 + exp(-(b0 + b1 * (CAST(b AS DOUBLE) - 4.5)))) * 1e9 + 0.5) / 1e9 AS p FROM g, i1), s2 AS (SELECT CAST(SUM(CAST(floor((yy - n * p) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS g0u, CAST(SUM(CAST(floor(x * (yy - n * p) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS g1u, CAST(SUM(CAST(floor(n * p * (1.0 - p) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS h00u, CAST(SUM(CAST(floor(x * (n * p * (1.0 - p)) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS h01u, CAST(SUM(CAST(floor(x * x * (n * p * (1.0 - p)) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS h11u FROM p2), i2 AS (SELECT floor((b0 + (CAST(g0u AS DOUBLE) * CAST(h11u AS DOUBLE) - CAST(g1u AS DOUBLE) * CAST(h01u AS DOUBLE)) / (CAST(h00u AS DOUBLE) * CAST(h11u AS DOUBLE) - CAST(h01u AS DOUBLE) * CAST(h01u AS DOUBLE))) * 1e9 + 0.5) / 1e9 AS b0, floor((b1 + (CAST(h00u AS DOUBLE) * CAST(g1u AS DOUBLE) - CAST(h01u AS DOUBLE) * CAST(g0u AS DOUBLE)) / (CAST(h00u AS DOUBLE) * CAST(h11u AS DOUBLE) - CAST(h01u AS DOUBLE) * CAST(h01u AS DOUBLE))) * 1e9 + 0.5) / 1e9 AS b1 FROM i1, s2), p3 AS (SELECT b, n, yy, CAST(b AS DOUBLE) - 4.5 AS x, floor(1.0 / (1.0 + exp(-(b0 + b1 * (CAST(b AS DOUBLE) - 4.5)))) * 1e9 + 0.5) / 1e9 AS p FROM g, i2), s3 AS (SELECT CAST(SUM(CAST(floor((yy - n * p) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS g0u, CAST(SUM(CAST(floor(x * (yy - n * p) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS g1u, CAST(SUM(CAST(floor(n * p * (1.0 - p) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS h00u, CAST(SUM(CAST(floor(x * (n * p * (1.0 - p)) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS h01u, CAST(SUM(CAST(floor(x * x * (n * p * (1.0 - p)) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS h11u FROM p3), i3 AS (SELECT floor((b0 + (CAST(g0u AS DOUBLE) * CAST(h11u AS DOUBLE) - CAST(g1u AS DOUBLE) * CAST(h01u AS DOUBLE)) / (CAST(h00u AS DOUBLE) * CAST(h11u AS DOUBLE) - CAST(h01u AS DOUBLE) * CAST(h01u AS DOUBLE))) * 1e9 + 0.5) / 1e9 AS b0, floor((b1 + (CAST(h00u AS DOUBLE) * CAST(g1u AS DOUBLE) - CAST(h01u AS DOUBLE) * CAST(g0u AS DOUBLE)) / (CAST(h00u AS DOUBLE) * CAST(h11u AS DOUBLE) - CAST(h01u AS DOUBLE) * CAST(h01u AS DOUBLE))) * 1e9 + 0.5) / 1e9 AS b1 FROM i2, s3), p4 AS (SELECT b, n, yy, CAST(b AS DOUBLE) - 4.5 AS x, floor(1.0 / (1.0 + exp(-(b0 + b1 * (CAST(b AS DOUBLE) - 4.5)))) * 1e9 + 0.5) / 1e9 AS p FROM g, i3), s4 AS (SELECT CAST(SUM(CAST(floor((yy - n * p) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS g0u, CAST(SUM(CAST(floor(x * (yy - n * p) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS g1u, CAST(SUM(CAST(floor(n * p * (1.0 - p) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS h00u, CAST(SUM(CAST(floor(x * (n * p * (1.0 - p)) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS h01u, CAST(SUM(CAST(floor(x * x * (n * p * (1.0 - p)) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS h11u FROM p4), i4 AS (SELECT floor((b0 + (CAST(g0u AS DOUBLE) * CAST(h11u AS DOUBLE) - CAST(g1u AS DOUBLE) * CAST(h01u AS DOUBLE)) / (CAST(h00u AS DOUBLE) * CAST(h11u AS DOUBLE) - CAST(h01u AS DOUBLE) * CAST(h01u AS DOUBLE))) * 1e9 + 0.5) / 1e9 AS b0, floor((b1 + (CAST(h00u AS DOUBLE) * CAST(g1u AS DOUBLE) - CAST(h01u AS DOUBLE) * CAST(g0u AS DOUBLE)) / (CAST(h00u AS DOUBLE) * CAST(h11u AS DOUBLE) - CAST(h01u AS DOUBLE) * CAST(h01u AS DOUBLE))) * 1e9 + 0.5) / 1e9 AS b1 FROM i3, s4), pf AS (SELECT b, n, yy, floor(1.0 / (1.0 + exp(-(b0 + b1 * (CAST(b AS DOUBLE) - 4.5)))) * 1e9 + 0.5) / 1e9 AS p FROM g, i4), lf AS (SELECT CAST(SUM(CAST(floor((yy * ln(p) + (n - yy) * ln(1.0 - p)) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS llu, CAST(SUM(n) AS BIGINT) AS n_events, CAST(count(*) AS BIGINT) AS n_bins FROM pf) SELECT n_events, n_bins, b0 AS beta0, b1 AS beta1, CAST(llu AS DOUBLE) / 1e6 AS log_lik, floor(exp(b1) * 1e6 + 0.5) / 1e6 AS odds_ratio FROM lf, i4""")),
+
+    QueryDef("q203_effect_sizes",
+      "effect-size readout for the tests plane - significance (q162 chi2, q197 ANOVA) answers IS there an effect; this answers HOW BIG, which is what survives at 100 TB where n makes every test reject eventually: Cramer's V = sqrt(chi2 / (n * min(r-1, c-1))) on the q162 event_type x day-of-week grid, eta-squared = SSB/(SSB+SSW) on the q197 price-by-returnflag decomposition, and Cohen's d between the A and R flags from the SAME (n, sum, sum-of-squares) grid - the pooled-variance standardized mean difference. Numerics are entirely inherited: chi2 off the q162 8-dp term grid, the ANOVA sums-of-squares off the q197 1e6-cents^2 integer grid (the within terms are exact integer differences of the floored q and s^2/n units, so (n_g-1)*s_g^2 IS the integer w_g and the pooled variance is one division of integers), means are single divisions of exact 128-bit sums - every float op a correctly-rounded chain on identical operands. Two corpus aggregates total (events grid + lineitem grid, both checkpointed bounded grids); the readout row is broadcast-composed. Honest values on the iid fixture: all three effects are NEAR ZERO (sf0.1: V=0.0072, eta2=0.000004, d=0.0006) - the fixture has no real effects and the measures say so",
+      (s, d) => {
+        val D38 = DecimalType(38, 0)
+        // -- categorical branch: the q162 grid --
+        val c = t(s, d, "events")
+          .select(col("event_type"),
+                  (dayofweek(col("ts")) - lit(1)).cast("long").as("dow"))
+          .groupBy(col("event_type"), col("dow"))
+          .agg(lcount(lit(1)).as("n"))
+          .localCheckpoint(true)
+        val rt = c.groupBy(col("event_type")).agg(lsum(col("n")).as("nr"))
+        val ct = c.groupBy(col("dow")).agg(lsum(col("n")).as("nc"))
+        val tt = c.agg(lsum(col("n")).as("nt"))
+        val e = c.join(broadcast(rt), Seq("event_type"))
+          .join(broadcast(ct), Seq("dow"))
+          .crossJoin(broadcast(tt))
+          .withColumn("exp",
+            col("nr").cast("double") * col("nc") / col("nt"))
+        val term = floor((col("n") - col("exp")) * (col("n") - col("exp"))
+          / col("exp") * lit(1e8) + lit(0.5)) / lit(1e8)
+        val dims = rt.agg(lcount(lit(1)).as("kr"))
+          .crossJoin(broadcast(ct.agg(lcount(lit(1)).as("kc"))))
+        val chi2f = e.agg(
+            (floor(sum(term.cast(DecimalType(38, 8))).cast("double")
+              * lit(1e4) + lit(0.5)) / lit(1e4)).as("chi2"),
+            lsum(col("n")).as("nt"))
+          .crossJoin(broadcast(dims))
+          .select(col("nt").as("n_events"),
+            (floor(sqrt(col("chi2") / (col("nt")
+              * least(col("kr") - lit(1L), col("kc") - lit(1L))).cast("double"))
+              * lit(1e6) + lit(0.5)) / lit(1e6)).as("cramers_v"))
+        // -- numeric branch: the q197 grid --
+        def h(x: Column) = x.cast(D38)
+        val cents = floor(col("l_extendedprice") * lit(100.0) + lit(0.5))
+          .cast("long")
+        val g = t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(lcount(lit(1)).as("n"), sum(h(cents)).as("s"),
+               sum(h(cents) * h(cents)).as("q"))
+          .localCheckpoint(true)
+        val tot = g.agg(lsum(col("n")).as("nt"),
+          sum(col("s")).cast(D38).as("st"), sum(col("q")).cast(D38).as("qt"))
+        val bsum = g.select(
+            floor(((col("s").cast("double") * col("s").cast("double"))
+              / col("n").cast("double")) / lit(1e6) + lit(0.5))
+              .cast(D38).as("tm"))
+          .agg(sum(col("tm")).cast(D38).as("bt"))
+        val anovaf = tot.crossJoin(broadcast(bsum)).select(
+          col("nt").as("n_lines"),
+          (col("bt") - floor(((col("st").cast("double") * col("st").cast("double"))
+            / col("nt").cast("double")) / lit(1e6) + lit(0.5)).cast(D38))
+            .cast("double").as("ssb"),
+          (floor(col("qt").cast("double") / lit(1e6) + lit(0.5)).cast(D38)
+            - col("bt")).cast("double").as("ssw"))
+          .select(col("n_lines"),
+            (floor(col("ssb") / (col("ssb") + col("ssw")) * lit(1e6) + lit(0.5))
+              / lit(1e6)).as("eta_squared"))
+        // -- Cohen's d between the A and R flags, same grid --
+        val gm = g.select(col("l_returnflag").as("flag"), col("n"),
+          (col("s").cast("double") / col("n").cast("double")).as("mean_c"),
+          (floor(col("q").cast("double") / lit(1e6) + lit(0.5)).cast(D38)
+            - floor(((col("s").cast("double") * col("s").cast("double"))
+              / col("n").cast("double")) / lit(1e6) + lit(0.5)).cast(D38))
+            .as("w_units"))
+        val ga = gm.filter(col("flag") === "A")
+          .select(col("n").as("na"), col("mean_c").as("ma"), col("w_units").as("wa"))
+        val gr = gm.filter(col("flag") === "R")
+          .select(col("n").as("nr"), col("mean_c").as("mr"), col("w_units").as("wr"))
+        val cohenf = ga.crossJoin(broadcast(gr)).select(
+          (floor((col("ma") - col("mr"))
+            / sqrt((col("wa") + col("wr")).cast("double") * lit(1e6)
+                   / (col("na") + col("nr") - lit(2L)).cast("double"))
+            * lit(1e6) + lit(0.5)) / lit(1e6)).as("cohens_d"))
+        chi2f.crossJoin(broadcast(anovaf)).crossJoin(broadcast(cohenf))
+      },
+      Some("""WITH c AS (SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), rt AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS nr FROM c GROUP BY 1), ct AS (SELECT dow, CAST(SUM(n) AS BIGINT) AS nc FROM c GROUP BY 1), tt AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM c), e AS (SELECT c.event_type, c.dow, n, CAST(nr AS DOUBLE) * nc / nt AS exp FROM c JOIN rt USING (event_type) JOIN ct USING (dow), tt), dims AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM rt) AS kr, (SELECT CAST(count(*) AS BIGINT) FROM ct) AS kc), x2 AS (SELECT floor(CAST(SUM(CAST(floor((n - exp) * (n - exp) / exp * 1e8 + 0.5) / 1e8 AS DECIMAL(38,8))) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS chi2, CAST(SUM(n) AS BIGINT) AS nt FROM e), cv AS (SELECT nt AS n_events, floor(sqrt(chi2 / CAST(nt * least(kr - 1, kc - 1) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS cramers_v FROM x2, dims), lc AS (SELECT l_returnflag AS flag, CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS c FROM lineitem), gr AS (SELECT flag, CAST(count(*) AS BIGINT) AS n, SUM(CAST(c AS HUGEINT)) AS s, SUM(CAST(c AS HUGEINT) * c) AS q FROM lc GROUP BY 1), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, SUM(s) AS st, SUM(q) AS qt FROM gr), bs AS (SELECT SUM(CAST(floor(((CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n AS DOUBLE)) / 1e6 + 0.5) AS HUGEINT)) AS bt FROM gr), an AS (SELECT nt AS n_lines, CAST(bt - CAST(floor(((CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) / CAST(nt AS DOUBLE)) / 1e6 + 0.5) AS HUGEINT) AS DOUBLE) AS ssb, CAST(CAST(floor(CAST(qt AS DOUBLE) / 1e6 + 0.5) AS HUGEINT) - bt AS DOUBLE) AS ssw FROM tot, bs), et AS (SELECT n_lines, floor(ssb / (ssb + ssw) * 1e6 + 0.5) / 1e6 AS eta_squared FROM an), gm AS (SELECT flag, n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c, CAST(floor(CAST(q AS DOUBLE) / 1e6 + 0.5) AS HUGEINT) - CAST(floor(((CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n AS DOUBLE)) / 1e6 + 0.5) AS HUGEINT) AS w_units FROM gr), cd AS (SELECT floor((a.mean_c - r.mean_c) / sqrt(CAST(a.w_units + r.w_units AS DOUBLE) * 1e6 / CAST(a.n + r.n - 2 AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS cohens_d FROM (SELECT * FROM gm WHERE flag = 'A') a, (SELECT * FROM gm WHERE flag = 'R') r) SELECT n_events, cramers_v, n_lines, eta_squared, cohens_d FROM cv, et, cd""")),
   )
 }

@@ -764,6 +764,12 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
       assert(!p.contains("parquet"), s"plan:\n$p") // incidence + grid checkpointed
     }
+    it("q203 effect sizes: both branch grids checkpointed, readout broadcast-composed") {
+      val p = planOf("q203_effect_sizes")
+      assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+      assert(!p.contains("parquet"), s"plan:\n$p") // both grids checkpointed
+      assert(!p.contains("Window"), s"plan:\n$p")
+    }
     it("q190 corr matrix reads the one-row moment frame — one corpus pass total") {
       val p = planOf("q190_corr_matrix")
       assert(!p.contains("Join"), s"plan:\n$p")
