@@ -298,6 +298,45 @@ object BehaviorOps {
       },
       Some("""WITH RECURSIVE d AS (SELECT user_id, event_id, value, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events), r AS (SELECT user_id, event_id, rn, value AS l, CAST(0.0 AS DOUBLE) AS b FROM d WHERE rn = 1 UNION ALL SELECT d.user_id, d.event_id, d.rn, 0.25 * d.value + 0.75 * (r.l + r.b), 0.125 * ((0.25 * d.value + 0.75 * (r.l + r.b)) - r.l) + 0.875 * r.b FROM r JOIN d ON d.user_id = r.user_id AND d.rn = r.rn + 1) SELECT user_id, event_id, floor(l * 1e6 + 0.5) / 1e6 AS level, floor(b * 1e6 + 0.5) / 1e6 AS trend, floor((l + b) * 1e6 + 0.5) / 1e6 AS forecast FROM r""")),
 
+    QueryDef("q204_pacf",
+      "partial autocorrelation at lags 1-3 per event_type via the Durbin-Levinson recursion - the MODEL-ORDER diagnostic completing q153's ACF (ACF says how much memory the series has; PACF says which AR order explains it: an AR(p) series has PACF cutting off sharply after lag p, which raw ACF cannot show because it compounds indirect correlation through intermediate lags). phi_11 = r1, phi_22 = (r2 - r1^2)/(1 - r1^2), phi_33 via the recursed coefficients phi_21 = phi_11 - phi_22*phi_11. The corpus pipeline IS q153's (one hourly rollup, broadcast means, one grid window pass, 6-dp floor-grid moment sums); the DL recursion then runs on the |types|-row ACF frame using the ROUNDED 6-dp r_k as inputs - engine-identical integers-on-a-grid in, so the recursion's pinned chain of correctly-rounded IEEE ops (no reassociation between engines) is bit-equal out. Scale: DL is O(p^2) per series on a p-row grid - the corpus never feels the recursion at any lag order. Honest readout: the hourly series is iid noise, so all PACF values sit at the O(1/sqrt(n)) noise floor (|phi| < 0.09) and no AR order is suggested",
+      (s, d) => {
+        def g6(c: Column) = (floor(c * 1e6 + 0.5) / 1e6).cast(DecimalType(38, 6))
+        val h = t(s, d, "events")
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+          .agg(dsum(col("value")).as("h_sum"))
+          .select(col("event_type"), unix_micros(col("hour")).as("hour_us"),
+                  col("h_sum"))
+        val m = h.groupBy(col("event_type"))
+          .agg((dsum(col("h_sum")) / count(lit(1))).as("mu"))
+        val c = h.join(broadcast(m), Seq("event_type"))
+          .select(col("event_type"), col("hour_us"),
+                  (col("h_sum") - col("mu")).as("c"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("hour_us"))
+        val l = c.select(col("event_type"), col("c"),
+          lag(col("c"), 1).over(w).as("c1"),
+          lag(col("c"), 2).over(w).as("c2"),
+          lag(col("c"), 3).over(w).as("c3"))
+        val sums = l.groupBy(col("event_type")).agg(
+          sum(g6(col("c") * col("c"))).cast("double").as("s0"),
+          sum(g6(col("c") * col("c1"))).cast("double").as("s1"),
+          sum(g6(col("c") * col("c2"))).cast("double").as("s2"),
+          sum(g6(col("c") * col("c3"))).cast("double").as("s3"))
+        // Durbin-Levinson on the |types|-row frame, off the ROUNDED acf
+        val r1 = floor(col("s1") / col("s0") * lit(1e6) + lit(0.5)) / lit(1e6)
+        val r2 = floor(col("s2") / col("s0") * lit(1e6) + lit(0.5)) / lit(1e6)
+        val r3 = floor(col("s3") / col("s0") * lit(1e6) + lit(0.5)) / lit(1e6)
+        val p22 = (r2 - r1 * r1) / (lit(1.0) - r1 * r1)
+        val p21 = r1 - p22 * r1
+        val p33 = (r3 - p21 * r2 - p22 * r1) /
+          (lit(1.0) - p21 * r1 - p22 * r2)
+        sums.select(col("event_type"),
+          r1.as("pacf1"),
+          (floor(p22 * lit(1e6) + lit(0.5)) / lit(1e6)).as("pacf2"),
+          (floor(p33 * lit(1e6) + lit(0.5)) / lit(1e6)).as("pacf3"))
+      },
+      Some("""WITH h AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS h_sum FROM events GROUP BY 1, 2), m AS (SELECT event_type, CAST(SUM(CAST(h_sum AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS mu FROM h GROUP BY 1), c AS (SELECT h.event_type, hour_us, h_sum - mu AS c FROM h JOIN m ON h.event_type = m.event_type), l AS (SELECT event_type, c, lag(c, 1) OVER w AS c1, lag(c, 2) OVER w AS c2, lag(c, 3) OVER w AS c3 FROM c WINDOW w AS (PARTITION BY event_type ORDER BY hour_us)), s AS (SELECT event_type, CAST(SUM(CAST(floor(c * c * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS s0, CAST(SUM(CAST(floor(c * c1 * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS s1, CAST(SUM(CAST(floor(c * c2 * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS s2, CAST(SUM(CAST(floor(c * c3 * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS s3 FROM l GROUP BY 1), a AS (SELECT event_type, floor(s1 / s0 * 1e6 + 0.5) / 1e6 AS r1, floor(s2 / s0 * 1e6 + 0.5) / 1e6 AS r2, floor(s3 / s0 * 1e6 + 0.5) / 1e6 AS r3 FROM s), p2 AS (SELECT *, (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22 FROM a), p3 AS (SELECT *, r1 - p22 * r1 AS p21 FROM p2) SELECT event_type, r1 AS pacf1, floor(p22 * 1e6 + 0.5) / 1e6 AS pacf2, floor((r3 - p21 * r2 - p22 * r1) / (1.0 - p21 * r1 - p22 * r2) * 1e6 + 0.5) / 1e6 AS pacf3 FROM p3""")),
+
     QueryDef("q164_forecast_backtest",
       "walk-forward backtest of the q154 Holt smoother (the q96/q100/q122 measure-your-own-operator pattern applied to forecasting): every event's value is predicted by the PREVIOUS event's one-step-ahead forecast (level+trend, lagged — strictly out-of-sample by construction) and by the naive last-value baseline; MAE for both, the skill ratio, and the verdict. Holt WINS on this fixture (skill 0.826 — 17% MAE reduction: the smoother damps the value noise the naive forecast inherits wholesale), n=9850 forecasts (10k events minus each user's unseedable first). Absolute errors pre-round onto the 6-dp grid into exact decimal sums; the fold outputs join back to actuals on the same user keying and ONE user-ordered lag window does the alignment",
       (s, d) => {
