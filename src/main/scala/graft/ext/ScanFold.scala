@@ -46,7 +46,8 @@ object ScanFold {
   case class SBalRow(k: String, o1: Long, o2: Long, bal: Long)
   case class HoltRow(k: Long, o1: Long, o2: Long, level: Double, trend: Double)
   case class HwRow(k: Long, o1: Long, o2: Long,
-                   level: Double, trend: Double, seasonal: Double)
+                   level: Double, trend: Double, seasonal: Double,
+                   forecast: Double)
 
   /** Saturating running sum per key: rows of `df` are folded in
     * `(key, ord1, ord2)` order with `bal := min(hi, max(lo, bal + delta))`,
@@ -232,10 +233,13 @@ object ScanFold {
             s(sl) = gamma * (r.x - l1) + g1 * sOld
             l = l1
           }
-          HwRow(r.k, r.o1, r.o2, l, b, s((t % m).toInt))
+          // one-step-ahead forecast from the post-update state: the
+          // NEXT step's seasonal slot (last touched m steps ago)
+          HwRow(r.k, r.o1, r.o2, l, b, s((t % m).toInt),
+                l + b + s(((t + 1) % m).toInt))
         }
       }
-      .toDF(key, ord1, ord2, "level", "trend", "seasonal")
+      .toDF(key, ord1, ord2, "level", "trend", "seasonal", "forecast")
   }
 
   /** Exponentially-weighted moving average per key: the linear

@@ -803,6 +803,44 @@ object BehaviorOps {
             (floor(col("trend") * lit(1e6) + lit(0.5)) / lit(1e6)).as("trend"),
             (floor(col("seasonal") * lit(1e6) + lit(0.5)) / lit(1e6)).as("seasonal"))
       },
-      Some("""WITH RECURSIVE d0 AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS tm, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS x FROM orders GROUP BY 1), d AS (SELECT tm, x, row_number() OVER (ORDER BY tm) AS rn FROM d0), r AS (SELECT rn, tm, x, x AS l, CAST(0.0 AS DOUBLE) AS b, [CAST(0.0 AS DOUBLE),0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0] AS s FROM d WHERE rn = 1 UNION ALL SELECT d.rn, d.tm, d.x, 0.25 * (d.x - list_extract(r.s, CAST((d.rn - 1) % 12 AS INTEGER) + 1)) + 0.75 * (r.l + r.b), 0.125 * ((0.25 * (d.x - list_extract(r.s, CAST((d.rn - 1) % 12 AS INTEGER) + 1)) + 0.75 * (r.l + r.b)) - r.l) + 0.875 * r.b, list_concat(list_concat(list_slice(r.s, 1, CAST((d.rn - 1) % 12 AS INTEGER)), [0.25 * (d.x - (0.25 * (d.x - list_extract(r.s, CAST((d.rn - 1) % 12 AS INTEGER) + 1)) + 0.75 * (r.l + r.b))) + 0.75 * list_extract(r.s, CAST((d.rn - 1) % 12 AS INTEGER) + 1)]), list_slice(r.s, CAST((d.rn - 1) % 12 AS INTEGER) + 2, 12)) FROM r JOIN d ON d.rn = r.rn + 1) SELECT tm, floor(l * 1e6 + 0.5) / 1e6 AS level, floor(b * 1e6 + 0.5) / 1e6 AS trend, floor(list_extract(s, CAST((rn - 1) % 12 AS INTEGER) + 1) * 1e6 + 0.5) / 1e6 AS seasonal FROM r"""))
+      Some("""WITH RECURSIVE d0 AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS tm, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS x FROM orders GROUP BY 1), d AS (SELECT tm, x, row_number() OVER (ORDER BY tm) AS rn FROM d0), r AS (SELECT rn, tm, x, x AS l, CAST(0.0 AS DOUBLE) AS b, [CAST(0.0 AS DOUBLE),0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0] AS s FROM d WHERE rn = 1 UNION ALL SELECT d.rn, d.tm, d.x, 0.25 * (d.x - list_extract(r.s, CAST((d.rn - 1) % 12 AS INTEGER) + 1)) + 0.75 * (r.l + r.b), 0.125 * ((0.25 * (d.x - list_extract(r.s, CAST((d.rn - 1) % 12 AS INTEGER) + 1)) + 0.75 * (r.l + r.b)) - r.l) + 0.875 * r.b, list_concat(list_concat(list_slice(r.s, 1, CAST((d.rn - 1) % 12 AS INTEGER)), [0.25 * (d.x - (0.25 * (d.x - list_extract(r.s, CAST((d.rn - 1) % 12 AS INTEGER) + 1)) + 0.75 * (r.l + r.b))) + 0.75 * list_extract(r.s, CAST((d.rn - 1) % 12 AS INTEGER) + 1)]), list_slice(r.s, CAST((d.rn - 1) % 12 AS INTEGER) + 2, 12)) FROM r JOIN d ON d.rn = r.rn + 1) SELECT tm, floor(l * 1e6 + 0.5) / 1e6 AS level, floor(b * 1e6 + 0.5) / 1e6 AS trend, floor(list_extract(s, CAST((rn - 1) % 12 AS INTEGER) + 1) * 1e6 + 0.5) / 1e6 AS seasonal FROM r""")),
+
+    QueryDef("q205_hw_backtest",
+      "walk-forward backtest Holt-Winters vs Holt on the monthly revenue series - the q164 measure-your-own-operator pattern applied to q200: every month is predicted by the PREVIOUS month's one-step-ahead forecast from BOTH smoothers (strictly out-of-sample), MAE for each over the post-warmup window (rn > 25: two full seasonal cycles past the seed, so HW's learned profile has converged before it is judged), skill = MAE_hw / MAE_holt, and the verdict. The HONEST readout cuts both ways across the fixtures: monthly revenue has ONE real seasonal signal - calendar month LENGTH (31-day months book ~10% more than February) - and whether HW can exploit it is a signal-to-noise question. At sf0.01 noise swamps it and HW loses (skill 1.027: the 12 slots chase noise, hw_wins=false); at sf0.1 the 10x volume averages the noise down and HW WINS (skill 0.850, hw_wins=true) - the backtest detecting exactly when the seasonal model starts paying for its parameters is the q122/q164 measure-your-own-operator pattern doing its job. Same numeric recipe as q164: forecasts lag via ONE grid window pass, absolute errors pre-round onto the 6-dp grid into exact decimal sums; both folds and the rollup read the checkpointed ~79-row month grid, corpus touched once",
+      (s, d) => {
+        val monthly = t(s, d, "orders")
+          .groupBy((year(col("o_orderdate")) * lit(12) + month(col("o_orderdate")))
+            .cast("long").as("tm"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(38, 6)))
+            .cast("double").as("x"))
+          .withColumn("k", lit(0L)).withColumn("z", lit(0L))
+          .localCheckpoint(true) // both folds + the actuals read it
+        val h = graft.ext.ScanFold.holt(monthly, "k", "tm", "z", "x",
+            alpha = 0.25, beta = 0.125)
+          .select(col("tm"), (col("level") + col("trend")).as("fh0"))
+        val hw = graft.ext.ScanFold.holtWinters(monthly, "k", "tm", "z", "x",
+            alpha = 0.25, beta = 0.125, gamma = 0.25, m = 12)
+          .select(col("tm"), col("forecast").as("fw0"))
+        val w = Window.orderBy(col("tm"))
+        val j = monthly.select(col("tm"), col("x"))
+          .join(broadcast(h), Seq("tm"))
+          .join(broadcast(hw), Seq("tm"))
+          .select(col("tm"), col("x"),
+            lag(col("fh0"), 1).over(w).as("fh"),
+            lag(col("fw0"), 1).over(w).as("fw"),
+            row_number().over(w).as("rn"))
+          .filter(col("rn") > 25)
+        def g6sum(c: Column) =
+          sum((floor(c * 1e6 + 0.5) / 1e6).cast(DecimalType(38, 6))).cast("double")
+        j.agg(lcount(lit(1)).as("n_forecasts"),
+              g6sum(abs(col("x") - col("fh"))).as("ae_holt"),
+              g6sum(abs(col("x") - col("fw"))).as("ae_hw"))
+          .select(col("n_forecasts"),
+            (floor(col("ae_holt") / col("n_forecasts") * lit(1e6) + lit(0.5)) / lit(1e6)).as("mae_holt"),
+            (floor(col("ae_hw") / col("n_forecasts") * lit(1e6) + lit(0.5)) / lit(1e6)).as("mae_hw"),
+            (floor(col("ae_hw") / col("ae_holt") * lit(1e6) + lit(0.5)) / lit(1e6)).as("skill"),
+            (col("ae_hw") < col("ae_holt")).as("hw_wins"))
+      },
+      Some("""WITH RECURSIVE d0 AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS tm, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS x FROM orders GROUP BY 1), d AS (SELECT tm, x, row_number() OVER (ORDER BY tm) AS rn FROM d0), rh AS (SELECT rn, x AS l, CAST(0.0 AS DOUBLE) AS b FROM d WHERE rn = 1 UNION ALL SELECT d.rn, 0.25 * d.x + 0.75 * (r.l + r.b), 0.125 * ((0.25 * d.x + 0.75 * (r.l + r.b)) - r.l) + 0.875 * r.b FROM rh r JOIN d ON d.rn = r.rn + 1), rw AS (SELECT rn, x, x AS l, CAST(0.0 AS DOUBLE) AS b, [CAST(0.0 AS DOUBLE),0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0] AS s FROM d WHERE rn = 1 UNION ALL SELECT d.rn, d.x, 0.25 * (d.x - list_extract(r.s, CAST((d.rn - 1) % 12 AS INTEGER) + 1)) + 0.75 * (r.l + r.b), 0.125 * ((0.25 * (d.x - list_extract(r.s, CAST((d.rn - 1) % 12 AS INTEGER) + 1)) + 0.75 * (r.l + r.b)) - r.l) + 0.875 * r.b, list_concat(list_concat(list_slice(r.s, 1, CAST((d.rn - 1) % 12 AS INTEGER)), [0.25 * (d.x - (0.25 * (d.x - list_extract(r.s, CAST((d.rn - 1) % 12 AS INTEGER) + 1)) + 0.75 * (r.l + r.b))) + 0.75 * list_extract(r.s, CAST((d.rn - 1) % 12 AS INTEGER) + 1)]), list_slice(r.s, CAST((d.rn - 1) % 12 AS INTEGER) + 2, 12)) FROM rw r JOIN d ON d.rn = r.rn + 1), j AS (SELECT d.rn, d.x, h.l + h.b AS fh, w.l + w.b + list_extract(w.s, CAST((d.rn - 1) % 12 AS INTEGER) + 1) AS fw FROM d JOIN rh h ON h.rn = d.rn - 1 JOIN rw w ON w.rn = d.rn - 1 WHERE d.rn > 25), a AS (SELECT CAST(count(*) AS BIGINT) AS n_forecasts, CAST(SUM(CAST(floor(abs(x - fh) * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS ae_holt, CAST(SUM(CAST(floor(abs(x - fw) * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS ae_hw FROM j) SELECT n_forecasts, floor(ae_holt / n_forecasts * 1e6 + 0.5) / 1e6 AS mae_holt, floor(ae_hw / n_forecasts * 1e6 + 0.5) / 1e6 AS mae_hw, floor(ae_hw / ae_holt * 1e6 + 0.5) / 1e6 AS skill, ae_hw < ae_holt AS hw_wins FROM a"""))
   )
 }

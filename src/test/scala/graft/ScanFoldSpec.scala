@@ -212,7 +212,7 @@ class ScanFoldSpec extends SparkSpec {
         } yield (k, o1, o2, x)).map(_.distinctBy(r => (r._1, r._2, r._3)))
       forAllSamples(vGen, n = 6) { rows =>
         val (alpha, beta, gamma, m) = (0.25, 0.125, 0.25, 4)
-        val expect: Map[(Long, Long, Long), (Double, Double, Double)] =
+        val expect: Map[(Long, Long, Long), (Double, Double, Double, Double)] =
           rows.groupBy(_._1).flatMap { case (_, ks) =>
             var l = 0.0; var b = 0.0; var t = 0L; var s: Array[Double] = null
             var first = true
@@ -228,14 +228,15 @@ class ScanFoldSpec extends SparkSpec {
                 s(sl) = gamma * (r._4 - l1) + (1.0 - gamma) * sOld
                 l = l1
               }
-              (r._1, r._2, r._3) -> ((l, b, s((t % m).toInt)))
+              (r._1, r._2, r._3) ->
+                ((l, b, s((t % m).toInt), l + b + s(((t + 1) % m).toInt)))
             }
           }
         val got = ScanFold.holtWinters(
             rows.toDF("k", "o1", "o2", "x").repartition(4),
             "k", "o1", "o2", "x", alpha, beta, gamma, m)
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
-            ((r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+            ((r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
         assert(got === expect)
         // gamma = 0 with zero seasonal seeds: the seasonal slots never
         // move, so (level, trend) IS the holt recurrence bit-for-bit
