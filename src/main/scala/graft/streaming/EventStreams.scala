@@ -300,6 +300,75 @@ object EventStreams {
       }
   }
 
+  /** Per-event Holt–Winters row emitted by [[holtWintersStream]] —
+    * same shape as the batch fold's output (pre-grid raw values). */
+  final case class HwOut(user_id: Long, event_id: Long,
+                         level: Double, trend: Double,
+                         seasonal: Double, forecast: Double)
+
+  /** The user's current (2+m)-value smoothing state — public for the
+    * state Encoder. `t` is the 0-based observation count (drives the
+    * seasonal slot rotation across micro-batches). */
+  final case class HwState(l: Double, b: Double, t: Long, s: Seq[Double])
+
+  /** STREAMING Holt–Winters — the ingest-time twin of
+    * [[graft.ext.ScanFold.holtWinters]] (q200), completing the fold
+    * family's stream twins (clamped balance, EWMA, now the seasonal
+    * smoother): (2+m) doubles of persisted state per key, the same
+    * zero-seeded additive-seasonal recursion at arrival. Because the
+    * batch fold is defined as the left-to-right recurrence, the stream
+    * applying the same update in (ts, event_id) order produces EXACTLY
+    * the batch values — StreamingSpec asserts bit equality across
+    * micro-batch boundaries (the seasonal slot rotation surviving a
+    * restart of the recursion mid-cycle is the point). Same
+    * dimension-sized NoTimeout state and in-batch buffering notes as
+    * [[ewmaStream]]; late cross-batch events route through the batch
+    * fold (a smoothed state cannot be un-smoothed). */
+  def holtWintersStream(events: Dataset[Event], alpha: Double, beta: Double,
+                        gamma: Double, m: Int): Dataset[HwOut] = {
+    import events.sparkSession.implicits._
+    require(alpha > 0 && alpha <= 1, s"alpha=$alpha out of (0, 1]")
+    require(beta >= 0 && beta <= 1, s"beta=$beta out of [0, 1]")
+    require(gamma >= 0 && gamma <= 1, s"gamma=$gamma out of [0, 1]")
+    require(m >= 2, s"seasonal period m=$m must be >= 2")
+    val a1 = 1.0 - alpha
+    val b1 = 1.0 - beta
+    val g1 = 1.0 - gamma
+    def micros(t: Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[HwState, HwOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[HwState]) =>
+          var started = state.exists
+          var l = 0.0; var b = 0.0; var t = 0L
+          var s: Array[Double] = null
+          state.getOption.foreach { st =>
+            l = st.l; b = st.b; t = st.t; s = st.s.toArray
+          }
+          val out = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id)).map { e =>
+            if (!started) {
+              l = e.value; b = 0.0; t = 0L; s = new Array[Double](m)
+              started = true
+            } else {
+              t += 1
+              val sl = (t % m).toInt
+              val sOld = s(sl)
+              val l1 = alpha * (e.value - sOld) + a1 * (l + b)
+              b = beta * (l1 - l) + b1 * b
+              s(sl) = gamma * (e.value - l1) + g1 * sOld
+              l = l1
+            }
+            HwOut(userId, e.event_id, l, b, s((t % m).toInt),
+                  l + b + s(((t + 1) % m).toInt))
+          }
+          state.update(HwState(l, b, t, s.toSeq))
+          out.iterator
+      }
+  }
+
   /** Watermarked stream-stream interval join (conversion attribution):
     * each view event joins the SAME user's purchases landing within
     * `horizonMinutes` after it. Both sides carry watermarks and the

@@ -676,5 +676,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  describe("holtWintersStream (streaming seasonal smoother)") {
+    import graft.streaming.EventStreams.HwOut
+
+    it("matches the batch ScanFold.holtWinters fold BIT-FOR-BIT across micro-batches") {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      // 7 observations against m=3: the seasonal slot rotation crosses
+      // micro-batch boundaries twice and wraps the cycle twice — the
+      // state carry (l, b, t, s[3]) is what is being proven
+      val evs = Seq(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "view", 4.5),
+        Event(2, ts("2024-01-01 10:30:00"), 1, "view", 2.0),
+        Event(3, ts("2024-01-01 11:00:00"), 1, "view", 9.37),
+        Event(4, ts("2024-01-01 12:00:00"), 1, "view", 1.25),
+        Event(5, ts("2024-01-01 12:30:00"), 1, "view", 7.75),
+        Event(6, ts("2024-01-01 13:00:00"), 1, "view", 3.5),
+        Event(7, ts("2024-01-01 13:30:00"), 1, "view", 6.125),
+        Event(8, ts("2024-01-01 10:15:00"), 2, "view", 3.03),
+        Event(9, ts("2024-01-01 10:45:00"), 2, "view", 12.0))
+      val src = MemoryStream[Event]
+      val q = EventStreams.holtWintersStream(src.toDS(),
+          alpha = 0.25, beta = 0.125, gamma = 0.25, m = 3)
+        .writeStream.format("memory").queryName("hw_twin")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        evs.grouped(3).foreach { g => src.addData(g: _*); q.processAllAvailable() }
+        val streamed = spark.table("hw_twin").as[HwOut].collect()
+          .map(r => (r.user_id, r.event_id) ->
+            ((r.level, r.trend, r.seasonal, r.forecast))).toMap
+        val batch = graft.ext.ScanFold.holtWinters(
+            evs.toDF().select(col("user_id"),
+              unix_micros(col("ts")).as("ts_us"), col("event_id"),
+              col("value")),
+            "user_id", "ts_us", "event_id", "value",
+            alpha = 0.25, beta = 0.125, gamma = 0.25, m = 3)
+          .collect().map(r => (r.getLong(0), r.getLong(2)) ->
+            ((r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+        assert(streamed === batch)
+      } finally q.stop()
+    }
+  }
+
   private def micros(s: String): Long = ts(s).getTime * 1000L
 }
