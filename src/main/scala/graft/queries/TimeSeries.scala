@@ -224,6 +224,20 @@ object TimeSeries {
         "event_type", "value", Seq(0.01, 0.25, 0.5, 0.75, 0.99)),
       Some("""SELECT event_type, CAST(0.01 AS DOUBLE) AS p, quantile_cont(value, 0.01) AS value FROM events GROUP BY 1 UNION ALL SELECT event_type, CAST(0.25 AS DOUBLE), quantile_cont(value, 0.25) FROM events GROUP BY 1 UNION ALL SELECT event_type, CAST(0.5 AS DOUBLE), quantile_cont(value, 0.5) FROM events GROUP BY 1 UNION ALL SELECT event_type, CAST(0.75 AS DOUBLE), quantile_cont(value, 0.75) FROM events GROUP BY 1 UNION ALL SELECT event_type, CAST(0.99 AS DOUBLE), quantile_cont(value, 0.99) FROM events GROUP BY 1""")),
 
+    QueryDef("q206_weighted_quantiles",
+      "WEIGHTED exact quantiles as a zero-new-code composition: quantile of the unit-price distribution where every lineitem counts l_quantity times (the 'price per unit SOLD' distribution - the volume-weighted complement of q120's per-line view), per return flag at p25/50/75/90. The counts-frame entry point (ops.Quantiles.exactQuantilesFromCounts, built for q119's pre-aggregated shapes) makes integer-weighted quantiles FREE: weights ARE counts of the expanded multiset, so one (group, value)-grained rollup summing weights replaces any row expansion, and the operator's histogram refinement + DuckDB-bit-equal interpolation run unchanged on it. The oracle has no weighted quantile, so it EXPANDS the multiset for real (unnest(range(qty)) -> 15M rows at sf0.1 -> quantile_cont) - the two formulations agreeing to the bit IS the semantics proof, and the 25x row blowup the counts frame avoids is the scale story: at 100 TB the weighted quantile costs the same two corpus passes as the unweighted one",
+      (s, d) => {
+        val vc = t(s, d, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice").as("v"),
+                  col("l_quantity").cast("long").as("w"))
+          .groupBy(col("l_returnflag"), col("v"))
+          .agg(lsum(col("w")).as("c"))
+          .localCheckpoint(true) // value-counts frame: stats + hist + rank passes
+        graft.ops.Quantiles.exactQuantilesFromCounts(
+          vc, "l_returnflag", "v", "c", Seq(0.25, 0.5, 0.75, 0.9))
+      },
+      Some("""WITH e AS (SELECT l_returnflag, l_extendedprice FROM (SELECT l_returnflag, l_extendedprice, unnest(range(CAST(l_quantity AS BIGINT))) FROM lineitem)), q AS (SELECT l_returnflag, quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.9]) AS qs FROM e GROUP BY 1) SELECT l_returnflag, CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS p, unnest(qs) AS value FROM q""")),
+
     QueryDef("q124_histogram_quantiles",
       "fixed-bounds histogram quantiles per (event_type, day) — the STREAMING-NATIVE quantile form (EventStreams.histogramQuantilesStream is the watermarked twin; StreamingSpec proves row equality): 32 caller-bounded buckets over [0, 600] (the SLO/latency-bucket convention; out-of-range clamps to edge buckets), p50/p90/p99 by within-bucket linear interpolation with a PROVABLE one-bucket-width error (600/32 = 18.75). State per (key, window) is exactly 32 mergeable counters — the form that incrementalizes, vs q120's exact two-pass refinement which needs raw rows a stream no longer holds. The derivation is pure higher-order-function column arithmetic over the counts array (cumulative fold + first-covering-bucket search — no explode before the aggregate, no second stateful op), so batch and streaming share one plan shape",
       (s, d) => graft.ops.TimeSeriesOps.histogramQuantiles(
