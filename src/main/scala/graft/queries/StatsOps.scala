@@ -431,6 +431,39 @@ object StatsOps {
       },
       Some("""WITH m AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS tm, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS x FROM orders GROUP BY 1), rk AS (SELECT x, row_number() OVER (ORDER BY x, tm) AS r FROM m), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM m), md AS (SELECT max(CASE WHEN r = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1 THEN x END) AS xlo, max(CASE WHEN r = CAST(ceil(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1 THEN x END) AS xhi, max(CAST(n - 1 AS DOUBLE) * 0.5) AS k FROM rk, n), me AS (SELECT CASE WHEN k = floor(k) THEN xlo ELSE xlo * (ceil(k) - k) + xhi * (k - floor(k)) END AS med FROM md), sg AS (SELECT tm, x > med AS up FROM m, me WHERE x <> med), l AS (SELECT up, lag(up) OVER (ORDER BY tm) AS prev FROM sg), st AS (SELECT CAST(SUM(CASE WHEN prev IS NULL OR up <> prev THEN 1 ELSE 0 END) AS BIGINT) AS runs, CAST(count(*) FILTER (WHERE up) AS BIGINT) AS n1, CAST(count(*) FILTER (WHERE NOT up) AS BIGINT) AS n2 FROM l), f AS (SELECT n1, n2, runs, CAST(n1 AS DOUBLE) AS a, CAST(n2 AS DOUBLE) AS b FROM st) SELECT n1, n2, runs, floor((2.0 * a * b / (a + b) + 1.0) * 1e6 + 0.5) / 1e6 AS expected_runs, floor((CAST(runs AS DOUBLE) - (2.0 * a * b / (a + b) + 1.0)) / sqrt((2.0 * a * b * (2.0 * a * b - a - b)) / ((a + b) * (a + b) * (a + b - 1.0))) * 1e6 + 0.5) / 1e6 AS z_stat, abs((CAST(runs AS DOUBLE) - (2.0 * a * b / (a + b) + 1.0)) / sqrt((2.0 * a * b * (2.0 * a * b - a - b)) / ((a + b) * (a + b) * (a + b - 1.0)))) <= 1.96 AS random FROM f""")),
 
+    QueryDef("q208_cochran_armitage",
+      "Cochran-Armitage trend test - is purchase proportion TRENDING across ordered value deciles? The closed-form SCORE TEST of exactly the slope q201's logistic IRLS fits iteratively (CA chi2 is the first Newton step's significance; the two queries answer 'how steep' and 'is it real' for the same model, the q185/q198 pairing on the proportions plane). Pure INTEGER statistic: with decile scores w=0..9, all five moments (N, Y, sum w*n, sum w*y, sum w^2*n) accumulate exactly in DECIMAL(38,0)/HUGEINT off the same 10-bin grid as q201, the trend numerator N*Swy - Y*Swn is an exact 128-bit integer (no p-bar rational ever materializes), and chi2 = N*num^2 / (Y*(N-Y)*(N*Sw2n - Swn^2)) evaluates as a pinned chain of correctly-rounded double ops on those exact integers (num^2 would overflow 38 digits past N~3e8, so the SQUARE lives in double - identical in both engines - while every integer part stays exact). Fully declarative: one corpus pass through the broadcast min/max frame into the 10-row grid, one grid aggregate, one readout row - no iteration, no driver collect. Honest: no trend on the iid fixture (chi2 = 1.75 < 3.841459 at sf0.1), agreeing with q201's flat beta1",
+      (s, d) => {
+        val D38 = DecimalType(38, 0)
+        def h(x: Column) = x.cast(D38)
+        val ev = t(s, d, "events")
+        val st = ev.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+        val grid = ev.crossJoin(broadcast(st))
+          .select(least(lit(9.0), floor((col("value") - col("mn"))
+              / ((col("mx") - col("mn")) / lit(10.0)))).cast("long").as("b"),
+            (col("event_type") === "purchase").as("y"))
+          .groupBy(col("b"))
+          .agg(lcount(lit(1)).as("n"),
+               count(when(col("y"), 1)).cast("long").as("yy"))
+        val m = grid.agg(
+          sum(h(col("n"))).cast(D38).as("nt"),
+          sum(h(col("yy"))).cast(D38).as("yt"),
+          sum(h(col("b")) * h(col("n"))).cast(D38).as("swn"),
+          sum(h(col("b")) * h(col("yy"))).cast(D38).as("swy"),
+          sum(h(col("b")) * h(col("b")) * h(col("n"))).cast(D38).as("sw2n"))
+        val num = (col("nt") * col("swy") - col("yt") * col("swn")).cast("double")
+        val chi2 = col("nt").cast("double") * num * num /
+          ((col("yt") * (col("nt") - col("yt"))).cast("double")
+             * (col("nt") * col("sw2n") - col("swn") * col("swn")).cast("double"))
+        m.select(
+          col("nt").cast("long").as("n"), col("yt").cast("long").as("y"),
+          (floor(chi2 * lit(1e6) + lit(0.5)) / lit(1e6)).as("ca_chi2"),
+          lit(3.841459).as("chi2_crit"),
+          (chi2 > lit(3.841459)).as("reject"))
+      },
+      Some("""WITH s AS (SELECT min(value) AS mn, max(value) AS mx FROM events), g AS (SELECT CAST(least(9.0, floor((value - mn) / ((mx - mn) / 10.0))) AS BIGINT) AS b, CAST(count(*) AS BIGINT) AS n, CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS yy FROM events, s GROUP BY 1), m AS (SELECT SUM(CAST(n AS HUGEINT)) AS nt, SUM(CAST(yy AS HUGEINT)) AS yt, SUM(CAST(b AS HUGEINT) * n) AS swn, SUM(CAST(b AS HUGEINT) * yy) AS swy, SUM(CAST(b AS HUGEINT) * b * n) AS sw2n FROM g), f AS (SELECT nt, yt, CAST(nt * swy - yt * swn AS DOUBLE) AS num, CAST(yt * (nt - yt) AS DOUBLE) AS dy, CAST(nt * sw2n - swn * swn AS DOUBLE) AS dw FROM m), z AS (SELECT nt, yt, CAST(nt AS DOUBLE) * num * num / (dy * dw) AS chi2 FROM f) SELECT CAST(nt AS BIGINT) AS n, CAST(yt AS BIGINT) AS y, floor(chi2 * 1e6 + 0.5) / 1e6 AS ca_chi2, 3.841459 AS chi2_crit, chi2 > 3.841459 AS reject FROM z"""))
+  ,
+
     QueryDef("q199_kruskal_wallis",
       "Kruskal-Wallis H test of l_quantity across l_returnflag groups - the NONPARAMETRIC twin of q197's ANOVA (the same pairing as q151 OLS <-> q185 Theil-Sen and q190 Pearson <-> q163 Spearman): does the quantity DISTRIBUTION differ by return flag, asked through ranks so no normality assumption is spent. Rank machinery is the q163 integer recipe on the 50-value quantity domain: tie-averaged DOUBLED ranks 2r = 2*cum_prev + tn + 1 derive from the value-total grid (integers, engine-independent), per-flag rank sums R2_g = sum n_gv * 2r_v accumulate DECIMAL(38,0)/HUGEINT (R2_g ~ 2N*n_g wraps int64 past N~2e9 - loud, never silent), and with doubled ranks H = 3/(N(N+1)) * sum R2_g^2/n_g - 3(N+1) (the 12 becomes 3). Each R2_g^2/n_g term floor-rounds onto a 1e6-unit grid (far above its ~30-ulp noise) into an exact 128-bit sum - the q197 SSB recipe - and the heavy-tie correction C = 1 - sum(t^3-t)/(N^3-N) runs entirely in DECIMAL(38,0) integers (t^3 ~ 1.7e21 at sf100 wraps int64; N^3 needs 128-bit from sf1000) before ONE double division. Honest readout: quantity is iid across flags on this fixture, H_c = 1.84 < chi2_{2,0.05} = 5.991465, reject=false. Scale: one corpus aggregate into the 150-cell (flag x quantity) grid - checkpointed, so the corpus is touched ONCE - then everything is grid-sized; no corpus rank window anywhere",
       (s, d) => {
