@@ -5,8 +5,9 @@ import graft.ext.{Dedup, SimilaritySearch}
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
 import graft.ops.Num._
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** LLM-data-pipeline operators (BASELINE.json north star): dedup,
   * similarity search, text analysis — each oracle-checked against DuckDB
@@ -16,6 +17,32 @@ import org.apache.spark.sql.functions._
 object LlmOps {
 
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  /** The q28 marker-vocabulary language-ID heuristic as oracle SQL, up
+    * to the per-doc prediction CTE `p (doc_id, lang, predicted)` —
+    * shared by the confusion matrix (q28) and its kappa readout (q212)
+    * so the two oracles cannot drift apart. */
+  private val langIdOracleCtes: String = {
+    val markers = Seq(
+      "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+      "en" -> Seq("the", "a", "and", "is", "of", "to"),
+      "es" -> Seq("el", "la", "los", "y", "es", "que"),
+      "fr" -> Seq("le", "la", "les", "et", "est", "que"),
+      "zh" -> Seq("的", "是", "了", "在", "我", "不"))
+    val scoreCols = markers.map { case (l, ms) =>
+      val inList = ms.map(m => s"'$m'").mkString(", ")
+      s"CAST(len(list_filter(tok, tk -> tk IN ($inList))) AS DOUBLE) AS s_$l"
+    }.mkString(", ")
+    val best = s"greatest(${markers.map("s_" + _._1).mkString(", ")})"
+    val caseChain = markers.map { case (l, _) =>
+      s"WHEN s_$l = best AND best > 0 THEN '$l'"
+    }.mkString(" ")
+    s"""WITH s AS (SELECT doc_id, lang,
+       |  (CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END) AS tok FROM documents),
+       |sc AS (SELECT doc_id, lang, $scoreCols FROM s),
+       |b AS (SELECT *, $best AS best FROM sc),
+       |p AS (SELECT lang, CASE $caseChain ELSE 'und' END AS predicted FROM b)""".stripMargin.replace("\n", " ")
+  }
 
   /** Shared oracle CTE: distinct word-3-gram shingles per (doc, lang). */
   private[queries] val shingleCte =
@@ -433,28 +460,36 @@ object LlmOps {
         .select(col("lang"), langId(col("text")).as("predicted"))
         .groupBy(col("lang"), col("predicted"))
         .agg(lcount(lit(1)).as("n")),
-      Some {
-        val markers = Seq(
-          "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
-          "en" -> Seq("the", "a", "and", "is", "of", "to"),
-          "es" -> Seq("el", "la", "los", "y", "es", "que"),
-          "fr" -> Seq("le", "la", "les", "et", "est", "que"),
-          "zh" -> Seq("的", "是", "了", "在", "我", "不"))
-        val scoreCols = markers.map { case (l, ms) =>
-          val inList = ms.map(m => s"'$m'").mkString(", ")
-          s"CAST(len(list_filter(tok, tk -> tk IN ($inList))) AS DOUBLE) AS s_$l"
-        }.mkString(", ")
-        val best = s"greatest(${markers.map("s_" + _._1).mkString(", ")})"
-        val caseChain = markers.map { case (l, _) =>
-          s"WHEN s_$l = best AND best > 0 THEN '$l'"
-        }.mkString(" ")
-        s"""WITH s AS (SELECT doc_id, lang,
-           |  (CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END) AS tok FROM documents),
-           |sc AS (SELECT doc_id, lang, $scoreCols FROM s),
-           |b AS (SELECT *, $best AS best FROM sc),
-           |p AS (SELECT lang, CASE $caseChain ELSE 'und' END AS predicted FROM b)
-           |SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY lang, predicted""".stripMargin.replace("\n", " ")
-      }),
+      Some(s"""$langIdOracleCtes SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY lang, predicted""")),
+
+    QueryDef("q212_cohens_kappa",
+      "Cohen's kappa for the q28 language-ID heuristic vs the labeled lang column - chance-corrected AGREEMENT as one number, the measure-your-own-operator pattern (q96/q122/q164/q205) applied to the text plane: raw accuracy po rewards a classifier that just predicts the majority class, kappa = (po - pe)/(1 - pe) subtracts exactly what marginal-frequency guessing would score (pe = sum of row x column marginal products), so it is the honest skill number for the marker heuristic. All counts integer off the checkpointed confusion grid (ONE corpus pass shared shape with q28); the marginal product sum accumulates DECIMAL(38,0)/HUGEINT (r*c wraps int64 past ~3e9 docs); po/pe/kappa are pinned correctly-rounded double ops. Readout - the reason kappa exists, demonstrated: raw accuracy po = 37.7% at sf0.1 LOOKS like skill (5 classes), but pe = 37.5% - the fixture's synthetic token soup rarely contains the marker words, predictions collapse toward the majority pattern, and kappa = 0.003 correctly scores the heuristic at ZERO skill where accuracy alone would have claimed 38%. The q28 confusion matrix showed the cells; kappa is the one number that refuses to be fooled by them",
+      (s, d) => {
+        val D38 = DecimalType(38, 0)
+        def h(x: Column) = x.cast(D38)
+        val g = t(s, d, "documents")
+          .select(col("lang"), langId(col("text")).as("predicted"))
+          .groupBy(col("lang"), col("predicted"))
+          .agg(lcount(lit(1)).as("n"))
+          .localCheckpoint(true) // <=36-cell grid: totals + both marginals
+        val nt = g.agg(lsum(col("n")).as("nt"),
+          lsum(when(col("lang") === col("predicted"), col("n"))
+            .otherwise(lit(0L))).as("agree"))
+        val rm = g.groupBy(col("lang")).agg(lsum(col("n")).as("r"))
+        val cm = g.groupBy(col("predicted")).agg(lsum(col("n")).as("c"))
+        val pe = rm.join(broadcast(cm), col("lang") === col("predicted"))
+          .agg(sum(h(col("r")) * h(col("c"))).cast(D38).as("rc"))
+        val po = col("agree").cast("double") / col("nt").cast("double")
+        val pexp = col("rc").cast("double") /
+          (col("nt").cast("double") * col("nt"))
+        nt.crossJoin(broadcast(pe)).select(
+          col("nt").as("n"), col("agree"),
+          (floor(po * lit(1e6) + lit(0.5)) / lit(1e6)).as("po"),
+          (floor(pexp * lit(1e6) + lit(0.5)) / lit(1e6)).as("pe"),
+          (floor((po - pexp) / (lit(1.0) - pexp) * lit(1e6) + lit(0.5))
+            / lit(1e6)).as("kappa"))
+      },
+      Some(s"""$langIdOracleCtes, g AS (SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY 1, 2), nt AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(CASE WHEN lang = predicted THEN n ELSE 0 END) AS BIGINT) AS agree FROM g), rm AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS r FROM g GROUP BY 1), cm AS (SELECT predicted, CAST(SUM(n) AS BIGINT) AS c FROM g GROUP BY 1), pe AS (SELECT SUM(CAST(r AS HUGEINT) * c) AS rc FROM rm JOIN cm ON rm.lang = cm.predicted), f AS (SELECT nt, agree, CAST(agree AS DOUBLE) / CAST(nt AS DOUBLE) AS po, CAST(rc AS DOUBLE) / (CAST(nt AS DOUBLE) * nt) AS pexp FROM nt, pe) SELECT nt AS n, agree, floor(po * 1e6 + 0.5) / 1e6 AS po, floor(pexp * 1e6 + 0.5) / 1e6 AS pe, floor((po - pexp) / (1.0 - pexp) * 1e6 + 0.5) / 1e6 AS kappa FROM f""")),
 
     QueryDef("q30_multimodal_stats",
       "binary-payload metadata lineage: byte length, sha256, first-byte bucket (codec stub boundary excluded)",
