@@ -565,6 +565,34 @@ object StatsOps {
       },
       Some("""WITH o AS (SELECT (o_custkey % 2 = 0) AS treated, (year(o_orderdate) >= 1998) AS post, CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c FROM orders), g AS (SELECT treated, post, CAST(count(*) AS BIGINT) AS n, SUM(CAST(c AS HUGEINT)) AS s, SUM(CAST(c AS HUGEINT) * c) AS q FROM o GROUP BY 1, 2), cell AS (SELECT treated, post, n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m, CAST(CAST(floor(CAST(q AS DOUBLE) / 1e4 + 0.5) AS HUGEINT) - CAST(floor(((CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n AS DOUBLE)) / 1e4 + 0.5) AS HUGEINT) AS DOUBLE) * 1e4 / CAST(n - 1 AS DOUBLE) AS v FROM g), f AS (SELECT (SELECT m FROM cell WHERE treated AND NOT post) AS tp, (SELECT m FROM cell WHERE treated AND post) AS tq, (SELECT m FROM cell WHERE NOT treated AND NOT post) AS cp, (SELECT m FROM cell WHERE NOT treated AND post) AS cq, (SELECT v / n FROM cell WHERE treated AND NOT post) AS tpv, (SELECT v / n FROM cell WHERE treated AND post) AS tqv, (SELECT v / n FROM cell WHERE NOT treated AND NOT post) AS cpv, (SELECT v / n FROM cell WHERE NOT treated AND post) AS cqv), z AS (SELECT (tq - tp) - (cq - cp) AS did, sqrt(tqv + tpv + cqv + cpv) AS se FROM f) SELECT floor(did / 100.0 * 1e6 + 0.5) / 1e6 AS did_dollars, floor(se / 100.0 * 1e6 + 0.5) / 1e6 AS se_dollars, floor(did / se * 1e6 + 0.5) / 1e6 AS z_stat, abs(did / se) > 1.96 AS significant FROM z""")),
 
+    QueryDef("q214_ucb_bandit",
+      "UCB1 bandit readout over the value-decile arms - the DECISION layer closing the proportions-plane stack (q208 tests whether conversion trends across deciles, q201 fits the model, this says what an adaptive allocation policy would DO next): per arm, trials/successes/empirical mean and the UCB1 index mean + sqrt(2*ln(N)/n), plus the pull_next flag on the argmax. The exploration bonus is what distinguishes it from 'pick the best mean' - an under-sampled arm with a mediocre mean can still be the right pull, and on this fixture the near-empty TOP bin IS the UCB choice (equal-width bins on the skewed value distribution leave arm 9 with n=2 at sf0.1 vs 67k in arm 0; its exploration bonus dwarfs the flat ~0.2 means) - the honest readout being that under iid conversion the policy explores, not exploits. Numerics: counts integer off the one corpus aggregate; ln(N) is the single libm call, grid-rounded at 1e12 (the q192 recipe) before the per-arm pinned chain; the argmax compares 6-dp ROUNDED indexes with the decile tiebreak, engine-identical. Grid-sized tail on the 10-row frame",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val st = ev.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+        val grid = ev.crossJoin(broadcast(st))
+          .select(least(lit(9.0), floor((col("value") - col("mn"))
+              / ((col("mx") - col("mn")) / lit(10.0)))).cast("long").as("arm"),
+            (col("event_type") === "purchase").as("y"))
+          .groupBy(col("arm"))
+          .agg(lcount(lit(1)).as("n"),
+               count(when(col("y"), 1)).cast("long").as("yy"))
+        val tot = grid.agg(lsum(col("n")).as("nt"))
+        val lnN = floor(log(col("nt").cast("double")) * lit(1e12) + lit(0.5)) / lit(1e12)
+        val mean = col("yy").cast("double") / col("n").cast("double")
+        val ucb = mean + sqrt(lit(2.0) * col("lnn") / col("n").cast("double"))
+        val scored = grid.crossJoin(broadcast(tot.select(lnN.as("lnn"))))
+          .select(col("arm"), col("n"), col("yy").as("successes"),
+            (floor(mean * lit(1e6) + lit(0.5)) / lit(1e6)).as("mean"),
+            (floor(ucb * lit(1e6) + lit(0.5)) / lit(1e6)).as("ucb1"))
+        val best = scored.agg(max(struct(col("ucb1"), (-col("arm")).as("na")))
+          .as("b")).select(col("b.ucb1").as("bu"), (-col("b.na")).as("ba"))
+        scored.crossJoin(broadcast(best))
+          .select(col("arm"), col("n"), col("successes"), col("mean"), col("ucb1"),
+            (col("arm") === col("ba")).as("pull_next"))
+      },
+      Some("""WITH s AS (SELECT min(value) AS mn, max(value) AS mx FROM events), g AS (SELECT CAST(least(9.0, floor((value - mn) / ((mx - mn) / 10.0))) AS BIGINT) AS arm, CAST(count(*) AS BIGINT) AS n, CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS yy FROM events, s GROUP BY 1), t AS (SELECT floor(ln(CAST(SUM(n) AS DOUBLE)) * 1e12 + 0.5) / 1e12 AS lnn FROM g), sc AS (SELECT arm, n, yy AS successes, floor(CAST(yy AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mean, floor((CAST(yy AS DOUBLE) / CAST(n AS DOUBLE) + sqrt(2.0 * lnn / CAST(n AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS ucb1 FROM g, t), b AS (SELECT arm AS ba FROM sc ORDER BY ucb1 DESC, arm LIMIT 1) SELECT arm, n, successes, mean, ucb1, arm = ba AS pull_next FROM sc, b""")),
+
     QueryDef("q199_kruskal_wallis",
       "Kruskal-Wallis H test of l_quantity across l_returnflag groups - the NONPARAMETRIC twin of q197's ANOVA (the same pairing as q151 OLS <-> q185 Theil-Sen and q190 Pearson <-> q163 Spearman): does the quantity DISTRIBUTION differ by return flag, asked through ranks so no normality assumption is spent. Rank machinery is the q163 integer recipe on the 50-value quantity domain: tie-averaged DOUBLED ranks 2r = 2*cum_prev + tn + 1 derive from the value-total grid (integers, engine-independent), per-flag rank sums R2_g = sum n_gv * 2r_v accumulate DECIMAL(38,0)/HUGEINT (R2_g ~ 2N*n_g wraps int64 past N~2e9 - loud, never silent), and with doubled ranks H = 3/(N(N+1)) * sum R2_g^2/n_g - 3(N+1) (the 12 becomes 3). Each R2_g^2/n_g term floor-rounds onto a 1e6-unit grid (far above its ~30-ulp noise) into an exact 128-bit sum - the q197 SSB recipe - and the heavy-tie correction C = 1 - sum(t^3-t)/(N^3-N) runs entirely in DECIMAL(38,0) integers (t^3 ~ 1.7e21 at sf100 wraps int64; N^3 needs 128-bit from sf1000) before ONE double division. Honest readout: quantity is iid across flags on this fixture, H_c = 1.84 < chi2_{2,0.05} = 5.991465, reject=false. Scale: one corpus aggregate into the 150-cell (flag x quantity) grid - checkpointed, so the corpus is touched ONCE - then everything is grid-sized; no corpus rank window anywhere",
       (s, d) => {
