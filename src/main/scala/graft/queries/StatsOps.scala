@@ -593,6 +593,49 @@ object StatsOps {
       },
       Some("""WITH s AS (SELECT min(value) AS mn, max(value) AS mx FROM events), g AS (SELECT CAST(least(9.0, floor((value - mn) / ((mx - mn) / 10.0))) AS BIGINT) AS arm, CAST(count(*) AS BIGINT) AS n, CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS yy FROM events, s GROUP BY 1), t AS (SELECT floor(ln(CAST(SUM(n) AS DOUBLE)) * 1e12 + 0.5) / 1e12 AS lnn FROM g), sc AS (SELECT arm, n, yy AS successes, floor(CAST(yy AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mean, floor((CAST(yy AS DOUBLE) / CAST(n AS DOUBLE) + sqrt(2.0 * lnn / CAST(n AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS ucb1 FROM g, t), b AS (SELECT arm AS ba FROM sc ORDER BY ucb1 DESC, arm LIMIT 1) SELECT arm, n, successes, mean, ucb1, arm = ba AS pull_next FROM sc, b""")),
 
+    QueryDef("q216_group_sequential",
+      "group-sequential A/B monitoring with O'Brien-Fleming boundaries - the PEEKING-PROBLEM fix the q165 z-test needs in production (looking at a running experiment 5 times at alpha=0.05 each inflates false positives to ~14%; OBF spends the alpha budget so early looks need overwhelming evidence and the final look keeps nearly nominal power): the q165 pooled two-proportion z evaluated on CUMULATIVE per-arm counts at 5 evenly-spaced calendar looks (rn = floor(nm*k/5) over the DAY grid - the event fixture spans one month), each compared to its OBF two-sided boundary (4.8769, 3.3569, 2.6803, 2.2898, 2.0310 - embedded literals, no quantile function dependency). Counts are integers off ONE corpus aggregate into the (month x arm) grid; cumulative sums are grid windows; the z chain is the pinned q165 expression on exact cumulative integers. Honest readout: parity arms never cross any boundary - 5 looks, 0 crossings, exactly what a correctly-calibrated sequential monitor reports on a null experiment",
+      (s, d) => {
+        val g = t(s, d, "events")
+          .select(date_trunc("day", col("ts")).as("tm"),
+            (col("user_id") % 2 === 0).as("a"),
+            (col("event_type") === "purchase").as("y"))
+          .groupBy(col("tm"))
+          .agg(count(when(col("a"), 1)).cast("long").as("n1"),
+               count(when(col("a") && col("y"), 1)).cast("long").as("c1"),
+               count(when(!col("a"), 1)).cast("long").as("n2"),
+               count(when(!col("a") && col("y"), 1)).cast("long").as("c2"))
+          .localCheckpoint(true) // month grid: cum windows + count
+        val w = Window.orderBy(col("tm")).rowsBetween(Window.unboundedPreceding, 0)
+        val cum = g.select(col("tm"),
+          sum(col("n1")).over(w).cast("long").as("n1"),
+          sum(col("c1")).over(w).cast("long").as("c1"),
+          sum(col("n2")).over(w).cast("long").as("n2"),
+          sum(col("c2")).over(w).cast("long").as("c2"),
+          row_number().over(Window.orderBy(col("tm"))).as("rn"))
+        val nm = g.agg(lcount(lit(1)).as("nm"))
+        val looks = nm.select(explode(array(
+          struct(lit(1L).as("look_k"), lit(4.8769).as("boundary"), col("nm")),
+          struct(lit(2L).as("look_k"), lit(3.3569).as("boundary"), col("nm")),
+          struct(lit(3L).as("look_k"), lit(2.6803).as("boundary"), col("nm")),
+          struct(lit(4L).as("look_k"), lit(2.2898).as("boundary"), col("nm")),
+          struct(lit(5L).as("look_k"), lit(2.0310).as("boundary"), col("nm")))).as("e"))
+          .select(col("e.look_k").as("look_k"), col("e.boundary").as("boundary"),
+            floor((col("e.nm") * col("e.look_k")).cast("double") / lit(5.0))
+              .cast("long").as("rn"))
+        val p1 = col("c1").cast("double") / col("n1").cast("double")
+        val p2 = col("c2").cast("double") / col("n2").cast("double")
+        val pp = (col("c1") + col("c2")).cast("double") /
+          (col("n1") + col("n2")).cast("double")
+        val z = (p1 - p2) / sqrt(pp * (lit(1.0) - pp)
+          * (lit(1.0) / col("n1").cast("double") + lit(1.0) / col("n2").cast("double")))
+        cum.join(broadcast(looks), Seq("rn"))
+          .select(col("look_k"), col("n1"), col("c1"), col("n2"), col("c2"),
+            (floor(z * lit(1e6) + lit(0.5)) / lit(1e6)).as("z_stat"),
+            col("boundary"), (abs(z) > col("boundary")).as("crossed"))
+      },
+      Some("""WITH e AS (SELECT date_trunc('day', ts) AS tm, (user_id % 2 = 0) AS a, (event_type = 'purchase') AS y FROM events), g AS (SELECT tm, CAST(count(*) FILTER (WHERE a) AS BIGINT) AS n1, CAST(count(*) FILTER (WHERE a AND y) AS BIGINT) AS c1, CAST(count(*) FILTER (WHERE NOT a) AS BIGINT) AS n2, CAST(count(*) FILTER (WHERE NOT a AND y) AS BIGINT) AS c2 FROM e GROUP BY 1), cum AS (SELECT tm, CAST(SUM(n1) OVER w AS BIGINT) AS n1, CAST(SUM(c1) OVER w AS BIGINT) AS c1, CAST(SUM(n2) OVER w AS BIGINT) AS n2, CAST(SUM(c2) OVER w AS BIGINT) AS c2, row_number() OVER (ORDER BY tm) AS rn FROM g WINDOW w AS (ORDER BY tm ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), nm AS (SELECT CAST(count(*) AS BIGINT) AS nm FROM g), looks AS (SELECT look_k, boundary, CAST(floor(CAST(nm * look_k AS DOUBLE) / 5.0) AS BIGINT) AS rn FROM nm, (SELECT unnest([1, 2, 3, 4, 5]) AS look_k, unnest([4.8769, 3.3569, 2.6803, 2.2898, 2.0310]) AS boundary)), j AS (SELECT look_k, n1, c1, n2, c2, boundary, (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / sqrt((CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) * (1.0 - CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))) AS z FROM cum JOIN looks USING (rn)) SELECT CAST(look_k AS BIGINT) AS look_k, n1, c1, n2, c2, floor(z * 1e6 + 0.5) / 1e6 AS z_stat, boundary, abs(z) > boundary AS crossed FROM j""")),
+
     QueryDef("q199_kruskal_wallis",
       "Kruskal-Wallis H test of l_quantity across l_returnflag groups - the NONPARAMETRIC twin of q197's ANOVA (the same pairing as q151 OLS <-> q185 Theil-Sen and q190 Pearson <-> q163 Spearman): does the quantity DISTRIBUTION differ by return flag, asked through ranks so no normality assumption is spent. Rank machinery is the q163 integer recipe on the 50-value quantity domain: tie-averaged DOUBLED ranks 2r = 2*cum_prev + tn + 1 derive from the value-total grid (integers, engine-independent), per-flag rank sums R2_g = sum n_gv * 2r_v accumulate DECIMAL(38,0)/HUGEINT (R2_g ~ 2N*n_g wraps int64 past N~2e9 - loud, never silent), and with doubled ranks H = 3/(N(N+1)) * sum R2_g^2/n_g - 3(N+1) (the 12 becomes 3). Each R2_g^2/n_g term floor-rounds onto a 1e6-unit grid (far above its ~30-ulp noise) into an exact 128-bit sum - the q197 SSB recipe - and the heavy-tie correction C = 1 - sum(t^3-t)/(N^3-N) runs entirely in DECIMAL(38,0) integers (t^3 ~ 1.7e21 at sf100 wraps int64; N^3 needs 128-bit from sf1000) before ONE double division. Honest readout: quantity is iid across flags on this fixture, H_c = 1.84 < chi2_{2,0.05} = 5.991465, reject=false. Scale: one corpus aggregate into the 150-cell (flag x quantity) grid - checkpointed, so the corpus is touched ONCE - then everything is grid-sized; no corpus rank window anywhere",
       (s, d) => {
