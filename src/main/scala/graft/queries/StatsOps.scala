@@ -636,6 +636,53 @@ object StatsOps {
       },
       Some("""WITH e AS (SELECT date_trunc('day', ts) AS tm, (user_id % 2 = 0) AS a, (event_type = 'purchase') AS y FROM events), g AS (SELECT tm, CAST(count(*) FILTER (WHERE a) AS BIGINT) AS n1, CAST(count(*) FILTER (WHERE a AND y) AS BIGINT) AS c1, CAST(count(*) FILTER (WHERE NOT a) AS BIGINT) AS n2, CAST(count(*) FILTER (WHERE NOT a AND y) AS BIGINT) AS c2 FROM e GROUP BY 1), cum AS (SELECT tm, CAST(SUM(n1) OVER w AS BIGINT) AS n1, CAST(SUM(c1) OVER w AS BIGINT) AS c1, CAST(SUM(n2) OVER w AS BIGINT) AS n2, CAST(SUM(c2) OVER w AS BIGINT) AS c2, row_number() OVER (ORDER BY tm) AS rn FROM g WINDOW w AS (ORDER BY tm ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), nm AS (SELECT CAST(count(*) AS BIGINT) AS nm FROM g), looks AS (SELECT look_k, boundary, CAST(floor(CAST(nm * look_k AS DOUBLE) / 5.0) AS BIGINT) AS rn FROM nm, (SELECT unnest([1, 2, 3, 4, 5]) AS look_k, unnest([4.8769, 3.3569, 2.6803, 2.2898, 2.0310]) AS boundary)), j AS (SELECT look_k, n1, c1, n2, c2, boundary, (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / sqrt((CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) * (1.0 - CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))) AS z FROM cum JOIN looks USING (rn)) SELECT CAST(look_k AS BIGINT) AS look_k, n1, c1, n2, c2, floor(z * 1e6 + 0.5) / 1e6 AS z_stat, boundary, abs(z) > boundary AS crossed FROM j""")),
 
+    QueryDef("q217_eb_shrinkage",
+      "empirical-Bayes shrinkage of per-part return rates (beta-binomial, noise-corrected method of moments) - the small-sample stabilizer every per-entity rate table needs at scale (a part with 2/5 lines returned is NOT a 40%-return part; raw per-entity rates at 100 TB are mostly binomial noise ranked by it): prior mean from the pooled rate, prior variance as observed rate dispersion MINUS the mean binomial noise E[p(1-p)/n] (the uncorrected estimator mistakes sampling noise for real part-level variation and under-shrinks ~2x), prior strength S = m(1-m)/v_prior - 1, posterior rate (y + m*S)/(n + S). The honest centerpiece: on this iid fixture every part shares ONE true rate, the corrected v_prior lands at the noise floor (marginally positive here; at/below zero the clamp branch shrinks fully), and corrected shrinkage is near-TOTAL - raw rates spanning [0.04, 0.75] collapse to [0.322, 0.347] around the pooled 0.33 - the correct inference that the dispersion is all binomial noise, while the emitted naive column under-shrinks to [0.18, 0.52] by mistaking that noise for signal. One corpus aggregate into the per-part grid (l_partkey is in lineitem - no dim join); the moment pass and the scoring pass read the checkpointed grid; every derived quantity is a pinned double chain on 6-dp grid-rounded rates",
+      (s, d) => {
+        val D386 = DecimalType(38, 6)
+        def g6(c: Column) = (floor(c * 1e6 + lit(0.5)) / lit(1e6)).cast(D386)
+        val g = t(s, d, "lineitem")
+          .groupBy(col("l_partkey"))
+          .agg(lcount(lit(1)).as("n"),
+               count(when(col("l_returnflag") === "R", 1)).cast("long").as("y"))
+          .filter(col("n") >= 2)
+          .localCheckpoint(true) // per-part grid: moment pass + scoring pass
+        val p = col("y").cast("double") / col("n").cast("double")
+        val mo = g.agg(lcount(lit(1)).as("k"),
+          lsum(col("n")).as("nt"), lsum(col("y")).as("yt"),
+          sum(g6(p)).cast("double").as("s1"),
+          sum(g6(p * p)).cast("double").as("s2"),
+          sum(g6(p * (lit(1.0) - p) / col("n").cast("double")))
+            .cast("double").as("s3"))
+        val kd = col("k").cast("double")
+        val mbar = col("yt").cast("double") / col("nt").cast("double")
+        val vobs = col("s2") / kd - (col("s1") / kd) * (col("s1") / kd)
+        val vprior = vobs - col("s3") / kd
+        val pri = mo.select(col("k"), mbar.as("mbar"), vobs.as("vobs"),
+            vprior.as("vprior"))
+          .select(col("k"), col("mbar"), col("vobs"), col("vprior"),
+            when(col("vprior") > 0,
+              col("mbar") * (lit(1.0) - col("mbar")) / col("vprior") - lit(1.0))
+              .as("s_corr"),
+            when(col("vobs") > 0,
+              col("mbar") * (lit(1.0) - col("mbar")) / col("vobs") - lit(1.0))
+              .as("s_naive"))
+        g.crossJoin(broadcast(pri)).select(
+          col("l_partkey"), col("n"), col("y"),
+          (floor(p * lit(1e6) + lit(0.5)) / lit(1e6)).as("raw_rate"),
+          (floor(when(col("s_corr").isNotNull,
+              (col("y").cast("double") + col("mbar") * col("s_corr"))
+                / (col("n").cast("double") + col("s_corr")))
+            .otherwise(col("mbar")) * lit(1e6) + lit(0.5)) / lit(1e6))
+            .as("shrunk_rate"),
+          (floor(when(col("s_naive").isNotNull,
+              (col("y").cast("double") + col("mbar") * col("s_naive"))
+                / (col("n").cast("double") + col("s_naive")))
+            .otherwise(col("mbar")) * lit(1e6) + lit(0.5)) / lit(1e6))
+            .as("naive_shrunk_rate"))
+      },
+      Some("""WITH g AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n, CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS y FROM lineitem GROUP BY 1 HAVING count(*) >= 2), mo AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(y) AS BIGINT) AS yt, CAST(SUM(CAST(floor(CAST(y AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS s1, CAST(SUM(CAST(floor((CAST(y AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(y AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS s2, CAST(SUM(CAST(floor((CAST(y AS DOUBLE) / CAST(n AS DOUBLE)) * (1.0 - CAST(y AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS s3 FROM g), pri AS (SELECT k, CAST(yt AS DOUBLE) / CAST(nt AS DOUBLE) AS mbar, s2 / CAST(k AS DOUBLE) - (s1 / CAST(k AS DOUBLE)) * (s1 / CAST(k AS DOUBLE)) AS vobs, s2 / CAST(k AS DOUBLE) - (s1 / CAST(k AS DOUBLE)) * (s1 / CAST(k AS DOUBLE)) - s3 / CAST(k AS DOUBLE) AS vprior FROM mo), pr2 AS (SELECT k, mbar, vobs, vprior, CASE WHEN vprior > 0 THEN mbar * (1.0 - mbar) / vprior - 1.0 END AS s_corr, CASE WHEN vobs > 0 THEN mbar * (1.0 - mbar) / vobs - 1.0 END AS s_naive FROM pri) SELECT l_partkey, n, y, floor(CAST(y AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS raw_rate, floor((CASE WHEN s_corr IS NOT NULL THEN (CAST(y AS DOUBLE) + mbar * s_corr) / (CAST(n AS DOUBLE) + s_corr) ELSE mbar END) * 1e6 + 0.5) / 1e6 AS shrunk_rate, floor((CASE WHEN s_naive IS NOT NULL THEN (CAST(y AS DOUBLE) + mbar * s_naive) / (CAST(n AS DOUBLE) + s_naive) ELSE mbar END) * 1e6 + 0.5) / 1e6 AS naive_shrunk_rate FROM g, pr2""")),
+
     QueryDef("q199_kruskal_wallis",
       "Kruskal-Wallis H test of l_quantity across l_returnflag groups - the NONPARAMETRIC twin of q197's ANOVA (the same pairing as q151 OLS <-> q185 Theil-Sen and q190 Pearson <-> q163 Spearman): does the quantity DISTRIBUTION differ by return flag, asked through ranks so no normality assumption is spent. Rank machinery is the q163 integer recipe on the 50-value quantity domain: tie-averaged DOUBLED ranks 2r = 2*cum_prev + tn + 1 derive from the value-total grid (integers, engine-independent), per-flag rank sums R2_g = sum n_gv * 2r_v accumulate DECIMAL(38,0)/HUGEINT (R2_g ~ 2N*n_g wraps int64 past N~2e9 - loud, never silent), and with doubled ranks H = 3/(N(N+1)) * sum R2_g^2/n_g - 3(N+1) (the 12 becomes 3). Each R2_g^2/n_g term floor-rounds onto a 1e6-unit grid (far above its ~30-ulp noise) into an exact 128-bit sum - the q197 SSB recipe - and the heavy-tie correction C = 1 - sum(t^3-t)/(N^3-N) runs entirely in DECIMAL(38,0) integers (t^3 ~ 1.7e21 at sf100 wraps int64; N^3 needs 128-bit from sf1000) before ONE double division. Honest readout: quantity is iid across flags on this fixture, H_c = 1.84 < chi2_{2,0.05} = 5.991465, reject=false. Scale: one corpus aggregate into the 150-cell (flag x quantity) grid - checkpointed, so the corpus is touched ONCE - then everything is grid-sized; no corpus rank window anywhere",
       (s, d) => {
