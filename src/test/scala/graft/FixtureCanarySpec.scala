@@ -138,4 +138,22 @@ class FixtureCanarySpec extends SparkSpec {
         s"(cap ${graft.ext.Dedup.DefaultMaxDf})")
     }
   }
+
+  describe("date-span canary (q210 period split)") {
+    it("orders straddle the 1998 policy split on every fixture") {
+      // q210's difference-in-differences splits orders at year >= 1998;
+      // a regenerated fixture whose date range no longer straddles it
+      // would leave one period empty (Spark: 0-row result; oracle:
+      // NULL scalar subqueries) and must fail HERE with the real reason
+      // instead of as an opaque row-count mismatch.
+      Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+        val yrs = Tables(spark, s"/root/testdata/$sf", "orders")
+          .agg(min(year(col("o_orderdate"))), max(year(col("o_orderdate"))))
+          .head()
+        assert(yrs.getInt(0) < 1998 && yrs.getInt(1) >= 1998,
+          s"$sf orders span [${yrs.getInt(0)}, ${yrs.getInt(1)}] does not " +
+            "straddle 1998 — move q210's policy-date split")
+      }
+    }
+  }
 }
