@@ -577,6 +577,7 @@ object StatsOps {
           .groupBy(col("arm"))
           .agg(lcount(lit(1)).as("n"),
                count(when(col("y"), 1)).cast("long").as("yy"))
+          .localCheckpoint(true) // 10-row grid: total + scored (x2 consumers)
         val tot = grid.agg(lsum(col("n")).as("nt"))
         val lnN = floor(log(col("nt").cast("double")) * lit(1e12) + lit(0.5)) / lit(1e12)
         val mean = col("yy").cast("double") / col("n").cast("double")

@@ -770,6 +770,69 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("parquet"), s"plan:\n$p") // both grids checkpointed
       assert(!p.contains("Window"), s"plan:\n$p")
     }
+    it("q205 HW backtest: both folds and the window live on the checkpointed grid") {
+      val p = planOf("q205_hw_backtest")
+      assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+      assert(!p.contains("parquet"), s"plan:\n$p") // month grid checkpointed
+      assert("MapPartitions".r.findAllIn(p).length >= 2, s"plan:\n$p") // two folds
+    }
+    it("q206 weighted quantiles never re-touch the corpus past the counts frame") {
+      val p = planOf("q206_weighted_quantiles")
+      assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+      assert(!p.contains("parquet"), s"plan:\n$p") // vc checkpointed
+    }
+    it("q207 runs test: rank + sign passes read the checkpointed month grid") {
+      val p = planOf("q207_runs_test")
+      assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+      assert(!p.contains("parquet"), s"plan:\n$p")
+    }
+    it("q209 Kendall: all cumulative structure on the checkpointed dense grid") {
+      val p = planOf("q209_kendall_tau")
+      assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+      assert(!p.contains("parquet"), s"plan:\n$p") // sparse grid checkpointed
+    }
+    it("q210 DiD: one corpus aggregate; cells compose by broadcast only") {
+      val p = planOf("q210_diff_in_diff")
+      assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+      assert(!p.contains("parquet"), s"plan:\n$p") // 4-cell grid checkpointed
+    }
+    it("q211 pair chi2 reuses the q135 checkpointed basket sets; counts broadcast") {
+      val p = planOf("q211_pair_significance")
+      assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+      assert(!p.contains("parquet"), s"plan:\n$p") // incidence checkpointed
+      assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
+    }
+    it("q212 kappa: marginals derive from the checkpointed confusion grid") {
+      val p = planOf("q212_cohens_kappa")
+      assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+      assert(!p.contains("parquet"), s"plan:\n$p")
+    }
+    it("q213 CCC pays exactly one join and no window") {
+      val p = planOf("q213_concordance_ccc")
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+      assert(!p.contains("Window"), s"plan:\n$p")
+      // big-big orderkey equi-join: sort-merge (bucket-co-locatable) OR
+      // broadcast at this SF — either is the plan you'd want; what must
+      // NOT happen is a second join or a corpus window
+      assert("Join".r.findAllIn(p).length <= 2, s"plan:\n$p")
+    }
+    it("q214 UCB: scored arms come off the checkpointed grid; argmax broadcast") {
+      val p = planOf("q214_ucb_bandit")
+      assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+      assert(!p.contains("parquet"), s"plan:\n$p") // 10-row grid checkpointed
+    }
+    it("q216 sequential monitor: cum windows + looks on the checkpointed day grid") {
+      val p = planOf("q216_group_sequential")
+      assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+      assert(!p.contains("parquet"), s"plan:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"plan:\n$p") // looks join
+    }
+    it("q217 EB shrinkage: moment pass and scoring pass share the checkpointed grid") {
+      val p = planOf("q217_eb_shrinkage")
+      assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+      assert(!p.contains("parquet"), s"plan:\n$p")
+      assert(!p.contains("Window"), s"plan:\n$p")
+    }
     it("q190 corr matrix reads the one-row moment frame — one corpus pass total") {
       val p = planOf("q190_corr_matrix")
       assert(!p.contains("Join"), s"plan:\n$p")
