@@ -708,6 +708,49 @@ object StatsOps {
       },
       Some("""WITH g AS (SELECT user_id, bool_or(day(ts) = 5) AS sa, bool_or(day(ts) = 25) AS sb FROM events GROUP BY 1), m AS (SELECT CAST(count(*) AS BIGINT) AS n_true, CAST(count(*) FILTER (WHERE sa) AS BIGINT) AS n1, CAST(count(*) FILTER (WHERE sb) AS BIGINT) AS n2, CAST(count(*) FILTER (WHERE sa AND sb) AS BIGINT) AS m FROM g), f AS (SELECT n1, n2, m, n_true, CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE) / CAST(m + 1 AS DOUBLE) - 1.0 AS est FROM m) SELECT n1, n2, m, n_true, floor(est * 1e4 + 0.5) / 1e4 AS n_hat, floor((est - CAST(n_true AS DOUBLE)) / CAST(n_true AS DOUBLE) * 1e6 + 0.5) / 1e6 AS rel_error FROM f""")),
 
+    QueryDef("q222_distribution_distances",
+      "the drift-DISTANCE family on the 256-bucket histogram tier - Wasserstein-1 (earth mover's: the only member that respects bin ORDERING and reads in the measure's own units - 'the distributions are $X apart'), total variation (worst-case probability disagreement), and the binned two-sample Cramer-von Mises statistic (the tail-weighted INTEGRAL complement of q161's max-gap KS, with its 0.461 asymptotic cut) - completing the drift toolbox (q115 PSI = likelihood-weighted, q161 KS = worst-case gap, q195 JS = symmetric divergence; none of those is a transport metric). The numeric recipe makes every sum ORDER-FREE without a single float grid: each bin's contribution is an exact 128-bit INTEGER - |c1*n2 - c2*n1| for W1 (cross-multiplied CDF gaps, no fractions until the end), |b1*n2 - b2*n1| for TV, (b1+b2)*(c1*n2 - c2*n1)^2 for CvM (reaching ~1e26 at sf0.1 - far past int64, exact in DECIMAL(38,0)/HUGEINT) - and ONE pinned double chain divides each total at the end. Two corpus jobs (min/max, binned split counts - the q161 shape), grid windows for the integer cums, grid-sized everything after. Honest: iid halves sit at the noise floor - W1 = $84.80 on a ~$110k-wide distribution, TV = 0.017, CvM = 0.173 < 0.461, no rejection",
+      (s, d) => {
+        val D38 = DecimalType(38, 0)
+        def h(x: Column) = x.cast(D38)
+        val li = t(s, d, "lineitem")
+        val st = li.agg(min(col("l_extendedprice")).as("mn"),
+                        max(col("l_extendedprice")).as("mx")).head() // job 1
+        val mn = st.getDouble(0); val mx = st.getDouble(1)
+        val g = li.select(
+            least(lit(255.0), floor((col("l_extendedprice") - lit(mn))
+              / ((lit(mx) - lit(mn)) / lit(256.0)))).cast("long").as("b"),
+            (col("l_orderkey") % 2 === 0).as("a"))
+          .groupBy(col("b")).agg(
+            count(when(col("a"), 1)).cast("long").as("b1"),
+            count(when(!col("a"), 1)).cast("long").as("b2"))
+          .localCheckpoint(true) // 256-row grid: cum window + totals
+        val w = Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, 0)
+        val cum = g.select(col("b"), col("b1"), col("b2"),
+          sum(col("b1")).over(w).cast("long").as("c1"),
+          sum(col("b2")).over(w).cast("long").as("c2"))
+        val tot = g.agg(lsum(col("b1")).as("n1"), lsum(col("b2")).as("n2"))
+        val gap = h(col("c1")) * h(col("n2")) - h(col("c2")) * h(col("n1"))
+        val sums = cum.crossJoin(broadcast(tot)).agg(
+          sum(abs(gap)).cast(D38).as("sw"),
+          sum(abs(h(col("b1")) * h(col("n2")) - h(col("b2")) * h(col("n1"))))
+            .cast(D38).as("stv"),
+          sum((h(col("b1")) + h(col("b2"))) * gap * gap).cast(D38).as("scvm"))
+        val f = sums.crossJoin(broadcast(tot))
+        val n1d = col("n1").cast("double"); val n2d = col("n2").cast("double")
+        val w1 = lit((mx - mn) / 256.0) * col("sw").cast("double") / (n1d * n2d)
+        val tv = lit(0.5) * col("stv").cast("double") / (n1d * n2d)
+        val cvm = col("scvm").cast("double") /
+          ((n1d + n2d) * (n1d + n2d) * n1d * n2d)
+        f.select(col("n1"), col("n2"),
+          (floor(w1 * lit(1e6) + lit(0.5)) / lit(1e6)).as("wasserstein1"),
+          (floor(tv * lit(1e6) + lit(0.5)) / lit(1e6)).as("total_variation"),
+          (floor(cvm * lit(1e6) + lit(0.5)) / lit(1e6)).as("cvm_stat"),
+          lit(0.461249).as("cvm_crit"),
+          (cvm > lit(0.461249)).as("reject"))
+      },
+      Some("""WITH s AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem), d AS (SELECT CAST(least(255.0, floor((l_extendedprice - mn) / ((mx - mn) / 256.0))) AS BIGINT) AS b, (l_orderkey % 2 = 0) AS a FROM lineitem, s), g AS (SELECT b, CAST(count(*) FILTER (WHERE a) AS BIGINT) AS b1, CAST(count(*) FILTER (WHERE NOT a) AS BIGINT) AS b2 FROM d GROUP BY 1), cum AS (SELECT b, b1, b2, CAST(SUM(b1) OVER w AS BIGINT) AS c1, CAST(SUM(b2) OVER w AS BIGINT) AS c2 FROM g WINDOW w AS (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), tot AS (SELECT CAST(SUM(b1) AS BIGINT) AS n1, CAST(SUM(b2) AS BIGINT) AS n2 FROM g), sums AS (SELECT SUM(abs(CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1)) AS sw, SUM(abs(CAST(b1 AS HUGEINT) * n2 - CAST(b2 AS HUGEINT) * n1)) AS stv, SUM((CAST(b1 AS HUGEINT) + b2) * (CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1) * (CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1)) AS scvm FROM cum, tot), f AS (SELECT n1, n2, CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d, sw, stv, scvm, (SELECT (mx - mn) / 256.0 FROM s) AS dx FROM sums, tot), z AS (SELECT n1, n2, dx * CAST(sw AS DOUBLE) / (n1d * n2d) AS w1, 0.5 * CAST(stv AS DOUBLE) / (n1d * n2d) AS tv, CAST(scvm AS DOUBLE) / ((n1d + n2d) * (n1d + n2d) * n1d * n2d) AS cvm FROM f) SELECT n1, n2, floor(w1 * 1e6 + 0.5) / 1e6 AS wasserstein1, floor(tv * 1e6 + 0.5) / 1e6 AS total_variation, floor(cvm * 1e6 + 0.5) / 1e6 AS cvm_stat, 0.461249 AS cvm_crit, cvm > 0.461249 AS reject FROM z""")),
+
     QueryDef("q199_kruskal_wallis",
       "Kruskal-Wallis H test of l_quantity across l_returnflag groups - the NONPARAMETRIC twin of q197's ANOVA (the same pairing as q151 OLS <-> q185 Theil-Sen and q190 Pearson <-> q163 Spearman): does the quantity DISTRIBUTION differ by return flag, asked through ranks so no normality assumption is spent. Rank machinery is the q163 integer recipe on the 50-value quantity domain: tie-averaged DOUBLED ranks 2r = 2*cum_prev + tn + 1 derive from the value-total grid (integers, engine-independent), per-flag rank sums R2_g = sum n_gv * 2r_v accumulate DECIMAL(38,0)/HUGEINT (R2_g ~ 2N*n_g wraps int64 past N~2e9 - loud, never silent), and with doubled ranks H = 3/(N(N+1)) * sum R2_g^2/n_g - 3(N+1) (the 12 becomes 3). Each R2_g^2/n_g term floor-rounds onto a 1e6-unit grid (far above its ~30-ulp noise) into an exact 128-bit sum - the q197 SSB recipe - and the heavy-tie correction C = 1 - sum(t^3-t)/(N^3-N) runs entirely in DECIMAL(38,0) integers (t^3 ~ 1.7e21 at sf100 wraps int64; N^3 needs 128-bit from sf1000) before ONE double division. Honest readout: quantity is iid across flags on this fixture, H_c = 1.84 < chi2_{2,0.05} = 5.991465, reject=false. Scale: one corpus aggregate into the 150-cell (flag x quantity) grid - checkpointed, so the corpus is touched ONCE - then everything is grid-sized; no corpus rank window anywhere",
       (s, d) => {
