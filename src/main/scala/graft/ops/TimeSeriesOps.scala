@@ -211,6 +211,53 @@ object TimeSeriesOps {
         (col("draw") > col("craw")).as("drift"))
   }
 
+  /** Windowed one-sample Wasserstein-1 drift monitor — [[ksDrift]]'s
+    * transport-metric sibling (q222 measures the batch two-sample form;
+    * this is its calibrate-then-monitor composition): per tumbling
+    * window, the SAME B mergeable bucket counters, then
+    * W1 = binWidth · Σ_i |window CDF_i − reference CDF_i| — the area
+    * between the CDFs, read in the measure's own units — as stateless
+    * column arithmetic over the emitted counts. Where KS flags the
+    * worst single gap, W1 accumulates persistent small shifts across
+    * the whole range (a uniform +2% shift everywhere moves W1 but
+    * barely moves D). Cross-engine order-free sum: each gap term
+    * floors onto a 1e12 integer grid and the fold adds LONGS (exact in
+    * any order — the q222 recipe applied per window); one pinned
+    * double chain converts the total at the end. `drift` flags
+    * W1 > barFrac·(hi−lo) — a screening convention in range units
+    * (2% of range by default), like [[benfordDrift]]'s bar. */
+  def w1Drift(df: DataFrame, tsCol: String, valCol: String,
+              windowDur: String, lo: Double, hi: Double, buckets: Int,
+              refCdf: Seq[Double], barFrac: Double = 0.02): DataFrame = {
+    require(hi > lo, s"need hi > lo: [$lo, $hi]")
+    require(buckets > 0 && buckets <= 1024, s"buckets out of range: $buckets")
+    require(refCdf.length == buckets,
+      s"refCdf needs one cumulative probability per bucket: got ${refCdf.length}, want $buckets")
+    val w = (hi - lo) / buckets
+    val bucket = greatest(lit(0), least(lit(buckets - 1),
+      floor((col(valCol) - lo) / w).cast("int")))
+    val counters = (0 until buckets).map(i => count(when(bucket === i, 1)).as(s"c$i"))
+    val counted = df.groupBy(window(col(tsCol), windowDur))
+      .agg(counters.head, counters.tail: _*)
+      .select(col("window.start").as("win_start"),
+        array((0 until buckets).map(i => col(s"c$i")): _*).as("counts"))
+    val cum = transform(sequence(lit(0), lit(buckets - 1)),
+      i => aggregate(slice(col("counts"), lit(1), i + lit(1)), lit(0L), (a, c) => a + c))
+    val refArr = array(refCdf.map(lit(_)): _*)
+    val suRaw = aggregate(sequence(lit(1), lit(buckets)), lit(0L), (acc, i) =>
+      acc + floor(abs(element_at(col("cum"), i).cast("double") / col("n")
+        - element_at(refArr, i)) * lit(1e12) + lit(0.5)).cast("long"))
+    val w1raw = lit(w) * col("su").cast("double") / lit(1e12)
+    counted.withColumn("cum", cum)
+      .withColumn("n", element_at(col("cum"), buckets))
+      .filter(col("n") > 0)
+      .withColumn("su", suRaw)
+      .select(col("win_start"), col("n"),
+        (floor(w1raw * lit(1e6) + lit(0.5)) / lit(1e6)).as("w1"),
+        (floor(w1raw / lit(hi - lo) * lit(1e6) + lit(0.5)) / lit(1e6)).as("w1_frac"),
+        (w1raw > lit(barFrac * (hi - lo))).as("drift"))
+  }
+
   /** Windowed Benford first-digit screen — q148's fraud/synthetic-feed
     * test as a per-window monitor (see
     * [[graft.streaming.EventStreams.benfordStream]] for the watermarked

@@ -164,6 +164,29 @@ object StatsOps {
       Some("""WITH b AS (SELECT date_trunc('day', ts) AS day, greatest(0, least(31, CAST(floor((value - 0.0) / (600.0 / 32)) AS INT))) AS bk FROM events), gi AS (SELECT unnest(generate_series(0, 31)) AS i), gc AS (SELECT bk, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1), gt AS (SELECT CAST(count(*) AS BIGINT) AS gn FROM b), g AS (SELECT i, CAST(COALESCE((SELECT SUM(n) FROM gc WHERE bk <= i), 0) AS BIGINT) AS gcum FROM gi), wc AS (SELECT day, bk, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1, 2), wt AS (SELECT day, CAST(count(*) AS BIGINT) AS wn FROM b GROUP BY 1), grid AS (SELECT wt.day, wt.wn, g.i, g.gcum, gt.gn FROM wt CROSS JOIN g CROSS JOIN gt), wcum AS (SELECT day, wn, i, gcum, gn, CAST(COALESCE((SELECT SUM(n) FROM wc WHERE wc.day = grid.day AND wc.bk <= grid.i), 0) AS BIGINT) AS wcum FROM grid), d AS (SELECT day, wn, max(abs(CAST(wcum AS DOUBLE) / wn - CAST(gcum AS DOUBLE) / gn)) AS dstat FROM wcum GROUP BY 1, 2) SELECT epoch_us(day) AS day_start_us, wn AS n, floor(dstat * 1e6 + 0.5) / 1e6 AS d_stat, floor(1.36 / sqrt(CAST(wn AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS d_crit, dstat > 1.36 / sqrt(CAST(wn AS DOUBLE)) AS drift FROM d"""),
       ),
 
+    QueryDef("q223_w1_windowed_drift",
+      "windowed Wasserstein-1 drift monitor (ops.TimeSeriesOps.w1Drift; EventStreams.w1DriftStream is the watermarked twin, StreamingSpec proves row equality): q222's transport metric in q170's calibrate-then-monitor composition - freeze the reference CDF from the full corpus (same 32-bucket [0,600] tier and driver-literal calibration as q170), then score every DAY by the AREA between its CDF and the reference, in the measure's own units. The monitoring reason to run both: KS flags the worst single gap, W1 accumulates persistent small shifts across the whole range - a uniform +2% shift everywhere moves W1 but barely moves D - so the pair separates localized anomalies from level drift. Cross-engine order-free without float-sum recipes: each of the 32 gap terms floors onto a 1e12 integer grid and sums as LONGS (any order), one pinned double chain converts the total; drift flags W1 > 2% of range (screening convention, the q172 style). Same streaming scale shape as q170: B mergeable counters per open window, stateless higher-order column tail. Honest: windows drawn from the calibration distribution sit at the noise floor (W1 ~ 1-2 units on a 600-wide range, ~0.3% - no window flags)",
+      (s, d) => {
+        val lo = 0.0; val hi = 600.0; val b = 32
+        val ev = t(s, d, "events")
+        val w = (hi - lo) / b
+        val bucket = greatest(lit(0), least(lit(b - 1),
+          floor((col("value") - lo) / w).cast("int")))
+        val gRows = ev.groupBy(bucket.as("bk")).agg(count(lit(1)).as("cnt"))
+          .collect()
+        val counts = Array.fill(b)(0L)
+        gRows.foreach(r => counts(r.getInt(0)) = r.getLong(1))
+        val gn = counts.sum
+        val refCdf = counts.scanLeft(0L)(_ + _).drop(1)
+          .map(c => c.toDouble / gn).toSeq
+        graft.ops.TimeSeriesOps.w1Drift(ev, "ts", "value", "1 day",
+            lo, hi, b, refCdf)
+          .select(unix_micros(col("win_start")).as("day_start_us"),
+            col("n"), col("w1"), col("w1_frac"), col("drift"))
+      },
+      Some("""WITH b AS (SELECT date_trunc('day', ts) AS day, greatest(0, least(31, CAST(floor((value - 0.0) / (600.0 / 32)) AS INT))) AS bk FROM events), gi AS (SELECT unnest(generate_series(0, 31)) AS i), gc AS (SELECT bk, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1), gt AS (SELECT CAST(count(*) AS BIGINT) AS gn FROM b), g AS (SELECT i, CAST(COALESCE((SELECT SUM(n) FROM gc WHERE bk <= i), 0) AS BIGINT) AS gcum FROM gi), wc AS (SELECT day, bk, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1, 2), wt AS (SELECT day, CAST(count(*) AS BIGINT) AS wn FROM b GROUP BY 1), grid AS (SELECT wt.day, wt.wn, g.i, g.gcum, gt.gn FROM wt CROSS JOIN g CROSS JOIN gt), wcum AS (SELECT day, wn, i, gcum, gn, CAST(COALESCE((SELECT SUM(n) FROM wc WHERE wc.day = grid.day AND wc.bk <= grid.i), 0) AS BIGINT) AS wcum FROM grid), d AS (SELECT day, wn, CAST(SUM(CAST(floor(abs(CAST(wcum AS DOUBLE) / wn - CAST(gcum AS DOUBLE) / gn) * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS su FROM wcum GROUP BY 1, 2) SELECT epoch_us(day) AS day_start_us, wn AS n, floor((600.0 / 32) * CAST(su AS DOUBLE) / 1e12 * 1e6 + 0.5) / 1e6 AS w1, floor((600.0 / 32) * CAST(su AS DOUBLE) / 1e12 / 600.0 * 1e6 + 0.5) / 1e6 AS w1_frac, (600.0 / 32) * CAST(su AS DOUBLE) / 1e12 > 12.0 AS drift FROM d"""),
+      ),
+
     QueryDef("q172_benford_windowed",
       "windowed Benford first-digit screen (ops.TimeSeriesOps.benfordDrift; EventStreams.benfordStream is the watermarked twin, StreamingSpec proves row equality): q148's fraud/synthetic-feed test re-shaped as the per-window MONITOR a feed-quality pipeline actually runs - per day, nine mergeable digit counters (late in-watermark rows revise the verdict in place at ingest) and the chi-square-style frequency divergence vs log10(1+1/d) as stateless arithmetic over the emitted counts. Reuses q148's exact numeric recipe (DECIMAL(18,2)->string digit extraction, 6-dp frequencies, 12-dp decimal term reduction - order-independent 9-term sum); FIRES on every window here (the synthetic uniform-ish values are nothing like Benford - divergence ~0.5 vs the 0.05 screening bar), the q148 honesty point per-window. One corpus aggregate; everything else is a 9-element in-row fold",
       (s, d) => graft.ops.TimeSeriesOps.benfordDrift(

@@ -551,6 +551,22 @@ object EventStreams {
       events.withWatermark(tsCol, watermark),
       tsCol, valCol, windowDur, lo, hi, buckets, refCdf)
 
+  /** Streaming twin of [[graft.ops.TimeSeriesOps.w1Drift]] (q223): the
+    * windowed Wasserstein-1 drift monitor at ingest — the transport
+    * metric beside [[ksDriftStream]]'s max-gap: same B mergeable
+    * bucket counters per open window, W1 vs the frozen reference CDF
+    * as stateless arithmetic over the emitted counts (integer-grid
+    * gap terms, order-free), late in-watermark rows revising the
+    * verdict in place. Identical code path to the batch twin —
+    * StreamingSpec asserts row equality. */
+  def w1DriftStream(events: DataFrame, tsCol: String, valCol: String,
+                    windowDur: String, lo: Double, hi: Double, buckets: Int,
+                    refCdf: Seq[Double], barFrac: Double = 0.02,
+                    watermark: String = "1 hour"): DataFrame =
+    graft.ops.TimeSeriesOps.w1Drift(
+      events.withWatermark(tsCol, watermark),
+      tsCol, valCol, windowDur, lo, hi, buckets, refCdf, barFrac)
+
   /** Streaming twin of [[graft.ops.TimeSeriesOps.benfordDrift]] (q172):
     * the windowed Benford first-digit screen at ingest — nine mergeable
     * digit counters per open window, divergence vs log10(1 + 1/d) as

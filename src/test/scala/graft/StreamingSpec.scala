@@ -34,6 +34,52 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  describe("w1DriftStream") {
+    it("matches the batch twin row-for-row and flags an injected level shift") {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val ref = (1 to 10).map(_ / 10.0)
+      val events =
+        // hour 1: one value per bucket — matches the reference exactly,
+        // W1 = 0: no drift
+        (0 until 10).map(i => Event(i + 1, ts(f"2024-01-01 10:0$i%d:00"), 1,
+          "trade", i * 10.0 + 5.0)) ++
+        // hour 2: all mass in the top bucket — a LEVEL shift: the CDF
+        // gap is large in EVERY bucket below the top, so W1 = 10·Σ0.1·9
+        // = 9·binWidth = 45 units > 2% of range (2.0): drift
+        (0 until 4).map(i => Event(20 + i, ts(f"2024-01-01 11:1$i%d:00"), 2,
+          "trade", 95.0))
+      val src = MemoryStream[Event]
+      val q = EventStreams.w1DriftStream(src.toDF(), "ts", "value", "1 hour",
+          lo = 0.0, hi = 100.0, buckets = 10, refCdf = ref)
+        .writeStream.format("memory").queryName("w1_out")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        src.addData(events: _*)
+        q.processAllAvailable()
+        val stream = spark.table("w1_out")
+          .groupBy($"win_start")
+          .agg(org.apache.spark.sql.functions.last($"n").as("n"),
+               org.apache.spark.sql.functions.last($"w1").as("w1"),
+               org.apache.spark.sql.functions.last($"w1_frac").as("w1_frac"),
+               org.apache.spark.sql.functions.last($"drift").as("drift"))
+          .select($"win_start".cast("string"), $"n", $"w1", $"w1_frac", $"drift")
+          .as[(String, Long, Double, Double, Boolean)].collect().toSet
+        val batch = graft.ops.TimeSeriesOps.w1Drift(events.toDF(), "ts", "value",
+            "1 hour", lo = 0.0, hi = 100.0, buckets = 10, refCdf = ref)
+          .select($"win_start".cast("string"), $"n", $"w1", $"w1_frac", $"drift")
+          .as[(String, Long, Double, Double, Boolean)].collect().toSet
+        assert(stream == batch)
+        assert(stream.collectFirst { case (_, 10L, w1, _, fl) => (w1, fl) }
+          .contains((0.0, false)))
+        // all 4 rows in bucket 9: gaps 0.1..0.9 over buckets 0..8 →
+        // Σ = 4.5, ×binWidth 10 = 45.0
+        assert(stream.collectFirst { case (_, 4L, w1, _, fl) => (w1, fl) }
+          .contains((45.0, true)))
+      } finally q.stop()
+    }
+  }
+
   describe("ksDriftStream") {
     it("matches the batch twin row-for-row and flags an injected shape shift") {
       implicit val sqlCtx = spark.sqlContext
