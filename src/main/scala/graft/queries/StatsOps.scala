@@ -774,6 +774,31 @@ object StatsOps {
       },
       Some("""WITH s AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem), d AS (SELECT CAST(least(255.0, floor((l_extendedprice - mn) / ((mx - mn) / 256.0))) AS BIGINT) AS b, (l_orderkey % 2 = 0) AS a FROM lineitem, s), g AS (SELECT b, CAST(count(*) FILTER (WHERE a) AS BIGINT) AS b1, CAST(count(*) FILTER (WHERE NOT a) AS BIGINT) AS b2 FROM d GROUP BY 1), cum AS (SELECT b, b1, b2, CAST(SUM(b1) OVER w AS BIGINT) AS c1, CAST(SUM(b2) OVER w AS BIGINT) AS c2 FROM g WINDOW w AS (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), tot AS (SELECT CAST(SUM(b1) AS BIGINT) AS n1, CAST(SUM(b2) AS BIGINT) AS n2 FROM g), sums AS (SELECT SUM(abs(CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1)) AS sw, SUM(abs(CAST(b1 AS HUGEINT) * n2 - CAST(b2 AS HUGEINT) * n1)) AS stv, SUM((CAST(b1 AS HUGEINT) + b2) * (CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1) * (CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1)) AS scvm FROM cum, tot), f AS (SELECT n1, n2, CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d, sw, stv, scvm, (SELECT (mx - mn) / 256.0 FROM s) AS dx FROM sums, tot), z AS (SELECT n1, n2, dx * CAST(sw AS DOUBLE) / (n1d * n2d) AS w1, 0.5 * CAST(stv AS DOUBLE) / (n1d * n2d) AS tv, CAST(scvm AS DOUBLE) / ((n1d + n2d) * (n1d + n2d) * n1d * n2d) AS cvm FROM f) SELECT n1, n2, floor(w1 * 1e6 + 0.5) / 1e6 AS wasserstein1, floor(tv * 1e6 + 0.5) / 1e6 AS total_variation, floor(cvm * 1e6 + 0.5) / 1e6 AS cvm_stat, 0.461249 AS cvm_crit, cvm > 0.461249 AS reject FROM z""")),
 
+    QueryDef("q224_dispersion_test",
+      "index-of-dispersion test of per-user event counts - the ARRIVAL-PROCESS diagnostic behind every capacity-planning assumption (Poisson arrivals justify M/M/c sizing, exponential retry budgets, the q215 light-tail domain; over-dispersion means bursts/contagion, under-dispersion means rate limiting or scheduling): D = s^2/mean of the per-user count distribution, (k-1)*D ~ chi2_{k-1} under Poisson, normal-approximation z = ((k-1)*D - (k-1))/sqrt(2*(k-1)) at the 1.96 cut. Integer recipe throughout: the variance numerator k*Sum(n^2) - (Sum n)^2 is an exact 128-bit integer (Sum n^2 ~ 7e15 at sf1000 and the k* product passes int64 - DECIMAL(38,0)/HUGEINT from the start), and mean/D/z are one pinned double chain on those integers. One corpus aggregate into the per-user count grid, one moment aggregate. Honest readout: uniform-random event assignment makes per-user counts multinomial ~ Poisson, and the test says so - D = 1.008, z = 0.23 at sf0.1, poisson_consistent=true (the null machinery validating itself on data that satisfies the null)",
+      (s, d) => {
+        val D38 = DecimalType(38, 0)
+        def h(x: Column) = x.cast(D38)
+        val g = t(s, d, "events")
+          .groupBy(col("user_id")).agg(lcount(lit(1)).as("n"))
+        val mo = g.agg(lcount(lit(1)).as("k"),
+          sum(h(col("n"))).cast(D38).as("sn"),
+          sum(h(col("n")) * h(col("n"))).cast(D38).as("sq"))
+        val kd = col("k").cast("double")
+        val mean = col("sn").cast("double") / kd
+        val s2 = (col("k") * col("sq") - col("sn") * col("sn")).cast("double") /
+          (kd * (kd - lit(1.0)))
+        val disp = s2 / mean
+        val z = ((kd - lit(1.0)) * disp - (kd - lit(1.0))) /
+          sqrt(lit(2.0) * (kd - lit(1.0)))
+        mo.select(col("k").as("n_users"),
+          (floor(mean * lit(1e6) + lit(0.5)) / lit(1e6)).as("mean_events"),
+          (floor(disp * lit(1e6) + lit(0.5)) / lit(1e6)).as("dispersion"),
+          (floor(z * lit(1e6) + lit(0.5)) / lit(1e6)).as("z_stat"),
+          (abs(z) <= lit(1.96)).as("poisson_consistent"))
+      },
+      Some("""WITH g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1), mo AS (SELECT CAST(count(*) AS BIGINT) AS k, SUM(CAST(n AS HUGEINT)) AS sn, SUM(CAST(n AS HUGEINT) * n) AS sq FROM g), f AS (SELECT k, CAST(k AS DOUBLE) AS kd, CAST(sn AS DOUBLE) / CAST(k AS DOUBLE) AS mean, CAST(k * sq - sn * sn AS DOUBLE) / (CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) - 1.0)) AS s2 FROM mo), z AS (SELECT k, mean, s2 / mean AS disp, ((kd - 1.0) * (s2 / mean) - (kd - 1.0)) / sqrt(2.0 * (kd - 1.0)) AS zv FROM f) SELECT k AS n_users, floor(mean * 1e6 + 0.5) / 1e6 AS mean_events, floor(disp * 1e6 + 0.5) / 1e6 AS dispersion, floor(zv * 1e6 + 0.5) / 1e6 AS z_stat, abs(zv) <= 1.96 AS poisson_consistent FROM z""")),
+
     QueryDef("q199_kruskal_wallis",
       "Kruskal-Wallis H test of l_quantity across l_returnflag groups - the NONPARAMETRIC twin of q197's ANOVA (the same pairing as q151 OLS <-> q185 Theil-Sen and q190 Pearson <-> q163 Spearman): does the quantity DISTRIBUTION differ by return flag, asked through ranks so no normality assumption is spent. Rank machinery is the q163 integer recipe on the 50-value quantity domain: tie-averaged DOUBLED ranks 2r = 2*cum_prev + tn + 1 derive from the value-total grid (integers, engine-independent), per-flag rank sums R2_g = sum n_gv * 2r_v accumulate DECIMAL(38,0)/HUGEINT (R2_g ~ 2N*n_g wraps int64 past N~2e9 - loud, never silent), and with doubled ranks H = 3/(N(N+1)) * sum R2_g^2/n_g - 3(N+1) (the 12 becomes 3). Each R2_g^2/n_g term floor-rounds onto a 1e6-unit grid (far above its ~30-ulp noise) into an exact 128-bit sum - the q197 SSB recipe - and the heavy-tie correction C = 1 - sum(t^3-t)/(N^3-N) runs entirely in DECIMAL(38,0) integers (t^3 ~ 1.7e21 at sf100 wraps int64; N^3 needs 128-bit from sf1000) before ONE double division. Honest readout: quantity is iid across flags on this fixture, H_c = 1.84 < chi2_{2,0.05} = 5.991465, reject=false. Scale: one corpus aggregate into the 150-cell (flag x quantity) grid - checkpointed, so the corpus is touched ONCE - then everything is grid-sized; no corpus rank window anywhere",
       (s, d) => {
