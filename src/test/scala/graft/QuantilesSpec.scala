@@ -95,6 +95,33 @@ class QuantilesSpec extends SparkSpec {
         assert(fromRows == fromCounts)
       }
     }
+    it("integer WEIGHTS as counts equal quantiles over the row-expanded multiset (q206)") {
+      // the weighted-quantile semantics claim, pinned independently of
+      // the fixtures: a counts frame whose cntCol is a per-row integer
+      // WEIGHT must land bit-identical to exactQuantiles over the
+      // physically expanded multiset (each row repeated weight times)
+      val gen = Gen.listOfN(120, for {
+        g <- Gen.oneOf("a", "b")
+        v <- Gen.choose(0, 40).map(_ / 4.0) // tie-heavy values
+        w <- Gen.choose(1, 9)               // integer weights
+      } yield (g, v, w))
+      forAllSamples(gen, n = 6) { rows =>
+        val vc = rows.toDF("g", "v", "w")
+          .groupBy($"g", $"v").agg(sum($"w").as("c"))
+        val expanded = rows.flatMap { case (g, v, w) => Seq.fill(w)((g, v)) }
+          .toDF("g", "v")
+        val weighted = Quantiles.exactQuantilesFromCounts(vc, "g", "v", "c",
+            Seq(0.25, 0.5, 0.9), buckets = 8)
+          .select($"g", $"p", $"value").as[(String, Double, Double)]
+          .collect().toSet
+        val brute = Quantiles.exactQuantiles(expanded, "g", "v",
+            Seq(0.25, 0.5, 0.9), buckets = 8)
+          .select($"g", $"p", $"value").as[(String, Double, Double)]
+          .collect().toSet
+        assert(weighted == brute)
+      }
+    }
+
     it("interpolates exactly like DuckDB's continuous interpolator") {
       // hand-computed: [10, 20, 40] at p=0.25 → k=0.5, lo=10, hi=20 →
       // 10·0.5 + 20·0.5 = 15; p=0.75 → k=1.5 → 20·0.5 + 40·0.5 = 30
