@@ -177,13 +177,28 @@ object TimeSeriesOps {
     * q161 scale argument: the histogram is what a streaming system can
     * hold; out-of-range values clamp to edge buckets as in
     * [[histogramQuantiles]]). */
+  /** Shared input validation for [[ksDrift]]/[[w1Drift]]: refCdf must be a
+    * CDF, not a PDF — one cumulative probability per bucket, non-decreasing,
+    * inside [0,1], ending at ~1.0. A PDF passed by mistake satisfies the
+    * length check but yields a silently wrong statistic on every window, so
+    * fail loudly at construction instead. */
+  private def requireRefCdf(refCdf: Seq[Double], buckets: Int): Unit = {
+    require(refCdf.length == buckets,
+      s"refCdf needs one cumulative probability per bucket: got ${refCdf.length}, want $buckets")
+    require(refCdf.forall(p => p >= 0.0 && p <= 1.0),
+      s"refCdf values must lie in [0,1]: got ${refCdf.filterNot(p => p >= 0.0 && p <= 1.0).take(3).mkString(", ")}")
+    require(refCdf.iterator.zip(refCdf.iterator.drop(1)).forall { case (a, b) => b >= a },
+      "refCdf must be non-decreasing (did you pass a PDF?)")
+    require(math.abs(refCdf.last - 1.0) <= 1e-6,
+      s"refCdf must end at ~1.0 (cumulative over ALL buckets): last=${refCdf.last}")
+  }
+
   def ksDrift(df: DataFrame, tsCol: String, valCol: String,
               windowDur: String, lo: Double, hi: Double, buckets: Int,
               refCdf: Seq[Double]): DataFrame = {
     require(hi > lo, s"need hi > lo: [$lo, $hi]")
     require(buckets > 0 && buckets <= 1024, s"buckets out of range: $buckets")
-    require(refCdf.length == buckets,
-      s"refCdf needs one cumulative probability per bucket: got ${refCdf.length}, want $buckets")
+    requireRefCdf(refCdf, buckets)
     val w = (hi - lo) / buckets
     val bucket = greatest(lit(0), least(lit(buckets - 1),
       floor((col(valCol) - lo) / w).cast("int")))
@@ -231,8 +246,7 @@ object TimeSeriesOps {
               refCdf: Seq[Double], barFrac: Double = 0.02): DataFrame = {
     require(hi > lo, s"need hi > lo: [$lo, $hi]")
     require(buckets > 0 && buckets <= 1024, s"buckets out of range: $buckets")
-    require(refCdf.length == buckets,
-      s"refCdf needs one cumulative probability per bucket: got ${refCdf.length}, want $buckets")
+    requireRefCdf(refCdf, buckets)
     val w = (hi - lo) / buckets
     val bucket = greatest(lit(0), least(lit(buckets - 1),
       floor((col(valCol) - lo) / w).cast("int")))

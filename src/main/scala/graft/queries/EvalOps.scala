@@ -68,7 +68,7 @@ object EvalOps {
       Some("""WITH raw AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS tm, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS v FROM orders GROUP BY 1), m AS (SELECT tm - (SELECT min(tm) FROM raw) AS t, v FROM raw), p AS (SELECT (b.v - a.v) / CAST(b.t - a.t AS DOUBLE) AS slope FROM m a JOIN m b ON a.t < b.t), sq AS (SELECT quantile_cont(slope, 0.5) AS slope FROM p), iq AS (SELECT quantile_cont(v - sq.slope * t, 0.5) AS intercept FROM m, sq), n AS (SELECT CAST(count(*) AS BIGINT) AS n_months FROM m) SELECT n_months, CAST(n_months * (n_months - 1) / 2 AS BIGINT) AS n_pairs, sq.slope AS slope, iq.intercept AS intercept FROM n, sq, iq""")),
 
     QueryDef("q186_ndcg",
-      "ranking evaluation — NDCG@10 per nation: rank customers by account balance (the stand-in 'model score'), relevance = min(3, order count) (graded 0-3 ground truth), DCG = sum((2^rel - 1)/log2(rank+1)) over the top 10, normalized by the ideal ordering's IDCG. Completes the eval family's RANKING verb next to q159 (AUC, binary discrimination), q175 (gains/lift, selection), q178 (ECE, probability calibration): NDCG is what search/recommender evals report, and q103's BM25 ranking is the natural production consumer. Scale form: relevance is one orders rollup joined once onto customer; BOTH the model and ideal top-10 extractions ride the bounded-heap TopKPerKey physical operator (<=10 rows per nation cross the wire; a per-nation row_number window over the full customer table is the declared anti-pattern) and the row_number that assigns ranks runs over <=10 rows per nation. Each DCG term (40 possible values: gain in {0,1,3,7} x rank 1-10) pre-rounds onto a 9-dp grid — far above log2's cross-engine ulp — into an exact DECIMAL(38,9) per-nation reduction on the 25-row grid. Honest readout: balances are independent of order counts on this fixture, so NDCG ~ the random-ranking baseline (~0.4-0.6 with graded gains), not 1.0 — the metric correctly reports an uninformative ranker",
+      "ranking evaluation — NDCG@10 per nation: rank customers by account balance (the stand-in 'model score'), relevance = min(3, floor(order count / 5)) (graded 0-3 ground truth), DCG = sum((2^rel - 1)/log2(rank+1)) over the top 10, normalized by the ideal ordering's IDCG. Completes the eval family's RANKING verb next to q159 (AUC, binary discrimination), q175 (gains/lift, selection), q178 (ECE, probability calibration): NDCG is what search/recommender evals report, and q103's BM25 ranking is the natural production consumer. Scale form: relevance is one orders rollup joined once onto customer; BOTH the model and ideal top-10 extractions ride the bounded-heap TopKPerKey physical operator (<=10 rows per nation cross the wire; a per-nation row_number window over the full customer table is the declared anti-pattern) and the row_number that assigns ranks runs over <=10 rows per nation. Each DCG term (40 possible values: gain in {0,1,3,7} x rank 1-10) pre-rounds onto a 9-dp grid — far above log2's cross-engine ulp — into an exact DECIMAL(38,9) per-nation reduction on the 25-row grid. Honest readout: balances are independent of order counts on this fixture, so NDCG ~ the random-ranking baseline (~0.4-0.6 with graded gains), not 1.0 — the metric correctly reports an uninformative ranker",
       (s, d) => {
         val cnt = t(s, d, "orders").groupBy(col("o_custkey"))
           .agg(lcount(lit(1)).as("cnt"))

@@ -661,7 +661,7 @@ object StatsOps {
       Some("""WITH e AS (SELECT date_trunc('day', ts) AS tm, (user_id % 2 = 0) AS a, (event_type = 'purchase') AS y FROM events), g AS (SELECT tm, CAST(count(*) FILTER (WHERE a) AS BIGINT) AS n1, CAST(count(*) FILTER (WHERE a AND y) AS BIGINT) AS c1, CAST(count(*) FILTER (WHERE NOT a) AS BIGINT) AS n2, CAST(count(*) FILTER (WHERE NOT a AND y) AS BIGINT) AS c2 FROM e GROUP BY 1), cum AS (SELECT tm, CAST(SUM(n1) OVER w AS BIGINT) AS n1, CAST(SUM(c1) OVER w AS BIGINT) AS c1, CAST(SUM(n2) OVER w AS BIGINT) AS n2, CAST(SUM(c2) OVER w AS BIGINT) AS c2, row_number() OVER (ORDER BY tm) AS rn FROM g WINDOW w AS (ORDER BY tm ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), nm AS (SELECT CAST(count(*) AS BIGINT) AS nm FROM g), looks AS (SELECT look_k, boundary, CAST(floor(CAST(nm * look_k AS DOUBLE) / 5.0) AS BIGINT) AS rn FROM nm, (SELECT unnest([1, 2, 3, 4, 5]) AS look_k, unnest([4.8769, 3.3569, 2.6803, 2.2898, 2.0310]) AS boundary)), j AS (SELECT look_k, n1, c1, n2, c2, boundary, (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / sqrt((CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) * (1.0 - CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))) AS z FROM cum JOIN looks USING (rn)) SELECT CAST(look_k AS BIGINT) AS look_k, n1, c1, n2, c2, floor(z * 1e6 + 0.5) / 1e6 AS z_stat, boundary, abs(z) > boundary AS crossed FROM j""")),
 
     QueryDef("q217_eb_shrinkage",
-      "empirical-Bayes shrinkage of per-part return rates (beta-binomial, noise-corrected method of moments) - the small-sample stabilizer every per-entity rate table needs at scale (a part with 2/5 lines returned is NOT a 40%-return part; raw per-entity rates at 100 TB are mostly binomial noise ranked by it): prior mean from the pooled rate, prior variance as observed rate dispersion MINUS the mean binomial noise E[p(1-p)/n] (the uncorrected estimator mistakes sampling noise for real part-level variation and under-shrinks ~2x), prior strength S = m(1-m)/v_prior - 1, posterior rate (y + m*S)/(n + S). The honest centerpiece: on this iid fixture every part shares ONE true rate, the corrected v_prior lands at the noise floor (marginally positive here; at/below zero the clamp branch shrinks fully), and corrected shrinkage is near-TOTAL - raw rates spanning [0.04, 0.75] collapse to [0.322, 0.347] around the pooled 0.33 - the correct inference that the dispersion is all binomial noise, while the emitted naive column under-shrinks to [0.18, 0.52] by mistaking that noise for signal. One corpus aggregate into the per-part grid (l_partkey is in lineitem - no dim join); the moment pass and the scoring pass read the checkpointed grid; every derived quantity is a pinned double chain on 6-dp grid-rounded rates",
+      "empirical-Bayes shrinkage of per-part return rates (beta-binomial, noise-corrected method of moments) - the small-sample stabilizer every per-entity rate table needs at scale (a part with 2/5 lines returned is NOT a 40%-return part; raw per-entity rates at 100 TB are mostly binomial noise ranked by it): prior mean from the pooled rate, prior variance as observed rate dispersion MINUS the mean binomial noise E[p(1-p)/n] (the uncorrected estimator mistakes sampling noise for real part-level variation and under-shrinks ~2x), prior strength S = m(1-m)/v_prior - 1, posterior rate (y + m*S)/(n + S). The honest centerpiece: on this iid fixture every part shares ONE true rate, the corrected v_prior lands at the noise floor (marginally positive here; at/below zero — or when S = m(1-m)/v_prior - 1 itself lands non-positive, which would let the posterior leave [0,1] at y=0 — the clamp branch shrinks fully), and corrected shrinkage is near-TOTAL - raw rates spanning [0.04, 0.75] collapse to [0.322, 0.347] around the pooled 0.33 - the correct inference that the dispersion is all binomial noise, while the emitted naive column under-shrinks to [0.18, 0.52] by mistaking that noise for signal. One corpus aggregate into the per-part grid (l_partkey is in lineitem - no dim join); the moment pass and the scoring pass read the checkpointed grid; every derived quantity is a pinned double chain on 6-dp grid-rounded rates",
       (s, d) => {
         val D386 = DecimalType(38, 6)
         def g6(c: Column) = (floor(c * 1e6 + lit(0.5)) / lit(1e6)).cast(D386)
@@ -685,11 +685,19 @@ object StatsOps {
         val pri = mo.select(col("k"), mbar.as("mbar"), vobs.as("vobs"),
             vprior.as("vprior"))
           .select(col("k"), col("mbar"), col("vobs"), col("vprior"),
+            // S must stay > 0: S in (-1, 0] (possible when the observed dispersion
+            // exceeds the max beta variance mbar*(1-mbar)) makes the posterior
+            // (y + mbar*S)/(n + S) leave [0,1] when y=0. Null S -> full pooling
+            // to mbar, same as the vprior<=0 branch.
             when(col("vprior") > 0,
-              col("mbar") * (lit(1.0) - col("mbar")) / col("vprior") - lit(1.0))
+              when(col("mbar") * (lit(1.0) - col("mbar")) / col("vprior")
+                - lit(1.0) > 0,
+                col("mbar") * (lit(1.0) - col("mbar")) / col("vprior") - lit(1.0)))
               .as("s_corr"),
             when(col("vobs") > 0,
-              col("mbar") * (lit(1.0) - col("mbar")) / col("vobs") - lit(1.0))
+              when(col("mbar") * (lit(1.0) - col("mbar")) / col("vobs")
+                - lit(1.0) > 0,
+                col("mbar") * (lit(1.0) - col("mbar")) / col("vobs") - lit(1.0)))
               .as("s_naive"))
         g.crossJoin(broadcast(pri)).select(
           col("l_partkey"), col("n"), col("y"),
@@ -705,7 +713,7 @@ object StatsOps {
             .otherwise(col("mbar")) * lit(1e6) + lit(0.5)) / lit(1e6))
             .as("naive_shrunk_rate"))
       },
-      Some("""WITH g AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n, CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS y FROM lineitem GROUP BY 1 HAVING count(*) >= 2), mo AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(y) AS BIGINT) AS yt, CAST(SUM(CAST(floor(CAST(y AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS s1, CAST(SUM(CAST(floor((CAST(y AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(y AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS s2, CAST(SUM(CAST(floor((CAST(y AS DOUBLE) / CAST(n AS DOUBLE)) * (1.0 - CAST(y AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS s3 FROM g), pri AS (SELECT k, CAST(yt AS DOUBLE) / CAST(nt AS DOUBLE) AS mbar, s2 / CAST(k AS DOUBLE) - (s1 / CAST(k AS DOUBLE)) * (s1 / CAST(k AS DOUBLE)) AS vobs, s2 / CAST(k AS DOUBLE) - (s1 / CAST(k AS DOUBLE)) * (s1 / CAST(k AS DOUBLE)) - s3 / CAST(k AS DOUBLE) AS vprior FROM mo), pr2 AS (SELECT k, mbar, vobs, vprior, CASE WHEN vprior > 0 THEN mbar * (1.0 - mbar) / vprior - 1.0 END AS s_corr, CASE WHEN vobs > 0 THEN mbar * (1.0 - mbar) / vobs - 1.0 END AS s_naive FROM pri) SELECT l_partkey, n, y, floor(CAST(y AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS raw_rate, floor((CASE WHEN s_corr IS NOT NULL THEN (CAST(y AS DOUBLE) + mbar * s_corr) / (CAST(n AS DOUBLE) + s_corr) ELSE mbar END) * 1e6 + 0.5) / 1e6 AS shrunk_rate, floor((CASE WHEN s_naive IS NOT NULL THEN (CAST(y AS DOUBLE) + mbar * s_naive) / (CAST(n AS DOUBLE) + s_naive) ELSE mbar END) * 1e6 + 0.5) / 1e6 AS naive_shrunk_rate FROM g, pr2""")),
+      Some("""WITH g AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n, CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS y FROM lineitem GROUP BY 1 HAVING count(*) >= 2), mo AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(y) AS BIGINT) AS yt, CAST(SUM(CAST(floor(CAST(y AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS s1, CAST(SUM(CAST(floor((CAST(y AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(y AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS s2, CAST(SUM(CAST(floor((CAST(y AS DOUBLE) / CAST(n AS DOUBLE)) * (1.0 - CAST(y AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS s3 FROM g), pri AS (SELECT k, CAST(yt AS DOUBLE) / CAST(nt AS DOUBLE) AS mbar, s2 / CAST(k AS DOUBLE) - (s1 / CAST(k AS DOUBLE)) * (s1 / CAST(k AS DOUBLE)) AS vobs, s2 / CAST(k AS DOUBLE) - (s1 / CAST(k AS DOUBLE)) * (s1 / CAST(k AS DOUBLE)) - s3 / CAST(k AS DOUBLE) AS vprior FROM mo), pr2 AS (SELECT k, mbar, vobs, vprior, CASE WHEN vprior > 0 THEN (CASE WHEN mbar * (1.0 - mbar) / vprior - 1.0 > 0 THEN mbar * (1.0 - mbar) / vprior - 1.0 END) END AS s_corr, CASE WHEN vobs > 0 THEN (CASE WHEN mbar * (1.0 - mbar) / vobs - 1.0 > 0 THEN mbar * (1.0 - mbar) / vobs - 1.0 END) END AS s_naive FROM pri) SELECT l_partkey, n, y, floor(CAST(y AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS raw_rate, floor((CASE WHEN s_corr IS NOT NULL THEN (CAST(y AS DOUBLE) + mbar * s_corr) / (CAST(n AS DOUBLE) + s_corr) ELSE mbar END) * 1e6 + 0.5) / 1e6 AS shrunk_rate, floor((CASE WHEN s_naive IS NOT NULL THEN (CAST(y AS DOUBLE) + mbar * s_naive) / (CAST(n AS DOUBLE) + s_naive) ELSE mbar END) * 1e6 + 0.5) / 1e6 AS naive_shrunk_rate FROM g, pr2""")),
 
     QueryDef("q218_capture_recapture",
       "capture-recapture population estimate (Chapman's corrected Lincoln-Petersen) with its own truth check - the ecology estimator that answers a real warehouse question: how many distinct entities EXIST when you can only observe samples (active users from two observation windows, device population from two scan days - the distinct-count question when no complete scan is possible)? Capture 1 = users seen on day 5, capture 2 = day 25, N-hat = (n1+1)(n2+1)/(m+1) - 1 off the overlap. The SELF-EVAL is the q122/q164 pattern: the fixture lets us also compute the TRUE distinct count, so the estimator is graded against it in the same row - error +0.19% at sf0.1, -1.2% at sf0.01 (assumption-clean iid activity is exactly Lincoln-Petersen's model; the estimator nails it) - and the error column is what a user should inspect before trusting the estimator where truth is NOT available. ONE corpus aggregate (per-user seen-flags via boolean max), then a 4-integer readout; Chapman's +1s make it defined even at m=0. Integer counts through one pinned double chain",

@@ -293,7 +293,7 @@ object WarehouseOps {
       Some("""WITH b AS (SELECT DISTINCT l_orderkey, p_brand FROM lineitem JOIN part ON l_partkey = p_partkey), pr AS (SELECT a.p_brand AS brand_a, b2.p_brand AS brand_b, CAST(count(*) AS BIGINT) AS support FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey AND a.p_brand < b2.p_brand GROUP BY 1, 2), bs AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS s FROM b GROUP BY 1), n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM b) SELECT brand_a, brand_b, support, round(support / sa.s, 6) AS confidence, round(support * n_orders / (sa.s * sb.s), 6) AS lift FROM pr JOIN bs sa ON pr.brand_a = sa.p_brand JOIN bs sb ON pr.brand_b = sb.p_brand CROSS JOIN n WHERE support >= 10""")),
 
     QueryDef("q211_pair_significance",
-      "chi-square significance screen over the q135 association pairs - lift measures HOW STRONG a brand affinity looks, this asks whether it is DISTINGUISHABLE FROM INDEPENDENCE at all (the q203 significance-vs-effect-size split applied to market baskets): each (a, b) pair's 2x2 contingency (both / a-only / b-only / neither) comes from the SAME pair-support grid plus broadcast brand counts - no new corpus work beyond q135's one wide shuffle - and chi2 = n*(ad-bc)^2 / (sa*(n-sa)*sb*(n-sb)) evaluates in pinned double ops off exact integers (the integer square would pass 1e38 at sf1000, so the square lives in double like q208; every INPUT stays an exact count). Fixed cuts at alpha=0.05 (3.841459) and 0.001 (10.827566). The AGGREGATE readout is the interesting one: the screen fires on 22/300 pairs at sf0.01 but 67/300 at sf0.1 - a rate that GROWS with n is the signature of a real (if tiny) effect, not false positives, and the effect is real: baskets have bounded size, so brands compete for slots and 260/300 pairs are UNDER-represented vs independence (the finite-basket hypergeometric effect). The screen correctly detects it, and the q203 lesson closes the loop - at scale everything is significant, which is why q135's lift (the effect size, ~1.0 here) is the decision quantity",
+      "chi-square significance screen over the q135 association pairs - lift measures HOW STRONG a brand affinity looks, this asks whether it is DISTINGUISHABLE FROM INDEPENDENCE at all (the q203 significance-vs-effect-size split applied to market baskets): each (a, b) pair's 2x2 contingency (both / a-only / b-only / neither) comes from the SAME pair-support grid DENSIFIED over the brand cross product (supp = 0 pairs kept: a maximally repelled pair - never co-bought despite large per-brand supports - is the most significant under-representation of all and must not be dropped by the observed-pairs-only scan; at the tested SFs all 300 pairs happen to be observed, so densification is a safety net) plus broadcast brand counts - no new corpus work beyond q135's one wide shuffle - and chi2 = n*(ad-bc)^2 / (sa*(n-sa)*sb*(n-sb)) evaluates in pinned double ops off exact integers (the integer square would pass 1e38 at sf1000, so the square lives in double like q208; every INPUT stays an exact count). Fixed cuts at alpha=0.05 (3.841459) and 0.001 (10.827566). The AGGREGATE readout is the interesting one: the screen fires on 22/300 pairs at sf0.01 but 67/300 at sf0.1 - a rate that GROWS with n is the signature of a real (if tiny) effect, not false positives, and the effect is real: baskets have bounded size, so brands compete for slots and 260/300 pairs are UNDER-represented vs independence (the finite-basket hypergeometric effect). The screen correctly detects it, and the q203 lesson closes the loop - at scale everything is significant, which is why q135's lift (the effect size, ~1.0 here) is the decision quantity",
       (s, d) => {
         val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
         val part = t(s, d, "part").select(col("p_partkey"), col("p_brand"))
@@ -312,11 +312,17 @@ object WarehouseOps {
         val bs = sets.select(explode(col("bs")).as("p_brand"))
           .groupBy(col("p_brand")).agg(lcount(lit(1)).as("s"))
         val nOrders = sets.agg(lcount(lit(1)).as("n"))
-        val j = pairs
-          .join(broadcast(bs.select(col("p_brand").as("brand_a"), col("s").as("sa"))),
-                Seq("brand_a"))
-          .join(broadcast(bs.select(col("p_brand").as("brand_b"), col("s").as("sb"))),
-                Seq("brand_b"))
+        // densified pair grid (ADVICE r10): the co-occurrence pass only emits
+        // pairs with supp >= 1, but a MAXIMALLY repelled pair (supp = 0 with
+        // large per-brand supports) is the most significant under-representation
+        // of all — cross the (tiny, brands²/2) grid and fill supp = 0
+        val grid = bs.select(col("p_brand").as("brand_a"), col("s").as("sa"))
+          .crossJoin(broadcast(bs.select(col("p_brand").as("brand_b"),
+                                         col("s").as("sb"))))
+          .filter(col("brand_a") < col("brand_b"))
+        val j = grid
+          .join(broadcast(pairs), Seq("brand_a", "brand_b"), "left")
+          .withColumn("supp", coalesce(col("supp"), lit(0L)))
           .crossJoin(broadcast(nOrders))
         // 2x2 cells as exact integers; ad - bc = n*supp - sa*sb after
         // expansion (the rank-1 identity), kept in that cancelled form
@@ -329,7 +335,7 @@ object WarehouseOps {
           (chi2 > lit(3.841459)).as("sig_05"),
           (chi2 > lit(10.827566)).as("sig_001"))
       },
-      Some("""WITH b AS (SELECT DISTINCT l_orderkey, p_brand FROM lineitem JOIN part ON l_partkey = p_partkey), pr AS (SELECT a.p_brand AS brand_a, b2.p_brand AS brand_b, CAST(count(*) AS BIGINT) AS supp FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey AND a.p_brand < b2.p_brand GROUP BY 1, 2), bs AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS s FROM b GROUP BY 1), n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM b), j AS (SELECT brand_a, brand_b, supp, sa.s AS sa, sb.s AS sb, n.n FROM pr JOIN bs sa ON pr.brand_a = sa.p_brand JOIN bs sb ON pr.brand_b = sb.p_brand, n), z AS (SELECT brand_a, brand_b, supp, CAST(n AS DOUBLE) * CAST(n * supp - sa * sb AS DOUBLE) * CAST(n * supp - sa * sb AS DOUBLE) / (CAST(sa AS DOUBLE) * CAST(n - sa AS DOUBLE) * CAST(sb AS DOUBLE) * CAST(n - sb AS DOUBLE)) AS chi2 FROM j) SELECT brand_a, brand_b, supp AS support, floor(chi2 * 1e6 + 0.5) / 1e6 AS chi2, chi2 > 3.841459 AS sig_05, chi2 > 10.827566 AS sig_001 FROM z""")),
+      Some("""WITH b AS (SELECT DISTINCT l_orderkey, p_brand FROM lineitem JOIN part ON l_partkey = p_partkey), pr AS (SELECT a.p_brand AS brand_a, b2.p_brand AS brand_b, CAST(count(*) AS BIGINT) AS supp FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey AND a.p_brand < b2.p_brand GROUP BY 1, 2), bs AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS s FROM b GROUP BY 1), n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM b), ap AS (SELECT a.p_brand AS brand_a, b2.p_brand AS brand_b, a.s AS sa, b2.s AS sb FROM bs a JOIN bs b2 ON a.p_brand < b2.p_brand), j AS (SELECT ap.brand_a, ap.brand_b, COALESCE(pr.supp, 0) AS supp, sa, sb, n.n FROM ap LEFT JOIN pr ON ap.brand_a = pr.brand_a AND ap.brand_b = pr.brand_b, n), z AS (SELECT brand_a, brand_b, supp, CAST(n AS DOUBLE) * CAST(n * supp - sa * sb AS DOUBLE) * CAST(n * supp - sa * sb AS DOUBLE) / (CAST(sa AS DOUBLE) * CAST(n - sa AS DOUBLE) * CAST(sb AS DOUBLE) * CAST(n - sb AS DOUBLE)) AS chi2 FROM j) SELECT brand_a, brand_b, supp AS support, floor(chi2 * 1e6 + 0.5) / 1e6 AS chi2, chi2 > 3.841459 AS sig_05, chi2 > 10.827566 AS sig_001 FROM z""")),
 
     QueryDef("q213_concordance_ccc",
       "Lin's concordance correlation coefficient between the order header amount and its lineitem detail rollup - the MEASUREMENT-AGREEMENT number behind q166's reconciliation screen (q166 counts mismatches row by row; CCC asks the method-comparison question 'do the two amount systems agree as measurements', penalizing both scatter AND systematic bias: CCC = 2*sxy/(sxx + syy + (mx-my)^2), always <= Pearson r, equal only at perfect calibration). Both amounts quantize to exact integer cents, the five joint moments (n, Sx, Sy, Sxx, Syy, Sxy) accumulate DECIMAL(38,0)/HUGEINT in ONE aggregate over the one orderkey equi-join (bucket-co-locatable at 100 TB; missing detail = 0 cents, matching q166's all-gap convention), and every derived quantity is a pinned correctly-rounded double chain on those exact integers - the near-total cancellation in sxy (independent header/detail) lands on identical operands in both engines. Honest readout completing q166's story: r = -0.0017, CCC = -0.0016, bias +$38348 at sf0.1 - the fixture's header and detail amounts are INDEPENDENT measurements agreeing not at all (and the header runs systematically high), which q166's 100% mismatch rate said row-wise and CCC now says distribution-wise",

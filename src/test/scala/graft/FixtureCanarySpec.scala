@@ -139,6 +139,23 @@ class FixtureCanarySpec extends SparkSpec {
     }
   }
 
+  describe("day-span canary (q216 group-sequential looks)") {
+    it("events span >= 5 distinct days on every fixture") {
+      // q216 maps its 5 looks onto the day grid via rn = floor(nm*k/5):
+      // with nm < 5 look 1 lands on rn = 0 and silently joins nothing,
+      // and 5 <= nm < 10 duplicates rn across looks. A regenerated
+      // events fixture shrinking the day span must fail HERE with the
+      // real reason, not as an opaque q216 row-count mismatch.
+      Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+        val nm = Tables(spark, s"/root/testdata/$sf", "events")
+          .select(date_trunc("day", col("ts"))).distinct().count()
+        assert(nm >= 10L,
+          s"$sf events span only $nm distinct days — q216's 5 looks need >= 10 " +
+            "for distinct non-zero day indices (5..9 duplicates looks, <5 drops look 1)")
+      }
+    }
+  }
+
   describe("date-span canary (q210 period split)") {
     it("orders straddle the 1998 policy split on every fixture") {
       // q210's difference-in-differences splits orders at year >= 1998;

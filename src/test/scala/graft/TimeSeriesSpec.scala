@@ -45,6 +45,24 @@ class TimeSeriesSpec extends SparkSpec {
           buckets = 10, refCdf = Seq(0.5, 1.0))
       }
     }
+    it("rejects a PDF passed as refCdf (not ending at ~1.0) — ADVICE r10") {
+      val ev = mkEvents(Seq((1L, "2024-01-01 10:00:00", "a", 5.0)))
+      assertThrows[IllegalArgumentException] {
+        TimeSeriesOps.w1Drift(ev, "ts", "value", "1 hour", 0.0, 100.0,
+          buckets = 4, refCdf = Seq(0.25, 0.25, 0.25, 0.25)) // a PDF
+      }
+    }
+    it("rejects a non-monotone refCdf") {
+      val ev = mkEvents(Seq((1L, "2024-01-01 10:00:00", "a", 5.0)))
+      assertThrows[IllegalArgumentException] {
+        TimeSeriesOps.w1Drift(ev, "ts", "value", "1 hour", 0.0, 100.0,
+          buckets = 3, refCdf = Seq(0.6, 0.4, 1.0))
+      }
+      assertThrows[IllegalArgumentException] {
+        TimeSeriesOps.ksDrift(ev, "ts", "value", "1 hour", 0.0, 100.0,
+          buckets = 3, refCdf = Seq(0.2, 1.2, 1.0)) // out of [0,1]
+      }
+    }
     it("clamps out-of-range values into the edge buckets (D reads them there)") {
       // both values clamp to the TOP bucket of [0, 10) with 2 buckets:
       // window CDF = [0, 1]; ref uniform [0.5, 1.0] -> D = 0.5 exactly
