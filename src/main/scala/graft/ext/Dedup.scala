@@ -622,6 +622,42 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
   }
 
+  /** Hamming-near pairs over a PRECOMPUTED 64-bit fingerprint column —
+    * [[simhashPairsBanded]]'s LSH machinery generalized so other
+    * fingerprint planes (image dHash/aHash, audio chromaprints) reuse it
+    * (VERDICT r10 #3). The fingerprint is banded into `bands` equal
+    * slices; a pair is a candidate iff it shares a band, then verified
+    * by exact hamming distance. Pigeonhole: maxDist < bands differing
+    * bits leave ≥1 band identical, so the banding is LOSSLESS — this
+    * returns exactly the O(n²) comparison's result while the candidate
+    * join only touches same-band groups. One shuffle on the band keys;
+    * candidate verification is in-row. */
+  def hammingPairsBanded(rows: DataFrame, idCol: String, fpCol: String,
+                         maxDist: Int, bands: Int = 4): DataFrame = {
+    require(bands > 0 && 64 % bands == 0, s"bands=$bands must divide 64")
+    require(maxDist >= 0 && maxDist < bands,
+      s"banding into $bands bands is only exact for maxDist < $bands")
+    val bandBits = 64 / bands
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val bandRows = rows.select(col(idCol).as("id"), col(fpCol).as("fp"),
+        posexplode(array((0 until bands).map { b =>
+          shiftright(col(fpCol), b * bandBits).bitwiseAND(lit(mask))
+        }: _*)))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "bk")
+    val bandLists = bandRows
+      .groupBy(col("band_idx"), col("bk"))
+      .agg(array_sort(collect_list(struct(col("id"), col("fp")))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    listPairs(bandLists, "ids")
+      .select(col("pa.id").as("id_a"), col("pa.fp").as("fa"),
+              col("pb.id").as("id_b"), col("pb.fp").as("fb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+  }
+
   private def simhashWithBlock(docs: DataFrame, textCol: String,
                                idCol: String, blockCol: String): DataFrame =
     simhash(docs, textCol, idCol)

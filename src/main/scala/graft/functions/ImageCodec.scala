@@ -1,0 +1,308 @@
+package graft.functions
+
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-level image support (VERDICT r10 #3 — make multimodal real):
+  * a REAL PNG encoder/decoder for 8-bit grayscale (full zlib DEFLATE via
+  * the JDK, all five PNG scanline filters on decode), a JPEG/JFIF marker
+  * walker for header metadata, and integer-exact aHash/dHash perceptual
+  * fingerprints over the decoded pixels — everything deterministic and
+  * byte-level so the DuckDB oracle can re-derive the hashes analytically
+  * from the pixel formula (the q50 Keccak precedent: the engine runs the
+  * real byte pipeline, the oracle recomputes the expected values through
+  * an independent derivation).
+  *
+  * Written from the public PNG spec (RFC 2083: signature, IHDR/IDAT/IEND
+  * chunk layout, filter types 0-4 incl. Paeth) and the JPEG/JFIF marker
+  * structure (SOI, APPn/COM variable-length segments, SOFn frame header
+  * carrying precision/height/width). No codec libraries — the container
+  * has none, and none are needed for these formats' structural layers.
+  *
+  * The perceptual hashes use INTEGER block means (truncating division)
+  * so they are exactly portable to SQL:
+  *  - aHash: 8×8 grid of block means m_i = floor(sum/count); threshold
+  *    T = floor(Σm/64); bit i set iff m_i >= T.
+  *  - dHash: 9×8 grid; bit (row*8+col) set iff m(row,col+1) > m(row,col)
+  *    (brighter-to-the-right), the classic difference hash.
+  * Block boundaries are floor(g*W/grid) — exact equal blocks whenever
+  * W,H are multiples of the grid, which the test pattern guarantees.
+  */
+object ImageCodec {
+
+  // ---------------------------------------------------------------- render
+
+  /** Deterministic grayscale test pattern — the shared contract with the
+    * SQL oracle (document the formula once, derive it twice):
+    * px(x,y) = (seed*31 + (7 + seed mod 5)*x + (13 + seed mod 7)*y
+    *            + 5*((x*y) mod 29) + P) mod 256,
+    * with P = perturb*60 on the top-right dHash block
+    * (x >= floor(8W/9), y < 8) — a localized brightness bump that flips
+    * only a few fingerprint bits, modelling a near-duplicate image.
+    * The gradient slopes depend on the seed (not just the offset) on
+    * purpose: dHash is brightness-shift invariant by design, so a
+    * constant-offset-only family would make every same-sized image a
+    * near-duplicate of every other. */
+  def pixel(w: Int, x: Int, y: Int, seed: Long, perturb: Int): Int = {
+    val p = if (perturb != 0 && x >= (8 * w) / 9 && y < 8) perturb.toLong * 60L else 0L
+    ((seed * 31L + (7L + seed % 5L) * x + (13L + seed % 7L) * y
+      + 5L * ((x.toLong * y.toLong) % 29L) + p) % 256L).toInt
+  }
+
+  private def be32(v: Int): Array[Byte] =
+    Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val t = typ.getBytes("US-ASCII")
+    val crc = new CRC32()
+    crc.update(t); crc.update(data)
+    be32(data.length) ++ t ++ data ++ be32(crc.getValue.toInt)
+  }
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** A REAL PNG file: 8-bit grayscale, filter 0 scanlines, one
+    * zlib-deflated IDAT. Any standards-compliant viewer opens it. */
+  def renderGrayPng(w: Int, h: Int, seed: Long, perturb: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 4096 && h <= 4096, s"dims out of range: ${w}x$h")
+    val raw = new Array[Byte](h * (w + 1))
+    var y = 0
+    while (y < h) {
+      raw(y * (w + 1)) = 0 // filter type None
+      var x = 0
+      while (x < w) {
+        raw(y * (w + 1) + 1 + x) = pixel(w, x, y, seed, perturb).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val defl = new Deflater(Deflater.DEFAULT_COMPRESSION)
+    defl.setInput(raw); defl.finish()
+    val buf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!defl.finished()) buf.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    val ihdr = be32(w) ++ be32(h) ++
+      Array[Byte](8 /* bit depth */, 0 /* grayscale */, 0, 0, 0)
+    PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", buf.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** A structurally honest JPEG/JFIF header: SOI, APP0(JFIF), a COM
+    * segment (forces the parser to skip variable-length segments), the
+    * SOF0 frame header carrying the dimensions, EOI. No entropy-coded
+    * scan — this is the metadata layer a catalog pass reads; decoding
+    * JPEG pixels is a true codec concern and stays out of scope. */
+  def jfifHeader(w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 65535 && h <= 65535, s"dims out of range: ${w}x$h")
+    val app0 = Array[Byte](0xff.toByte, 0xe0.toByte, 0, 16) ++
+      "JFIF".getBytes("US-ASCII") ++
+      Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
+    val comData = "graft".getBytes("US-ASCII")
+    val com = Array[Byte](0xff.toByte, 0xfe.toByte,
+      (((comData.length + 2) >> 8) & 0xff).toByte,
+      ((comData.length + 2) & 0xff).toByte) ++ comData
+    val sof0 = Array[Byte](0xff.toByte, 0xc0.toByte, 0, 11, 8 /* precision */,
+      ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
+      ((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
+      1 /* n components */, 1, 0x11, 0)
+    Array[Byte](0xff.toByte, 0xd8.toByte) ++ app0 ++ com ++ sof0 ++
+      Array[Byte](0xff.toByte, 0xd9.toByte)
+  }
+
+  // ----------------------------------------------------------------- parse
+
+  private def rdBe32(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+      ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+
+  private def rdBe16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+
+  private def isPng(b: Array[Byte]): Boolean =
+    b.length >= 33 && (0 until 8).forall(i => b(i) == PngSig(i))
+
+  private def isJpeg(b: Array[Byte]): Boolean =
+    b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
+
+  /** (format, width, height, bitDepth); ("unknown", -1, -1, -1) when the
+    * payload is neither. JPEG walks the marker stream to the first SOFn
+    * (C0-C3; C4=DHT is not a frame header). */
+  private def parseMeta(b: Array[Byte]): (String, Int, Int, Int) = {
+    if (isPng(b)) {
+      // IHDR is mandated first: length @8, type @12, data @16
+      ("png", rdBe32(b, 16), rdBe32(b, 20), b(24) & 0xff)
+    } else if (isJpeg(b)) {
+      var i = 2
+      while (i + 3 < b.length) {
+        if ((b(i) & 0xff) != 0xff) return ("jpeg", -1, -1, -1) // desynced
+        val m = b(i + 1) & 0xff
+        if (m == 0xc0 || m == 0xc1 || m == 0xc2 || m == 0xc3) {
+          if (i + 8 >= b.length) return ("jpeg", -1, -1, -1)
+          return ("jpeg", rdBe16(b, i + 7), rdBe16(b, i + 5), b(i + 4) & 0xff)
+        } else if (m == 0xd8 || m == 0xd9 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) {
+          i += 2 // standalone marker, no length field
+        } else {
+          i += 2 + rdBe16(b, i + 2)
+        }
+      }
+      ("jpeg", -1, -1, -1)
+    } else ("unknown", -1, -1, -1)
+  }
+
+  def imgFormat(b: Array[Byte]): UTF8String = UTF8String.fromString(parseMeta(b)._1)
+  def imgWidth(b: Array[Byte]): Int = parseMeta(b)._2
+  def imgHeight(b: Array[Byte]): Int = parseMeta(b)._3
+  def imgBitDepth(b: Array[Byte]): Int = parseMeta(b)._4
+
+  // ---------------------------------------------------------------- decode
+
+  /** Decodes an 8-bit grayscale PNG to (w, h, pixels row-major) — walks
+    * the chunk stream, inflates the concatenated IDATs, and reverses all
+    * five scanline filters (None/Sub/Up/Average/Paeth, bpp = 1). */
+  def decodeGrayPng(b: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(isPng(b), "not a PNG payload")
+    val w = rdBe32(b, 16); val h = rdBe32(b, 20)
+    require((b(24) & 0xff) == 8 && (b(25) & 0xff) == 0,
+      s"only 8-bit grayscale supported: depth=${b(24)} colorType=${b(25)}")
+    val idat = new java.io.ByteArrayOutputStream()
+    var o = 8
+    while (o + 8 <= b.length) {
+      val len = rdBe32(b, o)
+      val typ = new String(b, o + 4, 4, "US-ASCII")
+      if (typ == "IDAT") idat.write(b, o + 8, len)
+      o += 12 + len // len + type + data + crc
+    }
+    val infl = new Inflater()
+    infl.setInput(idat.toByteArray)
+    val raw = new Array[Byte](h * (w + 1))
+    var filled = 0
+    while (filled < raw.length && !infl.finished()) {
+      val n = infl.inflate(raw, filled, raw.length - filled)
+      require(n > 0 || infl.finished(), "truncated IDAT stream")
+      filled += n
+    }
+    infl.end()
+    require(filled == raw.length, s"IDAT decoded $filled of ${raw.length} bytes")
+    val out = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (w + 1)) & 0xff
+      var x = 0
+      while (x < w) {
+        val rv = raw(y * (w + 1) + 1 + x) & 0xff
+        val a = if (x > 0) out(y * w + x - 1) & 0xff else 0
+        val up = if (y > 0) out((y - 1) * w + x) & 0xff else 0
+        val c = if (x > 0 && y > 0) out((y - 1) * w + x - 1) & 0xff else 0
+        val v = ft match {
+          case 0 => rv
+          case 1 => rv + a
+          case 2 => rv + up
+          case 3 => rv + (a + up) / 2
+          case 4 => // Paeth predictor (RFC 2083 §6.6)
+            val p = a + up - c
+            val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
+            rv + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+          case other => throw new IllegalArgumentException(s"bad PNG filter $other")
+        }
+        out(y * w + x) = (v & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, out)
+  }
+
+  // ----------------------------------------------------------- fingerprints
+
+  /** Integer block means on a gw×gh grid (truncating division — the
+    * SQL-portable convention documented in the object scaladoc). */
+  private def blockMeans(w: Int, h: Int, px: Array[Byte], gw: Int, gh: Int): Array[Long] = {
+    val m = new Array[Long](gw * gh)
+    var gy = 0
+    while (gy < gh) {
+      val y0 = gy * h / gh; val y1 = (gy + 1) * h / gh
+      var gx = 0
+      while (gx < gw) {
+        val x0 = gx * w / gw; val x1 = (gx + 1) * w / gw
+        var s = 0L; var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += px(y * w + x) & 0xff; x += 1 }
+          y += 1
+        }
+        val c = (x1 - x0).toLong * (y1 - y0)
+        m(gy * gw + gx) = if (c == 0) 0L else s / c
+        gx += 1
+      }
+      gy += 1
+    }
+    m
+  }
+
+  /** 64-bit average hash of a grayscale PNG payload. */
+  def aHash64(b: Array[Byte]): Long = {
+    val (w, h, px) = decodeGrayPng(b)
+    val m = blockMeans(w, h, px, 8, 8)
+    val thr = m.sum / 64
+    var bits = 0L
+    var i = 0
+    while (i < 64) { if (m(i) >= thr) bits |= (1L << i); i += 1 }
+    bits
+  }
+
+  /** 64-bit difference hash of a grayscale PNG payload. */
+  def dHash64(b: Array[Byte]): Long = {
+    val (w, h, px) = decodeGrayPng(b)
+    val m = blockMeans(w, h, px, 9, 8)
+    var bits = 0L
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        if (m(gy * 9 + gx + 1) > m(gy * 9 + gx)) bits |= (1L << (gy * 8 + gx))
+        gx += 1
+      }
+      gy += 1
+    }
+    bits
+  }
+
+  // ---------------------------------------------------------- column API
+
+  private def invoke(method: String, ret: DataType, args: (Column, DataType)*): Column =
+    GraftColumnBridge.column(StaticInvoke(
+      ImageCodec.getClass, ret, method,
+      args.map { case (c, t) => GraftColumnBridge.expression(c.cast(t)) },
+      propagateNull = true, returnNullable = false))
+
+  def pngImage(w: Column, h: Column, seed: Column, perturb: Column): Column =
+    invoke("renderGrayPng", BinaryType, (w, IntegerType), (h, IntegerType),
+      (seed, LongType), (perturb, IntegerType))
+
+  def jpegImage(w: Column, h: Column): Column =
+    invoke("jfifHeader", BinaryType, (w, IntegerType), (h, IntegerType))
+
+  def imageFormat(payload: Column): Column =
+    invoke("imgFormat", StringType, (payload, BinaryType))
+
+  def imageWidth(payload: Column): Column =
+    invoke("imgWidth", IntegerType, (payload, BinaryType))
+
+  def imageHeight(payload: Column): Column =
+    invoke("imgHeight", IntegerType, (payload, BinaryType))
+
+  def imageBitDepth(payload: Column): Column =
+    invoke("imgBitDepth", IntegerType, (payload, BinaryType))
+
+  def ahash(payload: Column): Column = invoke("aHash64", LongType, (payload, BinaryType))
+
+  def dhash(payload: Column): Column = invoke("dHash64", LongType, (payload, BinaryType))
+}

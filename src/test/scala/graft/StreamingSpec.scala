@@ -687,6 +687,64 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  describe("stateful-fold hot-key shape (VERDICT r10 #2)") {
+    import graft.streaming.EventStreams.EwmaOut
+
+    it("one hot key across a 10k-event micro-batch folds correctly with no lambda buffer, and the plan carries exactly one sort") {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      // ONE user, one big out-of-order micro-batch: the old
+      // batch.toSeq.sortBy shape buffered all 10k events on the lambda
+      // heap; the partition-sort shape folds the sorted arrival lazily
+      // (per-key in-flight memory = the one-Double state row).
+      val rnd = new scala.util.Random(7)
+      val evs = rnd.shuffle((1 to 10000).toList).map { i =>
+        Event(i.toLong, new Timestamp(ts("2024-01-01 00:00:00").getTime
+          + i * 1000L), 42L, "view", (i % 97) / 7.0)
+      }
+      val src = MemoryStream[Event]
+      val q = EventStreams.ewmaStream(src.toDS(), alpha = 0.25)
+        .writeStream.format("memory").queryName("hotkey_out")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        src.addData(evs: _*) // all 10k in ONE batch
+        q.processAllAvailable()
+        val streamed = spark.table("hotkey_out").as[EwmaOut].collect()
+          .map(r => (r.event_id, r.ewma)).toMap
+        val batch = graft.ext.ScanFold.ewma(
+            evs.toDF().select(col("user_id"),
+              unix_micros(col("ts")).as("ts_us"), col("event_id"),
+              col("value")),
+            "user_id", "ts_us", "event_id", "value", 0.25)
+          .select(col("event_id"), col("ewma"))
+          .as[(Long, Double)].collect().toMap
+        assert(streamed.size == 10000)
+        // bit-for-bit: the stream applied the recurrence in the exact
+        // (ts, event_id) order despite the shuffled arrival
+        assert(streamed == batch)
+
+        // plan pin: ONE sort — ours, by (user_id, ts, event_id) — and
+        // ONE exchange (the explicit repartition; EnsureRequirements
+        // added neither a second exchange nor a key-only re-sort that
+        // would scramble or re-buffer the arrival)
+        val plan = {
+          val buf = new java.io.ByteArrayOutputStream()
+          Console.withOut(new java.io.PrintStream(buf)) {
+            q.explain(extended = false)
+          }
+          buf.toString("UTF-8")
+        }
+        val sorts = "(?m)Sort \\[".r.findAllIn(plan).size
+        val exchanges = "(?m)Exchange ".r.findAllIn(plan).size
+        assert(sorts == 1, s"expected exactly our partition sort, got $sorts:\n$plan")
+        assert(exchanges == 1, s"expected exactly the explicit repartition, got $exchanges:\n$plan")
+        assert(plan.contains("user_id") && plan.matches("(?s).*Sort \\[user_id[^\\]]*ts[^\\]]*event_id.*"),
+          s"sort order must be (user_id, ts, event_id):\n$plan")
+      } finally q.stop()
+    }
+  }
+
   describe("ewmaStream (streaming smoother)") {
     import graft.streaming.EventStreams.EwmaOut
 
