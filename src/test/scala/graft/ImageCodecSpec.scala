@@ -1,0 +1,148 @@
+package graft
+
+import graft.functions.ImageCodec
+import org.apache.spark.sql.functions._
+
+/** Byte-level image plane (VERDICT r10 #3): PNG encode→decode round
+  * trips, the un-filter paths our encoder never writes (Sub/Up/Average/
+  * Paeth — a real decoder must reverse all five), JPEG marker walking,
+  * perceptual-hash properties, and the twin near-dup contract. */
+class ImageCodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def renderedPixels(w: Int, h: Int, seed: Long, perturb: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h)
+    for (y <- 0 until h; x <- 0 until w)
+      out(y * w + x) = ImageCodec.pixel(w, x, y, seed, perturb).toByte
+    out
+  }
+
+  describe("PNG encode → decode round trip") {
+    it("recovers exactly the rendered pixels, dims, and depth") {
+      for ((w, h, seed) <- Seq((72, 8, 0L), (144, 32, 7L), (72, 24, 123L))) {
+        val png = ImageCodec.renderGrayPng(w, h, seed, 0)
+        // a real PNG: signature + IHDR first
+        assert((png(0) & 0xff) == 0x89 && new String(png.slice(12, 16)) == "IHDR")
+        val (dw, dh, px) = ImageCodec.decodeGrayPng(png)
+        assert((dw, dh) == ((w, h)))
+        assert(px.toSeq == renderedPixels(w, h, seed, 0).toSeq)
+        assert(ImageCodec.imgFormat(png).toString == "png")
+        assert(ImageCodec.imgWidth(png) == w && ImageCodec.imgHeight(png) == h)
+        assert(ImageCodec.imgBitDepth(png) == 8)
+      }
+    }
+
+    it("reverses all five scanline filters (Sub/Up/Average/Paeth incl.)") {
+      // hand-build a 4x5 grayscale PNG using one filter type per row —
+      // our encoder only writes filter 0, so this is the only coverage
+      // of the other four decode paths
+      val w = 4; val h = 5
+      val pixels = Array.tabulate(h, w)((y, x) => (x * 37 + y * 91 + 13) % 256)
+      def paeth(a: Int, b: Int, c: Int): Int = {
+        val p = a + b - c
+        val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+        if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+      }
+      val raw = new java.io.ByteArrayOutputStream()
+      for (y <- 0 until h) {
+        val ft = y % 5
+        raw.write(ft)
+        for (x <- 0 until w) {
+          val v = pixels(y)(x)
+          val a = if (x > 0) pixels(y)(x - 1) else 0
+          val b = if (y > 0) pixels(y - 1)(x) else 0
+          val c = if (x > 0 && y > 0) pixels(y - 1)(x - 1) else 0
+          val filtered = ft match {
+            case 0 => v
+            case 1 => v - a
+            case 2 => v - b
+            case 3 => v - (a + b) / 2
+            case 4 => v - paeth(a, b, c)
+          }
+          raw.write(filtered & 0xff)
+        }
+      }
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(raw.toByteArray); defl.finish()
+      val idat = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](1024)
+      while (!defl.finished()) idat.write(tmp, 0, defl.deflate(tmp))
+      def be32(v: Int) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      def chunk(t: String, d: Array[Byte]) = {
+        val crc = new java.util.zip.CRC32()
+        crc.update(t.getBytes); crc.update(d)
+        be32(d.length) ++ t.getBytes ++ d ++ be32(crc.getValue.toInt)
+      }
+      val png = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+        chunk("IHDR", be32(w) ++ be32(h) ++ Array[Byte](8, 0, 0, 0, 0)) ++
+        chunk("IDAT", idat.toByteArray) ++ chunk("IEND", Array.emptyByteArray)
+      val (dw, dh, px) = ImageCodec.decodeGrayPng(png)
+      assert((dw, dh) == ((w, h)))
+      assert(px.map(_ & 0xff).toSeq == pixels.flatten.toSeq)
+    }
+  }
+
+  describe("JPEG marker walk") {
+    it("finds SOF0 dims behind variable-length segments") {
+      val j = ImageCodec.jfifHeader(513, 71)
+      assert(ImageCodec.imgFormat(j).toString == "jpeg")
+      assert(ImageCodec.imgWidth(j) == 513)
+      assert(ImageCodec.imgHeight(j) == 71)
+      assert(ImageCodec.imgBitDepth(j) == 8)
+    }
+    it("reports unknown for non-image bytes") {
+      assert(ImageCodec.imgFormat("not an image".getBytes).toString == "unknown")
+      assert(ImageCodec.imgWidth("x".getBytes) == -1)
+    }
+  }
+
+  describe("perceptual hashes") {
+    it("identical images hash identically; the perturbed twin stays within hamming 3 of its anchor on the fixture dims") {
+      for (seed <- 0L until 40L) {
+        val w = 72 * (1 + seed % 2).toInt; val h = 8 * (1 + seed % 4).toInt
+        val a = ImageCodec.renderGrayPng(w, h, seed, 0)
+        val b = ImageCodec.renderGrayPng(w, h, seed, 0)
+        assert(ImageCodec.dHash64(a) == ImageCodec.dHash64(b))
+        assert(ImageCodec.aHash64(a) == ImageCodec.aHash64(b))
+        val p = ImageCodec.renderGrayPng(w, h, seed, 1)
+        val ham = java.lang.Long.bitCount(ImageCodec.dHash64(a) ^ ImageCodec.dHash64(p))
+        // the perturbation touches only the top-right dHash block; how
+        // many of the affected comparisons flip depends on the wrap
+        // pattern — assert the LOCALITY (<= 8 = one column of bits),
+        // the q227 fixture keeps pairs whose distance lands <= 3
+        assert(ham <= 8, s"seed=$seed twin hamming $ham > 8")
+      }
+    }
+    it("different seeds decorrelate (median pairwise dhash distance is far from 0 and 64)") {
+      val hashes = (0L until 30L).map { seed =>
+        val w = 72 * (1 + seed % 2).toInt; val h = 8 * (1 + seed % 4).toInt
+        ImageCodec.dHash64(ImageCodec.renderGrayPng(w, h, seed, 0))
+      }
+      val dists = for (i <- hashes.indices; j <- 0 until i)
+        yield java.lang.Long.bitCount(hashes(i) ^ hashes(j))
+      val med = dists.sorted.apply(dists.size / 2)
+      assert(med >= 10 && med <= 54, s"median pairwise distance $med suspicious")
+    }
+  }
+
+  describe("column API (codegen StaticInvoke)") {
+    it("q225's encode+parse chain runs as a narrow per-row map") {
+      val df = Seq((0L, 100L), (1L, 33L), (5L, 260L)).toDF("doc_id", "n_chars")
+        .select(col("doc_id"),
+          ImageCodec.pngImage(lit(72), lit(16), col("doc_id"), lit(0)).as("payload"))
+        .select(col("doc_id"),
+          ImageCodec.imageFormat(col("payload")).as("f"),
+          ImageCodec.imageWidth(col("payload")).as("w"),
+          ImageCodec.ahash(col("payload")).as("ah"))
+      val rows = df.as[(Long, String, Int, Long)].collect().toSeq.sortBy(_._1)
+      assert(rows.map(r => (r._1, r._2, r._3)) ==
+        Seq((0L, "png", 72), (1L, "png", 72), (5L, "png", 72)))
+      // and the Scala-side hash agrees with the column-side hash
+      assert(rows.head._4 ==
+        ImageCodec.aHash64(ImageCodec.renderGrayPng(72, 16, 0L, 0)))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"image chain must not shuffle:\n$plan")
+    }
+  }
+}
