@@ -462,6 +462,48 @@ object WarehouseOps {
       },
       Some("""WITH news AS (SELECT o_orderkey, CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice, CASE WHEN o_orderkey % 7 = 0 THEN '0-REPRIORITIZED' ELSE o_orderpriority END AS o_orderpriority FROM orders WHERE o_orderkey % 10 <> 7) SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price FROM news GROUP BY 1""")),
 
+    QueryDef("q228_gated_cdc_maintain",
+      "GATED CDC metric maintenance with a STREAMING twin (VERDICT r10 #8 - the warehouse plane joins the stream-twin family): q171's stage order (DQ gate upstream of the differ, so quarantined rows surface honestly as deletes) feeding q143's signed-contribution fold, but the fold now runs through streaming.WarehouseStream.signedContributions - the SAME column expression the watermarked stream consumes (StreamingSpec proves base-rollup + streamed delta state equals this batch result at any micro-batch split; the fold is merge-safe because the maintained state is an exact DECIMAL(38,6) sum and decimal addition commutes - the q143 theorem is exactly the property that makes the aggregate INCREMENTALIZABLE under Structured Streaming with zero custom state). Output: the maintained per-priority (n_orders, total_price) table plus the quarantine audit; the oracle recomputes FROM SCRATCH over the gated snapshot - incremental == batch to the bit, now with the gate in the loop. Scale: the stream's state is dimension-sized (one row per priority), the delta fold touches only the change feed, and the full table is never re-read",
+      (s, d) => {
+        import graft.ops.Num.D
+        val k = col("o_orderkey")
+        val orders = t(s, d, "orders")
+        val oldS = orders.filter(k % 10 =!= 3)
+        val raw = orders.filter(k % 10 =!= 7)
+          .withColumn("o_totalprice",
+            when(k % 13 === 0, -col("o_totalprice"))
+              .otherwise(when(k % 5 === 0, col("o_totalprice") + 1.0)
+                .otherwise(col("o_totalprice"))))
+          .withColumn("o_orderpriority",
+            when(k % 7 === 0, lit("0-REPRIORITIZED"))
+              .otherwise(col("o_orderpriority")))
+        val ok = col("o_totalprice") > 0 &&
+          col("o_orderstatus").isin("F", "O", "P")
+        val gated = raw.filter(ok)
+        val nQuar = raw.filter(!ok).agg(count(lit(1))).head.getLong(0)
+        val changes = graft.ops.Cdc.snapshotDiff(oldS, gated,
+            Seq("o_orderkey"), Seq("o_totalprice", "o_orderpriority"))
+          .select(col("change_type"),
+            col("old_o_orderpriority").as("old_g"),
+            col("old_o_totalprice").as("old_v"),
+            col("new_o_orderpriority").as("new_g"),
+            col("new_o_totalprice").as("new_v"))
+        val delta = graft.streaming.WarehouseStream.signedContributions(changes)
+          .groupBy(col("g")).agg(sum(col("dn")).as("dn"), sum(col("dv")).as("dv"))
+        val oldAgg = oldS.groupBy(col("o_orderpriority").as("g"))
+          .agg(count(lit(1)).cast("long").as("n"),
+               sum(col("o_totalprice").cast(D)).as("sd"))
+        oldAgg.join(delta, Seq("g"), "full_outer")
+          .select(col("g").as("o_orderpriority"),
+            (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+              .cast("long").as("n_orders"),
+            (coalesce(col("sd"), lit(0).cast(D)) + coalesce(col("dv"), lit(0).cast(D)))
+              .cast("double").as("total_price"))
+          .filter(col("n_orders") > 0)
+          .withColumn("n_quarantined", lit(nQuar))
+      },
+      Some("""WITH raw AS (SELECT o_orderkey, o_orderstatus, CASE WHEN o_orderkey % 13 = 0 THEN -o_totalprice WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice, CASE WHEN o_orderkey % 7 = 0 THEN '0-REPRIORITIZED' ELSE o_orderpriority END AS o_orderpriority FROM orders WHERE o_orderkey % 10 <> 7), gated AS (SELECT * FROM raw WHERE o_totalprice > 0 AND o_orderstatus IN ('F','O','P')), quar AS (SELECT CAST(count(*) AS BIGINT) AS n_quarantined FROM raw WHERE NOT (o_totalprice > 0 AND o_orderstatus IN ('F','O','P'))) SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price, quar.n_quarantined FROM gated, quar GROUP BY o_orderpriority, quar.n_quarantined""")),
+
     QueryDef("q180_fifo_matching",
       "FIFO lot matching — cost-basis / inventory-consumption allocation, the warehouse op everyone writes as a sequential queue and then can't scale: per user, inflow events (signup/click/view, quantity = value) build lots in time order, purchases consume them oldest-first, output = every (purchase, lot) match with its consumed quantity and holding time. The engine form is the DECLARATIVE one: FIFO allocation is EXACTLY interval overlap on the two cumulative-quantity axes — lot i occupies [cum_in_before, cum_in_after) of the user's inflow axis, purchase o consumes [cum_out_before, cum_out_after) of the same axis, matched qty = overlap length — so the whole operator is two per-user prefix-sum windows + ONE user-keyed equi-join with a range post-filter. No queue, no fold, no per-row state: the q145-family sequential shape turns out NOT to need tier-(d) mapPartitions because prefix sums linearize it (the ShardedPrefix insight applied to matching). Determinism: quantities floor to the 6-dp grid ONCE, every cumsum/endpoint/overlap stays exact DECIMAL(38,6) until the final cast — with one cross-engine trap found by the hash gate: DuckDB's least/greatest SILENTLY promote DECIMAL operands to DOUBLE (measured 2e-13 drift on 3274 rows), so the oracle writes the endpoint min/max as CASE comparisons, which stay decimal. Scale: two user-keyed window passes + one co-keyed join; per-user match count is n_in + n_out - 1 at most (FIFO intervals are consecutive), so output is linear in the corpus; the join's range filter evaluates streamed per user — never a materialized per-user cross product",
       (s, d) => {

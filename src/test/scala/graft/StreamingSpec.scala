@@ -6,6 +6,12 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import java.sql.Timestamp
 
+/** CDC change record for the WarehouseStream parity tests (top level:
+  * local case classes get no Encoder). */
+case class WhChg(ts: java.sql.Timestamp, change_type: String,
+                 old_g: String, old_v: java.lang.Double,
+                 new_g: String, new_v: java.lang.Double)
+
 class StreamingSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
@@ -683,6 +689,82 @@ class StreamingSpec extends SparkSpec {
           .select(col("user_id"), col("event_id"), col("bal"))
           .as[(Long, Long, Long)].collect().toSet
         assert(streamed == batch)
+      } finally q.stop()
+    }
+  }
+
+  describe("warehouseMaintainStream (streaming CDC metric maintenance, VERDICT r10 #8)") {
+    it("base rollup ⊕ streamed delta state equals the from-scratch batch rollup at any micro-batch split") {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      import graft.ops.Num.D
+      // the q228 scenario in miniature: old snapshot, corrupted new
+      // snapshot, gate upstream of the differ, CDC feed into the stream
+      val oldRows = Seq((1L, "HI", 10.0), (2L, "HI", 20.0), (3L, "LO", 30.0),
+        (4L, "LO", 40.0), (5L, "HI", 50.0))
+      val newRows = Seq((1L, "HI", 11.0), /* 2 deleted */ (3L, "MID", 30.0),
+        (4L, "LO", -40.0) /* gated out -> delete */, (5L, "HI", 50.0),
+        (6L, "LO", 60.0), (7L, "MID", -1.0) /* gated insert -> no-op */)
+      val oldS = oldRows.toDF("k", "g", "v")
+      val gated = newRows.toDF("k", "g", "v").filter($"v" > 0)
+      val changes = graft.ops.Cdc.snapshotDiff(oldS, gated, Seq("k"), Seq("g", "v"))
+        .select(lit(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")).as("ts"),
+          col("change_type"), col("old_g"), col("old_v").as("old_v"),
+          col("new_g"), col("new_v").as("new_v"))
+        .collect().toSeq
+      assert(changes.nonEmpty)
+
+      val feed = changes.map(r => WhChg(r.getTimestamp(0), r.getString(1),
+        r.getString(2), if (r.isNullAt(3)) null else r.getDouble(3),
+        r.getString(4), if (r.isNullAt(5)) null else r.getDouble(5)))
+      val src = MemoryStream[WhChg]
+      val q = graft.streaming.WarehouseStream.maintainedAggStream(src.toDF())
+        .writeStream.format("memory").queryName("wh_maintain")
+        .outputMode(OutputMode.Complete()).start()
+      try {
+        // shuffled, split across micro-batches: sums must commute
+        scala.util.Random.javaRandomToRandom(new java.util.Random(3))
+          .shuffle(feed).grouped(2).foreach { g =>
+            src.addData(g: _*); q.processAllAvailable()
+          }
+        val state = spark.table("wh_maintain")
+        val maintained = oldS.groupBy($"g")
+          .agg(count(lit(1)).cast("long").as("n"), sum($"v".cast(D)).as("sd"))
+          .join(state, Seq("g"), "full_outer")
+          .select($"g",
+            (coalesce($"n", lit(0L)) + coalesce($"dn", lit(0L))).cast("long").as("n"),
+            (coalesce($"sd", lit(0).cast(D)) + coalesce($"dv", lit(0).cast(D)))
+              .cast("double").as("total"))
+          .filter($"n" > 0)
+          .as[(String, Long, Double)].collect().toSet
+        val scratch = gated.groupBy($"g")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum($"v".cast(D)).cast("double").as("total"))
+          .as[(String, Long, Double)].collect().toSet
+        assert(maintained == scratch,
+          s"maintained $maintained != from-scratch $scratch")
+      } finally q.stop()
+    }
+
+    it("quarantinedStream counts gated-out inserts/updates, never deletes") {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      val src = MemoryStream[WhChg]
+      val q = graft.streaming.WarehouseStream
+        .quarantinedStream(src.toDF(), col("new_v") > 0)
+        .writeStream.format("memory").queryName("wh_quar")
+        .outputMode(OutputMode.Complete()).start()
+      try {
+        src.addData(
+          WhChg(t0, "insert", null, null, "HI", -5.0), // quarantined
+          WhChg(t0, "update", "HI", 10.0, "HI", -1.0), // quarantined
+          WhChg(t0, "insert", null, null, "LO", 7.0),  // ok
+          WhChg(t0, "delete", "LO", -3.0, null, null)) // deletes never count
+        q.processAllAvailable()
+        assert(spark.table("wh_quar").as[Long].head() == 2L)
       } finally q.stop()
     }
   }
