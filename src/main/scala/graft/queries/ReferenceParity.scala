@@ -48,7 +48,12 @@ object ReferenceParity {
           dsum(col("l_extendedprice")).as("sum_base"),
           dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc"),
           lcount(lit(1)).as("n_rows")),
-      Some("""SELECT l_returnflag, l_linestatus, CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty, CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base, CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc, CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem GROUP BY l_returnflag, l_linestatus""")),
+      // the money sums route DECIMAL->VARCHAR->DOUBLE: DuckDB's direct
+      // DECIMAL->DOUBLE double-rounds (int128->double, then /10^scale)
+      // once the unscaled sum passes 2^53 — a 1-ulp divergence from
+      // Spark's single-rounded BigDecimal conversion, caught at sf1;
+      // the string round-trip is correctly rounded in both engines
+      Some("""SELECT l_returnflag, l_linestatus, CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty, CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_base, CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_disc, CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem GROUP BY l_returnflag, l_linestatus""")),
 
     QueryDef("q04_latest_argmax",
       "A1 latest-record argmax keeping ties + A2 sum over winners (main.py:130-135)",

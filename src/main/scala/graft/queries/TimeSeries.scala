@@ -240,7 +240,7 @@ object TimeSeries {
       Some("""WITH e AS (SELECT l_returnflag, l_extendedprice FROM (SELECT l_returnflag, l_extendedprice, unnest(range(CAST(l_quantity AS BIGINT))) FROM lineitem)), q AS (SELECT l_returnflag, quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.9]) AS qs FROM e GROUP BY 1) SELECT l_returnflag, CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS p, unnest(qs) AS value FROM q""")),
 
     QueryDef("q215_gumbel_maxima",
-      "extreme-value analysis by block maxima - the TAIL-RISK member of the time-series plane (quantiles describe the bulk, CUSUM/KS watch for drift; this asks 'how bad can a day get', the question capacity planning and risk limits actually need): monthly maxima of daily revenue, Gumbel fit by method of moments (beta = sd*sqrt(6)/pi, mu = mean - gamma*beta - the EVT Type-I domain for light-tailed daily sums per Fisher-Tippett), and the 100-month RETURN LEVEL mu - beta*ln(-ln(1-1/100)) = the daily revenue exceeded once per ~8 years. Shape: the corpus pays the one day rollup; block maxima and both moment sums live on the ~79-row month grid (maxima via exact decimal comparisons; mean through the exact 6-dp decimal sum, E[x^2] through the q152 floor-grid recipe, variance clamped at 0 per the round-9 ADVICE lesson); all three Gumbel constants are EMBEDDED LITERALS (sqrt(6)/pi, Euler-Mascheroni, the double-log return quantile) so no libm call depends on data and both engines run the identical pinned chain. Honest caveat in the readout: ~79 blocks is a REAL EVT sample size and the RL100 extrapolates beyond the record - that is what return levels are for",
+      "extreme-value analysis by block maxima - the TAIL-RISK member of the time-series plane (quantiles describe the bulk, CUSUM/KS watch for drift; this asks 'how bad can a day get', the question capacity planning and risk limits actually need): monthly maxima of daily revenue, Gumbel fit by method of moments (beta = sd*sqrt(6)/pi, mu = mean - gamma*beta - the EVT Type-I domain for light-tailed daily sums per Fisher-Tippett), and the 100-month RETURN LEVEL mu - beta*ln(-ln(1-1/100)) = the daily revenue exceeded once per ~8 years. Shape: the corpus pays the one day rollup; block maxima and both moment sums live on the ~79-row month grid (maxima via exact decimal comparisons; BOTH moment sums through the q152 floor-grid recipe - a raw double->decimal cast of the mean term rounded a knife-edge month differently across engines at sf1, amplified ~4e6x by the variance cancellation; variance clamped at 0 per the round-9 ADVICE lesson); all three Gumbel constants are EMBEDDED LITERALS (sqrt(6)/pi, Euler-Mascheroni, the double-log return quantile) so no libm call depends on data and both engines run the identical pinned chain. Honest caveat in the readout: ~79 blocks is a REAL EVT sample size and the RL100 extrapolates beyond the record - that is what return levels are for",
       (s, d) => {
         val daily = t(s, d, "orders")
           .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
@@ -255,8 +255,17 @@ object TimeSeries {
         // x*1e6 inside integer-floor range, and raw maxima (~2e7)
         // squared would push it past both 2^53 and Spark's LONG floor
         val m6 = col("m") / lit(1e6)
+        // BOTH moment terms go through the floor-grid before the decimal
+        // cast: a raw double→DECIMAL(38,6) cast rounds the binary
+        // expansion, and a value landing within ~5e-7 of a grid boundary
+        // rounds differently in the two engines (DuckDB decides on
+        // fl(x*1e6), Spark on the exact expansion — caught at sf1, month
+        // 23951: 172.257538 vs ...539, amplified x4e6 by the variance
+        // cancellation). floor(x*1e6+0.5) decides on the identical double
+        // in both engines, so the grid value is engine-independent.
         val mo = mx.agg(lcount(lit(1)).as("nb"),
-          sum(d6(m6)).cast("double").as("s1"),
+          sum(d6(floor(m6 * lit(1e6) + lit(0.5)) / lit(1e6)))
+            .cast("double").as("s1"),
           sum(d6(floor(m6 * m6 * lit(1e6) + lit(0.5)) / lit(1e6)))
             .cast("double").as("s2"))
         val mean = col("s1") / col("nb").cast("double") * lit(1e6)
@@ -274,7 +283,7 @@ object TimeSeries {
           (floor(mu * lit(1e4) + lit(0.5)) / lit(1e4)).as("gumbel_mu"),
           (floor(rl * lit(1e4) + lit(0.5)) / lit(1e4)).as("return_level_100"))
       },
-      Some("""WITH daily AS (SELECT date_trunc('day', o_orderdate) AS day, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS x FROM orders GROUP BY 1), mx AS (SELECT CAST(year(day) * 12 + month(day) AS BIGINT) AS tm, max(x) / 1e6 AS m6 FROM daily GROUP BY 1), mo AS (SELECT CAST(count(*) AS BIGINT) AS nb, CAST(SUM(CAST(m6 AS DECIMAL(38,6))) AS DOUBLE) AS s1, CAST(SUM(CAST(floor(m6 * m6 * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS s2 FROM mx), f AS (SELECT nb, s1 / CAST(nb AS DOUBLE) * 1e6 AS mean, sqrt(greatest(0.0, s2 / CAST(nb AS DOUBLE) - (s1 / CAST(nb AS DOUBLE)) * (s1 / CAST(nb AS DOUBLE)))) * 1e6 AS sd FROM mo), g AS (SELECT nb, mean, sd, sd * 0.779696801233676 AS beta, mean - 0.5772156649015329 * (sd * 0.779696801233676) AS mu FROM f) SELECT nb AS n_blocks, floor(mean * 1e4 + 0.5) / 1e4 AS mean_max, floor(sd * 1e4 + 0.5) / 1e4 AS sd_max, floor(beta * 1e4 + 0.5) / 1e4 AS gumbel_beta, floor(mu * 1e4 + 0.5) / 1e4 AS gumbel_mu, floor((mu - beta * -4.600149226776579) * 1e4 + 0.5) / 1e4 AS return_level_100 FROM g""")),
+      Some("""WITH daily AS (SELECT date_trunc('day', o_orderdate) AS day, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS x FROM orders GROUP BY 1), mx AS (SELECT CAST(year(day) * 12 + month(day) AS BIGINT) AS tm, max(x) / 1e6 AS m6 FROM daily GROUP BY 1), mo AS (SELECT CAST(count(*) AS BIGINT) AS nb, CAST(SUM(CAST(floor(m6 * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS s1, CAST(SUM(CAST(floor(m6 * m6 * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS s2 FROM mx), f AS (SELECT nb, s1 / CAST(nb AS DOUBLE) * 1e6 AS mean, sqrt(greatest(0.0, s2 / CAST(nb AS DOUBLE) - (s1 / CAST(nb AS DOUBLE)) * (s1 / CAST(nb AS DOUBLE)))) * 1e6 AS sd FROM mo), g AS (SELECT nb, mean, sd, sd * 0.779696801233676 AS beta, mean - 0.5772156649015329 * (sd * 0.779696801233676) AS mu FROM f) SELECT nb AS n_blocks, floor(mean * 1e4 + 0.5) / 1e4 AS mean_max, floor(sd * 1e4 + 0.5) / 1e4 AS sd_max, floor(beta * 1e4 + 0.5) / 1e4 AS gumbel_beta, floor(mu * 1e4 + 0.5) / 1e4 AS gumbel_mu, floor((mu - beta * -4.600149226776579) * 1e4 + 0.5) / 1e4 AS return_level_100 FROM g""")),
 
     QueryDef("q124_histogram_quantiles",
       "fixed-bounds histogram quantiles per (event_type, day) — the STREAMING-NATIVE quantile form (EventStreams.histogramQuantilesStream is the watermarked twin; StreamingSpec proves row equality): 32 caller-bounded buckets over [0, 600] (the SLO/latency-bucket convention; out-of-range clamps to edge buckets), p50/p90/p99 by within-bucket linear interpolation with a PROVABLE one-bucket-width error (600/32 = 18.75). State per (key, window) is exactly 32 mergeable counters — the form that incrementalizes, vs q120's exact two-pass refinement which needs raw rows a stream no longer holds. The derivation is pure higher-order-function column arithmetic over the counts array (cumulative fold + first-covering-bucket search — no explode before the aggregate, no second stateful op), so batch and streaming share one plan shape",

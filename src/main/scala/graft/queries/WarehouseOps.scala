@@ -197,7 +197,7 @@ object WarehouseOps {
           .withColumn("maintained_total_price", lit(m.getDouble(1)))
           .withColumn("n_priorities", lit(m.getLong(2)))
       },
-      Some("""WITH raw AS (SELECT o_orderkey, o_custkey, o_orderdate, o_orderstatus, CASE WHEN o_orderkey % 13 = 0 THEN -o_totalprice WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice, CASE WHEN o_orderkey % 7 = 0 THEN '0-REPRIORITIZED' ELSE o_orderpriority END AS o_orderpriority FROM orders WHERE o_orderkey % 10 <> 7), gated AS (SELECT * FROM raw WHERE o_totalprice > 0 AND o_orderstatus IN ('F','O','P')), quar AS (SELECT CAST(count(*) AS BIGINT) AS n_quarantined FROM raw WHERE NOT (o_totalprice > 0 AND o_orderstatus IN ('F','O','P'))), olds AS (SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders WHERE o_orderkey % 10 <> 3), chg AS (SELECT CAST(count(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT) AS n_insert, CAST(count(*) FILTER (WHERE n.o_orderkey IS NULL) AS BIGINT) AS n_delete, CAST(count(*) FILTER (WHERE o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL AND (o.o_totalprice IS DISTINCT FROM n.o_totalprice OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority)) AS BIGINT) AS n_update FROM olds o FULL OUTER JOIN (SELECT o_orderkey, o_totalprice, o_orderpriority FROM gated) n ON o.o_orderkey = n.o_orderkey), mm AS (SELECT CAST(count(*) AS BIGINT) AS maintained_n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS maintained_total_price, CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities FROM gated), cust AS (SELECT o_custkey, CAST(date_diff('day', max(o_orderdate), (SELECT max(o_orderdate) FROM gated)) AS BIGINT) AS rec, CAST(count(*) AS BIGINT) AS freq, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS mon FROM gated GROUP BY 1), q AS (SELECT quantile_cont(rec, 0.2) AS r1, quantile_cont(rec, 0.4) AS r2, quantile_cont(rec, 0.6) AS r3, quantile_cont(rec, 0.8) AS r4, quantile_cont(freq, 0.2) AS f1, quantile_cont(freq, 0.4) AS f2, quantile_cont(freq, 0.6) AS f3, quantile_cont(freq, 0.8) AS f4, quantile_cont(mon, 0.2) AS m1, quantile_cont(mon, 0.4) AS m2, quantile_cont(mon, 0.6) AS m3, quantile_cont(mon, 0.8) AS m4 FROM cust), sc AS (SELECT CAST(1 + (CASE WHEN rec > r1 THEN 1 ELSE 0 END) + (CASE WHEN rec > r2 THEN 1 ELSE 0 END) + (CASE WHEN rec > r3 THEN 1 ELSE 0 END) + (CASE WHEN rec > r4 THEN 1 ELSE 0 END) AS BIGINT) AS r_score, CAST(1 + (CASE WHEN freq > f1 THEN 1 ELSE 0 END) + (CASE WHEN freq > f2 THEN 1 ELSE 0 END) + (CASE WHEN freq > f3 THEN 1 ELSE 0 END) + (CASE WHEN freq > f4 THEN 1 ELSE 0 END) AS BIGINT) AS f_score, CAST(1 + (CASE WHEN mon > m1 THEN 1 ELSE 0 END) + (CASE WHEN mon > m2 THEN 1 ELSE 0 END) + (CASE WHEN mon > m3 THEN 1 ELSE 0 END) + (CASE WHEN mon > m4 THEN 1 ELSE 0 END) AS BIGINT) AS m_score, mon FROM cust, q), grid AS (SELECT r_score, f_score, m_score, CAST(count(*) AS BIGINT) AS n_customers, CAST(SUM(CAST(floor(mon * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS total_monetary FROM sc GROUP BY 1, 2, 3) SELECT grid.*, quar.n_quarantined, chg.n_insert, chg.n_delete, chg.n_update, mm.maintained_n_orders, mm.maintained_total_price, mm.n_priorities FROM grid, quar, chg, mm""")),
+      Some("""WITH raw AS (SELECT o_orderkey, o_custkey, o_orderdate, o_orderstatus, CASE WHEN o_orderkey % 13 = 0 THEN -o_totalprice WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice, CASE WHEN o_orderkey % 7 = 0 THEN '0-REPRIORITIZED' ELSE o_orderpriority END AS o_orderpriority FROM orders WHERE o_orderkey % 10 <> 7), gated AS (SELECT * FROM raw WHERE o_totalprice > 0 AND o_orderstatus IN ('F','O','P')), quar AS (SELECT CAST(count(*) AS BIGINT) AS n_quarantined FROM raw WHERE NOT (o_totalprice > 0 AND o_orderstatus IN ('F','O','P'))), olds AS (SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders WHERE o_orderkey % 10 <> 3), chg AS (SELECT CAST(count(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT) AS n_insert, CAST(count(*) FILTER (WHERE n.o_orderkey IS NULL) AS BIGINT) AS n_delete, CAST(count(*) FILTER (WHERE o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL AND (o.o_totalprice IS DISTINCT FROM n.o_totalprice OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority)) AS BIGINT) AS n_update FROM olds o FULL OUTER JOIN (SELECT o_orderkey, o_totalprice, o_orderpriority FROM gated) n ON o.o_orderkey = n.o_orderkey), mm AS (SELECT CAST(count(*) AS BIGINT) AS maintained_n_orders, CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS maintained_total_price, CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities FROM gated), cust AS (SELECT o_custkey, CAST(date_diff('day', max(o_orderdate), (SELECT max(o_orderdate) FROM gated)) AS BIGINT) AS rec, CAST(count(*) AS BIGINT) AS freq, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS mon FROM gated GROUP BY 1), q AS (SELECT quantile_cont(rec, 0.2) AS r1, quantile_cont(rec, 0.4) AS r2, quantile_cont(rec, 0.6) AS r3, quantile_cont(rec, 0.8) AS r4, quantile_cont(freq, 0.2) AS f1, quantile_cont(freq, 0.4) AS f2, quantile_cont(freq, 0.6) AS f3, quantile_cont(freq, 0.8) AS f4, quantile_cont(mon, 0.2) AS m1, quantile_cont(mon, 0.4) AS m2, quantile_cont(mon, 0.6) AS m3, quantile_cont(mon, 0.8) AS m4 FROM cust), sc AS (SELECT CAST(1 + (CASE WHEN rec > r1 THEN 1 ELSE 0 END) + (CASE WHEN rec > r2 THEN 1 ELSE 0 END) + (CASE WHEN rec > r3 THEN 1 ELSE 0 END) + (CASE WHEN rec > r4 THEN 1 ELSE 0 END) AS BIGINT) AS r_score, CAST(1 + (CASE WHEN freq > f1 THEN 1 ELSE 0 END) + (CASE WHEN freq > f2 THEN 1 ELSE 0 END) + (CASE WHEN freq > f3 THEN 1 ELSE 0 END) + (CASE WHEN freq > f4 THEN 1 ELSE 0 END) AS BIGINT) AS f_score, CAST(1 + (CASE WHEN mon > m1 THEN 1 ELSE 0 END) + (CASE WHEN mon > m2 THEN 1 ELSE 0 END) + (CASE WHEN mon > m3 THEN 1 ELSE 0 END) + (CASE WHEN mon > m4 THEN 1 ELSE 0 END) AS BIGINT) AS m_score, mon FROM cust, q), grid AS (SELECT r_score, f_score, m_score, CAST(count(*) AS BIGINT) AS n_customers, CAST(SUM(CAST(floor(mon * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS total_monetary FROM sc GROUP BY 1, 2, 3) SELECT grid.*, quar.n_quarantined, chg.n_insert, chg.n_delete, chg.n_update, mm.maintained_n_orders, mm.maintained_total_price, mm.n_priorities FROM grid, quar, chg, mm""")),
 
     QueryDef("q132_dq_constraints",
       "declarative data-quality constraint suite (the Deequ/Great-Expectations surface as pure Catalyst aggregates): 4 row predicates + a PK-uniqueness check over lineitem, 2 row predicates + a customer FK referential check over orders, each emitting (check_name, n_rows, n_violations, pass). The engine point is FUSION: all row checks over a table compile into ONE aggregate pass (one scan, one map-side partial count per predicate — never a job per constraint), uniqueness is one hash aggregate on the key, the FK check one equi-join against DISTINCT dim keys that AQE broadcasts when small. Two checks genuinely FIRE on this fixture (discount>0.08 rows; the synthetic lineitem PK has ~12k duplicate groups) — a DQ suite that only ever passes demonstrates nothing",
@@ -460,7 +460,7 @@ object WarehouseOps {
               .cast("double").as("total_price"))
           .filter(col("n_orders") > 0)
       },
-      Some("""WITH news AS (SELECT o_orderkey, CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice, CASE WHEN o_orderkey % 7 = 0 THEN '0-REPRIORITIZED' ELSE o_orderpriority END AS o_orderpriority FROM orders WHERE o_orderkey % 10 <> 7) SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price FROM news GROUP BY 1""")),
+      Some("""WITH news AS (SELECT o_orderkey, CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice, CASE WHEN o_orderkey % 7 = 0 THEN '0-REPRIORITIZED' ELSE o_orderpriority END AS o_orderpriority FROM orders WHERE o_orderkey % 10 <> 7) SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders, CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS total_price FROM news GROUP BY 1""")),
 
     QueryDef("q228_gated_cdc_maintain",
       "GATED CDC metric maintenance with a STREAMING twin (VERDICT r10 #8 - the warehouse plane joins the stream-twin family): q171's stage order (DQ gate upstream of the differ, so quarantined rows surface honestly as deletes) feeding q143's signed-contribution fold, but the fold now runs through streaming.WarehouseStream.signedContributions - the SAME column expression the watermarked stream consumes (StreamingSpec proves base-rollup + streamed delta state equals this batch result at any micro-batch split; the fold is merge-safe because the maintained state is an exact DECIMAL(38,6) sum and decimal addition commutes - the q143 theorem is exactly the property that makes the aggregate INCREMENTALIZABLE under Structured Streaming with zero custom state). Output: the maintained per-priority (n_orders, total_price) table plus the quarantine audit; the oracle recomputes FROM SCRATCH over the gated snapshot - incremental == batch to the bit, now with the gate in the loop. Scale: the stream's state is dimension-sized (one row per priority), the delta fold touches only the change feed, and the full table is never re-read",
@@ -502,7 +502,7 @@ object WarehouseOps {
           .filter(col("n_orders") > 0)
           .withColumn("n_quarantined", lit(nQuar))
       },
-      Some("""WITH raw AS (SELECT o_orderkey, o_orderstatus, CASE WHEN o_orderkey % 13 = 0 THEN -o_totalprice WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice, CASE WHEN o_orderkey % 7 = 0 THEN '0-REPRIORITIZED' ELSE o_orderpriority END AS o_orderpriority FROM orders WHERE o_orderkey % 10 <> 7), gated AS (SELECT * FROM raw WHERE o_totalprice > 0 AND o_orderstatus IN ('F','O','P')), quar AS (SELECT CAST(count(*) AS BIGINT) AS n_quarantined FROM raw WHERE NOT (o_totalprice > 0 AND o_orderstatus IN ('F','O','P'))) SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price, quar.n_quarantined FROM gated, quar GROUP BY o_orderpriority, quar.n_quarantined""")),
+      Some("""WITH raw AS (SELECT o_orderkey, o_orderstatus, CASE WHEN o_orderkey % 13 = 0 THEN -o_totalprice WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice, CASE WHEN o_orderkey % 7 = 0 THEN '0-REPRIORITIZED' ELSE o_orderpriority END AS o_orderpriority FROM orders WHERE o_orderkey % 10 <> 7), gated AS (SELECT * FROM raw WHERE o_totalprice > 0 AND o_orderstatus IN ('F','O','P')), quar AS (SELECT CAST(count(*) AS BIGINT) AS n_quarantined FROM raw WHERE NOT (o_totalprice > 0 AND o_orderstatus IN ('F','O','P'))) SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders, CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS total_price, quar.n_quarantined FROM gated, quar GROUP BY o_orderpriority, quar.n_quarantined""")),
 
     QueryDef("q180_fifo_matching",
       "FIFO lot matching — cost-basis / inventory-consumption allocation, the warehouse op everyone writes as a sequential queue and then can't scale: per user, inflow events (signup/click/view, quantity = value) build lots in time order, purchases consume them oldest-first, output = every (purchase, lot) match with its consumed quantity and holding time. The engine form is the DECLARATIVE one: FIFO allocation is EXACTLY interval overlap on the two cumulative-quantity axes — lot i occupies [cum_in_before, cum_in_after) of the user's inflow axis, purchase o consumes [cum_out_before, cum_out_after) of the same axis, matched qty = overlap length — so the whole operator is two per-user prefix-sum windows + ONE user-keyed equi-join with a range post-filter. No queue, no fold, no per-row state: the q145-family sequential shape turns out NOT to need tier-(d) mapPartitions because prefix sums linearize it (the ShardedPrefix insight applied to matching). Determinism: quantities floor to the 6-dp grid ONCE, every cumsum/endpoint/overlap stays exact DECIMAL(38,6) until the final cast — with one cross-engine trap found by the hash gate: DuckDB's least/greatest SILENTLY promote DECIMAL operands to DOUBLE (measured 2e-13 drift on 3274 rows), so the oracle writes the endpoint min/max as CASE comparisons, which stay decimal. Scale: two user-keyed window passes + one co-keyed join; per-user match count is n_in + n_out - 1 at most (FIFO intervals are consecutive), so output is linear in the corpus; the join's range filter evaluates streamed per user — never a materialized per-user cross product",
