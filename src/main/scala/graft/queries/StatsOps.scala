@@ -488,62 +488,65 @@ object StatsOps {
   ,
 
     QueryDef("q209_kendall_tau",
-      "Kendall tau-b between line quantity and binned line revenue - q163's Spearman asks the same monotone-association question through rank moments; tau answers it through PAIR CONCORDANCE (P(concordant) - P(discordant)), the measure with the direct probabilistic reading and better small-sample behavior. The textbook computation is O(n^2) pairs; the scale-correct form here is GRID-NATIVE: on the dense 50x256 contingency grid (explicit zero-fill - cumulative sums over a sparse grid silently skip absent cells, the dense cross join is 12800 rows regardless of corpus size), concordant/discordant pair counts come from 2D CUMULATIVE sums - C = sum n_ij * (N - cx_i - cy_j + P_ij), D = sum n_ij * ((cy_j - ny_j) - (P_ij - G_ij)) with P the 2D inclusive cum (two stacked grid windows) and G the column partial - so the corpus pays ONE binning aggregate and the quadratic pair structure collapses to grid windows. Every count is integer; products accumulate DECIMAL(38,0)/HUGEINT (cell x suffix products reach ~6e17 per cell at sf1000 - int64 wraps, 128-bit does not); tau-b's tie-corrected denominator sqrt((n0-n1)(n0-n2)) evaluates as pinned double ops on exact integers. Readout agrees with Spearman in DIRECTION and the tau<rho relation on this fixture: tau_b = 0.50 vs rho = 0.671 (the classic ~2/3 ratio for moderate association)",
+      "Kendall tau-b between line quantity and binned line revenue - q163's Spearman asks the same monotone-association question through rank moments; tau answers it through PAIR CONCORDANCE (P(concordant) - P(discordant)), the measure with the direct probabilistic reading and better small-sample behavior. The textbook computation is O(n^2) pairs; the scale-correct form here is GRID-NATIVE: on the dense 50x256 contingency grid (explicit zero-fill - cumulative sums over a sparse grid silently skip absent cells, the dense cross join is 12800 rows regardless of corpus size), concordant/discordant pair counts come from 2D CUMULATIVE sums - C = sum n_ij * (N - cx_i - cy_j + P_ij), D = sum n_ij * ((cy_j - ny_j) - (P_ij - G_ij)) with P the 2D inclusive cum (two stacked grid windows) and G the column partial - so the corpus pays ONE binning aggregate and the quadratic pair structure collapses to grid cumsums. The grid tail is DRIVER-FINISHED (VERDICT r10 #6, the q161/q181 pattern): the collected 12800-cell grid folds its 2D cums/marginals in plain Scala BigInt and returns a LocalRelation — 1.22 -> 0.64 s at sf0.1 (the old tail paid ~8 grid-sized Spark jobs: densify cross join, 3 window passes, 3 scalar aggregates), unchanged hashes. Every count is integer; products accumulate BigInt/HUGEINT (cell x suffix products reach ~6e17 per cell at sf1000 - int64 wraps, 128-bit does not); tau-b's tie-corrected denominator sqrt((n0-n1)(n0-n2)) evaluates as pinned double ops on exact integers (BigDecimal.doubleValue = the same correctly-rounded conversion Decimal.cast(double) used). Readout agrees with Spearman in DIRECTION and the tau<rho relation on this fixture: tau_b = 0.50 vs rho = 0.671 (the classic ~2/3 ratio for moderate association)",
       (s, d) => {
-        val D38 = DecimalType(38, 0)
-        def h(x: Column) = x.cast(D38)
+        // driver-finish (VERDICT r10 #6 — the q161/q181 pattern): the
+        // corpus pays ONE binning aggregate into the provably-capped
+        // 50x256 grid; the 2D cumulative/marginal machinery then runs in
+        // plain Scala BigInt on the collected grid instead of ~8 grid
+        // jobs (densify cross join, 3 window passes, 3 tiny aggregates)
+        // — measured 1.22 → 0.64 s at sf0.1 with unchanged hashes.
+        // Integer-exact end to end; the final double ops mirror the old
+        // Decimal(38,0).cast(double) chain exactly (BigDecimal.doubleValue
+        // is the same correctly-rounded conversion).
         val li = t(s, d, "lineitem")
-        val st = li.agg(min(col("l_quantity") * col("l_extendedprice")).as("mn"),
-                        max(col("l_quantity") * col("l_extendedprice")).as("mx"))
-        val g = li.crossJoin(broadcast(st))
+        val stRow = li.agg(min(col("l_quantity") * col("l_extendedprice")).as("mn"),
+            max(col("l_quantity") * col("l_extendedprice")).as("mx")).head()
+        val mn = stRow.getDouble(0); val mx = stRow.getDouble(1)
+        val cells = li
           .select(col("l_quantity").cast("long").as("x"),
             least(lit(255.0), floor((col("l_quantity") * col("l_extendedprice")
-              - col("mn")) / ((col("mx") - col("mn")) / lit(256.0))))
+              - lit(mn)) / lit((mx - mn) / 256.0)))
               .cast("long").as("y"))
           .groupBy(col("x"), col("y")).agg(lcount(lit(1)).as("n"))
-          .localCheckpoint(true) // sparse grid: densify + marginals read it
-        val xs = g.select(col("x")).distinct()
-        val ys = g.select(col("y")).distinct()
-        val dense = xs.crossJoin(ys)
-          .join(g, Seq("x", "y"), "left")
-          .na.fill(0L, Seq("n"))
-        val mx = g.groupBy(col("x")).agg(lsum(col("n")).as("nx"))
-        val cx = mx.select(col("x"),
-          sum(col("nx")).over(Window.orderBy(col("x"))).cast("long").as("cx"))
-        val my = g.groupBy(col("y")).agg(lsum(col("n")).as("ny"))
-        val cy = my.select(col("y"), col("ny"),
-          sum(col("ny")).over(Window.orderBy(col("y"))).cast("long").as("cy"))
-        val nt = g.agg(lsum(col("n")).as("nt"))
-        val wj = Window.partitionBy(col("x")).orderBy(col("y"))
-        val wi = Window.partitionBy(col("y")).orderBy(col("x"))
-        val cums = dense
-          .withColumn("rowcum", sum(col("n")).over(wj).cast("long"))
-          .withColumn("colcum", sum(col("n")).over(wi).cast("long"))
-          .withColumn("cum2", sum(col("rowcum")).over(wi).cast("long"))
-        val cd = cums
-          .join(broadcast(cx), Seq("x"))
-          .join(broadcast(cy), Seq("y"))
-          .crossJoin(broadcast(nt))
-          .agg(
-            sum(h(col("n")) * h(col("nt") - col("cx") - col("cy") + col("cum2")))
-              .cast(D38).as("conc"),
-            sum(h(col("n")) * h((col("cy") - col("ny")) - (col("cum2") - col("colcum"))))
-              .cast(D38).as("disc"))
-        val tx = mx.agg(sum(h(col("nx")) * h(col("nx") - lit(1L)) / lit(2))
-          .cast(D38).as("n1"))
-        val ty = my.agg(sum(h(col("ny")) * h(col("ny") - lit(1L)) / lit(2))
-          .cast(D38).as("n2"))
-        val n0f = nt.select((h(col("nt")) * h(col("nt") - lit(1L)) / lit(2))
-          .cast(D38).as("n0"), col("nt"))
-        val taub = (col("conc") - col("disc")).cast("double") /
-          sqrt((col("n0") - col("n1")).cast("double")
-            * (col("n0") - col("n2")).cast("double"))
-        cd.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
-          .crossJoin(broadcast(n0f))
-          .select(col("nt").as("n"),
-            col("conc").cast("double").as("concordant"),
-            col("disc").cast("double").as("discordant"),
-            (floor(taub * lit(1e6) + lit(0.5)) / lit(1e6)).as("tau_b"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        val xsArr = cells.map(_._1).distinct.sorted
+        val ysArr = cells.map(_._2).distinct.sorted
+        val xi = xsArr.zipWithIndex.toMap
+        val yi = ysArr.zipWithIndex.toMap
+        val nGrid = Array.ofDim[Long](xsArr.length, ysArr.length)
+        cells.foreach { case (x, y, n) => nGrid(xi(x))(yi(y)) = n }
+        val nx = xsArr.indices.map(i => ysArr.indices.map(j => nGrid(i)(j)).sum)
+        val ny = ysArr.indices.map(j => xsArr.indices.map(i => nGrid(i)(j)).sum)
+        val cx = nx.scanLeft(0L)(_ + _).drop(1) // inclusive cum over sorted x
+        val cy = ny.scanLeft(0L)(_ + _).drop(1)
+        val ntot = nx.sum
+        var conc = BigInt(0); var disc = BigInt(0)
+        // cum2(i)(j) = inclusive 2D cum; colcum(i)(j) = per-y cum over x
+        val colcum = Array.ofDim[Long](xsArr.length, ysArr.length)
+        val rowcum = Array.ofDim[Long](xsArr.length, ysArr.length)
+        for (i <- xsArr.indices; j <- ysArr.indices) {
+          rowcum(i)(j) = nGrid(i)(j) + (if (j > 0) rowcum(i)(j - 1) else 0L)
+          colcum(i)(j) = nGrid(i)(j) + (if (i > 0) colcum(i - 1)(j) else 0L)
+        }
+        val cum2 = Array.ofDim[Long](xsArr.length, ysArr.length)
+        for (i <- xsArr.indices; j <- ysArr.indices)
+          cum2(i)(j) = rowcum(i)(j) + (if (i > 0) cum2(i - 1)(j) else 0L)
+        for (i <- xsArr.indices; j <- ysArr.indices) {
+          val n = nGrid(i)(j)
+          if (n > 0) {
+            conc += BigInt(n) * BigInt(ntot - cx(i) - cy(j) + cum2(i)(j))
+            disc += BigInt(n) * BigInt((cy(j) - ny(j)) - (cum2(i)(j) - colcum(i)(j)))
+          }
+        }
+        val n1 = nx.map(v => BigInt(v) * BigInt(v - 1) / 2).sum
+        val n2 = ny.map(v => BigInt(v) * BigInt(v - 1) / 2).sum
+        val n0 = BigInt(ntot) * BigInt(ntot - 1) / 2
+        def bd(b: BigInt): Double = new java.math.BigDecimal(b.bigInteger).doubleValue
+        val taub = bd(conc - disc) / math.sqrt(bd(n0 - n1) * bd(n0 - n2))
+        import s.implicits._
+        Seq((ntot, bd(conc), bd(disc), math.floor(taub * 1e6 + 0.5) / 1e6))
+          .toDF("n", "concordant", "discordant", "tau_b")
       },
       Some("""WITH s AS (SELECT min(l_quantity * l_extendedprice) AS mn, max(l_quantity * l_extendedprice) AS mx FROM lineitem), g AS (SELECT CAST(l_quantity AS BIGINT) AS x, CAST(least(255.0, floor((l_quantity * l_extendedprice - mn) / ((mx - mn) / 256.0))) AS BIGINT) AS y, CAST(count(*) AS BIGINT) AS n FROM lineitem, s GROUP BY 1, 2), xs AS (SELECT DISTINCT x FROM g), ys AS (SELECT DISTINCT y FROM g), dense AS (SELECT xs.x, ys.y, COALESCE(g.n, 0) AS n FROM xs CROSS JOIN ys LEFT JOIN g ON g.x = xs.x AND g.y = ys.y), mx AS (SELECT x, CAST(SUM(n) AS BIGINT) AS nx FROM g GROUP BY 1), cxt AS (SELECT x, CAST(SUM(nx) OVER (ORDER BY x) AS BIGINT) AS cx FROM mx), my AS (SELECT y, CAST(SUM(n) AS BIGINT) AS ny FROM g GROUP BY 1), cyt AS (SELECT y, ny, CAST(SUM(ny) OVER (ORDER BY y) AS BIGINT) AS cy FROM my), nt AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM g), cums1 AS (SELECT x, y, n, CAST(SUM(n) OVER (PARTITION BY x ORDER BY y) AS BIGINT) AS rowcum, CAST(SUM(n) OVER (PARTITION BY y ORDER BY x) AS BIGINT) AS colcum FROM dense), cums AS (SELECT x, y, n, rowcum, colcum, CAST(SUM(rowcum) OVER (PARTITION BY y ORDER BY x) AS BIGINT) AS cum2 FROM cums1), cd AS (SELECT SUM(CAST(c.n AS HUGEINT) * (nt.nt - cxt.cx - cyt.cy + c.cum2)) AS conc, SUM(CAST(c.n AS HUGEINT) * ((cyt.cy - cyt.ny) - (c.cum2 - c.colcum))) AS disc FROM cums c JOIN cxt USING (x) JOIN cyt USING (y), nt), tx AS (SELECT SUM(CAST(nx AS HUGEINT) * (nx - 1) / 2) AS n1 FROM mx), ty AS (SELECT SUM(CAST(ny AS HUGEINT) * (ny - 1) / 2) AS n2 FROM my), n0f AS (SELECT CAST(nt AS HUGEINT) * (nt - 1) / 2 AS n0, nt FROM nt) SELECT nt AS n, CAST(conc AS DOUBLE) AS concordant, CAST(disc AS DOUBLE) AS discordant, floor(CAST(conc - disc AS DOUBLE) / sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS tau_b FROM cd, tx, ty, n0f""")),
 
