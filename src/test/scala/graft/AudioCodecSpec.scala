@@ -1,0 +1,63 @@
+package graft
+
+import graft.functions.AudioCodec
+import org.apache.spark.sql.functions._
+
+/** Byte-level audio plane: WAV encode→parse→decode round trips, the
+  * subchunk walk (LIST/INFO skipped, word alignment honored), and the
+  * envelope fingerprint against a direct re-derivation. */
+class AudioCodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  describe("RIFF/WAVE round trip") {
+    it("recovers rate/channels/bits/sample-count and the exact PCM") {
+      for ((n, rate, seed) <- Seq((512, 8000, 0L), (3000, 44100, 9L), (517, 48000, 123L))) {
+        val wav = AudioCodec.renderWav(n, rate, seed)
+        assert(new String(wav.slice(0, 4)) == "RIFF" && new String(wav.slice(8, 12)) == "WAVE")
+        assert(AudioCodec.wavSampleRate(wav) == rate)
+        assert(AudioCodec.wavChannels(wav) == 1)
+        assert(AudioCodec.wavBits(wav) == 16)
+        assert(AudioCodec.wavSamples(wav) == n)
+        val pcm = AudioCodec.decodePcm(wav)
+        assert(pcm.length == n)
+        assert(pcm.toSeq == (0 until n).map(t => AudioCodec.sample(t, seed)))
+      }
+    }
+    it("rejects non-WAV payloads with -1 metadata") {
+      assert(AudioCodec.wavSampleRate("nope".getBytes) == -1)
+    }
+  }
+
+  describe("envelope fingerprint") {
+    it("equals a direct re-derivation of the documented formula") {
+      for (seed <- 0L until 20L) {
+        val n = 512 + (seed * 131 % 3000).toInt
+        val wav = AudioCodec.renderWav(n, 16000, seed)
+        val acc = new Array[Long](16); val cnt = new Array[Long](16)
+        for (t <- 0 until n) {
+          val f = t * 16 / n
+          acc(f) += math.abs(AudioCodec.sample(t, seed)); cnt(f) += 1
+        }
+        val env = Array.tabulate(16)(f => acc(f) / cnt(f))
+        val want = (0 until 16).map(i =>
+          if (env(i) > env((i + 15) % 16)) 1L << i else 0L).sum
+        assert(AudioCodec.envelopeFingerprint(wav) == want, s"seed=$seed")
+      }
+    }
+  }
+
+  describe("column API") {
+    it("q229's encode+parse chain is a narrow per-row map") {
+      val df = Seq((0L, 100L), (3L, 999L)).toDF("doc_id", "n_chars")
+        .select(col("doc_id"),
+          AudioCodec.wavAudio(lit(600), lit(16000), col("doc_id")).as("p"))
+        .select(col("doc_id"), AudioCodec.audioSamples(col("p")).as("n"),
+          AudioCodec.audioFingerprint(col("p")).as("fp"))
+      val rows = df.as[(Long, Int, Long)].collect().sortBy(_._1)
+      assert(rows.map(_._2).toSeq == Seq(600, 600))
+      assert(rows.head._3 ==
+        AudioCodec.envelopeFingerprint(AudioCodec.renderWav(600, 16000, 0L)))
+      assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
+    }
+  }
+}
