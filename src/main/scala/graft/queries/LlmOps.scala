@@ -375,7 +375,7 @@ object LlmOps {
       Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), sub AS (SELECT vec_id, j, list_slice(v, j*8+1, j*8+8) AS sv FROM e, range(8) t(j)), cb AS (SELECT vec_id AS cent_id, j, list_slice(v, j*8+1, j*8+8) AS cv FROM e, range(8) t(j) WHERE vec_id BETWEEN 100 AND 115), dists AS (SELECT s.vec_id, s.j, c.cent_id, c.cv, list_dot_product(s.sv, s.sv) - 2*list_dot_product(s.sv, c.cv) + list_dot_product(c.cv, c.cv) AS d FROM sub s JOIN cb c USING (j)), best AS (SELECT vec_id, j, cv FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cent_id) AS rk FROM dists) WHERE rk = 1), dec AS (SELECT vec_id AS neighbor_id, flatten(list(cv ORDER BY j)) AS dv FROM best GROUP BY vec_id), sc AS (SELECT q.vec_id AS query_id, c.neighbor_id, list_dot_product(q.v, c.dv) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.dv, c.dv))) AS sim FROM e q JOIN dec c ON c.neighbor_id <> q.vec_id WHERE q.vec_id < 10), r AS (SELECT query_id, neighbor_id, sim, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rk FROM sc) SELECT query_id, neighbor_id, sim, rk FROM r WHERE rk <= 5""")),
 
     QueryDef("q25_embedding_neardup",
-      "embedding-cosine near-dup pairs (label-blocked, cosine ≥ 0.35)",
+      "embedding-cosine near-dup pairs (label-blocked, cosine ≥ 0.35) — the EXACT per-block-quadratic tier; q25b is the LSH-bucketed scale twin (the q141 routing rule: blocks that grow with the corpus route to the candidate-generation plane — measured 15 s at sf1 where the 10 label blocks hold 2k vectors each)",
       (s, d) => SimilaritySearch.nearDupPairs(t(s, d, "embeddings"), "label", 0.35),
       Some("""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e) SELECT a.vec_id AS id_a, b.vec_id AS id_b, list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35""")),
 
