@@ -241,6 +241,37 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  describe("hammingPairsBanded (generic 64-bit fingerprint LSH, q227's machinery)") {
+    it("equals brute-force O(n²) on random fingerprints for every maxDist < bands") {
+      // deterministic pseudo-random 64-bit fingerprints with planted
+      // near-pairs: id i flips (i % 4) bits of anchor (i - i % 5)
+      val rnd = new scala.util.Random(11)
+      val anchors = (0 until 12).map(_ => rnd.nextLong())
+      val fps = (0 until 60).map { i =>
+        val base = anchors(i / 5)
+        val flips = i % 4
+        (0 until flips).foldLeft(base)((f, k) => f ^ (1L << ((i * 7 + k * 13) % 64)))
+      }
+      val df = fps.zipWithIndex.map { case (f, i) => (i.toLong, f) }.toDF("id", "fp")
+      for (maxDist <- Seq(0, 1, 3)) {
+        val banded = Dedup.hammingPairsBanded(df, "id", "fp", maxDist)
+          .as[(Long, Long, Long)].collect().toSet
+        val brute = (for {
+          i <- fps.indices; j <- 0 until i
+          h = java.lang.Long.bitCount(fps(i) ^ fps(j))
+          if h <= maxDist
+        } yield (j.toLong, i.toLong, h.toLong)).toSet
+        assert(banded == brute, s"maxDist=$maxDist: ${banded.size} vs ${brute.size}")
+      }
+    }
+    it("rejects maxDist >= bands (banding would be lossy)") {
+      val df = Seq((1L, 5L)).toDF("id", "fp")
+      assertThrows[IllegalArgumentException] {
+        Dedup.hammingPairsBanded(df, "id", "fp", maxDist = 4, bands = 4)
+      }
+    }
+  }
+
   describe("segment dedup (sub-document boilerplate removal)") {
     // 4-token segments: doc 0/1 share an identical first segment
     // (corpus-frequency 2 → boilerplate), their tails are unique
