@@ -59,7 +59,10 @@ object AudioCodec {
     out.putShort(16) // bits per sample
     out.put("LIST".getBytes("US-ASCII")); out.putInt(listLen)
     out.put("INFO".getBytes("US-ASCII"))
-    out.put("ICMT".getBytes("US-ASCII")); out.putInt(info.length)
+    // RIFF convention: declared size is the PAYLOAD length (5 for "graft");
+    // the pad byte that word-aligns the chunk is NOT counted — readers
+    // round up via (len & 1) when advancing, as parseMeta does below.
+    out.put("ICMT".getBytes("US-ASCII")); out.putInt(info.length - 1)
     out.put(info)
     out.put("data".getBytes("US-ASCII")); out.putInt(dataLen)
     var t = 0
@@ -80,14 +83,26 @@ object AudioCodec {
     b.length >= 44 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE"
 
   /** (sampleRate, channels, bitsPerSample, nSamples); all -1 when the
-    * payload is not RIFF/WAVE. Walks subchunks (word-aligned lengths). */
+    * payload is not RIFF/WAVE. Walks subchunks (word-aligned lengths).
+    *
+    * Length fields come from an UNTRUSTED payload (this is the catalog
+    * pass over arbitrary corpora): a negative len would make the cursor
+    * stationary (infinite loop inside a codegen'd expression — a silent
+    * task hang), and an oversized len would read past the array. Every
+    * chunk is therefore validated — `len >= 0` and fully in-bounds —
+    * and a malformed chunk bails to the unknown (-1) metadata path
+    * instead of trusting the bytes. */
   private def parseMeta(b: Array[Byte]): (Int, Int, Int, Int) = {
     if (!isWav(b)) return (-1, -1, -1, -1)
     var rate = -1; var ch = -1; var bits = -1; var n = -1
     var o = 12
     while (o + 8 <= b.length) {
       val t = tag(b, o); val len = leInt(b, o + 4)
+      if (len < 0 || o + 8 + len > b.length) return (-1, -1, -1, -1)
       if (t == "fmt ") {
+        // reads up to o+24: require the fmt subchunk to actually hold
+        // the 16-byte PCM header before touching it
+        if (len < 16) return (-1, -1, -1, -1)
         ch = leShort(b, o + 10); rate = leInt(b, o + 12); bits = leShort(b, o + 22)
       } else if (t == "data" && bits > 0 && ch > 0) {
         n = len / (bits / 8) / ch
@@ -109,6 +124,8 @@ object AudioCodec {
     var dataOff = -1; var dataLen = 0
     while (o + 8 <= b.length) {
       val t = tag(b, o); val len = leInt(b, o + 4)
+      require(len >= 0 && o + 8 + len <= b.length,
+        s"malformed chunk '$t' at $o: declared len $len exceeds payload ${b.length}")
       if (t == "data") { dataOff = o + 8; dataLen = len }
       o += 8 + len + (len & 1)
     }
@@ -138,7 +155,10 @@ object AudioCodec {
     val cnt = new Array[Long](16)
     var t = 0
     while (t < s.length) {
-      val f = (t * 16 / s.length).toInt
+      // long arithmetic: t*16 wraps Int past ~2^27 samples (externally
+      // supplied WAVs can be that large even though renderWav caps at 1M);
+      // this also matches the documented SQL derivation at any n
+      val f = (t.toLong * 16 / s.length).toInt
       acc(f) += math.abs(s(t)); cnt(f) += 1
       t += 1
     }

@@ -176,6 +176,11 @@ object ImageCodec {
     var o = 8
     while (o + 8 <= b.length) {
       val len = rdBe32(b, o)
+      // untrusted length field: a negative len (e.g. -12) would make the
+      // cursor stationary — an infinite loop inside a codegen'd per-row
+      // expression is a silent task hang, so fail loudly instead
+      require(len >= 0 && o + 12 + len <= b.length,
+        s"malformed PNG chunk at $o: declared len $len exceeds payload ${b.length}")
       val typ = new String(b, o + 4, 4, "US-ASCII")
       if (typ == "IDAT") idat.write(b, o + 8, len)
       o += 12 + len // len + type + data + crc

@@ -26,6 +26,38 @@ class AudioCodecSpec extends SparkSpec {
     it("rejects non-WAV payloads with -1 metadata") {
       assert(AudioCodec.wavSampleRate("nope".getBytes) == -1)
     }
+    it("declares the ICMT size as the unpadded payload length (RIFF convention)") {
+      // the pad byte that word-aligns the odd-length comment is written
+      // but NOT counted in the declared size — external readers would
+      // otherwise treat the trailing NUL as comment content
+      val wav = AudioCodec.renderWav(64, 8000, 7L)
+      val icmt = wav.indexOfSlice("ICMT".getBytes("US-ASCII"))
+      assert(icmt > 0)
+      val declared = (wav(icmt + 4) & 0xff) | ((wav(icmt + 5) & 0xff) << 8)
+      assert(declared == 5, s"ICMT declared size $declared, want payload length 5")
+      assert(new String(wav, icmt + 8, 5, "US-ASCII") == "graft")
+      assert(wav(icmt + 13) == 0) // pad byte present, outside the declared size
+      assert(AudioCodec.wavSamples(wav) == 64) // walker still lands on 'data'
+    }
+    it("bails to -1 metadata on corrupt chunk lengths instead of hanging") {
+      // untrusted payloads: a negative declared length would otherwise
+      // leave the subchunk cursor stationary (infinite loop in a
+      // codegen'd per-row expression) and an oversized one would read
+      // past the array — both must hit the unknown path, loudly or -1
+      val good = AudioCodec.renderWav(64, 8000, 1L)
+      def withLen(at: Int, len: Int): Array[Byte] = {
+        val b = good.clone()
+        b(at) = (len & 0xff).toByte; b(at + 1) = ((len >> 8) & 0xff).toByte
+        b(at + 2) = ((len >> 16) & 0xff).toByte; b(at + 3) = ((len >> 24) & 0xff).toByte
+        b
+      }
+      val fmtLenOff = 16 // 'fmt ' tag at 12, its length field at 16
+      assert(AudioCodec.wavSampleRate(withLen(fmtLenOff, -8)) == -1)
+      assert(AudioCodec.wavSampleRate(withLen(fmtLenOff, 1 << 30)) == -1)
+      assert(AudioCodec.wavSampleRate(withLen(fmtLenOff, 4)) == -1) // fmt too short for its own header
+      intercept[IllegalArgumentException](AudioCodec.decodePcm(withLen(fmtLenOff, -8)))
+      intercept[IllegalArgumentException](AudioCodec.decodePcm(withLen(fmtLenOff, 1 << 30)))
+    }
   }
 
   describe("envelope fingerprint") {

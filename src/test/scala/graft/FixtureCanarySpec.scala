@@ -140,7 +140,7 @@ class FixtureCanarySpec extends SparkSpec {
   }
 
   describe("day-span canary (q216 group-sequential looks)") {
-    it("events span >= 5 distinct days on every fixture") {
+    it("events span >= 10 distinct days on every fixture") {
       // q216 maps its 5 looks onto the day grid via rn = floor(nm*k/5):
       // with nm < 5 look 1 lands on rn = 0 and silently joins nothing,
       // and 5 <= nm < 10 duplicates rn across looks. A regenerated

@@ -81,6 +81,21 @@ class ImageCodecSpec extends SparkSpec {
       assert((dw, dh) == ((w, h)))
       assert(px.map(_ & 0xff).toSeq == pixels.flatten.toSeq)
     }
+
+    it("fails loudly on corrupt chunk lengths instead of hanging") {
+      // untrusted length fields: a negative declared len (e.g. -12)
+      // would leave the chunk cursor stationary — an infinite loop
+      // inside a codegen'd per-row expression on a corrupt record
+      val good = ImageCodec.renderGrayPng(72, 8, 0L, 0)
+      def withIhdrLen(len: Int): Array[Byte] = {
+        val b = good.clone() // IHDR length field is bytes 8..11 (big-endian)
+        b(8) = ((len >> 24) & 0xff).toByte; b(9) = ((len >> 16) & 0xff).toByte
+        b(10) = ((len >> 8) & 0xff).toByte; b(11) = (len & 0xff).toByte
+        b
+      }
+      intercept[IllegalArgumentException](ImageCodec.decodeGrayPng(withIhdrLen(-12)))
+      intercept[IllegalArgumentException](ImageCodec.decodeGrayPng(withIhdrLen(1 << 30)))
+    }
   }
 
   describe("JPEG marker walk") {
