@@ -658,6 +658,109 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
   }
 
+  /** Contiguous fixed-width band keys over a slice of `name`:
+    * band b = substring(name, start + b*width, width) (1-based start,
+    * SQL substring convention). The string-layer sibling of
+    * [[hammingPairsBanded]]'s bit bands, with the same pigeonhole
+    * guarantee: two equal-length names whose differing characters fall
+    * inside the banded slice and touch at most `bands - 1` bands agree
+    * exactly on at least one band — so a band-bucket join is LOSSLESS
+    * for pairs within `bands - 1` character edits of the slice
+    * (2 edits under the default 3 bands; a transposition counts 2). */
+  def suffixBands(name: Column, start: Int, width: Int, bands: Int): Seq[Column] = {
+    require(bands > 0 && width > 0 && start > 0,
+      s"bad band grid: start=$start width=$width bands=$bands")
+    (0 until bands).map(b => substring(name, start + b * width, width))
+  }
+
+  /** Blocked record linkage with the OVERSIZED-BLOCK ROUTING GUARD —
+    * the operator the q141 docstring promised and round 11's sf1 run
+    * made concrete (fixed 125-block key → per-block quadratic → 87 s /
+    * ~90M scored pairs at sf1): per-block cardinality is measured in
+    * ONE cheap aggregate, blocks at or under `maxBlock` pair
+    * exhaustively (the exact tier — a per-block-bounded equi-join,
+    * never a cartesian), and oversized blocks are DIVERTED to a banded
+    * candidate plane (the q22 LSH shape with deterministic substring
+    * bands from `bandsOf` instead of MinHash, so the DuckDB oracle can
+    * re-derive the identical candidate set): rows bucket on
+    * (block, band_idx, band_key), only bucket-mates become candidates,
+    * and a multi-band pair is deduplicated before scoring. Candidate
+    * volume per oversized block drops from n²/2 to Σ bucket² per band
+    * (~n²·bands/|band-key-space| under uniform keys — 333× fewer for
+    * the 3×3-digit default on 9-digit suffixes).
+    *
+    * HOT BAND BUCKETS get the q21 df-cap treatment, with the SAME cap:
+    * a band bucket larger than the block cap is a quadratic unit as bad
+    * as the block the guard refused to pair, so it is removed from the
+    * candidate universe entirely (low-entropy band positions — e.g. the
+    * constant "Customer#000…" prefix region of the fixture names —
+    * otherwise rebuild the full block quadratic inside one bucket).
+    * This yields the PROVABLE bound that makes the guard a guard:
+    * every scored unit is a block ≤ cap or a bucket ≤ cap, and there
+    * are at most `bands`·n bucket memberships, so candidate volume is
+    * O(n · bands · maxBlock) — linear in the corpus for a fixed cap,
+    * never quadratic, regardless of how degenerate the key space is.
+    *
+    * Recall contract of the routed tier: lossless by pigeonhole for
+    * pairs within `bands-1` character edits of the banded slice (see
+    * [[suffixBands]]) PROVIDED an agreeing band's bucket is within the
+    * cap; beyond that it is a candidate generator whose recall the
+    * engine measures itself (q231, the q96 pattern). When every block
+    * is within `maxBlock` the output is EXACTLY the plain blocked
+    * all-pairs join (property-tested, routed tier empty).
+    *
+    * Scale notes: the block-count table is block-key-cardinality-sized
+    * and broadcast here (the bounded-block-vocabulary regime — 125 keys
+    * for q141; swap the broadcast for a shuffle join when the blocking
+    * key scales with the corpus, e.g. name prefixes). `maxBlock` is an
+    * ABSOLUTE row budget, deliberately not corpus-relative: under a
+    * fixed-cardinality key, block sizes grow linearly with the corpus,
+    * so any relative cap (mean, quantile) grows with them and silently
+    * re-admits the quadratic — a mean cap at sf1 keeps ~half of q141's
+    * 90M-pair blowup in the "bounded" tier. A cap is a budget per
+    * scored unit; budgets do not scale with the data.
+    *
+    * Output: (id_a, name_a, id_b, name_b, routed) with id_a < id_b;
+    * `routed` marks pairs from the candidate plane. Scoring/threshold
+    * stay with the caller — the guard is about WHICH pairs get scored. */
+  def blockedLinkage(rows: DataFrame, idCol: String, nameCol: String,
+                     blockCols: Seq[String], maxBlock: Long,
+                     bandsOf: Column => Seq[Column]): DataFrame = {
+    require(blockCols.nonEmpty, "blocked linkage needs at least one block column")
+    require(maxBlock >= 2, s"maxBlock=$maxBlock cannot pair anything")
+    val bc = blockCols.map(col)
+    val counts = rows.groupBy(bc: _*).agg(count(lit(1)).as("block_n"))
+    val tagged = rows.select(bc :+ col(idCol).as("lk_id") :+ col(nameCol).as("lk_nm"): _*)
+      .join(broadcast(counts), blockCols)
+      .withColumn("block_cap", lit(maxBlock))
+    // exact tier: bounded blocks pair exhaustively (hash equi-join)
+    val small = tagged.filter(col("block_n") <= col("block_cap"))
+    val exactPairs = small.select(bc :+ col("lk_id").as("id_a") :+ col("lk_nm").as("name_a"): _*)
+      .join(small.select(bc :+ col("lk_id").as("id_b") :+ col("lk_nm").as("name_b"): _*), blockCols)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("name_a"), col("id_b"), col("name_b"),
+              lit(false).as("routed"))
+    // routed tier: oversized blocks go through band buckets
+    val big = tagged.filter(col("block_n") > col("block_cap"))
+    val bandRows = big.select(
+        bc :+ col("lk_id") :+ col("lk_nm") :+ col("block_cap") :+
+          posexplode(array(bandsOf(col("lk_nm")): _*)): _*)
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "bk")
+    val bandLists = bandRows
+      .groupBy(bc :+ col("band_idx") :+ col("bk"): _*)
+      .agg(array_sort(collect_list(struct(col("lk_id").as("id"), col("lk_nm").as("nm"))))
+        .as("ids"),
+        min(col("block_cap")).as("bcap")) // cap is a global constant; min = pass-through
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= col("bcap"))
+    val cand = listPairs(bandLists, "ids")
+      .select(col("pa.id").as("id_a"), col("pa.nm").as("name_a"),
+              col("pb.id").as("id_b"), col("pb.nm").as("name_b"))
+      .distinct()
+      .withColumn("routed", lit(true))
+    exactPairs.unionByName(cand)
+  }
+
   private def simhashWithBlock(docs: DataFrame, textCol: String,
                                idCol: String, blockCol: String): DataFrame =
     simhash(docs, textCol, idCol)

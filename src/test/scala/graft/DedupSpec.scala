@@ -272,6 +272,100 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  describe("blockedLinkage (oversized-block routing guard, q141's machinery)") {
+    // Fixture-shaped names: 9-char prefix + 9-digit suffix, so
+    // suffixBands(nm, 10, 3, 3) bands exactly the digit region.
+    def nm(d: Long): String = f"Customer#$d%09d"
+    def bandsOf(c: org.apache.spark.sql.Column) =
+      Dedup.suffixBands(c, 10, 3, 3)
+
+    /** Reference model of blockedLinkage: plain per-block all-pairs for
+      * blocks <= cap; band-bucket candidates (bucket <= cap, multi-band
+      * deduped) for oversized blocks. Independent re-derivation in
+      * driver-side Scala — no Spark ops shared with the implementation. */
+    def model(rows: Seq[(Long, String, Int)], cap: Int)
+        : Set[(Long, Long, Boolean)] = {
+      val byBlock = rows.groupBy(_._3)
+      byBlock.values.flatMap { blk =>
+        if (blk.size <= cap) {
+          for (a <- blk; b <- blk if a._1 < b._1) yield (a._1, b._1, false)
+        } else {
+          val buckets = blk.flatMap { case (id, name, _) =>
+            (0 until 3).map(bi => ((bi, name.substring(9 + 3 * bi, 12 + 3 * bi)), id))
+          }.groupBy(_._1).filter(_._2.size <= cap).values.map(_.map(_._2))
+          buckets.flatMap(ids =>
+            for (a <- ids; b <- ids if a < b) yield (a, b, true)).toSet
+        }
+      }.toSet
+    }
+
+    def run(rows: Seq[(Long, String, Int)], cap: Long)
+        : Set[(Long, Long, Boolean)] =
+      Dedup.blockedLinkage(rows.toDF("id", "name", "blk"),
+          "id", "name", Seq("blk"), cap, bandsOf)
+        .select($"id_a", $"id_b", $"routed")
+        .as[(Long, Long, Boolean)].collect().toSet
+
+    it("equals the plain blocked all-pairs join when every block is bounded") {
+      val rnd = new scala.util.Random(12)
+      val rows = (0 until 40).map(i => (i.toLong, nm(rnd.nextInt(1000000)), i % 5))
+      val out = run(rows, cap = 16L)
+      assert(out.forall(!_._3), "no pair may be routed when all blocks <= cap")
+      assert(out == model(rows, 16))
+    }
+
+    it("matches the independent model with mixed bounded and oversized blocks") {
+      val rnd = new scala.util.Random(13)
+      // block 0: 30 rows (oversized at cap 8); block 1: 8 (at cap);
+      // block 2: 3; block 3: 12 (oversized). Suffixes drawn from a small
+      // digit pool so band buckets actually collide (and some exceed cap).
+      val sizes = Seq(30, 8, 3, 12)
+      var id = 0L
+      val rows = sizes.zipWithIndex.flatMap { case (n, blk) =>
+        (0 until n).map { _ =>
+          id += 1
+          (id, nm(rnd.nextInt(40) * 1001L + rnd.nextInt(3)), blk)
+        }
+      }
+      for (cap <- Seq(2L, 8L, 64L)) {
+        assert(run(rows, cap) == model(rows, cap.toInt), s"cap=$cap")
+      }
+    }
+
+    it("pigeonhole floor: pairs within bands-1 suffix edits survive routing while a shared band bucket is under the cap") {
+      // one oversized block (cap 4, 20 rows); planted pairs differ in at
+      // most 2 of the 9 suffix digits -> at least one of the 3 bands
+      // agrees exactly. All other suffixes are unique 9-digit values, so
+      // no band bucket can exceed the cap (planted pairs share only each
+      // other's bands).
+      val planted = Seq(
+        (100L, "Customer#123456789", 101L, "Customer#123456788"), // 1 edit, band 2 differs
+        (102L, "Customer#555123999", 103L, "Customer#554123998"), // 2 edits, band 1 agrees
+        (104L, "Customer#777000111", 105L, "Customer#787000121")  // 2 edits, band 2 agrees
+      )
+      val filler = (0 until 14).map(i => (200L + i, nm(900000000L + i * 1371L)))
+      val rows = (planted.flatMap(p => Seq((p._1, p._2), (p._3, p._4))) ++ filler)
+        .map { case (i, n) => (i, n, 0) }
+      val out = run(rows, cap = 4L)
+      planted.foreach { p =>
+        assert(out.contains((p._1, p._3, true)), s"lost planted pair $p")
+      }
+      assert(out == model(rows, 4))
+    }
+
+    it("drops hot band buckets over the cap (bounded candidate volume)") {
+      // every row shares suffix prefix "000000" -> bands 0 and 1 are one
+      // hot bucket of size 25 > cap 8 and must be dropped; band 2 varies.
+      val rows = (0 until 25).map(i => (i.toLong, nm(i % 5), 0))
+      val out = run(rows, cap = 8L)
+      assert(out == model(rows, 8))
+      // all surviving candidates agree on band 2 (the last 3 digits)
+      out.foreach { case (a, b, _) =>
+        assert(a % 5 == b % 5, s"pair ($a,$b) not from the band-2 bucket")
+      }
+    }
+  }
+
   describe("segment dedup (sub-document boilerplate removal)") {
     // 4-token segments: doc 0/1 share an identical first segment
     // (corpus-frequency 2 → boilerplate), their tails are unique
