@@ -469,11 +469,21 @@ object EventStreams {
     * emits a [[NearDupHit]] with its signature agreement against the
     * rep; consumers suppress a doc when any band's agreement clears
     * their threshold. Within-batch arrival order is canonicalized to
-    * (ts, doc_id), so replays are deterministic; reps older than the
+    * (ts, doc_id) IN THE PLAN — the same [[graft.plans.PartitionSort]]
+    * shape as [[orderedByUser]] (explicit repartition on the bucket
+    * key + spillable within-partition SortExec), so the per-bucket
+    * fold streams through its iterator with O(1) heap and replays are
+    * deterministic. This matters precisely for the gate's worst case:
+    * a burst of near-identical spam is ONE hot bucket × one large
+    * trigger, which the previous per-bucket `toSeq.sortBy` buffered in
+    * memory; now the sort is disk-backed and the fold never
+    * accumulates (arrival order guarded at runtime, failing loudly if
+    * a future Spark re-plans the sort away). Reps older than the
     * horizon expire and their later dups are the periodic batch
     * compaction's job (same lambda split as [[dedupStream]]).
     * Batch twin: [[graft.ext.Dedup.nearDupSuppressBatch]] (q129's
-    * oracle row) — StreamingSpec asserts row equality. */
+    * oracle row) — StreamingSpec asserts row equality, including a
+    * single bucket spanning a large micro-batch. */
   def nearDupSuppressStream(docs: DataFrame, textCol: String, idCol: String,
                             tsCol: String, blockCol: String, watermark: String,
                             horizonMs: Long, n: Int = 3, numHashes: Int = 8,
@@ -493,37 +503,56 @@ object EventStreams {
         }: _*)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "bk")
+      .withColumn("__bucket", concat_ws("\u0001",
+        col("block"), col("band_idx").cast("string"), col("bk")))
       .withWatermark("ts", watermark)
-      .as[BandRow]
-    banded
-      .groupByKey(r => s"${r.block}" + '\u0001' + s"${r.band_idx}" + '\u0001' + r.bk)
+    val np = docs.sparkSession.sessionState.conf.numShufflePartitions
+    // the orderedByUser shape on the bucket key: explicit repartition
+    // matching StatefulOpClusteredDistribution + plan-level partition
+    // sort by (bucket, ts, doc_id) -- spillable SortExec, not a heap
+    // buffer -- so the fold below is O(1) in flight even when one hot
+    // bucket spans an entire large trigger
+    graft.plans.PartitionSort.sorted(
+        banded.repartition(np, col("__bucket")),
+        col("__bucket"), col("ts"), col("doc_id"))
+      .groupBy(col("__bucket")).as[String, BandRow]
       .flatMapGroupsWithState[BandBucketState, NearDupHit](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (_: String, rows: Iterator[BandRow], state: GroupState[BandBucketState]) =>
+        (bucket: String, rows: Iterator[BandRow], state: GroupState[BandBucketState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
             var cur = state.getOption
-            val out = Seq.newBuilder[NearDupHit]
-            sorted.foreach { r =>
+            var lastUs = Long.MinValue
+            var lastId = Long.MinValue
+            var lastMs = cur.map(_.repTs).getOrElse(Long.MinValue)
+            rows.flatMap { r =>
+              val m = micros(r.ts)
+              require(m > lastUs || (m == lastUs && r.doc_id >= lastId),
+                s"bucket iterator for $bucket arrived out of order " +
+                  s"(($m, ${r.doc_id}) after ($lastUs, $lastId)) -- the " +
+                  "upstream partition sort was not honored by the physical plan")
+              lastUs = m; lastId = r.doc_id
+              if (r.ts.getTime > lastMs) lastMs = r.ts.getTime
               cur match {
                 case None =>
                   cur = Some(BandBucketState(r.doc_id, r.ts.getTime, r.sig))
+                  Iterator.empty
                 case Some(st) =>
                   val agree = st.repSig.zip(r.sig)
                     .count { case (a, b) => a == b }.toDouble / numHashes
-                  out += NearDupHit(r.doc_id, r.band_idx, st.repId, agree)
+                  Iterator.single(NearDupHit(r.doc_id, r.band_idx, st.repId, agree))
               }
+            } ++ {
+              // lazy tail (sessionizeStream's recipe): the state write
+              // rides iterator completion; horizon counts from the
+              // bucket's LAST activity (rep arrival or latest dup), so
+              // an actively-colliding rep never expires mid-stream
+              cur.foreach { st =>
+                state.update(st)
+                state.setTimeoutTimestamp(math.max(st.repTs, lastMs) + horizonMs)
+              }
+              Iterator.empty
             }
-            cur.foreach { st =>
-              state.update(st)
-              // horizon counts from the bucket's LAST activity (rep
-              // arrival or latest dup), so an actively-colliding rep
-              // never expires mid-stream
-              val lastTs = if (sorted.nonEmpty) sorted.last.ts.getTime else st.repTs
-              state.setTimeoutTimestamp(math.max(st.repTs, lastTs) + horizonMs)
-            }
-            out.result().iterator
           }
       }
   }

@@ -553,6 +553,41 @@ class StreamingSpec extends SparkSpec {
           "batch-2 near-dup must hit the batch-1 representative; unrelated doc stays clean")
       } finally q.stop()
     }
+
+    it("hot bucket: one band bucket spanning a large micro-batch matches the batch twin") {
+      // the ingest gate's worst case — a spam burst: 600 IDENTICAL texts
+      // land in ONE (block, band, band-key) bucket inside a single
+      // trigger. The plan-level partition sort (not a per-bucket heap
+      // buffer) must order them and the fold must pick the (ts, doc_id)-
+      // first row as rep and emit 599 hits per band, exactly like the
+      // batch twin.
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val burst = (1 to 600).map { i =>
+        (i.toLong, ts(f"2024-01-01 10:${i / 60}%02d:${i % 60}%02d"), "en",
+         "the quick brown fox jumps over the lazy dog again and again today")
+      }
+      val src = MemoryStream[(Long, Timestamp, String, String)]
+      val q = EventStreams.nearDupSuppressStream(
+          src.toDF().toDF("doc_id", "ts", "lang", "text"),
+          "text", "doc_id", "ts", "lang", "10 minutes", horizonMs = 3600000L)
+        .writeStream.format("memory").queryName("ndup_hot")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        src.addData(burst: _*)
+        q.processAllAvailable()
+        val got = spark.table("ndup_hot")
+          .as[(Long, Int, Long, Double)].collect().toSet
+        val want = graft.ext.Dedup.nearDupSuppressBatch(
+            burst.toDF("doc_id", "ts", "lang", "text"),
+            "text", "doc_id", "lang", "ts", n = 3, numHashes = 8, bands = 4)
+          .as[(Long, Int, Long, Double)].collect().toSet
+        assert(got == want)
+        assert(got.size == 599 * 4, "599 dups x 4 bands")
+        assert(got.forall(h => h._3 == 1L && h._4 == 1.0),
+          "doc 1 is every bucket's rep; identical text implies full agreement")
+      } finally q.stop()
+    }
   }
 
   describe("batch/stream agreement") {
