@@ -27,7 +27,8 @@ object SparkEntry {
       _root_.graft.queries.StatsOps.defs ++
       _root_.graft.queries.EvalOps.defs ++
       _root_.graft.queries.ImageOps.defs ++
-      _root_.graft.queries.AudioOps.defs
+      _root_.graft.queries.AudioOps.defs ++
+      _root_.graft.queries.VideoOps.defs
 
   /** Flagship: the reference's snapshot pipeline shape (scan → filter →
     * argmax-latest → broadcast join → derived metrics → string fold) on
