@@ -601,7 +601,7 @@ object BehaviorOps {
       Some("""WITH t AS (SELECT user_id, ts, event_id, event_type FROM events WHERE event_type IN ('view','click')), p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'), pr AS (SELECT p.event_id AS pid, p.value, t.event_type AS channel, t.ts AS tts, t.event_id AS tid FROM p JOIN t ON t.user_id = p.user_id AND (t.ts < p.ts OR (t.ts = p.ts AND t.event_id < p.event_id)) AND epoch_us(p.ts) - epoch_us(t.ts) <= 604800000000), rk AS (SELECT pid, value, channel, row_number() OVER (PARTITION BY pid ORDER BY tts, tid) AS rn, CAST(count(*) OVER (PARTITION BY pid) AS BIGINT) AS nt FROM pr), cr AS (SELECT channel, value * (CASE WHEN nt = 1 THEN 1.0 WHEN nt = 2 THEN 0.5 WHEN rn = 1 THEN 0.4 WHEN rn = nt THEN 0.4 ELSE 0.2 / (nt - 2) END) AS credit FROM rk), agg AS (SELECT channel, CAST(SUM(CAST(floor(credit * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS credit, CAST(count(*) AS BIGINT) AS n_touchpoints FROM cr GROUP BY 1), d AS (SELECT 'direct' AS channel, CAST(SUM(CAST(round(value, 6) AS DECIMAL(38,6))) AS DOUBLE) AS credit, CAST(count(*) AS BIGINT) AS n_touchpoints FROM p WHERE NOT EXISTS (SELECT 1 FROM pr WHERE pr.pid = p.event_id) HAVING count(*) > 0) SELECT * FROM agg UNION ALL SELECT * FROM d""")),
 
     QueryDef("q175_gains_deciles",
-      "cumulative gains / lift table (the third leg of the model-evaluation plane: q157 screens a feature by IV, q159 scores its ranking by AUC, this is the DEPLOYMENT readout — 'target the top k deciles, capture what share of positives at what lift'): l_extendedprice cut at its EXACT deciles (ops.Quantiles — interpolation proven bit-equal to quantile_cont, branch-free v>edge bin assignment against ONE broadcast edge row; the q168 counts-grid idiom was A/B'd and rejected with numbers in the code comment: prices are near-unique, so the counts 'grid' is corpus-sized), target = returnflag 'R'; per decile from the TOP down, cumulative population share, cumulative positive capture (gain), and lift = gain/pop_share. Everything stays INTEGER counts until three IEEE divisions written with the SAME expression tree in both engines (no float accumulation anywhere, no overflow: no count-count products — the lift is a ratio of ratios, not the q159 rank-sum shape), outputs on the 6-dp grid. The cumulative structure runs over the 10-row decile GRID (never a corpus-sized window), totals via an unbounded frame over the same grid so the corpus pays exactly the quantile operator's jobs + ONE binning aggregate with map-side combine. Lift ~1.0 in every decile is the HONEST readout on this fixture (price carries no return-flag signal, consistent with q157's IV~0.0004 and q159's AUC~0.49) — the value is the table, which at 100 TB is the campaign-sizing artifact every targeting decision reads",
+      "cumulative gains / lift table (the third leg of the model-evaluation plane: q157 screens a feature by IV, q159 scores its ranking by AUC, this is the DEPLOYMENT readout — 'target the top k deciles, capture what share of positives at what lift'): l_extendedprice cut at its EXACT deciles (ops.Quantiles — interpolation proven bit-equal to quantile_cont, branch-free v>edge bin assignment against ONE broadcast edge row; the q168 counts-grid idiom was A/B'd and rejected with numbers in the code comment: prices are near-unique, so the counts 'grid' is corpus-sized), target = returnflag 'R'; per decile from the TOP down, cumulative population share, cumulative positive capture (gain), and lift = gain/pop_share. Everything stays INTEGER counts until three IEEE divisions written with the SAME expression tree in both engines (no float accumulation anywhere, no overflow: no count-count products — the lift is a ratio of ratios, not the q159 rank-sum shape), outputs on the 6-dp grid. The cumulative structure DRIVER-FINISHES over the collected 10-row decile grid (VERDICT r11 #5 — never a corpus-sized window, and no longer even grid window stages), so the corpus pays exactly the quantile operator's jobs + ONE binning aggregate with map-side combine. Lift ~1.0 in every decile is the HONEST readout on this fixture (price carries no return-flag signal, consistent with q157's IV~0.0004 and q159's AUC~0.49) — the value is the table, which at 100 TB is the campaign-sizing artifact every targeting decision reads",
       (s, d) => {
         // job-chain profile (r10): the quantile operator's driver-planned
         // jobs + one binning aggregate over the (bench-cached) scan is
@@ -624,29 +624,35 @@ object BehaviorOps {
           .drop("g")
         val bin = ps.map(p => when(col("v") > col(s"q${(p * 10).round}"), 1L)
           .otherwise(0L)).reduce(_ + _)
-        val grid = li.crossJoin(broadcast(qrow))
+        // the cumulative/lift tail DRIVER-FINISHES (VERDICT r11 #5, the
+        // q209/q161/q185 pattern): the corpus pays the quantile
+        // operator's jobs + ONE binning aggregate into the 10-row
+        // decile grid; the desc-cumulative sums, totals and the three
+        // IEEE divisions then run in plain Scala on the collected grid
+        // instead of two unpartitioned grid window stages. The double
+        // chain (cum/tot division, then the 6-dp floor-grid) is the
+        // identical per-value IEEE sequence the old column expressions
+        // compiled to — hashes unchanged.
+        val cells = li.crossJoin(broadcast(qrow))
           .select(bin.cast("long").as("bin"), col("pos"))
           .groupBy(col("bin"))
           .agg(lcount(lit(1)).as("n"),
                count(when(col("pos"), 1)).cast("long").as("n_pos"))
-        val wCum = Window.orderBy(col("bin").desc)
-          .rowsBetween(Window.unboundedPreceding, 0)
-        val wAll = Window.orderBy(col("bin").desc)
-          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        def g6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
-        grid
-          .withColumn("cum_n", sum(col("n")).over(wCum).cast("long"))
-          .withColumn("cum_pos", sum(col("n_pos")).over(wCum).cast("long"))
-          .withColumn("tot_n", sum(col("n")).over(wAll).cast("long"))
-          .withColumn("tot_pos", sum(col("n_pos")).over(wAll).cast("long"))
-          .select(col("bin"), col("n"), col("n_pos"), col("cum_n"), col("cum_pos"),
-            g6(col("cum_n").cast("double") / col("tot_n").cast("double"))
-              .as("cum_pop_share"),
-            g6(col("cum_pos").cast("double") / col("tot_pos").cast("double"))
-              .as("gain"),
-            g6((col("cum_pos").cast("double") / col("tot_pos").cast("double"))
-              / (col("cum_n").cast("double") / col("tot_n").cast("double")))
-              .as("lift"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sortBy(-_._1) // top decile first, the cumulative direction
+        val totN = cells.map(_._2).sum
+        val totPos = cells.map(_._3).sum
+        def g6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+        var cn = 0L; var cp = 0L
+        val out = cells.map { case (b, n, np) =>
+          cn += n; cp += np
+          val pop = cn.toDouble / totN.toDouble
+          val gain = cp.toDouble / totPos.toDouble
+          (b, n, np, cn, cp, g6(pop), g6(gain), g6(gain / pop))
+        }
+        import s.implicits._
+        out.toSeq.toDF("bin", "n", "n_pos", "cum_n", "cum_pos",
+                       "cum_pop_share", "gain", "lift")
       },
       Some("""WITH q AS (SELECT quantile_cont(l_extendedprice, 0.1) AS q1, quantile_cont(l_extendedprice, 0.2) AS q2, quantile_cont(l_extendedprice, 0.3) AS q3, quantile_cont(l_extendedprice, 0.4) AS q4, quantile_cont(l_extendedprice, 0.5) AS q5, quantile_cont(l_extendedprice, 0.6) AS q6, quantile_cont(l_extendedprice, 0.7) AS q7, quantile_cont(l_extendedprice, 0.8) AS q8, quantile_cont(l_extendedprice, 0.9) AS q9 FROM lineitem), b AS (SELECT CAST((CASE WHEN l_extendedprice > q1 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > q2 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > q3 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > q4 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > q5 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > q6 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > q7 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > q8 THEN 1 ELSE 0 END) + (CASE WHEN l_extendedprice > q9 THEN 1 ELSE 0 END) AS BIGINT) AS bin, (l_returnflag = 'R') AS pos FROM lineitem, q), c AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(count(*) FILTER (WHERE pos) AS BIGINT) AS n_pos FROM b GROUP BY 1), w AS (SELECT bin, n, n_pos, CAST(SUM(n) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n, CAST(SUM(n_pos) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos, CAST(SUM(n) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS tot_n, CAST(SUM(n_pos) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS tot_pos FROM c) SELECT bin, n, n_pos, cum_n, cum_pos, floor(CAST(cum_n AS DOUBLE) / CAST(tot_n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS cum_pop_share, floor(CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE) * 1e6 + 0.5) / 1e6 AS gain, floor((CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE)) / (CAST(cum_n AS DOUBLE) / CAST(tot_n AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS lift FROM w""")),
 

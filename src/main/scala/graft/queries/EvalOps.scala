@@ -28,42 +28,51 @@ object EvalOps {
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q185_theil_sen",
-      "Theil-Sen robust trend of monthly revenue: slope = median over all month-pair slopes (v_j - v_i)/(t_j - t_i), intercept = median of the per-month residuals v - slope*t — the trend estimator with a 29% breakdown point where q151's OLS has 0 (one corrupted month drags a least-squares line arbitrarily; the pairwise-median line doesn't move). The family completion next to q151 (parametric fit), q164 (forecast backtest) and q181 (changepoint): same daily/monthly revenue plane, complementary verbs. Scale form: the corpus pays ONE aggregate into the calendar-bounded month grid (~79 months here; even 30 years is 360 rows); the O(grid^2) pair set (~3k pairs) is a grid self-join both sides of which broadcast — the quadratic blowup intentionally lives on the CALENDAR grid, never the corpus (a per-row Theil-Sen would be the anti-pattern) — and both medians ride ops.Quantiles' bit-equal quantile_cont interpolation (q120), so slope and intercept publish UNROUNDED. Grid checkpointed once (3 consumers: pair join twice + residual pass). Honest readout: the synthetic fixture has no trend, and the near-zero slope says so",
+      "Theil-Sen robust trend of monthly revenue: slope = median over all month-pair slopes (v_j - v_i)/(t_j - t_i), intercept = median of the per-month residuals v - slope*t — the trend estimator with a 29% breakdown point where q151's OLS has 0 (one corrupted month drags a least-squares line arbitrarily; the pairwise-median line doesn't move). The family completion next to q151 (parametric fit), q164 (forecast backtest) and q181 (changepoint): same daily/monthly revenue plane, complementary verbs. Scale form: the corpus pays ONE aggregate into the calendar-bounded month grid (~79 months here; even 30 years is 360 rows) and the grid DRIVER-FINISHES (VERDICT r11 #5, the q209/q161/q181 pattern): the O(grid^2) pair slopes (~3k), both quantile_cont-bit-equal medians and the residual pass run in plain Scala on the collected grid under an explicit 65536-month cap — the quadratic blowup intentionally lives on the CALENDAR grid, never the corpus (a per-row Theil-Sen would be the anti-pattern), and the old grid-sized Spark tail (pair join + two sequential driver-planned quantile chains) was pure job-floor cost. slope and intercept publish UNROUNDED (the interpolation and per-row IEEE ops mirror the old column chain exactly; hashes unchanged). Honest readout: the synthetic fixture has no trend, and the near-zero slope says so",
       (s, d) => {
-        val raw = t(s, d, "orders")
+        // driver-finish (VERDICT r11 #5 — the q209/q161/q181 pattern):
+        // the corpus pays exactly ONE aggregate into the calendar-
+        // bounded month grid; the pair slopes, both quantile_cont
+        // medians and the residual pass then run in plain Scala on the
+        // collected grid instead of ~3 grid-sized Spark stages (pair
+        // join + two sequential exactQuantiles chains, each several
+        // driver-planned jobs). The medians mirror ops.Quantiles'
+        // interpolation bit-for-bit (k = 0.5·(n−1); integer k → x[k];
+        // else lo·(⌈k⌉−k) + hi·(k−⌊k⌋) — DuckDB's quantile_cont
+        // arithmetic), and slope/residual terms use the identical
+        // per-row IEEE ops the old column expressions compiled to, so
+        // the published values are unchanged.
+        val rows = t(s, d, "orders")
           .groupBy((year(col("o_orderdate")) * lit(12) + month(col("o_orderdate")))
             .cast("long").as("tm"))
           .agg(dsum(col("o_totalprice")).as("v"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        // calendar-bounded: 36.5k months per 3 millennia; the cap makes
+        // the driver residence a proven property, not an assumption
+        require(rows.length <= 65536,
+          s"month grid ${rows.length} exceeds the driver-finish cap")
+        val t0 = rows.map(_._1).min
         // re-index months from the first month so the intercept reads as
         // the trend level AT THE SERIES START, not an extrapolation to
         // year 0 (t = year*12+month ~ 24000 would put it at -7.6e8)
-        val monthly = raw
-          .crossJoin(broadcast(raw.agg(min(col("tm")).as("t0"))))
-          .select((col("tm") - col("t0")).as("t"), col("v"))
-          .localCheckpoint(true) // month grid: 3 consumers below
-        val a = monthly.select(col("t").as("t1"), col("v").as("v1"))
-        val b = monthly.select(col("t").as("t2"), col("v").as("v2"))
-        // the when-guard is load-bearing, not defensive: the downstream
-        // IsNotNull(slope) filter gets pushed into the nested-loop join
-        // condition, where ANSI mode evaluates the division on t1==t2
-        // pairs before the t1<t2 predicate can reject them
-        val pairs = a.join(b, col("t1") < col("t2"))
-          .select(when(col("t2") > col("t1"), (col("v2") - col("v1"))
-            / (col("t2") - col("t1")).cast("double")).as("slope"))
-        val slopeQ = graft.ops.Quantiles.exactQuantiles(
-            pairs.select(lit("all").as("g"), col("slope").as("x")),
-            "g", "x", Seq(0.5))
-          .select(col("value").as("slope"))
-        val resid = monthly.crossJoin(broadcast(slopeQ))
-          .select(lit("all").as("g"),
-            (col("v") - col("slope") * col("t").cast("double")).as("x"))
-        val iceptQ = graft.ops.Quantiles.exactQuantiles(resid, "g", "x", Seq(0.5))
-          .select(col("value").as("intercept"))
-        monthly.agg(lcount(lit(1)).as("n_months"))
-          .select(col("n_months"),
-            (col("n_months") * (col("n_months") - 1) / 2).cast("long").as("n_pairs"))
-          .crossJoin(broadcast(slopeQ))
-          .crossJoin(broadcast(iceptQ))
+        val monthly = rows.map { case (tm, v) => (tm - t0, v) }
+        def median(xs: Array[Double]): Double = {
+          java.util.Arrays.sort(xs)
+          val k = 0.5 * (xs.length - 1).toDouble
+          val kf = math.floor(k); val kc = math.ceil(k)
+          if (kf == kc) xs(k.toInt)
+          else xs(kf.toInt) * (kc - k) + xs(kc.toInt) * (k - kf)
+        }
+        val slopes = for {
+          (t1, v1) <- monthly; (t2, v2) <- monthly if t1 < t2
+        } yield (v2 - v1) / (t2 - t1).toDouble
+        val slope = median(slopes.toArray)
+        val intercept = median(monthly.map { case (tt, v) =>
+          v - slope * tt.toDouble }.toArray)
+        val nm = monthly.length.toLong
+        import s.implicits._
+        Seq((nm, nm * (nm - 1) / 2, slope, intercept))
+          .toDF("n_months", "n_pairs", "slope", "intercept")
       },
       Some("""WITH raw AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS tm, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS v FROM orders GROUP BY 1), m AS (SELECT tm - (SELECT min(tm) FROM raw) AS t, v FROM raw), p AS (SELECT (b.v - a.v) / CAST(b.t - a.t AS DOUBLE) AS slope FROM m a JOIN m b ON a.t < b.t), sq AS (SELECT quantile_cont(slope, 0.5) AS slope FROM p), iq AS (SELECT quantile_cont(v - sq.slope * t, 0.5) AS intercept FROM m, sq), n AS (SELECT CAST(count(*) AS BIGINT) AS n_months FROM m) SELECT n_months, CAST(n_months * (n_months - 1) / 2 AS BIGINT) AS n_pairs, sq.slope AS slope, iq.intercept AS intercept FROM n, sq, iq""")),
 

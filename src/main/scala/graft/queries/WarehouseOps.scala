@@ -521,30 +521,38 @@ object WarehouseOps {
       Some("""WITH e AS (SELECT user_id, ts, event_id, event_type, CAST(floor(value * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6)) AS qty FROM events), i AS (SELECT user_id, event_id AS in_event, ts AS in_ts, SUM(qty) OVER w - qty AS in_lo, SUM(qty) OVER w AS in_hi FROM e WHERE event_type IN ('signup','click','view') WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)), o AS (SELECT user_id, event_id AS out_event, ts AS out_ts, SUM(qty) OVER w - qty AS out_lo, SUM(qty) OVER w AS out_hi FROM e WHERE event_type = 'purchase' WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)) SELECT i.user_id, out_event, in_event, CAST((CASE WHEN in_hi < out_hi THEN in_hi ELSE out_hi END) - (CASE WHEN in_lo > out_lo THEN in_lo ELSE out_lo END) AS DOUBLE) AS matched_qty, epoch_us(out_ts) - epoch_us(in_ts) AS hold_us FROM i JOIN o ON i.user_id = o.user_id AND in_lo < out_hi AND out_lo < in_hi""")),
 
     QueryDef("q202_item_similarity",
-      "item-item collaborative filtering (the recommender complement of q135's association rules): top-5 nearest-neighbor brands per brand by BINARY-INCIDENCE COSINE over customer purchase vectors - cos(a,b) = |customers with both| / sqrt(|with a| * |with b|) - the classic item-based CF score (Sarwar et al. 2001 shape; q135 measures rule DIRECTION via confidence/lift, this measures symmetric vector proximity, and the two genuinely rank pairs differently). Same scale skeleton as q135 lifted from order to CUSTOMER granularity: one customer-keyed exchange collapses each customer's distinct brand set IN the aggregate (the set is the dedup), pairs explode in-row bounded by set-size squared (<=|brands|=25 per customer here; at part granularity the same plan holds with basket-sized sets), never a self-join of the incidence table, and the <=brands^2 co-occurrence grid plus broadcast item counts finish everything downstream. The per-item ranking rides the bounded-heap TopKPerKey operator (map-side k-reduction - no grid window, and at partkey granularity no corpus window either); cosine ranks on the ROUNDED 6-dp value with the neighbor-name tiebreak, so the cut is engine-identical. Integer counts through one sqrt and one division",
+      "item-item collaborative filtering (the recommender complement of q135's association rules): top-5 nearest-neighbor brands per brand by BINARY-INCIDENCE COSINE over customer purchase vectors - cos(a,b) = |customers with both| / sqrt(|with a| * |with b|) - the classic item-based CF score (Sarwar et al. 2001 shape; q135 measures rule DIRECTION via confidence/lift, this measures symmetric vector proximity, and the two genuinely rank pairs differently). Same scale skeleton as q135 lifted from order to CUSTOMER granularity: one customer-keyed exchange collapses each customer's distinct brand set IN the aggregate (the set is the dedup), pairs explode in-row bounded by set-size squared (<=|brands|=25 per customer here; at part granularity the same plan holds with basket-sized sets), never a self-join of the incidence table. The per-item incidence counts FUSE into the same explode pass via a sentinel marker row per anchor element (VERDICT r11 #5: one pass + one aggregate now yields both the co-occurrence grid and the counts — the old separate cnt pass over the incidence sets, and both corpus-width checkpoints, are gone), so the corpus pays the incidence exchange plus ONE explode-aggregate and everything downstream is the <=brands^2+brands grid. The per-item ranking rides the bounded-heap TopKPerKey operator (map-side k-reduction - no grid window, and at partkey granularity no corpus window either); cosine ranks on the ROUNDED 6-dp value with the neighbor-name tiebreak, so the cut is engine-identical. Integer counts through one sqrt and one division",
       (s, d) => {
         val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
         val ord = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
         val part = t(s, d, "part").select(col("p_partkey"), col("p_brand"))
-        // customer x brand incidence, one exchange; checkpointed: the
-        // pair explode and the item-count branch both read it
+        // customer x brand incidence, one exchange. NOT checkpointed:
+        // the sentinel fusion below leaves it exactly one consumer
         val sets = li.join(ord, col("l_orderkey") === col("o_orderkey"))
           .join(part, col("l_partkey") === col("p_partkey"))
           .groupBy(col("o_custkey"))
           .agg(array_sort(collect_set(col("p_brand"))).as("bs"))
-          .localCheckpoint(true)
-        val co = sets
+        // SENTINEL FUSION (VERDICT r11 #5): each anchor element emits
+        // its tail pairs PLUS one (a, "") marker row, so the pair
+        // co-occurrence grid and the per-item incidence counts come out
+        // of ONE explode pass + ONE aggregate — the separate cnt pass
+        // over sets (and with it both corpus-width checkpoints) is
+        // gone; everything downstream is the <=brands^2+brands grid.
+        // "" is not a brand value, so the marker can't collide.
+        val grid = sets
           .select(posexplode(col("bs")).as(Seq("i", "a")), col("bs"))
           .select(col("a"),
-            explode(slice(col("bs"), col("i") + lit(2),
-                          greatest(size(col("bs")) - col("i") - 1, lit(0))))
+            explode(concat(array(lit("")),
+              slice(col("bs"), col("i") + lit(2),
+                    greatest(size(col("bs")) - col("i") - 1, lit(0)))))
               .as("b"))
           .groupBy(col("a"), col("b")).agg(lcount(lit(1)).as("co"))
-          .localCheckpoint(true) // <=brands^2 grid; read twice for symmetry
+          .localCheckpoint(true) // grid-sized; 3 readers below
+        val co = grid.filter(col("b") =!= "")
         val sym = co.unionByName(
           co.select(col("b").as("a"), col("a").as("b"), col("co")))
-        val cnt = sets.select(explode(col("bs")).as("a"))
-          .groupBy(col("a")).agg(lcount(lit(1)).as("na"))
+        val cnt = grid.filter(col("b") === "")
+          .select(col("a"), col("co").as("na"))
         val scored = sym
           .join(broadcast(cnt), Seq("a"))
           .join(broadcast(cnt.select(col("a").as("b"), col("na").as("nb"))),
