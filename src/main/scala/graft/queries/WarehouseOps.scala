@@ -134,7 +134,7 @@ object WarehouseOps {
       Some("""WITH cust AS (SELECT o_custkey, CAST(date_diff('day', max(o_orderdate), (SELECT max(o_orderdate) FROM orders)) AS BIGINT) AS rec, CAST(count(*) AS BIGINT) AS freq, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS mon FROM orders GROUP BY 1), q AS (SELECT quantile_cont(rec, 0.2) AS r1, quantile_cont(rec, 0.4) AS r2, quantile_cont(rec, 0.6) AS r3, quantile_cont(rec, 0.8) AS r4, quantile_cont(freq, 0.2) AS f1, quantile_cont(freq, 0.4) AS f2, quantile_cont(freq, 0.6) AS f3, quantile_cont(freq, 0.8) AS f4, quantile_cont(mon, 0.2) AS m1, quantile_cont(mon, 0.4) AS m2, quantile_cont(mon, 0.6) AS m3, quantile_cont(mon, 0.8) AS m4 FROM cust), sc AS (SELECT CAST(1 + (CASE WHEN rec > r1 THEN 1 ELSE 0 END) + (CASE WHEN rec > r2 THEN 1 ELSE 0 END) + (CASE WHEN rec > r3 THEN 1 ELSE 0 END) + (CASE WHEN rec > r4 THEN 1 ELSE 0 END) AS BIGINT) AS r_score, CAST(1 + (CASE WHEN freq > f1 THEN 1 ELSE 0 END) + (CASE WHEN freq > f2 THEN 1 ELSE 0 END) + (CASE WHEN freq > f3 THEN 1 ELSE 0 END) + (CASE WHEN freq > f4 THEN 1 ELSE 0 END) AS BIGINT) AS f_score, CAST(1 + (CASE WHEN mon > m1 THEN 1 ELSE 0 END) + (CASE WHEN mon > m2 THEN 1 ELSE 0 END) + (CASE WHEN mon > m3 THEN 1 ELSE 0 END) + (CASE WHEN mon > m4 THEN 1 ELSE 0 END) AS BIGINT) AS m_score, mon FROM cust, q) SELECT r_score, f_score, m_score, CAST(count(*) AS BIGINT) AS n_customers, CAST(SUM(CAST(floor(mon * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS total_monetary FROM sc GROUP BY 1, 2, 3""")),
 
     QueryDef("q171_warehouse_pipeline",
-      "END-TO-END warehouse maintenance cycle in ONE pipeline (VERDICT r9 #8 — the round-9 operators COMPOSING, not just coexisting; the q78 pattern for the warehouse plane): an incoming snapshot with injected corruption (every 13th key's total negated) passes the DQ GATE (q132's row predicates as a quarantine filter — violating rows never reach the warehouse, their count is reported), the gated snapshot is CDC-DIFFED against the previous one (q133's ops.Cdc.snapshotDiff — quarantined rows that existed before surface honestly as deletes), the diff FOLDS FORWARD the maintained per-priority aggregate (q143's incremental machinery, state kept in exact DECIMAL(38,6) so incremental==batch is a theorem — the oracle recomputes the maintained totals FROM SCRATCH over the gated snapshot and the hash must agree), and the final readout is the RFM SEGMENT GRID (q169's quantile-edge machinery) over the accepted data, with the pipeline audit (n_quarantined, insert/delete/update counts, maintained totals, surviving priority-group count) broadcast on every row. Scale: each stage keys on orderkey or custkey (bucket-co-locatable), audit scalars are grid-bounded driver state, and the RFM stage reuses the checkpointed-rollup + one-multi-quantile-pass plan. Cost honesty (round-10 Prof8 stage profile): ~3.5-4s at sf0.1 = the SUM of its components' irreducible job chains (quarantine count 0.2, diff full-outer checkpoint 1.2, change audit 0.2, incremental fold 0.9, RFM 1.4-2.8) at this box's ~0.3s/job floor — no stage re-derives another's input (gated is one cached-scan lineage per consumer, diff and the customer rollup are checkpointed once); a composition necessarily costs what its stages cost",
+      "END-TO-END warehouse maintenance cycle in ONE pipeline (VERDICT r9 #8 — the round-9 operators COMPOSING, not just coexisting; the q78 pattern for the warehouse plane): an incoming snapshot with injected corruption (every 13th key's total negated) passes the DQ GATE (q132's row predicates as a quarantine filter — violating rows never reach the warehouse, their count is reported), the gated snapshot is CDC-DIFFED against the previous one (q133's ops.Cdc.snapshotDiff — quarantined rows that existed before surface honestly as deletes), the diff FOLDS FORWARD the maintained per-priority aggregate (q143's incremental machinery, state kept in exact DECIMAL(38,6) so incremental==batch is a theorem — the oracle recomputes the maintained totals FROM SCRATCH over the gated snapshot and the hash must agree), and the final readout is the RFM SEGMENT GRID (q169's quantile-edge machinery) over the accepted data, with the pipeline audit (n_quarantined, insert/delete/update counts, maintained totals, surviving priority-group count) broadcast on every row. Scale: each stage keys on orderkey or custkey (bucket-co-locatable), audit scalars are grid-bounded driver state, and the RFM stage reuses the checkpointed-rollup + one-multi-quantile-pass plan. Round 12 (VERDICT r11 #8) collapsed the diff-side stages: the diff lineage's only consumer is now ONE (change_type, old_pri, new_pri) aggregate whose collected grid drives the change audit AND the incremental fold in driver-side exact BigDecimal — the eager corpus-wide diff checkpoint, the separate audit collect and the delta/oldAgg join chain (r10 Prof8: ~2.3 s of the old 3.5-4 s total) are gone; what remains is quarantine count + one diff-aggregate job + the orders rollup + RFM, each irreducible (a composition still costs what its stages cost, but now only its stages)",
       (s, d) => {
         import graft.ops.Num.D
         val k = col("o_orderkey")
@@ -157,45 +157,65 @@ object WarehouseOps {
           col("o_orderstatus").isin("F", "O", "P")
         val gated = raw.filter(ok)
         val nQuar = raw.filter(!ok).agg(count(lit(1))).head.getLong(0)
-        // 2. CDC diff previous -> gated (checkpointed: feeds the change
-        // audit AND the incremental fold)
+        // 2.+3. CDC diff -> change audit + incremental fold, DRIVER-
+        // FINISHED off ONE grid (VERDICT r11 #8): the diff lineage's
+        // only consumer is now a single (change_type, old_pri, new_pri)
+        // aggregate — counts + exact DECIMAL(38,6) sums of both sides —
+        // so the eager corpus-wide diff checkpoint, the separate change-
+        // audit collect, and the delta/oldAgg join chain all collapse
+        // into one corpus job plus Scala BigDecimal folds on the ≤
+        // |types|·|priorities|² grid. Decimal adds are exact and order-
+        // free, and the final double is BigDecimal.doubleValue — the
+        // same correctly-rounded conversion the old Decimal cast chain
+        // used, so the published values are unchanged.
         val diff = graft.ops.Cdc.snapshotDiff(oldS, gated,
             Seq("o_orderkey"), Seq("o_totalprice", "o_orderpriority"))
-          .localCheckpoint(true)
-        val chg = diff.groupBy(col("change_type")).agg(count(lit(1)).as("n"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        // 3. incremental aggregate maintenance (q143): fold the diff into
-        // the per-priority rollup; totals stay DECIMAL until the end
+        val gridRows = diff.groupBy(col("change_type"),
+            col("old_o_orderpriority").as("og"),
+            col("new_o_orderpriority").as("ng"))
+          .agg(count(lit(1)).as("n"),
+               sum(col("old_o_totalprice").cast(D)).as("ov"),
+               sum(col("new_o_totalprice").cast(D)).as("nv"))
+          .collect()
+        val chg = gridRows.groupBy(_.getString(0))
+          .map { case (ct, rs) => ct -> rs.map(_.getLong(3)).sum }
+        val zero = java.math.BigDecimal.ZERO
+        def dec(r: org.apache.spark.sql.Row, i: Int): java.math.BigDecimal =
+          if (r.isNullAt(i)) zero else r.getDecimal(i)
+        // per-priority (dn, dv): removed side keys on old_pri, added on new
+        val delta = new scala.collection.mutable.HashMap[String, (Long, java.math.BigDecimal)]()
+        def fold(g: String, dn: Long, dv: java.math.BigDecimal): Unit = {
+          val (n0, v0) = delta.getOrElse(g, (0L, zero))
+          delta(g) = (n0 + dn, v0.add(dv))
+        }
+        gridRows.foreach { r =>
+          val ct = r.getString(0)
+          if (ct == "delete" || ct == "update")
+            fold(r.getString(1), -r.getLong(3), dec(r, 4).negate())
+          if (ct == "insert" || ct == "update")
+            fold(r.getString(2), r.getLong(3), dec(r, 5))
+        }
         val oldAgg = oldS.groupBy(col("o_orderpriority").as("g"))
           .agg(count(lit(1)).cast("long").as("n"),
                sum(col("o_totalprice").cast(D)).as("sd"))
-        val removed = diff.filter(col("change_type").isin("delete", "update"))
-          .select(col("old_o_orderpriority").as("g"), lit(-1L).as("dn"),
-                  (col("old_o_totalprice").cast(D) * -1).as("dv"))
-        val added = diff.filter(col("change_type").isin("insert", "update"))
-          .select(col("new_o_orderpriority").as("g"), lit(1L).as("dn"),
-                  col("new_o_totalprice").cast(D).as("dv"))
-        val delta = removed.unionByName(added).groupBy(col("g"))
-          .agg(sum(col("dn")).as("dn"), sum(col("dv")).as("dv"))
-        val m = oldAgg.join(delta, Seq("g"), "full_outer")
-          .select(
-            (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
-              .cast("long").as("n"),
-            (coalesce(col("sd"), lit(0).cast(D)) + coalesce(col("dv"), lit(0).cast(D)))
-              .as("sd"))
-          .filter(col("n") > 0)
-          .agg(sum(col("n")).cast("long").as("mn"),
-               sum(col("sd")).cast("double").as("mt"),
-               count(lit(1)).cast("long").as("np")).head()
+          .collect().map(r => r.getString(0) -> (r.getLong(1), dec(r, 2))).toMap
+        val maintained = (oldAgg.keySet ++ delta.keySet).toSeq.map { g =>
+          val (n0, v0) = oldAgg.getOrElse(g, (0L, zero))
+          val (dn, dv) = delta.getOrElse(g, (0L, zero))
+          (n0 + dn, v0.add(dv))
+        }.filter(_._1 > 0)
+        val mn = maintained.map(_._1).sum
+        val mt = maintained.map(_._2).foldLeft(zero)(_.add(_)).doubleValue()
+        val np = maintained.size.toLong
         // 4. RFM readout over the accepted snapshot + broadcast audit
         rfmGrid(gated)
           .withColumn("n_quarantined", lit(nQuar))
           .withColumn("n_insert", lit(chg.getOrElse("insert", 0L)))
           .withColumn("n_delete", lit(chg.getOrElse("delete", 0L)))
           .withColumn("n_update", lit(chg.getOrElse("update", 0L)))
-          .withColumn("maintained_n_orders", lit(m.getLong(0)))
-          .withColumn("maintained_total_price", lit(m.getDouble(1)))
-          .withColumn("n_priorities", lit(m.getLong(2)))
+          .withColumn("maintained_n_orders", lit(mn))
+          .withColumn("maintained_total_price", lit(mt))
+          .withColumn("n_priorities", lit(np))
       },
       Some("""WITH raw AS (SELECT o_orderkey, o_custkey, o_orderdate, o_orderstatus, CASE WHEN o_orderkey % 13 = 0 THEN -o_totalprice WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice, CASE WHEN o_orderkey % 7 = 0 THEN '0-REPRIORITIZED' ELSE o_orderpriority END AS o_orderpriority FROM orders WHERE o_orderkey % 10 <> 7), gated AS (SELECT * FROM raw WHERE o_totalprice > 0 AND o_orderstatus IN ('F','O','P')), quar AS (SELECT CAST(count(*) AS BIGINT) AS n_quarantined FROM raw WHERE NOT (o_totalprice > 0 AND o_orderstatus IN ('F','O','P'))), olds AS (SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders WHERE o_orderkey % 10 <> 3), chg AS (SELECT CAST(count(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT) AS n_insert, CAST(count(*) FILTER (WHERE n.o_orderkey IS NULL) AS BIGINT) AS n_delete, CAST(count(*) FILTER (WHERE o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL AND (o.o_totalprice IS DISTINCT FROM n.o_totalprice OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority)) AS BIGINT) AS n_update FROM olds o FULL OUTER JOIN (SELECT o_orderkey, o_totalprice, o_orderpriority FROM gated) n ON o.o_orderkey = n.o_orderkey), mm AS (SELECT CAST(count(*) AS BIGINT) AS maintained_n_orders, CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS maintained_total_price, CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities FROM gated), cust AS (SELECT o_custkey, CAST(date_diff('day', max(o_orderdate), (SELECT max(o_orderdate) FROM gated)) AS BIGINT) AS rec, CAST(count(*) AS BIGINT) AS freq, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS mon FROM gated GROUP BY 1), q AS (SELECT quantile_cont(rec, 0.2) AS r1, quantile_cont(rec, 0.4) AS r2, quantile_cont(rec, 0.6) AS r3, quantile_cont(rec, 0.8) AS r4, quantile_cont(freq, 0.2) AS f1, quantile_cont(freq, 0.4) AS f2, quantile_cont(freq, 0.6) AS f3, quantile_cont(freq, 0.8) AS f4, quantile_cont(mon, 0.2) AS m1, quantile_cont(mon, 0.4) AS m2, quantile_cont(mon, 0.6) AS m3, quantile_cont(mon, 0.8) AS m4 FROM cust), sc AS (SELECT CAST(1 + (CASE WHEN rec > r1 THEN 1 ELSE 0 END) + (CASE WHEN rec > r2 THEN 1 ELSE 0 END) + (CASE WHEN rec > r3 THEN 1 ELSE 0 END) + (CASE WHEN rec > r4 THEN 1 ELSE 0 END) AS BIGINT) AS r_score, CAST(1 + (CASE WHEN freq > f1 THEN 1 ELSE 0 END) + (CASE WHEN freq > f2 THEN 1 ELSE 0 END) + (CASE WHEN freq > f3 THEN 1 ELSE 0 END) + (CASE WHEN freq > f4 THEN 1 ELSE 0 END) AS BIGINT) AS f_score, CAST(1 + (CASE WHEN mon > m1 THEN 1 ELSE 0 END) + (CASE WHEN mon > m2 THEN 1 ELSE 0 END) + (CASE WHEN mon > m3 THEN 1 ELSE 0 END) + (CASE WHEN mon > m4 THEN 1 ELSE 0 END) AS BIGINT) AS m_score, mon FROM cust, q), grid AS (SELECT r_score, f_score, m_score, CAST(count(*) AS BIGINT) AS n_customers, CAST(SUM(CAST(floor(mon * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS total_monetary FROM sc GROUP BY 1, 2, 3) SELECT grid.*, quar.n_quarantined, chg.n_insert, chg.n_delete, chg.n_update, mm.maintained_n_orders, mm.maintained_total_price, mm.n_priorities FROM grid, quar, chg, mm""")),
 
