@@ -655,13 +655,15 @@ class PlanSpec extends SparkSpec {
   }
 
   describe("ninth batch strategy (round 10)") {
-    it("q185 pair blowup lives on the broadcast month grid, never the corpus") {
+    it("q185 pair blowup lives on the driver-finished month grid, never the corpus") {
+      // round 12: the O(grid^2) pair set and both medians fold on the
+      // DRIVER over the collected calendar grid (the one corpus
+      // aggregate ran eagerly inside the builder); the returned frame
+      // is the finished one-row result — the q201/q209 plan shape
       val p = planOf("q185_theil_sen")
-      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
-      assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
-      // the O(grid^2) self-join is an inequality join over the
-      // checkpointed month grid: broadcast nested-loop by design
-      assert(p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+      assert(p.contains("LocalTableScan"), s"plan:\n$p")
+      assert(!p.contains("Join"), s"plan:\n$p")
+      assert(!p.contains("parquet"), s"plan:\n$p")
     }
     it("q186 both top-10 extractions ride the bounded-heap operator") {
       val p = planOf("q186_ndcg")
@@ -840,6 +842,24 @@ class PlanSpec extends SparkSpec {
       // the visible plan unions six selects over the materialized row
       assert(p.contains("Scan ExistingRDD"), s"plan:\n$p")
       assert(!p.contains("parquet"), s"plan:\n$p")
+    }
+    it("q141 blocked linkage: block counts broadcast, both tiers hash joins, never cartesian") {
+      val p = planOf("q141_entity_blocking")
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"plan:\n$p") // count attach
+      assert(!p.contains("Window"), s"plan:\n$p")
+    }
+    it("q232 video catalog pass is map-only: no exchange anywhere in the plan") {
+      val p = planOf("q232_video_meta")
+      assert(!p.contains("Exchange"), s"plan:\n$p")
+      assert(!p.contains("Join"), s"plan:\n$p")
+    }
+    it("q233 video frame sampling is map-only with bounded fan-out: no exchange, no join") {
+      val p = planOf("q233_video_frame_sample")
+      assert(!p.contains("Exchange"), s"plan:\n$p")
+      assert(!p.contains("Join"), s"plan:\n$p")
+      assert(p.contains("Generate"), s"plan:\n$p") // the schedule explode
     }
   }
 }
