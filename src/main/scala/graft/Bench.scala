@@ -177,7 +177,11 @@ object Bench {
       // (q18/q37) measured ±4× run-to-run variance in round-7 full
       // runs — precisely the queries whose min needs more evidence.
       def slow: Boolean = samples.nonEmpty && samples.min > 1.0
-      while (ok && (rep < 2 || (rep < 4 && noisy) || (rep < 6 && slow))) {
+      // big-SF self-runs (sf10's minutes-scale queries) cap the sample
+      // count via env; the driver default (6) is unchanged
+      val maxReps = sys.env.getOrElse("SPARK_GRAFT_MAX_REPS", "6").toInt
+      while (ok && rep < maxReps &&
+             (rep < math.min(2, maxReps) || (rep < 4 && noisy) || slow)) {
         hygiene()
         val t0 = System.nanoTime()
         try { execute(name); samples += (System.nanoTime() - t0) / 1e9 }
