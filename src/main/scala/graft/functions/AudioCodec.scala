@@ -117,19 +117,26 @@ object AudioCodec {
   def wavBits(b: Array[Byte]): Int = parseMeta(b)._3
   def wavSamples(b: Array[Byte]): Int = parseMeta(b)._4
 
-  /** Decodes mono 16-bit PCM from the data chunk. */
+  /** Decodes mono 16-bit PCM from the data chunk. Malformed payloads
+    * (not RIFF/WAVE, corrupt chunk length, no data chunk) return an
+    * EMPTY array — the same graceful unknown path as [[parseMeta]]'s
+    * -1 tuple, because both are reachable from catalog passes over
+    * untrusted corpora (q230) where one corrupt record must not abort
+    * the whole task (ADVICE r12: the require here and the bail in
+    * parseMeta were inconsistent failure modes for the same contract).
+    * Generator-side self-checks that need loud failure assert on the
+    * SENTINEL (AudioCodecSpec), not on an exception. */
   def decodePcm(b: Array[Byte]): Array[Int] = {
-    require(isWav(b), "not a RIFF/WAVE payload")
+    if (!isWav(b)) return Array.emptyIntArray
     var o = 12
     var dataOff = -1; var dataLen = 0
     while (o + 8 <= b.length) {
       val t = tag(b, o); val len = leInt(b, o + 4)
-      require(len >= 0 && o + 8 + len <= b.length,
-        s"malformed chunk '$t' at $o: declared len $len exceeds payload ${b.length}")
+      if (len < 0 || o + 8 + len > b.length) return Array.emptyIntArray
       if (t == "data") { dataOff = o + 8; dataLen = len }
       o += 8 + len + (len & 1)
     }
-    require(dataOff >= 0, "no data chunk")
+    if (dataOff < 0) return Array.emptyIntArray
     val n = dataLen / 2
     val out = new Array[Int](n)
     var i = 0
@@ -145,12 +152,15 @@ object AudioCodec {
     * GROUP BY can invert exactly), per-frame mean |amplitude| by integer
     * division, bit i set iff env[i] > env[(i+15) mod 16] — the
     * difference coding audio thumbprints use (bit 0 wraps to frame 15).
-    * Returned as a long in [0, 65536). Requires n >= 16 so every frame
-    * is non-empty (a SQL GROUP BY emits no row for an empty frame while
-    * this returns 0 — avoided by construction, enforced loudly). */
+    * Returned as a long in [0, 65536). Needs n >= 16 so every frame is
+    * non-empty (a SQL GROUP BY emits no row for an empty frame while
+    * this would return 0); shorter or malformed payloads (decodePcm's
+    * empty-array bail included) return the -1 sentinel — outside the
+    * [0, 65536) range of every real fingerprint, same graceful contract
+    * as the metadata parsers. */
   def envelopeFingerprint(b: Array[Byte]): Long = {
     val s = decodePcm(b)
-    require(s.length >= 16, s"need >= 16 samples for 16 frames: ${s.length}")
+    if (s.length < 16) return -1L
     val acc = new Array[Long](16)
     val cnt = new Array[Long](16)
     var t = 0

@@ -178,9 +178,18 @@ object VideoCodec {
 
   /** Recursive box walk over [from, to). Returns false on any malformed
     * size (negative, < 8, or past `to`) — UNTRUSTED input never loops
-    * or over-reads. Leaf handler sees (type, payloadOff, payloadLen). */
-  private def walk(b: Array[Byte], from: Int, to: Int)
+    * or over-reads. Leaf handler sees (type, payloadOff, payloadLen).
+    * `depth` bounds the recursion: a crafted payload nesting container
+    * headers 8 bytes deep per level would otherwise drive the stack to
+    * ~length/8 frames and throw StackOverflowError (a JVM Error, not
+    * the graceful bail) inside a codegen'd expression. Real ISO BMFF
+    * nests ≤ 6 levels (moov/trak/mdia/minf/stbl/dinf); 16 is headroom,
+    * past it the payload is malformed by this catalog's contract. */
+  private val MaxBoxDepth = 16
+
+  private def walk(b: Array[Byte], from: Int, to: Int, depth: Int = 0)
                   (leaf: (String, Int, Int) => Boolean): Boolean = {
+    if (depth > MaxBoxDepth) return false
     var o = from
     while (o < to) {
       if (o + 8 > to) return false
@@ -190,7 +199,7 @@ object VideoCodec {
       if (size < 8 || o + size > to) return false
       val t = tag(b, o + 4)
       if (Containers.contains(t)) {
-        if (!walk(b, o + 8, o + size)(leaf)) return false
+        if (!walk(b, o + 8, o + size, depth + 1)(leaf)) return false
       } else if (!leaf(t, o + 8, size - 8)) return false
       o += size
     }

@@ -234,23 +234,18 @@ object Analytics {
       Some("""SELECT p.event_id AS purchase_id, p.user_id, CAST(COUNT(*) AS BIGINT) AS n_views, CAST(SUM(CAST(v.value AS DECIMAL(38,6))) AS DOUBLE) AS view_value FROM events p JOIN events v ON v.user_id = p.user_id AND p.event_type = 'purchase' AND v.event_type = 'view' AND v.ts >= p.ts - INTERVAL 2 HOUR AND v.ts < p.ts GROUP BY 1, 2""")),
 
     QueryDef("q58_fuzzy_match",
-      "entity resolution: near-identical supplier names by Levenshtein ≤ 2, nation-blocked with a length-band prefilter (edit distance can't change length by more than the distance)",
+      "entity resolution: near-identical supplier names by Levenshtein <= 2, nation-blocked — ROUTED through ext.Dedup.blockedLinkage (VERDICT r12 #1: the old fixed-25-nation all-pairs form was the proven scale-killer — its own sf10 log measured 5.68 s at sf1 -> 566 s at sf10, ~100x for 10x data, because block size grows linearly with the corpus under a fixed-cardinality key, so pair volume is quadratic; the SAME failure mode round 12's guard fixed for q141). Per-nation cardinality is measured in ONE aggregate; blocks <= 32 rows pair exhaustively (the exact tier — at sf0.01 every block is 1..10 so the output is EXACTLY the old all-pairs answer; at sf0.1 nation blocks span 26..52 so BOTH tiers are populated), oversized blocks divert to a deterministic banded candidate plane — 3 x 2-char suffix bands over the digit tail (positions 13-18; q141's band-CTE shape with Levenshtein's edit-locality instead of JW's prefix weighting: <= bands-1 = 2 edits confined to the banded slice leave >= 1 band agreeing, the pigeonhole floor DedupSpec property-tests) — with band buckets over the SAME 32 cap dropped (q21 df-cap semantics; sequential zero-padded IDs make the leading digit bands universal hot buckets, the q231-documented adversarial regime — the routed tier's recall on such a fixture is partial BY MEASUREMENT, not assumption). Candidate volume O(n * bands * cap), linear in the corpus under any key degeneracy; every scored pair still passes the exact levenshtein <= 2 verify. The length-band prefilter the old form carried is subsumed: fixed-width fixture names make it vacuous, and the exact dist filter bounds it anyway",
       (s, d) => {
-        val sup = t(s, d, "supplier")
-          .select(col("s_suppkey"), col("s_nationkey"), col("s_name"),
-                  length(col("s_name")).as("len"))
-        val a = sup.select(col("s_suppkey").as("id_a"), col("s_nationkey"),
-                           col("s_name").as("name_a"), col("len").as("len_a"))
-        val b = sup.select(col("s_suppkey").as("id_b"), col("s_nationkey"),
-                           col("s_name").as("name_b"), col("len").as("len_b"))
-        a.join(b, Seq("s_nationkey"))
-          .filter(col("id_a") < col("id_b") &&
-                  abs(col("len_a") - col("len_b")) <= 2)
-          .select(col("id_a"), col("id_b"),
-                  levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+        val pairs = graft.ext.Dedup.blockedLinkage(
+          t(s, d, "supplier").select(col("s_suppkey"), col("s_name"),
+            col("s_nationkey")),
+          "s_suppkey", "s_name", Seq("s_nationkey"), 32L,
+          nm => graft.ext.Dedup.suffixBands(nm, 13, 2, 3))
+        pairs.select(col("id_a"), col("id_b"),
+            levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
           .filter(col("dist") <= 2)
       },
-      Some("""SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b, CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist FROM supplier a JOIN supplier b ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey AND abs(length(a.s_name) - length(b.s_name)) <= 2 WHERE levenshtein(a.s_name, b.s_name) <= 2""")),
+      Some("""WITH s AS (SELECT s_suppkey AS id, s_name AS nm, s_nationkey AS nk FROM supplier), bn AS (SELECT nk, COUNT(*) AS n FROM s GROUP BY 1), t AS (SELECT s.id, s.nm, s.nk, bn.n FROM s JOIN bn USING (nk)), small_pairs AS (SELECT a.id AS ia, b.id AS ib, a.nm AS na, b.nm AS nb FROM t a JOIN t b ON a.nk = b.nk AND a.id < b.id WHERE a.n <= 32), big AS (SELECT * FROM t WHERE n > 32), bands AS (SELECT id, nm, nk, gs.b AS bi, substr(nm, 13 + 2 * gs.b, 2) AS bk FROM big, generate_series(0, 2) AS gs(b)), bsz AS (SELECT nk, bi, bk, COUNT(*) AS bcnt FROM bands GROUP BY 1, 2, 3), cand AS (SELECT DISTINCT a.id AS ia, b.id AS ib, a.nm AS na, b.nm AS nb FROM bands a JOIN bands b ON a.nk = b.nk AND a.bi = b.bi AND a.bk = b.bk AND a.id < b.id JOIN bsz z ON z.nk = a.nk AND z.bi = a.bi AND z.bk = a.bk WHERE z.bcnt <= 32), allp AS (SELECT ia, ib, na, nb FROM small_pairs UNION ALL SELECT ia, ib, na, nb FROM cand) SELECT ia AS id_a, ib AS id_b, CAST(levenshtein(na, nb) AS BIGINT) AS dist FROM allp WHERE levenshtein(na, nb) <= 2""")),
 
     QueryDef("q140_name_similarity",
       "catalog name reconciliation with the NATIVE Jaro-Winkler expression (functions.JaroWinklerExpr — bit-identical to DuckDB's jaro_winkler_similarity, validated on 5k+ fixture pairs and the classic literature cases; doGenCode static call, stays inside whole-stage codegen): all pairs of DISTINCT part names scored, pairs ≥ 0.8 reported. The distinct-name table is VOCABULARY-sized (64 names at every SF — catalogs repeat names), so the all-pairs stage is bounded-domain, the q63 no-broadcast-vocabulary regime: at 100 TB the distinct aggregate is the only corpus pass and the pair stage never grows. jw floor-rounded at 6 dp on both engines (identical doubles in, identical grid out)",

@@ -28,7 +28,7 @@ object EvalOps {
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q185_theil_sen",
-      "Theil-Sen robust trend of monthly revenue: slope = median over all month-pair slopes (v_j - v_i)/(t_j - t_i), intercept = median of the per-month residuals v - slope*t — the trend estimator with a 29% breakdown point where q151's OLS has 0 (one corrupted month drags a least-squares line arbitrarily; the pairwise-median line doesn't move). The family completion next to q151 (parametric fit), q164 (forecast backtest) and q181 (changepoint): same daily/monthly revenue plane, complementary verbs. Scale form: the corpus pays ONE aggregate into the calendar-bounded month grid (~79 months here; even 30 years is 360 rows) and the grid DRIVER-FINISHES (VERDICT r11 #5, the q209/q161/q181 pattern): the O(grid^2) pair slopes (~3k), both quantile_cont-bit-equal medians and the residual pass run in plain Scala on the collected grid under an explicit 65536-month cap — the quadratic blowup intentionally lives on the CALENDAR grid, never the corpus (a per-row Theil-Sen would be the anti-pattern), and the old grid-sized Spark tail (pair join + two sequential driver-planned quantile chains) was pure job-floor cost. slope and intercept publish UNROUNDED (the interpolation and per-row IEEE ops mirror the old column chain exactly; hashes unchanged). Honest readout: the synthetic fixture has no trend, and the near-zero slope says so",
+      "Theil-Sen robust trend of monthly revenue: slope = median over all month-pair slopes (v_j - v_i)/(t_j - t_i), intercept = median of the per-month residuals v - slope*t — the trend estimator with a 29% breakdown point where q151's OLS has 0 (one corrupted month drags a least-squares line arbitrarily; the pairwise-median line doesn't move). The family completion next to q151 (parametric fit), q164 (forecast backtest) and q181 (changepoint): same daily/monthly revenue plane, complementary verbs. Scale form: the corpus pays ONE aggregate into the calendar-bounded month grid (~79 months here; even 30 years is 360 rows) and the grid DRIVER-FINISHES (VERDICT r11 #5, the q209/q161/q181 pattern): the O(grid^2) pair slopes (~3k), both quantile_cont-bit-equal medians and the residual pass run in plain Scala on the collected grid under an explicit 4096-month cap set on the QUADRATIC term (<= ~8.4M pair slopes ~ 67 MB on the driver; ADVICE r12 — the earlier 65536 cap bounded the grid but admitted ~2.1e9 pairs) — the quadratic blowup intentionally lives on the CALENDAR grid, never the corpus (a per-row Theil-Sen would be the anti-pattern), and a degenerate <2-month grid publishes the oracle's empty-aggregate NULLs instead of throwing, and the old grid-sized Spark tail (pair join + two sequential driver-planned quantile chains) was pure job-floor cost. slope and intercept publish UNROUNDED (the interpolation and per-row IEEE ops mirror the old column chain exactly; hashes unchanged). Honest readout: the synthetic fixture has no trend, and the near-zero slope says so",
       (s, d) => {
         // driver-finish (VERDICT r11 #5 — the q209/q161/q181 pattern):
         // the corpus pays exactly ONE aggregate into the calendar-
@@ -47,32 +47,45 @@ object EvalOps {
             .cast("long").as("tm"))
           .agg(dsum(col("o_totalprice")).as("v"))
           .collect().map(r => (r.getLong(0), r.getDouble(1)))
-        // calendar-bounded: 36.5k months per 3 millennia; the cap makes
-        // the driver residence a proven property, not an assumption
-        require(rows.length <= 65536,
+        // the cap bounds what actually lives on the driver — the
+        // O(grid²) PAIR array, not the grid: 4096 months (341 years of
+        // calendar) is ≤ ~8.4M pair slopes ≈ 67 MB of doubles, where the
+        // old 65536 cap would have admitted ~2.1e9 pairs ≈ 17 GB
+        // (ADVICE r12 — the cap must be set on the quadratic term)
+        require(rows.length <= 4096,
           s"month grid ${rows.length} exceeds the driver-finish cap")
-        val t0 = rows.map(_._1).min
-        // re-index months from the first month so the intercept reads as
-        // the trend level AT THE SERIES START, not an extrapolation to
-        // year 0 (t = year*12+month ~ 24000 would put it at -7.6e8)
-        val monthly = rows.map { case (tm, v) => (tm - t0, v) }
-        def median(xs: Array[Double]): Double = {
-          java.util.Arrays.sort(xs)
-          val k = 0.5 * (xs.length - 1).toDouble
-          val kf = math.floor(k); val kc = math.ceil(k)
-          if (kf == kc) xs(k.toInt)
-          else xs(kf.toInt) * (kc - k) + xs(kc.toInt) * (k - kf)
-        }
-        val slopes = for {
-          (t1, v1) <- monthly; (t2, v2) <- monthly if t1 < t2
-        } yield (v2 - v1) / (t2 - t1).toDouble
-        val slope = median(slopes.toArray)
-        val intercept = median(monthly.map { case (tt, v) =>
-          v - slope * tt.toDouble }.toArray)
-        val nm = monthly.length.toLong
         import s.implicits._
-        Seq((nm, nm * (nm - 1) / 2, slope, intercept))
-          .toDF("n_months", "n_pairs", "slope", "intercept")
+        // degenerate grids publish the oracle's own empty-aggregate
+        // shape — quantile_cont over zero pair slopes is NULL, and the
+        // intercept inherits it — instead of throwing on min/median of
+        // an empty array
+        if (rows.length < 2) {
+          Seq((rows.length.toLong, 0L,
+              Option.empty[Double], Option.empty[Double]))
+            .toDF("n_months", "n_pairs", "slope", "intercept")
+        } else {
+          val t0 = rows.map(_._1).min
+          // re-index months from the first month so the intercept reads
+          // as the trend level AT THE SERIES START, not an extrapolation
+          // to year 0 (t = year*12+month ~ 24000 would put it at -7.6e8)
+          val monthly = rows.map { case (tm, v) => (tm - t0, v) }
+          def median(xs: Array[Double]): Double = {
+            java.util.Arrays.sort(xs)
+            val k = 0.5 * (xs.length - 1).toDouble
+            val kf = math.floor(k); val kc = math.ceil(k)
+            if (kf == kc) xs(k.toInt)
+            else xs(kf.toInt) * (kc - k) + xs(kc.toInt) * (k - kf)
+          }
+          val slopes = for {
+            (t1, v1) <- monthly; (t2, v2) <- monthly if t1 < t2
+          } yield (v2 - v1) / (t2 - t1).toDouble
+          val slope = median(slopes.toArray)
+          val intercept = median(monthly.map { case (tt, v) =>
+            v - slope * tt.toDouble }.toArray)
+          val nm = monthly.length.toLong
+          Seq((nm, nm * (nm - 1) / 2, slope, intercept))
+            .toDF("n_months", "n_pairs", "slope", "intercept")
+        }
       },
       Some("""WITH raw AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS tm, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS v FROM orders GROUP BY 1), m AS (SELECT tm - (SELECT min(tm) FROM raw) AS t, v FROM raw), p AS (SELECT (b.v - a.v) / CAST(b.t - a.t AS DOUBLE) AS slope FROM m a JOIN m b ON a.t < b.t), sq AS (SELECT quantile_cont(slope, 0.5) AS slope FROM p), iq AS (SELECT quantile_cont(v - sq.slope * t, 0.5) AS intercept FROM m, sq), n AS (SELECT CAST(count(*) AS BIGINT) AS n_months FROM m) SELECT n_months, CAST(n_months * (n_months - 1) / 2 AS BIGINT) AS n_pairs, sq.slope AS slope, iq.intercept AS intercept FROM n, sq, iq""")),
 

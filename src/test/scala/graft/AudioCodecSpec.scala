@@ -55,8 +55,14 @@ class AudioCodecSpec extends SparkSpec {
       assert(AudioCodec.wavSampleRate(withLen(fmtLenOff, -8)) == -1)
       assert(AudioCodec.wavSampleRate(withLen(fmtLenOff, 1 << 30)) == -1)
       assert(AudioCodec.wavSampleRate(withLen(fmtLenOff, 4)) == -1) // fmt too short for its own header
-      intercept[IllegalArgumentException](AudioCodec.decodePcm(withLen(fmtLenOff, -8)))
-      intercept[IllegalArgumentException](AudioCodec.decodePcm(withLen(fmtLenOff, 1 << 30)))
+      // decodePcm shares the graceful unknown path (ADVICE r12): a
+      // corrupt chunk record yields the empty-array sentinel, and the
+      // fingerprint built on it yields -1 — one bad corpus record never
+      // aborts the task
+      assert(AudioCodec.decodePcm(withLen(fmtLenOff, -8)).isEmpty)
+      assert(AudioCodec.decodePcm(withLen(fmtLenOff, 1 << 30)).isEmpty)
+      assert(AudioCodec.envelopeFingerprint(withLen(fmtLenOff, -8)) == -1L)
+      assert(AudioCodec.envelopeFingerprint(Array.fill[Byte](40)(0)) == -1L)
     }
   }
 

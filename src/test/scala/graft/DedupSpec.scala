@@ -353,6 +353,77 @@ class DedupSpec extends SparkSpec {
       assert(out == model(rows, 4))
     }
 
+    /** Textbook Wagner–Fischer edit distance — the driver-side reference
+      * the q58 grid case scores its plain blocked model with (no Spark
+      * expression shared with the implementation under test). */
+    def levenshteinRef(a: String, b: String): Int = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val cur = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(b.length)
+    }
+
+    it("q58's grid (3 x 2-char bands at 13) + levenshtein: routed == exact on bounded blocks, model-equal when oversized") {
+      // the round-13 q58 rework routes the supplier fuzzy-match through
+      // this guard; this pins its EXACT configuration — width-2 bands
+      // over the digit tail — against the independent model, and that
+      // a bounded-block run scored with levenshtein <= 2 is IDENTICAL
+      // to the old plain blocked all-pairs form it replaced
+      def nm58(d: Long): String = f"Supplier#$d%09d"
+      def bands58(c: org.apache.spark.sql.Column) =
+        Dedup.suffixBands(c, 13, 2, 3)
+      def model58(rows: Seq[(Long, String, Int)], cap: Int)
+          : Set[(Long, Long, Boolean)] = {
+        val byBlock = rows.groupBy(_._3)
+        byBlock.values.flatMap { blk =>
+          if (blk.size <= cap) {
+            for (a <- blk; b <- blk if a._1 < b._1) yield (a._1, b._1, false)
+          } else {
+            val buckets = blk.flatMap { case (id, name, _) =>
+              (0 until 3).map(bi => ((bi, name.substring(12 + 2 * bi, 14 + 2 * bi)), id))
+            }.groupBy(_._1).filter(_._2.size <= cap).values.map(_.map(_._2))
+            buckets.flatMap(ids =>
+              for (a <- ids; b <- ids if a < b) yield (a, b, true)).toSet
+          }
+        }.toSet
+      }
+      val rnd = new scala.util.Random(58)
+      val rows = (0 until 60).map(i =>
+        (i.toLong, nm58(rnd.nextInt(2000).toLong), i % 6))
+      // bounded: every block (10 rows) <= cap 16 -> no routing, and the
+      // levenshtein-scored output equals the plain blocked form
+      val bounded = Dedup.blockedLinkage(rows.toDF("id", "name", "blk"),
+          "id", "name", Seq("blk"), 16L, bands58)
+      assert(bounded.filter($"routed").isEmpty,
+        "no pair may be routed when all blocks <= cap")
+      val scored = bounded
+        .select($"id_a", $"id_b",
+          levenshtein($"name_a", $"name_b").cast("long").as("dist"))
+        .filter($"dist" <= 2)
+        .as[(Long, Long, Long)].collect().toSet
+      val plain = (for {
+        a <- rows; b <- rows
+        if a._3 == b._3 && a._1 < b._1
+        dst = levenshteinRef(a._2, b._2) if dst <= 2
+      } yield (a._1, b._1, dst.toLong)).toSet
+      assert(scored == plain,
+        "routed-off guard output with levenshtein scoring must equal the plain blocked all-pairs")
+      // oversized: cap 4 forces every block through the band plane ->
+      // independent model equality for THIS grid
+      val out = Dedup.blockedLinkage(rows.toDF("id", "name", "blk"),
+          "id", "name", Seq("blk"), 4L, bands58)
+        .select($"id_a", $"id_b", $"routed")
+        .as[(Long, Long, Boolean)].collect().toSet
+      assert(out == model58(rows, 4))
+    }
+
     it("drops hot band buckets over the cap (bounded candidate volume)") {
       // every row shares suffix prefix "000000" -> bands 0 and 1 are one
       // hot bucket of size 25 > cap 8 and must be dropped; band 2 varies.

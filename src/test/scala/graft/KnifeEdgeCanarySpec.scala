@@ -60,6 +60,9 @@ class KnifeEdgeCanarySpec extends SparkSpec {
     }
 
     it("Spark's decimal->double cast is the single-rounded conversion") {
+      // cancel (not NoSuchElementException) if the hazard scan came up
+      // empty — only the first canary carries the curated diagnostic
+      assume(divergent.nonEmpty)
       val u = divergent.get
       val bd = new java.math.BigDecimal(u.bigInteger, 6)
       val got = Seq(bd.toPlainString).toDF("s")
@@ -70,6 +73,7 @@ class KnifeEdgeCanarySpec extends SparkSpec {
     }
 
     it("the VARCHAR route is correctly rounded (the fix's other half)") {
+      assume(divergent.nonEmpty)
       val u = divergent.get
       val bd = new java.math.BigDecimal(u.bigInteger, 6)
       // DuckDB's CAST(VARCHAR AS DOUBLE) is strtod = correctly rounded;
@@ -114,6 +118,7 @@ class KnifeEdgeCanarySpec extends SparkSpec {
     }
 
     it("the floor-grid decides on the identical double in Spark columns and plain scala") {
+      assume(boundary.nonEmpty)
       val d = boundary.get._2
       val plain = math.floor(d * 1e6 + 0.5) / 1e6
       val viaColumn = Seq(d).toDF("x")
