@@ -157,7 +157,19 @@ object Dedup {
     * sizes as the set sizes and joins nothing back; the capped default
     * deliberately stays the production setting (an unbounded default
     * would reinstate the hot-shingle k-squared blowup out of the box).
-    */
+    *
+    * Round 13 (VERDICT r12 #8): on the capped path the posting-list
+    * table is localCheckpoint'd once — its two consumers (pair plane,
+    * hot correction) previously shared only the shuffle WRITE via
+    * ReuseExchange and each re-ran the list-building aggregate, the
+    * expensive half per Prof4. At sf0.1 the materialization job and
+    * the saved second aggregate roughly cancel (q21/q107/q121 measured
+    * inside same-window noise either way); the checkpoint is kept for
+    * the structural guarantee — at open scale the aggregate's
+    * collect_list+sort CPU over the full shingle volume dominates one
+    * sequential local write of its output, and a plan that silently
+    * aggregates the corpus twice is the kind of 2x a 100 TB run pays
+    * for real. */
   private def shinglePairStats(docs: DataFrame, textCol: String, idCol: String,
                                blockCol: String, n: Int,
                                maxDf: Int): DataFrame = {
@@ -166,8 +178,18 @@ object Dedup {
                        wordShingleHashes(col(textCol), n).as("ss"))
       .select(col("id"), col("block"), size(col("ss")).as("n_sh"),
               explode(col("ss")).as("sh"))
-    val allLists = sh.groupBy(col("block"), col("sh"))
+    val allLists0 = sh.groupBy(col("block"), col("sh"))
       .agg(array_sort(collect_list(struct(col("id"), col("n_sh")))).as("ids"))
+    // capped path: allLists feeds BOTH the pair plane (<= maxDf) and
+    // the hot-shingle correction (> maxDf). ReuseExchange shares only
+    // the shuffle WRITE between those consumers — the list-building
+    // aggregate itself (the expensive half per Prof4) would run twice,
+    // so materialize it once (VERDICT r12 #8: every capped consumer —
+    // q21/q107/q121 — paid the list-building aggregate twice). The
+    // uncapped path has a single consumer and skips the
+    // materialization job.
+    val allLists = if (maxDf == Int.MaxValue) allLists0
+                   else allLists0.localCheckpoint(true)
     val lists = allLists.filter(size(col("ids")) > 1 && size(col("ids")) <= maxDf)
     val rawPairs = listPairs(lists, "ids")
       .select(col("pa.id").as("id_a"), col("pa.n_sh").as("na"),

@@ -425,28 +425,86 @@ object BehaviorOps {
       Some("""WITH t AS (SELECT user_id, ts, event_id, event_type FROM events WHERE event_type IN ('view','click')), p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'), pr AS (SELECT p.user_id, p.event_id AS pid, p.value, t.event_type AS channel FROM p JOIN t ON t.user_id = p.user_id AND (t.ts < p.ts OR (t.ts = p.ts AND t.event_id < p.event_id)) AND epoch_us(p.ts) - epoch_us(t.ts) <= 604800000000), n AS (SELECT pid, CAST(count(*) AS BIGINT) AS nt FROM pr GROUP BY 1), c AS (SELECT channel, value / nt AS credit FROM pr JOIN n USING (pid)), agg AS (SELECT channel, CAST(SUM(CAST(floor(credit * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS credit, CAST(count(*) AS BIGINT) AS n_touchpoints FROM c GROUP BY 1), d AS (SELECT 'direct' AS channel, CAST(SUM(CAST(round(value, 6) AS DECIMAL(38,6))) AS DOUBLE) AS credit, CAST(count(*) AS BIGINT) AS n_touchpoints FROM p WHERE NOT EXISTS (SELECT 1 FROM n WHERE n.pid = p.event_id) HAVING count(*) > 0) SELECT * FROM agg UNION ALL SELECT * FROM d""")),
 
     QueryDef("q156_mad_outliers",
-      "MAD robust outlier detection per event_type — the second consumer of ops.Quantiles (VERDICT r8 #4's reusable-operator point): median via exact interpolated quantiles, MAD = median(|x - med|) via a SECOND exact-quantile pass over the deviations, outliers flagged at |x - med| > 3 * 1.4826 * MAD (the Gaussian-consistency convention) — the robust alternative to q137's mean/std z-scores that one corrupted batch cannot drag. Both medians ride Quantiles' two-pass histogram refinement (bounded counters, never a buffering percentile aggregate); because q120 proved the interpolation bit-equal to DuckDB's quantile_cont, the downstream threshold arithmetic on those UNROUNDED medians is also bit-equal. Four corpus passes total (2 per quantile op), each map + grid-sized aggregate; med/mad broadcast back; output one row per type",
+      "MAD robust outlier detection per event_type — median via exact interpolated quantiles, MAD = median(|x - med|), outliers flagged at |x - med| > 3 * 1.4826 * MAD (the Gaussian-consistency convention) — the robust alternative to q137's mean/std z-scores that one corrupted batch cannot drag. Round 13 (VERDICT r12 #5): the whole tail DRIVER-FINISHES off ONE (type, value, count) histogram pass when the value domain is bounded — this fixture's values sit on a saturating 2-dp grid (6.6k/17.8k/29.4k distinct at sf0.01/0.1/1: domain growth is sublinear and capped), so the corpus pays ONE aggregate and both weighted medians, the deviation fold and the outlier count run in plain Scala with EXACTLY ops.Quantiles' interpolation arithmetic (k=(n-1)*p; lo*(ce-k)+hi*(k-fl) — q120 proved it bit-equal to quantile_cont, and the driver fold reuses the identical IEEE ops, so hashes are unchanged; was 2 exactQuantiles calls + a final corpus aggregate ~ 7 driver-planned jobs ~ 1.0 s of pure job floor). Above the 2^20-distinct cap (a genuinely continuous domain at open scale) the original two-pass-histogram-refinement chain runs unchanged — the same adaptive collect-or-distribute split Quantiles/dedupGroups already use, decided from the checkpointed histogram's materialized count",
       (s, d) => {
         val ev = t(s, d, "events").select(col("event_type"), col("value"))
-        val med = graft.ops.Quantiles
-          .exactQuantiles(ev, "event_type", "value", Seq(0.5))
-          .select(col("event_type"), col("value").as("med"))
-        val dev = ev.join(broadcast(med), Seq("event_type"))
-          .select(col("event_type"), col("value"), col("med"),
-                  abs(col("value") - col("med")).as("adev"))
-        val mad = graft.ops.Quantiles
-          .exactQuantiles(dev, "event_type", "adev", Seq(0.5))
-          .select(col("event_type"), col("value").as("mad"))
-        dev.join(broadcast(mad), Seq("event_type"))
-          .groupBy(col("event_type"), col("med"), col("mad"))
-          .agg(
-            lcount(lit(1)).as("n"),
-            count(when(col("adev") > lit(3.0) * lit(1.4826) * col("mad"), 1))
-              .cast("long").as("n_outliers"))
-          .select(col("event_type"), col("med"), col("mad"), col("n"),
-            col("n_outliers"),
-            (floor(col("n_outliers").cast("double") / col("n") * lit(1e6) + lit(0.5))
-              / lit(1e6)).as("outlier_frac"))
+        // ONE corpus pass; the checkpoint makes the cardinality probe
+        // metadata-cheap and the collect a re-read, not a re-derivation
+        val hist = ev.groupBy(col("event_type"), col("value"))
+          .agg(lcount(lit(1)).as("c"))
+          .localCheckpoint(true)
+        if (hist.count() <= (1L << 20)) {
+          import scala.jdk.CollectionConverters._
+          import org.apache.spark.sql.Row
+          import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+          // weighted order statistic over (value, count) runs, exactly
+          // ops.Quantiles' arithmetic: k=(n-1)*p, lo*(ce-k)+hi*(k-fl)
+          def wq(sorted: Array[(Double, Long)], n: Long, p: Double): Double = {
+            val k = (n - 1).toDouble * p
+            val fl = math.floor(k); val ce = math.ceil(k)
+            def at(rank: Long): Double = {
+              var below = 0L; var i = 0
+              while (i < sorted.length) {
+                if (rank < below + sorted(i)._2) return sorted(i)._1
+                below += sorted(i)._2; i += 1
+              }
+              throw new IllegalStateException(s"rank $rank out of range")
+            }
+            val lo = at(fl.toLong)
+            if (fl == ce) lo else lo * (ce - k) + at(ce.toLong) * (k - fl)
+          }
+          val out = hist.collect().groupBy(_.getString(0)).toSeq
+            .flatMap { case (tpe, rs) =>
+              val n = rs.map(_.getLong(2)).sum
+              val vals = rs.filter(!_.isNullAt(1))
+                .map(r => (r.getDouble(1), r.getLong(2))).sortBy(_._1)
+              val nn = vals.map(_._2).sum
+              // an all-null group has no median: the quantile/join chain
+              // dropped it, so the driver fold drops it too
+              if (nn == 0L) None
+              else {
+                val med = wq(vals, nn, 0.5)
+                val adev = vals.groupBy { case (v, _) => math.abs(v - med) }
+                  .map { case (a, g) => (a, g.map(_._2).sum) }
+                  .toArray.sortBy(_._1)
+                val mad = wq(adev, nn, 0.5)
+                // same association as the old Catalyst tree: the folded
+                // (3.0 * 1.4826) literal product times mad
+                val thr = 3.0 * 1.4826 * mad
+                val nOut = adev.filter(_._1 > thr).map(_._2).sum
+                Some(Row(tpe, med, mad, n, nOut,
+                  math.floor(nOut.toDouble / n * 1e6 + 0.5) / 1e6))
+              }
+            }
+          s.createDataFrame(out.asJava, StructType(Seq(
+            StructField("event_type", StringType),
+            StructField("med", DoubleType),
+            StructField("mad", DoubleType),
+            StructField("n", LongType, nullable = false),
+            StructField("n_outliers", LongType, nullable = false),
+            StructField("outlier_frac", DoubleType, nullable = false))))
+        } else {
+          // unbounded value domain: the original two-op refinement chain
+          val med = graft.ops.Quantiles
+            .exactQuantiles(ev, "event_type", "value", Seq(0.5))
+            .select(col("event_type"), col("value").as("med"))
+          val dev = ev.join(broadcast(med), Seq("event_type"))
+            .select(col("event_type"), col("value"), col("med"),
+                    abs(col("value") - col("med")).as("adev"))
+          val mad = graft.ops.Quantiles
+            .exactQuantiles(dev, "event_type", "adev", Seq(0.5))
+            .select(col("event_type"), col("value").as("mad"))
+          dev.join(broadcast(mad), Seq("event_type"))
+            .groupBy(col("event_type"), col("med"), col("mad"))
+            .agg(
+              lcount(lit(1)).as("n"),
+              count(when(col("adev") > lit(3.0) * lit(1.4826) * col("mad"), 1))
+                .cast("long").as("n_outliers"))
+            .select(col("event_type"), col("med"), col("mad"), col("n"),
+              col("n_outliers"),
+              (floor(col("n_outliers").cast("double") / col("n") * lit(1e6) + lit(0.5))
+                / lit(1e6)).as("outlier_frac"))
+        }
       },
       Some("""WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1), a AS (SELECT e.event_type, value, med, abs(value - med) AS adev FROM events e JOIN m USING (event_type)), md AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM a GROUP BY 1) SELECT a.event_type, a.med, md.mad, CAST(count(*) AS BIGINT) AS n, CAST(count(*) FILTER (WHERE adev > 3.0 * 1.4826 * mad) AS BIGINT) AS n_outliers, floor(count(*) FILTER (WHERE adev > 3.0 * 1.4826 * mad) / count(*) * 1e6 + 0.5) / 1e6 AS outlier_frac FROM a JOIN md USING (event_type) GROUP BY 1, 2, 3""")),
 
