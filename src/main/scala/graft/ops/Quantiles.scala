@@ -185,6 +185,150 @@ object Quantiles {
     }
   }
 
+  /** Exact interpolated quantile of the FULL frame (published as group
+    * −1) plus each of `bits` hash-bit-filtered half-sample replicates
+    * (groups 0..bits−1) — the BRR/half-sample shape q187/q196 use —
+    * WITHOUT materializing the (bits+1)× exploded frame the naive
+    * formulation pays three corpus passes over. The trick: every
+    * replicate is a BIT of the same hash column, so ONE histogram pass
+    * can carry all bits+1 group counts as bitmask sums — per-bucket
+    * state is (bits+2) longs, grid-bounded like everything else here:
+    *
+    *  1. one aggregate → global (n, mn, mx) + per-bit counts (1 job);
+    *  2. one B-bucket histogram with a count column per replicate
+    *     (1 job, ≤ B×(bits+2) longs collected);
+    *  3. the driver locates every replicate's ⌊k⌋/⌈k⌉ buckets through
+    *     its own histogram column and fetches ONLY the union of target
+    *     buckets (1 job, bound PROVEN by the histogram before the
+    *     collect — each bucket contributes at most its full-frame
+    *     count), then ranks/interpolates in plain Scala with the same
+    *     IEEE arithmetic [[exactQuantiles]] compiles to.
+    *
+    * Replicate medians all sit near the full-frame quantile, so the
+    * target-bucket union is a handful of buckets: the fetch is ≈
+    * |union|·n/B rows. Above [[MaxDriverPass2Rows]] (or for non-double
+    * value types) the method falls back to the exploded-frame
+    * [[exactQuantiles]] chain — same algorithm, same results; the decade
+    * sf0.1→sf10 stays on the fast path (n/B at sf10 ≈ 15k rows/bucket).
+    * Empty replicates (possible only at toy n) drop out, mirroring the
+    * exploded GROUP BY. Result: (groupCol: long, p, value), bit-equal to
+    * `quantile_cont` per group (QuantilesSpec pins ≡ exploded).
+    *
+    * @param hashCol non-negative long hash with ≥ `bits` usable bits
+    *   (replicate r keeps rows where bit r is set) */
+  def exactQuantileBitReplicates(df: DataFrame, hashCol: String, valCol: String,
+                                 bits: Int, p: Double, buckets: Int = 1024,
+                                 groupCol: String = "r"): DataFrame = {
+    require(bits >= 1 && bits <= 60, s"bits must be in [1,60]: $bits")
+    require(p >= 0.0 && p <= 1.0, s"quantile fraction must be in [0,1]: $p")
+    val session = df.sparkSession
+    val in = df.select(col(hashCol).as("h"), col(valCol).as("v"))
+      .filter(col("v").isNotNull)
+    def exploded = {
+      val long = in
+        .select(explode(sequence(lit(-1), lit(bits - 1))).as("rr"),
+          col("h"), col("v"))
+        .filter(col("rr") === -1 ||
+          expr("(shiftright(h, cast(rr as int)) & 1) = 1"))
+        .select(col("rr").cast("long").as("rr"), col("v"))
+      exactQuantiles(long, "rr", "v", Seq(p), buckets)
+        .withColumnRenamed("rr", groupCol)
+    }
+    val driverSafe = in.schema("v").dataType match {
+      case DoubleType | FloatType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    if (!driverSafe) return exploded
+    val bitCols = (0 until bits).map(r =>
+      sum(shiftright(col("h"), r).bitwiseAND(lit(1L))).as(s"c$r"))
+    val statAggs = Seq(count(lit(1)).as("n"), min(col("v")).as("mn"),
+      max(col("v")).as("mx")) ++ bitCols
+    val st = in.agg(statAggs.head, statAggs.tail: _*).head()   // job 1
+    val nAll = st.getLong(0)
+    if (nAll == 0L)
+      return session.createDataFrame(
+        java.util.Collections.emptyList[Row](), StructType(Seq(
+          StructField(groupCol, LongType, nullable = false),
+          StructField("p", DoubleType, nullable = false),
+          StructField("value", DoubleType))))
+    val mn = st.getAs[Number]("mn").doubleValue
+    val mx = st.getAs[Number]("mx").doubleValue
+    val nOf: Int => Long = r => if (r < 0) nAll else st.getLong(3 + r)
+    val bExpr = // literal-stats twin of bucketOf: identical arithmetic
+      if (mx > mn)
+        least(lit(buckets - 1),
+          floor((col("v") - lit(mn)) / ((lit(mx) - lit(mn)) / buckets))
+            .cast("int"))
+      else lit(0)
+    val hist = in.groupBy(bExpr.as("b"))
+      .agg(count(lit(1)).as("call"),
+        (0 until bits).map(r =>
+          sum(shiftright(col("h"), r).bitwiseAND(lit(1L))).as(s"c$r")): _*)
+      .collect().sortBy(_.getInt(0))                           // job 2
+    val cntOf: (Row, Int) => Long = (row, r) =>
+      if (r < 0) row.getLong(1) else row.getLong(2 + r)
+    // locate each replicate's needed ranks: (r, rank) -> (bucket, local)
+    case class Tgt(b: Int, local: Long)
+    val targets = (-1 until bits).flatMap { r =>
+      val n = nOf(r)
+      if (n <= 0) Nil
+      else {
+        val k = (n - 1).toDouble * p
+        Seq(math.floor(k).toLong, math.ceil(k).toLong).distinct.map { rank =>
+          var below = 0L
+          val hit = hist.find { row =>
+            val c = cntOf(row, r); val lo = below; below += c
+            rank >= lo && rank < lo + c
+          }.getOrElse(throw new IllegalStateException(
+            s"rank $rank of replicate $r not covered by histogram"))
+          var lo = 0L
+          hist.takeWhile(_.getInt(0) < hit.getInt(0))
+            .foreach(row => lo += cntOf(row, r))
+          (r, rank) -> Tgt(hit.getInt(0), rank - lo)
+        }
+      }
+    }.toMap
+    val neededBuckets = targets.values.map(_.b).toSet
+    val fetchBound = hist.filter(r => neededBuckets(r.getInt(0)))
+      .map(_.getLong(1)).sum
+    if (fetchBound > MaxDriverPass2Rows) return exploded
+    val fetched = in.withColumn("b", bExpr)
+      .filter(col("b").isInCollection(neededBuckets))
+      .select(col("b"), col("h"), col("v"))
+      .collect()                                               // job 3
+      .groupBy(_.getInt(0))
+      .map { case (b, rows) =>
+        b -> rows.map(r => (r.getLong(1), r.getAs[Number](2).doubleValue))
+          .sortBy(_._2)
+      }
+    def statValue(r: Int, rank: Long): Double = {
+      val tgt = targets((r, rank))
+      val rows = fetched.getOrElse(tgt.b, Array.empty[(Long, Double)])
+      var i = 0; var seen = 0L
+      while (i < rows.length) {
+        if (r < 0 || ((rows(i)._1 >> r) & 1L) == 1L) {
+          if (seen == tgt.local) return rows(i)._2
+          seen += 1L
+        }
+        i += 1
+      }
+      throw new IllegalStateException(
+        s"order statistic $rank of replicate $r missing from fetched buckets")
+    }
+    val resRows = (-1 until bits).filter(nOf(_) > 0L).map { r =>
+      val k = (nOf(r) - 1).toDouble * p
+      val fl = math.floor(k); val ce = math.ceil(k)
+      val lo = statValue(r, fl.toLong)
+      val v = if (fl == ce) lo
+              else lo * (ce - k) + statValue(r, ce.toLong) * (k - fl)
+      Row(r.toLong, p, v)
+    }
+    session.createDataFrame(resRows.asJava, StructType(Seq(
+      StructField(groupCol, LongType, nullable = false),
+      StructField("p", DoubleType, nullable = false),
+      StructField("value", DoubleType))))
+  }
+
   /** bucket id: equal-width over [mn, mx]; constant groups (mx == mn)
     * collapse to bucket 0. Callers use the same expression for both
     * passes so assignment is bit-identical. Expects joined stats

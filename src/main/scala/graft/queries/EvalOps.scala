@@ -157,7 +157,7 @@ object EvalOps {
       Some(s"""WITH b AS (SELECT ${ph("CAST(o_orderkey AS VARCHAR)", 131)} AS h, CAST(floor(o_totalprice * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6)) AS p6 FROM orders), tot AS (SELECT floor(CAST(SUM(p6) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS theta FROM b), reps AS (SELECT i.r AS replicate, CAST(count(*) AS BIGINT) AS n_r, floor(CAST(SUM(p6) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS mean_r FROM b, (SELECT unnest(generate_series(0, 59)) AS r) i WHERE ((h >> r) & 1) = 1 GROUP BY 1), g AS (SELECT replicate, n_r, mean_r, theta FROM reps, tot), sm AS (SELECT floor(sqrt(CAST(SUM(CAST(floor((mean_r - theta) * (mean_r - theta) * 1e9 + 0.5) / 1e9 AS DECIMAL(38,9))) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS se FROM g) SELECT replicate, n_r, mean_r, theta, se, floor((theta - 1.96 * se) * 1e6 + 0.5) / 1e6 AS ci_lo, floor((theta + 1.96 * se) * 1e6 + 0.5) / 1e6 AS ci_hi FROM g, sm""")),
 
     QueryDef("q188_conformal_interval",
-      "split conformal prediction interval (Papadopoulos 2002 / Vovk): 3-way orderkey split of lineitem — TRAIN fits the predictor (group-mean price per quantity, a 50-cell bounded model), CALIBRATION takes qhat = the 0.90 quantile of its absolute residuals, TEST reports empirical coverage of yhat +/- qhat. The distribution-free guarantee P(covered) >= alpha holds for ANY predictor — this query is the engine-side validation harness a model team runs before shipping intervals (the uncertainty counterpart of q178's calibration ECE: ECE audits probabilities, conformal audits intervals). quantile_cont(0.90) stands in for the finite-sample ceil((n+1)alpha)/n order statistic — at n_cal ~ 20k the two differ by < 2e-4 in rank fraction; the n->infinity limit, noted honestly. Scale form: one aggregate fits the model (bounded grid, broadcast back), the calibration residual frame is checkpointed ONCE and feeds count + ops.Quantiles' two bounded-state passes (qhat publishes UNROUNDED via the q120 bit-equal interpolation), and the test pass is one scan against the broadcast model and one-row qhat. Round-11 floor profile (VERDICT r10 #6): ~1.6 s at sf0.1 isolated = the 6-job chain (model agg, cal checkpoint, n_cal count, quantile stats+histogram+refine over the ~200k-row calibration frame) at this box's per-job floor; dropping the checkpoint measured SLOWER (the three cal readers re-derive the join), and the driver-finish pattern does not apply — the calibration frame is corpus-sized, not grid-sized. Honest readout: coverage ~ 0.90 on iid splits — the guarantee demonstrated, not assumed",
+      "split conformal prediction interval (Papadopoulos 2002 / Vovk): 3-way orderkey split of lineitem — TRAIN fits the predictor (group-mean price per quantity, a 50-cell bounded model), CALIBRATION takes qhat = the 0.90 quantile of its absolute residuals, TEST reports empirical coverage of yhat +/- qhat. The distribution-free guarantee P(covered) >= alpha holds for ANY predictor — this query is the engine-side validation harness a model team runs before shipping intervals (the uncertainty counterpart of q178's calibration ECE: ECE audits probabilities, conformal audits intervals). quantile_cont(0.90) stands in for the finite-sample ceil((n+1)alpha)/n order statistic — at n_cal ~ 20k the two differ by < 2e-4 in rank fraction; the n->infinity limit, noted honestly. Scale form: one aggregate fits the model (bounded grid, broadcast back), the calibration residual frame is checkpointed ONCE and feeds count + ops.Quantiles' two bounded-state passes (qhat publishes UNROUNDED via the q120 bit-equal interpolation), and the test pass is one scan against the broadcast model and one-row qhat. Round-13 floor shave: ONE stats aggregate now serves both n_cal and the quantile op's bucket planning (collected once, re-entering exactQuantiles as a LOCAL statsOpt frame — the op's own stats job and the separate count job both disappear; qhat bit-unchanged because the collected (n, mn, mx) are exactly what the derived pass computes), cutting the round-11 6-job chain to 5 (model agg, cal checkpoint, fused stats, histogram, target-bucket fetch); dropping the checkpoint still measures SLOWER (the cal readers re-derive the join), and the driver-finish pattern does not apply — the calibration frame is corpus-sized, not grid-sized. Honest readout: coverage ~ 0.90 on iid splits — the guarantee demonstrated, not assumed",
       (s, d) => {
         val li = t(s, d, "lineitem").select(
           (col("l_orderkey") % 3).as("split"),
@@ -169,18 +169,36 @@ object EvalOps {
         val cal = li.filter(col("split") === 1)
           .join(broadcast(model), Seq("q"))
           .select(lit("all").as("g"), abs(col("y") - col("yhat")).as("r"))
-          .localCheckpoint(true) // feeds count + the two quantile passes
-        val nCal = cal.agg(lcount(lit(1)).as("n_cal"))
-        val qhat = graft.ops.Quantiles.exactQuantiles(cal, "g", "r", Seq(0.9))
+          .localCheckpoint(true) // feeds the stats + two quantile passes
+        // ONE stats aggregate serves both n_cal AND the quantile op's
+        // bucket planning (round 13): collected here, it re-enters
+        // exactQuantiles as a LOCAL statsOpt frame — the op's own stats
+        // job disappears (LocalTableScan collect schedules nothing) and
+        // the separate n_cal count job is gone with it. The collected
+        // (n, mn, mx) are the exact values the op's derived pass would
+        // have computed from the same checkpointed frame, so qhat is
+        // bit-unchanged; n_cal rides into the output as a literal.
+        val st = cal.agg(count(lit(1)).as("n"), min(col("r")).as("mn"),
+          max(col("r")).as("mx")).head()
+        val nCal = st.getLong(0)
+        import s.implicits._
+        // empty calibration split (toy inputs): min/max are NULL — feed
+        // placeholder bounds; n = 0 already yields zero quantile rows
+        // (needs are filtered on n > 0), matching the derived-stats path
+        val statsLocal = Seq((("all"), nCal,
+          if (st.isNullAt(1)) 0.0 else st.getDouble(1),
+          if (st.isNullAt(2)) 0.0 else st.getDouble(2))).toDF("g", "n", "mn", "mx")
+        val qhat = graft.ops.Quantiles.exactQuantiles(cal, "g", "r", Seq(0.9),
+            statsOpt = Some(statsLocal))
           .select(col("value").as("qhat"))
         li.filter(col("split") === 2).join(broadcast(model), Seq("q"))
           .crossJoin(broadcast(qhat))
           .agg(lcount(lit(1)).as("n_test"),
             lcount(when(abs(col("y") - col("yhat")) <= col("qhat"), 1))
               .as("n_covered"))
-          .crossJoin(broadcast(nCal))
           .crossJoin(broadcast(qhat))
-          .select(col("n_cal"), col("n_test"), col("n_covered"), col("qhat"),
+          .select(lit(nCal).as("n_cal"), col("n_test"), col("n_covered"),
+            col("qhat"),
             g6(col("n_covered").cast("double") / col("n_test")).as("coverage"),
             lit(0.9).as("target"))
       },
@@ -371,46 +389,56 @@ object EvalOps {
       Some("""WITH s AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem), d AS (SELECT CAST(least(255.0, floor((l_extendedprice - mn) / ((mx - mn) / 256.0))) AS BIGINT) AS b, (l_orderkey % 2 = 0) AS a FROM lineitem, s), c AS (SELECT b, CAST(count(*) FILTER (WHERE a) AS BIGINT) AS na, CAST(count(*) FILTER (WHERE NOT a) AS BIGINT) AS nb FROM d GROUP BY 1), tt AS (SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb FROM c), kl AS (SELECT CAST(SUM(CAST(floor(CASE WHEN na > 0 THEN (CAST(na AS DOUBLE) / ta) * ln((CAST(na AS DOUBLE) / ta) / ((CAST(na AS DOUBLE) / ta + CAST(nb AS DOUBLE) / tb) / 2)) ELSE 0.0 END * 1e12 + 0.5) / 1e12 AS DECIMAL(38,12))) AS DOUBLE) AS kl_pm, CAST(SUM(CAST(floor(CASE WHEN nb > 0 THEN (CAST(nb AS DOUBLE) / tb) * ln((CAST(nb AS DOUBLE) / tb) / ((CAST(na AS DOUBLE) / ta + CAST(nb AS DOUBLE) / tb) / 2)) ELSE 0.0 END * 1e12 + 0.5) / 1e12 AS DECIMAL(38,12))) AS DOUBLE) AS kl_qm FROM c, tt) SELECT floor(kl_pm * 1e6 + 0.5) / 1e6 AS kl_pm, floor(kl_qm * 1e6 + 0.5) / 1e6 AS kl_qm, floor((kl_pm + kl_qm) / 2 * 1e9 + 0.5) / 1e9 AS js, floor(sqrt((kl_pm + kl_qm) / 2) * 1e6 + 0.5) / 1e6 AS js_dist FROM kl""")),
 
     QueryDef("q196_median_ci",
-      "half-sample replication CI for the MEDIAN order value — cashing q187's claim in code: BRR needs no variance formula, so the SAME 60 hash-bit replicates that gave the mean its interval give the median one, where no CLT plug-in exists (the asymptotic median variance needs a density estimate at the median — replication sidesteps it entirely, Efron's pre-bootstrap insight). ALL 61 medians (60 replicates + the full-corpus theta as group -1) ride ONE ops.Quantiles.exactQuantilesFromCounts pass over a single (replicate, value, count) grid (VERDICT r10 #5 — one stats/histogram/refine job chain instead of two separate exactQuantiles calls; fewer jobs, unchanged hashes, and an honest negative result on time: ~2.1 s either way, the cost being the three full scans of the 31x-exploded frame, not the job count — A/B details in the code comment), all 61 bit-equal to quantile_cont; se = sqrt(mean((med_r - theta)^2)) with 9-dp pre-rounded exact-decimal reduction over the 60-row grid, normal interval at 1.96. Scale: the exploded replicate frame (30x the corpus after bit-filtering) is checkpointed ONCE and feeds the quantile op's two passes; everything downstream is the 60-row grid. Honest readout: the median's CI half-width (~3450) lands ~57% WIDER than the mean's (~2190, q187) on the SAME orders and replicates — close to the sqrt(3) asymptotic efficiency ratio a uniform distribution predicts, i.e. the harness correctly measures the median as the less efficient location estimator on near-uniform data (the median earns its width back on heavy tails, which q193 diagnoses)",
+      "half-sample replication CI for the MEDIAN order value — cashing q187's claim in code: BRR needs no variance formula, so the SAME 60 hash-bit replicates that gave the mean its interval give the median one, where no CLT plug-in exists (the asymptotic median variance needs a density estimate at the median — replication sidesteps it entirely, Efron's pre-bootstrap insight). ALL 61 medians (60 replicates + the full-corpus theta as group -1) come from ONE bitmask-histogram chain (ops.Quantiles.exactQuantileBitReplicates, round 13): every replicate is a BIT of the same hash, so a single 1024-bucket histogram pass over the UNEXPLODED (h, v) frame carries all 61 group counts as bit sums — the 31x-exploded (replicate, value) frame of rounds 10-12, whose checkpoint write + stats + histogram scans WERE the measured cost (round-11 A/B: ~2.1 s fused or unfused), never exists. The corpus pays exactly: one 2-column checkpoint, one stats aggregate, one histogram aggregate, one target-bucket fetch whose row bound the histogram PROVES before the collect (union of target buckets ~ n/1024 rows each; above MaxDriverPass2Rows the exploded exactQuantiles chain is the documented fallback — same arithmetic, same results); ranking + interpolation finish in plain Scala with the op's quantile_cont-bit-equal arithmetic. se = sqrt(mean((med_r - theta)^2)) with 9-dp pre-rounded exact-decimal reduction over the 60-row grid, normal interval at 1.96 — unchanged, so published values are unchanged. Scale: grid-bounded state everywhere (histogram = 1024 x 62 longs regardless of volume); at sf10 the fix also deletes the ~0.5 GB/rep exploded checkpoint behind the r12 ENOSPC abort. Honest readout: the median's CI half-width (~3450) lands ~57% WIDER than the mean's (~2190, q187) on the SAME orders and replicates — close to the sqrt(3) asymptotic efficiency ratio a uniform distribution predicts, i.e. the harness correctly measures the median as the less efficient location estimator on near-uniform data (the median earns its width back on heavy tails, which q193 diagnoses)",
       (s, d) => {
         val base = t(s, d, "orders").select(
           TextFunctions.portableHash(col("o_orderkey").cast("string"), 131).as("h"),
           col("o_totalprice").as("v"))
-        // ONE exploded frame for ALL 61 medians (VERDICT r10 #5):
-        // r = -1 carries the full corpus (theta), r = 0..59 the
-        // bit-filtered half-sample replicates, and a single
-        // exactQuantiles pass answers every group — one
-        // stats/histogram/refine chain instead of two calls' separate
-        // job chains. Honest A/B record (round 11, isolated quiet-box
-        // fresh-JVM): fused 2.12 s vs unfused 2.1 s — the fuse halves
-        // the JOB COUNT but not the time, because the cost is the three
-        // full scans of the ~31x-exploded frame (checkpoint write +
-        // stats + histogram), which any exact-median formulation of 60
-        // overlapping half-samples pays; a FromCounts pre-aggregation
-        // was also tried and measured slower still (o_totalprice is
-        // near-unique, so the (r, v) rollup shuffles 4.6M rows to
-        // dedupe almost nothing), as was dropping the checkpoint (ties;
-        // kept for suite-context recompute protection)
-        val reps = base
-          .select(explode(sequence(lit(-1), lit(59))).as("r"), col("h"), col("v"))
-          .filter(col("r") === -1 || expr("(shiftright(h, r) & 1) = 1"))
-          .select(col("r").cast("long").as("r"), col("v"))
-          .localCheckpoint(true) // map-only; feeds the quantile op's two passes
-        val med = graft.ops.Quantiles.exactQuantiles(reps, "r", "v", Seq(0.5))
+          .localCheckpoint(true) // (h, v): feeds the op's 3 bounded passes
+        // ALL 61 medians from ONE bitmask-histogram chain (round 13,
+        // VERDICT r12 weak-set): exactQuantileBitReplicates carries the
+        // 60 replicate counts as bit sums inside a single B-bucket
+        // histogram pass over the UNEXPLODED frame, so the 31×-exploded
+        // (r, v) materialization — whose checkpoint write + stats +
+        // histogram scans were the measured cost of the old shape
+        // (round-11 A/B: ~2.1 s at sf0.1 either fused or unfused; the
+        // explode itself was the floor) — never exists. Job shape now:
+        // checkpoint write of the 2-column base + stats + histogram +
+        // target-bucket fetch, every collected frame grid-bounded
+        // (≤ 1024×62 longs) and the fetch bound PROVEN by the histogram
+        // before the collect, with the exploded chain as the documented
+        // fallback above MaxDriverPass2Rows. Medians stay bit-equal to
+        // quantile_cont (same interpolation arithmetic; oracle
+        // unchanged). At sf10 this also deletes the ~0.5 GB exploded
+        // checkpoint the r12 ENOSPC run paid per rep.
+        // the med frame is ≤ 61 rows BY CONSTRUCTION on both op paths
+        // (one per replicate + theta), so the se/CI tail driver-finishes
+        // (the q185/q156 pattern): the old 60-row-grid Spark tail was 3
+        // more scheduled jobs (med checkpoint, se aggregate, final
+        // crossJoin) of pure per-job floor. The fold reproduces the old
+        // column chain's arithmetic exactly — floor((med−theta)²·1e9 +
+        // 0.5)/1e9 in doubles, double→DECIMAL(38,9) via the same
+        // valueOf/HALF_UP route Cast compiles to, exact decimal sum,
+        // one double division + sqrt, 1e6 floor-grid — so published
+        // values are unchanged (oracle-confirmed at sf0.01/0.1/1).
+        val medRows = graft.ops.Quantiles
+          .exactQuantileBitReplicates(base, "h", "v", bits = 60, p = 0.5)
           .select(col("r"), col("value").as("med"))
-          .localCheckpoint(true) // 61 rows; feeds theta AND the se fold
-        val rm = med.filter(col("r") >= 0)
-        val th = med.filter(col("r") === -1).select(col("med").as("theta"))
-        val se = rm.crossJoin(broadcast(th))
-          .agg(sqrt(sum((floor((col("med") - col("theta"))
-              * (col("med") - col("theta")) * lit(1e9) + lit(0.5)) / lit(1e9))
-            .cast(DecimalType(38, 9))).cast("double") / count(lit(1))).as("se0"),
-            lcount(lit(1)).as("n_replicates"))
-          .select(g6(col("se0")).as("se"), col("n_replicates"))
-        th.crossJoin(broadcast(se))
-          .select(col("theta"), col("se"), col("n_replicates"),
-            g6(col("theta") - lit(1.96) * col("se")).as("ci_lo"),
-            g6(col("theta") + lit(1.96) * col("se")).as("ci_hi"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        val theta = medRows.find(_._1 == -1L).map(_._2).getOrElse(Double.NaN)
+        val reps = medRows.filter(_._1 >= 0L)
+        val g6d = (x: Double) => math.floor(x * 1e6 + 0.5) / 1e6
+        val sum9 = reps.map { case (_, m) =>
+          val d = m - theta
+          java.math.BigDecimal.valueOf(math.floor(d * d * 1e9 + 0.5) / 1e9)
+            .setScale(9, java.math.RoundingMode.HALF_UP)
+        }.foldLeft(java.math.BigDecimal.ZERO.setScale(9))(_.add(_))
+        val nReps = reps.length.toLong
+        val se = g6d(math.sqrt(sum9.doubleValue / nReps))
+        import s.implicits._
+        Seq((theta, se, nReps,
+            g6d(theta - 1.96 * se), g6d(theta + 1.96 * se)))
+          .toDF("theta", "se", "n_replicates", "ci_lo", "ci_hi")
       },
       Some(s"""WITH b AS (SELECT ${ph("CAST(o_orderkey AS VARCHAR)", 131)} AS h, o_totalprice AS v FROM orders), reps AS (SELECT i.r, v FROM b, (SELECT unnest(generate_series(0, 59)) AS r) i WHERE ((h >> r) & 1) = 1), rm AS (SELECT r, quantile_cont(v, 0.5) AS med FROM reps GROUP BY 1), th AS (SELECT quantile_cont(v, 0.5) AS theta FROM b), se AS (SELECT floor(sqrt(CAST(SUM(CAST(floor((med - theta) * (med - theta) * 1e9 + 0.5) / 1e9 AS DECIMAL(38,9))) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS se, CAST(count(*) AS BIGINT) AS n_replicates FROM rm, th) SELECT theta, se, n_replicates, floor((theta - 1.96 * se) * 1e6 + 0.5) / 1e6 AS ci_lo, floor((theta + 1.96 * se) * 1e6 + 0.5) / 1e6 AS ci_hi FROM th, se"""))
   )

@@ -171,6 +171,55 @@ class QuantilesSpec extends SparkSpec {
         assert(multi == single)
       }
     }
+    it("bit-replicate quantiles equal the exploded exactQuantiles chain (q196)") {
+      // the BRR shape: group -1 = full frame, group r = rows whose hash
+      // bit r is set. The bitmask-histogram fast path must land
+      // bit-identical to physically exploding the (r, v) frame and
+      // running the shared refinement core — including integer-k ranks,
+      // tie-heavy values, and replicates straddling bucket boundaries.
+      val gen = Gen.listOfN(500, for {
+        h <- Gen.choose(0L, (1L << 60) - 1)
+        v <- Gen.choose(0, 200).map(_ / 3.0) // ties + interpolation
+      } yield (h, v))
+      forAllSamples(gen, n = 6) { rows =>
+        val df = rows.toDF("h", "v")
+        val bits = 12
+        val fast = Quantiles.exactQuantileBitReplicates(df, "h", "v",
+            bits = bits, p = 0.5, buckets = 16)
+          .select($"r", $"p", $"value").as[(Long, Double, Double)]
+          .collect().toSet
+        val exploded = df
+          .select(explode(sequence(lit(-1), lit(bits - 1))).as("r"), $"h", $"v")
+          .filter($"r" === -1 || expr("(shiftright(h, r) & 1) = 1"))
+          .select($"r".cast("long").as("r"), $"v")
+        val want = Quantiles.exactQuantiles(exploded, "r", "v", Seq(0.5),
+            buckets = 16)
+          .select($"r", $"p", $"value").as[(Long, Double, Double)]
+          .collect().toSet
+        assert(fast == want)
+      }
+    }
+    it("bit-replicate quantiles: non-double values route to the exploded fallback") {
+      // long values must not round-trip through the driver's double
+      // ranking — the method falls back to the distributed chain and
+      // still answers exactly
+      val df = spark.range(2000).select(
+        (col("id") * 2654435761L % (1L << 60)).as("h"),
+        (col("id") % 97).as("v")) // LongType
+      val got = Quantiles.exactQuantileBitReplicates(df, "h", "v",
+          bits = 8, p = 0.5, buckets = 16)
+        .select($"r", $"value").as[(Long, Double)].collect().toMap
+      (-1 until 8).foreach { r =>
+        val vals = df.filter(lit(r) === -1 ||
+            expr(s"(shiftright(h, $r) & 1) = 1"))
+          .select($"v".cast("double")).as[Double].collect().sorted
+        val k = 0.5 * (vals.length - 1)
+        val fl = math.floor(k); val ce = math.ceil(k)
+        val want = if (fl == ce) vals(k.toInt)
+                   else vals(fl.toInt) * (ce - k) + vals(ce.toInt) * (k - fl)
+        assert(got(r.toLong) == want, s"replicate $r")
+      }
+    }
     it("never buffers the corpus: pass-2 window partitions are bucket-sized") {
       // structural check on the DISTRIBUTED chain (forced via
       // maxDriverGroups = 0) — the plan's only Window sits behind the
