@@ -541,9 +541,15 @@ object WarehouseOps {
       Some("""WITH b AS (SELECT event_type, event_id, value, CAST(count(*) OVER w AS BIGINT) AS n_win, CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s1, CAST(SUM(CAST(value * value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s2 FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id ROWS BETWEEN 96 PRECEDING AND 1 PRECEDING)), f AS (SELECT *, s1 / n_win AS mean, (s2 - s1 * s1 / n_win) / (n_win - 1) AS variance FROM b WHERE n_win >= 48), z AS (SELECT event_type, event_id, value, n_win, round((value - mean) / sqrt(variance), 4) AS z FROM f WHERE variance > 0) SELECT * FROM z WHERE abs(z) > 3""")),
 
     QueryDef("q143_incremental_agg",
-      "INCREMENTAL AGGREGATE MAINTENANCE from a CDC change feed — the materialized-view half of the warehouse plane (q134 maintains a dimension; this maintains a METRIC): a per-priority (count, exact-decimal revenue) rollup of the old snapshot is folded forward by the q133 diff's signed contributions — delete/update subtract the OLD row from its OLD group, insert/update add the NEW row to its NEW group (a reprioritized order moves between groups correctly) — and the oracle RECOMPUTES FROM SCRATCH over the new snapshot: incremental must equal batch to the bit. That equality is a THEOREM here, not luck: the maintained state is the exact DECIMAL(38,6) sum, and decimal addition is associative/commutative, so old − removed + added is literally the same number batch computes (a double-state rollup could never promise this — the engine-wide exact-sum recipe is what makes aggregates INCREMENTALIZABLE). Scale: only the delta and the group-sized aggregate are touched — the full table is never re-read; groups emptied by the delta drop (n = 0 filter) exactly as batch drops them. Round-10 profiling: the ~1.2s residual is the 3-job chain floor (the diff's full-outer checkpoint job, the old-snapshot rollup, the delta+merge job) at this box's ~0.3-0.4s/job scheduling floor — the DEMO derives both snapshots from the same orders table, so the jobs are irreducible without faking the inputs; in production old/new arrive pre-materialized and the chain is 2 jobs. Negative result documented",
+      "INCREMENTAL AGGREGATE MAINTENANCE from a CDC change feed — the materialized-view half of the warehouse plane (q134 maintains a dimension; this maintains a METRIC): a per-priority (count, exact-decimal revenue) rollup of the old snapshot is folded forward by the q133 diff's signed contributions — delete/update subtract the OLD row from its OLD group, insert/update add the NEW row to its NEW group (a reprioritized order moves between groups correctly) — and the oracle RECOMPUTES FROM SCRATCH over the new snapshot: incremental must equal batch to the bit. That equality is a THEOREM here, not luck: the maintained state is the exact DECIMAL(38,6) sum, and decimal addition is associative/commutative, so old − removed + added is literally the same number batch computes (a double-state rollup could never promise this — the engine-wide exact-sum recipe is what makes aggregates INCREMENTALIZABLE). Scale: only the delta and the group-sized aggregate are touched — the full table is never re-read; groups emptied by the delta drop (n = 0 filter) exactly as batch drops them. Round-10 profiling: the ~1.2s residual was the 3-job chain floor (the diff's full-outer checkpoint job, the old-snapshot rollup, the delta+merge job) at this box's ~0.3-0.4s/job scheduling floor. Round 13 applies the q171 overlap + driver-finish to that floor: the old rollup and the diff grid are independent corpus jobs submitted CONCURRENTLY (the rollup from a future), the diff lineage's only consumer is ONE grid-bounded (change_type, old_g, new_g) aggregate (the corpus-wide diff checkpoint job is gone), and the signed fold runs on the driver in exact java BigDecimal over the ≤ |types|·|priorities|² grid — decimal adds are order-free so the folded state is bit-identical to the old delta/oldAgg join chain, and BigDecimal.doubleValue is the same correctly-rounded conversion as the Decimal→Double cast. 3 serial jobs → 2 concurrent jobs + a LocalTableScan; 1.18 (r13 full-suite) → 0.88 s (targeted rerun, same box) at sf0.1, unchanged hashes at sf0.01+sf0.1",
       (s, d) => {
         import graft.ops.Num.D
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.jdk.CollectionConverters._
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
         val k = col("o_orderkey")
         val orders = t(s, d, "orders")
         val oldS = orders.filter(k % 10 =!= 3)
@@ -552,27 +558,58 @@ object WarehouseOps {
             when(k % 5 === 0, col("o_totalprice") + 1.0).otherwise(col("o_totalprice")))
           .withColumn("o_orderpriority",
             when(k % 7 === 0, lit("0-REPRIORITIZED")).otherwise(col("o_orderpriority")))
-        val oldAgg = oldS.groupBy(col("o_orderpriority").as("g"))
-          .agg(count(lit(1)).cast("long").as("n"),
-               sum(col("o_totalprice").cast(D)).as("sd"))
-        val diff = graft.ops.Cdc.snapshotDiff(oldS, newS,
+        // the old-snapshot rollup and the diff grid are independent
+        // corpus jobs — submit the rollup from a future so Spark
+        // schedules both concurrently (the q171 overlap), while the
+        // diff lineage's ONLY consumer is one grid-bounded aggregate
+        // (change_type, old group, new group) — the corpus-wide diff
+        // checkpoint job is gone
+        val fOld = Future {
+          oldS.groupBy(col("o_orderpriority").as("g"))
+            .agg(count(lit(1)).cast("long").as("n"),
+                 sum(col("o_totalprice").cast(D)).as("sd"))
+            .collect()
+        }
+        val diffGrid = graft.ops.Cdc.snapshotDiff(oldS, newS,
             Seq("o_orderkey"), Seq("o_totalprice", "o_orderpriority"))
-          .localCheckpoint(true)
-        val removed = diff.filter(col("change_type").isin("delete", "update"))
-          .select(col("old_o_orderpriority").as("g"), lit(-1L).as("dn"),
-                  (col("old_o_totalprice").cast(D) * -1).as("dv"))
-        val added = diff.filter(col("change_type").isin("insert", "update"))
-          .select(col("new_o_orderpriority").as("g"), lit(1L).as("dn"),
-                  col("new_o_totalprice").cast(D).as("dv"))
-        val delta = removed.unionByName(added).groupBy(col("g"))
-          .agg(sum(col("dn")).as("dn"), sum(col("dv")).as("dv"))
-        oldAgg.join(delta, Seq("g"), "full_outer")
-          .select(col("g").as("o_orderpriority"),
-            (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
-              .cast("long").as("n_orders"),
-            (coalesce(col("sd"), lit(0).cast(D)) + coalesce(col("dv"), lit(0).cast(D)))
-              .cast("double").as("total_price"))
-          .filter(col("n_orders") > 0)
+          .groupBy(col("change_type"),
+                   col("old_o_orderpriority").as("og"),
+                   col("new_o_orderpriority").as("ng"))
+          .agg(count(lit(1)).as("dn"),
+               sum(col("old_o_totalprice").cast(D)).as("ov"),
+               sum(col("new_o_totalprice").cast(D)).as("nv"))
+          .collect()
+        val oldRows = Await.result(fOld, Duration.Inf)
+        // driver-side signed fold in exact java BigDecimal: decimal
+        // addition is associative/commutative and Decimal(38,6) sums
+        // collect as scale-6 BigDecimals, so old − removed + added is
+        // bit-identical to the old delta/oldAgg join chain; the final
+        // double is BigDecimal.doubleValue — the same correctly-rounded
+        // conversion as Spark's Decimal→Double cast
+        val zero = java.math.BigDecimal.ZERO
+        val state = scala.collection.mutable.LinkedHashMap.empty[String, (Long, java.math.BigDecimal)]
+        oldRows.foreach { r =>
+          state(r.getString(0)) = (r.getLong(1),
+            Option(r.getDecimal(2)).getOrElse(zero))
+        }
+        def upd(g: String, dn: Long, dv: java.math.BigDecimal): Unit = {
+          val (n0, v0) = state.getOrElse(g, (0L, zero))
+          state(g) = (n0 + dn, v0.add(dv))
+        }
+        diffGrid.foreach { r =>
+          val ct = r.getString(0)
+          val n = r.getLong(3)
+          if (ct == "delete" || ct == "update")
+            upd(r.getString(1), -n, Option(r.getDecimal(4)).getOrElse(zero).negate)
+          if (ct == "insert" || ct == "update")
+            upd(r.getString(2), n, Option(r.getDecimal(5)).getOrElse(zero))
+        }
+        val out = state.toSeq.collect { case (g, (n, v)) if n > 0 =>
+          Row(g, n, v.doubleValue) }
+        s.createDataFrame(out.asJava, StructType(Seq(
+          StructField("o_orderpriority", StringType, nullable = false),
+          StructField("n_orders", LongType, nullable = false),
+          StructField("total_price", DoubleType, nullable = false))))
       },
       Some("""WITH news AS (SELECT o_orderkey, CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice, CASE WHEN o_orderkey % 7 = 0 THEN '0-REPRIORITIZED' ELSE o_orderpriority END AS o_orderpriority FROM orders WHERE o_orderkey % 10 <> 7) SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders, CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS total_price FROM news GROUP BY 1""")),
 
