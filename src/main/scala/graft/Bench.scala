@@ -93,10 +93,19 @@ object Bench {
     // driver run recorded it at 6.9s where an isolated rerun of the
     // same build measured ~1.2s (VERDICT r6 #1), so the plane gets its
     // expensive first execution HERE, outside any timed sample
-    Seq("q02_filter_events", "q03_group_agg",
-        "q21_dedup_ngram_jaccard", "q22_dedup_minhash_lsh").foreach { n =>
-      try execute(n) catch { case _: Throwable => () }
-    }
+    // SPARK_GRAFT_WARMUP=false skips the warmup executions for
+    // isolated big-SF reruns: at sf10 the q21/q22 shingle-plane warmup
+    // itself spills ~60 GB that the ContextCleaner only releases a few
+    // timed queries in — on this box that transient held the disk
+    // through exactly the first timed queries and ENOSPC'd them (the
+    // round-13 q121/q125/q184/q48/q96 failures), while the warmup's
+    // benefit (first-execution codegen/JIT, ~0.3-1 s) is noise on
+    // minutes-scale samples. Driver runs keep the default (true).
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "true") == "true")
+      Seq("q02_filter_events", "q03_group_agg",
+          "q21_dedup_ngram_jaccard", "q22_dedup_minhash_lsh").foreach { n =>
+        try execute(n) catch { case _: Throwable => () }
+      }
 
     val selected =
       if (args.nonEmpty) SparkEntry.queries.keys.toSeq.sorted.filter(args.contains)
