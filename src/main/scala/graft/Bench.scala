@@ -101,7 +101,13 @@ object Bench {
     // round-13 q121/q125/q184/q48/q96 failures), while the warmup's
     // benefit (first-execution codegen/JIT, ~0.3-1 s) is noise on
     // minutes-scale samples. Driver runs keep the default (true).
-    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "true") == "true")
+    // ADVICE r13: only an explicit "false" disables the warmup the
+    // driver methodology depends on — any other value ("1", "TRUE",
+    // a typo) fails fast instead of silently skipping it
+    val warmupEnv = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "true")
+    require(warmupEnv == "true" || warmupEnv == "false",
+      s"SPARK_GRAFT_WARMUP must be 'true' or 'false', got '$warmupEnv'")
+    if (warmupEnv == "true")
       Seq("q02_filter_events", "q03_group_agg",
           "q21_dedup_ngram_jaccard", "q22_dedup_minhash_lsh").foreach { n =>
         try execute(n) catch { case _: Throwable => () }

@@ -392,6 +392,140 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Absolute per-shingle pair budget for [[guardedPairStats]]'s exact
+    * tier (the q141 `maxBlock` discipline applied to the shingle plane):
+    * a posting list at the budget expands to at most B·(B−1)/2 ≈ 2k
+    * in-row pairs, and total exact-tier candidate volume is bounded by
+    * (B/2)·postings — LINEAR in the corpus for a fixed budget, never
+    * quadratic. Deliberately an absolute row budget, not corpus-
+    * relative: under a closed vocabulary every shingle's df grows
+    * linearly with the corpus, so any relative cap (mean, quantile)
+    * grows with it and silently re-admits the k² blowup. Measured on
+    * the shipped fixtures (round 14): max (lang, shingle) df is 5 at
+    * sf0.01, 14 at sf0.1, 62 at sf1 — the exact tier is COMPLETE (the
+    * guarded output equals plain exact jaccard) through sf1 — and min
+    * df is 86 at sf10, where the uncapped plane is 2.94×10⁹ in-row
+    * pairs (the measured 617 s / ENOSPC family) and the routed LSH
+    * tier takes over. */
+  val PairDfBudget: Int = 64
+
+  /** MinHash-LSH band candidates with the UNFILTERED full-universe
+    * verification triple (ic, da, db) — [[minhashLshPairs]]' candidate
+    * plane emitting the raw measures instead of pre-filtered jaccard,
+    * so a caller can apply any pair measure (jaccard, containment,
+    * dice) to the SAME candidate set. Candidate volume is bounded by
+    * the banding design (a hot band bucket means near-identical
+    * signatures — a dup cluster, not corpus-sized); verification is
+    * per-candidate array_intersect over 8-byte shingle-hash sets. */
+  private def minhashLshPairStats(docs: DataFrame, textCol: String,
+                                  idCol: String, blockCol: String, n: Int,
+                                  numHashes: Int, bands: Int): DataFrame = {
+    val in = graft.ops.Parallelize.forCompute(docs)
+    val bandLists = lshBandRows(in, textCol, idCol, blockCol, n,
+                                numHashes, bands)
+      .groupBy(col("block"), col("band_idx"), col("bk"))
+      .agg(array_sort(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val candidates = listPairs(bandLists, "ids")
+      .select(col("pa").as("id_a"), col("pb").as("id_b")).distinct()
+    val sets = in.select(col(idCol).as("id"),
+      array_sort(wordShingleHashes(col(textCol), n)).as("ss"))
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("ss").as("sa")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("ss").as("sb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("ic"),
+        size(col("sa")).cast("long").as("da"),
+        size(col("sb")).cast("long").as("db"))
+  }
+
+  /** GUARDED near-dup pairs — the [[blockedLinkage]] routing-guard
+    * precedent applied to the shingle pair plane (VERDICT r13 #1/#2:
+    * the uncapped plane measured 175× for 10× data on q52 and ENOSPC'd
+    * five other consumers at sf10 — 2.94×10⁹ in-row pairs once every
+    * posting list under the fixtures' closed 31-word vocabulary turns
+    * hot). Two tiers, each bounded, each cheap in the regime where the
+    * other is load-bearing:
+    *
+    *  - EXACT TIER: [[ngramJaccardPairs]] at `maxDf = dfBudget` — the
+    *    proven two-shuffle counting plane, scoring exact jaccard over
+    *    the df-capped universe (consistent-cap semantics: hot shingles
+    *    leave intersections AND denominators). While the budget does
+    *    not bind this IS plain exact jaccard (all shipped fixtures
+    *    through sf1 — max (lang,shingle) df 62 ≤ 64); at sf10 every
+    *    posting list is hot (min df 86) and the tier costs only its
+    *    linear correction aggregates, emitting nothing.
+    *  - ROUTED TIER: [[minhashLshPairStats]] candidates verified with
+    *    FULL-universe exact jaccard at the same threshold, anti-joined
+    *    against the exact tier's (already filtered, near-dup-sized)
+    *    output so each pair reports once, exact tier preferred.
+    *
+    * Union semantics, mirrored term-for-term by the oracle's
+    * `guardedPairsSql` CTE: a pair qualifies iff its capped-universe
+    * jaccard clears `threshold` OR it is an LSH candidate whose
+    * full-universe jaccard clears it. Through every oracle-checked SF
+    * (≤ sf1) the output is bit-identical to the old uncapped plane;
+    * beyond, recall is the LSH tier's own measured figure (q96's
+    * sampled self-cert, 0.987 at the q22 parameters) with precision
+    * 1.0 — every emitted pair verified exactly in whichever universe
+    * its tier declares.
+    *
+    * Why not verify ALL candidates against full shingle sets: at sf1
+    * the under-budget candidate set is the whole dense pair graph
+    * (26.7M pairs), and carrying two ~54-element arrays per candidate
+    * through the verify join measured 22.3 s vs 6.8 s for the counting
+    * plane (Prof10); the counting tier keeps the narrow-row shuffle
+    * and the array join touches only band candidates. */
+  def guardedJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+                          blockCol: String, n: Int, threshold: Double,
+                          dfBudget: Int = PairDfBudget,
+                          numHashes: Int = 8, bands: Int = 4): DataFrame = {
+    val exact = ngramJaccardPairs(docs, textCol, idCol, blockCol, n,
+                                  threshold, maxDf = dfBudget)
+    val lsh = minhashLshPairStats(docs, textCol, idCol, blockCol, n,
+                                  numHashes, bands)
+      .select(col("id_a"), col("id_b"),
+        (col("ic").cast("double") / (col("da") + col("db") - col("ic")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    exact.unionByName(
+      lsh.join(exact.select(col("id_a"), col("id_b")),
+               Seq("id_a", "id_b"), "left_anti"))
+  }
+
+  /** Guarded twin of [[pairSimilarityStats]] (q121): the exact tier is
+    * the capped counting plane (both measures over the df-capped
+    * universe — plain exact while the budget does not bind), the routed
+    * tier applies the SAME jaccard-OR-containment selection to the
+    * full-universe measures of the LSH candidates, anti-joined so each
+    * pair reports once with its tier's measures. Same union semantics
+    * and recall contract as [[guardedJaccardPairs]]; the containment
+    * direction additionally leans on the exact tier (the LSH bands are
+    * jaccard-tuned — a short-in-long quote pair has tiny jaccard), so
+    * at open scale the full containment certificate remains the
+    * winnowed MOSS join (q101/q102). */
+  def guardedSimilarityStats(docs: DataFrame, textCol: String, idCol: String,
+                             blockCol: String, n: Int,
+                             jaccardThreshold: Double,
+                             containmentThreshold: Double,
+                             dfBudget: Int = PairDfBudget,
+                             numHashes: Int = 8, bands: Int = 4): DataFrame = {
+    val exact = pairSimilarityStats(docs, textCol, idCol, blockCol, n,
+      jaccardThreshold, containmentThreshold, maxDf = dfBudget)
+    val lsh = minhashLshPairStats(docs, textCol, idCol, blockCol, n,
+                                  numHashes, bands)
+      .select(col("id_a"), col("id_b"), col("ic").as("n_shared"),
+        (col("ic").cast("double") / (col("da") + col("db") - col("ic")))
+          .as("jaccard"),
+        (col("ic").cast("double") / col("da")).as("cont_a"),
+        (col("ic").cast("double") / col("db")).as("cont_b"))
+      .filter(col("jaccard") >= jaccardThreshold ||
+              greatest(col("cont_a"), col("cont_b")) >= containmentThreshold)
+    exact.unionByName(
+      lsh.join(exact.select(col("id_a"), col("id_b")),
+               Seq("id_a", "id_b"), "left_anti"))
+  }
+
   /** Adds a per-row MinHash signature column (`array<long>` of
     * `numHashes` values, the h1 + j·h2 double-hashed family) computed
     * ENTIRELY IN-ROW via higher-order functions — no shuffle, no

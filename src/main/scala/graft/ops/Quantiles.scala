@@ -514,4 +514,121 @@ object Quantiles {
                      col("hi") * (col("k") - floor(col("k"))))
           .as("value"))
   }
+
+  /** Exact quantile EDGES of `valCol` plus per-edge-bin
+    * (count, flag-count) tallies — the q196 bit-replicate recipe
+    * applied to the quantile-cut-then-bin shape (q157 WOE, q175 gains;
+    * VERDICT r13 #3): those queries paid the quantile operator's three
+    * jobs PLUS a fourth corpus binning aggregate, but the bin tallies
+    * are per-bucket aggregate state, so they ride the quantile's own
+    * passes for free. THREE corpus jobs total:
+    *
+    *  1. stats — (n, min, max) with the flag total riding along;
+    *  2. histogram — per-bucket (count, flag-count);
+    *  3. target-bucket fetch — per distinct value (count, flag-count)
+    *     for only the buckets the edge order-statistics live in
+    *     (bound PROVEN from the histogram before the collect, the
+    *     [[exactQuantileBitReplicates]] discipline).
+    *
+    * Binning (bin(v) = Σ_p [v > qₚ], the branch-free comparison chain
+    * the callers compiled to Catalyst) then needs NO corpus pass: an
+    * edge is either an order statistic itself or interpolated STRICTLY
+    * between two consecutive ones, so it can only fall inside a target
+    * bucket or an EMPTY bucket — every non-target bucket's rows land in
+    * one bin, decided from bucket ids alone (equal-width buckets are
+    * monotone in v), and only the fetched values compare per-value with
+    * the same IEEE `v > qₚ` the Catalyst chain used. Interpolation is
+    * the object-doc DuckDB-exact arithmetic; results are bit-identical
+    * to exactQuantiles + a binning aggregate (QuantilesSpec pins it).
+    *
+    * Returns (edges in `ps` order, per-bin (n, nFlag) arrays of length
+    * ps.size + 1). Null values are excluded from edges AND tallies
+    * (callers pass non-null measures). Throws when the fetch bound
+    * exceeds
+    * [[MaxDriverPass2Rows]] (a pathological distribution where ~every
+    * row shares the edge buckets — use the counts-frame shape then).
+    * Scale: jobs 1-2 are map + grid aggregates; job 3 collects ≈
+    * |target buckets|·n/B distinct values — at 100 TB raise `buckets`
+    * so n/B stays driver-sized, same as every driver-planned path. */
+  def edgeBinnedCounts(df: DataFrame, valCol: String, flagCol: String,
+                       ps: Seq[Double], buckets: Int = 1024)
+      : (Seq[Double], Array[Long], Array[Long]) = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"quantile fractions must be in [0,1]: $ps")
+    val in = df.select(col(valCol).as("v"), col(flagCol).as("f"))
+      .filter(col("v").isNotNull)
+    val st = in.agg(count(lit(1)).as("n"), min(col("v")).as("mn"),
+                    max(col("v")).as("mx"),
+                    count(when(col("f"), 1)).as("nf")).head()   // job 1
+    val n = st.getLong(0)
+    require(n > 0, "edgeBinnedCounts: empty input")
+    val mn = st.getAs[Number]("mn").doubleValue
+    val mx = st.getAs[Number]("mx").doubleValue
+    val bExpr =
+      if (mx > mn)
+        least(lit(buckets - 1),
+          floor((col("v") - lit(mn)) / ((lit(mx) - lit(mn)) / buckets))
+            .cast("int"))
+      else lit(0)
+    val hist = in.groupBy(bExpr.as("b"))
+      .agg(count(lit(1)).as("c"), count(when(col("f"), 1)).as("nf"))
+      .collect().sortBy(_.getInt(0))                            // job 2
+    val below = {
+      var run = 0L
+      hist.map { r => val lo = run; run += r.getLong(1); r.getInt(0) -> lo }.toMap
+    }
+    def bucketOfRank(rank: Long): Int =
+      hist.find { r => val lo = below(r.getInt(0))
+        rank >= lo && rank < lo + r.getLong(1) }
+        .getOrElse(throw new IllegalStateException(
+          s"edgeBinnedCounts: rank $rank not covered by histogram")).getInt(0)
+    val kOf = ps.map(p => (n - 1).toDouble * p)
+    val rankBuckets = kOf.flatMap(k =>
+      Seq(math.floor(k).toLong, math.ceil(k).toLong)).distinct
+      .map(r => r -> bucketOfRank(r)).toMap
+    val targetB = rankBuckets.values.toSet
+    val fetchBound = hist.filter(r => targetB(r.getInt(0))).map(_.getLong(1)).sum
+    require(fetchBound <= MaxDriverPass2Rows,
+      s"edgeBinnedCounts: target-bucket fetch $fetchBound exceeds the driver " +
+        "bound - raise `buckets` or use the counts-frame shape")
+    val fetched = in.withColumn("b", bExpr)
+      .filter(col("b").isInCollection(targetB))
+      .groupBy(col("b"), col("v"))
+      .agg(count(lit(1)).as("c"), count(when(col("f"), 1)).as("nf"))
+      .collect()                                                // job 3
+    val byB = fetched.groupBy(_.getInt(0)).map { case (b, rows) =>
+      b -> rows.map(r => (r.getAs[Number](1).doubleValue, r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+    }
+    def valueAt(rank: Long): Double = {
+      val b = rankBuckets(rank)
+      var local = rank - below(b)
+      val vals = byB.getOrElse(b, Array.empty[(Double, Long, Long)])
+      var i = 0
+      while (i < vals.length) {
+        if (local < vals(i)._2) return vals(i)._1
+        local -= vals(i)._2; i += 1
+      }
+      throw new IllegalStateException(
+        s"edgeBinnedCounts: rank $rank missing from fetch")
+    }
+    val edges = kOf.map { k =>
+      val fl = math.floor(k); val ce = math.ceil(k)
+      val lo = valueAt(fl.toLong)
+      if (fl == ce) lo else lo * (ce - k) + valueAt(ce.toLong) * (k - fl)
+    }
+    val edgeUpperB = kOf.map(k => rankBuckets(math.ceil(k).toLong))
+    val cnt = new Array[Long](ps.size + 1)
+    val flag = new Array[Long](ps.size + 1)
+    hist.iterator.filterNot(r => targetB(r.getInt(0))).foreach { r =>
+      val bin = edgeUpperB.count(ub => r.getInt(0) > ub)
+      cnt(bin) += r.getLong(1); flag(bin) += r.getLong(2)
+    }
+    fetched.foreach { r =>
+      val v = r.getAs[Number](1).doubleValue
+      val bin = edges.count(q => v > q)
+      cnt(bin) += r.getLong(2); flag(bin) += r.getLong(3)
+    }
+    (edges, cnt, flag)
+  }
 }

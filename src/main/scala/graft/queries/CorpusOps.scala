@@ -152,11 +152,14 @@ object CorpusOps {
          |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, CAST(SUM(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END) AS BIGINT) AS n_cross, CAST(SUM(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS cross_frac FROM x""".stripMargin.replace("\n", " "))),
 
     QueryDef("q125_split_repair",
-      "cross-split leakage REPAIR, closing the q98 detect loop: every near-dup COMPONENT (q48's min-label connected components over exact jaccard pairs) is re-unified onto its representative's q97 split — after repair no near-dup pair can straddle a boundary, because both endpoints share a component and each component lands in exactly one split (the standard Lee-et-al-motivated fix: move whole dup clusters, never split them). Output is the full per-member repair decision (doc_id, group_rep, old_split, new_split, moved) — singleton docs never appear (no component, cannot leak). Deterministic end to end: components from exact pairs, splits a pure hash — the repair is a reproducible data fact, not a random rebalance. Scale: pair/group planes are q21/q48's (LSH at open corpus scale); the repair itself is one map over the grid-sized groups table",
+      "cross-split leakage REPAIR, closing the q98 detect loop: every near-dup COMPONENT (q48's min-label connected components over the guarded exact-jaccard pair plane — bit-identical to plain exact pairs through sf1, see q52) is re-unified onto its representative's q97 split — after repair no near-dup pair can straddle a boundary, because both endpoints share a component and each component lands in exactly one split (the standard Lee-et-al-motivated fix: move whole dup clusters, never split them). Output is the full per-member repair decision (doc_id, group_rep, old_split, new_split, moved) — singleton docs never appear (no component, cannot leak). Deterministic end to end: components from exact pairs, splits a pure hash — the repair is a reproducible data fact, not a random rebalance. Scale: pair/group planes are q21/q48's (LSH at open corpus scale); the repair itself is one map over the grid-sized groups table",
       (s, d) => {
         val groups = Dedup.dedupGroups(
-          Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id",
-                                  "lang", 3, 0.5, maxDf = Int.MaxValue),
+          // guarded pair plane (round 14, with q48/q52/q184): this
+          // query ENOSPC'd at sf10 on the uncapped plane; bit-identical
+          // through sf1 (max df 62 <= budget 64)
+          Dedup.guardedJaccardPairs(t(s, d, "documents"), "text", "doc_id",
+                                    "lang", 3, 0.5),
           "id_a", "id_b")
         def splitOf(c: org.apache.spark.sql.Column) = {
           val b = pmod(portableHash(c.cast("string"), 23), lit(100))
@@ -167,8 +170,7 @@ object CorpusOps {
             splitOf(col("group_rep")).as("new_split"))
           .withColumn("moved", col("old_split") =!= col("new_split"))
       },
-      Some(s"""WITH RECURSIVE ${LlmOps.shingleCte}, ${LlmOps.jaccardTail},
-         |p AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5),
+      Some(s"""WITH RECURSIVE ${LlmOps.guardedPairsSql},
          |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
          |reach(id, lbl) AS (SELECT src, src FROM e UNION SELECT e2.src, r.lbl FROM e e2 JOIN reach r ON r.id = e2.dst),
          |g AS (SELECT id AS doc_id, MIN(lbl) AS group_rep FROM reach GROUP BY id),

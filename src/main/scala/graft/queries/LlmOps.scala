@@ -45,11 +45,37 @@ object LlmOps {
        |p AS (SELECT lang, CASE $caseChain ELSE 'und' END AS predicted FROM b)""".stripMargin.replace("\n", " ")
   }
 
-  /** Shared oracle CTE: distinct word-3-gram shingles per (doc, lang). */
-  private[queries] val shingleCte =
-    """words AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w FROM documents),
+  /** Shared oracle CTE: distinct word-3-gram shingles per (doc, lang),
+    * parameterized on the source relation (q96 runs it over a sampled
+    * CTE instead of the raw table). */
+  private[queries] def shingleCteFrom(table: String): String =
+    s"""words AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS w FROM $table),
       |sh AS (SELECT DISTINCT doc_id, lang, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
       |       FROM words, unnest(generate_series(1, greatest(len(w)-2, 0))) AS t(i))""".stripMargin.replace("\n", " ")
+
+  private[queries] val shingleCte = shingleCteFrom("documents")
+
+  /** Capped-universe exact-tier CTEs mirroring
+    * [[Dedup.guardedJaccardPairs]]' exact tier (assumes `sh` from
+    * [[shingleCte]] in scope): `shb` keeps shingles whose (lang, df)
+    * stays within [[Dedup.PairDfBudget]], and `jacc` is exact jaccard
+    * over that df-capped universe — hot shingles leave intersections
+    * AND denominators, the consistent-cap semantics shinglePairStats
+    * implements with its ride-along sizes + hot correction. */
+  private[queries] val cappedTierCte: String =
+    s"""dft AS (SELECT lang, s, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY 1, 2),
+      |shb AS (SELECT sh.doc_id, sh.lang, sh.s FROM sh JOIN dft USING (lang, s) WHERE dft.df <= ${Dedup.PairDfBudget}),
+      |cntc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM shb GROUP BY doc_id),
+      |interc AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS ic FROM shb a JOIN shb b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |jacc AS (SELECT id_a, id_b, ic, ca.n_sh AS na, cb.n_sh AS nb, CAST(ic AS DOUBLE) / (ca.n_sh + cb.n_sh - ic) AS jaccard FROM interc JOIN cntc ca ON ca.doc_id = id_a JOIN cntc cb ON cb.doc_id = id_b)""".stripMargin.replace("\n", " ")
+
+  /** Guarded verified-pairs CTE `p(id_a, id_b)` at jaccard ≥ 0.5 — the
+    * shared pair plane of q48/q52/q177/q184 (and CorpusOps' q125): the
+    * capped exact tier UNION the LSH candidates verified at
+    * full-universe jaccard, exactly [[Dedup.guardedJaccardPairs]]. */
+  private[graft] def guardedPairsSql: String =
+    s"""$shingleCte, $minhashCandCte, $jaccardTail, $cappedTierCte,
+      |p AS (SELECT id_a, id_b FROM jacc WHERE jaccard >= 0.5 UNION SELECT c.id_a, c.id_b FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b WHERE j.jaccard >= 0.5)""".stripMargin.replace("\n", " ")
 
   private[queries] val jaccardTail =
     """cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
@@ -190,17 +216,24 @@ object LlmOps {
       Some(s"""WITH $shingleCte, $jaccardTail SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5""")),
 
     QueryDef("q22_dedup_minhash_lsh",
-      "MinHash(8)+LSH(4 bands × 2) candidates, verified at Jaccard ≥ 0.5. Since round 4 the signature family is double-hashed h1+j*h2 (Kirsch-Mitzenmacher) rather than 8 independent seeded hashes: the CANDIDATE set (recall model) differs from earlier rounds, while the verified output stays exact at the threshold — do not treat the pair set as stable across rounds",
+      "MinHash(8)+LSH(4 bands × 2) candidates, verified at Jaccard ≥ 0.5. Since round 4 the signature family is double-hashed h1+j*h2 (Kirsch-Mitzenmacher) rather than 8 independent seeded hashes: the CANDIDATE set (recall model) differs from earlier rounds, while the verified output stays exact at the threshold — do not treat the pair set as stable across rounds. r13's driver-suite 0.98 s vs r12's 0.72 spot-profiled in round 14 (VERDICT r13 #4): isolated min-of-N at sf0.1 measured 0.62 s and 0.84 s in two same-day sessions — suite-window variance; neither the q58 guard nor the r13 shared-core checkpoint touches this plane (uncapped, single-consumer)",
       (s, d) => Dedup.minhashLshPairs(t(s, d, "documents"), "text", "doc_id",
                                       "lang", 3, numHashes = 8, bands = 4, threshold = 0.5),
       Some(s"""WITH $shingleCte, $minhashCandCte, $jaccardTail SELECT c.id_a, c.id_b, j.jaccard FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b WHERE j.jaccard >= 0.5""")),
 
     QueryDef("q96_lsh_recall",
-      "the engine evaluating its own sketch: recall of the q22 MinHash-LSH candidate path against the q21 exact all-pairs ground truth, computed in-engine (n_exact, n_lsh, n_hit = intersection, recall = n_hit / n_exact). This is the measurement that justifies the banding parameters (8 hashes x 4 bands at Jaccard 0.5) before pointing the LSH path at 100 TB — the same eval a production dedup rollout runs on a sample. Both pipelines are the exact same operators q21/q22 register, composed; verification stays candidate-only on the LSH side",
+      "the engine evaluating its own sketch: recall of the q22 MinHash-LSH candidate path against the q21 exact all-pairs ground truth, computed in-engine (n_exact, n_lsh, n_hit = intersection, recall = n_hit / n_exact). This is the measurement that justifies the banding parameters (8 hashes x 4 bands at Jaccard 0.5) before pointing the LSH path at 100 TB — the same eval a production dedup rollout runs ON A SAMPLE, and round 14 makes the sample budget explicit (VERDICT r13 #2: this query ENOSPC'd at sf10 because its ground truth ran the uncapped exact plane over the FULL corpus — 2.94e9 in-row pairs; a recall eval needs a bounded corpus, not a bounded algorithm, since df-capping the ground truth would make the eval score the guard instead of the sketch): both pipelines run over a deterministic hash sample of at most ~50k docs (all docs while the corpus is within budget — every oracle-checked SF through sf1 is the FULL corpus, unchanged results; 10% at sf10, where sampled df ~ sf1's and the exact plane stays sf1-sized). The sample fraction is a pure function of the corpus count, derived identically in the oracle",
       (s, d) => {
-        val docs = t(s, d, "documents")
-        // uncapped fast path, same reasoning as q21: the ground truth
-        // this eval scores against is plain exact jaccard
+        val docs0 = t(s, d, "documents")
+        // deterministic doc-budget sample: keep ph(doc_id) % 1e6 <
+        // min(1e6, 50000*1e6 / n) — integer arithmetic both sides
+        val tot = docs0.agg(lcount(lit(1)).as("n_tot"))
+        val docs = docs0.crossJoin(broadcast(tot))
+          .filter(pmod(portableHash(col("doc_id").cast("string"), 96),
+                       lit(1000000L)) <
+                  least(lit(1000000L),
+                        floor(lit(50000000000L) / col("n_tot")).cast("long")))
+          .drop("n_tot")
         val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "lang", 3, 0.5,
             maxDf = Int.MaxValue)
           .select(col("id_a"), col("id_b"))
@@ -214,7 +247,9 @@ object LlmOps {
           .select(col("n_exact"), col("n_lsh"), col("n_hit"),
             (col("n_hit").cast("double") / col("n_exact")).as("recall"))
       },
-      Some(s"""WITH $shingleCte, $minhashCandCte, $jaccardTail,
+      Some(s"""WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |ds AS (SELECT * FROM documents WHERE ${ph("CAST(doc_id AS VARCHAR)", 96)} % 1000000 < least(1000000, 50000000000 // (SELECT n FROM tot))),
+         |${shingleCteFrom("ds")}, $minhashCandCte, $jaccardTail,
          |ex AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5),
          |ls AS (SELECT c.id_a, c.id_b FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b WHERE j.jaccard >= 0.5),
          |hit AS (SELECT e.id_a, e.id_b FROM ex e JOIN ls USING (id_a, id_b))
@@ -233,27 +268,23 @@ object LlmOps {
       Some(s"""WITH $simhashCte, bl AS (SELECT d.doc_id, d.lang, s.simhash FROM documents d JOIN sfp s USING (doc_id)) SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming FROM bl a JOIN bl b ON a.lang = b.lang AND a.doc_id < b.doc_id WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""")),
 
     QueryDef("q48_dedup_groups",
-      "near-dup pairs → keep/drop groups: connected components by min-label propagation over the q21 jaccard pairs; oracle is a recursive-CTE reachability query",
+      "near-dup pairs → keep/drop groups: connected components by min-label propagation over the GUARDED jaccard pair plane (VERDICT r13 #1/#2: the uncapped plane ENOSPC'd here at sf10 — its 2.94e9 in-row pairs exceed this box's disk; the guarded plane's exact tier is COMPLETE through sf1 where max df = 62 <= budget 64, so results are bit-identical to plain exact jaccard at every oracle-checked SF, and at sf10 the verified LSH tier carries detection, linear by construction); oracle re-derives the identical candidate set then runs recursive-CTE reachability",
       (s, d) => Dedup.dedupGroups(
-        // uncapped fast path, same reasoning as q21: this oracle declares
-        // plain exact jaccard with no df cap
-        Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id",
-                                "lang", 3, 0.5, maxDf = Int.MaxValue),
+        Dedup.guardedJaccardPairs(t(s, d, "documents"), "text", "doc_id",
+                                  "lang", 3, 0.5),
         "id_a", "id_b"),
-      Some(s"""WITH RECURSIVE $shingleCte, $jaccardTail, p AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5), e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p), reach(id, lbl) AS (SELECT src, src FROM e UNION SELECT e2.src, r.lbl FROM e e2 JOIN reach r ON r.id = e2.dst) SELECT id AS doc_id, MIN(lbl) AS group_rep FROM reach GROUP BY id""")),
+      Some(s"""WITH RECURSIVE $guardedPairsSql, e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p), reach(id, lbl) AS (SELECT src, src FROM e UNION SELECT e2.src, r.lbl FROM e e2 JOIN reach r ON r.id = e2.dst) SELECT id AS doc_id, MIN(lbl) AS group_rep FROM reach GROUP BY id""")),
 
     QueryDef("q52_dedup_apply",
-      "end-to-end dedup: exact-jaccard near-dup pairs → groups → filtered corpus summary per lang (keep group representatives, drop the rest)",
+      "end-to-end dedup: guarded exact-jaccard near-dup pairs → groups → filtered corpus summary per lang (keep group representatives, drop the rest). ROUND-14 FIX of the r13-measured 175x sf1→sf10 blow-up (3.52 s → 617 s): profiling by artifact differencing pinned it to the pair plane itself, not the union-find collect or the apply join — q48 (same plane, NO apply stage) and q121 (same plane, no union-find at all) both ENOSPC'd at sf10 on the plane's 2.94e9 uncapped in-row pairs (min per-(lang,shingle) df at sf10 is 86, so EVERY posting list pairs quadratically under the fixtures' closed 31-word vocabulary). Now routed through Dedup.guardedJaccardPairs (the q58/q141 routing-guard precedent): exact tier within the df budget (complete through sf1, max df 62 — results unchanged at every oracle-checked SF), verified LSH tier beyond it; q59 remains the declared open-scale path and is structurally this query's routed tier",
       (s, d) => {
         val docs = t(s, d, "documents")
         val groups = Dedup.dedupGroups(
-          // uncapped, as q21/q48: the oracle's jaccard carries no df cap
-          Dedup.ngramJaccardPairs(docs, "text", "doc_id", "lang", 3, 0.5,
-                                  maxDf = Int.MaxValue),
+          Dedup.guardedJaccardPairs(docs, "text", "doc_id", "lang", 3, 0.5),
           "id_a", "id_b")
         applySummary(docs, groups)
       },
-      Some(s"""WITH RECURSIVE $shingleCte, $jaccardTail, p AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5), $applyTailSql""")),
+      Some(s"""WITH RECURSIVE $guardedPairsSql, $applyTailSql""")),
 
     QueryDef("q59_minhash_dedup_apply",
       "the 100 TB dedup path END-TO-END: MinHash+LSH candidate pairs (bounded signatures, no all-pairs stage) → connected components → per-lang keep/drop summary",
@@ -562,15 +593,19 @@ object LlmOps {
          |SELECT id_a, id_b, n_shared, cont_a, cont_b FROM con WHERE greatest(cont_a, cont_b) >= 0.6""".stripMargin.replace("\n", " "))),
 
     QueryDef("q121_pair_similarity",
-      "FUSED exact pair-similarity report (VERDICT r8 #5): jaccard AND both containment directions from ONE posting-list pass — q21 and q107 are pure column formulas over the same (intersection, |A|, |B|) triple, so a user needing both measures (dedup + quote/boilerplate detection together, the normal curation combo) pays the shingle plane once instead of twice. Same two-shuffle Dedup.shinglePairStats core, same df-cap semantics (cap can't bind on these fixtures — FixtureCanarySpec pins that); a pair surfaces when jaccard >= 0.5 OR either containment >= 0.6, i.e. exactly the union of q21's and q107's selections with both measures reported",
-      (s, d) => graft.ext.Dedup.pairSimilarityStats(
-        t(s, d, "documents"), "text", "doc_id", "lang", n = 3,
-        jaccardThreshold = 0.5, containmentThreshold = 0.6),
-      Some(s"""WITH $shingleCte,
+      "FUSED exact pair-similarity report (VERDICT r8 #5): jaccard AND both containment directions over the same (intersection, |A|, |B|) triple, so a user needing both measures (dedup + quote/boilerplate detection together, the normal curation combo) pays one shingle plane. ROUND 14: routed through the GUARDED pair plane (LlmOps.guardedCandCte / Dedup.guardedPairStats) — this query ENOSPC'd at sf10 despite having NO union-find or apply stage, which is the artifact-differencing proof that the pair plane itself (2.94e9 uncapped in-row pairs at sf10) was the whole q52-family blow-up. Exact tier complete through sf1 (max df 62 <= budget 64), so the reported pair set is unchanged at every oracle-checked SF; beyond that, recall is the LSH tier's — which is jaccard-tuned, so a containment-only pair (short doc quoted in a long one, tiny jaccard) relies on an under-budget shared shingle; the full-corpus exact containment certificate at open scale remains q102's winnowed MOSS join. A pair surfaces when its capped-universe measures clear the thresholds (jaccard >= 0.5 OR either containment >= 0.6) or it is an LSH candidate whose FULL-universe measures do; each pair reports once with its tier's measures (exact tier preferred — identical universes while the budget does not bind)",
+      (s, d) => Dedup.guardedSimilarityStats(
+          t(s, d, "documents"), "text", "doc_id", "lang", n = 3,
+          jaccardThreshold = 0.5, containmentThreshold = 0.6),
+      Some(s"""WITH $shingleCte, $minhashCandCte, $cappedTierCte,
+         |mc AS (SELECT id_a, id_b, ic AS n_shared, jaccard, CAST(ic AS DOUBLE) / na AS cont_a, CAST(ic AS DOUBLE) / nb AS cont_b FROM jacc),
+         |ex1 AS (SELECT * FROM mc WHERE jaccard >= 0.5 OR greatest(cont_a, cont_b) >= 0.6),
          |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
          |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS ic FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id GROUP BY 1, 2),
-         |m AS (SELECT id_a, id_b, ic AS n_shared, CAST(ic AS DOUBLE) / (ca.n_sh + cb.n_sh - ic) AS jaccard, CAST(ic AS DOUBLE) / ca.n_sh AS cont_a, CAST(ic AS DOUBLE) / cb.n_sh AS cont_b FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b)
-         |SELECT id_a, id_b, n_shared, jaccard, cont_a, cont_b FROM m WHERE jaccard >= 0.5 OR greatest(cont_a, cont_b) >= 0.6""".stripMargin.replace("\n", " "))),
+         |m AS (SELECT id_a, id_b, ic AS n_shared, CAST(ic AS DOUBLE) / (ca.n_sh + cb.n_sh - ic) AS jaccard, CAST(ic AS DOUBLE) / ca.n_sh AS cont_a, CAST(ic AS DOUBLE) / cb.n_sh AS cont_b FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b),
+         |ls1 AS (SELECT m.* FROM m JOIN cand c ON c.id_a = m.id_a AND c.id_b = m.id_b WHERE m.jaccard >= 0.5 OR greatest(m.cont_a, m.cont_b) >= 0.6)
+         |SELECT id_a, id_b, n_shared, jaccard, cont_a, cont_b FROM ex1
+         |UNION ALL SELECT l.id_a, l.id_b, l.n_shared, l.jaccard, l.cont_a, l.cont_b FROM ls1 l WHERE NOT EXISTS (SELECT 1 FROM ex1 e WHERE e.id_a = l.id_a AND e.id_b = l.id_b)""".stripMargin.replace("\n", " "))),
 
     QueryDef("q33_stratified_sample",
       "deterministic hash-based stratified sampling (corpus mixing): en 50%, de 100%, zh 25%",
@@ -697,8 +732,9 @@ object LlmOps {
       (s, d) => {
         val docs = t(s, d, "documents")
         val groups = Dedup.dedupGroups(
-          Dedup.ngramJaccardPairs(docs, "text", "doc_id", "lang", 3, 0.5,
-                                  maxDf = Int.MaxValue),
+          // guarded pair plane (round 14, with q48/q52/q184/q125): the
+          // uncapped exact plane is quadratic at sf10 on this fixture
+          Dedup.guardedJaccardPairs(docs, "text", "doc_id", "lang", 3, 0.5),
           "id_a", "id_b")
         docs.join(groups, Seq("doc_id"))
           .groupBy(col("group_rep"))
@@ -711,14 +747,17 @@ object LlmOps {
                   col("m.n_chars").as("canonical_chars"),
                   col("n_members"), col("total_chars"), col("sources"))
       },
-      Some(s"""WITH RECURSIVE $shingleCte, $jaccardTail, p AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5), e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p), reach(id, lbl) AS (SELECT src, src FROM e UNION SELECT e2.src, r.lbl FROM e e2 JOIN reach r ON r.id = e2.dst), g AS (SELECT id AS doc_id, MIN(lbl) AS group_rep FROM reach GROUP BY id), j AS (SELECT g.group_rep, d.doc_id, d.n_chars, d.source FROM g JOIN documents d USING (doc_id)), rk AS (SELECT *, row_number() OVER (PARTITION BY group_rep ORDER BY n_chars DESC, doc_id) AS rn FROM j), agg AS (SELECT group_rep, CAST(count(*) AS BIGINT) AS n_members, CAST(SUM(n_chars) AS BIGINT) AS total_chars, string_agg(DISTINCT source, ',' ORDER BY source) AS sources FROM j GROUP BY 1) SELECT a.group_rep, c.doc_id AS canonical_id, c.n_chars AS canonical_chars, a.n_members, a.total_chars, a.sources FROM agg a JOIN (SELECT group_rep, doc_id, n_chars FROM rk WHERE rn = 1) c USING (group_rep)""")),
+      Some(s"""WITH RECURSIVE $guardedPairsSql, e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p), reach(id, lbl) AS (SELECT src, src FROM e UNION SELECT e2.src, r.lbl FROM e e2 JOIN reach r ON r.id = e2.dst), g AS (SELECT id AS doc_id, MIN(lbl) AS group_rep FROM reach GROUP BY id), j AS (SELECT g.group_rep, d.doc_id, d.n_chars, d.source FROM g JOIN documents d USING (doc_id)), rk AS (SELECT *, row_number() OVER (PARTITION BY group_rep ORDER BY n_chars DESC, doc_id) AS rn FROM j), agg AS (SELECT group_rep, CAST(count(*) AS BIGINT) AS n_members, CAST(SUM(n_chars) AS BIGINT) AS total_chars, string_agg(DISTINCT source, ',' ORDER BY source) AS sources FROM j GROUP BY 1) SELECT a.group_rep, c.doc_id AS canonical_id, c.n_chars AS canonical_chars, a.n_members, a.total_chars, a.sources FROM agg a JOIN (SELECT group_rep, doc_id, n_chars FROM rk WHERE rn = 1) c USING (group_rep)""")),
 
     QueryDef("q184_dedup_hops",
       "BFS hop distance from every pair-graph doc to its cluster representative (ext.Dedup.hopsToRep) — the dedup-QA readout the q48/q52/q177 cluster machinery was missing: hops == 1 means the doc near-dup-matched the kept representative DIRECTLY; hops >= 2 means it survives only through a transitive chain (A~B, B~C, but A never matched C) — and a fat hops>=2 tail is the classic symptom of an over-aggressive threshold chaining unrelated docs into one cluster. The engine runs frontier min-distance relaxation seeded at the representatives (deterministic unique BFS distances, diameter+1 rounds with the dedupGroups refuse-if-unconverged contract and constant-plan-size checkpoints); the oracle restates it as a depth-bounded recursive-CTE reachability min. Scale: every round is one edge-keyed join + one node-keyed min aggregate — the PageRank/CC iteration shape, unbounded node count",
       (s, d) => Dedup.hopsToRep(
-        Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id",
-                                "lang", 3, 0.5, maxDf = Int.MaxValue),
+        // guarded pair plane (round 14): this query ENOSPC'd at sf10 on
+        // the uncapped plane's 2.94e9 in-row pairs; the guarded plane
+        // is bit-identical through sf1 (max df 62 <= budget 64)
+        Dedup.guardedJaccardPairs(t(s, d, "documents"), "text", "doc_id",
+                                  "lang", 3, 0.5),
         "id_a", "id_b"),
-      Some(s"""WITH RECURSIVE $shingleCte, $jaccardTail, p AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5), e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p), reach(id, lbl) AS (SELECT src, src FROM e UNION SELECT e2.src, r.lbl FROM e e2 JOIN reach r ON r.id = e2.dst), g AS (SELECT id AS doc_id, MIN(lbl) AS group_rep FROM reach GROUP BY id), reps AS (SELECT DISTINCT group_rep AS rep FROM g), bfs(id, dd) AS (SELECT rep, CAST(0 AS BIGINT) FROM reps UNION SELECT e2.src, b.dd + 1 FROM e e2 JOIN bfs b ON b.id = e2.dst WHERE b.dd < 20), h AS (SELECT id, CAST(MIN(dd) AS BIGINT) AS hops FROM bfs GROUP BY id) SELECT g.doc_id, g.group_rep, h.hops FROM g JOIN h ON h.id = g.doc_id"""))
+      Some(s"""WITH RECURSIVE $guardedPairsSql, e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p), reach(id, lbl) AS (SELECT src, src FROM e UNION SELECT e2.src, r.lbl FROM e e2 JOIN reach r ON r.id = e2.dst), g AS (SELECT id AS doc_id, MIN(lbl) AS group_rep FROM reach GROUP BY id), reps AS (SELECT DISTINCT group_rep AS rep FROM g), bfs(id, dd) AS (SELECT rep, CAST(0 AS BIGINT) FROM reps UNION SELECT e2.src, b.dd + 1 FROM e e2 JOIN bfs b ON b.id = e2.dst WHERE b.dd < 20), h AS (SELECT id, CAST(MIN(dd) AS BIGINT) AS hops FROM bfs GROUP BY id) SELECT g.doc_id, g.group_rep, h.hops FROM g JOIN h ON h.id = g.doc_id"""))
   )
 }

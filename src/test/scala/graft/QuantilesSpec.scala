@@ -220,6 +220,30 @@ class QuantilesSpec extends SparkSpec {
         assert(got(r.toLong) == want, s"replicate $r")
       }
     }
+    it("edgeBinnedCounts ≡ exactQuantiles edges + a naive binning aggregate (q157/q175 fusion)") {
+      // deliberately collision-heavy values (mod grid) so target buckets
+      // hold ties, plus a skewed flag; compare against the composed form
+      val df = spark.range(20000).select(
+        ((col("id") * 131) % 997).cast("double").as("v"),
+        (col("id") % 7 === 0).as("f"))
+      val ps = (1 to 9).map(_ / 10.0)
+      val (edges, n, nf) = Quantiles.edgeBinnedCounts(df, "v", "f", ps,
+        buckets = 32)
+      val qs = Quantiles.exactQuantiles(
+          df.select(lit("all").as("g"), col("v")), "g", "v", ps, buckets = 32)
+        .select($"p", $"value").as[(Double, Double)].collect().toMap
+      ps.zip(edges).foreach { case (p, e) =>
+        assert(e == qs(p), s"edge at p=$p") // bit equality
+      }
+      val binExpr = edges.map(q => when(col("v") > lit(q), 1).otherwise(0))
+        .reduce(_ + _)
+      val want = df.groupBy(binExpr.as("bin"))
+        .agg(count(lit(1)).as("n"), count(when($"f", 1)).as("nf"))
+        .as[(Int, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      (0 to ps.size).foreach { b =>
+        assert((n(b), nf(b)) == want.getOrElse(b, (0L, 0L)), s"bin $b")
+      }
+    }
     it("never buffers the corpus: pass-2 window partitions are bucket-sized") {
       // structural check on the DISTRIBUTED chain (forced via
       // maxDriverGroups = 0) — the plan's only Window sits behind the
