@@ -107,17 +107,19 @@ class FixtureCanarySpec extends SparkSpec {
   }
 
   describe("df-cap canary (ADVICE r8 / VERDICT r9 #5)") {
-    it("the q21/q107/q121 hot-shingle cap cannot bind on any fixture (df ≤ doc count < maxDf)") {
+    it("the q21/q107 hot-shingle cap cannot bind on any fixture (df ≤ doc count < maxDf)") {
       // A shingle's block-df is bounded by the corpus size, so as long
       // as every fixture holds fewer documents than Dedup.DefaultMaxDf,
       // the capped engine and the UNCAPPED DuckDB oracles are provably
       // identical. A regenerated fixture crossing this line must fail
-      // HERE (then: model the df filter in the q21/q107/q121 oracles).
+      // HERE (then: model the df filter in the q21/q107 oracles; q121
+      // moved to the guarded plane in round 14 and models its budget-64
+      // df filter in its oracle already).
       Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
         val n = Tables(spark, s"/root/testdata/$sf", "documents").count()
         assert(n < graft.ext.Dedup.DefaultMaxDf.toLong,
           s"$sf documents ($n) >= default maxDf ${graft.ext.Dedup.DefaultMaxDf} " +
-            "— the cap can now bind; q21/q107/q121 oracles must model the df filter")
+            "— the cap can now bind; q21/q107 oracles must model the df filter")
       }
     }
     it("directly measured max block-df on sf0.01 stays under the cap with margin") {
@@ -136,6 +138,17 @@ class FixtureCanarySpec extends SparkSpec {
         s"max block-df $maxDf exceeds default maxDf ${graft.ext.Dedup.DefaultMaxDf}")
       info(s"sf0.01 max (lang, 3-shingle) df = $maxDf " +
         s"(cap ${graft.ext.Dedup.DefaultMaxDf})")
+      // round 14: the guarded pair plane's "exact tier complete at the
+      // driver-checked SFs" property needs the much tighter PairDfBudget
+      // to not bind here either (measured margins: 5 at sf0.01, 14 at
+      // sf0.1, 62 at sf1 vs budget 64). A regenerated fixture crossing
+      // THIS line stays oracle-correct (the oracle models the budget)
+      // but the q48/q52-family results would start to differ from the
+      // plain uncapped plane — fail loudly instead of silently shifting
+      // the declared semantics.
+      assert(maxDf <= graft.ext.Dedup.PairDfBudget.toLong,
+        s"max block-df $maxDf exceeds PairDfBudget ${graft.ext.Dedup.PairDfBudget} " +
+          "— the guarded plane's exact tier no longer covers the gate fixtures")
     }
   }
 

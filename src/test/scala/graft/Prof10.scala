@@ -3,9 +3,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch: stage-level timing of the round-14 guarded pair plane at
-  * sf1 — which stage pays: the sets checkpoint, the exact-tier
-  * expansion+distinct, the LSH plane, or the verification join? */
+/** Scratch (round 14): sf1 equality certificate for the guarded pair
+  * plane — the guarded operators must equal the r13 uncapped plane
+  * EXACTLY at sf1 (max (lang,shingle) df 62 ≤ budget 64, so the capped
+  * tier is complete and the LSH tier adds nothing new). r13's sf1
+  * oracle green for q48/q52/q121/q125/q177/q184 then carries over to
+  * the guarded forms without re-running the (hours-long at sf1)
+  * DuckDB recursive/quadratic oracle CTEs. */
 object Prof10 {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -17,43 +21,23 @@ object Prof10 {
     val d = args.headOption.getOrElse("/root/repo/fixtures/sf1")
     val docs = Tables(spark, d, "documents")
 
-    def time[A](tag: String)(f: => A): A = {
-      val t0 = System.nanoTime
-      val r = f
-      println(f"[prof10] $tag ${(System.nanoTime - t0) / 1e9}%.3f s")
-      r
-    }
+    val oldPairs = graft.ext.Dedup.ngramJaccardPairs(
+      docs, "text", "doc_id", "lang", 3, 0.5, maxDf = Int.MaxValue)
+    val newPairs = graft.ext.Dedup.guardedJaccardPairs(
+      docs, "text", "doc_id", "lang", 3, 0.5)
+    val pairDiff = oldPairs.exceptAll(newPairs).count() +
+      newPairs.exceptAll(oldPairs).count()
+    println(s"[prof10] jaccard-pairs symmetric diff at $d: $pairDiff " +
+      s"(old=${oldPairs.count()}, new=${newPairs.count()})")
 
-    import graft.functions.TextFunctions._
-    val in = graft.ops.Parallelize.forCompute(docs)
-    val sets = time("sets checkpoint") {
-      in.select(col("doc_id").as("id"), col("lang").as("block"),
-          array_sort(wordShingleHashes(col("text"), 3)).as("ss"))
-        .localCheckpoint(true)
-    }
-    val sh = sets.select(col("id"), col("block"), explode(col("ss")).as("sh"))
-    val lists = sh.groupBy(col("block"), col("sh"))
-      .agg(array_sort(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= 64)
-    val exactCand = lists.select(col("ids"), posexplode(col("ids")))
-      .withColumnRenamed("pos", "i").withColumnRenamed("col", "pa")
-      .select(col("pa"),
-        explode(slice(col("ids"), col("i") + lit(2),
-                      greatest(size(col("ids")) - col("i") - 1, lit(0)))).as("pb"))
-      .select(col("pa").as("id_a"), col("pb").as("id_b"))
-    time("exact tier raw count")(println(exactCand.count()))
-    val exD = time("exact tier distinct")(exactCand.distinct().localCheckpoint(true))
-    println(exD.count())
-    val full = time("full guardedJaccardPairs") {
-      graft.ext.Dedup.guardedJaccardPairs(docs, "text", "doc_id", "lang", 3, 0.5)
-        .count()
-    }
-    println(full)
-    val old = time("old uncapped ngramJaccardPairs") {
-      graft.ext.Dedup.ngramJaccardPairs(docs, "text", "doc_id", "lang", 3, 0.5,
-        maxDf = Int.MaxValue).count()
-    }
-    println(old)
+    val oldStats = graft.ext.Dedup.pairSimilarityStats(
+      docs, "text", "doc_id", "lang", 3, 0.5, 0.6, maxDf = Int.MaxValue)
+    val newStats = graft.ext.Dedup.guardedSimilarityStats(
+      docs, "text", "doc_id", "lang", 3, 0.5, 0.6)
+    val statsDiff = oldStats.exceptAll(newStats).count() +
+      newStats.exceptAll(oldStats).count()
+    println(s"[prof10] similarity-stats symmetric diff at $d: $statsDiff " +
+      s"(old=${oldStats.count()}, new=${newStats.count()})")
     spark.stop()
   }
 }
