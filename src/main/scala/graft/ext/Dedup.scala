@@ -965,31 +965,33 @@ object Dedup {
     val half = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .localCheckpoint(true)
-    // the driver path round-trips ids through Long and casts the result
-    // back to the id type, so it is taken only when BOTH columns are the
-    // SAME integral type — a mixed (int, long) edge list would wrap or
-    // null ids on the cast-back where the distributed path would widen
-    // correctly, breaking the identical-fixpoint contract
-    val integral = {
-      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-      val (st, dt) = (half.schema("src").dataType, half.schema("dst").dataType)
-      st == dt && Seq(ByteType, ShortType, IntegerType, LongType).contains(st)
-    }
-    if (integral && half.count() <= maxDriverEdges) dedupGroupsLocal(half)
+    if (integralEdgeTypes(half) && half.count() <= maxDriverEdges)
+      dedupGroupsLocal(half)
     else dedupGroupsDistributed(half, maxIter)
+  }
+
+  /** The driver paths round-trip ids through Long and cast the result
+    * back to the id type, so they are taken only when BOTH columns are
+    * the SAME integral type — a mixed (int, long) edge list would wrap
+    * or null ids on the cast-back where the distributed path would
+    * widen correctly, breaking the identical-fixpoint contract. */
+  private def integralEdgeTypes(half: DataFrame): Boolean = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val (st, dt) = (half.schema("src").dataType, half.schema("dst").dataType)
+    st == dt && Seq(ByteType, ShortType, IntegerType, LongType).contains(st)
   }
 
   /** Driver-side exact union-find over a bounded, already-materialized
     * edge list. Union-by-min keeps every root the component minimum, so
     * find() after all unions yields the same representative the
     * distributed fixpoint computes. */
-  private def dedupGroupsLocal(half: DataFrame): DataFrame = {
+  /** Collect a bounded (src, dst) edge frame into primitive long
+    * arrays — as specialized Tuple2[Long, Long] (~40 bytes/edge
+    * transient — object header + two unboxed fields + array ref), then
+    * copied so the tuples go; an Array[Row] of GenericRows would cost
+    * ~100 bytes/edge. */
+  private def collectEdges(half: DataFrame): (Array[Long], Array[Long]) = {
     val spark = half.sparkSession
-    val srcType = half.schema("src").dataType
-    // collect as specialized Tuple2[Long, Long] (~40 bytes/edge
-    // transient — object header + two unboxed fields + array ref),
-    // then copy into primitive arrays and let the tuples go; an
-    // Array[Row] of GenericRows would cost ~100 bytes/edge
     val tupled = {
       import spark.implicits._
       half.select(col("src").cast("long"), col("dst").cast("long"))
@@ -999,6 +1001,16 @@ object Dedup {
     val dsts = new Array[Long](tupled.length)
     var k = 0
     while (k < tupled.length) { srcs(k) = tupled(k)._1; dsts(k) = tupled(k)._2; k += 1 }
+    (srcs, dsts)
+  }
+
+  /** Exact union-find with min-root union and path compression over a
+    * collected edge list; the returned `find` yields each node's
+    * component MINIMUM — the same fixpoint the distributed min-label
+    * propagation computes. Shared by [[dedupGroupsLocal]] and
+    * [[hopsToRepLocal]]. */
+  private def unionFindMin(srcs: Array[Long],
+                           dsts: Array[Long]): Long => Long = {
     val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x: Long): Long = {
       var r = x
@@ -1016,6 +1028,14 @@ object Dedup {
       }
       e += 1
     }
+    find
+  }
+
+  private def dedupGroupsLocal(half: DataFrame): DataFrame = {
+    val spark = half.sparkSession
+    val srcType = half.schema("src").dataType
+    val (srcs, dsts) = collectEdges(half)
+    val find = unionFindMin(srcs, dsts)
     val nodes = (srcs.iterator ++ dsts.iterator).toArray.distinct
     // materialize as a genuine LocalRelation (NOT sparkContext
     // .parallelize, which plans as an RDD scan with unknown stats):
@@ -1106,10 +1126,23 @@ object Dedup {
     * constant-plan-size checkpointing as [[dedupGroupsDistributed]];
     * every stage keys on node id — unbounded scale. */
   def hopsToRep(pairs: DataFrame, aCol: String, bCol: String,
-                maxIter: Int = 20): DataFrame = {
+                maxIter: Int = 20,
+                maxDriverEdges: Long = 4L * 1024 * 1024): DataFrame = {
     val half = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .localCheckpoint(true)
+    // ADAPTIVE like [[dedupGroups]] (round 14): a near-dup pair graph
+    // under the driver-edge cap runs union-find AND the multi-source
+    // BFS on the driver — ONE collect instead of ~5 grid-sized Spark
+    // jobs per relaxation round (q184 paid ~15 sub-second jobs of pure
+    // scheduling floor on a 158-row pair graph at sf0.1: 2.25 s in the
+    // r14 pair run). Exact BFS distances are unique, so the driver
+    // fixpoint is the distributed fixpoint; the refuse-if-beyond-
+    // maxIter contract is kept bit-for-bit (a component whose diameter
+    // the distributed form would not converge on within maxIter throws
+    // the same error here).
+    if (integralEdgeTypes(half) && half.count() <= maxDriverEdges)
+      return hopsToRepLocal(half, maxIter)
     val groups = dedupGroups(half, "src", "dst")
     val edges = half.union(half.select(col("dst"), col("src")))
       .distinct().localCheckpoint(true)
@@ -1136,5 +1169,83 @@ object Dedup {
       s"hopsToRep: BFS relaxation did not converge in $maxIter rounds " +
         "- raise maxIter (distances at this point would be silently wrong)")
     groups.join(dist.select(col("id").as("doc_id"), col("hops")), Seq("doc_id"))
+  }
+
+  /** Driver twin of [[hopsToRep]]'s relaxation for bounded pair graphs:
+    * union-find for the representatives, then exact multi-source BFS
+    * seeded at them over an adjacency map of the collected edges. BFS
+    * distances are unique, so this is the identical fixpoint; the
+    * distributed form converges at round (max hops + 1), so the same
+    * refuse threshold applies. Returns a LocalRelation (downstream
+    * joins broadcast statically, the dedupGroupsLocal rationale). */
+  private def hopsToRepLocal(half: DataFrame, maxIter: Int): DataFrame = {
+    val spark = half.sparkSession
+    val srcType = half.schema("src").dataType
+    val (srcs, dsts) = collectEdges(half)
+    val find = unionFindMin(srcs, dsts)
+    // dense-int CSR adjacency over primitive arrays (a boxed
+    // LongMap[ArrayBuffer] at the 4M-edge cap costs hundreds of MB of
+    // Long boxes on a driver heap the local-mode executors and the
+    // bench table cache already occupy; the CSR form is ~16 bytes/edge
+    // flat): remap node ids to [0, n), count-prefix-sum-fill.
+    val nodes = (srcs.iterator ++ dsts.iterator).toArray.distinct
+    val n = nodes.length
+    val idx = scala.collection.mutable.LongMap.empty[Int]
+    var i = 0
+    while (i < n) { idx(nodes(i)) = i; i += 1 }
+    val m = srcs.length
+    val deg = new Array[Int](n)
+    var e = 0
+    while (e < m) { deg(idx(srcs(e))) += 1; deg(idx(dsts(e))) += 1; e += 1 }
+    val off = new Array[Int](n + 1)
+    i = 0
+    while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+    val fill = java.util.Arrays.copyOf(off, n)
+    val nbr = new Array[Int](2 * m)
+    e = 0
+    while (e < m) {
+      val a = idx(srcs(e)); val b = idx(dsts(e))
+      nbr(fill(a)) = b; fill(a) += 1
+      nbr(fill(b)) = a; fill(b) += 1
+      e += 1
+    }
+    val dist = new Array[Long](n)
+    java.util.Arrays.fill(dist, -1L)
+    var frontier = nodes.iterator.map(find).toArray.distinct.map(idx)
+    frontier.foreach(r => dist(r) = 0L)
+    var d = 0L
+    while (frontier.nonEmpty) {
+      val next = scala.collection.mutable.ArrayBuffer.empty[Int]
+      frontier.foreach { u =>
+        var p = off(u)
+        while (p < off(u + 1)) {
+          val v = nbr(p)
+          if (dist(v) < 0L) { dist(v) = d + 1L; next += v }
+          p += 1
+        }
+      }
+      frontier = next.toArray
+      d += 1L
+    }
+    val maxHops = d - 1L // last round that added nodes
+    if (maxHops + 1L > maxIter) throw new IllegalStateException(
+      s"hopsToRep: BFS relaxation did not converge in $maxIter rounds " +
+        "- raise maxIter (distances at this point would be silently wrong)")
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(
+        nodes.zipWithIndex.map { case (nd, j) =>
+          org.apache.spark.sql.Row(nd, find(nd), dist(j))
+        }: _*)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("group_rep",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("hops",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(rows, schema)
+      .select(col("doc_id").cast(srcType).as("doc_id"),
+              col("group_rep").cast(srcType).as("group_rep"),
+              col("hops"))
   }
 }

@@ -750,7 +750,7 @@ object LlmOps {
       Some(s"""WITH RECURSIVE $guardedPairsSql, e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p), reach(id, lbl) AS (SELECT src, src FROM e UNION SELECT e2.src, r.lbl FROM e e2 JOIN reach r ON r.id = e2.dst), g AS (SELECT id AS doc_id, MIN(lbl) AS group_rep FROM reach GROUP BY id), j AS (SELECT g.group_rep, d.doc_id, d.n_chars, d.source FROM g JOIN documents d USING (doc_id)), rk AS (SELECT *, row_number() OVER (PARTITION BY group_rep ORDER BY n_chars DESC, doc_id) AS rn FROM j), agg AS (SELECT group_rep, CAST(count(*) AS BIGINT) AS n_members, CAST(SUM(n_chars) AS BIGINT) AS total_chars, string_agg(DISTINCT source, ',' ORDER BY source) AS sources FROM j GROUP BY 1) SELECT a.group_rep, c.doc_id AS canonical_id, c.n_chars AS canonical_chars, a.n_members, a.total_chars, a.sources FROM agg a JOIN (SELECT group_rep, doc_id, n_chars FROM rk WHERE rn = 1) c USING (group_rep)""")),
 
     QueryDef("q184_dedup_hops",
-      "BFS hop distance from every pair-graph doc to its cluster representative (ext.Dedup.hopsToRep) — the dedup-QA readout the q48/q52/q177 cluster machinery was missing: hops == 1 means the doc near-dup-matched the kept representative DIRECTLY; hops >= 2 means it survives only through a transitive chain (A~B, B~C, but A never matched C) — and a fat hops>=2 tail is the classic symptom of an over-aggressive threshold chaining unrelated docs into one cluster. The engine runs frontier min-distance relaxation seeded at the representatives (deterministic unique BFS distances, diameter+1 rounds with the dedupGroups refuse-if-unconverged contract and constant-plan-size checkpoints); the oracle restates it as a depth-bounded recursive-CTE reachability min. Scale: every round is one edge-keyed join + one node-keyed min aggregate — the PageRank/CC iteration shape, unbounded node count",
+      "BFS hop distance from every pair-graph doc to its cluster representative (ext.Dedup.hopsToRep) — the dedup-QA readout the q48/q52/q177 cluster machinery was missing: hops == 1 means the doc near-dup-matched the kept representative DIRECTLY; hops >= 2 means it survives only through a transitive chain (A~B, B~C, but A never matched C) — and a fat hops>=2 tail is the classic symptom of an over-aggressive threshold chaining unrelated docs into one cluster. The engine runs frontier min-distance relaxation seeded at the representatives (deterministic unique BFS distances, diameter+1 rounds with the dedupGroups refuse-if-unconverged contract and constant-plan-size checkpoints); the oracle restates it as a depth-bounded recursive-CTE reachability min. ADAPTIVE since round 14 (the dedupGroups strategy, DedupSpec-pinned equal + equal refusal): a pair graph under the 4M-edge driver cap runs union-find + exact multi-source BFS on the driver — one collect instead of ~5 grid-sized jobs per relaxation round (2.25 -> 1.50 s at sf0.1, where the graph is 158 rows and the rounds were pure scheduling floor); above the cap the distributed relaxation runs unchanged — the PageRank/CC iteration shape, unbounded node count",
       (s, d) => Dedup.hopsToRep(
         // guarded pair plane (round 14): this query ENOSPC'd at sf10 on
         // the uncapped plane's 2.94e9 in-row pairs; the guarded plane

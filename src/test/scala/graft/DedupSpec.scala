@@ -562,4 +562,33 @@ class DedupSpec extends SparkSpec {
       }
     }
   }
+
+  describe("hopsToRep adaptive strategy (round 14)") {
+    // a 5-chain (diameter 4 from the rep) plus a separate 2-clique:
+    // exercises hops >= 2 transitive tails and multiple components
+    lazy val chain = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L),
+                         (10L, 11L)).toDF("id_a", "id_b")
+
+    it("driver BFS equals the distributed relaxation exactly") {
+      val local = graft.ext.Dedup.hopsToRep(chain, "id_a", "id_b")
+        .as[(Long, Long, Long)].collect().toSet
+      val dist = graft.ext.Dedup.hopsToRep(chain, "id_a", "id_b",
+          maxDriverEdges = 0L) // force the distributed path
+        .as[(Long, Long, Long)].collect().toSet
+      assert(local == dist)
+      assert(local == Set((0L, 0L, 0L), (1L, 0L, 1L), (2L, 0L, 2L),
+                          (3L, 0L, 3L), (4L, 0L, 4L),
+                          (10L, 10L, 0L), (11L, 10L, 1L)))
+    }
+
+    it("both paths refuse identically when the diameter exceeds maxIter") {
+      intercept[IllegalStateException] {
+        graft.ext.Dedup.hopsToRep(chain, "id_a", "id_b", maxIter = 3)
+      }
+      intercept[IllegalStateException] {
+        graft.ext.Dedup.hopsToRep(chain, "id_a", "id_b", maxIter = 3,
+          maxDriverEdges = 0L)
+      }
+    }
+  }
 }
