@@ -156,6 +156,14 @@ object SketchOps {
                max(col(c).cast("string")).as("max_str"))
           .select(lit(c).as("col_name"), col("*"))
       }
+    // ROUND 14 negative A/B (the q171/q143 overlap precedent was tried
+    // here): submitting each branch's one-row collect from a future and
+    // assembling a LocalRelation measured 1.09 s vs 1.17 s isolated at
+    // sf0.1 — ~7%, because AQE already materializes the union's six
+    // independent branch stages concurrently; the residual is the
+    // exact-distinct CPU itself sharing the cores, which no scheduling
+    // change moves. The lazy union keeps the plan inspectable and the
+    // query side-effect-free, so it stays.
     branches.reduce(_ unionByName _)
   }
 
@@ -367,7 +375,7 @@ object SketchOps {
          |SELECT lang, CAST(COUNT(*) AS BIGINT) AS ws_tokens, CAST(SUM(ns) AS BIGINT) AS bpe_symbols, floor(CAST(SUM(ns) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6 AS symbols_per_token FROM j GROUP BY 1""".stripMargin.replace("\n", " "))),
 
     QueryDef("q82_column_profile",
-      "per-column data profiling: row/null/exact-distinct counts and min/max over six lineitem columns as a UNION of per-column single-distinct aggregates — each branch's scan prunes to a ONE-column ReadSchema, so the union's total I/O equals one full-width scan while every aggregate plans as Spark's two-level partial-distinct (no Expand, no kx row multiplication). Round-7 shootout (Prof3, same JVM, steady state, sf0.1): union ~1.0-1.3s suite-recorded vs 1.8-1.9s for the round-6 long-format explode (one scan but 600k rows x6 into 4-slot structs before the first aggregation) vs 2.4s for the single-agg Expand form (Spark's own multi-countDistinct); a distinct-only hybrid measured the same as union, proving the residual cost IS the six exact-distinct two-stage aggregates, not the min/max/null plumbing — the price of EXACT per-column cardinalities at 600k rows; at 100 TB each branch's shuffle is bounded by its own column's cardinality, and profile() remains the right shape only for non-columnar storage (CSV/JSON), where k branches would pay k full scans",
+      "per-column data profiling: row/null/exact-distinct counts and min/max over six lineitem columns as a UNION of per-column single-distinct aggregates — each branch's scan prunes to a ONE-column ReadSchema, so the union's total I/O equals one full-width scan while every aggregate plans as Spark's two-level partial-distinct (no Expand, no kx row multiplication). Round-7 shootout (Prof3, same JVM, steady state, sf0.1): union ~1.0-1.3s suite-recorded vs 1.8-1.9s for the round-6 long-format explode (one scan but 600k rows x6 into 4-slot structs before the first aggregation) vs 2.4s for the single-agg Expand form (Spark's own multi-countDistinct); a distinct-only hybrid measured the same as union, proving the residual cost IS the six exact-distinct two-stage aggregates, not the min/max/null plumbing — the price of EXACT per-column cardinalities at 600k rows; at 100 TB each branch's shuffle is bounded by its own column's cardinality, and profile() remains the right shape only for non-columnar storage (CSV/JSON), where k branches would pay k full scans. Round-14 re-profile: 1.17 s isolated min-of-6 at sf0.1 (the r13 suite's 0.91 was a favorable window); a futures-overlap A/B measured 1.09 s - AQE already runs the six branch stages concurrently, so the floor is the exact-distinct CPU itself (negative result recorded at the operator)",
       (s, d) => profileAgg(t(s, d, "lineitem"),
         numCols = Seq("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"),
         strCols = Seq("l_returnflag", "l_linestatus")),
