@@ -39,11 +39,29 @@ import org.apache.spark.sql.functions._
 object LabelProp {
 
   /** Runs `iters` synchronous supersteps over the undirected graph
-    * given as one-direction edges (src, dst); returns (v, lbl). */
-  def run(edges: DataFrame, iters: Int): DataFrame = {
+    * given as one-direction edges (src, dst); returns (v, lbl).
+    *
+    * ADAPTIVE (round 14, the dedupGroups/hopsToRep/PageRank pattern): a
+    * graph under `maxDriverEdges` runs the identical integer vote loop
+    * on the driver over a CSR adjacency — one collect instead of
+    * (join + two aggregates + checkpoint) × iters of grid-sized BSP
+    * stages, which at sf0.1 were pure scheduling floor (q191 1.97 s in
+    * the r14 pair). All arithmetic is integer, so driver ≡ distributed
+    * is exact by construction (LabelPropSpec pins both paths against
+    * the naive reference); above the cap the distributed supersteps
+    * run unchanged. */
+  def run(edges: DataFrame, iters: Int,
+          maxDriverEdges: Long = 4L * 1024 * 1024): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
-    val e = edges.select(col("src").as("a"), col("dst").as("b"))
-      .union(edges.select(col("dst").as("a"), col("src").as("b")))
+    // checkpoint FIRST (the dedupGroups discipline): the strategy
+    // probe, the driver collect, and the distributed doubled-edge
+    // union all read the same — possibly expensive, e.g. a corpus
+    // distinct — edge subtree; materialize it once
+    val e0 = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    if (integralVertexIds(e0) && e0.count() <= maxDriverEdges)
+      return runDriver(e0, iters)
+    val e = e0.select(col("src").as("a"), col("dst").as("b"))
+      .union(e0.select(col("dst").as("a"), col("src").as("b")))
       .localCheckpoint(true)
     var labels = e.select(col("a").as("v")).distinct()
       .withColumn("lbl", col("v"))
@@ -60,5 +78,90 @@ object LabelProp {
         .localCheckpoint(true)
     }
     labels
+  }
+
+  private def integralVertexIds(edges: DataFrame): Boolean = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val (st, dt) = (edges.schema("src").dataType, edges.schema("dst").dataType)
+    st == dt && Seq(ByteType, ShortType, IntegerType, LongType).contains(st)
+  }
+
+  /** Driver twin of the superstep loop for bounded graphs: the same
+    * vote — most frequent label among neighbours AND itself, ties to
+    * the smallest label — over a primitive-array CSR. Returns a
+    * LocalRelation of (v, lbl) cast back to the source id type. */
+  private def runDriver(edges: DataFrame, iters: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val srcType = edges.schema("src").dataType
+    val tupled = {
+      import spark.implicits._
+      edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .as[(Long, Long)].collect()
+    }
+    val m = tupled.length
+    val nodes = {
+      val b = new Array[Long](2 * m)
+      var i = 0
+      while (i < m) { b(2 * i) = tupled(i)._1; b(2 * i + 1) = tupled(i)._2; i += 1 }
+      b.distinct
+    }
+    val n = nodes.length
+    val idx = scala.collection.mutable.LongMap.empty[Int]
+    var i = 0
+    while (i < n) { idx(nodes(i)) = i; i += 1 }
+    val degc = new Array[Int](n)
+    var e = 0
+    while (e < m) { degc(idx(tupled(e)._1)) += 1; degc(idx(tupled(e)._2)) += 1; e += 1 }
+    val off = new Array[Int](n + 1)
+    i = 0
+    while (i < n) { off(i + 1) = off(i) + degc(i); i += 1 }
+    val fill = java.util.Arrays.copyOf(off, n)
+    val nbr = new Array[Int](2 * m)
+    e = 0
+    while (e < m) {
+      val a = idx(tupled(e)._1); val b = idx(tupled(e)._2)
+      nbr(fill(a)) = b; fill(a) += 1
+      nbr(fill(b)) = a; fill(b) += 1
+      e += 1
+    }
+    var lbl = nodes.clone()
+    var it = 0
+    val votes = scala.collection.mutable.LongMap.empty[Long]
+    while (it < iters) {
+      val next = new Array[Long](n)
+      var v = 0
+      while (v < n) {
+        votes.clear()
+        votes(lbl(v)) = 1L // the self-vote
+        var p = off(v)
+        while (p < off(v + 1)) {
+          val l = lbl(nbr(p))
+          votes(l) = votes.getOrElse(l, 0L) + 1L
+          p += 1
+        }
+        // argmax: most frequent, ties to the smallest label — exactly
+        // min(struct(-count, label))
+        var bestC = -1L; var bestL = Long.MaxValue
+        votes.foreach { case (l, c) =>
+          if (c > bestC || (c == bestC && l < bestL)) { bestC = c; bestL = l }
+        }
+        next(v) = bestL
+        v += 1
+      }
+      lbl = next
+      it += 1
+    }
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(
+        nodes.zipWithIndex.map { case (nd, j) =>
+          org.apache.spark.sql.Row(nd, lbl(j))
+        }: _*)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("lbl",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(rows, schema)
+      .select(col("v").cast(srcType).as("v"), col("lbl").cast(srcType).as("lbl"))
   }
 }

@@ -52,11 +52,39 @@ object PageRank {
     * strategy, which a checkpointed plan would hide behind LogicalRDD
     * leaves); production runs always checkpoint per superstep. */
   def run(edges: DataFrame, iters: Int, checkpoint: Boolean = true,
-          broadcastRanks: Boolean = true): DataFrame = {
+          broadcastRanks: Boolean = true,
+          maxDriverEdges: Long = 4L * 1024 * 1024): DataFrame = {
     def cp(df: DataFrame): DataFrame = if (checkpoint) df.localCheckpoint(true) else df
     def hint(df: DataFrame): DataFrame = if (broadcastRanks) broadcast(df) else df
-    val ed = cp(edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
+    // ADAPTIVE (round 14, the dedupGroups/hopsToRep/topComponent
+    // pattern): a graph under the driver-edge cap runs the identical
+    // arithmetic as a driver loop over primitive arrays — one collect
+    // instead of (2 jobs + a checkpoint) × iters of grid-sized BSP
+    // stages, which at sf0.1 were pure ~0.5-0.7 s/job scheduling floor
+    // (q128 1.86 s in the r14 pair). Exactness is preserved step for
+    // step: contributions take the same double floor-grid, per-vertex
+    // sums accumulate the same DECIMAL(38,12) values as scaled longs
+    // (each term is the shortest-decimal rendering of its double,
+    // HALF_UP at scale 12 — Spark's own double→Decimal cast), and the
+    // damped update replays the identical IEEE expression order, so
+    // driver ≡ distributed to the bit (SetGraphSpec pins it). Opting
+    // out: plan-shape tests pass checkpoint=false; the
+    // broadcastRanks=false shuffle-join twin stays fully distributed
+    // (billion-vertex graphs exceed the cap anyway).
+    // checkpoint FIRST when the adaptive probe will run (the
+    // dedupGroups discipline): the probe, the driver collect, and the
+    // distributed doubled-edge union otherwise each re-derive the
+    // input subtree (a corpus distinct for q128). Plan-shape callers
+    // (checkpoint = false) skip the probe and keep a fully lazy plan.
+    val e0 =
+      if (checkpoint && broadcastRanks)
+        edges.select(col("src"), col("dst")).localCheckpoint(true)
+      else edges
+    if (checkpoint && broadcastRanks && integralVertexIds(e0) &&
+        e0.count() <= maxDriverEdges)
+      return runDriver(e0, iters)
+    val ed = cp(e0.select(col("src"), col("dst"))
+      .union(e0.select(col("dst").as("src"), col("src").as("dst"))))
     val deg = ed.groupBy(col("src")).agg(count(lit(1)).cast("long").as("deg"))
       .select(col("src").as("v"), col("deg"))
     val nDf = deg.agg(count(lit(1)).cast("long").as("nv"))
@@ -77,5 +105,98 @@ object PageRank {
       ranks = cp(ranks)
     }
     ranks.select(col("v"), col("deg"), col("pr"))
+  }
+
+  /** Both vertex columns the same integral type — the driver loop
+    * round-trips ids through Long (the dedupGroups contract). */
+  private def integralVertexIds(edges: DataFrame): Boolean = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val (st, dt) = (edges.schema("src").dataType, edges.schema("dst").dataType)
+    st == dt && Seq(ByteType, ShortType, IntegerType, LongType).contains(st)
+  }
+
+  /** Driver twin of the BSP loop for bounded graphs: CSR adjacency over
+    * primitive arrays, per-step arithmetic replicated bit-for-bit (see
+    * the run() scaladoc). Returns a LocalRelation. */
+  private def runDriver(edges: DataFrame, iters: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val srcType = edges.schema("src").dataType
+    val tupled = {
+      import spark.implicits._
+      edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .as[(Long, Long)].collect()
+    }
+    val m = tupled.length
+    val nodes = {
+      val b = new Array[Long](2 * m)
+      var i = 0
+      while (i < m) { b(2 * i) = tupled(i)._1; b(2 * i + 1) = tupled(i)._2; i += 1 }
+      b.distinct
+    }
+    val n = nodes.length
+    val idx = scala.collection.mutable.LongMap.empty[Int]
+    var i = 0
+    while (i < n) { idx(nodes(i)) = i; i += 1 }
+    // doubled-edge CSR (each input edge contributes both directions)
+    val deg = new Array[Long](n)
+    var e = 0
+    while (e < m) {
+      deg(idx(tupled(e)._1)) += 1; deg(idx(tupled(e)._2)) += 1; e += 1
+    }
+    val off = new Array[Int](n + 1)
+    i = 0
+    while (i < n) { off(i + 1) = off(i) + deg(i).toInt; i += 1 }
+    val fill = java.util.Arrays.copyOf(off, n)
+    val nbr = new Array[Int](2 * m)
+    e = 0
+    while (e < m) {
+      val a = idx(tupled(e)._1); val b = idx(tupled(e)._2)
+      nbr(fill(a)) = b; fill(a) += 1
+      nbr(fill(b)) = a; fill(b) += 1
+      e += 1
+    }
+    val nv = n.toLong
+    var pr = Array.fill(n)(1.0 / nv.toDouble)
+    var it = 0
+    while (it < iters) {
+      // per-dst sums of the 10-dp-floored contributions, accumulated as
+      // the DECIMAL(38,12) values Spark's double→Decimal cast produces:
+      // shortest-decimal rendering of the double, HALF_UP to scale 12,
+      // summed as unscaled longs (≤ 1e12 per term — exact, order-free)
+      val sums = new Array[Long](n)
+      var u = 0
+      while (u < n) {
+        val c = math.floor(pr(u) / deg(u).toDouble * 1e10 + 0.5) / 1e10
+        val unscaled = java.math.BigDecimal.valueOf(c)
+          .setScale(12, java.math.RoundingMode.HALF_UP)
+          .unscaledValue().longValueExact()
+        var p = off(u)
+        while (p < off(u + 1)) { sums(nbr(p)) += unscaled; p += 1 }
+        u += 1
+      }
+      val next = new Array[Double](n)
+      var v = 0
+      while (v < n) {
+        val s = java.math.BigDecimal.valueOf(sums(v), 12).doubleValue
+        next(v) = math.floor((0.15 / nv.toDouble + 0.85 * s) * 1e10 + 0.5) / 1e10
+        v += 1
+      }
+      pr = next
+      it += 1
+    }
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(
+        nodes.zipWithIndex.map { case (nd, j) =>
+          org.apache.spark.sql.Row(nd, deg(j), pr(j))
+        }: _*)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("deg",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("pr",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    spark.createDataFrame(rows, schema)
+      .select(col("v").cast(srcType).as("v"), col("deg"), col("pr"))
   }
 }

@@ -5,9 +5,19 @@ import graft.ops.LabelProp
 class LabelPropSpec extends SparkSpec {
   import spark.implicits._
 
-  private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
-    LabelProp.run(edges.toDF("src", "dst"), iters)
+  /** Runs BOTH strategies (round 14: long ids take the adaptive driver
+    * loop; maxDriverEdges = 0 forces the distributed supersteps),
+    * asserts they agree exactly, and returns the result — every
+    * behavioral test in this suite doubles as a twin-equality pin. */
+  private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val drv = LabelProp.run(edges.toDF("src", "dst"), iters)
       .as[(Long, Long)].collect().toMap
+    val dist = LabelProp.run(edges.toDF("src", "dst"), iters,
+        maxDriverEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(drv == dist, "driver and distributed label propagation diverged")
+    drv
+  }
 
   /** In-memory reference: the op's exact contract (neighbours + self,
     * max count, min-label ties), as straight-line Scala. */

@@ -722,11 +722,17 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
       assert(!p.contains("parquet"), s"plan:\n$p") // grid checkpointed
     }
-    it("q191 LPA final rollup reads checkpointed label state; no corpus window") {
+    it("q191 LPA final rollup reads local/checkpointed label state; no corpus window") {
+      // round 14: under the driver-edge cap the label state arrives as
+      // a LocalRelation (the adaptive driver loop); above it, as the
+      // checkpointed RDD. Either way the rollup never re-derives the
+      // corpus and never plans a window.
       val p = planOf("q191_label_propagation")
       assert(!p.contains("CartesianProduct"), s"plan:\n$p")
       assert(!p.contains("Window"), s"plan:\n$p")
-      assert(p.contains("Scan ExistingRDD"), s"plan:\n$p")
+      assert(p.contains("LocalTableScan") || p.contains("Scan ExistingRDD"),
+        s"plan:\n$p")
+      assert(!p.contains("parquet"), s"plan:\n$p")
     }
     it("q197 ANOVA tail reads the checkpointed flag grid; no sort-merge") {
       val p = planOf("q197_anova_f")

@@ -136,5 +136,19 @@ class SetGraphSpec extends SparkSpec {
         .select($"v", $"pr").as[(String, Double)].collect().toMap
       assert(one == many)
     }
+
+    it("the adaptive driver loop is bit-equal to the distributed BSP on integral-id graphs") {
+      // long ids → the driver twin takes over under the edge cap;
+      // forcing the cap to 0 runs the distributed supersteps on the
+      // same graph — every (deg, pr) must match to the bit, including
+      // the decimal-grid contribution sums (round 14)
+      val edges = (1 to 400).map(i => ((i % 23).toLong * 2, (i % 61).toLong * 2 + 1))
+        .toDF("src", "dst")
+      val drv = PageRank.run(edges, 3)
+        .as[(Long, Long, Double)].collect().toSet
+      val dst = PageRank.run(edges, 3, maxDriverEdges = 0L)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(drv == dst)
+    }
   }
 }
