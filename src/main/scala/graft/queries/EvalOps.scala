@@ -157,7 +157,7 @@ object EvalOps {
       Some(s"""WITH b AS (SELECT ${ph("CAST(o_orderkey AS VARCHAR)", 131)} AS h, CAST(floor(o_totalprice * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6)) AS p6 FROM orders), tot AS (SELECT floor(CAST(SUM(p6) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS theta FROM b), reps AS (SELECT i.r AS replicate, CAST(count(*) AS BIGINT) AS n_r, floor(CAST(SUM(p6) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS mean_r FROM b, (SELECT unnest(generate_series(0, 59)) AS r) i WHERE ((h >> r) & 1) = 1 GROUP BY 1), g AS (SELECT replicate, n_r, mean_r, theta FROM reps, tot), sm AS (SELECT floor(sqrt(CAST(SUM(CAST(floor((mean_r - theta) * (mean_r - theta) * 1e9 + 0.5) / 1e9 AS DECIMAL(38,9))) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS se FROM g) SELECT replicate, n_r, mean_r, theta, se, floor((theta - 1.96 * se) * 1e6 + 0.5) / 1e6 AS ci_lo, floor((theta + 1.96 * se) * 1e6 + 0.5) / 1e6 AS ci_hi FROM g, sm""")),
 
     QueryDef("q188_conformal_interval",
-      "split conformal prediction interval (Papadopoulos 2002 / Vovk): 3-way orderkey split of lineitem — TRAIN fits the predictor (group-mean price per quantity, a 50-cell bounded model), CALIBRATION takes qhat = the 0.90 quantile of its absolute residuals, TEST reports empirical coverage of yhat +/- qhat. The distribution-free guarantee P(covered) >= alpha holds for ANY predictor — this query is the engine-side validation harness a model team runs before shipping intervals (the uncertainty counterpart of q178's calibration ECE: ECE audits probabilities, conformal audits intervals). quantile_cont(0.90) stands in for the finite-sample ceil((n+1)alpha)/n order statistic — at n_cal ~ 20k the two differ by < 2e-4 in rank fraction; the n->infinity limit, noted honestly. Scale form: one aggregate fits the model (bounded grid, broadcast back), the calibration residual frame is checkpointed ONCE and feeds count + ops.Quantiles' two bounded-state passes (qhat publishes UNROUNDED via the q120 bit-equal interpolation), and the test pass is one scan against the broadcast model and one-row qhat. Round-13 floor shave: ONE stats aggregate now serves both n_cal and the quantile op's bucket planning (collected once, re-entering exactQuantiles as a LOCAL statsOpt frame — the op's own stats job and the separate count job both disappear; qhat bit-unchanged because the collected (n, mn, mx) are exactly what the derived pass computes), cutting the round-11 6-job chain to 5 (model agg, cal checkpoint, fused stats, histogram, target-bucket fetch); dropping the checkpoint still measures SLOWER (the cal readers re-derive the join), and the driver-finish pattern does not apply — the calibration frame is corpus-sized, not grid-sized. Honest readout: coverage ~ 0.90 on iid splits — the guarantee demonstrated, not assumed",
+      "split conformal prediction interval (Papadopoulos 2002 / Vovk): 3-way orderkey split of lineitem — TRAIN fits the predictor (group-mean price per quantity, a 50-cell bounded model), CALIBRATION takes qhat = the 0.90 quantile of its absolute residuals, TEST reports empirical coverage of yhat +/- qhat. The distribution-free guarantee P(covered) >= alpha holds for ANY predictor — this query is the engine-side validation harness a model team runs before shipping intervals (the uncertainty counterpart of q178's calibration ECE: ECE audits probabilities, conformal audits intervals). quantile_cont(0.90) stands in for the finite-sample ceil((n+1)alpha)/n order statistic — at n_cal ~ 20k the two differ by < 2e-4 in rank fraction; the n->infinity limit, noted honestly. Scale form: one aggregate fits the model (bounded grid, broadcast back), the calibration residual frame is checkpointed ONCE and feeds count + ops.Quantiles' two bounded-state passes (qhat publishes UNROUNDED via the q120 bit-equal interpolation), and the test pass is one scan against the broadcast model and one-row qhat. Round-13 floor shave: ONE stats aggregate now serves both n_cal and the quantile op's bucket planning (collected once, re-entering exactQuantiles as a LOCAL statsOpt frame — the op's own stats job and the separate count job both disappear; qhat bit-unchanged because the collected (n, mn, mx) are exactly what the derived pass computes), cutting the round-11 6-job chain to 5 (model agg, cal checkpoint, fused stats, histogram, target-bucket fetch); dropping the checkpoint still measures SLOWER (the cal readers re-derive the join), and the driver-finish pattern does not apply — the calibration frame is corpus-sized, not grid-sized. Round-14 re-profile: 1.36 s isolated min-of-6 at sf0.1 (the r13 suite's 0.97 was a favorable window) — the chain is job-floor-bound: model agg + 800k-row cal checkpoint + three bounded quantile stages + the test aggregate, each at this box's ~0.2 s scheduling floor; no corpus job is removable without changing qhat's declared exact semantics. Honest readout: coverage ~ 0.90 on iid splits — the guarantee demonstrated, not assumed",
       (s, d) => {
         val li = t(s, d, "lineitem").select(
           (col("l_orderkey") % 3).as("split"),

@@ -210,6 +210,18 @@ class PlanSpec extends SparkSpec {
       val p = planOf("q121_pair_similarity")
       assert(!p.contains("CartesianProduct"), s"plan:\n$p")
     }
+    it("the guarded pair plane (q48/q52-family) never goes cartesian and never sort-merge-joins") {
+      // round 14: both tiers are equi-joins/aggregates — the capped
+      // counting plane plus the LSH band plane with its per-candidate
+      // verification joins and the exact-tier anti-join. A cartesian or
+      // an SMJ here would mean a tier lost its join keys.
+      val docs = spark.read.parquet(s"$d/documents.parquet")
+      val p = graft.ext.Dedup.guardedJaccardPairs(docs, "text", "doc_id",
+          "lang", 3, 0.5)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+    }
     it("q110 OHLC endpoints come from declarative min_by/max_by — no window sort anywhere") {
       // the row_number formulation would force a per-bar sort; the
       // aggregate form partial-aggregates map-side and shuffles once
