@@ -172,7 +172,23 @@ object Dedup {
     * for real. */
   private def shinglePairStats(docs: DataFrame, textCol: String, idCol: String,
                                blockCol: String, n: Int,
-                               maxDf: Int): DataFrame = {
+                               maxDf: Int): DataFrame =
+    shinglePairStatsFromLists(shingleLists(docs, textCol, idCol, blockCol,
+                                           n, maxDf), maxDf)
+
+  /** The (block, shingle) posting-list table feeding
+    * [[shinglePairStatsFromLists]]: one row per (block, shingle) with
+    * the sorted (id, per-doc set size) list. On the capped path the
+    * table is localCheckpoint'd — it feeds BOTH the pair plane
+    * (≤ maxDf) and the hot-shingle correction (> maxDf), and
+    * ReuseExchange shares only the shuffle WRITE between those
+    * consumers; the list-building aggregate itself (the expensive half
+    * per Prof4) would run twice (VERDICT r12 #8). The uncapped path
+    * has a single consumer and skips the materialization job. The
+    * checkpointed form is also what makes [[guardedJaccardPairs]]'
+    * cap-bound probe a metadata-cheap job. */
+  private def shingleLists(docs: DataFrame, textCol: String, idCol: String,
+                           blockCol: String, n: Int, maxDf: Int): DataFrame = {
     val in = graft.ops.Parallelize.forCompute(docs)
     val sh = in.select(col(idCol).as("id"), col(blockCol).as("block"),
                        wordShingleHashes(col(textCol), n).as("ss"))
@@ -180,16 +196,16 @@ object Dedup {
               explode(col("ss")).as("sh"))
     val allLists0 = sh.groupBy(col("block"), col("sh"))
       .agg(array_sort(collect_list(struct(col("id"), col("n_sh")))).as("ids"))
-    // capped path: allLists feeds BOTH the pair plane (<= maxDf) and
-    // the hot-shingle correction (> maxDf). ReuseExchange shares only
-    // the shuffle WRITE between those consumers — the list-building
-    // aggregate itself (the expensive half per Prof4) would run twice,
-    // so materialize it once (VERDICT r12 #8: every capped consumer —
-    // q21/q107/q121 — paid the list-building aggregate twice). The
-    // uncapped path has a single consumer and skips the
-    // materialization job.
-    val allLists = if (maxDf == Int.MaxValue) allLists0
-                   else allLists0.localCheckpoint(true)
+    if (maxDf == Int.MaxValue) allLists0 else allLists0.localCheckpoint(true)
+  }
+
+  /** The pair plane over a prepared posting-list table (see
+    * [[shingleLists]]): in-row pair expansion of the ≤ maxDf lists,
+    * pair-count aggregate, and — when the cap can bind — the
+    * consistent-universe denominator correction from the > maxDf
+    * lists. */
+  private def shinglePairStatsFromLists(allLists: DataFrame,
+                                        maxDf: Int): DataFrame = {
     val lists = allLists.filter(size(col("ids")) > 1 && size(col("ids")) <= maxDf)
     val rawPairs = listPairs(lists, "ids")
       .select(col("pa.id").as("id_a"), col("pa.n_sh").as("na"),
@@ -480,8 +496,24 @@ object Dedup {
                           blockCol: String, n: Int, threshold: Double,
                           dfBudget: Int = PairDfBudget,
                           numHashes: Int = 8, bands: Int = 4): DataFrame = {
-    val exact = ngramJaccardPairs(docs, textCol, idCol, blockCol, n,
-                                  threshold, maxDf = dfBudget)
+    val lists = shingleLists(docs, textCol, idCol, blockCol, n, dfBudget)
+    val exact = shinglePairStatsFromLists(lists, dfBudget)
+      .select(col("id_a"), col("id_b"),
+        (col("ic").cast("double") / (col("da") + col("db") - col("ic")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    // RUNTIME TIER SKIP (round 14, the AQE adapt-on-materialized-stats
+    // idea): when NO posting list exceeds the budget — a metadata-cheap
+    // probe on the already-checkpointed list table — the exact tier is
+    // provably COMPLETE (any pair with jaccard ≥ t > 0 shares a
+    // shingle, and every shingle is under budget, so the pair is in
+    // the exact tier with its full-universe measures) and the LSH
+    // tier's anti-joined contribution is provably EMPTY; skip its
+    // whole plane. Output identical by the proof, so the oracle's
+    // unconditional two-tier UNION needs no flag.
+    val capBinds = threshold <= 0.0 ||
+      lists.filter(size(col("ids")) > dfBudget).limit(1).count() > 0
+    if (!capBinds) return exact
     val lsh = minhashLshPairStats(docs, textCol, idCol, blockCol, n,
                                   numHashes, bands)
       .select(col("id_a"), col("id_b"),
@@ -510,8 +542,22 @@ object Dedup {
                              containmentThreshold: Double,
                              dfBudget: Int = PairDfBudget,
                              numHashes: Int = 8, bands: Int = 4): DataFrame = {
-    val exact = pairSimilarityStats(docs, textCol, idCol, blockCol, n,
-      jaccardThreshold, containmentThreshold, maxDf = dfBudget)
+    val lists = shingleLists(docs, textCol, idCol, blockCol, n, dfBudget)
+    val exact = shinglePairStatsFromLists(lists, dfBudget)
+      .select(col("id_a"), col("id_b"), col("ic").as("n_shared"),
+        (col("ic").cast("double") / (col("da") + col("db") - col("ic")))
+          .as("jaccard"),
+        (col("ic").cast("double") / col("da")).as("cont_a"),
+        (col("ic").cast("double") / col("db")).as("cont_b"))
+      .filter(col("jaccard") >= jaccardThreshold ||
+              greatest(col("cont_a"), col("cont_b")) >= containmentThreshold)
+    // same runtime tier skip as guardedJaccardPairs: a qualifying pair
+    // has n_shared ≥ 1 (both selection measures are positive-threshold
+    // ratios of ic), so a never-binding budget makes the exact tier
+    // complete and the LSH recovery provably empty
+    val capBinds = jaccardThreshold <= 0.0 || containmentThreshold <= 0.0 ||
+      lists.filter(size(col("ids")) > dfBudget).limit(1).count() > 0
+    if (!capBinds) return exact
     val lsh = minhashLshPairStats(docs, textCol, idCol, blockCol, n,
                                   numHashes, bands)
       .select(col("id_a"), col("id_b"), col("ic").as("n_shared"),
