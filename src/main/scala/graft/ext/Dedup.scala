@@ -408,7 +408,8 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Absolute per-shingle pair budget for [[guardedPairStats]]'s exact
+  /** Absolute per-shingle pair budget for the guarded pair plane's
+    * ([[guardedJaccardPairs]] / [[guardedSimilarityStats]]) exact
     * tier (the q141 `maxBlock` discipline applied to the shingle plane):
     * a posting list at the budget expands to at most B·(B−1)/2 ≈ 2k
     * in-row pairs, and total exact-tier candidate volume is bounded by

@@ -523,7 +523,9 @@ object Quantiles {
     * are per-bucket aggregate state, so they ride the quantile's own
     * passes for free. THREE corpus jobs total:
     *
-    *  1. stats — (n, min, max) with the flag total riding along;
+    *  1. stats — (n, min, max); bin flag totals come entirely from
+    *     the histogram and fetch passes below (ADVICE r14: an earlier
+    *     flag-total rider here was never read and is gone);
     *  2. histogram — per-bucket (count, flag-count);
     *  3. target-bucket fetch — per distinct value (count, flag-count)
     *     for only the buckets the edge order-statistics live in
@@ -558,8 +560,7 @@ object Quantiles {
     val in = df.select(col(valCol).as("v"), col(flagCol).as("f"))
       .filter(col("v").isNotNull)
     val st = in.agg(count(lit(1)).as("n"), min(col("v")).as("mn"),
-                    max(col("v")).as("mx"),
-                    count(when(col("f"), 1)).as("nf")).head()   // job 1
+                    max(col("v")).as("mx")).head()              // job 1
     val n = st.getLong(0)
     require(n > 0, "edgeBinnedCounts: empty input")
     val mn = st.getAs[Number]("mn").doubleValue

