@@ -240,8 +240,30 @@ object Bench {
         "\"" + k.takeWhile(_ != '_') + "\":[" + ss.map(fmt2).mkString(",") + "]"
       }.mkString("{", ",", "}")
     val total = results.filter(_._3).map(_._2).sum
+    // Weak-set wall-clock canary (VERDICT r14 #5, the timing half —
+    // the deterministic job-count half is PerfCanarySpec): the four
+    // documented floor decisions plus q52's tier-skip-free property
+    // are compared against their recorded sf0.1 ceilings × 1.5; a
+    // violation lands IN the committed artifact (and on stderr), loud,
+    // without failing the driver contract — suite-window noise at
+    // these magnitudes is real, so the canary flags for a human/judge
+    // rather than hard-failing the round's bench. Ceilings are the
+    // round-14/15 recorded isolated minima (see each QueryDef).
+    val canaryCeilings = Map(
+      "q82_column_profile"      -> 1.25,
+      "q119_robust_scaling"     -> 1.30,
+      "q171_warehouse_pipeline" -> 1.20,
+      "q188_conformal_interval" -> 1.05,
+      "q52_dedup_apply"         -> 1.10)
+    val canary =
+      if (!sfDir.stripSuffix("/").endsWith("sf0.1")) "[]"
+      else results.collect {
+        case (k, v, true, _) if canaryCeilings.get(k).exists(c => v > c * 1.5) =>
+          System.err.println(f"[bench] CANARY: $k ${v}%.3f s > 1.5x recorded ceiling ${canaryCeilings(k)}%.2f")
+          "\"" + k.takeWhile(_ != '_') + ":" + fmt(v) + ">" + fmt2(canaryCeilings(k) * 1.5) + "\""
+      }.mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"samples":$sampleMap,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"samples":$sampleMap,"canary":$canary,"errors":$errors,"sf":"$sfDir"}"""
     println(fullLine)
     // The driver keeps only the LAST ~2000 chars of stdout; by round 9
     // the per-query dict outgrew that window and the line's leading

@@ -244,6 +244,53 @@ class QuantilesSpec extends SparkSpec {
         assert((n(b), nf(b)) == want.getOrElse(b, (0L, 0L)), s"bin $b")
       }
     }
+    it("nonNegScalarQuantiles ≡ exactQuantiles bit-for-bit (ties, zeros, subnormals, n=1)") {
+      // the bit-bucket path must reproduce the equal-width path's
+      // doubles EXACTLY — same fetched order statistics, same
+      // interpolation arithmetic — across tie-heavy, continuous,
+      // subnormal, and degenerate inputs, at several shifts
+      val ps = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+      def check(vals: Seq[Double], shift: Int = 44): Unit = {
+        val df = vals.map(v => ("all", v)).toDF("g", "v")
+        val (n, got) = Quantiles.nonNegScalarQuantiles(df, "v", ps, shift)
+        assert(n == vals.size)
+        val want = Quantiles.exactQuantiles(df, "g", "v", ps)
+          .select($"p", $"value").as[(Double, Double)].collect().toMap
+        ps.foreach { p =>
+          assert(java.lang.Double.doubleToRawLongBits(got(p)) ==
+                 java.lang.Double.doubleToRawLongBits(want(p)),
+            s"p=$p shift=$shift: got ${got(p)} want ${want(p)}")
+        }
+      }
+      val rnd = new scala.util.Random(42)
+      check(Seq.fill(500)(rnd.nextDouble() * 1e4))                  // continuous
+      check(Seq.fill(500)(rnd.nextInt(20).toDouble))                // tie-heavy + zeros
+      check(Seq.fill(300)(rnd.nextInt(20).toDouble), shift = 52)    // coarse buckets
+      check(Seq.fill(300)(rnd.nextDouble() * 1e-310))               // subnormals
+      check(Seq(7.25))                                              // n = 1
+      check(Seq(0.0, 0.0, 0.0, 5.0))                                // constant-heavy
+      check((1 to 100).map(_ * 1e15))                               // large magnitudes
+    }
+    it("nonNegScalarQuantiles rejects inputs that break bit order, loud") {
+      val neg = Seq(("all", -1.0), ("all", 2.0)).toDF("g", "v")
+      val e1 = intercept[IllegalArgumentException] {
+        Quantiles.nonNegScalarQuantiles(neg, "v", Seq(0.5))
+      }
+      assert(e1.getMessage.contains("negative"))
+      val nan = Seq(("all", Double.NaN), ("all", 2.0)).toDF("g", "v")
+      val e2 = intercept[IllegalArgumentException] {
+        Quantiles.nonNegScalarQuantiles(nan, "v", Seq(0.5))
+      }
+      assert(e2.getMessage.contains("NaN"))
+      // -0.0 is normalized, not rejected: numerically equal to +0.0
+      val nz = Seq(("all", -0.0), ("all", 0.0), ("all", 1.0)).toDF("g", "v")
+      val (n3, q3) = Quantiles.nonNegScalarQuantiles(nz, "v", Seq(0.0))
+      assert(n3 == 3 && q3(0.0) == 0.0)
+      // empty input: n = 0, no quantiles — callers publish NULL
+      val (n4, q4) = Quantiles.nonNegScalarQuantiles(
+        Seq.empty[(String, Double)].toDF("g", "v"), "v", Seq(0.5))
+      assert(n4 == 0 && q4.isEmpty)
+    }
     it("never buffers the corpus: pass-2 window partitions are bucket-sized") {
       // structural check on the DISTRIBUTED chain (forced via
       // maxDriverGroups = 0) — the plan's only Window sits behind the
