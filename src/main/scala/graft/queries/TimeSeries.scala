@@ -201,6 +201,17 @@ object TimeSeries {
         // ~0.7 s of the ~1.0 s isolated total) + 4 counts-frame jobs
         // (driver-planned stats/hist/fetch + the final stats) that are
         // each ~0.1 s — no corpus job left to fuse away.
+        // ROUND 15 second negative A/B (the q82/Prof12 union-of-pruned-
+        // branches lesson does NOT transfer): rewriting the melt as 4
+        // single-column groupBy branches measured 1.51 s vs 1.18 s for
+        // the melt, same window, min-of-6. q82's branches end in
+        // one-row aggregates (no value shuffle), so branch count is its
+        // only currency; here every branch shuffles its column's
+        // DISTINCT VALUES and l_extendedprice (~97% distinct, ~570k
+        // rows) dominates BOTH forms identically — the union just adds
+        // three extra branch schedulings and a 4-way checkpoint. The
+        // melt groupBy is the floor, now established at the plan level
+        // from two directions.
         val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         val long = t(s, d, "lineitem").select(cols.map(col): _*)
           .unpivot(Array.empty[org.apache.spark.sql.Column],
