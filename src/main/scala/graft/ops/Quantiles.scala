@@ -744,4 +744,129 @@ object Quantiles {
     }.toMap
     (n, res)
   }
+
+  /** [[nonNegScalarQuantiles]]' grouped sibling over a pre-aggregated
+    * (group, value, count) frame — [[exactQuantilesFromCounts]] minus
+    * its stats job, for NON-NEGATIVE double values (q119's floor
+    * shave, round 15): the bit-prefix histogram needs no (mn, mx), so
+    * ONE groupBy(g, bits(v) >> shift) job replaces the stats +
+    * histogram pair, and the riding per-bucket (rows, min, max) give
+    * the driver n per group, the loud negative/NaN rejection, AND the
+    * exact fetch bound (rows here = distinct values, the thing job 2
+    * actually collects — tighter than the count-mass bound). Job 2
+    * fetches only the target (g, bucket) cells' (v, c) rows through a
+    * broadcast-local semi-join. Ranking + interpolation run on the
+    * driver with the object-doc DuckDB-exact arithmetic; the result
+    * (group, p, value) returns as a LOCAL relation, so downstream
+    * broadcast consumers build without scheduling jobs. BIT-IDENTICAL
+    * to [[exactQuantilesFromCounts]] on the same frame (QuantilesSpec
+    * pins weighted/tied/multi-group generated frames). −0.0 normalizes
+    * to +0.0 at intake; groups arrive only via the frame, so an empty
+    * group simply has no output rows — same as the derived-stats path.
+    * Scale: job 1's state is ≤ groups × 2^(64−shift) sparse cells;
+    * job 2's collect is PROVEN ≤ [[MaxDriverPass2Rows]] before it
+    * runs. Lower `shift` at larger value mass, as everywhere. */
+  def nonNegQuantilesFromCounts(vc: DataFrame, groupCol: String,
+                                valCol: String, cntCol: String,
+                                ps: Seq[Double], shift: Int = 44): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"quantile fractions must be in [0,1]: $ps")
+    require(shift >= 32 && shift <= 60, s"bit-bucket shift out of [32,60]: $shift")
+    val session = vc.sparkSession
+    val vRaw = col(valCol).cast("double")
+    val in = vc.select(col(groupCol).as("g"),
+        when(vRaw === 0.0, lit(0.0)).otherwise(vRaw).as("v"),
+        col(cntCol).cast("long").as("c"))
+      .filter(col("v").isNotNull)
+    val bkt = shiftright(graft.functions.DoubleBits.bits(col("v")), shift)
+    val histRows = in.groupBy(col("g"), bkt.as("b"))
+      .agg(sum(col("c")).as("cnt"), count(lit(1)).as("nv"),
+           min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .collect()                                                  // job 1
+    val gType = vc.schema(groupCol).dataType
+    val outSchema = StructType(Seq(
+      StructField(groupCol, gType),
+      StructField("p", DoubleType, nullable = false),
+      StructField("value", DoubleType)))
+    if (histRows.isEmpty)
+      return session.createDataFrame(
+        java.util.Collections.emptyList[Row](), outSchema)
+    val byG = histRows.groupBy(_.get(0)).map { case (g, rows) =>
+      g -> rows.sortBy(_.getLong(1))
+    }
+    byG.foreach { case (g, rows) =>
+      require(rows.head.getLong(1) >= 0L && rows.head.getDouble(4) >= 0.0,
+        s"nonNegQuantilesFromCounts: negative values in group $g break " +
+          "bit-bucket order — use exactQuantilesFromCounts")
+      require(rows.forall { r =>
+          val mx = r.getDouble(5); !mx.isNaN && !mx.isInfinite },
+        s"nonNegQuantilesFromCounts: NaN/Inf values in group $g break " +
+          "bit-bucket order — use exactQuantilesFromCounts")
+    }
+    // per group: running count-mass below each bucket, target buckets
+    // for every needed rank, and the PROVEN fetch bound (distinct
+    // values, nv, in target buckets)
+    case class Plan(needs: Seq[(Double, Double, Long)],
+                    rankBucket: Map[Long, Long], below: Map[Long, Long])
+    val plans = byG.map { case (g, rows) =>
+      var run = 0L
+      val below = rows.map { r =>
+        val lo = run; run += r.getLong(2); r.getLong(1) -> lo }.toMap
+      val n = run
+      val needs = neededRanks(n, ps)
+      def bucketOfRank(rank: Long): Long =
+        rows.find { r => val lo = below(r.getLong(1))
+          rank >= lo && rank < lo + r.getLong(2) }
+          .getOrElse(throw new IllegalStateException(
+            s"rank $rank of group $g not covered")).getLong(1)
+      val rankBucket =
+        if (n == 0) Map.empty[Long, Long]
+        else needs.map(_._3).distinct.map(r => r -> bucketOfRank(r)).toMap
+      g -> Plan(if (n == 0) Nil else needs, rankBucket, below)
+    }
+    // .toSeq first: flatMap on a Map with tuple results would rebuild
+    // a Map KEYED BY GROUP and silently keep one target bucket per
+    // group (the spec caught exactly this)
+    val targetCells = plans.toSeq.flatMap { case (g, pl) =>
+      pl.rankBucket.values.toSet.map((b: Long) => (g, b)) }.toSet
+    val fetchBound = histRows
+      .filter(r => targetCells((r.get(0), r.getLong(1)))).map(_.getLong(3)).sum
+    require(fetchBound <= MaxDriverPass2Rows,
+      s"nonNegQuantilesFromCounts: target-cell fetch $fetchBound exceeds the " +
+        "driver bound — lower `shift` or use exactQuantilesFromCounts")
+    val targets = session.createDataFrame(
+      targetCells.toSeq.map { case (g, b) => Row(g, b) }.asJava,
+      StructType(Seq(StructField("g", gType),
+                     StructField("b", LongType, nullable = false))))
+    val fetched = in.withColumn("b", bkt)
+      .join(broadcast(targets), Seq("g", "b"))
+      .select(col("g"), col("b"), col("v"), col("c"))
+      .collect()                                                  // job 2
+    val valsByGB = fetched.groupBy(r => (r.get(0), r.getLong(1)))
+      .map { case (k, rows) =>
+        k -> rows.map(r => (r.getDouble(2), r.getLong(3))).sortBy(_._1) }
+    val resRows = plans.toSeq.flatMap { case (g, pl) =>
+      def valueAtRank(rank: Long): Double = {
+        val b = pl.rankBucket(rank)
+        var local = rank - pl.below(b); var i = 0
+        val vals = valsByGB.getOrElse((g, b), Array.empty[(Double, Long)])
+        while (i < vals.length) {
+          val (v, c) = vals(i)
+          if (local < c) return v
+          local -= c; i += 1
+        }
+        throw new IllegalStateException(
+          s"rank $rank missing from fetched cell ($g, $b)")
+      }
+      pl.needs.map { case (p, k, _) => (p, k) }.distinct.map { case (p, k) =>
+        val fl = math.floor(k); val ce = math.ceil(k)
+        val lo = valueAtRank(fl.toLong)
+        // DuckDB-exact interpolation (see object doc)
+        val v = if (fl == ce) lo
+                else lo * (ce - k) + valueAtRank(ce.toLong) * (k - fl)
+        Row(g, p, v)
+      }
+    }
+    session.createDataFrame(resRows.asJava, outSchema)
+  }
 }

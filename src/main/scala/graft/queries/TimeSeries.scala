@@ -198,9 +198,15 @@ object TimeSeries {
         // pinned (the linearity shortcut Σc·v−med·Σc computes a
         // DIFFERENT number: one end-rounding vs per-value rounding).
         // What remains is 1 corpus pass (the melt groupBy + checkpoint,
-        // ~0.7 s of the ~1.0 s isolated total) + 4 counts-frame jobs
-        // (driver-planned stats/hist/fetch + the final stats) that are
-        // each ~0.1 s — no corpus job left to fuse away.
+        // ~0.7 s of the ~1.0 s isolated total) + counts-frame jobs at
+        // ~0.1 s each. ROUND 15 took one of those off: the charge
+        // columns are non-negative, so nonNegQuantilesFromCounts'
+        // bit-prefix histogram needs no stats pass — the chain is now
+        // corpus pass → bit-histogram → fetch → final stats (4 jobs,
+        // scheduler count 16 → 11, PerfCanarySpec-pinned; 1.18 → 1.04 s
+        // min-of-6 same-window at sf0.1), edges bit-identical. Every
+        // remaining consecutive pair is data-dependent — nothing left
+        // to fuse or overlap without changing declared semantics.
         // ROUND 15 second negative A/B (the q82/Prof12 union-of-pruned-
         // branches lesson does NOT transfer): rewriting the melt as 4
         // single-column groupBy branches measured 1.51 s vs 1.18 s for
@@ -221,8 +227,13 @@ object TimeSeries {
         val vc = long.groupBy(col("metric"), col("val"))
           .agg(count(lit(1)).as("c"))
           .localCheckpoint(true)
+        // charges are non-negative, so the bit-bucket counts path
+        // (round 15) fuses the quantile op's stats job into its
+        // histogram: 3 counts-frame quantile jobs → 2, edges
+        // bit-identical (QuantilesSpec), and the result is a LOCAL
+        // relation so the pivot/broadcast below build without jobs
         val stats = graft.ops.Quantiles
-          .exactQuantilesFromCounts(vc, "metric", "val", "c", Seq(0.25, 0.5, 0.75))
+          .nonNegQuantilesFromCounts(vc, "metric", "val", "c", Seq(0.25, 0.5, 0.75))
           .groupBy(col("metric"))
           .agg(round(max(when(col("p") === 0.25, col("value"))), 4).as("q1"),
                round(max(when(col("p") === 0.5, col("value"))), 4).as("med"),

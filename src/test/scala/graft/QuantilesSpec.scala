@@ -271,6 +271,49 @@ class QuantilesSpec extends SparkSpec {
       check(Seq(0.0, 0.0, 0.0, 5.0))                                // constant-heavy
       check((1 to 100).map(_ * 1e15))                               // large magnitudes
     }
+    it("nonNegQuantilesFromCounts ≡ exactQuantilesFromCounts bit-for-bit (groups, weights, ties)") {
+      val ps = Seq(0.0, 0.25, 0.5, 0.75, 0.9, 1.0)
+      val rnd = new scala.util.Random(7)
+      def check(rows: Seq[(String, Double, Long)], shift: Int = 44): Unit = {
+        val vc = rows.toDF("g", "v", "c")
+          // pre-aggregate to the (g, v) grain the counts contract expects
+          .groupBy($"g", $"v").agg(sum($"c").as("c"))
+        val got = Quantiles.nonNegQuantilesFromCounts(vc, "g", "v", "c", ps, shift)
+          .as[(String, Double, Double)].collect()
+          .map { case (g, p, v) => (g, p) -> v }.toMap
+        val want = Quantiles.exactQuantilesFromCounts(vc, "g", "v", "c", ps)
+          .as[(String, Double, Double)].collect()
+          .map { case (g, p, v) => (g, p) -> v }.toMap
+        assert(got.keySet == want.keySet)
+        got.foreach { case (k, v) =>
+          assert(java.lang.Double.doubleToRawLongBits(v) ==
+                 java.lang.Double.doubleToRawLongBits(want(k)),
+            s"$k shift=$shift: got $v want ${want(k)}")
+        }
+      }
+      // continuous values, three groups, weights 1-5
+      check(Seq.fill(600)((s"g${rnd.nextInt(3)}", rnd.nextDouble() * 1e4,
+                           1L + rnd.nextInt(5))))
+      // tie-heavy integer grid with zeros (the q119 discount/tax shape)
+      check(Seq.fill(600)((s"g${rnd.nextInt(2)}", rnd.nextInt(8) * 0.05,
+                           1L + rnd.nextInt(3))))
+      // coarse buckets force multi-value cells through the fetch ranking
+      check(Seq.fill(400)(("all", rnd.nextInt(50).toDouble, 1L)), shift = 56)
+      // single-value group + large-weight group
+      check(Seq(("a", 3.5, 1L), ("b", 1.0, 1000000L), ("b", 2.0, 1L)))
+    }
+    it("nonNegQuantilesFromCounts rejects negatives per group, loud") {
+      val vc = Seq(("a", -1.0, 1L), ("a", 2.0, 1L), ("b", 1.0, 1L))
+        .toDF("g", "v", "c")
+      val e = intercept[IllegalArgumentException] {
+        Quantiles.nonNegQuantilesFromCounts(vc, "g", "v", "c", Seq(0.5))
+      }
+      assert(e.getMessage.contains("group a"))
+      // empty frame: empty result, no throw
+      assert(Quantiles.nonNegQuantilesFromCounts(
+        Seq.empty[(String, Double, Long)].toDF("g", "v", "c"),
+        "g", "v", "c", Seq(0.5)).count() == 0)
+    }
     it("nonNegScalarQuantiles rejects inputs that break bit order, loud") {
       val neg = Seq(("all", -1.0), ("all", 2.0)).toDF("g", "v")
       val e1 = intercept[IllegalArgumentException] {
