@@ -633,6 +633,112 @@ object Quantiles {
     (edges, cnt, flag)
   }
 
+  /** [[edgeBinnedCounts]] minus its stats job, for NON-NEGATIVE double
+    * values — the bit-prefix histogram (see [[nonNegScalarQuantiles]])
+    * needs no (mn, mx), so the quantile-cut-then-bin shape costs TWO
+    * corpus jobs (q157/q175, round 15):
+    *
+    *  1. bit-bucket histogram — per-bucket (count, flag-count, distinct
+    *     rows, min, max); n rides along, the stats pass is GONE, and
+    *     the riding min/max reject order-breaking inputs (negatives,
+    *     NaN/Inf) loud;
+    *  2. target-bucket fetch — per distinct value (count, flag-count),
+    *     bound proven from the histogram's distinct-row counts.
+    *
+    * The binning argument transfers VERBATIM from [[edgeBinnedCounts]]:
+    * bit-prefix buckets are monotone in v exactly like equal-width
+    * buckets (that is the whole point of the bit order), so non-target
+    * buckets still land in one bin decided from bucket ids alone, and
+    * only fetched values pay the per-value IEEE `v > qₚ`. Results are
+    * bit-identical to [[edgeBinnedCounts]] on the same input
+    * (QuantilesSpec pins edges, bins, AND flag tallies). Same loud
+    * fetch-bound require; same −0.0 normalization as the siblings. */
+  def nonNegEdgeBinnedCounts(df: DataFrame, valCol: String, flagCol: String,
+                             ps: Seq[Double], shift: Int = 44)
+      : (Seq[Double], Array[Long], Array[Long]) = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"quantile fractions must be in [0,1]: $ps")
+    require(shift >= 32 && shift <= 60, s"bit-bucket shift out of [32,60]: $shift")
+    val vRaw = col(valCol).cast("double")
+    val in = df.select(
+        when(vRaw === 0.0, lit(0.0)).otherwise(vRaw).as("v"),
+        col(flagCol).as("f"))
+      .filter(col("v").isNotNull)
+    val bkt = shiftright(graft.functions.DoubleBits.bits(col("v")), shift)
+    val hist = in.groupBy(bkt.as("b"))
+      .agg(count(lit(1)).as("cnt"), count(when(col("f"), 1)).as("nf"),
+           min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .collect().sortBy(_.getLong(0))                             // job 1
+    val n = hist.map(_.getLong(1)).sum
+    require(n > 0, "nonNegEdgeBinnedCounts: empty input")
+    require(hist.head.getLong(0) >= 0L && hist.head.getDouble(3) >= 0.0,
+      "nonNegEdgeBinnedCounts: negative values break bit-bucket order — " +
+        "use edgeBinnedCounts")
+    require(hist.forall { r =>
+        val mx = r.getDouble(4); !mx.isNaN && !mx.isInfinite },
+      "nonNegEdgeBinnedCounts: NaN/Inf values break bit-bucket order — " +
+        "use edgeBinnedCounts")
+    val below = {
+      var run = 0L
+      hist.map { r => val lo = run; run += r.getLong(1); r.getLong(0) -> lo }.toMap
+    }
+    def bucketOfRank(rank: Long): Long =
+      hist.find { r => val lo = below(r.getLong(0))
+        rank >= lo && rank < lo + r.getLong(1) }
+        .getOrElse(throw new IllegalStateException(
+          s"nonNegEdgeBinnedCounts: rank $rank not covered")).getLong(0)
+    val kOf = ps.map(p => (n - 1).toDouble * p)
+    val rankBuckets = kOf.flatMap(k =>
+      Seq(math.floor(k).toLong, math.ceil(k).toLong)).distinct
+      .map(r => r -> bucketOfRank(r)).toMap
+    val targetB = rankBuckets.values.toSet
+    // row-count bound (cnt), same discipline as edgeBinnedCounts —
+    // conservative over distinct values but proven before the collect
+    val fetchBound = hist.filter(r => targetB(r.getLong(0))).map(_.getLong(1)).sum
+    require(fetchBound <= MaxDriverPass2Rows,
+      s"nonNegEdgeBinnedCounts: target-bucket fetch $fetchBound exceeds the " +
+        "driver bound — lower `shift` or use edgeBinnedCounts")
+    val fetched = in.withColumn("b", bkt)
+      .filter(col("b").isInCollection(targetB))
+      .groupBy(col("b"), col("v"))
+      .agg(count(lit(1)).as("c"), count(when(col("f"), 1)).as("nf"))
+      .collect()                                                  // job 2
+    val byB = fetched.groupBy(_.getLong(0)).map { case (b, rows) =>
+      b -> rows.map(r => (r.getDouble(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+    }
+    def valueAt(rank: Long): Double = {
+      val b = rankBuckets(rank)
+      var local = rank - below(b)
+      val vals = byB.getOrElse(b, Array.empty[(Double, Long, Long)])
+      var i = 0
+      while (i < vals.length) {
+        if (local < vals(i)._2) return vals(i)._1
+        local -= vals(i)._2; i += 1
+      }
+      throw new IllegalStateException(
+        s"nonNegEdgeBinnedCounts: rank $rank missing from fetch")
+    }
+    val edges = kOf.map { k =>
+      val fl = math.floor(k); val ce = math.ceil(k)
+      val lo = valueAt(fl.toLong)
+      if (fl == ce) lo else lo * (ce - k) + valueAt(ce.toLong) * (k - fl)
+    }
+    val edgeUpperB = kOf.map(k => rankBuckets(math.ceil(k).toLong))
+    val cnt = new Array[Long](ps.size + 1)
+    val flag = new Array[Long](ps.size + 1)
+    hist.iterator.filterNot(r => targetB(r.getLong(0))).foreach { r =>
+      val bin = edgeUpperB.count(ub => r.getLong(0) > ub)
+      cnt(bin) += r.getLong(1); flag(bin) += r.getLong(2)
+    }
+    fetched.foreach { r =>
+      val v = r.getDouble(1)
+      val bin = edges.count(q => v > q)
+      cnt(bin) += r.getLong(2); flag(bin) += r.getLong(3)
+    }
+    (edges, cnt, flag)
+  }
+
   /** Single-group EXACT interpolated quantiles of a NON-NEGATIVE
     * double column in TWO corpus passes with NO prior stats pass —
     * q188's floor shave (VERDICT r14 #3: the conformal chain is

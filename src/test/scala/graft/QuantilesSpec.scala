@@ -302,6 +302,30 @@ class QuantilesSpec extends SparkSpec {
       // single-value group + large-weight group
       check(Seq(("a", 3.5, 1L), ("b", 1.0, 1000000L), ("b", 2.0, 1L)))
     }
+    it("nonNegEdgeBinnedCounts ≡ edgeBinnedCounts (edges bitwise, bins, flag tallies)") {
+      val ps = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+      val rnd = new scala.util.Random(11)
+      def check(rows: Seq[(Double, Boolean)], shift: Int = 44): Unit = {
+        val df = rows.toDF("v", "f")
+        val (e1, c1, f1) = Quantiles.edgeBinnedCounts(df, "v", "f", ps)
+        val (e2, c2, f2) = Quantiles.nonNegEdgeBinnedCounts(df, "v", "f", ps, shift)
+        e1.zip(e2).foreach { case (a, b) =>
+          assert(java.lang.Double.doubleToRawLongBits(a) ==
+                 java.lang.Double.doubleToRawLongBits(b), s"edge: $a vs $b")
+        }
+        assert(c1.toSeq == c2.toSeq, s"bins: ${c1.toSeq} vs ${c2.toSeq}")
+        assert(f1.toSeq == f2.toSeq, s"flags: ${f1.toSeq} vs ${f2.toSeq}")
+      }
+      check(Seq.fill(800)((rnd.nextDouble() * 1e4, rnd.nextBoolean())))
+      check(Seq.fill(800)((rnd.nextInt(12) * 0.25, rnd.nextInt(4) == 0)))
+      check(Seq.fill(500)((rnd.nextInt(40).toDouble, rnd.nextBoolean())), shift = 56)
+      check(Seq((5.0, true)))
+      val neg = Seq((-2.0, false), (1.0, true)).toDF("v", "f")
+      val e = intercept[IllegalArgumentException] {
+        Quantiles.nonNegEdgeBinnedCounts(neg, "v", "f", ps)
+      }
+      assert(e.getMessage.contains("negative"))
+    }
     it("nonNegQuantilesFromCounts rejects negatives per group, loud") {
       val vc = Seq(("a", -1.0, 1L), ("a", 2.0, 1L), ("b", 1.0, 1L))
         .toDF("g", "v", "c")
