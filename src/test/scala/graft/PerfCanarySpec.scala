@@ -54,8 +54,12 @@ class PerfCanarySpec extends SparkSpec {
                                        // (was 16 before nonNegQuantilesFromCounts)
       "q171_warehouse_pipeline" -> 23, // composition: audit futures + RFM chain
       "q188_conformal_interval" -> 12, // model+ckpt, bit-histogram, fetch, test
-      "q52_dedup_apply"         -> 17  // guarded exact tier only: the LSH tier's
+      "q52_dedup_apply"         -> 17, // guarded exact tier only: the LSH tier's
                                        // jobs must NOT appear while df ≤ budget
+      // the round-15 bit-bucket fusions (not weak-set members, but one
+      // build change from silently re-growing their deleted passes)
+      "q157_woe_iv"             -> 8,  // bit-bucket hist + fetch (2 corpus jobs)
+      "q175_gains_deciles"      -> 6   // same fusion, driver-finished tail
     )
     ceilings.foreach { case (name, ceiling) =>
       it(s"$name schedules at most $ceiling jobs") {
