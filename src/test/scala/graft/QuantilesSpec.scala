@@ -244,6 +244,29 @@ class QuantilesSpec extends SparkSpec {
         assert((n(b), nf(b)) == want.getOrElse(b, (0L, 0L)), s"bin $b")
       }
     }
+    it("DoubleBits is order-preserving on non-negative doubles (the trio's foundation)") {
+      // the theorem all three bit-bucket operators rest on: for
+      // non-negative finite doubles, raw-bits-as-signed-long comparison
+      // IS numeric comparison — checked across 20 orders of magnitude,
+      // zeros, subnormals, and the codegen path vs the JVM intrinsic
+      val rnd = new scala.util.Random(3)
+      val vals = (Seq.fill(2000)(
+          rnd.nextDouble() * math.pow(10, rnd.nextInt(20) - 10)) ++
+        Seq(0.0, Double.MinPositiveValue, 1e-310, 1.0, 1e300,
+            Double.MaxValue)).distinct
+      val bits = vals.map(Tuple1(_)).toDF("v")
+        .select($"v", graft.functions.DoubleBits.bits($"v").as("b"))
+        .as[(Double, Long)].collect()
+      bits.foreach { case (v, b) =>
+        assert(b == java.lang.Double.doubleToRawLongBits(v), s"bits of $v")
+      }
+      bits.sortBy(_._1).sliding(2).foreach {
+        case Array((v1, b1), (v2, b2)) =>
+          assert((v1 < v2) == (b1 < b2) && b1 <= b2,
+            s"order broken: $v1($b1) vs $v2($b2)")
+        case _ => ()
+      }
+    }
     it("nonNegScalarQuantiles ≡ exactQuantiles bit-for-bit (ties, zeros, subnormals, n=1)") {
       // the bit-bucket path must reproduce the equal-width path's
       // doubles EXACTLY — same fetched order statistics, same
