@@ -247,16 +247,14 @@ object Bench {
     // violation lands IN the committed artifact (and on stderr), loud,
     // without failing the driver contract — suite-window noise at
     // these magnitudes is real, so the canary flags for a human/judge
-    // rather than hard-failing the round's bench. Ceilings are the
-    // round-14/15 recorded isolated minima (see each QueryDef).
-    val canaryCeilings = Map(
-      "q82_column_profile"      -> 1.25,
-      "q119_robust_scaling"     -> 1.30,
-      "q171_warehouse_pipeline" -> 1.20,
-      "q188_conformal_interval" -> 1.05,
-      "q52_dedup_apply"         -> 1.10)
+    // rather than hard-failing the round's bench. Ceilings live in
+    // PerfCanary (ADVICE r15: one constants object, so a re-measured
+    // floor cannot drift out of sync with the canary map). Gate on the
+    // FINAL path segment == sf0.1 exactly (ADVICE r15: endsWith also
+    // matched any directory merely named *sf0.1).
+    val canaryCeilings = PerfCanary.wallClockCeilings
     val canary =
-      if (!sfDir.stripSuffix("/").endsWith("sf0.1")) "[]"
+      if (Paths.get(sfDir).getFileName.toString != "sf0.1") "[]"
       else results.collect {
         case (k, v, true, _) if canaryCeilings.get(k).exists(c => v > c * 1.5) =>
           System.err.println(f"[bench] CANARY: $k ${v}%.3f s > 1.5x recorded ceiling ${canaryCeilings(k)}%.2f")

@@ -1,0 +1,63 @@
+package graft
+
+/** Single source of truth for the weak-set regression canaries
+  * (VERDICT r14 #5; ADVICE r15: the ceilings used to be duplicated
+  * constants in Bench.scala and PerfCanarySpec, so a re-measured floor
+  * could silently drift out of sync with one of the two maps).
+  *
+  * Two complementary halves, both reading THIS object:
+  *  - [[jobCeilings]] — exact scheduler job counts PerfCanarySpec pins
+  *    at sf0.01 (deterministic: plan-structural, not load-dependent);
+  *  - [[wallClockCeilings]] — recorded isolated sf0.1 minima that
+  *    Bench compares driver runs against at ×1.5, loud in the
+  *    committed artifact.
+  *
+  * Ceilings are the observed shipped-build numbers — NOT observed +
+  * slack: a single extra job is a real floor regression on queries
+  * this shape. If a deliberate plan change moves a count, re-pin it
+  * here WITH the bench number that justifies it.
+  */
+object PerfCanary {
+
+  /** Exact scheduler job counts, measured via a SparkListener over the
+    * full query lifecycle (construction + noop write — driver-planned
+    * collects and future-submitted audit jobs INCLUDED, which the old
+    * job-group counting missed from pooled threads; ADVICE r15) on the
+    * round-16 shipped build at sf0.01, AQE on, local[4]; three
+    * consecutive runs agreed to the job. These are SCHEDULER jobs —
+    * AQE materializes each exchange stage and broadcast build as its
+    * own job — so they sit above the QueryDef docs' corpus-pass
+    * ledgers, but they move in the same direction and by at least one
+    * whenever a pass is re-added, which is the regression guarded.
+    *
+    * The guarded-dedup five (q48/q121/q125/q177/q184) share q52's
+    * tier-skip machinery (VERDICT r15 #3): the LSH tier's jobs must
+    * NOT appear while the df budget never binds at sf0.01 — silent
+    * re-enablement is the single most expensive possible regression
+    * (it ENOSPC'd sf10 once). */
+  val jobCeilings: Map[String, Int] = Map(
+    "q82_column_profile"      -> 14, // 6 union branches × 2-level distinct
+    "q119_robust_scaling"     -> 11, // melt groupBy + bit-bucket counts quantiles
+    "q171_warehouse_pipeline" -> 23, // composition: audit futures + RFM chain
+    "q188_conformal_interval" -> 12, // model+ckpt, bit-histogram, fetch, test
+    "q157_woe_iv"             -> 8,  // bit-bucket hist + fetch (2 corpus jobs)
+    "q175_gains_deciles"      -> 6,  // same fusion, driver-finished tail
+    // the guarded-dedup family: exact tier only at sf0.01
+    "q52_dedup_apply"         -> 17,
+    "q48_dedup_groups"        -> 13,
+    "q121_pair_similarity"    -> 9,
+    "q125_split_repair"       -> 13,
+    "q177_canonical_election" -> 15,
+    "q184_dedup_hops"         -> 13)
+
+  /** Recorded isolated sf0.1 minima (seconds), rounds 14-16 — see each
+    * QueryDef's scale notes for the measurement context. Bench flags
+    * any driver-run time above ceiling × 1.5 in the committed
+    * artifact's `canary` field. */
+  val wallClockCeilings: Map[String, Double] = Map(
+    "q82_column_profile"      -> 1.25,
+    "q119_robust_scaling"     -> 1.30,
+    "q171_warehouse_pipeline" -> 1.20,
+    "q188_conformal_interval" -> 1.05,
+    "q52_dedup_apply"         -> 1.10)
+}

@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Raw IEEE-754 bit pattern of a double as a long
   * (`java.lang.Double.doubleToRawLongBits`). For NON-NEGATIVE finite
@@ -15,9 +15,14 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * dependency of equal-width binning disappears; see
   * [[graft.ops.Quantiles.nonNegScalarQuantiles]]. Codegen is one
   * JVM intrinsic call, staying inside whole-stage codegen. */
-case class DoubleBitsExpr(child: Expression) extends UnaryExpression {
+case class DoubleBitsExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = LongType
   override def prettyName: String = "double_bits"
+  // analysis-time input check (ADVICE r15): without it a non-double
+  // child silently widens to double in codegen (wrong-but-quiet
+  // buckets) while interpreted eval throws ClassCastException
+  override def inputTypes: Seq[DataType] = Seq(DoubleType)
 
   override def nullSafeEval(input: Any): Any =
     java.lang.Double.doubleToRawLongBits(input.asInstanceOf[Double])

@@ -545,10 +545,12 @@ object Quantiles {
     *
     * Returns (edges in `ps` order, per-bin (n, nFlag) arrays of length
     * ps.size + 1). Null values are excluded from edges AND tallies
-    * (callers pass non-null measures). Throws when the fetch bound
-    * exceeds
-    * [[MaxDriverPass2Rows]] (a pathological distribution where ~every
-    * row shares the edge buckets — use the counts-frame shape then).
+    * (callers pass non-null measures). When the proven fetch bound
+    * exceeds [[MaxDriverPass2Rows]] (a pathological distribution where
+    * ~every row shares the edge buckets) the call DEGRADES instead of
+    * dying (ADVICE r15): [[edgeBinnedFallback]] computes the edges
+    * through the never-throwing [[exactQuantiles]] chain and pays one
+    * extra corpus binning aggregate, loud on stderr.
     * Scale: jobs 1-2 are map + grid aggregates; job 3 collects ≈
     * |target buckets|·n/B distinct values — at 100 TB raise `buckets`
     * so n/B stays driver-sized, same as every driver-planned path. */
@@ -589,9 +591,12 @@ object Quantiles {
       .map(r => r -> bucketOfRank(r)).toMap
     val targetB = rankBuckets.values.toSet
     val fetchBound = hist.filter(r => targetB(r.getInt(0))).map(_.getLong(1)).sum
-    require(fetchBound <= MaxDriverPass2Rows,
-      s"edgeBinnedCounts: target-bucket fetch $fetchBound exceeds the driver " +
-        "bound - raise `buckets` or use the counts-frame shape")
+    if (fetchBound > MaxDriverPass2Rows) {
+      System.err.println(s"[quantiles] edgeBinnedCounts: target-bucket fetch " +
+        s"$fetchBound exceeds the driver bound $MaxDriverPass2Rows — " +
+        "degrading to the quantiles-then-bin path")
+      return edgeBinnedFallback(in, ps)
+    }
     val fetched = in.withColumn("b", bExpr)
       .filter(col("b").isInCollection(targetB))
       .groupBy(col("b"), col("v"))
@@ -638,12 +643,12 @@ object Quantiles {
     * needs no (mn, mx), so the quantile-cut-then-bin shape costs TWO
     * corpus jobs (q157/q175, round 15):
     *
-    *  1. bit-bucket histogram — per-bucket (count, flag-count, distinct
-    *     rows, min, max); n rides along, the stats pass is GONE, and
-    *     the riding min/max reject order-breaking inputs (negatives,
-    *     NaN/Inf) loud;
+    *  1. bit-bucket histogram — per-bucket (count, flag-count, min,
+    *     max); n rides along, the stats pass is GONE, and the riding
+    *     min/max reject order-breaking inputs (negatives, NaN/Inf)
+    *     loud;
     *  2. target-bucket fetch — per distinct value (count, flag-count),
-    *     bound proven from the histogram's distinct-row counts.
+    *     bound proven from the histogram before the collect.
     *
     * The binning argument transfers VERBATIM from [[edgeBinnedCounts]]:
     * bit-prefix buckets are monotone in v exactly like equal-width
@@ -651,83 +656,54 @@ object Quantiles {
     * buckets still land in one bin decided from bucket ids alone, and
     * only fetched values pay the per-value IEEE `v > qₚ`. Results are
     * bit-identical to [[edgeBinnedCounts]] on the same input
-    * (QuantilesSpec pins edges, bins, AND flag tallies). Same loud
-    * fetch-bound require; same −0.0 normalization as the siblings. */
+    * (QuantilesSpec pins edges, bins, AND flag tallies). A fetch bound
+    * past [[MaxDriverPass2Rows]] DEGRADES to [[edgeBinnedFallback]]
+    * loud on stderr (ADVICE r15 — shipped queries must not die on
+    * tie-massed data); same −0.0 normalization as the siblings.
+    * Planner core shared across the nonNeg* trio ([[planBitBuckets]],
+    * round 16 — VERDICT r15 #5). */
   def nonNegEdgeBinnedCounts(df: DataFrame, valCol: String, flagCol: String,
                              ps: Seq[Double], shift: Int = 44)
       : (Seq[Double], Array[Long], Array[Long]) = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"quantile fractions must be in [0,1]: $ps")
     require(shift >= 32 && shift <= 60, s"bit-bucket shift out of [32,60]: $shift")
-    val vRaw = col(valCol).cast("double")
-    val in = df.select(
-        when(vRaw === 0.0, lit(0.0)).otherwise(vRaw).as("v"),
-        col(flagCol).as("f"))
+    val in = df.select(nonNegV(col(valCol)).as("v"), col(flagCol).as("f"))
       .filter(col("v").isNotNull)
-    val bkt = shiftright(graft.functions.DoubleBits.bits(col("v")), shift)
+    val bkt = bitBucket(col("v"), shift)
     val hist = in.groupBy(bkt.as("b"))
       .agg(count(lit(1)).as("cnt"), count(when(col("f"), 1)).as("nf"),
            min(col("v")).as("mn"), max(col("v")).as("mx"))
       .collect().sortBy(_.getLong(0))                             // job 1
-    val n = hist.map(_.getLong(1)).sum
-    require(n > 0, "nonNegEdgeBinnedCounts: empty input")
-    require(hist.head.getLong(0) >= 0L && hist.head.getDouble(3) >= 0.0,
-      "nonNegEdgeBinnedCounts: negative values break bit-bucket order — " +
-        "use edgeBinnedCounts")
-    require(hist.forall { r =>
-        val mx = r.getDouble(4); !mx.isNaN && !mx.isInfinite },
-      "nonNegEdgeBinnedCounts: NaN/Inf values break bit-bucket order — " +
-        "use edgeBinnedCounts")
-    val below = {
-      var run = 0L
-      hist.map { r => val lo = run; run += r.getLong(1); r.getLong(0) -> lo }.toMap
+    require(hist.nonEmpty, "nonNegEdgeBinnedCounts: empty input")
+    requireBitOrderSafe(hist.head.getLong(0), hist.head.getDouble(3),
+      hist.iterator.map(_.getDouble(4)),
+      "nonNegEdgeBinnedCounts", "edgeBinnedCounts")
+    val plan = planBitBuckets(
+      hist.map(r => (r.getLong(0), r.getLong(1))), ps, "nonNegEdgeBinnedCounts")
+    if (plan.fetchBound > MaxDriverPass2Rows) {
+      System.err.println(s"[quantiles] nonNegEdgeBinnedCounts: target-bucket " +
+        s"fetch ${plan.fetchBound} exceeds the driver bound $MaxDriverPass2Rows " +
+        "— degrading to the quantiles-then-bin path")
+      return edgeBinnedFallback(in, ps)
     }
-    def bucketOfRank(rank: Long): Long =
-      hist.find { r => val lo = below(r.getLong(0))
-        rank >= lo && rank < lo + r.getLong(1) }
-        .getOrElse(throw new IllegalStateException(
-          s"nonNegEdgeBinnedCounts: rank $rank not covered")).getLong(0)
-    val kOf = ps.map(p => (n - 1).toDouble * p)
-    val rankBuckets = kOf.flatMap(k =>
-      Seq(math.floor(k).toLong, math.ceil(k).toLong)).distinct
-      .map(r => r -> bucketOfRank(r)).toMap
-    val targetB = rankBuckets.values.toSet
-    // row-count bound (cnt), same discipline as edgeBinnedCounts —
-    // conservative over distinct values but proven before the collect
-    val fetchBound = hist.filter(r => targetB(r.getLong(0))).map(_.getLong(1)).sum
-    require(fetchBound <= MaxDriverPass2Rows,
-      s"nonNegEdgeBinnedCounts: target-bucket fetch $fetchBound exceeds the " +
-        "driver bound — lower `shift` or use edgeBinnedCounts")
     val fetched = in.withColumn("b", bkt)
-      .filter(col("b").isInCollection(targetB))
+      .filter(col("b").isInCollection(plan.targetB))
       .groupBy(col("b"), col("v"))
       .agg(count(lit(1)).as("c"), count(when(col("f"), 1)).as("nf"))
       .collect()                                                  // job 2
-    val byB = fetched.groupBy(_.getLong(0)).map { case (b, rows) =>
-      b -> rows.map(r => (r.getDouble(1), r.getLong(2), r.getLong(3)))
-        .sortBy(_._1)
-    }
+    val byB = hist2pairs(fetched)
     def valueAt(rank: Long): Double = {
-      val b = rankBuckets(rank)
-      var local = rank - below(b)
-      val vals = byB.getOrElse(b, Array.empty[(Double, Long, Long)])
-      var i = 0
-      while (i < vals.length) {
-        if (local < vals(i)._2) return vals(i)._1
-        local -= vals(i)._2; i += 1
-      }
-      throw new IllegalStateException(
-        s"nonNegEdgeBinnedCounts: rank $rank missing from fetch")
+      val b = plan.rankBucket(rank)
+      walkValue(byB.getOrElse(b, Array.empty), rank - plan.below(b),
+        "nonNegEdgeBinnedCounts", rank)
     }
-    val edges = kOf.map { k =>
-      val fl = math.floor(k); val ce = math.ceil(k)
-      val lo = valueAt(fl.toLong)
-      if (fl == ce) lo else lo * (ce - k) + valueAt(ce.toLong) * (k - fl)
-    }
-    val edgeUpperB = kOf.map(k => rankBuckets(math.ceil(k).toLong))
+    val edges = plan.kOf.map(k =>
+      interp(k, valueAt(math.floor(k).toLong), valueAt(math.ceil(k).toLong)))
+    val edgeUpperB = plan.kOf.map(k => plan.rankBucket(math.ceil(k).toLong))
     val cnt = new Array[Long](ps.size + 1)
     val flag = new Array[Long](ps.size + 1)
-    hist.iterator.filterNot(r => targetB(r.getLong(0))).foreach { r =>
+    hist.iterator.filterNot(r => plan.targetB(r.getLong(0))).foreach { r =>
       val bin = edgeUpperB.count(ub => r.getLong(0) > ub)
       cnt(bin) += r.getLong(1); flag(bin) += r.getLong(2)
     }
@@ -762,9 +738,12 @@ object Quantiles {
     *  2. target-bucket fetch — per-distinct-value counts for only the
     *     buckets the ⌊k⌋/⌈k⌉ order statistics land in, bound PROVEN
     *     from the histogram before the collect (the established
-    *     driver-planned discipline; throws past
-    *     [[MaxDriverPass2Rows]] — pathological tie-mass routes to
-    *     [[exactQuantiles]] instead).
+    *     driver-planned discipline); a bound past
+    *     [[MaxDriverPass2Rows]] (pathological tie-mass) DEGRADES to
+    *     the [[exactQuantiles]] chain automatically, loud on stderr
+    *     (ADVICE r15) — that chain's own bound decides driver-finish
+    *     vs fully distributed ranking, so no input shape can kill a
+    *     shipped query.
     *
     * Ranking + interpolation run on the driver with the object-doc
     * DuckDB-exact arithmetic; results are BIT-IDENTICAL to
@@ -786,69 +765,43 @@ object Quantiles {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"quantile fractions must be in [0,1]: $ps")
     require(shift >= 32 && shift <= 60, s"bit-bucket shift out of [32,60]: $shift")
-    val vRaw = col(valCol).cast("double")
-    val in = df.select(
-        when(vRaw === 0.0, lit(0.0)).otherwise(vRaw).as("v"))
+    val in = df.select(nonNegV(col(valCol)).as("v"))
       .filter(col("v").isNotNull)
-    val bkt = shiftright(graft.functions.DoubleBits.bits(col("v")), shift)
+    val bkt = bitBucket(col("v"), shift)
     val histRows = in.groupBy(bkt.as("b"))
       .agg(count(lit(1)).as("cnt"), min(col("v")).as("mn"),
            max(col("v")).as("mx"))
       .collect().sortBy(_.getLong(0))                             // job 1
-    val n = histRows.map(_.getLong(1)).sum
-    if (n == 0) return (0L, Map.empty)
-    // bit order is only numeric order for non-negative finite values —
-    // reject after the fact from the riding min/max (negative values
-    // land in negative bucket ids; NaN/Inf in the top exponent cells)
-    require(histRows.head.getLong(0) >= 0L &&
-            histRows.head.getDouble(2) >= 0.0,
-      "nonNegScalarQuantiles: negative values break bit-bucket order — use exactQuantiles")
-    require(histRows.forall { r =>
-        val mx = r.getDouble(3); !mx.isNaN && !mx.isInfinite },
-      "nonNegScalarQuantiles: NaN/Inf values break bit-bucket order — use exactQuantiles")
-    val below = {
-      var run = 0L
-      histRows.map { r => val lo = run; run += r.getLong(1); r.getLong(0) -> lo }.toMap
+    if (histRows.isEmpty) return (0L, Map.empty)
+    requireBitOrderSafe(histRows.head.getLong(0), histRows.head.getDouble(2),
+      histRows.iterator.map(_.getDouble(3)),
+      "nonNegScalarQuantiles", "exactQuantiles")
+    val plan = planBitBuckets(
+      histRows.map(r => (r.getLong(0), r.getLong(1))), ps,
+      "nonNegScalarQuantiles")
+    if (plan.fetchBound > MaxDriverPass2Rows) {
+      System.err.println(s"[quantiles] nonNegScalarQuantiles: target-bucket " +
+        s"fetch ${plan.fetchBound} exceeds the driver bound $MaxDriverPass2Rows " +
+        "— degrading to exactQuantiles")
+      val rows = exactQuantiles(in.withColumn("g", lit(1)), "g", "v", ps)
+        .collect()
+      return (plan.n, rows.map(r => r.getDouble(1) -> r.getDouble(2)).toMap)
     }
-    def bucketOfRank(rank: Long): Long =
-      histRows.find { r => val lo = below(r.getLong(0))
-        rank >= lo && rank < lo + r.getLong(1) }
-        .getOrElse(throw new IllegalStateException(
-          s"nonNegScalarQuantiles: rank $rank not covered")).getLong(0)
-    val needs = neededRanks(n, ps)
-    val rankBucket = needs.map(_._3).distinct.map(r => r -> bucketOfRank(r)).toMap
-    val targetB = rankBucket.values.toSet
-    val fetchBound = histRows.filter(r => targetB(r.getLong(0))).map(_.getLong(1)).sum
-    require(fetchBound <= MaxDriverPass2Rows,
-      s"nonNegScalarQuantiles: target-bucket fetch $fetchBound exceeds the driver " +
-        "bound — lower `shift` or use exactQuantiles")
     val fetched = in.withColumn("b", bkt)
-      .filter(col("b").isInCollection(targetB))
+      .filter(col("b").isInCollection(plan.targetB))
       .groupBy(col("b"), col("v")).agg(count(lit(1)).as("c"))
       .collect()                                                  // job 2
-    val byB = fetched.groupBy(_.getLong(0)).map { case (b, rows) =>
-      b -> rows.map(r => (r.getDouble(1), r.getLong(2))).sortBy(_._1)
-    }
+    val byB = hist2pairs(fetched)
     def valueAtRank(rank: Long): Double = {
-      val b = rankBucket(rank)
-      var local = rank - below(b); var i = 0
-      val vals = byB.getOrElse(b, Array.empty[(Double, Long)])
-      while (i < vals.length) {
-        val (v, c) = vals(i)
-        if (local < c) return v
-        local -= c; i += 1
-      }
-      throw new IllegalStateException(
-        s"nonNegScalarQuantiles: rank $rank missing from fetched bucket $b")
+      val b = plan.rankBucket(rank)
+      walkValue(byB.getOrElse(b, Array.empty), rank - plan.below(b),
+        "nonNegScalarQuantiles", rank)
     }
-    val res = needs.map { case (p, k, _) => (p, k) }.distinct.map { case (p, k) =>
-      val fl = math.floor(k); val ce = math.ceil(k)
-      val lo = valueAtRank(fl.toLong)
-      // DuckDB-exact interpolation (see object doc)
-      p -> (if (fl == ce) lo
-            else lo * (ce - k) + valueAtRank(ce.toLong) * (k - fl))
+    val res = ps.zip(plan.kOf).distinct.map { case (p, k) =>
+      p -> interp(k, valueAtRank(math.floor(k).toLong),
+                     valueAtRank(math.ceil(k).toLong))
     }.toMap
-    (n, res)
+    (plan.n, res)
   }
 
   /** [[nonNegScalarQuantiles]]' grouped sibling over a pre-aggregated
@@ -869,9 +822,11 @@ object Quantiles {
     * pins weighted/tied/multi-group generated frames). −0.0 normalizes
     * to +0.0 at intake; groups arrive only via the frame, so an empty
     * group simply has no output rows — same as the derived-stats path.
-    * Scale: job 1's state is ≤ groups × 2^(64−shift) sparse cells;
-    * job 2's collect is PROVEN ≤ [[MaxDriverPass2Rows]] before it
-    * runs. Lower `shift` at larger value mass, as everywhere. */
+    * A fetch bound past [[MaxDriverPass2Rows]] DEGRADES to
+    * [[exactQuantilesFromCounts]] automatically, loud on stderr
+    * (ADVICE r15). Scale: job 1's state is ≤ groups × 2^(64−shift)
+    * sparse cells; job 2's collect is PROVEN bounded before it runs.
+    * Lower `shift` at larger value mass, as everywhere. */
   def nonNegQuantilesFromCounts(vc: DataFrame, groupCol: String,
                                 valCol: String, cntCol: String,
                                 ps: Seq[Double], shift: Int = 44): DataFrame = {
@@ -879,12 +834,10 @@ object Quantiles {
       s"quantile fractions must be in [0,1]: $ps")
     require(shift >= 32 && shift <= 60, s"bit-bucket shift out of [32,60]: $shift")
     val session = vc.sparkSession
-    val vRaw = col(valCol).cast("double")
-    val in = vc.select(col(groupCol).as("g"),
-        when(vRaw === 0.0, lit(0.0)).otherwise(vRaw).as("v"),
+    val in = vc.select(col(groupCol).as("g"), nonNegV(col(valCol)).as("v"),
         col(cntCol).cast("long").as("c"))
       .filter(col("v").isNotNull)
-    val bkt = shiftright(graft.functions.DoubleBits.bits(col("v")), shift)
+    val bkt = bitBucket(col("v"), shift)
     val histRows = in.groupBy(col("g"), bkt.as("b"))
       .agg(sum(col("c")).as("cnt"), count(lit(1)).as("nv"),
            min(col("v")).as("mn"), max(col("v")).as("mx"))
@@ -901,45 +854,31 @@ object Quantiles {
       g -> rows.sortBy(_.getLong(1))
     }
     byG.foreach { case (g, rows) =>
-      require(rows.head.getLong(1) >= 0L && rows.head.getDouble(4) >= 0.0,
-        s"nonNegQuantilesFromCounts: negative values in group $g break " +
-          "bit-bucket order — use exactQuantilesFromCounts")
-      require(rows.forall { r =>
-          val mx = r.getDouble(5); !mx.isNaN && !mx.isInfinite },
-        s"nonNegQuantilesFromCounts: NaN/Inf values in group $g break " +
-          "bit-bucket order — use exactQuantilesFromCounts")
+      requireBitOrderSafe(rows.head.getLong(1), rows.head.getDouble(4),
+        rows.iterator.map(_.getDouble(5)),
+        "nonNegQuantilesFromCounts", "exactQuantilesFromCounts",
+        s" in group $g")
     }
-    // per group: running count-mass below each bucket, target buckets
-    // for every needed rank, and the PROVEN fetch bound (distinct
-    // values, nv, in target buckets)
-    case class Plan(needs: Seq[(Double, Double, Long)],
-                    rankBucket: Map[Long, Long], below: Map[Long, Long])
     val plans = byG.map { case (g, rows) =>
-      var run = 0L
-      val below = rows.map { r =>
-        val lo = run; run += r.getLong(2); r.getLong(1) -> lo }.toMap
-      val n = run
-      val needs = neededRanks(n, ps)
-      def bucketOfRank(rank: Long): Long =
-        rows.find { r => val lo = below(r.getLong(1))
-          rank >= lo && rank < lo + r.getLong(2) }
-          .getOrElse(throw new IllegalStateException(
-            s"rank $rank of group $g not covered")).getLong(1)
-      val rankBucket =
-        if (n == 0) Map.empty[Long, Long]
-        else needs.map(_._3).distinct.map(r => r -> bucketOfRank(r)).toMap
-      g -> Plan(if (n == 0) Nil else needs, rankBucket, below)
+      g -> planBitBuckets(rows.map(r => (r.getLong(1), r.getLong(2))), ps,
+        s"nonNegQuantilesFromCounts group $g")
     }
     // .toSeq first: flatMap on a Map with tuple results would rebuild
     // a Map KEYED BY GROUP and silently keep one target bucket per
     // group (the spec caught exactly this)
     val targetCells = plans.toSeq.flatMap { case (g, pl) =>
-      pl.rankBucket.values.toSet.map((b: Long) => (g, b)) }.toSet
+      pl.targetB.map(b => (g, b)) }.toSet
+    // the PROVEN fetch bound counts DISTINCT values (nv) in the target
+    // cells — tighter than the row-mass bound of the raw-row paths
     val fetchBound = histRows
       .filter(r => targetCells((r.get(0), r.getLong(1)))).map(_.getLong(3)).sum
-    require(fetchBound <= MaxDriverPass2Rows,
-      s"nonNegQuantilesFromCounts: target-cell fetch $fetchBound exceeds the " +
-        "driver bound — lower `shift` or use exactQuantilesFromCounts")
+    if (fetchBound > MaxDriverPass2Rows) {
+      System.err.println(s"[quantiles] nonNegQuantilesFromCounts: target-cell " +
+        s"fetch $fetchBound exceeds the driver bound $MaxDriverPass2Rows — " +
+        "degrading to exactQuantilesFromCounts")
+      return exactQuantilesFromCounts(in, "g", "v", "c", ps)
+        .withColumnRenamed("g", groupCol)
+    }
     val targets = session.createDataFrame(
       targetCells.toSeq.map { case (g, b) => Row(g, b) }.asJava,
       StructType(Seq(StructField("g", gType),
@@ -954,25 +893,130 @@ object Quantiles {
     val resRows = plans.toSeq.flatMap { case (g, pl) =>
       def valueAtRank(rank: Long): Double = {
         val b = pl.rankBucket(rank)
-        var local = rank - pl.below(b); var i = 0
-        val vals = valsByGB.getOrElse((g, b), Array.empty[(Double, Long)])
-        while (i < vals.length) {
-          val (v, c) = vals(i)
-          if (local < c) return v
-          local -= c; i += 1
-        }
-        throw new IllegalStateException(
-          s"rank $rank missing from fetched cell ($g, $b)")
+        walkValue(valsByGB.getOrElse((g, b), Array.empty),
+          rank - pl.below(b), s"nonNegQuantilesFromCounts group $g", rank)
       }
-      pl.needs.map { case (p, k, _) => (p, k) }.distinct.map { case (p, k) =>
-        val fl = math.floor(k); val ce = math.ceil(k)
-        val lo = valueAtRank(fl.toLong)
-        // DuckDB-exact interpolation (see object doc)
-        val v = if (fl == ce) lo
-                else lo * (ce - k) + valueAtRank(ce.toLong) * (k - fl)
-        Row(g, p, v)
+      ps.zip(pl.kOf).distinct.map { case (p, k) =>
+        Row(g, p, interp(k, valueAtRank(math.floor(k).toLong),
+                            valueAtRank(math.ceil(k).toLong)))
       }
     }
     session.createDataFrame(resRows.asJava, outSchema)
+  }
+
+  // ──────────────────────────────────────────────────────────────────
+  // shared bit-bucket core (VERDICT r15 #5): ONE planner the scalar /
+  // grouped / edge-binned nonNeg* entries all drive. Plain driver-side
+  // Scala over collected grid-sized aggregates — no corpus access.
+  // ──────────────────────────────────────────────────────────────────
+
+  /** −0.0-normalized double intake: numerically equal to +0.0, and
+    * grouping would fold them anyway; keeps bit order total. */
+  private def nonNegV(raw: Column): Column = {
+    val d = raw.cast("double")
+    when(d === 0.0, lit(0.0)).otherwise(d)
+  }
+
+  /** order-preserving IEEE bit-prefix bucket id
+    * ([[graft.functions.DoubleBitsExpr]], codegen'd). */
+  private def bitBucket(v: Column, shift: Int): Column =
+    shiftright(graft.functions.DoubleBits.bits(v), shift)
+
+  /** bit order is numeric order only for non-negative finite doubles —
+    * reject order-breakers LOUD from the riding per-bucket min/max
+    * (QuantilesSpec pins the rejections). Unlike the fetch bound this
+    * is caller misuse, not a data-shape surprise, so it does NOT
+    * degrade silently. */
+  private def requireBitOrderSafe(firstBucket: Long, firstMin: Double,
+      maxes: Iterator[Double], who: String, alt: String,
+      where: String = ""): Unit = {
+    require(firstBucket >= 0L && firstMin >= 0.0,
+      s"$who: negative values$where break bit-bucket order — use $alt")
+    require(maxes.forall(mx => !mx.isNaN && !mx.isInfinite),
+      s"$who: NaN/Inf values$where break bit-bucket order — use $alt")
+  }
+
+  /** Single-group driver plan over a collected bit-bucket histogram —
+    * (bucket, row-mass) pairs SORTED by bucket id: total n, the needed
+    * k = (n−1)·p per fraction, cumulative mass below each bucket, the
+    * bucket every ⌊k⌋/⌈k⌉ order statistic lives in, and the row-mass
+    * fetch bound over the target buckets (PROVEN before any collect —
+    * the established driver-planned discipline). n = 0 plans nothing:
+    * callers publish empty results, matching `quantile_cont` of an
+    * empty relation. */
+  private case class BitPlan(n: Long, kOf: Seq[Double],
+      below: Map[Long, Long], rankBucket: Map[Long, Long],
+      targetB: Set[Long], fetchBound: Long)
+
+  private def planBitBuckets(bc: Array[(Long, Long)], ps: Seq[Double],
+                             who: String): BitPlan = {
+    var run = 0L
+    val below = bc.map { case (b, c) => val lo = run; run += c; b -> lo }.toMap
+    val n = run
+    if (n == 0L)
+      return BitPlan(0L, Nil, below, Map.empty, Set.empty, 0L)
+    def bucketOfRank(rank: Long): Long =
+      bc.find { case (b, c) => val lo = below(b); rank >= lo && rank < lo + c }
+        .getOrElse(throw new IllegalStateException(
+          s"$who: rank $rank not covered by histogram"))._1
+    val kOf = ps.map(p => (n - 1).toDouble * p)
+    val rankBucket = kOf.flatMap(k =>
+        Seq(math.floor(k).toLong, math.ceil(k).toLong)).distinct
+      .map(r => r -> bucketOfRank(r)).toMap
+    val targetB = rankBucket.values.toSet
+    val fetchBound = bc.collect { case (b, c) if targetB(b) => c }.sum
+    BitPlan(n, kOf, below, rankBucket, targetB, fetchBound)
+  }
+
+  /** collected fetch rows (b: long, v: double, c: long, ...) → per
+    * bucket, value-SORTED (v, c) pairs for the rank walk. */
+  private def hist2pairs(fetched: Array[Row]): Map[Long, Array[(Double, Long)]] =
+    fetched.groupBy(_.getLong(0)).map { case (b, rows) =>
+      b -> rows.map(r => (r.getDouble(1), r.getLong(2))).sortBy(_._1)
+    }
+
+  /** walk a bucket's SORTED (value, row-mass) pairs to the order
+    * statistic at LOCAL index `local0` within the bucket. */
+  private def walkValue(vals: Array[(Double, Long)], local0: Long,
+                        who: String, rank: Long): Double = {
+    var local = local0; var i = 0
+    while (i < vals.length) {
+      val (v, c) = vals(i)
+      if (local < c) return v
+      local -= c; i += 1
+    }
+    throw new IllegalStateException(s"$who: rank $rank missing from fetch")
+  }
+
+  /** DuckDB-exact interpolation (see object doc); `hi` is by-name so
+    * an integer k never fetches the ceil statistic. */
+  private def interp(k: Double, lo: Double, hi: => Double): Double = {
+    val fl = math.floor(k); val ce = math.ceil(k)
+    if (fl == ce) lo else lo * (ce - k) + hi * (k - fl)
+  }
+
+  /** Degraded edge-binned path for fetch bounds past
+    * [[MaxDriverPass2Rows]] (ADVICE r15 — degrade, don't die): edges
+    * through the never-throwing [[exactQuantiles]] chain (whose own
+    * bound decides driver-finish vs distributed window ranking), then
+    * ONE corpus binning aggregate applying the same IEEE `v > qₚ`
+    * literal comparison chain the fused paths apply per fetched value
+    * — the pre-fusion q157 shape: correct on any tie mass, two extra
+    * jobs. `in` is the caller's normalized non-null (v, f) frame. */
+  private def edgeBinnedFallback(in: DataFrame, ps: Seq[Double])
+      : (Seq[Double], Array[Long], Array[Long]) = {
+    val qs = exactQuantiles(in.select(lit(1).as("g"), col("v")), "g", "v", ps)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2))).toMap
+    val edges = ps.map(qs)
+    val binExpr = edges.map(q => when(col("v") > lit(q), 1).otherwise(0))
+      .foldLeft(lit(0))(_ + _)
+    val binned = in.groupBy(binExpr.as("bin"))
+      .agg(count(lit(1)).as("c"), count(when(col("f"), 1)).as("nf"))
+      .collect()
+    val cnt = new Array[Long](ps.size + 1)
+    val flag = new Array[Long](ps.size + 1)
+    binned.foreach { r =>
+      cnt(r.getInt(0)) += r.getLong(1); flag(r.getInt(0)) += r.getLong(2) }
+    (edges, cnt, flag)
   }
 }

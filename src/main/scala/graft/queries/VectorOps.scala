@@ -90,7 +90,7 @@ object VectorOps {
       Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings WHERE embedding IS NOT NULL), n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e), c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id BETWEEN 100 AND 115), a1 AS (SELECT vec_id, v, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY list_dot_product(v, cv) / (nrm * cnrm) DESC, cent_id) AS rk FROM n CROSS JOIN c0), s1 AS (SELECT vec_id, v, cent_id AS cell FROM a1 WHERE rk = 1), x1 AS (SELECT cell, unnest(v) AS x, unnest(generate_series(1, len(v))) AS ord FROM s1), m1 AS (SELECT cell, ord - 1 AS dim, floor((CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)) * 1e9 + 0.5) / 1e9 AS val FROM x1 GROUP BY 1, 2), c1 AS (SELECT cell AS cent_id, list(CAST(CAST(val AS REAL) AS DOUBLE) ORDER BY dim) AS cv FROM m1 GROUP BY 1), c1n AS (SELECT cent_id, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM c1), a2 AS (SELECT vec_id, v, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY list_dot_product(v, cv) / (nrm * cnrm) DESC, cent_id) AS rk FROM n CROSS JOIN c1n), s2 AS (SELECT vec_id, v, cent_id AS cell FROM a2 WHERE rk = 1), x2 AS (SELECT cell, unnest(v) AS x, unnest(generate_series(1, len(v))) AS ord FROM s2), m2 AS (SELECT cell, ord - 1 AS dim, floor((CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)) * 1e9 + 0.5) / 1e9 AS val, CAST(COUNT(*) AS BIGINT) AS n_members FROM x2 GROUP BY 1, 2) SELECT cell, n_members, CAST(dim AS BIGINT) AS dim, val FROM m2""")),
 
     QueryDef("q100_ivf_recall",
-      "the vector plane evaluating its own index (the q96 pattern applied to ANN): micro recall@5 of the q24b IVF-probed path against the q24 brute-force ground truth, computed in-engine — n_truth, n_ivf, n_hit = intersection, recall = n_hit / n_truth. This is the measurement that justifies nProbe=4-of-16 before pointing the IVF index at 100 TB (raise nProbe until recall clears the product bar, every step cheaper than the recall failure it prevents); both sides are the exact operators q24/q24b register, composed, so the eval measures the shipped code path and not a reimplementation. ROUND-15 TUNING TABLE (VERDICT r14 #6, Prof13, shipped operators, recall@5 over 10 queries vs probed corpus fraction): sf0.01 - nProbe 4: 0.44 recall / 24.3% scored; 8: 0.74 / 48.7%; 12: 0.94 / 74.5%; 16: 1.00 / 99.8%. sf0.1 - 4: 0.48 / 24.9%; 8: 0.74 / 49.7%; 12: 0.88 / 74.5%; 16: 1.00 / 100%. READING: recall tracks the probed fraction ~1:1 because the fixture embeddings are unclustered random vectors - with no cluster structure an IVF index can only trade probed mass for recall, so nProbe is a pure cost/recall dial here (the 100 TB decision rule: measure THIS curve on the real corpus; a bent-up curve says the index works, a straight line like this one says the data lacks cluster structure and brute/PQ paths win). The shipped query stays at nProbe=4: it exists to measure the 4-of-16 operating point, and its honestly-low 0.44-0.48 recall is the eval doing its job",
+      "the vector plane evaluating its own index (the q96 pattern applied to ANN): micro recall@5 of the q24b IVF-probed path against the q24 brute-force ground truth, computed in-engine — n_truth, n_ivf, n_hit = intersection, recall = n_hit / n_truth. This is the measurement that justifies nProbe=4-of-16 before pointing the IVF index at 100 TB (raise nProbe until recall clears the product bar, every step cheaper than the recall failure it prevents); both sides are the exact operators q24/q24b register, composed, so the eval measures the shipped code path and not a reimplementation. ROUND-15 TUNING TABLE (VERDICT r14 #6, Prof13, shipped operators, recall@5 over 10 queries vs probed corpus fraction): sf0.01 - nProbe 4: 0.44 recall / 24.3% scored; 8: 0.74 / 48.7%; 12: 0.94 / 74.5%; 16: 1.00 / 99.8%. sf0.1 - 4: 0.48 / 24.9%; 8: 0.74 / 49.7%; 12: 0.88 / 74.5%; 16: 1.00 / 100%. READING: recall tracks the probed fraction ~1:1 because the fixture embeddings are unclustered random vectors - with no cluster structure an IVF index can only trade probed mass for recall, so nProbe is a pure cost/recall dial here (the 100 TB decision rule: measure THIS curve on the real corpus; a bent-up curve says the index works, a straight line like this one says the data lacks cluster structure and brute/PQ paths win). DECISION (VERDICT r15 #4, recorded): the shipped query STAYS at nProbe=4 — the eval row exists to MEASURE the knob, not to maximize it; its honestly-low 0.44-0.48 recall is the eval doing its job on cluster-free data, and bumping the parameter would re-derive the oracle only to hide the very curve the row publishes. A production corpus with real cluster structure re-runs this row and picks nProbe where ITS curve bends",
       (s, d) => {
         val e = t(s, d, "embeddings")
         val q = e.filter(col("vec_id") < 10)

@@ -381,6 +381,30 @@ class QuantilesSpec extends SparkSpec {
         Seq.empty[(String, Double)].toDF("g", "v"), "v", Seq(0.5))
       assert(n4 == 0 && q4.isEmpty)
     }
+    it("bit-bucket paths DEGRADE past the driver fetch bound instead of dying (ADVICE r15)") {
+      // tie mass: ~every row lands in ONE bit bucket (values packed
+      // into 1.0's top mantissa cell), so the proven fetch exceeds
+      // MaxDriverPass2Rows and the shipped paths must ROUTE to their
+      // equal-width siblings — bit-identically — not throw
+      val m = Quantiles.MaxDriverPass2Rows + 7
+      val big = spark.range(m)
+        .select((lit(1.0) + $"id".cast("double") * lit(1e-12)).as("v"),
+                ($"id" % 2 === 0).as("f"))
+        .localCheckpoint(true)
+      val (n, qs) = Quantiles.nonNegScalarQuantiles(big, "v", Seq(0.5))
+      assert(n == m)
+      val want = Quantiles
+        .exactQuantiles(big.select(lit(1).as("g"), $"v"), "g", "v", Seq(0.5))
+        .collect().head.getDouble(2)
+      assert(java.lang.Double.doubleToRawLongBits(qs(0.5)) ==
+             java.lang.Double.doubleToRawLongBits(want))
+      val (e1, c1, f1) = Quantiles.nonNegEdgeBinnedCounts(big, "v", "f", Seq(0.5))
+      assert(java.lang.Double.doubleToRawLongBits(e1.head) ==
+             java.lang.Double.doubleToRawLongBits(want))
+      assert(c1.sum == m && f1.sum == (m + 1) / 2)
+      assert(c1.toSeq == Seq(big.filter($"v" <= want).count(),
+                             big.filter($"v" > want).count()))
+    }
     it("never buffers the corpus: pass-2 window partitions are bucket-sized") {
       // structural check on the DISTRIBUTED chain (forced via
       // maxDriverGroups = 0) — the plan's only Window sits behind the
