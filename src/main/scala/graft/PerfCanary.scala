@@ -38,7 +38,9 @@ object PerfCanary {
   val jobCeilings: Map[String, Int] = Map(
     "q82_column_profile"      -> 14, // 6 union branches × 2-level distinct
     "q119_robust_scaling"     -> 11, // melt groupBy + bit-bucket counts quantiles
-    "q171_warehouse_pipeline" -> 23, // composition: audit futures + RFM chain
+    "q171_warehouse_pipeline" -> 19, // audit futures + the 4-link RFM chain
+                                     // (was 23 before round 16's anchor
+                                     // future + stats-free bit quantiles)
     "q188_conformal_interval" -> 12, // model+ckpt, bit-histogram, fetch, test
     "q157_woe_iv"             -> 8,  // bit-bucket hist + fetch (2 corpus jobs)
     "q175_gains_deciles"      -> 6,  // same fusion, driver-finished tail
@@ -57,7 +59,8 @@ object PerfCanary {
   val wallClockCeilings: Map[String, Double] = Map(
     "q82_column_profile"      -> 1.25,
     "q119_robust_scaling"     -> 1.30,
-    "q171_warehouse_pipeline" -> 1.20,
+    "q171_warehouse_pipeline" -> 1.10, // round-16 isolated min 1.078 on the
+                                       // 4-link chain (was 1.20)
     "q188_conformal_interval" -> 1.05,
     "q52_dedup_apply"         -> 1.10)
 }

@@ -148,8 +148,11 @@ object Quantiles {
     * which the caller should `localCheckpoint` if it was expensive to
     * build. Null values are ignored (as in [[exactQuantiles]]).
     *
-    * @param vc one row per (groupCol, valCol) — MUST be pre-aggregated;
-    *   duplicate (group, value) rows would double-count
+    * @param vc one row per (groupCol, valCol) with its row count.
+    *   Duplicate (group, value) rows SUM — the histogram aggregates
+    *   them and the rank walks traverse equal values adjacently — so a
+    *   per-row c=1 frame is a valid (if unaggregated) input; rows that
+    *   REPEAT an already-aggregated count are the caller bug to avoid
     * @param cntCol the row-count column of `vc` */
   def exactQuantilesFromCounts(vc: DataFrame, groupCol: String, valCol: String,
                                cntCol: String, ps: Seq[Double],
@@ -804,8 +807,10 @@ object Quantiles {
     (plan.n, res)
   }
 
-  /** [[nonNegScalarQuantiles]]' grouped sibling over a pre-aggregated
-    * (group, value, count) frame — [[exactQuantilesFromCounts]] minus
+  /** [[nonNegScalarQuantiles]]' grouped sibling over a
+    * (group, value, count) frame (duplicate (g, v) rows sum, as in
+    * [[exactQuantilesFromCounts]] — a per-row c=1 melt is valid
+    * input) — [[exactQuantilesFromCounts]] minus
     * its stats job, for NON-NEGATIVE double values (q119's floor
     * shave, round 15): the bit-prefix histogram needs no (mn, mx), so
     * ONE groupBy(g, bits(v) >> shift) job replaces the stats +
