@@ -404,6 +404,17 @@ class QuantilesSpec extends SparkSpec {
       assert(c1.sum == m && f1.sum == (m + 1) / 2)
       assert(c1.toSeq == Seq(big.filter($"v" <= want).count(),
                              big.filter($"v" > want).count()))
+          // grouped sibling: the nv (distinct-values) bound trips on the
+      // same frame as a c=1 counts input; the fallback must preserve
+      // the caller's group column NAME through the internal rename
+      val grouped = Quantiles.nonNegQuantilesFromCounts(
+        big.select(lit("only").as("grp"), $"v", lit(1L).as("c")),
+        "grp", "v", "c", Seq(0.5))
+      assert(grouped.columns.toSeq == Seq("grp", "p", "value"))
+      val gRow = grouped.collect()
+      assert(gRow.length == 1 && gRow.head.getString(0) == "only")
+      assert(java.lang.Double.doubleToRawLongBits(gRow.head.getDouble(2)) ==
+             java.lang.Double.doubleToRawLongBits(want))
     }
     it("never buffers the corpus: pass-2 window partitions are bucket-sized") {
       // structural check on the DISTRIBUTED chain (forced via
