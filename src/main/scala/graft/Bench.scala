@@ -57,14 +57,21 @@ object Bench {
     // equivalent warm tier, and hygiene() deliberately exempts it (the
     // baselineRdds snapshot) while still purging every PER-QUERY
     // persistent artifact (localCheckpoints) between reps.
-    // one-row-group fixture files scan as ONE partition; the
-    // arithmetic-heavy relational tables are repartitioned to 32 BEFORE
-    // caching (Tables.ParallelizeScans) so their partial aggregates
-    // parallelize, while the small explode-shaped tables cache as-is —
-    // the per-table split Prof2 measured (see the Tables scaladoc).
+    // one-row-group fixture files scan as ONE partition; LINEITEM (the
+    // one genuinely arithmetic-heavy 600k-row table) is repartitioned
+    // to 32 BEFORE caching (Tables.ParallelizeScans) so its partial
+    // aggregates parallelize — the Prof2 split. ORDERS left the list in
+    // round 16: at 150k rows its aggregates cost ~30 ms single-threaded,
+    // while the 32-partition cache taxed every stage of the many
+    // job-floor-bound orders compositions with 32-task scheduling — a
+    // full-suite A/B/A sandwich measured 123.3 / 117.4 / 123.4 s
+    // (orders@32 / orders as-is / orders@32 again, back-to-back same
+    // window), with q171 0.93→0.55, q228 1.00→0.45, q133 0.68→0.34,
+    // q136 0.66→0.43 and NO orders consumer causally slower (isolated
+    // same-window confirmation: q171 1.28→0.81, q169 0.98→0.80).
     // Both knobs env-toggleable for A/B runs.
     spark.conf.set(Tables.ParallelizeScans,
-      sys.env.getOrElse("SPARK_GRAFT_PARALLEL_SCANS", "lineitem,orders"))
+      sys.env.getOrElse("SPARK_GRAFT_PARALLEL_SCANS", "lineitem"))
     // `documents` is deliberately NOT cached: its parquet scan is
     // already trivial (Prof2: 0.17s parquet vs 0.15s cached for the
     // token shape) while pinning its text payload in storage memory

@@ -47,7 +47,13 @@ object Tables {
     * and a ~2× LOSS for the small explode-shaped tables (documents,
     * events), where the round-robin exchange costs more than the
     * parallelism returns and the CPU-heavy operators already guard
-    * themselves with forCompute. The flag stays off outside Bench so
+    * themselves with forCompute. Round 16 re-measured on the grown
+    * 240-query suite and dropped ORDERS from Bench's default list: at
+    * 150k rows its single-threaded aggregates cost ~30 ms, while the
+    * 32-partition cache taxed the job-floor-bound orders compositions
+    * with per-stage 32-task scheduling — full-suite A/B/A 123.3 /
+    * 117.4 / 123.4 s, no orders consumer causally slower (the
+    * Bench.scala comment carries the per-query record). The flag stays off outside Bench so
     * PlanSpec pins the PRODUCTION plan shapes (map-only means
     * map-only) and Verify proves the results are
     * partitioning-invariant either way.
