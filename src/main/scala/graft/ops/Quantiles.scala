@@ -1024,4 +1024,70 @@ object Quantiles {
       cnt(r.getInt(0)) += r.getLong(1); flag(r.getInt(0)) += r.getLong(2) }
     (edges, cnt, flag)
   }
+
+  /** ONE-JOB exact quantiles for counts frames PROVEN driver-small at
+    * runtime (round 16): the histogram-refinement machinery exists to
+    * avoid collecting a large frame, but many real counts frames are
+    * bounded by DOMAIN, not data volume (q168's priority ×
+    * day-range grid) — for those, the hist + fetch pair is
+    * pure job-floor overhead. The cap is a SAFETY bound, not an
+    * efficiency threshold: q119's 583k-row frame (under the cap at
+    * sf0.1) measured a net LOSS on this path — 1.01 → 1.53 s, because
+    * CollectLimit's incremental partition scans plus the driver-side
+    * sort of 583k generic Rows outweigh the two ~0.1 s jobs deleted —
+    * so q119 stays on the bit-bucket histogram path and only
+    * domain-bounded grids (q168's priority × day-range ≈ 20k cells at
+    * ANY SF) take this one. This
+    * path collects AT MOST [[MaxDriverPass2Rows]] + 1 rows through a
+    * LIMIT (the driver is protected BEFORE the fetch, the established
+    * discipline), and within the cap computes every group's order
+    * statistics by direct sort + cumulative walk — no bucketing at
+    * all — with the object-doc DuckDB-exact interpolation.
+    * BIT-IDENTICAL to [[exactQuantilesFromCounts]] /
+    * [[nonNegQuantilesFromCounts]] on the same frame (QuantilesSpec
+    * pins it): same multiset, same ranks, same arithmetic; −0.0
+    * normalizes at intake exactly as Spark's grouping would have.
+    * Past the cap returns None — callers route to the scalable
+    * histogram paths (whose own bounds stay proven), paying one
+    * bounded ≤ 24 MB probe job for the attempt; a caller whose value
+    * domain grows with the corpus (continuous doubles at 100 TB)
+    * takes that branch automatically. Duplicate (group, value) rows
+    * sum, as in the siblings. */
+  def collectedQuantilesFromCounts(vc: DataFrame, groupCol: String,
+                                   valCol: String, cntCol: String,
+                                   ps: Seq[Double]): Option[DataFrame] = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"quantile fractions must be in [0,1]: $ps")
+    val session = vc.sparkSession
+    val vRaw = col(valCol).cast("double")
+    val in = vc.select(col(groupCol).as("g"),
+        when(vRaw === 0.0, lit(0.0)).otherwise(vRaw).as("v"),
+        col(cntCol).cast("long").as("c"))
+      .filter(col("v").isNotNull)
+    val cap = MaxDriverPass2Rows
+    val rows = in.limit((cap + 1).toInt).collect()              // the ONE job
+    if (rows.length > cap) return None
+    val gType = vc.schema(groupCol).dataType
+    val outSchema = StructType(Seq(
+      StructField(groupCol, gType),
+      StructField("p", DoubleType, nullable = false),
+      StructField("value", DoubleType)))
+    val resRows = rows.groupBy(_.get(0)).toSeq.flatMap { case (g, rs) =>
+      // sortBy on the VALUE only: duplicate (g, v) rows land adjacent
+      // and the cumulative walk sums them, exactly like the siblings
+      val vals = rs.map(r => (r.getDouble(1), r.getLong(2))).sortBy(_._1)
+      val n = vals.map(_._2).sum
+      if (n <= 0L) Nil
+      else {
+        def valueAtRank(rank: Long): Double =
+          walkValue(vals, rank, s"collectedQuantilesFromCounts group $g", rank)
+        val kOf = ps.map(p => (n - 1).toDouble * p)
+        ps.zip(kOf).distinct.map { case (p, k) =>
+          Row(g, p, interp(k, valueAtRank(math.floor(k).toLong),
+                              valueAtRank(math.ceil(k).toLong)))
+        }
+      }
+    }
+    Some(session.createDataFrame(resRows.asJava, outSchema))
+  }
 }

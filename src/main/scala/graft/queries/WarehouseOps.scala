@@ -135,7 +135,7 @@ object WarehouseOps {
       Some("""WITH ls AS (SELECT l_orderkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS line_sum FROM lineitem GROUP BY 1), j AS (SELECT o_orderstatus, o_totalprice, COALESCE(line_sum, 0.0) AS line_sum FROM orders LEFT JOIN ls ON o_orderkey = l_orderkey), g AS (SELECT o_orderstatus, o_totalprice - line_sum AS gap FROM j) SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders, CAST(count(*) FILTER (WHERE abs(gap) > 0.01) AS BIGINT) AS n_mismatch, floor(count(*) FILTER (WHERE abs(gap) > 0.01) / count(*) * 1e6 + 0.5) / 1e6 AS mismatch_rate, CAST(SUM(CAST(floor(abs(gap) * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS total_abs_gap, floor(max(abs(gap)) * 1e2 + 0.5) / 1e2 AS max_abs_gap FROM g GROUP BY 1""")),
 
     QueryDef("q168_ship_latency_quantiles",
-      "order-to-ship latency SLA profile: EXACT p50/p90/p99 of (l_shipdate - o_orderdate) in days per order priority — the fulfillment readout behind every 'urgent ships faster?' question, and the fourth ops.Quantiles consumer, here on a JOIN-DERIVED measure (detail joined to header on orderkey — the operator composes with the relational plane, not just raw columns). Latency is an INTEGER day count, so the exactQuantilesFromCounts path applies: ONE join+aggregate pass collapses the corpus to the (priority, latency) counts grid (priorities x distinct day counts — bounded), the checkpointed grid feeds every quantile pass with ZERO further corpus access, and interpolation rides the q120 bit-equal path so the unrounded outputs hash-match. The fixture's synthetic dates produce negative latencies and a heavy tail (p90 ~1400 days) — honest readings of decorrelated dates, and exactly the shape a latency SLA screen must not hide. Scale: one orderkey equi-join (bucket-co-locatable) fused with the grid rollup, then grid-sized work only",
+      "order-to-ship latency SLA profile: EXACT p50/p90/p99 of (l_shipdate - o_orderdate) in days per order priority — the fulfillment readout behind every 'urgent ships faster?' question, and the fourth ops.Quantiles consumer, here on a JOIN-DERIVED measure (detail joined to header on orderkey — the operator composes with the relational plane, not just raw columns). Latency is an INTEGER day count, so the counts-grid path applies: ONE join+aggregate pass collapses the corpus to the (priority, latency) grid (priorities x distinct day counts — bounded by the DATE RANGE, not data volume), and since that bound holds at ANY SF the round-16 guarded limit-collect (collectedQuantilesFromCounts) computes the order statistics directly on the driver in ONE further job — no checkpoint, no histogram machinery; interpolation is the q120 bit-equal arithmetic so the unrounded outputs hash-match, and the over-cap branch (never taken on a bounded grid) checkpoints the grid and runs the histogram path. The fixture's synthetic dates produce negative latencies and a heavy tail (p90 ~1400 days) — honest readings of decorrelated dates, and exactly the shape a latency SLA screen must not hide. Scale: one orderkey equi-join (bucket-co-locatable) fused with the grid rollup, then grid-sized work only",
       (s, d) => {
         // latency is an INTEGER day count — a bounded domain (priorities
         // x distinct day counts), so the counts-frame path applies: ONE
@@ -143,16 +143,27 @@ object WarehouseOps {
         // the checkpointed grid feeds every quantile pass, and the
         // join never runs twice (round-9 #3: the un-checkpointed join
         // re-ran once per driver-planned job)
-        val vc = t(s, d, "lineitem")
+        val grid = t(s, d, "lineitem")
           .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
           .select(col("o_orderpriority"),
                   datediff(col("l_shipdate"), col("o_orderdate"))
                     .cast("double").as("lat"))
           .groupBy(col("o_orderpriority"), col("lat"))
           .agg(count(lit(1)).as("c"))
-          .localCheckpoint(true)
-        graft.ops.Quantiles.exactQuantilesFromCounts(vc, "o_orderpriority",
-          "lat", "c", Seq(0.5, 0.9, 0.99))
+        // the grid is (priorities × distinct day counts) — bounded by
+        // the DATE RANGE, not the data volume, so the one-job guarded
+        // collect applies at ANY SF (round 16): join+rollup straight
+        // into the limit-collect, order statistics on the driver, and
+        // the output is a LocalRelation. The checkpoint is only needed
+        // on the (never-taken-here) over-cap branch, where the
+        // histogram jobs would re-run the join otherwise
+        graft.ops.Quantiles.collectedQuantilesFromCounts(grid,
+            "o_orderpriority", "lat", "c", Seq(0.5, 0.9, 0.99))
+          .getOrElse {
+            val vc = grid.localCheckpoint(true)
+            graft.ops.Quantiles.exactQuantilesFromCounts(vc,
+              "o_orderpriority", "lat", "c", Seq(0.5, 0.9, 0.99))
+          }
       },
       Some("""WITH l AS (SELECT o_orderpriority, CAST(date_diff('day', o_orderdate, l_shipdate) AS DOUBLE) AS lat FROM lineitem JOIN orders ON l_orderkey = o_orderkey) SELECT o_orderpriority, CAST(0.5 AS DOUBLE) AS p, quantile_cont(lat, 0.5) AS value FROM l GROUP BY 1 UNION ALL SELECT o_orderpriority, CAST(0.9 AS DOUBLE), quantile_cont(lat, 0.9) FROM l GROUP BY 1 UNION ALL SELECT o_orderpriority, CAST(0.99 AS DOUBLE), quantile_cont(lat, 0.99) FROM l GROUP BY 1""")),
 

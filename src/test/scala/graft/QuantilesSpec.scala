@@ -325,6 +325,37 @@ class QuantilesSpec extends SparkSpec {
       // single-value group + large-weight group
       check(Seq(("a", 3.5, 1L), ("b", 1.0, 1000000L), ("b", 2.0, 1L)))
     }
+    it("collectedQuantilesFromCounts ≡ exactQuantilesFromCounts bit-for-bit (one-job path)") {
+      // the guarded limit-collect path must reproduce the histogram
+      // paths' doubles exactly: same multiset, same ranks, same
+      // interpolation — including negatives (it has no sign
+      // restriction), ties, weights, and −0.0 normalization
+      val ps = Seq(0.0, 0.25, 0.5, 0.75, 0.9, 1.0)
+      val rnd = new scala.util.Random(19)
+      def check(rows: Seq[(String, Double, Long)]): Unit = {
+        val vc = rows.toDF("g", "v", "c")
+        val got = Quantiles.collectedQuantilesFromCounts(vc, "g", "v", "c", ps)
+          .getOrElse(fail("collected path unexpectedly over cap"))
+        assert(got.columns.toSeq == Seq("g", "p", "value"))
+        val gotM = got.as[(String, Double, Double)].collect()
+          .map { case (g, p, v) => (g, p) -> v }.toMap
+        val want = Quantiles.exactQuantilesFromCounts(
+            vc.groupBy($"g", $"v").agg(sum($"c").as("c")), "g", "v", "c", ps)
+          .as[(String, Double, Double)].collect()
+          .map { case (g, p, v) => (g, p) -> v }.toMap
+        assert(gotM.keySet == want.keySet)
+        gotM.foreach { case (k, v) =>
+          assert(java.lang.Double.doubleToRawLongBits(v) ==
+                 java.lang.Double.doubleToRawLongBits(want(k)),
+            s"$k: got $v want ${want(k)}")
+        }
+      }
+      check(Seq.fill(600)((s"g${rnd.nextInt(3)}",
+        (rnd.nextDouble() - 0.5) * 1e4, 1L + rnd.nextInt(5))))
+      check(Seq.fill(600)((s"g${rnd.nextInt(2)}", rnd.nextInt(8) * 0.05, 1L)))
+      check(Seq(("a", 3.5, 1L), ("b", 1.0, 1000000L), ("b", 2.0, 1L)))
+      check(Seq(("z", -0.0, 2L), ("z", 0.0, 1L), ("z", 1.0, 1L)))
+    }
     it("nonNegEdgeBinnedCounts ≡ edgeBinnedCounts (edges bitwise, bins, flag tallies)") {
       val ps = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
       val rnd = new scala.util.Random(11)
@@ -415,6 +446,11 @@ class QuantilesSpec extends SparkSpec {
       assert(gRow.length == 1 && gRow.head.getString(0) == "only")
       assert(java.lang.Double.doubleToRawLongBits(gRow.head.getDouble(2)) ==
              java.lang.Double.doubleToRawLongBits(want))
+      // the one-job collected path must REFUSE the same frame: its
+      // limit-collect sees cap+1 rows and returns None
+      assert(Quantiles.collectedQuantilesFromCounts(
+        big.select(lit("only").as("grp"), $"v", lit(1L).as("c")),
+        "grp", "v", "c", Seq(0.5)).isEmpty)
     }
     it("never buffers the corpus: pass-2 window partitions are bucket-sized") {
       // structural check on the DISTRIBUTED chain (forced via
