@@ -260,8 +260,11 @@ object Bench {
     // FINAL path segment == sf0.1 exactly (ADVICE r15: endsWith also
     // matched any directory merely named *sf0.1).
     val canaryCeilings = PerfCanary.wallClockCeilings
+    // null-safe: getFileName is null for root-like paths ("/"), and the
+    // canary gate must never be able to NPE before the artifact line is
+    // printed (ADVICE r16 #1)
     val canary =
-      if (Paths.get(sfDir).getFileName.toString != "sf0.1") "[]"
+      if (!Option(Paths.get(sfDir).getFileName).map(_.toString).contains("sf0.1")) "[]"
       else results.collect {
         case (k, v, true, _) if canaryCeilings.get(k).exists(c => v > c * 1.5) =>
           System.err.println(f"[bench] CANARY: $k ${v}%.3f s > 1.5x recorded ceiling ${canaryCeilings(k)}%.2f")

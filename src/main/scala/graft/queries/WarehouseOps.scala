@@ -54,8 +54,12 @@ object WarehouseOps {
     import scala.concurrent.ExecutionContext.Implicits.global
     val sess = orders.sparkSession
     // independent of the rollup — submitted first so its job overlaps
-    // the checkpoint materialization on the same executor slots
-    val fAnchor = Future { orders.agg(max(col("o_orderdate"))).head().get(0) }
+    // the checkpoint materialization on the same executor slots.
+    // blocking{}: the global pool must know this future BLOCKS on a
+    // Spark action, or on low-core machines the pool can starve and
+    // the intended overlap silently serializes (ADVICE r16 #2)
+    val fAnchor = Future { scala.concurrent.blocking {
+      orders.agg(max(col("o_orderdate"))).head().get(0) } }
     // checkpointed FIRST: feeds the quantile passes and the scoring
     // pass — un-checkpointed, each consumer re-derives the orders
     // rollup (ops/Quantiles.scala caller contract)
@@ -206,8 +210,12 @@ object WarehouseOps {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
         import scala.concurrent.ExecutionContext.Implicits.global
-        val fQuar = Future {
-          raw.filter(!ok).agg(count(lit(1))).head.getLong(0) }
+        // blocking{} on every Spark-action future: the shared global
+        // pool must be told these block, or on low-core machines the
+        // intended overlap can starve the pool and silently serialize
+        // (ADVICE r16 #2)
+        val fQuar = Future { scala.concurrent.blocking {
+          raw.filter(!ok).agg(count(lit(1))).head.getLong(0) } }
         // 2.+3. CDC diff -> change audit + incremental fold, DRIVER-
         // FINISHED off ONE grid (VERDICT r11 #8): the diff lineage's
         // only consumer is now a single (change_type, old_pri, new_pri)
@@ -221,7 +229,7 @@ object WarehouseOps {
         // used, so the published values are unchanged.
         val diff = graft.ops.Cdc.snapshotDiff(oldS, gated,
             Seq("o_orderkey"), Seq("o_totalprice", "o_orderpriority"))
-        val fGridRows = Future {
+        val fGridRows = Future { scala.concurrent.blocking {
           diff.groupBy(col("change_type"),
               col("old_o_orderpriority").as("og"),
               col("new_o_orderpriority").as("ng"))
@@ -229,13 +237,13 @@ object WarehouseOps {
                  sum(col("old_o_totalprice").cast(D)).as("ov"),
                  sum(col("new_o_totalprice").cast(D)).as("nv"))
             .collect()
-        }
-        val fOldAggRows = Future {
+        } }
+        val fOldAggRows = Future { scala.concurrent.blocking {
           oldS.groupBy(col("o_orderpriority").as("g"))
             .agg(count(lit(1)).cast("long").as("n"),
                  sum(col("o_totalprice").cast(D)).as("sd"))
             .collect()
-        }
+        } }
         // 4. RFM readout over the accepted snapshot: launched on THIS
         // thread while the three audit jobs run beside it; rfmGrid's
         // internal chain (checkpoint, stats, quantile passes) blocks
@@ -560,12 +568,12 @@ object WarehouseOps {
         // diff lineage's ONLY consumer is one grid-bounded aggregate
         // (change_type, old group, new group) — the corpus-wide diff
         // checkpoint job is gone
-        val fOld = Future {
+        val fOld = Future { scala.concurrent.blocking {
           oldS.groupBy(col("o_orderpriority").as("g"))
             .agg(count(lit(1)).cast("long").as("n"),
                  sum(col("o_totalprice").cast(D)).as("sd"))
             .collect()
-        }
+        } }
         // ADVICE r13: if the grid collect throws (e.g. ENOSPC at big
         // SF), the concurrent rollup must not keep running into the
         // next bench query's hygiene/timed window — settle it first

@@ -49,13 +49,19 @@ class PerfCanarySpec extends SparkSpec {
     try {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      // async listener bus: poll until the count stops moving (two
-      // consecutive equal reads, 200ms apart; bounded at 4s)
-      var prev = -1
+      // async listener bus: poll until the count is stable for THREE
+      // consecutive equal reads 500ms apart (bounded at 15s). Two reads
+      // 200ms apart could declare stability during a >200ms bus stall
+      // and UNDERCOUNT — which weakens the canary silently in the
+      // non-failing direction (ADVICE r16 #3).
+      var stable = 0
       var cur = jobs.size
       var spins = 0
-      while (prev != cur && spins < 20) {
-        Thread.sleep(200); prev = cur; cur = jobs.size; spins += 1
+      while (stable < 3 && spins < 30) {
+        Thread.sleep(500)
+        val next = jobs.size
+        if (next == cur) stable += 1 else { stable = 0; cur = next }
+        spins += 1
       }
       cur
     } finally sc.removeSparkListener(listener)
