@@ -32,13 +32,32 @@ import org.apache.spark.sql.functions._
   */
 object Triangles {
 
-  /** Shared core: materialized edges, degree table, degree-oriented
-    * edges, and the edge⨝adjacency frame carrying both endpoints'
-    * out-neighbor arrays (na, nb) — the triangles of edge (src, dst)
-    * are exactly the members of na ∩ nb. */
-  private def core(edges: DataFrame, maxBroadcastRows: Long)
-      : (DataFrame, DataFrame, DataFrame) = {
-    val e = edges.select(col("u"), col("v")).localCheckpoint(true)
+  /** Driver-twin cap (round 17, the dedupGroups/LabelProp/PageRank
+    * pattern): an edge list at or under this bound — after the SAME
+    * eager materialization both paths share — collects to the driver
+    * and runs the identical degree-oriented edge-iterator census over
+    * a primitive CSR, replacing the 20-job BSP chain (deg aggregate +
+    * probe, orientation join, adjacency collect_set + probe, the
+    * edge⨝adjacency join, the census aggregates) whose sf0.1 cost was
+    * pure serial job floor (Prof15: q142 22 jobs / 5.3 s job-sum, q144
+    * 20 jobs with the edge⨝adjacency join as one fat straggler job).
+    * All driver arithmetic is INTEGER (degrees, intersection counts);
+    * the float readouts (global/local clustering) are computed by the
+    * same Catalyst expressions as the distributed path via the shared
+    * `censusSelect`/`perNodeSelect` projections, so driver ≡
+    * distributed is bit-exact by construction (TrianglesSpec pins both
+    * paths against each other). Above the cap the distributed plan is
+    * byte-identical to round 16 (the sf1/sf10 scale record measures
+    * that path: 12M edges at sf1 > cap). 4M edges ≈ 64 MB collected —
+    * the dedupGroups/LabelProp bound. */
+  private val MaxDriverEdges = 4L * 1024 * 1024
+
+  /** Shared distributed core over the already-materialized edge frame
+    * `e`: the degree table and the edge⨝adjacency frame carrying both
+    * endpoints' out-neighbor arrays (na, nb) — the triangles of edge
+    * (src, dst) are exactly the members of na ∩ nb. */
+  private def core(e: DataFrame, maxBroadcastRows: Long)
+      : (DataFrame, DataFrame) = {
     val deg = e.select(col("u").as("x")).union(e.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).cast("long").as("deg"))
       .localCheckpoint(true)
@@ -61,15 +80,50 @@ object Triangles {
     val edgeTriangles = oriented
       .join(adjB.select(col("src"), col("ns").as("na")), Seq("src"))
       .join(adjB.select(col("src").as("dst"), col("ns").as("nb")), Seq("dst"))
-    (e, deg, edgeTriangles)
+    (deg, edgeTriangles)
+  }
+
+  /** Final census projection, shared by the distributed and driver
+    * paths so the float readout is the SAME Catalyst expression over
+    * the same integer inputs — bit-identical by construction. Input
+    * frame: (n_nodes, n_edges, n_triangles, wedges). */
+  private def censusSelect(df: DataFrame): DataFrame =
+    df.select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+      round(lit(3.0) * col("n_triangles") / col("wedges"), 6)
+        .as("global_clustering"))
+
+  /** Final per-node projection, shared by both paths. Input frame:
+    * (x, deg, t — nullable triangle count). */
+  private def perNodeSelect(df: DataFrame): DataFrame =
+    df.select(col("x").as("v"), col("deg"),
+      coalesce(col("t"), lit(0L)).as("n_triangles"),
+      when(col("deg") > 1,
+        round(lit(2.0) * coalesce(col("t"), lit(0L)) /
+              (col("deg") * (col("deg") - 1)), 6)).as("local_cc"))
+
+  /** Materialize the edge frame once (both paths and the cap probe
+    * read it) and decide the strategy. The driver twin round-trips ids
+    * through Long, so it is taken only for same-type integral id
+    * columns (the dedupGroups/LabelProp contract). */
+  private def materialize(edges: DataFrame,
+                          maxDriverEdges: Long): (DataFrame, Boolean) = {
+    val e = edges.select(col("u"), col("v")).localCheckpoint(true)
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val (ut, vt) = (e.schema("u").dataType, e.schema("v").dataType)
+    val integral = ut == vt &&
+      Seq(ByteType, ShortType, IntegerType, LongType).contains(ut)
+    (e, integral && e.count() <= maxDriverEdges)
   }
 
   /** Census of the undirected simple graph `edges` (cols u, v; each
     * edge once, u ≠ v). Returns ONE row: (n_nodes, n_edges,
     * n_triangles, global_clustering = 3·triangles/wedges, 6 dp). */
   def census(edges: DataFrame,
-             maxBroadcastRows: Long = 2L * 1000 * 1000): DataFrame = {
-    val (e, deg, edgeTriangles) = core(edges, maxBroadcastRows)
+             maxBroadcastRows: Long = 2L * 1000 * 1000,
+             maxDriverEdges: Long = MaxDriverEdges): DataFrame = {
+    val (e, small) = materialize(edges, maxDriverEdges)
+    if (small) return censusLocal(e)
+    val (deg, edgeTriangles) = core(e, maxBroadcastRows)
     val tri = edgeTriangles
       .select(size(array_intersect(col("na"), col("nb"))).as("k"))
       .agg(coalesce(sum(col("k")), lit(0L)).cast("long").as("n_triangles"))
@@ -77,10 +131,7 @@ object Triangles {
       sum(expr("deg * (deg - 1) div 2")).cast("long").as("wedges"),
       count(lit(1)).cast("long").as("n_nodes"))
     val nEdges = e.agg(count(lit(1)).cast("long").as("n_edges"))
-    wedges.crossJoin(broadcast(nEdges)).crossJoin(broadcast(tri))
-      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
-        round(lit(3.0) * col("n_triangles") / col("wedges"), 6)
-          .as("global_clustering"))
+    censusSelect(wedges.crossJoin(broadcast(nEdges)).crossJoin(broadcast(tri)))
   }
 
   /** Per-node triangle participation and local clustering coefficient
@@ -92,18 +143,192 @@ object Triangles {
     * feature (hubs with near-zero clustering vs dense rings at 1.0);
     * the global census is its weighted average. */
   def perNode(edges: DataFrame,
-              maxBroadcastRows: Long = 2L * 1000 * 1000): DataFrame = {
-    val (_, deg, edgeTriangles) = core(edges, maxBroadcastRows)
+              maxBroadcastRows: Long = 2L * 1000 * 1000,
+              maxDriverEdges: Long = MaxDriverEdges): DataFrame = {
+    val (e, small) = materialize(edges, maxDriverEdges)
+    if (small) return perNodeLocal(e)
+    val (deg, edgeTriangles) = core(e, maxBroadcastRows)
     val corners = edgeTriangles
       .select(col("src"), col("dst"),
         explode(array_intersect(col("na"), col("nb"))).as("w"))
       .select(explode(array(col("src"), col("dst"), col("w"))).as("x"))
       .groupBy(col("x")).agg(count(lit(1)).cast("long").as("t"))
-    deg.join(corners, Seq("x"), "left")
-      .select(col("x").as("v"), col("deg"),
-        coalesce(col("t"), lit(0L)).as("n_triangles"),
-        when(col("deg") > 1,
-          round(lit(2.0) * coalesce(col("t"), lit(0L)) /
-                (col("deg") * (col("deg") - 1)), 6)).as("local_cc"))
+    perNodeSelect(deg.join(corners, Seq("x"), "left"))
+  }
+
+  // ------------------------------------------------------------------
+  // Driver twin: the identical algorithm over a primitive CSR.
+  // ------------------------------------------------------------------
+
+  /** Collected graph: node ids in first-seen order, per-node degree
+    * (edge-OCCURRENCE counts, like the distributed union aggregate),
+    * edge endpoint indices, and per-node triangle counts from the
+    * degree-oriented edge-iterator intersection — the same count the
+    * distributed na ∩ nb computes, because the oriented adjacency is
+    * DEDUPLICATED per source (collect_set semantics) while edges
+    * iterate per occurrence (the oriented frame joins every row). */
+  private final case class LocalGraph(nodes: Array[Long], deg: Array[Long],
+                                      m: Long, tri: Array[Long],
+                                      totalTriangles: Long)
+
+  private def buildLocal(e: DataFrame): LocalGraph = {
+    val spark = e.sparkSession
+    val tupled = {
+      import spark.implicits._
+      e.select(col("u").cast("long"), col("v").cast("long"))
+        .as[(Long, Long)].collect()
+    }
+    val m = tupled.length
+    val idx = scala.collection.mutable.LongMap.empty[Int]
+    val nodesBuf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def id(x: Long): Int =
+      idx.getOrElseUpdate(x, { nodesBuf += x; nodesBuf.length - 1 })
+    val ua = new Array[Int](m)
+    val va = new Array[Int](m)
+    var i = 0
+    while (i < m) { ua(i) = id(tupled(i)._1); va(i) = id(tupled(i)._2); i += 1 }
+    val nodes = nodesBuf.toArray
+    val n = nodes.length
+    val deg = new Array[Long](n)
+    i = 0
+    while (i < m) { deg(ua(i)) += 1; deg(va(i)) += 1; i += 1 }
+    // degree orientation: src = (deg, id)-smaller endpoint — identical
+    // predicate to the distributed uFirst column
+    val srcA = new Array[Int](m)
+    val dstA = new Array[Int](m)
+    i = 0
+    while (i < m) {
+      val a = ua(i); val b = va(i)
+      val aFirst = deg(a) < deg(b) ||
+        (deg(a) == deg(b) && nodes(a) < nodes(b))
+      if (aFirst) { srcA(i) = a; dstA(i) = b } else { srcA(i) = b; dstA(i) = a }
+      i += 1
+    }
+    // CSR out-adjacency, then per-source sort + dedup (collect_set)
+    val outc = new Array[Int](n)
+    i = 0
+    while (i < m) { outc(srcA(i)) += 1; i += 1 }
+    val off = new Array[Int](n + 1)
+    i = 0
+    while (i < n) { off(i + 1) = off(i) + outc(i); i += 1 }
+    val fill = java.util.Arrays.copyOf(off, n)
+    val nbr = new Array[Int](m)
+    i = 0
+    while (i < m) { nbr(fill(srcA(i))) = dstA(i); fill(srcA(i)) += 1; i += 1 }
+    // The per-node sort/dedup and the edge-iterator intersections are
+    // the driver twin's only O(m·√m) work — parallelized over a
+    // bounded pool (disjoint node ranges for the sorts; per-thread
+    // accumulator arrays merged at the end for the counts, so the
+    // result is the same integer sums in any schedule). Single-threaded
+    // this loop measured ~2 s on the 1.2M-edge sf0.1 graph — exactly
+    // the serial tail the twin exists to delete (Prof15, round 17).
+    val nThreads = math.max(1,
+      math.min(16, Runtime.getRuntime.availableProcessors - 2))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+    val end = new Array[Int](n) // effective end after in-place dedup
+    try {
+      val sortTasks = (0 until nThreads).map { t =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            var v = (n.toLong * t / nThreads).toInt
+            val vEnd = (n.toLong * (t + 1) / nThreads).toInt
+            while (v < vEnd) {
+              java.util.Arrays.sort(nbr, off(v), off(v + 1))
+              var w = off(v)
+              var r = off(v)
+              while (r < off(v + 1)) {
+                if (w == off(v) || nbr(r) != nbr(w - 1)) { nbr(w) = nbr(r); w += 1 }
+                r += 1
+              }
+              end(v) = w
+              v += 1
+            }
+          }
+        })
+      }
+      sortTasks.foreach(_.get())
+      // edge-iterator: per edge OCCURRENCE, merge-intersect the two
+      // sorted unique out-neighbor slices; every common w is a triangle
+      // corner (src, dst, w get one count each)
+      val triLocal = Array.fill(nThreads)(new Array[Long](n))
+      val totLocal = new Array[Long](nThreads)
+      val triTasks = (0 until nThreads).map { t =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            val tri = triLocal(t)
+            var i = (m.toLong * t / nThreads).toInt
+            val iEnd = (m.toLong * (t + 1) / nThreads).toInt
+            var total = 0L
+            while (i < iEnd) {
+              val s = srcA(i); val d = dstA(i)
+              var p = off(s); val pe = end(s)
+              var q = off(d); val qe = end(d)
+              var c = 0L
+              while (p < pe && q < qe) {
+                val x = nbr(p); val y = nbr(q)
+                if (x == y) { tri(x) += 1; c += 1; p += 1; q += 1 }
+                else if (x < y) p += 1
+                else q += 1
+              }
+              tri(s) += c; tri(d) += c; total += c
+              i += 1
+            }
+            totLocal(t) = total
+          }
+        })
+      }
+      triTasks.foreach(_.get())
+      val tri = new Array[Long](n)
+      var t = 0
+      while (t < nThreads) {
+        val local = triLocal(t)
+        var v = 0
+        while (v < n) { tri(v) += local(v); v += 1 }
+        t += 1
+      }
+      LocalGraph(nodes, deg, m, tri, totLocal.sum)
+    } finally pool.shutdown()
+  }
+
+  /** One-row census LocalRelation with the integer fields; the float
+    * readout goes through the SAME shared projection as the
+    * distributed path. `wedges` is null iff the graph is empty —
+    * matching the distributed sum-over-zero-rows. */
+  private def censusLocal(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val g = buildLocal(e)
+    var wedges = 0L
+    var i = 0
+    while (i < g.nodes.length) {
+      wedges += g.deg(i) * (g.deg(i) - 1) / 2; i += 1
+    }
+    val row = Row(g.nodes.length.toLong, g.m, g.totalTriangles,
+      if (g.nodes.isEmpty) null else java.lang.Long.valueOf(wedges))
+    val schema = StructType(Seq(
+      StructField("n_nodes", LongType, nullable = false),
+      StructField("n_edges", LongType, nullable = false),
+      StructField("n_triangles", LongType, nullable = false),
+      StructField("wedges", LongType, nullable = true)))
+    censusSelect(e.sparkSession.createDataFrame(
+      java.util.Collections.singletonList(row), schema))
+  }
+
+  /** Per-node LocalRelation (x, deg, t) cast back to the source id
+    * type, through the shared projection. */
+  private def perNodeLocal(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val g = buildLocal(e)
+    val srcType = e.schema("u").dataType
+    val rows: java.util.List[Row] =
+      java.util.Arrays.asList(
+        g.nodes.indices.map(i => Row(g.nodes(i), g.deg(i), g.tri(i))): _*)
+    val schema = StructType(Seq(
+      StructField("x", LongType, nullable = false),
+      StructField("deg", LongType, nullable = false),
+      StructField("t", LongType, nullable = true)))
+    perNodeSelect(e.sparkSession.createDataFrame(rows, schema)
+      .select(col("x").cast(srcType).as("x"), col("deg"), col("t")))
   }
 }

@@ -43,12 +43,46 @@ class TrianglesSpec extends SparkSpec {
       assert(census(edges)._3 == expected)
     }
     it("broadcast and shuffle-join paths agree (the adaptive-bound twin)") {
+      // maxDriverEdges = 0 on both arms: this test pins the two
+      // DISTRIBUTED join strategies against each other (the driver
+      // twin would otherwise take both since round 17)
       val edges = (for {
         a <- 1L to 30L; b <- (a + 1) to 30L if (a * 13 + b * 7) % 4 == 0
       } yield (a, b)).toSeq
-      val bc = census(edges)
-      val sh = census(edges, maxBroadcast = 0L)
-      assert(bc == sh)
+      def dist(maxBroadcast: Long) =
+        Triangles.census(edges.toDF("u", "v"), maxBroadcast,
+            maxDriverEdges = 0L)
+          .as[(Long, Long, Long, Double)].collect().head
+      assert(dist(2000000L) == dist(0L))
+    }
+    it("driver twin ≡ distributed census, bit-exact (round-17 cap)") {
+      // dense-ish pseudo-random graph; the driver CSR loop and the BSP
+      // plan must agree on every field including the rounded double
+      val edges = (for {
+        a <- 1L to 60L; b <- (a + 1) to 60L if (a * 31 + b * 17) % 4 == 0
+      } yield (a, b)).toSeq
+      val drv = census(edges) // under the 4M cap -> driver twin
+      val dst = Triangles.census(edges.toDF("u", "v"), maxDriverEdges = 0L)
+        .as[(Long, Long, Long, Double)].collect().head
+      assert(drv == dst)
+    }
+    it("driver twin handles duplicate edge occurrences like the distributed plan") {
+      // a duplicated edge inflates degree/wedge counts and the edge
+      // iterator (per occurrence) in BOTH paths; adjacency dedups
+      val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 2L))
+      val drv = census(edges)
+      val dst = Triangles.census(edges.toDF("u", "v"), maxDriverEdges = 0L)
+        .as[(Long, Long, Long, Double)].collect().head
+      assert(drv == dst)
+    }
+    it("driver twin on the empty graph matches the distributed nulls") {
+      val e = Seq.empty[(Long, Long)].toDF("u", "v")
+      val drv = Triangles.census(e)
+        .as[(Long, Long, Long, Option[Double])].collect().head
+      val dst = Triangles.census(e, maxDriverEdges = 0L)
+        .as[(Long, Long, Long, Option[Double])].collect().head
+      assert(drv == ((0L, 0L, 0L, None)))
+      assert(drv == dst)
     }
   }
 
@@ -74,6 +108,24 @@ class TrianglesSpec extends SparkSpec {
       val perNodeSum = Triangles.perNode(edges.toDF("u", "v"))
         .as[(Long, Long, Long, Option[Double])].collect().map(_._3).sum
       assert(perNodeSum == 3 * total)
+    }
+    it("driver twin ≡ distributed perNode, bit-exact on every row (round-17 cap)") {
+      val edges = (for {
+        a <- 1L to 60L; b <- (a + 1) to 60L if (a * 31 + b * 17) % 4 == 0
+      } yield (a, b)).toSeq
+      def rows(cap: Long) =
+        Triangles.perNode(edges.toDF("u", "v"), maxDriverEdges = cap)
+          .as[(Long, Long, Long, Option[Double])].collect()
+          .sortBy(_._1).toSeq
+      assert(rows(cap = 4L * 1024 * 1024) == rows(cap = 0L))
+    }
+    it("driver twin keeps int id columns int (cast-back contract)") {
+      val e = Seq((1, 2), (2, 3), (1, 3)).toDF("u", "v")
+      val out = Triangles.perNode(e)
+      assert(out.schema("v").dataType ==
+        org.apache.spark.sql.types.IntegerType)
+      assert(out.as[(Int, Long, Long, Option[Double])].collect()
+        .forall(_._3 == 1L))
     }
   }
 }
