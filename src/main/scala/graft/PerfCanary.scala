@@ -44,6 +44,17 @@ object PerfCanary {
     "q188_conformal_interval" -> 12, // model+ckpt, bit-histogram, fetch, test
     "q157_woe_iv"             -> 8,  // bit-bucket hist + fetch (2 corpus jobs)
     "q175_gains_deciles"      -> 6,  // same fusion, driver-finished tail
+    // round 17 (VERDICT r16 #4): the two flicker members that had
+    // wall-clock exposure but no job pin, measured 3×-stable by Prof16
+    // with the spec's exact methodology
+    "q163_spearman"           -> 13, // rank windows + corr grid chain
+    "q187_half_sample_ci"     -> 8,  // 60-replicate BRR expand + CI tail
+    // round 17: the triangle-census driver twin (edge build + cap
+    // probe + collect; readout is a LocalRelation). A silent fallback
+    // to the distributed BSP chain — e.g. a broken integral-id check —
+    // re-adds ~12 scheduler jobs and fails here loudly
+    "q142_triangle_count"     -> 8,
+    "q144_local_clustering"   -> 8,
     // the guarded-dedup family: exact tier only at sf0.01
     "q52_dedup_apply"         -> 17,
     "q48_dedup_groups"        -> 13,
@@ -62,5 +73,15 @@ object PerfCanary {
     "q171_warehouse_pipeline" -> 1.10, // round-16 isolated min 1.078 on the
                                        // 4-link chain (was 1.20)
     "q188_conformal_interval" -> 1.05,
-    "q52_dedup_apply"         -> 1.10)
+    "q52_dedup_apply"         -> 1.10,
+    // round 17 (VERDICT r16 #2): the rest of the ~1 s job-floor
+    // flicker family (FLOOR.md), ceilings = the round-16 committed
+    // driver-window minima (BENCH_full.json at bad0482) — the best
+    // recorded quiet-window numbers for the shipped plans. A loaded
+    // window can exceed ×1.5 (that is the flicker FLOOR.md records);
+    // a QUIET-window violation is a real plan regression.
+    "q157_woe_iv"             -> 0.58,
+    "q163_spearman"           -> 0.86,
+    "q175_gains_deciles"      -> 0.93,
+    "q187_half_sample_ci"     -> 0.99)
 }

@@ -130,7 +130,7 @@ object EvalOps {
       Some("""WITH cnt AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt FROM orders GROUP BY 1), c AS (SELECT CAST(c_nationkey AS BIGINT) AS nation, c_custkey AS cust, c_acctbal AS score, least(3, CAST(floor(COALESCE(cnt, 0) / 5) AS BIGINT)) AS rel FROM customer LEFT JOIN cnt ON c_custkey = o_custkey), mr AS (SELECT nation, rel, row_number() OVER (PARTITION BY nation ORDER BY score DESC, cust) AS rk FROM c), ir AS (SELECT nation, rel, row_number() OVER (PARTITION BY nation ORDER BY rel DESC, cust) AS rk FROM c), dcg AS (SELECT nation, CAST(SUM(CAST(floor((CASE rel WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 7 END) / log2(rk + 1) * 1e9 + 0.5) / 1e9 AS DECIMAL(38,9))) AS DOUBLE) AS dcg FROM mr WHERE rk <= 10 GROUP BY 1), idcg AS (SELECT nation, CAST(SUM(CAST(floor((CASE rel WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 7 END) / log2(rk + 1) * 1e9 + 0.5) / 1e9 AS DECIMAL(38,9))) AS DOUBLE) AS idcg FROM ir WHERE rk <= 10 GROUP BY 1) SELECT nation, floor(dcg * 1e6 + 0.5) / 1e6 AS dcg, floor(idcg * 1e6 + 0.5) / 1e6 AS idcg, CASE WHEN idcg > 0 THEN floor(dcg / idcg * 1e6 + 0.5) / 1e6 END AS ndcg FROM dcg JOIN idcg USING (nation)""")),
 
     QueryDef("q187_half_sample_ci",
-      "distribution-free CI of mean order value by half-sample replication (McCarthy 1969 / BRR): 60 deterministic half-samples drawn from the BITS of one portable 60-bit hash per order (replicate r keeps rows whose hash bit r is set — no random state, reproducible under reruns and any partitioning; the q62/q72 seeded-hash sampling idiom taken to its limit: ONE hash evaluation yields 60 independent replicates), mean per replicate, and se = sqrt(mean((theta_r - theta)^2)) with the 1.96 normal interval. The uncertainty companion to q165's parametric z-test: BRR needs no variance formula, so it generalizes to medians/ratios where the CLT plug-in doesn't. Scale form: the corpus pays ONE scan whose 60x in-row replicate expand feeds a map-side-combinable aggregate (the shuffle moves 60 rows per partition, never 60x the data) plus one total pass; everything downstream is the 60-row replicate grid (exact-decimal per-replicate sums -> 6-dp means; squared deviations pre-rounded 9-dp into an exact decimal reduction; summary broadcast back onto the rows). Honest magnitude: se ~ sd/sqrt(n/2) * sqrt(2)/... ~ tight on 15k orders — the interval half-width lands near the parametric one, which is the method validating itself on CLT-friendly data",
+      "distribution-free CI of mean order value by half-sample replication (McCarthy 1969 / BRR): 60 deterministic half-samples drawn from the BITS of one portable 60-bit hash per order (replicate r keeps rows whose hash bit r is set — no random state, reproducible under reruns and any partitioning; the q62/q72 seeded-hash sampling idiom taken to its limit: ONE hash evaluation yields 60 independent replicates), mean per replicate, and se = sqrt(mean((theta_r - theta)^2)) with the 1.96 normal interval. The uncertainty companion to q165's parametric z-test: BRR needs no variance formula, so it generalizes to medians/ratios where the CLT plug-in doesn't. Scale form: the corpus pays ONE scan whose 60x in-row replicate expand feeds a map-side-combinable aggregate (the shuffle moves 60 rows per partition, never 60x the data) plus one total pass; everything downstream is the 60-row replicate grid (exact-decimal per-replicate sums -> 6-dp means; squared deviations pre-rounded 9-dp into an exact decimal reduction; summary broadcast back onto the rows). Honest magnitude: se ~ sd/sqrt(n/2) * sqrt(2)/... ~ tight on 15k orders — the interval half-width lands near the parametric one, which is the method validating itself on CLT-friendly data; floor decision: FLOOR.md",
       (s, d) => {
         val base = t(s, d, "orders").select(
           TextFunctions.portableHash(col("o_orderkey").cast("string"), 131).as("h"),
@@ -157,7 +157,7 @@ object EvalOps {
       Some(s"""WITH b AS (SELECT ${ph("CAST(o_orderkey AS VARCHAR)", 131)} AS h, CAST(floor(o_totalprice * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6)) AS p6 FROM orders), tot AS (SELECT floor(CAST(SUM(p6) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS theta FROM b), reps AS (SELECT i.r AS replicate, CAST(count(*) AS BIGINT) AS n_r, floor(CAST(SUM(p6) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS mean_r FROM b, (SELECT unnest(generate_series(0, 59)) AS r) i WHERE ((h >> r) & 1) = 1 GROUP BY 1), g AS (SELECT replicate, n_r, mean_r, theta FROM reps, tot), sm AS (SELECT floor(sqrt(CAST(SUM(CAST(floor((mean_r - theta) * (mean_r - theta) * 1e9 + 0.5) / 1e9 AS DECIMAL(38,9))) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS se FROM g) SELECT replicate, n_r, mean_r, theta, se, floor((theta - 1.96 * se) * 1e6 + 0.5) / 1e6 AS ci_lo, floor((theta + 1.96 * se) * 1e6 + 0.5) / 1e6 AS ci_hi FROM g, sm""")),
 
     QueryDef("q188_conformal_interval",
-      "split conformal prediction interval (Papadopoulos 2002 / Vovk): 3-way orderkey split of lineitem — TRAIN fits the predictor (group-mean price per quantity, a 50-cell bounded model), CALIBRATION takes qhat = the 0.90 quantile of its absolute residuals, TEST reports empirical coverage of yhat +/- qhat. The distribution-free guarantee P(covered) >= alpha holds for ANY predictor — this query is the engine-side validation harness a model team runs before shipping intervals (the uncertainty counterpart of q178's calibration ECE: ECE audits probabilities, conformal audits intervals). quantile_cont(0.90) stands in for the finite-sample ceil((n+1)alpha)/n order statistic — at n_cal ~ 20k the two differ by < 2e-4 in rank fraction; the n->infinity limit, noted honestly. Scale form: one aggregate fits the model (bounded grid, broadcast back), the calibration residual frame is checkpointed ONCE and feeds count + ops.Quantiles' two bounded-state passes (qhat publishes UNROUNDED via the q120 bit-equal interpolation), and the test pass is one scan against the broadcast model and one-row qhat. Job-ledger history: round 11 shipped 6 serial jobs; round 13 fused the stats and count jobs (model, cal checkpoint, fused stats, histogram, fetch + test); round 14's re-profile (1.36 s isolated min-of-6 at sf0.1) showed the chain job-floor-bound at ~0.2-0.4 s/job and STRICTLY SERIAL — model->cal->stats->histogram->fetch->test, every consecutive pair data-dependent, so the q143/q171 future-overlap recipe has NOTHING to overlap here (VERDICT r14 #3's question, answered at the dependency level). Round 15 instead DELETED links: residuals are non-negative, so Quantiles.nonNegScalarQuantiles' ORDER-PRESERVING BIT-BUCKET histogram (IEEE bits of a non-negative double compare as longs) needs no (mn,mx) stats pass and no cal checkpoint (only two readers re-derive the cheap broadcast join now), and qhat/n_cal come back as driver scalars, deleting both broadcast crossJoins from the test aggregate — 4 jobs total (model agg+checkpoint, bit-histogram, fetch, test). qhat is bit-unchanged: same fetched order statistics, same DuckDB-exact interpolation (QuantilesSpec pins the operator across ties/zeros/subnormals; the oracle hash pins the query at sf0.01/sf0.1). Measured: 0.97-1.0 s isolated min-of-6 at sf0.1 (from 1.36) — four data-dependent jobs at this box's ~0.24 s floor; the remaining chain has no removable or overlappable link without changing qhat's declared exact semantics. Honest readout: coverage ~ 0.90 on iid splits — the guarantee demonstrated, not assumed",
+      "split conformal prediction interval (Papadopoulos 2002 / Vovk): 3-way orderkey split of lineitem — TRAIN fits the predictor (group-mean price per quantity, a 50-cell bounded model), CALIBRATION takes qhat = the 0.90 quantile of its absolute residuals, TEST reports empirical coverage of yhat +/- qhat. The distribution-free guarantee P(covered) >= alpha holds for ANY predictor — this query is the engine-side validation harness a model team runs before shipping intervals (the uncertainty counterpart of q178's calibration ECE: ECE audits probabilities, conformal audits intervals). quantile_cont(0.90) stands in for the finite-sample ceil((n+1)alpha)/n order statistic — at n_cal ~ 20k the two differ by < 2e-4 in rank fraction; the n->infinity limit, noted honestly. Scale form: one aggregate fits the model (bounded grid, broadcast back), the calibration residual frame is checkpointed ONCE and feeds count + ops.Quantiles' two bounded-state passes (qhat publishes UNROUNDED via the q120 bit-equal interpolation), and the test pass is one scan against the broadcast model and one-row qhat. Job-ledger history: round 11 shipped 6 serial jobs; round 13 fused the stats and count jobs (model, cal checkpoint, fused stats, histogram, fetch + test); round 14's re-profile (1.36 s isolated min-of-6 at sf0.1) showed the chain job-floor-bound at ~0.2-0.4 s/job and STRICTLY SERIAL — model->cal->stats->histogram->fetch->test, every consecutive pair data-dependent, so the q143/q171 future-overlap recipe has NOTHING to overlap here (VERDICT r14 #3's question, answered at the dependency level). Round 15 instead DELETED links: residuals are non-negative, so Quantiles.nonNegScalarQuantiles' ORDER-PRESERVING BIT-BUCKET histogram (IEEE bits of a non-negative double compare as longs) needs no (mn,mx) stats pass and no cal checkpoint (only two readers re-derive the cheap broadcast join now), and qhat/n_cal come back as driver scalars, deleting both broadcast crossJoins from the test aggregate — 4 jobs total (model agg+checkpoint, bit-histogram, fetch, test). qhat is bit-unchanged: same fetched order statistics, same DuckDB-exact interpolation (QuantilesSpec pins the operator across ties/zeros/subnormals; the oracle hash pins the query at sf0.01/sf0.1). Measured: 0.97-1.0 s isolated min-of-6 at sf0.1 (from 1.36) — four data-dependent jobs at this box's ~0.24 s floor; the remaining chain has no removable or overlappable link without changing qhat's declared exact semantics. Honest readout: coverage ~ 0.90 on iid splits — the guarantee demonstrated, not assumed; floor decision: FLOOR.md",
       (s, d) => {
         val li = t(s, d, "lineitem").select(
           (col("l_orderkey") % 3).as("split"),

@@ -375,7 +375,7 @@ object SketchOps {
          |SELECT lang, CAST(COUNT(*) AS BIGINT) AS ws_tokens, CAST(SUM(ns) AS BIGINT) AS bpe_symbols, floor(CAST(SUM(ns) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6 AS symbols_per_token FROM j GROUP BY 1""".stripMargin.replace("\n", " "))),
 
     QueryDef("q82_column_profile",
-      "per-column data profiling: row/null/exact-distinct counts and min/max over six lineitem columns as a UNION of per-column single-distinct aggregates — each branch's scan prunes to a ONE-column ReadSchema, so the union's total I/O equals one full-width scan while every aggregate plans as Spark's two-level partial-distinct (no Expand, no kx row multiplication). Round-7 shootout (Prof3, same JVM, steady state, sf0.1): union ~1.0-1.3s suite-recorded vs 1.8-1.9s for the round-6 long-format explode (one scan but 600k rows x6 into 4-slot structs before the first aggregation) vs 2.4s for the single-agg Expand form (Spark's own multi-countDistinct); a distinct-only hybrid measured the same as union, proving the residual cost IS the six exact-distinct two-stage aggregates, not the min/max/null plumbing — the price of EXACT per-column cardinalities at 600k rows; at 100 TB each branch's shuffle is bounded by its own column's cardinality, and profile() remains the right shape only for non-columnar storage (CSV/JSON), where k branches would pay k full scans. Round-14 re-profile: 1.17 s isolated min-of-6 at sf0.1 (the r13 suite's 0.91 was a favorable window); a futures-overlap A/B measured 1.09 s - AQE already runs the six branch stages concurrently, so the floor is the exact-distinct CPU itself (negative result recorded at the operator). Round-15 PLAN-LEVEL A/B (VERDICT r14 #4, Prof12, same JVM, min-of-6 isolated at sf0.1, outputs proven row-equal): shipped union 0.73 s (this session's window; the 0.73-1.17 spread across sessions is the documented box variance) vs Spark 4.1's single-aggregate multi-count_distinct 8.58 s (the Expand path multiplies the 600k-row scan x7 before the first partial aggregate - 12x WORSE, the round-7 2.4 s negative grew with Spark 4's wider Expand) vs a two-column pairwise fusion 1.59 s (halves the branches but each pays an Expand x2 - still 2x worse). The union-of-6 single-distinct branches IS the floor plan; CLOSED as a decision, not an open problem",
+      "per-column data profiling: row/null/exact-distinct counts and min/max over six lineitem columns as a UNION of per-column single-distinct aggregates — each branch's scan prunes to a ONE-column ReadSchema, so the union's total I/O equals one full-width scan while every aggregate plans as Spark's two-level partial-distinct (no Expand, no kx row multiplication). Round-7 shootout (Prof3, same JVM, steady state, sf0.1): union ~1.0-1.3s suite-recorded vs 1.8-1.9s for the round-6 long-format explode (one scan but 600k rows x6 into 4-slot structs before the first aggregation) vs 2.4s for the single-agg Expand form (Spark's own multi-countDistinct); a distinct-only hybrid measured the same as union, proving the residual cost IS the six exact-distinct two-stage aggregates, not the min/max/null plumbing — the price of EXACT per-column cardinalities at 600k rows; at 100 TB each branch's shuffle is bounded by its own column's cardinality, and profile() remains the right shape only for non-columnar storage (CSV/JSON), where k branches would pay k full scans. Round-14 re-profile: 1.17 s isolated min-of-6 at sf0.1 (the r13 suite's 0.91 was a favorable window); a futures-overlap A/B measured 1.09 s - AQE already runs the six branch stages concurrently, so the floor is the exact-distinct CPU itself (negative result recorded at the operator). Round-15 PLAN-LEVEL A/B (VERDICT r14 #4, Prof12, same JVM, min-of-6 isolated at sf0.1, outputs proven row-equal): shipped union 0.73 s (this session's window; the 0.73-1.17 spread across sessions is the documented box variance) vs Spark 4.1's single-aggregate multi-count_distinct 8.58 s (the Expand path multiplies the 600k-row scan x7 before the first partial aggregate - 12x WORSE, the round-7 2.4 s negative grew with Spark 4's wider Expand) vs a two-column pairwise fusion 1.59 s (halves the branches but each pays an Expand x2 - still 2x worse). The union-of-6 single-distinct branches IS the floor plan; CLOSED as a decision, not an open problem; floor decision: FLOOR.md",
       (s, d) => profileAgg(t(s, d, "lineitem"),
         numCols = Seq("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"),
         strCols = Seq("l_returnflag", "l_linestatus")),

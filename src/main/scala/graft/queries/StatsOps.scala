@@ -95,7 +95,7 @@ object StatsOps {
       Some("""WITH d AS (SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow FROM events), c AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1, 2), rt AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS nr FROM c GROUP BY 1), ct AS (SELECT dow, CAST(SUM(n) AS BIGINT) AS nc FROM c GROUP BY 1), tt AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM c), e AS (SELECT c.event_type, c.dow, n, CAST(nr AS DOUBLE) * nc / nt AS exp FROM c JOIN rt USING (event_type) JOIN ct USING (dow), tt), dfree AS (SELECT CAST((count(DISTINCT event_type) - 1) * (count(DISTINCT dow) - 1) AS BIGINT) AS dof FROM c) SELECT floor(CAST(SUM(CAST(floor((n - exp) * (n - exp) / exp * 1e8 + 0.5) / 1e8 AS DECIMAL(38,8))) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS chi2, CAST(count(*) AS BIGINT) AS cells, dof FROM e, dfree GROUP BY dof""")),
 
     QueryDef("q163_spearman",
-      "Spearman rank correlation between line quantity and line revenue (quantity x price, 256-binned): the monotone-association measure robust to the heavy price tail where Pearson is not. Formulated by the q159 integer-rank recipe on BOTH sides: each variable collapses to its bounded domain (quantity's 50 values; revenue through the histogram tier), tie-averaged DOUBLED ranks derive from cumulative counts over those grids (2r = 2*cum+n+1 - integer), rank moments accumulate in 128-bit integer arithmetic (DECIMAL(38,0) here, HUGEINT in the oracle - sum(rx2^2) ~ 4N^3 would silently wrap an int64 sum past ~1.3M rows; both engines' wide sums are exact and correctly rounded to double), and the final Pearson-on-ranks products share the same 128-bit tier (loud overflow, never silent, past N ~ 1.3e9 per test) before one division and one sqrt. rho = 0.671 FIRES (revenue tracks quantity; the raw quantity-price pair measures 0.003 on this independent synthetic fixture - both facts recorded). Scale: two domain aggregates + two grid windows + one corpus join against broadcast rank maps",
+      "Spearman rank correlation between line quantity and line revenue (quantity x price, 256-binned): the monotone-association measure robust to the heavy price tail where Pearson is not. Formulated by the q159 integer-rank recipe on BOTH sides: each variable collapses to its bounded domain (quantity's 50 values; revenue through the histogram tier), tie-averaged DOUBLED ranks derive from cumulative counts over those grids (2r = 2*cum+n+1 - integer), rank moments accumulate in 128-bit integer arithmetic (DECIMAL(38,0) here, HUGEINT in the oracle - sum(rx2^2) ~ 4N^3 would silently wrap an int64 sum past ~1.3M rows; both engines' wide sums are exact and correctly rounded to double), and the final Pearson-on-ranks products share the same 128-bit tier (loud overflow, never silent, past N ~ 1.3e9 per test) before one division and one sqrt. rho = 0.671 FIRES (revenue tracks quantity; the raw quantity-price pair measures 0.003 on this independent synthetic fixture - both facts recorded). Scale: two domain aggregates + two grid windows + one corpus join against broadcast rank maps; floor decision: FLOOR.md",
       (s, d) => {
         val li = t(s, d, "lineitem")
         val st = li.agg(min(col("l_quantity") * col("l_extendedprice")).as("mn"),

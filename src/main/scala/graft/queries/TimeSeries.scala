@@ -187,7 +187,7 @@ object TimeSeries {
       Some("""WITH w AS (SELECT DISTINCT date_trunc('hour', ts) - to_hours(i) AS ws FROM events, range(6) t(i)) SELECT epoch_us(ws) AS window_start_us, event_type, CAST(count(*) AS BIGINT) AS n_events, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS value_sum FROM w JOIN events e ON e.ts >= ws AND e.ts < ws + INTERVAL 6 HOUR GROUP BY 1, 2""")),
 
     QueryDef("q119_robust_scaling",
-      "robust feature scaling (median/IQR — the outlier-immune standardizer ML preprocessing uses over min-max): lineitem's four charge columns melt to long form (q112's Expand) and collapse in ONE corpus pass to a (metric, value, count) distinct-values table — the charge domain is discrete (prices/quantities on a grid: ~470k distinct values vs the 2.4M-row melt at sf0.1), so this is the exactQuantilesFromCounts regime and EVERY later stage reads the small counts table, zero further corpus passes: per-metric EXACT interpolated quartiles via the histogram-refinement core (NEVER the q41 buffer-every-value aggregate), then the scaled stats themselves — n as Σc, the exact-decimal sum as Σ decimal(scaled)·c (decimal·integer multiplication is exact, so it equals summing c identical rows), outliers as Σc over |scaled|>3 — all from the same checkpointed frame. Replaces round-8's four-corpus-pass shape (group stats, histogram, target rank, scale) with one pass + counts-table stages, unchanged hashes; measured 1.93 s → 1.53 s at sf0.1 (the residual is the melt-groupBy materialization ~0.7 s plus four bounded jobs over the 583k-row counts table — l_extendedprice is 97% distinct, so vc barely compresses; a column with a real grid compresses 1000× and the counts stages vanish). Quartiles round to 4 dp before use (interpolation ulp parity, the q41 recipe); safeDiv guards degenerate zero-IQR metrics to null (both engines agree via NULLIF)",
+      "robust feature scaling (median/IQR — the outlier-immune standardizer ML preprocessing uses over min-max): lineitem's four charge columns melt to long form (q112's Expand) and collapse in ONE corpus pass to a (metric, value, count) distinct-values table — the charge domain is discrete (prices/quantities on a grid: ~470k distinct values vs the 2.4M-row melt at sf0.1), so this is the exactQuantilesFromCounts regime and EVERY later stage reads the small counts table, zero further corpus passes: per-metric EXACT interpolated quartiles via the histogram-refinement core (NEVER the q41 buffer-every-value aggregate), then the scaled stats themselves — n as Σc, the exact-decimal sum as Σ decimal(scaled)·c (decimal·integer multiplication is exact, so it equals summing c identical rows), outliers as Σc over |scaled|>3 — all from the same checkpointed frame. Replaces round-8's four-corpus-pass shape (group stats, histogram, target rank, scale) with one pass + counts-table stages, unchanged hashes; measured 1.93 s → 1.53 s at sf0.1 (the residual is the melt-groupBy materialization ~0.7 s plus four bounded jobs over the 583k-row counts table — l_extendedprice is 97% distinct, so vc barely compresses; a column with a real grid compresses 1000× and the counts stages vanish). Quartiles round to 4 dp before use (interpolation ulp parity, the q41 recipe); safeDiv guards degenerate zero-IQR metrics to null (both engines agree via NULLIF); floor decision: FLOOR.md",
       (s, d) => {
         // ROUND 14 negative A/B (VERDICT r13 #3 asked whether the
         // q157/q175 edgeBinnedCounts fusion transfers here): it does

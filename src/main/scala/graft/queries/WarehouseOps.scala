@@ -177,7 +177,7 @@ object WarehouseOps {
       Some("""WITH cust AS (SELECT o_custkey, CAST(date_diff('day', max(o_orderdate), (SELECT max(o_orderdate) FROM orders)) AS BIGINT) AS rec, CAST(count(*) AS BIGINT) AS freq, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS mon FROM orders GROUP BY 1), q AS (SELECT quantile_cont(rec, 0.2) AS r1, quantile_cont(rec, 0.4) AS r2, quantile_cont(rec, 0.6) AS r3, quantile_cont(rec, 0.8) AS r4, quantile_cont(freq, 0.2) AS f1, quantile_cont(freq, 0.4) AS f2, quantile_cont(freq, 0.6) AS f3, quantile_cont(freq, 0.8) AS f4, quantile_cont(mon, 0.2) AS m1, quantile_cont(mon, 0.4) AS m2, quantile_cont(mon, 0.6) AS m3, quantile_cont(mon, 0.8) AS m4 FROM cust), sc AS (SELECT CAST(1 + (CASE WHEN rec > r1 THEN 1 ELSE 0 END) + (CASE WHEN rec > r2 THEN 1 ELSE 0 END) + (CASE WHEN rec > r3 THEN 1 ELSE 0 END) + (CASE WHEN rec > r4 THEN 1 ELSE 0 END) AS BIGINT) AS r_score, CAST(1 + (CASE WHEN freq > f1 THEN 1 ELSE 0 END) + (CASE WHEN freq > f2 THEN 1 ELSE 0 END) + (CASE WHEN freq > f3 THEN 1 ELSE 0 END) + (CASE WHEN freq > f4 THEN 1 ELSE 0 END) AS BIGINT) AS f_score, CAST(1 + (CASE WHEN mon > m1 THEN 1 ELSE 0 END) + (CASE WHEN mon > m2 THEN 1 ELSE 0 END) + (CASE WHEN mon > m3 THEN 1 ELSE 0 END) + (CASE WHEN mon > m4 THEN 1 ELSE 0 END) AS BIGINT) AS m_score, mon FROM cust, q) SELECT r_score, f_score, m_score, CAST(count(*) AS BIGINT) AS n_customers, CAST(SUM(CAST(floor(mon * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS total_monetary FROM sc GROUP BY 1, 2, 3""")),
 
     QueryDef("q171_warehouse_pipeline",
-      "END-TO-END warehouse maintenance cycle in ONE pipeline (VERDICT r9 #8 — the round-9 operators COMPOSING, not just coexisting; the q78 pattern for the warehouse plane): an incoming snapshot with injected corruption (every 13th key's total negated) passes the DQ GATE (q132's row predicates as a quarantine filter — violating rows never reach the warehouse, their count is reported), the gated snapshot is CDC-DIFFED against the previous one (q133's ops.Cdc.snapshotDiff — quarantined rows that existed before surface honestly as deletes), the diff FOLDS FORWARD the maintained per-priority aggregate (q143's incremental machinery, state kept in exact DECIMAL(38,6) so incremental==batch is a theorem — the oracle recomputes the maintained totals FROM SCRATCH over the gated snapshot and the hash must agree), and the final readout is the RFM SEGMENT GRID (q169's quantile-edge machinery) over the accepted data, with the pipeline audit (n_quarantined, insert/delete/update counts, maintained totals, surviving priority-group count) broadcast on every row. Scale: each stage keys on orderkey or custkey (bucket-co-locatable), audit scalars are grid-bounded driver state, and the RFM stage reuses the checkpointed-rollup + one-multi-quantile-pass plan. Round 12 (VERDICT r11 #8) collapsed the diff-side stages: the diff lineage's only consumer is now ONE (change_type, old_pri, new_pri) aggregate whose collected grid drives the change audit AND the incremental fold in driver-side exact BigDecimal — the eager corpus-wide diff checkpoint, the separate audit collect and the delta/oldAgg join chain (r10 Prof8: ~2.3 s of the old 3.5-4 s total) are gone; what remains is quarantine count + one diff-aggregate job + the orders rollup + RFM, each irreducible (a composition still costs what its stages cost, but now only its stages). Round 13 closes the floor ask (VERDICT r12 #6) by OVERLAPPING the irreducible stages: the three audit-side actions are independent of each other AND of the RFM chain, so they are submitted from futures while the RFM chain runs on the calling thread — Spark schedules concurrent jobs over the same 32 slots, and the composition's wall-clock drops from the serial sum (~8 job floors) to max(RFM chain, audit side): measured 2.19 -> 1.71-1.78 s at sf0.1 in a load-5 working window where the same run also re-measured untouched q136 at 0.99-1.02 (i.e. the delta is real, the absolute numbers carry the window's noise), unchanged hashes — only submission order changes; every result is awaited before assembly. DECISION (the round-11 <= 1.5 s bar, recorded; re-settled round 16 per VERDICT r15 #2): the remaining wall-clock IS the RFM chain running at max overlap — quarantine/diff/old-rollup are fully hidden behind it — and round 16 shortened that chain itself from five serial links to four (rfmGrid's anchor future + the stats-free bit-bucket quantile path; see the rfmGrid scaladoc). The dependency chain that forbids further overlap is now explicit: checkpoint materialization → bit histogram (needs the checkpoint) → target fetch (needs the histogram's bucket plan) → scoring-grid readout (needs the fetched edges as literals); every other stage of the composition is already concurrent. The composition costs exactly its longest stage, which is the definition of done for a pipeline demo",
+      "END-TO-END warehouse maintenance cycle in ONE pipeline (VERDICT r9 #8 — the round-9 operators COMPOSING, not just coexisting; the q78 pattern for the warehouse plane): an incoming snapshot with injected corruption (every 13th key's total negated) passes the DQ GATE (q132's row predicates as a quarantine filter — violating rows never reach the warehouse, their count is reported), the gated snapshot is CDC-DIFFED against the previous one (q133's ops.Cdc.snapshotDiff — quarantined rows that existed before surface honestly as deletes), the diff FOLDS FORWARD the maintained per-priority aggregate (q143's incremental machinery, state kept in exact DECIMAL(38,6) so incremental==batch is a theorem — the oracle recomputes the maintained totals FROM SCRATCH over the gated snapshot and the hash must agree), and the final readout is the RFM SEGMENT GRID (q169's quantile-edge machinery) over the accepted data, with the pipeline audit (n_quarantined, insert/delete/update counts, maintained totals, surviving priority-group count) broadcast on every row. Scale: each stage keys on orderkey or custkey (bucket-co-locatable), audit scalars are grid-bounded driver state, and the RFM stage reuses the checkpointed-rollup + one-multi-quantile-pass plan. Round 12 (VERDICT r11 #8) collapsed the diff-side stages: the diff lineage's only consumer is now ONE (change_type, old_pri, new_pri) aggregate whose collected grid drives the change audit AND the incremental fold in driver-side exact BigDecimal — the eager corpus-wide diff checkpoint, the separate audit collect and the delta/oldAgg join chain (r10 Prof8: ~2.3 s of the old 3.5-4 s total) are gone; what remains is quarantine count + one diff-aggregate job + the orders rollup + RFM, each irreducible (a composition still costs what its stages cost, but now only its stages). Round 13 closes the floor ask (VERDICT r12 #6) by OVERLAPPING the irreducible stages: the three audit-side actions are independent of each other AND of the RFM chain, so they are submitted from futures while the RFM chain runs on the calling thread — Spark schedules concurrent jobs over the same 32 slots, and the composition's wall-clock drops from the serial sum (~8 job floors) to max(RFM chain, audit side): measured 2.19 -> 1.71-1.78 s at sf0.1 in a load-5 working window where the same run also re-measured untouched q136 at 0.99-1.02 (i.e. the delta is real, the absolute numbers carry the window's noise), unchanged hashes — only submission order changes; every result is awaited before assembly. DECISION (the round-11 <= 1.5 s bar, recorded; re-settled round 16 per VERDICT r15 #2): the remaining wall-clock IS the RFM chain running at max overlap — quarantine/diff/old-rollup are fully hidden behind it — and round 16 shortened that chain itself from five serial links to four (rfmGrid's anchor future + the stats-free bit-bucket quantile path; see the rfmGrid scaladoc). The dependency chain that forbids further overlap is now explicit: checkpoint materialization → bit histogram (needs the checkpoint) → target fetch (needs the histogram's bucket plan) → scoring-grid readout (needs the fetched edges as literals); every other stage of the composition is already concurrent. The composition costs exactly its longest stage, which is the definition of done for a pipeline demo; floor decision: FLOOR.md",
       (s, d) => {
         import graft.ops.Num.D
         val k = col("o_orderkey")
