@@ -99,52 +99,67 @@ object LabelProp {
         .as[(Long, Long)].collect()
     }
     val m = tupled.length
-    val nodes = {
-      val b = new Array[Long](2 * m)
-      var i = 0
-      while (i < m) { b(2 * i) = tupled(i)._1; b(2 * i + 1) = tupled(i)._2; i += 1 }
-      b.distinct
-    }
-    val n = nodes.length
+    // first-seen index assignment in the flattened (src, dst) order —
+    // the same node order Array.distinct produced, without boxing 2m
+    // longs through a generic HashSet (round 17: the 1M-edge q191
+    // graph spent a measurable slice of its driver gap there)
     val idx = scala.collection.mutable.LongMap.empty[Int]
-    var i = 0
-    while (i < n) { idx(nodes(i)) = i; i += 1 }
-    val degc = new Array[Int](n)
+    val nodesBuf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def id(x: Long): Int =
+      idx.getOrElseUpdate(x, { nodesBuf += x; nodesBuf.length - 1 })
+    val ua = new Array[Int](m)
+    val va = new Array[Int](m)
     var e = 0
-    while (e < m) { degc(idx(tupled(e)._1)) += 1; degc(idx(tupled(e)._2)) += 1; e += 1 }
+    while (e < m) { ua(e) = id(tupled(e)._1); va(e) = id(tupled(e)._2); e += 1 }
+    val nodes = nodesBuf.toArray
+    val n = nodes.length
+    val degc = new Array[Int](n)
+    e = 0
+    while (e < m) { degc(ua(e)) += 1; degc(va(e)) += 1; e += 1 }
     val off = new Array[Int](n + 1)
-    i = 0
+    var i = 0
     while (i < n) { off(i + 1) = off(i) + degc(i); i += 1 }
     val fill = java.util.Arrays.copyOf(off, n)
     val nbr = new Array[Int](2 * m)
     e = 0
     while (e < m) {
-      val a = idx(tupled(e)._1); val b = idx(tupled(e)._2)
+      val a = ua(e); val b = va(e)
       nbr(fill(a)) = b; fill(a) += 1
       nbr(fill(b)) = a; fill(b) += 1
       e += 1
     }
-    var lbl = nodes.clone()
+    // labels live in INDEX space (every label is a node id, so it has
+    // an index); votes tally in a flat array reset via a touched list
+    // instead of a per-vertex LongMap (round 17 — no boxing, no
+    // rehashing in the O(m·iters) hot loop). The argmax tie-break
+    // compares the LABEL VALUES nodes(l), exactly min(struct(-c, lbl)).
+    var lbl = Array.tabulate(n)(identity)
+    val cnt = new Array[Long](n)
+    val touched = new Array[Int](n)
     var it = 0
-    val votes = scala.collection.mutable.LongMap.empty[Long]
     while (it < iters) {
-      val next = new Array[Long](n)
+      val next = new Array[Int](n)
       var v = 0
       while (v < n) {
-        votes.clear()
-        votes(lbl(v)) = 1L // the self-vote
+        var nt = 0
+        def vote(l: Int): Unit = {
+          if (cnt(l) == 0L) { touched(nt) = l; nt += 1 }
+          cnt(l) += 1L
+        }
+        vote(lbl(v)) // the self-vote
         var p = off(v)
-        while (p < off(v + 1)) {
-          val l = lbl(nbr(p))
-          votes(l) = votes.getOrElse(l, 0L) + 1L
-          p += 1
+        while (p < off(v + 1)) { vote(lbl(nbr(p))); p += 1 }
+        var bestC = -1L; var bestL = -1
+        var t = 0
+        while (t < nt) {
+          val l = touched(t); val c = cnt(l)
+          if (c > bestC || (c == bestC &&
+              (bestL < 0 || nodes(l) < nodes(bestL)))) { bestC = c; bestL = l }
+          t += 1
         }
-        // argmax: most frequent, ties to the smallest label — exactly
-        // min(struct(-count, label))
-        var bestC = -1L; var bestL = Long.MaxValue
-        votes.foreach { case (l, c) =>
-          if (c > bestC || (c == bestC && l < bestL)) { bestC = c; bestL = l }
-        }
+        // reset only the touched cells
+        t = 0
+        while (t < nt) { cnt(touched(t)) = 0L; t += 1 }
         next(v) = bestL
         v += 1
       }
@@ -154,7 +169,7 @@ object LabelProp {
     val rows: java.util.List[org.apache.spark.sql.Row] =
       java.util.Arrays.asList(
         nodes.zipWithIndex.map { case (nd, j) =>
-          org.apache.spark.sql.Row(nd, lbl(j))
+          org.apache.spark.sql.Row(nd, nodes(lbl(j)))
         }: _*)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("v",

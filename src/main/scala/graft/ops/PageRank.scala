@@ -127,30 +127,31 @@ object PageRank {
         .as[(Long, Long)].collect()
     }
     val m = tupled.length
-    val nodes = {
-      val b = new Array[Long](2 * m)
-      var i = 0
-      while (i < m) { b(2 * i) = tupled(i)._1; b(2 * i + 1) = tupled(i)._2; i += 1 }
-      b.distinct
-    }
-    val n = nodes.length
+    // first-seen index assignment in the flattened (src, dst) order —
+    // same node order as the old Array.distinct, without boxing 2m
+    // longs through a generic HashSet (round 17)
     val idx = scala.collection.mutable.LongMap.empty[Int]
-    var i = 0
-    while (i < n) { idx(nodes(i)) = i; i += 1 }
+    val nodesBuf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def id(x: Long): Int =
+      idx.getOrElseUpdate(x, { nodesBuf += x; nodesBuf.length - 1 })
+    val ua = new Array[Int](m)
+    val va = new Array[Int](m)
+    var e = 0
+    while (e < m) { ua(e) = id(tupled(e)._1); va(e) = id(tupled(e)._2); e += 1 }
+    val nodes = nodesBuf.toArray
+    val n = nodes.length
     // doubled-edge CSR (each input edge contributes both directions)
     val deg = new Array[Long](n)
-    var e = 0
-    while (e < m) {
-      deg(idx(tupled(e)._1)) += 1; deg(idx(tupled(e)._2)) += 1; e += 1
-    }
+    e = 0
+    while (e < m) { deg(ua(e)) += 1; deg(va(e)) += 1; e += 1 }
     val off = new Array[Int](n + 1)
-    i = 0
+    var i = 0
     while (i < n) { off(i + 1) = off(i) + deg(i).toInt; i += 1 }
     val fill = java.util.Arrays.copyOf(off, n)
     val nbr = new Array[Int](2 * m)
     e = 0
     while (e < m) {
-      val a = idx(tupled(e)._1); val b = idx(tupled(e)._2)
+      val a = ua(e); val b = va(e)
       nbr(fill(a)) = b; fill(a) += 1
       nbr(fill(b)) = a; fill(b) += 1
       e += 1
