@@ -83,5 +83,10 @@ object PerfCanary {
     "q157_woe_iv"             -> 0.58,
     "q163_spearman"           -> 0.86,
     "q175_gains_deciles"      -> 0.93,
-    "q187_half_sample_ci"     -> 0.99)
+    "q187_half_sample_ci"     -> 0.99,
+    // round 17: the triangle driver twin's best recorded sf0.1
+    // minima (final-build bench, min-of-6 — measured in a LOADED
+    // window, so a quiet window may re-pin these lower)
+    "q142_triangle_count"     -> 1.51,
+    "q144_local_clustering"   -> 1.59)
 }
