@@ -219,7 +219,7 @@ object SetGraphOps {
         SELECT v AS vertex, deg, pr FROM r3""")),
 
     QueryDef("q142_triangle_count",
-      "degree-ordered triangle census (ops.Triangles — Schank-Wagner orientation, completing the graph plane: components/PageRank/triangles): the co-purchase part graph (distinct same-order part pairs, built with q135's one-shuffle collect_set + in-row pair explode — 1.2M edges at sf0.1) census'd into n_nodes / n_edges / n_triangles / global clustering coefficient (3·triangles/wedges, 6 dp). Edges orient from the (degree, id)-smaller endpoint, so every triangle counts exactly once AND out-degrees are bounded O(√m) — the wedge stage is Σ outdeg² ≤ O(m^1.5), immune to the hub-with-small-id blowup of naive id orientation; wedge candidates explode IN-ROW from sorted adjacency arrays and immediately probe the closing-edge equi-join (unclosed wedges never materialize through a shuffle). The oracle is the naive id-oriented 3-way self-join — an independent derivation of the same 1.88M-triangle count",
+      "degree-ordered triangle census (ops.Triangles — Schank-Wagner orientation, completing the graph plane: components/PageRank/triangles): the co-purchase part graph (distinct same-order part pairs, built with q135's one-shuffle collect_set + in-row pair explode — 1.2M edges at sf0.1) census'd into n_nodes / n_edges / n_triangles / global clustering coefficient (3·triangles/wedges, 6 dp). Edges orient from the (degree, id)-smaller endpoint, so every triangle counts exactly once AND out-degrees are bounded O(√m) — the wedge stage is Σ outdeg² ≤ O(m^1.5), immune to the hub-with-small-id blowup of naive id orientation; wedge candidates explode IN-ROW from sorted adjacency arrays and immediately probe the closing-edge equi-join (unclosed wedges never materialize through a shuffle). ROUND 17: graphs at or under 4M edges (this one: 1.2M at sf0.1) run the identical census as a DRIVER TWIN over a primitive CSR (the dedupGroups/LabelProp/PageRank adaptive pattern) — Prof15 showed the BSP chain was 22 scheduler jobs of pure serial job floor; the twin is 8 jobs and measured 3.88 -> 2.21 s in a same-window A/B/A (plans/r17/). Driver ≡ distributed is bit-exact via shared final projections (TrianglesSpec pins); above the cap (sf1's 12M edges) the distributed plan is unchanged. The oracle is the naive id-oriented 3-way self-join — an independent derivation of the same 1.88M-triangle count",
       (s, d) => {
         val sets = t(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_partkey"))
@@ -237,7 +237,7 @@ object SetGraphOps {
       Some("""WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), e AS (SELECT a.l_partkey AS u, b2.l_partkey AS v FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey AND a.l_partkey < b2.l_partkey GROUP BY 1, 2), deg AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS deg FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY 1), tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v), w AS (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS wedges, CAST(count(*) AS BIGINT) AS n_nodes FROM deg), ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e) SELECT n_nodes, n_edges, n_triangles, round(3.0 * n_triangles / wedges, 6) AS global_clustering FROM w CROSS JOIN ne CROSS JOIN tri""")),
 
     QueryDef("q144_local_clustering",
-      "per-node LOCAL clustering coefficients (Watts-Strogatz — the spam/bot-ring feature the global census averages away: a hub with near-zero clustering is an aggregator, a node at 1.0 sits in a closed ring) over the same co-purchase graph as q142, via ops.Triangles.perNode: each triangle found on its oriented (src, dst) edge explodes to its THREE corners — 3 rows per triangle, never wedge-sized — and corner counts aggregate by node; local_cc = 2·t/(deg·(deg−1)) at 6 dp, NULL for degree-1 nodes, zero-triangle nodes included (left join against the degree table). Shares q142's whole scale argument (degree orientation, edge-iterator intersection, adaptive node-table broadcasts); the oracle independently re-derives per-node counts from the naive 3-join triangle table unioned over its corners",
+      "per-node LOCAL clustering coefficients (Watts-Strogatz — the spam/bot-ring feature the global census averages away: a hub with near-zero clustering is an aggregator, a node at 1.0 sits in a closed ring) over the same co-purchase graph as q142, via ops.Triangles.perNode: each triangle found on its oriented (src, dst) edge explodes to its THREE corners — 3 rows per triangle, never wedge-sized — and corner counts aggregate by node; local_cc = 2·t/(deg·(deg−1)) at 6 dp, NULL for degree-1 nodes, zero-triangle nodes included (left join against the degree table). Shares q142's whole scale argument (degree orientation, edge-iterator intersection, adaptive node-table broadcasts) AND its round-17 driver twin (per-corner counts from the same CSR loop, 20 -> 8 jobs, 3.42 -> 2.39 s same-window A/B/A, bit-exact via the shared perNode projection); the oracle independently re-derives per-node counts from the naive 3-join triangle table unioned over its corners",
       (s, d) => {
         val sets = t(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_partkey"))
