@@ -329,16 +329,45 @@ object CorpusOps {
         // pipeline persists inter-stage corpora (measured 6.0s → 2.9s at
         // sf0.1). At cluster scale this is a distributed-storage
         // checkpoint; localCheckpoint is its single-JVM twin.
+        //
+        // Round 18 (guide §2.6, the q171 pattern): the per-stage funnel
+        // counts (raw/nq/ne) depend only on their own stage's frame,
+        // never on the LSH chain — submitting each as a concurrent
+        // future right after its input materializes lets those jobs
+        // back-fill the cluster while the serial LSH/group chain runs,
+        // instead of queueing serially inside the final readout action.
+        // Each future eagerly materializes a per-lang count (a handful
+        // of rows); the values — and hence the query result — are
+        // identical, only WHEN the jobs run changes. blocking{} because
+        // the shared global pool must not starve on low-core machines.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val fRaw = Future { scala.concurrent.blocking {
+          s.sparkContext.setJobDescription("q65: n_raw funnel count (concurrent)")
+          docs.groupBy(col("lang")).agg(lcount(lit(1)).as("n_raw"))
+            .localCheckpoint(true)
+        } }
         val scored = docs.select(col("doc_id"), col("lang"), col("text"),
             qualityScore(col("text")).as("q"),
             Dedup.contentKey("text").as("k"))
           .localCheckpoint(true)
         val fd = scored.filter(col("q") >= 0.75)
+        val fNq = Future { scala.concurrent.blocking {
+          s.sparkContext.setJobDescription("q65: n_quality funnel count (concurrent)")
+          fd.groupBy(col("lang")).agg(lcount(lit(1)).as("n_quality"))
+            .localCheckpoint(true)
+        } }
         val exKeep = fd.groupBy(col("k"))
           .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
         val fd2 = fd.join(exKeep, Seq("doc_id"), "left_semi")
           .select(col("doc_id"), col("lang"), col("text"))
           .localCheckpoint(true)
+        val fNe = Future { scala.concurrent.blocking {
+          s.sparkContext.setJobDescription("q65: n_exact funnel count (concurrent)")
+          fd2.groupBy(col("lang")).agg(lcount(lit(1)).as("n_exact"))
+            .localCheckpoint(true)
+        } }
         val groups = Dedup.dedupGroups(
           Dedup.minhashLshPairs(fd2, "text", "doc_id", "lang", 3,
                                 numHashes = 8, bands = 4, threshold = 0.5),
@@ -346,9 +375,9 @@ object CorpusOps {
         val drop = groups.filter(col("doc_id") =!= col("group_rep"))
           .select(col("doc_id"))
         val fin = fd2.join(drop, Seq("doc_id"), "left_anti")
-        val raw = docs.groupBy(col("lang")).agg(lcount(lit(1)).as("n_raw"))
-        val nq = fd.groupBy(col("lang")).agg(lcount(lit(1)).as("n_quality"))
-        val ne = fd2.groupBy(col("lang")).agg(lcount(lit(1)).as("n_exact"))
+        val raw = Await.result(fRaw, Duration.Inf)
+        val nq = Await.result(fNq, Duration.Inf)
+        val ne = Await.result(fNe, Duration.Inf)
         val nf = fin.groupBy(col("lang"))
           .agg(lcount(lit(1)).as("n_final"),
                lsum(tokenCount(col("text"))).as("tokens_final"))
