@@ -112,6 +112,37 @@ object WarehouseOps {
              .cast(DecimalType(38, 6))).cast("double").as("total_monetary"))
   }
 
+  /** ONE fused pass over the checkpointed per-order basket table for
+    * the market-basket family (q135/q211, round 18 — guide §2.3
+    * "shuffle fewer bytes / do fewer passes"): the in-row pair
+    * expansion ALSO emits one null-marker row per anchor element, so a
+    * single explode+aggregate computes BOTH the (brand_a < brand_b)
+    * pair supports (brand_b non-null) and the per-brand supports
+    * (brand_b null — each basket element anchors exactly once, so the
+    * marker count per brand equals the plain explode's per-brand
+    * count; a size-1 basket emits only its marker where the unfused
+    * pair pass dropped the row entirely). Before this the per-brand
+    * aggregate ran as its own full explode+shuffle pass over the
+    * baskets — TWICE when the optimizer did not reuse the exchange
+    * across the two grid/join sides (the initial q211 plan carried
+    * both copies). The tiny result (≤ brands²/2 + brands rows) is
+    * localCheckpoint'd so every consumer (pair plane, both per-brand
+    * join sides) reads materialized blocks instead of re-running a
+    * corpus aggregate; counts and types are bit-identical to the
+    * unfused form, which the oracle hash-match certifies. */
+  private[graft] def basketPairPlane(sets: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    sets
+      .select(posexplode(col("bs")).as(Seq("i", "brand_a")), col("bs"))
+      .select(col("brand_a"),
+        explode(concat(array(lit(null).cast("string")),
+                       slice(col("bs"), col("i") + lit(2),
+                             greatest(size(col("bs")) - col("i") - 1, lit(0)))))
+          .as("brand_b"))
+      .groupBy(col("brand_a"), col("brand_b"))
+      .agg(lcount(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q166_reconciliation",
@@ -360,16 +391,14 @@ object WarehouseOps {
           .groupBy(col("l_orderkey"))
           .agg(array_sort(collect_set(col("p_brand"))).as("bs"))
           .localCheckpoint(true)
-        val pairs = sets
-          .select(posexplode(col("bs")).as(Seq("i", "brand_a")), col("bs"))
-          .select(col("brand_a"),
-            explode(slice(col("bs"), col("i") + lit(2),
-                          greatest(size(col("bs")) - col("i") - 1, lit(0))))
-              .as("brand_b"))
-          .groupBy(col("brand_a"), col("brand_b"))
-          .agg(lcount(lit(1)).as("support"))
-        val bs = sets.select(explode(col("bs")).as("p_brand"))
-          .groupBy(col("p_brand")).agg(lcount(lit(1)).as("s"))
+        // round 18: pair supports and per-brand supports from ONE fused
+        // explode+aggregate pass over the baskets (see basketPairPlane)
+        // instead of two separate full passes; counts identical
+        val plane = basketPairPlane(sets)
+        val pairs = plane.filter(col("brand_b").isNotNull)
+          .select(col("brand_a"), col("brand_b"), col("cnt").as("support"))
+        val bs = plane.filter(col("brand_b").isNull)
+          .select(col("brand_a").as("p_brand"), col("cnt").as("s"))
         val nOrders = sets.agg(lcount(lit(1)).as("n_orders"))
         pairs.filter(col("support") >= 10)
           .join(broadcast(bs.select(col("p_brand").as("brand_a"), col("s").as("sa"))),
@@ -393,16 +422,15 @@ object WarehouseOps {
           .groupBy(col("l_orderkey"))
           .agg(array_sort(collect_set(col("p_brand"))).as("bs"))
           .localCheckpoint(true)
-        val pairs = sets
-          .select(posexplode(col("bs")).as(Seq("i", "brand_a")), col("bs"))
-          .select(col("brand_a"),
-            explode(slice(col("bs"), col("i") + lit(2),
-                          greatest(size(col("bs")) - col("i") - 1, lit(0))))
-              .as("brand_b"))
-          .groupBy(col("brand_a"), col("brand_b"))
-          .agg(lcount(lit(1)).as("supp"))
-        val bs = sets.select(explode(col("bs")).as("p_brand"))
-          .groupBy(col("p_brand")).agg(lcount(lit(1)).as("s"))
+        // round 18: pair supports and per-brand supports from ONE fused
+        // explode+aggregate pass over the baskets (see basketPairPlane)
+        // instead of THREE (the initial plan ran the per-brand aggregate
+        // once per grid side); counts identical
+        val plane = basketPairPlane(sets)
+        val pairs = plane.filter(col("brand_b").isNotNull)
+          .select(col("brand_a"), col("brand_b"), col("cnt").as("supp"))
+        val bs = plane.filter(col("brand_b").isNull)
+          .select(col("brand_a").as("p_brand"), col("cnt").as("s"))
         val nOrders = sets.agg(lcount(lit(1)).as("n"))
         // densified pair grid (ADVICE r10): the co-occurrence pass only emits
         // pairs with supp >= 1, but a MAXIMALLY repelled pair (supp = 0 with

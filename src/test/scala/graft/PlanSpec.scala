@@ -480,11 +480,16 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("Window"), s"plan:\n$p")
       assert(!p.contains("CartesianProduct"), s"plan:\n$p")
     }
-    it("q135 basket pairs explode in-row from the checkpointed set table — no basket self-join") {
+    it("q135 basket pair/brand supports come pre-fused from the checkpointed plane — no basket self-join, no explode in the readout") {
       val p = planOf("q135_market_basket")
       assert(!p.contains("CartesianProduct"), s"plan:\n$p")
-      assert(p.contains("Generate"), s"expected the in-row pair explode:\n$p")
-      assert(p.contains("Scan ExistingRDD"), s"expected the checkpointed set table:\n$p")
+      // round 18: the in-row pair explode AND the per-brand explode run
+      // ONCE inside the fused basketPairPlane checkpoint build; the
+      // readout must only filter/join the materialized plane. A Generate
+      // reappearing here means a consumer fell back to re-running a full
+      // explode pass over the basket table.
+      assert(!p.contains("Generate"), s"explode pass leaked back into the readout:\n$p")
+      assert(p.contains("Scan ExistingRDD"), s"expected the checkpointed plane:\n$p")
       // downstream joins are |brands|-bounded broadcasts, never shuffles
       assert(!p.contains("SortMergeJoin"), s"stats joins must broadcast:\n$p")
     }
@@ -821,6 +826,10 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
       assert(!p.contains("parquet"), s"plan:\n$p") // incidence checkpointed
       assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
+      // round 18: pair+brand supports pre-fused in basketPairPlane — the
+      // readout (grid crossJoin, pair left-join, chi2 math) must not
+      // re-run any explode pass over the basket table
+      assert(!p.contains("Generate"), s"explode pass leaked back into the readout:\n$p")
     }
     it("q212 kappa: marginals derive from the checkpointed confusion grid") {
       val p = planOf("q212_cohens_kappa")

@@ -173,6 +173,39 @@ class WarehouseSpec extends SparkSpec {
 
   // -------------------------------------------------------------- FIFO
 
+  describe("queries.WarehouseOps.basketPairPlane (q135/q211 fused pass, round 18)") {
+    // the fused plane must reproduce BOTH unfused aggregates exactly:
+    // pair supports (brand_a < brand_b over each sorted distinct set)
+    // and per-brand supports (each basket element once)
+    val sets = Seq(
+      (1L, Seq("A", "B", "C")),
+      (2L, Seq("A", "B")),
+      (3L, Seq("B")),          // size-1 basket: marker only, no pairs
+      (4L, Seq("A", "B", "C", "D")),
+      (5L, Seq[String]())      // degenerate empty set: contributes nothing
+    ).toDF("l_orderkey", "bs")
+
+    it("brand_b-null marker counts equal the plain per-brand explode counts") {
+      val plane = graft.queries.WarehouseOps.basketPairPlane(sets)
+      val got = plane.filter($"brand_b".isNull)
+        .select($"brand_a", $"cnt").as[(String, Long)].collect().toMap
+      val want = sets.select(explode($"bs").as("b"))
+        .groupBy($"b").count().as[(String, Long)].collect().toMap
+      assert(got == want)
+      assert(got == Map("A" -> 3L, "B" -> 4L, "C" -> 2L, "D" -> 1L))
+    }
+    it("pair rows equal the unfused in-row pair expansion") {
+      val plane = graft.queries.WarehouseOps.basketPairPlane(sets)
+      val got = plane.filter($"brand_b".isNotNull)
+        .select($"brand_a", $"brand_b", $"cnt")
+        .as[(String, String, Long)].collect()
+        .map { case (a, b, c) => ((a, b), c) }.toMap
+      assert(got == Map(
+        ("A", "B") -> 3L, ("A", "C") -> 2L, ("A", "D") -> 1L,
+        ("B", "C") -> 2L, ("B", "D") -> 1L, ("C", "D") -> 1L))
+    }
+  }
+
   describe("Fifo.matchLots (q180)") {
     def frame(rows: (Long, Long, Long, Double)*): DataFrame =
       rows.toDF("k", "ts", "id", "qty")
