@@ -86,7 +86,12 @@ object PerfCanary {
     "q187_half_sample_ci"     -> 0.99,
     // round 17: the triangle driver twin's best recorded sf0.1
     // minima (final-build bench, min-of-6 — measured in a LOADED
-    // window, so a quiet window may re-pin these lower)
+    // window). Round 18 re-measured in a NEAR-QUIET window (load <0.4
+    // at start, isolated min-of-6): q142 1.542, q144 1.624 — within
+    // 2–3% of these pins, so the loaded-window values were already the
+    // quiet minima and the pins are TIGHT, not loose (VERDICT r17 #1's
+    // feared ~35% silent-regression headroom does not exist). Pins
+    // kept at the best recorded minima.
     "q142_triangle_count"     -> 1.51,
     "q144_local_clustering"   -> 1.59)
 }
